@@ -1,0 +1,95 @@
+"""Scalar functions (symbols, timeframes, timeutil) and QC operators."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from backtest_crew_datalake_spark.functions.symbols import (
+    split_symbol, to_binance_symbol,
+)
+from backtest_crew_datalake_spark.functions.timeframes import (
+    normalize_tf, normalize_tf_col,
+)
+from backtest_crew_datalake_spark.functions.timeutil import to_bar_end, to_utc
+from backtest_crew_datalake_spark.operators.qc import (
+    bars_per_hour, completeness_check,
+)
+from backtest_crew_datalake_spark.operators.sessionize import sessionize
+from backtest_crew_datalake_spark.sources.synth import make_m1
+
+
+def test_to_binance_symbol(spark):
+    df = spark.createDataFrame(
+        [("BTC-USD",), ("ETH-USD",), ("SOL-USD",), ("ADA-EUR",), ("BTCUSDT",)],
+        ["s"],
+    ).select(to_binance_symbol("s").alias("m"))
+    assert [r.m for r in df.collect()] == \
+        ["BTCUSDT", "ETHUSDT", "SOLUSDT", "ADAEUR", "BTCUSDT"]
+
+
+def test_split_symbol(spark):
+    df = spark.createDataFrame(
+        [("BTC-USD",), ("BTCUSD",), ("ETHUSDT",), ("BTC/USD",), ("XYZ",)], ["s"]
+    ).select(split_symbol("s").alias("p"))
+    got = [(r.p.base, r.p.quote) for r in df.collect()]
+    assert got == [("BTC", "USD"), ("BTC", "USD"), ("ETH", "USDT"),
+                   ("BTC", "USD"), ("XYZ", None)]
+
+
+def test_normalize_tf():
+    assert normalize_tf("1 min") == "M1"
+    assert normalize_tf("5 mins") == "M5"
+    assert normalize_tf("m15") == "M15"
+    assert normalize_tf("1hour") == "H1"
+    assert normalize_tf("1day") == "D1"
+    assert normalize_tf("H4") == "H4"  # pass-through upper
+
+
+def test_normalize_tf_col(spark):
+    df = spark.createDataFrame([("1 min",), ("5 mins",), ("h1",)], ["tf"]) \
+        .select(normalize_tf_col(F.col("tf")).alias("n"))
+    assert [r.n for r in df.collect()] == ["M1", "M5", "H1"]
+
+
+def test_bar_end_shift_and_exchange_tz(spark):
+    df = spark.createDataFrame([("2024-01-01 09:30:00",)], ["raw"]).select(
+        to_bar_end(F.col("raw").cast("timestamp")).alias("end"),
+        to_utc(F.col("raw"), "PAXOS").alias("utc"),
+    )
+    r = df.collect()[0]
+    assert r.end == pd.Timestamp("2024-01-01 09:31:00")
+    # America/New_York is UTC-5 in January
+    assert r.utc == pd.Timestamp("2024-01-01 14:30:00")
+
+
+def test_completeness_check(spark):
+    m1 = make_m1(spark, ["BTC-USD"], "2024-01-01", "2024-01-01", seed=4) \
+        .withColumn("timeframe", F.lit("M1"))
+    full = completeness_check(m1).collect()[0]
+    assert full.n_bars == 1440 and full.n_expected == 1440 and full.complete
+    gappy = completeness_check(m1.limit(1000)).collect()[0]
+    assert not gappy.complete
+
+
+def test_bars_per_hour_zero_fill(spark):
+    m1 = make_m1(spark, ["BTC-USD"], "2024-01-01", "2024-01-01", seed=4) \
+        .where(F.hour("ts") != 3)
+    out = bars_per_hour(m1, by=["symbol"]).orderBy("hour").toPandas()
+    assert len(out) == 24
+    assert out[out.hour == 3].iloc[0].n_bars == 0
+    assert out[out.hour == 4].iloc[0].n_bars == 60
+
+
+def test_sessionize(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),
+        (1, "2024-01-01 01:10:00"),  # > 30min gap → new session
+        (2, "2024-01-01 05:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"]) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sessionize(df, timeout_seconds=1800).orderBy("user_id", "session_id") \
+        .toPandas()
+    assert len(out) == 3
+    u1 = out[out.user_id == 1]
+    assert list(u1.n_events) == [2, 1]
+    assert u1.iloc[0].duration_sec == 600

@@ -1,0 +1,86 @@
+"""Lake writer/reader: layout, idempotent upsert keep-last, half-open read
+contract, empty-lake behavior, schema enforcement
+(ref writer.py:126-233, api.py:12-72, tests/test_read_api.py)."""
+
+import pathlib
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from backtest_crew_datalake_spark.operators.qc import validate_layout
+from backtest_crew_datalake_spark.schemas import CANONICAL_ORDER, enforce_schema
+from backtest_crew_datalake_spark.sources.lake import read_range
+from backtest_crew_datalake_spark.sources.synth import make_m1
+from backtest_crew_datalake_spark.sources.writer import upsert_candles
+
+
+def test_roundtrip_layout_and_contract(spark, tmp_path):
+    root = str(tmp_path / "lake")
+    m1 = make_m1(spark, ["BTC-USD"], "2024-01-31", "2024-02-01", seed=42)
+    upsert_candles(spark, m1, root)
+
+    # Hive layout with per-row month routing (the frame spans two months)
+    paths = list(pathlib.Path(root).glob("data/*/*/*/*/*/*/*.parquet"))
+    assert paths, "no files written"
+    parts = {p.parent.parent.name + "/" + p.parent.name for p in paths}
+    assert parts == {"year=2024/month=01", "year=2024/month=02"}
+    assert validate_layout(spark, root) == []
+
+    got = read_range(
+        spark, root, symbol="BTC-USD",
+        date_from="2024-01-31 00:00:00", date_to="2024-02-01 00:00:00",
+    )
+    assert got.count() == 1440  # half-open: second day excluded
+    ts = got.agg(F.min("ts"), F.max("ts")).collect()[0]
+    assert ts[0] == pd.Timestamp("2024-01-31 00:00:00")
+    assert ts[1] == pd.Timestamp("2024-01-31 23:59:00")
+
+
+def test_upsert_idempotent_and_keep_last(spark, tmp_path):
+    root = str(tmp_path / "lake")
+    m1 = make_m1(spark, ["BTC-USD"], "2024-01-01", "2024-01-01", seed=42)
+    upsert_candles(spark, m1, root)
+    n1 = read_range(spark, root, symbol="BTC-USD").count()
+    # idempotent re-ingest (ref README.md:176)
+    upsert_candles(spark, m1, root)
+    assert read_range(spark, root, symbol="BTC-USD").count() == n1 == 1440
+
+    # changed rows win (keep-last, new over existing; ref writer.py:193-199)
+    patch = m1.where(F.col("ts") < "2024-01-01 00:10:00") \
+              .withColumn("close", F.lit(123456.0))
+    upsert_candles(spark, patch, root)
+    got = read_range(spark, root, symbol="BTC-USD")
+    assert got.count() == 1440
+    assert got.where(F.col("close") == 123456.0).count() == 10
+
+
+def test_empty_lake_returns_empty_typed(spark, tmp_path):
+    got = read_range(spark, str(tmp_path / "nolake"), symbol="BTC-USD")
+    assert got.count() == 0
+    assert "ts" in got.columns and "close" in got.columns
+
+
+def test_enforce_schema_defaults(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:01:00", "41000.5", "BTC-USD")],
+        ["ts", "close", "symbol"],
+    )
+    out = enforce_schema(df, timeframe="M1")
+    assert out.columns[: len(CANONICAL_ORDER)] == CANONICAL_ORDER
+    row = out.collect()[0]
+    assert row["close"] == 41000.5       # numeric coercion from string
+    assert row["open"] == 0.0            # missing numeric -> 0.0
+    assert row["source"] == "ibkr"       # defaults
+    assert row["exchange"] == "PAXOS"
+    assert row["timeframe"] == "M1"
+    assert row["ts"] == pd.Timestamp("2024-01-01 00:01:00")
+
+
+def test_column_pruned_read(spark, tmp_path):
+    root = str(tmp_path / "lake")
+    m1 = make_m1(spark, ["BTC-USD"], "2024-01-01", "2024-01-01", seed=1)
+    upsert_candles(spark, m1, root)
+    got = read_range(spark, root, symbol="BTC-USD", columns=["close"])
+    assert set(got.columns) == {"ts", "close"}
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "open" not in plan.split("ReadSchema")[-1][:200]
