@@ -1,0 +1,7 @@
+from .text import (  # noqa: F401
+    token_stats, quality_score, language_id, doc_fingerprint,
+)
+from .dedup import (  # noqa: F401
+    exact_dedup, ngram_jaccard_pairs, minhash_dedup_pairs, simhash,
+)
+from .similarity import cosine_topk, lsh_sign_buckets  # noqa: F401

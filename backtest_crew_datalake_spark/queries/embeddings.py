@@ -1,0 +1,94 @@
+"""Similarity-search queries over `embeddings` (vec_id, embedding:
+array<float>, label): exact brute-force cosine top-k, sign-bit LSH bucketing
+(the ANN scale path), and per-label vector stats."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import load, register
+from ..pipeline.similarity import cosine_topk, lsh_sign_buckets
+
+
+@register(
+    "q_emb_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id >= 10),
+    s AS (SELECT query_id, neighbor_id,
+                 list_cosine_similarity(qv, cv) AS sim
+          FROM q CROSS JOIN c),
+    r AS (SELECT query_id, neighbor_id, sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, ROUND(sim, 4) AS cos_sim, rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def q_emb_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-5 for 10 query vectors vs the rest of the
+    corpus. Query side broadcast; corpus streams (no corpus shuffle)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    c = emb.where(F.col("vec_id") >= 10)
+    return cosine_topk(q, c, k=5)
+
+
+@register(
+    "q_emb_lsh_buckets",
+    oracle="""
+    WITH b AS (
+        SELECT vec_id, label,
+               (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+             + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+             + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+             + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+             + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+        FROM embeddings
+    )
+    SELECT bucket, COUNT(*) AS n_vectors,
+           COUNT(DISTINCT label) AS n_labels
+    FROM b GROUP BY 1
+    """,
+)
+def q_emb_lsh_buckets(spark, sf_dir):
+    """Sign-bit LSH bucketing (8 bits): occupancy per bucket — the blocking
+    structure the ANN path joins on instead of cross-joining the corpus."""
+    emb = lsh_sign_buckets(load(spark, sf_dir, "embeddings"), bits=8)
+    return emb.groupBy("bucket").agg(
+        F.count("*").alias("n_vectors"),
+        F.countDistinct("label").alias("n_labels"),
+    )
+
+
+@register(
+    "q_emb_label_stats",
+    oracle="""
+    SELECT label, COUNT(*) AS n_vectors,
+           ROUND(AVG(SQRT(list_dot_product(embedding, embedding))), 6)
+               AS avg_norm,
+           ROUND(AVG(embedding[1]), 6) AS avg_dim0
+    FROM embeddings GROUP BY 1
+    """,
+)
+def q_emb_label_stats(spark, sf_dir):
+    """Per-label vector statistics (norms via zip-free self dot product)."""
+    emb = load(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding", F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg(norm), 6).alias("avg_norm"),
+        F.round(F.avg(F.col("embedding").getItem(0).cast("double")), 6)
+        .alias("avg_dim0"),
+    )

@@ -1,0 +1,410 @@
+"""Reference-parity operators exercised over the driver's `events` table.
+
+Each query maps a SURVEY §2 operator onto (event_id, ts, user_id, event_type,
+value, props): half-open range scans (P1), time-bucket rollup (A1), as-of join
+(J1), grid anti-join gaps (J3), run-length islands (W4), keyed dedup (W2),
+per-hour histograms (A4), completeness (A5), OR-levels break/retest (D1),
+sessionization (streaming-analog batch op).
+
+The Spark side calls the engine's operator functions — these queries ARE the
+operators' correctness gate, not ad-hoc SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import load, register
+from ..operators.asof import asof_join
+from ..operators.dedup import dedupe_keep
+from ..operators.gaps import gap_ranges, missing_minutes
+from ..operators.levels import build_or_levels
+from ..operators.sessionize import sessionize
+
+
+@register(
+    "q_evt_range_scan",
+    oracle="""
+    SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, ROUND(value, 6) AS value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+      AND event_type = 'click'
+    """,
+)
+def q_evt_range_scan(spark, sf_dir):
+    """P1: half-open [from, to) range + projection (the read contract of
+    ref api.py:62-65)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.where(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
+            & (F.col("event_type") == "click")
+        )
+        .select(
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            "user_id",
+            F.round("value", 6).alias("value"),
+        )
+    )
+
+
+@register(
+    "q_evt_resample",
+    oracle="""
+    SELECT event_type,
+           epoch_ms(DATE_TRUNC('hour', ts)) AS bucket_ms,
+           ROUND(FIRST(value ORDER BY ts, event_id), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(LAST(value ORDER BY ts, event_id), 6) AS close,
+           ROUND(SUM(value), 2) AS volume,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_evt_resample(spark, sf_dir):
+    """A1: tumbling time-bucket OHLC rollup (open=first/close=last by time,
+    ref aggregate.py:42), keyed by event_type, hourly buckets."""
+    e = load(spark, sf_dir, "events")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy(
+            "event_type",
+            F.unix_millis(F.date_trunc("hour", "ts")).alias("bucket_ms"),
+        )
+        .agg(
+            F.round(F.min_by("value", ordk), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", ordk), 6).alias("close"),
+            F.round(F.sum("value"), 2).alias("volume"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "q_evt_asof_join",
+    oracle="""
+    SELECT c.event_id,
+           epoch_ms(c.ts) AS ts_ms,
+           c.user_id,
+           ROUND(c.value, 6) AS click_value,
+           ROUND(p.value, 6) AS last_purchase_value,
+           epoch_ms(p.ts) AS purchase_ts_ms
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def q_evt_asof_join(spark, sf_dir):
+    """J1 flagship: backward as-of join — for each click, the user's most
+    recent purchase at-or-before it (union+LOCF window, one shuffle on
+    user_id)."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("pvalue"), F.col("ts").alias("pts")
+    )
+    joined = asof_join(
+        clicks, purchases, on="ts", by=["user_id"],
+        right_cols=["pvalue", "pts"], direction="backward",
+    )
+    return joined.select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "user_id",
+        F.round("value", 6).alias("click_value"),
+        F.round("pvalue", 6).alias("last_purchase_value"),
+        F.unix_millis("pts").alias("purchase_ts_ms"),
+    )
+
+
+@register(
+    "q_evt_missing_days",
+    oracle="""
+    WITH grid AS (
+        SELECT u.user_id, g.d
+        FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 30) u
+        CROSS JOIN (SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01',
+                                  TIMESTAMP '2024-01-30 00:00:00',
+                                  INTERVAL 1 DAY)) AS d) g
+    ),
+    obs AS (SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS d
+            FROM events WHERE user_id < 30)
+    SELECT user_id, COUNT(*) AS n_missing_days
+    FROM grid ANTI JOIN obs USING (user_id, d)
+    GROUP BY 1
+    """,
+)
+def q_evt_missing_days(spark, sf_dir):
+    """J3/T4: expected-grid anti-join gap detection (ref gaps.py:53-54), at
+    day granularity per user."""
+    e = load(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    days = e.select("user_id", F.date_trunc("day", "ts").alias("ts"))
+    miss = missing_minutes(
+        days, by=["user_id"],
+        start="2024-01-01 00:00:00", end="2024-01-30 00:00:00",
+        step_seconds=86400,
+    )
+    return miss.groupBy("user_id").agg(F.count("*").alias("n_missing_days"))
+
+
+@register(
+    "q_evt_active_runs",
+    oracle="""
+    WITH hrs AS (
+        SELECT DISTINCT DATE_TRUNC('hour', ts) AS h
+        FROM events WHERE event_type = 'error'
+    ),
+    isl AS (
+        SELECT h,
+               CAST(FLOOR(EPOCH(h)) AS BIGINT)
+               - 3600 * ROW_NUMBER() OVER (ORDER BY h) AS island
+        FROM hrs
+    )
+    SELECT epoch_ms(MIN(h)) AS run_start_ms,
+           epoch_ms(MAX(h)) AS run_end_ms,
+           COUNT(*) AS n_hours
+    FROM isl GROUP BY island
+    """,
+)
+def q_evt_active_runs(spark, sf_dir):
+    """W4: run-length (gaps-and-islands) collapse of consecutive active hours
+    (ref gaps.py:57-68 run-length loop, inverted to observed instants)."""
+    e = load(spark, sf_dir, "events").where(F.col("event_type") == "error")
+    hrs = e.select(
+        F.lit("all").alias("g"), F.date_trunc("hour", "ts").alias("ts")
+    ).distinct()
+    runs = gap_ranges(hrs, by=["g"], step_seconds=3600)
+    return runs.select(
+        F.unix_millis("gap_start").alias("run_start_ms"),
+        F.unix_millis("gap_end").alias("run_end_ms"),
+        F.col("n_missing").alias("n_hours"),
+    )
+
+
+@register(
+    "q_evt_dedup_keep_last",
+    oracle="""
+    SELECT user_id, event_type,
+           STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+           event_id, ROUND(value, 6) AS value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, event_type, DATE_TRUNC('day', ts)
+            ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_evt_dedup_keep_last(spark, sf_dir):
+    """W2: keyed dedup keep-last (write-path semantics, ref writer.py:199) —
+    last event per (user, type, day)."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    out = dedupe_keep(
+        e, key=["user_id", "event_type", "day"],
+        order=["ts", "event_id"], keep="last",
+    )
+    return out.select(
+        "user_id", "event_type", "day", "event_id",
+        F.round("value", 6).alias("value"),
+    )
+
+
+@register(
+    "q_evt_hour_histogram",
+    oracle="""
+    WITH types AS (SELECT DISTINCT event_type FROM events),
+    hours AS (SELECT UNNEST(generate_series(0, 23)) AS hour),
+    counts AS (SELECT event_type, EXTRACT(hour FROM ts) AS hour, COUNT(*) AS n
+               FROM events GROUP BY 1, 2)
+    SELECT t.event_type, h.hour, COALESCE(c.n, 0) AS n_events
+    FROM types t CROSS JOIN hours h
+    LEFT JOIN counts c ON c.event_type = t.event_type AND c.hour = h.hour
+    """,
+)
+def q_evt_hour_histogram(spark, sf_dir):
+    """A4: per-hour histogram zero-filled to 24 buckets
+    (ref check_day.py:54-56 reindex(range(24), fill_value=0))."""
+    e = load(spark, sf_dir, "events")
+    types = e.select("event_type").distinct()
+    hours = spark.range(24).select(F.col("id").cast("int").alias("hour"))
+    counts = e.groupBy("event_type", F.hour("ts").alias("hour")).agg(
+        F.count("*").alias("n")
+    )
+    return (
+        types.crossJoin(F.broadcast(hours))
+        .join(counts, ["event_type", "hour"], "left")
+        .select(
+            "event_type", "hour", F.coalesce("n", F.lit(0)).alias("n_events")
+        )
+    )
+
+
+@register(
+    "q_evt_completeness",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT DATE_TRUNC('day', ts)) AS n_active_days,
+           30 AS n_expected_days,
+           COUNT(DISTINCT DATE_TRUNC('day', ts)) = 30 AS complete
+    FROM events GROUP BY 1
+    """,
+)
+def q_evt_completeness(spark, sf_dir):
+    """A5: observed-vs-expected completeness (ref binance ingest QC
+    bars/day model, here days/month per event type)."""
+    e = load(spark, sf_dir, "events")
+    n_days = F.countDistinct(F.date_trunc("day", "ts"))
+    return e.groupBy("event_type").agg(
+        n_days.alias("n_active_days"),
+        F.lit(30).alias("n_expected_days"),
+        (n_days == 30).alias("complete"),
+    )
+
+
+@register(
+    "q_evt_or_levels",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, ts, value,
+               DATE_TRUNC('day', ts) AS d,
+               EXTRACT(hour FROM ts) < 6 AS in_or
+        FROM events
+    ),
+    levels AS (
+        SELECT event_type, d,
+               MAX(CASE WHEN in_or THEN value END) AS or_high,
+               MIN(CASE WHEN in_or THEN value END) AS or_low
+        FROM base GROUP BY 1, 2
+        HAVING MAX(CASE WHEN in_or THEN value END) IS NOT NULL
+    ),
+    agg AS (
+        SELECT b.event_type, b.d,
+               ANY_VALUE(l.or_high) AS or_high,
+               ANY_VALUE(l.or_low) AS or_low,
+               MIN(CASE WHEN NOT b.in_or AND b.value > l.or_high
+                        THEN b.ts END) AS up_ts,
+               MIN(CASE WHEN NOT b.in_or AND b.value < l.or_low
+                        THEN b.ts END) AS dn_ts,
+               MIN(CASE WHEN NOT b.in_or AND b.value <= l.or_high
+                        THEN struct_pack(ts := b.ts, value := b.value)
+                   END) AS rt_up,
+               MIN(CASE WHEN NOT b.in_or AND b.value >= l.or_low
+                        THEN struct_pack(ts := b.ts, value := b.value)
+                   END) AS rt_dn
+        FROM base b JOIN levels l USING (event_type, d)
+        GROUP BY 1, 2
+    )
+    SELECT event_type,
+           STRFTIME(d, '%Y-%m-%d') AS session_date,
+           ROUND(or_high, 6) AS or_high,
+           ROUND(or_low, 6) AS or_low,
+           CASE WHEN up_ts IS NOT NULL AND (dn_ts IS NULL OR up_ts <= dn_ts)
+                THEN 'UP'
+                WHEN dn_ts IS NOT NULL THEN 'DOWN'
+                ELSE 'NONE' END AS break_dir,
+           epoch_ms(CASE WHEN up_ts IS NOT NULL AND (dn_ts IS NULL OR up_ts <= dn_ts)
+                         THEN up_ts
+                         WHEN dn_ts IS NOT NULL THEN dn_ts END) AS break_ts_ms,
+           epoch_ms(CASE WHEN up_ts IS NOT NULL AND (dn_ts IS NULL OR up_ts <= dn_ts)
+                         THEN rt_up.ts
+                         WHEN dn_ts IS NOT NULL THEN rt_dn.ts END) AS retest_ts_ms,
+           ROUND(CASE WHEN up_ts IS NOT NULL AND (dn_ts IS NULL OR up_ts <= dn_ts)
+                      THEN rt_up.value
+                      WHEN dn_ts IS NOT NULL THEN rt_dn.value END, 6) AS retest_price
+    FROM agg
+    """,
+)
+def q_evt_or_levels(spark, sf_dir):
+    """D1 flagship analytic: opening-range levels + break & retest mapped onto
+    events — OR window = hours [00:00, 06:00) per (event_type, day), 'price'
+    = value. Preserves the reference's retest quirk (retest searched over ALL
+    post-OR rows, or_levels.py:49-53)."""
+    e = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("symbol"),
+        "ts",
+        F.col("value").alias("close"),
+        F.col("value").alias("high"),
+        F.col("value").alias("low"),
+        F.col("value").alias("open"),
+    )
+    lv = build_or_levels(e, or_window="00:00-06:00", tz="UTC", by=["symbol"])
+    return lv.select(
+        F.col("symbol").alias("event_type"),
+        F.col("session_date").cast("string").alias("session_date"),
+        F.round("or_high", 6).alias("or_high"),
+        F.round("or_low", 6).alias("or_low"),
+        "break_dir",
+        F.unix_millis("break_ts").alias("break_ts_ms"),
+        F.unix_millis("retest_ts").alias("retest_ts_ms"),
+        F.round("retest_price", 6).alias("retest_price"),
+    )
+
+
+@register(
+    "q_evt_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                            - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) >= 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           epoch_ms(MIN(ts)) AS session_start_ms,
+           epoch_ms(MAX(ts)) AS session_end_ms,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY 1, 2
+    """,
+)
+def q_evt_sessionize(spark, sf_dir):
+    """Sessionization (gaps-and-islands, 30-min timeout) — the batch analog of
+    the Structured Streaming session_window surface (SURVEY §2.11)."""
+    e = load(spark, sf_dir, "events")
+    s = sessionize(e, by=["user_id"], timeout_seconds=1800)
+    return s.select(
+        "user_id", "session_id",
+        F.unix_millis("session_start").alias("session_start_ms"),
+        F.unix_millis("session_end").alias("session_end_ms"),
+        "n_events",
+    )
+
+
+@register(
+    "q_evt_minmax",
+    oracle="""
+    SELECT event_type,
+           epoch_ms(MIN(ts)) AS first_ts_ms,
+           epoch_ms(MAX(ts)) AS last_ts_ms,
+           COUNT(*) AS n,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_evt_minmax(spark, sf_dir):
+    """A7: min/max/count summary (ref ingest_cli.py:704-709 QC logging)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.unix_millis(F.min("ts")).alias("first_ts_ms"),
+        F.unix_millis(F.max("ts")).alias("last_ts_ms"),
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )

@@ -1,0 +1,455 @@
+"""Relational query surface over the TPC-H-ish star schema (SURVEY §7.1
+extensions: scans / filters / projections / equi+semi+anti+outer joins /
+aggregations / windows / sort-limit / set ops / rollup / distinct aggs).
+
+All DataFrame-API; Catalyst handles pushdown, join strategy (dims broadcast),
+and AQE. Numeric outputs rounded per the catalog normalization contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from . import load, register
+
+
+@register(
+    "q_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan + filter + wide groupBy agg (flagship agg path).
+    Plan check: filter pushed to parquet, partial aggregation map-side."""
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_top_revenue_orders",
+    oracle="""
+    SELECT o.o_orderkey,
+           STRFTIME(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + top-k order/limit. Customer is the
+    small side → broadcast."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q_nation_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY 1
+    """,
+)
+def q_nation_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: star join through two broadcastable dims."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_semi_join_customers",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 200000)
+    GROUP BY 1
+    """,
+)
+def q_semi_join_customers(spark, sf_dir):
+    """Left-semi join (EXISTS)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 200000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "q_anti_join_customers",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+)
+def q_anti_join_customers(spark, sf_dir):
+    """Left-anti join (NOT EXISTS) — customers who never ordered."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "q_outer_join_counts",
+    oracle="""
+    SELECT o.o_orderstatus, COUNT(l.l_orderkey) AS n_items, COUNT(*) AS n_rows
+    FROM orders o LEFT JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey AND l.l_quantity > 45
+    GROUP BY 1
+    """,
+)
+def q_outer_join_counts(spark, sf_dir):
+    """Left-outer join with a join-side predicate; COUNT(col) vs COUNT(*)
+    null semantics."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("l_orderkey").alias("n_items"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q_window_topk_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS totalprice, rk
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders)
+    WHERE rk <= 3
+    """,
+)
+def q_window_topk_orders(spark, sf_dir):
+    """Per-group top-k via row_number window (W2/A6 pattern at relational
+    scale). Deterministic tie-break on o_orderkey."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"), "rk",
+        )
+    )
+
+
+@register(
+    "q_running_totals",
+    oracle="""
+    SELECT o_custkey,
+           epoch_ms(o_orderdate) AS orderdate_ms,
+           o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+    FROM orders WHERE o_custkey < 200
+    """,
+)
+def q_running_totals(spark, sf_dir):
+    """Running sum window (W3-family LOCF/cumsum machinery)."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        F.unix_millis("o_orderdate").alias("orderdate_ms"),
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "q_distinct_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_distinct_aggs(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "q_set_ops",
+    oracle="""
+    SELECT 'only_lineitem' AS side, COUNT(*) AS n FROM (
+        SELECT DISTINCT l_partkey AS k FROM lineitem
+        EXCEPT
+        SELECT p_partkey AS k FROM part WHERE p_size > 25
+    )
+    UNION ALL
+    SELECT 'both' AS side, COUNT(*) AS n FROM (
+        SELECT DISTINCT l_partkey AS k FROM lineitem
+        INTERSECT
+        SELECT p_partkey AS k FROM part WHERE p_size > 25
+    )
+    """,
+)
+def q_set_ops(spark, sf_dir):
+    """EXCEPT / INTERSECT / UNION ALL (U1/U2)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("k")
+    ).distinct()
+    p = load(spark, sf_dir, "part").where(F.col("p_size") > 25).select(
+        F.col("p_partkey").alias("k")
+    )
+    only = li.subtract(p).select(
+        F.lit("only_lineitem").alias("side")
+    ).groupBy("side").agg(F.count("*").alias("n"))
+    both = li.intersect(p).select(F.lit("both").alias("side")) \
+        .groupBy("side").agg(F.count("*").alias("n"))
+    return only.unionByName(both)
+
+
+@register(
+    "q_rollup_pricing",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_pricing(spark, sf_dir):
+    """ROLLUP grouping sets (free from Spark SQL; absent in the reference)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty", "n",
+        )
+    )
+
+
+@register(
+    "q_conditional_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS open_value
+    FROM orders GROUP BY 1
+    """,
+)
+def q_conditional_pivot(spark, sf_dir):
+    """Pivot-style conditional aggregation (P4-family predicates + A-family)."""
+    o = load(spark, sf_dir, "orders")
+    def n_status(s):
+        return F.sum(F.when(F.col("o_orderstatus") == s, 1).otherwise(0))
+    return o.groupBy("o_orderpriority").agg(
+        n_status("O").alias("n_open"),
+        n_status("F").alias("n_filled"),
+        n_status("P").alias("n_pending"),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "O",
+                         F.col("o_totalprice")).otherwise(0.0)), 2
+        ).alias("open_value"),
+    )
+
+
+@register(
+    "q_orders_per_month",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS month_value
+    FROM orders GROUP BY 1
+    """,
+)
+def q_orders_per_month(spark, sf_dir):
+    """Calendar extraction + group (T6/A3 analog on relational data)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd")
+            .alias("month")
+        )
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("month_value"))
+    )
+
+
+@register(
+    "q_above_customer_avg",
+    oracle="""
+    SELECT o.o_custkey, COUNT(*) AS n_above
+    FROM orders o
+    JOIN (SELECT o_custkey, AVG(o_totalprice) AS avg_price
+          FROM orders GROUP BY 1) a
+      ON o.o_custkey = a.o_custkey
+    WHERE o.o_totalprice > a.avg_price
+    GROUP BY 1
+    """,
+)
+def q_above_customer_avg(spark, sf_dir):
+    """Correlated-subquery shape rewritten as join-with-aggregate."""
+    o = load(spark, sf_dir, "orders")
+    avg = o.groupBy("o_custkey").agg(F.avg("o_totalprice").alias("avg_price"))
+    return (
+        o.join(avg, "o_custkey")
+        .where(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_above"))
+    )
+
+
+@register(
+    "q_string_funcs_part",
+    oracle="""
+    SELECT UPPER(SPLIT_PART(p_type, ' ', 1)) AS type_head,
+           SUBSTR(p_brand, 1, 6) AS brand_head,
+           COUNT(*) AS n_parts,
+           ROUND(AVG(p_retailprice), 6) AS avg_price,
+           ROUND(AVG(LENGTH(p_name)), 6) AS avg_name_len
+    FROM part GROUP BY 1, 2
+    """,
+)
+def q_string_funcs_part(spark, sf_dir):
+    """String scalar functions (F1/F2-family): split/upper/substr/length."""
+    p = load(spark, sf_dir, "part")
+    return (
+        p.groupBy(
+            F.upper(F.split(F.col("p_type"), " ").getItem(0)).alias("type_head"),
+            F.substring("p_brand", 1, 6).alias("brand_head"),
+        )
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+            F.round(F.avg(F.length("p_name")), 6).alias("avg_name_len"),
+        )
+    )
+
+
+@register(
+    "q_supplier_balance_band",
+    oracle="""
+    SELECT n_name AS nation,
+           CASE WHEN s_acctbal < 0 THEN 'neg'
+                WHEN s_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS band,
+           COUNT(*) AS n_suppliers,
+           ROUND(SUM(s_acctbal), 2) AS total_bal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def q_supplier_balance_band(spark, sf_dir):
+    """CASE banding + broadcast dim join."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    band = (
+        F.when(F.col("s_acctbal") < 0, "neg")
+        .when(F.col("s_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), band.alias("band"))
+        .agg(F.count("*").alias("n_suppliers"),
+             F.round(F.sum("s_acctbal"), 2).alias("total_bal"))
+    )

@@ -1,0 +1,200 @@
+"""LLM-pipeline text queries over `documents` (doc_id, text, lang, source,
+n_chars): token counting, quality scoring, language-ID, fingerprinting, exact
+dedup, n-gram Jaccard near-dup. Oracles share the exact token/stopword
+definitions (split on \\s+ after trim; md5 hex)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import load, register
+from ..pipeline.dedup import exact_dedup, ngram_jaccard_pairs
+from ..pipeline.text import (
+    LANG_STOPWORDS, doc_fingerprint, language_id, quality_score, token_stats,
+)
+
+_STOP_EN_SQL = "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"]) + "]"
+
+
+@register(
+    "q_doc_token_stats",
+    oracle="""
+    WITH t AS (
+        SELECT lang,
+               LEN(string_split_regex(TRIM(text), '\\s+')) AS n_tokens,
+               n_chars
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           ROUND(AVG(n_tokens), 6) AS avg_tokens,
+           ROUND(AVG(n_chars), 6) AS avg_chars
+    FROM t GROUP BY 1
+    """,
+)
+def q_doc_token_stats(spark, sf_dir):
+    """Token counting (whitespace tokenizer) aggregated per language."""
+    d = token_stats(load(spark, sf_dir, "documents"))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+@register(
+    "q_doc_quality",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(TRIM(text), '\\s+') AS toks
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               LEN(toks) AS n_tokens,
+               LEN(list_filter(toks, x -> list_contains({_STOP_EN_SQL}, x))) AS n_stop,
+               LEN(list_distinct(toks)) AS n_uniq,
+               CAST(list_aggregate(list_transform(toks, x -> LENGTH(x)), 'sum')
+                    AS DOUBLE) / LEN(toks) AS mean_len
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+           ROUND(CAST(n_uniq AS DOUBLE) / n_tokens, 6) AS unique_ratio,
+           ROUND(mean_len, 6) AS mean_token_len,
+           ROUND((CAST(n_tokens BETWEEN 10 AND 100000 AS DOUBLE)
+                  + CAST(mean_len BETWEEN 2.0 AND 12.0 AS DOUBLE)
+                  + CAST(n_uniq AS DOUBLE) / n_tokens) / 3.0, 6) AS quality
+    FROM m
+    """,
+)
+def q_doc_quality(spark, sf_dir):
+    """Per-document quality scoring (length / stopword / uniqueness /
+    word-length heuristics)."""
+    d = quality_score(load(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id", "n_tokens", "stopword_ratio", "unique_ratio",
+        "mean_token_len", "quality",
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]"
+    return f"LEN(list_filter(toks, x -> list_contains({words}, x)))"
+
+
+@register(
+    "q_doc_lang_id",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               string_split_regex(TRIM(text), '\\s+') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, lang,
+               {_lang_score_sql('de')} AS s_de,
+               {_lang_score_sql('en')} AS s_en,
+               {_lang_score_sql('es')} AS s_es,
+               {_lang_score_sql('fr')} AS s_fr,
+               {_lang_score_sql('zh')} AS s_zh
+        FROM t
+    ),
+    p AS (
+        SELECT doc_id, lang,
+               CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                    WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                    WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                    WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                    WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                    ELSE 'zh' END AS pred_lang
+        FROM s
+    )
+    SELECT lang, pred_lang, COUNT(*) AS n_docs
+    FROM p GROUP BY 1, 2
+    """,
+)
+def q_doc_lang_id(spark, sf_dir):
+    """Stopword-heuristic language-ID confusion counts (actual vs predicted).
+    Ties break to the alphabetically-first language; zero hits → 'und'."""
+    d = language_id(load(spark, sf_dir, "documents"))
+    return d.groupBy("lang", "pred_lang").agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "q_doc_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS digest,
+           MIN(doc_id) AS doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q_doc_exact_dedup(spark, sf_dir):
+    """Exact dedup by content digest (hash-groupBy; keep min id)."""
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_doc_fingerprint",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, lang,
+               md5(array_to_string(
+                   list_sort(list_distinct(
+                       string_split_regex(TRIM(text), '\\s+'))), ' ')) AS fp
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT fp) AS n_distinct_fingerprints
+    FROM f GROUP BY 1
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """Bag-of-words md5 fingerprint; distinct fingerprints per language."""
+    d = doc_fingerprint(load(spark, sf_dir, "documents"))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_distinct_fingerprints"),
+    )
+
+
+@register(
+    "q_doc_ngram_jaccard",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks
+        FROM documents WHERE doc_id < 100
+    ),
+    sh AS (
+        SELECT doc_id, UNNEST(list_distinct(
+            CASE WHEN LEN(toks) >= 2 THEN
+                list_transform(generate_series(1, LEN(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])
+            ELSE [array_to_string(toks, ' ')] END)) AS s
+        FROM docs
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE)
+                 / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(CAST(n_inter AS DOUBLE)
+                / (sa.sz + sb.sz - n_inter), 6) >= 0.05
+    """,
+)
+def q_doc_ngram_jaccard(spark, sf_dir):
+    """Word-bigram Jaccard near-duplicate pairs (exact shingle self-join) over
+    the first 100 docs; threshold 0.05."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return ngram_jaccard_pairs(d, n=2, threshold=0.05)

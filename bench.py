@@ -1,0 +1,61 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with the noop sink (full computation, no driver
+collect/materialization cost)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # relational core
+    "q_pricing_summary", "q_top_revenue_orders", "q_nation_revenue",
+    "q_window_topk_orders", "q_distinct_aggs", "q_rollup_pricing",
+    # reference-parity operators on events
+    "q_evt_resample", "q_evt_asof_join", "q_evt_sessionize",
+    "q_evt_or_levels", "q_evt_dedup_keep_last",
+    # LLM-pipeline extensions
+    "q_doc_exact_dedup", "q_doc_quality", "q_doc_ngram_jaccard",
+    "q_emb_cosine_topk",
+]
+
+
+def main():
+    from backtest_crew_datalake_spark.session import get_spark
+    from backtest_crew_datalake_spark.queries import all_queries
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+
+    registry = all_queries()
+    timings: dict[str, float] = {}
+    # warm the JVM + parquet footers once with a trivial action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    for name in HEADLINE:
+        build = registry[name].build
+        t0 = time.perf_counter()
+        build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()
