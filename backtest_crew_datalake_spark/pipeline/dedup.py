@@ -161,16 +161,19 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
     t = F.array_distinct(tokens(F.col(text_col)))
     hashes = F.transform(t, lambda x: F.xxhash64(x))
 
+    def _bit_sum(mask):
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
     sig = F.lit(0).cast("long")
     one = F.lit(1).cast("long")
     for i in range(bits):
         mask = F.shiftleft(one, i)  # shiftleft wraps at bit 63 — intended
-        bit_sum = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h, m=mask: acc
-            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
-        )
+        bit_sum = _bit_sum(mask)
         sig = sig.bitwiseOR(
             F.when(bit_sum > 0, mask).otherwise(F.lit(0).cast("long"))
         )

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from . import load, register
 from ..operators.asof import asof_join
 from ..operators.dedup import dedupe_keep
-from ..operators.gaps import gap_ranges, missing_minutes
+from ..operators.gaps import gap_ranges, missing_minutes, synth_fill_gaps
 from ..operators.levels import build_or_levels
 from ..operators.sessionize import sessionize
 
@@ -385,6 +385,146 @@ def q_evt_sessionize(spark, sf_dir):
         F.unix_millis("session_start").alias("session_start_ms"),
         F.unix_millis("session_end").alias("session_end_ms"),
         "n_events",
+    )
+
+
+@register(
+    "q_evt_synth_fill",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS h,
+               FIRST(value ORDER BY ts, event_id) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               LAST(value ORDER BY ts, event_id) AS close,
+               SUM(value) AS volume
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+               FROM hourly GROUP BY 1),
+    grid AS (SELECT event_type,
+                    UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+             FROM bounds),
+    miss AS (SELECT g.event_type, g.h FROM grid g
+             ANTI JOIN hourly o USING (event_type, h)),
+    prevs AS (
+        SELECT m.event_type, m.h, p.close AS prev_close
+        FROM miss m ASOF LEFT JOIN hourly p
+          ON m.event_type = p.event_type AND m.h >= p.h
+    ),
+    nexts AS (
+        SELECT pv.event_type, pv.h, pv.prev_close, n.open AS next_open
+        FROM prevs pv ASOF LEFT JOIN hourly n
+          ON pv.event_type = n.event_type AND pv.h <= n.h
+    ),
+    synth AS (
+        SELECT event_type, h,
+               COALESCE(prev_close, next_open, 0.0) AS open,
+               COALESCE(prev_close, next_open, 0.0) AS high,
+               COALESCE(prev_close, next_open, 0.0) AS low,
+               COALESCE(prev_close, next_open, 0.0) AS close,
+               0.0 AS volume, TRUE AS is_synth
+        FROM nexts
+    ),
+    unioned AS (
+        SELECT event_type, h, open, high, low, close, volume,
+               FALSE AS is_synth FROM hourly
+        UNION ALL SELECT * FROM synth
+    )
+    SELECT event_type, epoch_ms(h) AS ts_ms,
+           ROUND(open, 6) AS open, ROUND(high, 6) AS high,
+           ROUND(low, 6) AS low, ROUND(close, 6) AS close,
+           ROUND(volume, 2) AS volume, is_synth
+    FROM unioned
+    """,
+)
+def q_evt_synth_fill(spark, sf_dir):
+    """M1 repair operator: flat synthetic bars for missing buckets — price =
+    last known close, else next open, else 0; volume 0; is_synth flag
+    (ref ingest_cli.py:229-267). Hourly value-bars per event_type."""
+    e = load(spark, sf_dir, "events")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    hourly = (
+        e.groupBy(
+            "event_type", F.window("ts", "3600 seconds").start.alias("ts")
+        )
+        .agg(
+            F.min_by("value", ordk).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordk).alias("close"),
+            F.sum("value").alias("volume"),
+        )
+    )
+    filled = synth_fill_gaps(hourly, by=["event_type"], step_seconds=3600)
+    return filled.select(
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.round("open", 6).alias("open"),
+        F.round("high", 6).alias("high"),
+        F.round("low", 6).alias("low"),
+        F.round("close", 6).alias("close"),
+        F.round("volume", 2).alias("volume"),
+        "is_synth",
+    )
+
+
+@register(
+    "q_evt_mtf_asof",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'click'
+    ),
+    m5 AS (
+        SELECT user_id, time_bucket(INTERVAL 5 MINUTE, ts) AS bts,
+               LAST(value ORDER BY ts, event_id) AS close
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    h1 AS (
+        SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS bts,
+               LAST(value ORDER BY ts, event_id) AS close
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT c.event_id, epoch_ms(c.ts) AS ts_ms, c.user_id,
+           ROUND(c.value, 6) AS click_value,
+           ROUND(m5.close, 6) AS close_m5,
+           ROUND(h1.close, 6) AS close_h1
+    FROM clicks c
+    ASOF LEFT JOIN m5 ON c.user_id = m5.user_id AND c.ts >= m5.bts
+    ASOF LEFT JOIN h1 ON c.user_id = h1.user_id AND c.ts >= h1.bts
+    """,
+)
+def q_evt_mtf_asof(spark, sf_dir):
+    """J2: multi-context cascade as-of join (fine→coarse per TF_ORDER,
+    ref mtf.py:15-27) — each click gets the latest 5-min 'view' close and
+    hourly 'purchase' close for its user."""
+    from ..operators.asof import join_mtf
+
+    e = load(spark, sf_dir, "events")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+
+    def bucket_close(secs, typ):
+        return (
+            e.where(F.col("event_type") == typ)
+            .groupBy(
+                "user_id", F.window("ts", f"{secs} seconds").start.alias("ts")
+            )
+            .agg(F.max_by("value", ordk).alias("close"))
+        )
+
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    ctx = {"M5": bucket_close(300, "view"), "H1": bucket_close(3600, "purchase")}
+    out = join_mtf(clicks, ctx, by=["user_id"], close_only=True)
+    return out.select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "user_id",
+        F.round("value", 6).alias("click_value"),
+        F.round("close_M5", 6).alias("close_m5"),
+        F.round("close_H1", 6).alias("close_h1"),
     )
 
 

@@ -1,0 +1,141 @@
+"""LLM-pipeline operators: dedup (exact/MinHash/SimHash/Jaccard), similarity
+search, text analysis, multimodal plumbing."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from backtest_crew_datalake_spark.pipeline.dedup import (
+    exact_dedup, minhash_dedup_pairs, ngram_jaccard_pairs, simhash,
+)
+from backtest_crew_datalake_spark.pipeline.multimodal import (
+    extract_media_features, frame_sample_stub,
+)
+from backtest_crew_datalake_spark.pipeline.similarity import (
+    cosine_topk, cosine_topk_bucketed, lsh_sign_buckets,
+)
+from backtest_crew_datalake_spark.pipeline.text import (
+    doc_fingerprint, language_id, quality_score, token_stats,
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (3, "completely different content about spark engines"),
+        (4, "el rapido zorro marron salta sobre el perro con la luz de la manana"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark)).orderBy("doc_id").toPandas()
+    assert len(out) == 4  # 5 docs, one exact dup collapsed
+    dup = out[out.n_copies == 2]
+    assert len(dup) == 1 and dup.iloc[0].doc_id == 0  # keep min id
+
+
+def test_ngram_jaccard_pairs(spark):
+    out = ngram_jaccard_pairs(_docs(spark), n=2, threshold=0.5).toPandas()
+    pairs = {(r.id_a, r.id_b) for r in out.itertuples()}
+    assert (0, 2) in pairs  # exact dup -> jaccard 1.0
+    assert (0, 1) in pairs and (1, 2) in pairs  # near-dups
+    assert all(a < b for a, b in pairs)
+    exact = out[(out.id_a == 0) & (out.id_b == 2)].iloc[0]
+    assert exact.jaccard == 1.0
+
+
+def test_minhash_pairs_finds_near_dups(spark):
+    out = minhash_dedup_pairs(_docs(spark), n=2, num_hashes=32, bands=16)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (0, 2) in pairs  # exact dup always collides in every band
+    # near-dup should collide in at least one of 16 bands w.h.p.
+    assert (0, 1) in pairs or (1, 2) in pairs
+
+
+def test_simhash_properties(spark):
+    out = simhash(_docs(spark)).select("doc_id", "simhash").toPandas()
+    sigs = dict(zip(out.doc_id, out.simhash))
+    assert sigs[0] == sigs[2]  # identical text -> identical signature
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham(sigs[0], sigs[1]) < ham(sigs[0], sigs[3])  # near < far
+
+
+def _vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+        (4, [0.7, 0.7, 0.0, 0.0]),
+        (5, [0.8, 0.0, 0.0, 0.0]),  # same sign-bucket as vec 0
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+
+
+def test_cosine_topk(spark):
+    v = _vecs(spark)
+    q = v.where(F.col("vec_id") == 0)
+    c = v.where(F.col("vec_id") != 0)
+    out = cosine_topk(q, c, k=3).orderBy("rank").toPandas()
+    assert list(out.neighbor_id) == [5, 1, 4]  # by descending cosine to e_x
+    assert out.iloc[0].cos_sim > 0.99
+    assert list(out["rank"]) == [1, 2, 3]
+
+
+def test_cosine_topk_bucketed_same_bucket_recall(spark):
+    v = _vecs(spark)
+    q = v.where(F.col("vec_id") == 0)
+    c = v.where(F.col("vec_id").isin(5, 3))
+    out = cosine_topk_bucketed(q, c, k=2, bits=4).toPandas()
+    # vec 3 (-x) is in a different sign bucket; only vec 5 is a candidate
+    assert list(out.neighbor_id) == [5]
+
+
+def test_lsh_sign_buckets_deterministic(spark):
+    out = lsh_sign_buckets(_vecs(spark), bits=4).select("vec_id", "bucket") \
+        .toPandas()
+    b = dict(zip(out.vec_id, out.bucket))
+    assert b[0] == 1          # only dim0 positive
+    assert b[2] == 2          # only dim1 positive
+    assert b[3] == 0          # all non-positive
+    assert b[4] == 3          # dims 0+1 positive
+
+
+def test_text_ops(spark):
+    d = _docs(spark)
+    ts = token_stats(d).orderBy("doc_id").toPandas()
+    assert ts.iloc[0].n_tokens == 9
+    qs = quality_score(d).orderBy("doc_id").toPandas()
+    assert 0.0 <= qs.iloc[0].quality <= 1.0
+    assert abs(qs.iloc[0].stopword_ratio - 2 / 9) < 1e-6  # 'the' twice
+    li = language_id(d).orderBy("doc_id").toPandas()
+    assert li.iloc[0].pred_lang == "en"
+    assert li[li.doc_id == 4].iloc[0].pred_lang == "es"
+    fp = doc_fingerprint(d).orderBy("doc_id").toPandas()
+    assert fp.iloc[0].fingerprint == fp[fp.doc_id == 2].iloc[0].fingerprint
+    assert fp.iloc[0].fingerprint != fp[fp.doc_id == 3].iloc[0].fingerprint
+
+
+def test_multimodal_plumbing(spark):
+    rows = [(i, "image", bytes([i]) * (10 + i), {"src": f"f{i}"})
+            for i in range(5)]
+    df = spark.createDataFrame(rows, "media_id long, kind string, "
+                                     "content binary, meta map<string,string>")
+    out = extract_media_features(df).orderBy("media_id").toPandas()
+    assert len(out) == 5
+    assert list(out.n_bytes) == [10, 11, 12, 13, 14]
+    assert all(len(f) == 8 for f in out.feature)
+    assert out.digest.nunique() == 5
+    # determinism: same bytes -> same features
+    out2 = extract_media_features(df).orderBy("media_id").toPandas()
+    assert list(out.digest) == list(out2.digest)
+    assert list(out.width) == list(out2.width)
+
+    frames = frame_sample_stub(df, every_n=10)
+    pdf = frames.groupBy("media_id").count().toPandas()
+    assert len(pdf) == 5 and (pdf["count"] >= 1).all()

@@ -1,0 +1,75 @@
+"""Streaming ingest: landing-dir → foreachBatch keyed upsert; idempotent
+across replayed/duplicate files; watermarked streaming resample."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from backtest_crew_datalake_spark.schemas import enforce_schema
+from backtest_crew_datalake_spark.sources.lake import read_range
+from backtest_crew_datalake_spark.sources.synth import make_m1
+from backtest_crew_datalake_spark.streaming.ingest import (
+    stream_ingest_candles, streaming_resample,
+)
+
+
+def test_stream_ingest_idempotent_upsert(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+
+    m1 = enforce_schema(
+        make_m1(spark, ["BTC-USD"], "2024-01-01", "2024-01-01", seed=42),
+        timeframe="M1",
+    )
+    first = m1.where(F.col("ts") < "2024-01-01 12:00:00")
+    first.write.mode("overwrite").parquet(landing)
+    stream_ingest_candles(spark, landing, lake, ckpt)
+    assert read_range(spark, lake, symbol="BTC-USD").count() == 720
+
+    # second batch overlaps the first (duplicate deliveries) + extends it
+    second = m1.where(F.col("ts") >= "2024-01-01 08:00:00")
+    second.write.mode("append").parquet(landing)
+    stream_ingest_candles(spark, landing, lake, ckpt)
+    got = read_range(spark, lake, symbol="BTC-USD")
+    assert got.count() == 1440  # overlap deduped on the PK
+    ts = got.agg(F.min("ts"), F.max("ts")).collect()[0]
+    assert ts[0] == pd.Timestamp("2024-01-01 00:00:00")
+    assert ts[1] == pd.Timestamp("2024-01-01 23:59:00")
+
+
+def test_streaming_resample_counts(spark, tmp_path):
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt2")
+
+    m1 = enforce_schema(
+        make_m1(spark, ["BTC-USD"], "2024-01-01", "2024-01-01", seed=1),
+        timeframe="M1",
+    )
+    m1.write.mode("overwrite").parquet(src_dir)
+
+    from backtest_crew_datalake_spark.schemas import CANDLE_SCHEMA
+    stream = spark.readStream.schema(CANDLE_SCHEMA).parquet(src_dir)
+    agg = streaming_resample(stream, tf="H1", watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(out_dir)
+    # append mode emits only buckets closed by the watermark: 24 hourly
+    # buckets minus the tail still open — expect >= 22 closed buckets
+    assert out.count() >= 22
+    row = out.orderBy("bucket").limit(1).collect()[0]
+    assert row["bucket"] == pd.Timestamp("2024-01-01 00:00:00")
+    batch = m1.where(
+        (F.col("ts") >= "2024-01-01 00:00:00") & (F.col("ts") < "2024-01-01 01:00:00")
+    )
+    exp = batch.agg(F.max("high"), F.min("low"), F.sum("volume")).collect()[0]
+    assert abs(row["high"] - exp[0]) < 1e-9
+    assert abs(row["low"] - exp[1]) < 1e-9
+    assert abs(row["volume"] - exp[2]) < 1e-9
