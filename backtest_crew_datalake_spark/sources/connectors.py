@@ -1,0 +1,183 @@
+"""Vendor connectors — driver-side fetch planning producing DataFrames.
+
+These are deliberately NOT Spark-parallel sources: the reference's vendors are
+a rate-limited public REST API (Binance klines) and a stateful TWS socket
+(IBKR). The connector plans windows, paginates with retry/backoff on the
+driver, and hands Spark a DataFrame (SURVEY §2.1 S6/S7 verdicts). For bulk
+backfills the window list CAN be distributed (`parallel_fetch_plan` +
+mapInPandas) with a per-partition token bucket — provided here as plumbing.
+
+Network access is injectable (``http_get``): tests and offline mode pass a
+fake; the default implementation uses urllib. With env SPARKLAKE_SYNTH=1 the
+IBKR connector short-circuits to the deterministic synthetic generator, like
+the reference's DATALAKE_SYNTH switch (ref downloader.py:190-204).
+
+ref src/datalake/providers/binance/client.py:52-134 (pagination loop, ≤1000
+bars/page, 429 exponential backoff 2^i capped 10 s / 5 retries, final clip),
+tools/fill_binance_month.py:57-84 (weight budget), ibkr/ib_client.py:31-37
+(0.7 rps throttle).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.timeframes import tf_seconds
+from ..schemas import enforce_schema
+
+BINANCE_BASE = "https://api.binance.com"
+PAGE_LIMIT = 1000          # ref client.py:67
+MAX_RETRIES = 5            # ref client.py:35-50
+BACKOFF_CAP_S = 10.0
+
+
+def _default_http_get(url: str) -> tuple[int, bytes]:
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(url, timeout=30) as r:
+            return r.status, r.read()
+    except Exception as ex:  # urllib raises on HTTP errors
+        status = getattr(ex, "code", 0)
+        return status, b""
+
+
+def _to_ms(dt: datetime) -> int:
+    return int(dt.replace(tzinfo=dt.tzinfo or timezone.utc).timestamp() * 1000)
+
+
+def fetch_binance_klines(
+    spark: SparkSession,
+    symbol: str,
+    start: datetime,
+    end: datetime,
+    tf: str = "M1",
+    http_get=None,
+    sleep=time.sleep,
+) -> DataFrame:
+    """Paginated /api/v3/klines fetch → candle DataFrame (bar_end UTC ts).
+
+    Pagination in ≤1000-bar windows; 429/5xx retried with exponential backoff
+    2^i capped at 10 s, max 5 tries; rows clipped to [start, end)
+    (ref client.py:80-121, 133). Binance kline open-time is bar_start — ts is
+    shifted +interval to bar_end per the lake contract (ref normalize.py:11).
+    """
+    http_get = http_get or _default_http_get
+    secs = tf_seconds(tf)
+    interval = {60: "1m", 300: "5m", 900: "15m", 1800: "30m",
+                3600: "1h", 86400: "1d"}[secs]
+    from ..functions.symbols import SPECIALS
+
+    s = symbol.upper().strip()
+    if s in SPECIALS:
+        bsym = SPECIALS[s]
+    elif "-" in s:
+        base, quote = s.split("-", 1)
+        bsym = base + ("USDT" if quote == "USD" else quote)
+    else:
+        bsym = s
+
+    rows = []
+    cur_ms = _to_ms(start)
+    end_ms = _to_ms(end)
+    while cur_ms < end_ms:
+        url = (
+            f"{BINANCE_BASE}/api/v3/klines?symbol={bsym}&interval={interval}"
+            f"&startTime={cur_ms}&endTime={end_ms - 1}&limit={PAGE_LIMIT}"
+        )
+        payload = None
+        for attempt in range(MAX_RETRIES):
+            status, body = http_get(url)
+            if status == 200:
+                payload = json.loads(body)
+                break
+            sleep(min(2.0 ** attempt, BACKOFF_CAP_S))
+        if payload is None:
+            raise RuntimeError(f"binance fetch failed after {MAX_RETRIES} tries: {url}")
+        if not payload:
+            break
+        for k in payload:
+            open_ms = int(k[0])
+            bar_end_ms = open_ms + secs * 1000
+            if open_ms >= end_ms:
+                break
+            rows.append((
+                datetime.fromtimestamp(bar_end_ms / 1000, tz=timezone.utc),
+                float(k[1]), float(k[2]), float(k[3]), float(k[4]), float(k[5]),
+            ))
+        last_open = int(payload[-1][0])
+        nxt = last_open + secs * 1000
+        if nxt <= cur_ms:
+            break
+        cur_ms = nxt
+
+    df = spark.createDataFrame(
+        [(ts.replace(tzinfo=None), o, h, lo, c, v) for ts, o, h, lo, c, v in rows],
+        "ts timestamp, open double, high double, low double, close double, volume double",
+    )
+    from pyspark.sql import functions as F
+
+    df = (
+        df.where(
+            (F.col("ts") > F.lit(start.replace(tzinfo=None)))
+            & (F.col("ts") <= F.lit(end.replace(tzinfo=None)))
+        )
+        .withColumn("symbol", F.lit(symbol))
+        .withColumn("source", F.lit("binance"))
+        .withColumn("exchange", F.lit("BINANCE"))
+        .withColumn("vendor", F.lit("binance"))
+    )
+    return enforce_schema(df, timeframe=tf, symbol=symbol)
+
+
+def fetch_ibkr_bars(
+    spark: SparkSession,
+    symbol: str,
+    day_from: str,
+    day_to: str,
+    tf: str = "M1",
+) -> DataFrame:
+    """IBKR historical bars. The TWS socket protocol needs a live gateway;
+    in this environment the connector supports ONLY the synthetic switch
+    (SPARKLAKE_SYNTH=1 → seeded random-walk M1, exactly like the reference's
+    DATALAKE_SYNTH offline mode, ref downloader.py:190-204,
+    ingest_cli.py:541-551). A real deployment would wire ib_insync here with
+    the ≤0.7 rps throttle (ref ib_client.py:31-37)."""
+    if os.environ.get("SPARKLAKE_SYNTH") != "1":
+        raise NotImplementedError(
+            "IBKR TWS connector requires a live gateway; "
+            "set SPARKLAKE_SYNTH=1 for the deterministic offline source"
+        )
+    from .synth import make_m1
+
+    df = make_m1(spark, [symbol], day_from, day_to, seed=42)
+    return enforce_schema(df, timeframe=tf, symbol=symbol)
+
+
+def parallel_fetch_plan(
+    spark: SparkSession,
+    symbols: list[str],
+    start: datetime,
+    end: datetime,
+    tf: str = "M1",
+    window_hours: int = 8,
+) -> DataFrame:
+    """Distributable fetch plan: one row per (symbol, window_start,
+    window_end) — the reference's 3×8h day chunking generalized
+    (ref ingest_cli.py:17,184-193). Feed to mapInPandas with a token-bucket
+    rate limiter for parallel backfills."""
+    rows = []
+    for sym in symbols:
+        cur = start
+        while cur < end:
+            nxt = min(cur + timedelta(hours=window_hours), end)
+            rows.append((sym, cur.replace(tzinfo=None), nxt.replace(tzinfo=None)))
+            cur = nxt
+    return spark.createDataFrame(
+        rows, "symbol string, win_start timestamp, win_end timestamp"
+    )

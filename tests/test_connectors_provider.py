@@ -1,0 +1,140 @@
+"""Connectors (fake-HTTP Binance pagination/backoff, IBKR synth switch) and
+the provider facade's materialized-aggregate routing."""
+
+import json
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from backtest_crew_datalake_spark.provider import (
+    build_aggregates, load_exec_and_filter,
+)
+from backtest_crew_datalake_spark.schemas import enforce_schema
+from backtest_crew_datalake_spark.sources.connectors import (
+    fetch_binance_klines, fetch_ibkr_bars, parallel_fetch_plan,
+)
+from backtest_crew_datalake_spark.sources.synth import make_m1
+from backtest_crew_datalake_spark.sources.writer import upsert_candles
+
+
+def _fake_binance(n_min=1440, day="2024-01-01", fail_first=0):
+    """Fake klines endpoint: serves a full UTC day of 1-min bars, honoring
+    startTime/limit pagination; optionally 429s the first calls."""
+    day0 = int(datetime.fromisoformat(day).replace(tzinfo=timezone.utc)
+               .timestamp() * 1000)
+    calls = {"n": 0}
+
+    def http_get(url):
+        calls["n"] += 1
+        if calls["n"] <= fail_first:
+            return 429, b""
+        qs = dict(kv.split("=") for kv in url.split("?")[1].split("&"))
+        start = int(qs["startTime"])
+        limit = int(qs["limit"])
+        out = []
+        t = max(start, day0)
+        while len(out) < limit and t < day0 + n_min * 60_000:
+            px = 100.0 + ((t - day0) // 60_000) * 0.01
+            out.append([t, str(px), str(px + 1), str(px - 1), str(px + 0.5),
+                        "10.0", t + 59_999, "0", 0, "0", "0", "0"])
+            t += 60_000
+        return 200, json.dumps(out).encode()
+
+    return http_get, calls
+
+
+def test_binance_pagination_and_bar_end(spark):
+    http_get, calls = _fake_binance()
+    df = fetch_binance_klines(
+        spark, "BTC-USD",
+        datetime(2024, 1, 1, tzinfo=timezone.utc),
+        datetime(2024, 1, 2, tzinfo=timezone.utc),
+        http_get=http_get,
+    )
+    assert df.count() == 1440
+    assert calls["n"] >= 2  # 1440 bars at 1000/page → ≥2 pages
+    r = df.orderBy("ts").limit(1).collect()[0]
+    # bar_start 00:00 shifted to bar_end 00:01 (ref normalize.py:11)
+    assert str(r["ts"]) == "2024-01-01 00:01:00"
+    assert r["open"] == 100.0
+    assert r["source"] == "binance" and r["timeframe"] == "M1"
+
+
+def test_binance_backoff_retries(spark):
+    http_get, calls = _fake_binance(n_min=60, fail_first=2)
+    sleeps = []
+    df = fetch_binance_klines(
+        spark, "ETH-USD",
+        datetime(2024, 1, 1, tzinfo=timezone.utc),
+        datetime(2024, 1, 1, 1, tzinfo=timezone.utc),
+        http_get=http_get, sleep=sleeps.append,
+    )
+    assert df.count() == 60
+    assert sleeps == [1.0, 2.0]  # 2^0, 2^1 backoff before success
+
+
+def test_binance_gives_up_after_max_retries(spark):
+    def always_429(url):
+        return 429, b""
+    with pytest.raises(RuntimeError, match="after 5 tries"):
+        fetch_binance_klines(
+            spark, "BTC-USD",
+            datetime(2024, 1, 1, tzinfo=timezone.utc),
+            datetime(2024, 1, 1, 1, tzinfo=timezone.utc),
+            http_get=always_429, sleep=lambda s: None,
+        )
+
+
+def test_ibkr_synth_switch(spark, monkeypatch):
+    monkeypatch.delenv("SPARKLAKE_SYNTH", raising=False)
+    with pytest.raises(NotImplementedError):
+        fetch_ibkr_bars(spark, "BTC-USD", "2024-01-01", "2024-01-01")
+    monkeypatch.setenv("SPARKLAKE_SYNTH", "1")
+    df = fetch_ibkr_bars(spark, "BTC-USD", "2024-01-01", "2024-01-01")
+    assert df.count() == 1440
+
+
+def test_parallel_fetch_plan(spark):
+    plan = parallel_fetch_plan(
+        spark, ["BTC-USD", "ETH-USD"],
+        datetime(2024, 1, 1, tzinfo=timezone.utc),
+        datetime(2024, 1, 2, tzinfo=timezone.utc),
+        window_hours=8,
+    )
+    assert plan.count() == 6  # 2 symbols × 3 chunks/day (ref ingest_cli.py:17)
+
+
+def test_provider_routing(spark, tmp_path):
+    root = str(tmp_path / "lake")
+    m1 = enforce_schema(
+        make_m1(spark, ["BTC-USD"], "2024-01-01", "2024-01-01", seed=42),
+        timeframe="M1",
+    )
+    upsert_candles(spark, m1, root)
+
+    # no aggregates tree yet → on-the-fly resample
+    ex, fl = load_exec_and_filter(
+        spark, root, "BTC-USD", "2024-01-01", "2024-01-02",
+        exec_tf="1 min", filter_tf="5 mins",
+    )
+    assert ex.count() == 1440 and fl.count() == 288
+
+    # materialize and route through the pre-aggregated tree
+    build_aggregates(spark, root, "BTC-USD", "2024-01-01", "2024-01-02",
+                     ["M5"])
+    ex2, fl2 = load_exec_and_filter(
+        spark, root, "BTC-USD", "2024-01-01", "2024-01-02",
+        exec_tf="1 min", filter_tf="5 mins",
+    )
+    assert fl2.count() == 288
+    a = fl.select("ts", "close").orderBy("ts").toPandas()
+    b = fl2.select("ts", "close").orderBy("ts").toPandas()
+    assert (a.close.values == b.close.values).all()
+
+    # same tf → same frame
+    ex3, fl3 = load_exec_and_filter(
+        spark, root, "BTC-USD", "2024-01-01", "2024-01-02",
+        exec_tf="1 min", filter_tf="M1",
+    )
+    assert fl3.count() == ex3.count() == 1440
