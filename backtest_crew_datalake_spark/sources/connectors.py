@@ -159,6 +159,57 @@ def fetch_ibkr_bars(
     return enforce_schema(df, timeframe=tf, symbol=symbol)
 
 
+def repair_ranges_with_fallback(
+    spark: SparkSession,
+    fetch_fn,
+    ranges: list[tuple[datetime, datetime]],
+    steps: tuple[int, ...] = (3600, 1800, 600, 300),
+) -> DataFrame | None:
+    """Shrinking-window retry repair (SURVEY §2.9 M2): re-fetch missing
+    [start, end] minute ranges with step sizes 3600→1800→600→300 s until
+    filled; ranges a step can't fill are retried at the next smaller step
+    (ref ingest_cli.py:324-366).
+
+    ``fetch_fn(start: datetime, end: datetime) -> DataFrame | None`` is the
+    vendor fetch for one window (rows clipped to the window by this
+    function). Driver-side control flow by design — the vendor is a
+    rate-limited session, not a distributed source. Returns the union of
+    recovered bars deduped on ts, or None if nothing was recovered.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import dedupe_keep
+
+    remaining = list(ranges)
+    parts: list[DataFrame] = []
+    for step in steps:
+        next_remaining: list[tuple[datetime, datetime]] = []
+        for rs, re_ in remaining:
+            cur = rs
+            while cur <= re_:
+                block_end = min(cur + timedelta(seconds=step - 60), re_)
+                df = fetch_fn(cur, block_end)
+                if df is not None and not df.isEmpty():
+                    parts.append(
+                        df.where(
+                            (F.col("ts") >= F.lit(cur.replace(tzinfo=None)))
+                            & (F.col("ts") <= F.lit(block_end.replace(tzinfo=None)))
+                        )
+                    )
+                else:
+                    next_remaining.append((cur, block_end))
+                cur = block_end + timedelta(minutes=1)
+        if not next_remaining:
+            break
+        remaining = next_remaining
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return dedupe_keep(out, key=["ts"], order=None, keep="first")
+
+
 def parallel_fetch_plan(
     spark: SparkSession,
     symbols: list[str],

@@ -63,6 +63,22 @@ def stream_ingest_candles(
     return writer.start()
 
 
+def streaming_dedup(
+    stream_df: DataFrame,
+    key: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming PK dedup — the streaming face of the write-path keep-last
+    contract (ref binance/ingest_cli.py:75-77 ≈ late/duplicate handling):
+    duplicates arriving within the watermark horizon are dropped; state is
+    bounded by the horizon (SURVEY §2.11)."""
+    from ..schemas import PRIMARY_KEY
+
+    return stream_df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        key or PRIMARY_KEY
+    )
+
+
 def streaming_resample(
     stream_df: DataFrame,
     tf: str = "M5",

@@ -105,6 +105,37 @@ def test_parallel_fetch_plan(spark):
     assert plan.count() == 6  # 2 symbols × 3 chunks/day (ref ingest_cli.py:17)
 
 
+def test_repair_ladder_shrinks_windows(spark):
+    """Ranges unfillable at 3600 s are retried at smaller steps
+    (ref ingest_cli.py:324-366); recovered bars are deduped + clipped."""
+    from backtest_crew_datalake_spark.sources.connectors import (
+        repair_ranges_with_fallback,
+    )
+
+    calls = []
+
+    def fetch(start, end):
+        calls.append((start, end, int((end - start).total_seconds())))
+        span = (end - start).total_seconds()
+        if span > 600:  # vendor refuses big windows → forces the ladder down
+            return None
+        rows, cur = [], start
+        while cur <= end:
+            rows.append((cur.replace(tzinfo=None), 1.0, 1.0, 1.0, 1.0, 0.0))
+            cur += __import__("datetime").timedelta(minutes=1)
+        return spark.createDataFrame(
+            rows, "ts timestamp, open double, high double, low double, "
+                  "close double, volume double")
+
+    rng = (datetime(2024, 1, 1, 0, 0, tzinfo=timezone.utc),
+           datetime(2024, 1, 1, 0, 59, tzinfo=timezone.utc))
+    out = repair_ranges_with_fallback(spark, fetch, [rng])
+    assert out is not None and out.count() == 60
+    steps_used = sorted({c[2] for c in calls}, reverse=True)
+    assert steps_used[0] > 600  # tried the big window first
+    assert any(s <= 600 for s in steps_used)  # then fell back
+
+
 def test_provider_routing(spark, tmp_path):
     root = str(tmp_path / "lake")
     m1 = enforce_schema(

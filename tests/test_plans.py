@@ -1,0 +1,78 @@
+"""Physical-plan quality gates (SURVEY §4): these assertions pin the
+scale-critical plan properties — filter pushdown, column pruning, broadcast
+dimension joins, and the as-of join's single-shuffle shape — so a regression
+that silently de-optimizes a plan fails CI, not the 100 TB run."""
+
+import pytest
+
+from backtest_crew_datalake_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = all_queries()[name].build(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    p = _plan(spark, "q_pricing_summary")
+    scan = next(l for l in p.splitlines() if "FileScan parquet" in l)
+    # only the 7 referenced columns reach the scan
+    assert "l_shipdate" in scan and "l_quantity" in scan
+    assert "l_orderkey" not in scan and "l_partkey" not in scan
+    # the date filter reaches the data source
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters", 1)[1][:200]
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    p = _plan(spark, "q_nation_revenue")
+    assert p.count("BroadcastHashJoin") >= 2  # nation+region always broadcast
+    assert "CartesianProduct" not in p
+
+
+def test_asof_join_single_shuffle(spark):
+    p = _plan(spark, "q_evt_asof_join")
+    # union + LOCF window: exactly one hash-partition exchange (on user_id)
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_resample_no_global_sort(spark):
+    p = _plan(spark, "q_evt_resample")
+    # tumbling rollup must not introduce a global range exchange
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_cosine_topk_broadcasts_queries_not_corpus(spark):
+    p = _plan(spark, "q_emb_cosine_topk")
+    # the query side is broadcast; corpus must stream (no shuffle of corpus
+    # before the join)
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_lake_read_prunes_partitions(spark, tmp_path):
+    from backtest_crew_datalake_spark.schemas import enforce_schema
+    from backtest_crew_datalake_spark.sources.lake import read_range
+    from backtest_crew_datalake_spark.sources.synth import make_m1
+    from backtest_crew_datalake_spark.sources.writer import upsert_candles
+
+    root = str(tmp_path / "lake")
+    m1 = enforce_schema(
+        make_m1(spark, ["BTC-USD", "ETH-USD"], "2024-01-31", "2024-02-01",
+                seed=42),
+        timeframe="M1",
+    )
+    upsert_candles(spark, m1, root)
+    df = read_range(spark, root, symbol="BTC-USD",
+                    date_from="2024-02-01", date_to="2024-02-02")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in p.splitlines() if "FileScan parquet" in l)
+    # partition filters present → only (symbol=BTC-USD, 2024/02) directory
+    # is read: 1 of the 4 written partitions
+    assert "PartitionFilters" in p
+    import re
+    m = re.search(r"(\d+) paths", scan)
+    # month pruning: the ym predicate restricts the file index at planning
+    assert df.count() == 1440

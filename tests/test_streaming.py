@@ -37,6 +37,37 @@ def test_stream_ingest_idempotent_upsert(spark, tmp_path):
     assert ts[1] == pd.Timestamp("2024-01-01 23:59:00")
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "dsrc")
+    out_dir = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+
+    from backtest_crew_datalake_spark.schemas import CANDLE_SCHEMA
+    from backtest_crew_datalake_spark.streaming.ingest import streaming_dedup
+
+    m1 = enforce_schema(
+        make_m1(spark, ["BTC-USD"], "2024-01-01", "2024-01-01", seed=5),
+        timeframe="M1",
+    ).where(F.col("ts") < "2024-01-01 01:00:00")
+    # duplicate delivery: the same 60 bars written twice
+    m1.write.mode("overwrite").parquet(src)
+    m1.write.mode("append").parquet(src)
+    assert spark.read.parquet(src).count() == 120
+
+    stream = spark.readStream.schema(CANDLE_SCHEMA).parquet(src)
+    deduped = streaming_dedup(stream, watermark="2 hours")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(out_dir).count() == 60
+
+
 def test_streaming_resample_counts(spark, tmp_path):
     src_dir = str(tmp_path / "src")
     out_dir = str(tmp_path / "out")
