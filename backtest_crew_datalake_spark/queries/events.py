@@ -529,6 +529,166 @@ def q_evt_mtf_asof(spark, sf_dir):
 
 
 @register(
+    "q_evt_or_levels_nyc",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, ts, value,
+               ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York' AS lts
+        FROM events
+    ),
+    tagged AS (
+        SELECT event_type, ts, value,
+               CAST(date_trunc('day', lts) AS DATE) AS d,
+               strftime(lts, '%H:%M') >= '09:30'
+                   AND strftime(lts, '%H:%M') < '16:00' AS in_or,
+               strftime(lts, '%H:%M') >= '16:00' AS after_or
+        FROM base
+    ),
+    levels AS (
+        SELECT event_type, d,
+               MAX(CASE WHEN in_or THEN value END) AS or_high,
+               MIN(CASE WHEN in_or THEN value END) AS or_low
+        FROM tagged GROUP BY 1, 2
+        HAVING MAX(CASE WHEN in_or THEN value END) IS NOT NULL
+    ),
+    agg AS (
+        SELECT t.event_type, t.d,
+               ANY_VALUE(l.or_high) AS or_high,
+               ANY_VALUE(l.or_low) AS or_low,
+               MIN(CASE WHEN t.after_or AND t.value > l.or_high
+                        THEN t.ts END) AS up_ts,
+               MIN(CASE WHEN t.after_or AND t.value < l.or_low
+                        THEN t.ts END) AS dn_ts
+        FROM tagged t JOIN levels l USING (event_type, d)
+        GROUP BY 1, 2
+    )
+    SELECT event_type,
+           STRFTIME(d, '%Y-%m-%d') AS session_date,
+           epoch_ms(timezone('America/New_York',
+                    CAST(d AS TIMESTAMP) + INTERVAL 9 HOUR + INTERVAL 30 MINUTE))
+               AS or_start_ms,
+           ROUND(or_high, 6) AS or_high,
+           ROUND(or_low, 6) AS or_low,
+           CASE WHEN up_ts IS NOT NULL AND (dn_ts IS NULL OR up_ts <= dn_ts)
+                THEN 'UP'
+                WHEN dn_ts IS NOT NULL THEN 'DOWN'
+                ELSE 'NONE' END AS break_dir,
+           epoch_ms(CASE WHEN up_ts IS NOT NULL
+                              AND (dn_ts IS NULL OR up_ts <= dn_ts)
+                         THEN up_ts
+                         WHEN dn_ts IS NOT NULL THEN dn_ts END) AS break_ts_ms
+    FROM agg
+    """,
+)
+def q_evt_or_levels_nyc(spark, sf_dir):
+    """P5/T7: local-timezone session mask — OR levels over the NYSE session
+    [09:30, 16:00) in America/New_York (DST-correct localization on both
+    engines; ref or_levels.py:26-31, liquidity_profiles.py)."""
+    e = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("symbol"), "ts",
+        F.col("value").alias("close"), F.col("value").alias("high"),
+        F.col("value").alias("low"), F.col("value").alias("open"),
+    )
+    lv = build_or_levels(e, or_window="09:30-16:00",
+                         tz="America/New_York", by=["symbol"])
+    return lv.select(
+        F.col("symbol").alias("event_type"),
+        F.col("session_date").cast("string").alias("session_date"),
+        F.unix_millis("or_start").alias("or_start_ms"),
+        F.round("or_high", 6).alias("or_high"),
+        F.round("or_low", 6).alias("or_low"),
+        "break_dir",
+        F.unix_millis("break_ts").alias("break_ts_ms"),
+    )
+
+
+@register(
+    "q_evt_daily_ffill",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+               LAST(value ORDER BY ts, event_id) AS close
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT event_type, MIN(d) AS d0, MAX(d) AS d1
+               FROM daily GROUP BY 1),
+    grid AS (SELECT event_type,
+                    CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+                         CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+             FROM bounds),
+    joined AS (
+        SELECT g.event_type, g.d, daily.close,
+               daily.close IS NULL AS was_filled
+        FROM grid g LEFT JOIN daily USING (event_type, d)
+    )
+    SELECT event_type, STRFTIME(d, '%Y-%m-%d') AS day,
+           ROUND(last_value(close IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS close,
+           was_filled
+    FROM joined
+    """,
+)
+def q_evt_daily_ffill(spark, sf_dir):
+    """W3: LOCF forward-fill — daily closes per event_type on the complete
+    day grid, empty days carried forward (ref aggregate.py:43 ffill)."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.max_by("value", ordk).alias("close"))
+    grid = (
+        daily.groupBy("event_type")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select("event_type", F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d"))
+    )
+    joined = grid.join(daily, ["event_type", "d"], "left") \
+        .withColumn("was_filled", F.col("close").isNull())
+    w = (
+        Window.partitionBy("event_type").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round(F.last("close", ignorenulls=True).over(w), 6).alias("close"),
+        "was_filled",
+    )
+
+
+@register(
+    "q_evt_neighbors",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(value, 6) AS value,
+           ROUND(LAG(value)  OVER w, 6) AS prev_value,
+           ROUND(LEAD(value) OVER w, 6) AS next_value,
+           epoch_ms(LAG(ts) OVER w) AS prev_ts_ms
+    FROM events
+    WHERE user_id < 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_evt_neighbors(spark, sf_dir):
+    """W7: previous/next-neighbor lookup via lag/lead
+    (ref ingest_cli.py:242-250 prev/next fill prices)."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id",
+        F.round("value", 6).alias("value"),
+        F.round(F.lag("value").over(w), 6).alias("prev_value"),
+        F.round(F.lead("value").over(w), 6).alias("next_value"),
+        F.unix_millis(F.lag("ts").over(w)).alias("prev_ts_ms"),
+    )
+
+
+@register(
     "q_evt_minmax",
     oracle="""
     SELECT event_type,

@@ -159,6 +159,42 @@ def fetch_ibkr_bars(
     return enforce_schema(df, timeframe=tf, symbol=symbol)
 
 
+class TokenBucket:
+    """Sliding-budget rate limiter (SURVEY §2.9 M3).
+
+    Generalizes the reference's two pacing models: the Binance 5000/min
+    weight budget (ref tools/fill_binance_month.py:57-84) and the IB ≤0.7 rps
+    throttle (ref ib_client.py:31-37). Use driver-side around a fetch loop,
+    or one instance per partition inside foreachPartition/mapInPandas for
+    parallel backfills (each partition gets budget/NUM_PARTITIONS).
+    """
+
+    def __init__(self, budget_per_window: float, window_s: float = 60.0,
+                 clock=time.monotonic, sleep=time.sleep):
+        self.budget = float(budget_per_window)
+        self.window_s = float(window_s)
+        self._clock = clock
+        self._sleep = sleep
+        self._spent: list[tuple[float, float]] = []  # (t, weight)
+
+    def acquire(self, weight: float = 1.0) -> float:
+        """Block until ``weight`` fits in the sliding window; returns the
+        seconds slept."""
+        slept = 0.0
+        while True:
+            now = self._clock()
+            self._spent = [(t, w) for t, w in self._spent
+                           if now - t < self.window_s]
+            used = sum(w for _, w in self._spent)
+            if used + weight <= self.budget:
+                self._spent.append((now, weight))
+                return slept
+            oldest = min(t for t, _ in self._spent)
+            wait = max(oldest + self.window_s - now, 0.01)
+            self._sleep(wait)
+            slept += wait
+
+
 def repair_ranges_with_fallback(
     spark: SparkSession,
     fetch_fn,

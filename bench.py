@@ -38,8 +38,17 @@ def main():
 
     registry = all_queries()
     timings: dict[str, float] = {}
-    # warm the JVM + parquet footers once with a trivial action
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # warm the JVM: exercise codegen, shuffle, broadcast and the noop sink
+    # once so the first timed query doesn't pay cold-start costs
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    from pyspark.sql import functions as F
+
+    (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name").agg(F.count("*").alias("c"))
+        .write.format("noop").mode("overwrite").save()
+    )
 
     for name in HEADLINE:
         build = registry[name].build

@@ -105,6 +105,25 @@ def test_parallel_fetch_plan(spark):
     assert plan.count() == 6  # 2 symbols × 3 chunks/day (ref ingest_cli.py:17)
 
 
+def test_token_bucket_pacing():
+    from backtest_crew_datalake_spark.sources.connectors import TokenBucket
+
+    clock = {"t": 0.0}
+    sleeps = []
+
+    def fake_sleep(s):
+        sleeps.append(s)
+        clock["t"] += s
+
+    tb = TokenBucket(budget_per_window=3, window_s=60,
+                     clock=lambda: clock["t"], sleep=fake_sleep)
+    for _ in range(3):
+        assert tb.acquire(1) == 0.0  # budget available, no wait
+    slept = tb.acquire(1)            # budget exhausted → waits for window
+    assert slept > 0 and abs(clock["t"] - 60.0) < 1.0
+    assert tb.acquire(1) == 0.0 or clock["t"] >= 60.0
+
+
 def test_repair_ladder_shrinks_windows(spark):
     """Ranges unfillable at 3600 s are retried at smaller steps
     (ref ingest_cli.py:324-366); recovered bars are deduped + clipped."""
