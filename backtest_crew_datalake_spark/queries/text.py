@@ -162,6 +162,47 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+@register("q_doc_minhash_lsh_pairs", oracle=None)
+def q_doc_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH candidate near-dup pairs (rows-only check: the minhash
+    primitive xxhash64 has no DuckDB equivalent; correctness of the LSH
+    recall is covered by tests/test_pipeline.py against exact Jaccard)."""
+    from ..pipeline.dedup import minhash_dedup_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(d, n=2, num_hashes=32, bands=8)
+
+
+@register("q_doc_simhash", oracle=None)
+def q_doc_simhash(spark, sf_dir):
+    """64-bit SimHash signatures (rows-only: xxhash64-based). Emits signature
+    + a popcount band so the driver's rows/schema check is meaningful."""
+    from ..pipeline.dedup import simhash
+
+    d = simhash(load(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id", "simhash",
+        F.bit_count("simhash").alias("sig_bits"),
+    )
+
+
+@register("q_multimodal_features", oracle=None)
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end (rows-only): documents' text encoded as
+    opaque binary payloads → Arrow mapInPandas feature extraction (decode
+    stubbed deterministically — see pipeline/multimodal.py)."""
+    from ..pipeline.multimodal import extract_media_features
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    feats = extract_media_features(d)
+    return feats.select("media_id", "kind", "n_bytes", "digest",
+                        "width", "height")
+
+
 @register(
     "q_doc_ngram_jaccard",
     oracle="""

@@ -38,17 +38,24 @@ def main():
 
     registry = all_queries()
     timings: dict[str, float] = {}
-    # warm the JVM: exercise codegen, shuffle, broadcast and the noop sink
-    # once so the first timed query doesn't pay cold-start costs
-    r = spark.read.parquet(f"{sf_dir}/region.parquet")
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+    # Warm the JVM once (codegen, shuffle, broadcast, noop sink) so the
+    # first timed query doesn't pay cold-start costs. Note: an experiment
+    # with a repartition+cache load phase was REVERTED — InMemoryRelation
+    # size stats defeat Catalyst's broadcast planning for the self-join
+    # queries (ngram dedup regressed 2s → 40s); cold parquet scans + AQE
+    # produce strictly better plans here.
     from pyspark.sql import functions as F
 
+    t0 = time.perf_counter()
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
     (
         n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name").agg(F.count("*").alias("c"))
         .write.format("noop").mode("overwrite").save()
     )
+    load_sec = round(time.perf_counter() - t0, 3)
 
     for name in HEADLINE:
         build = registry[name].build
@@ -63,6 +70,7 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "load_sec": load_sec,
     }))
 
 
