@@ -56,6 +56,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         pass
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Calendar functions (date_trunc/hour/to_date) are session-tz dependent;
+    # pin UTC so results match the oracle regardless of the caller's session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
