@@ -86,6 +86,80 @@ def lsh_sign_buckets(
     return df.withColumn("bucket", bucket)
 
 
+def _sqdist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF-style ANN top-k: assign the corpus to its nearest coarse centroid
+    (L2, tie → lowest centroid id), probe each query's ``nprobe`` nearest
+    lists, rank candidates by cosine. Same output schema as cosine_topk;
+    recall < 1.0 by design.
+
+    Scale shape: centroids broadcast twice (corpus assignment is a single
+    streaming pass — the inverted lists are a plain column, no index build);
+    the candidate join is an equi-join on centroid id, shuffle-partitionable.
+    At 100 TB the corpus assignment is materialized once (write the `list_id`
+    column next to the vectors) and only the probe join runs per query batch.
+    """
+    from pyspark.sql import Window
+
+    cent = F.broadcast(centroids.select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")
+    ))
+
+    def assign(df, ident, topn):
+        d2 = _sqdist(F.col(vec_col), F.col("__cv"))
+        w = Window.partitionBy(ident).orderBy(d2.asc(), F.col("__cid").asc())
+        return (
+            df.crossJoin(cent)
+            .withColumn("__crank", F.row_number().over(w))
+            .where(F.col("__crank") <= topn)
+            .drop("__cv", "__crank")
+        )
+
+    lists = assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__nv")).withColumnRenamed(
+                          "__nv", vec_col),
+        "neighbor_id", 1,
+    ).select("neighbor_id", F.col(vec_col).alias("__cv2"), "__cid")
+    probes = assign(
+        queries.select(F.col(id_col).alias("query_id"), vec_col),
+        "query_id", nprobe,
+    ).select("query_id", F.col(vec_col).alias("__qv"), "__cid")
+
+    sim = _dot(F.col("__qv"), F.col("__cv2")) / (
+        _norm(F.col("__qv")) * _norm(F.col("__cv2"))
+    )
+    scored = probes.join(lists, "__cid").select(
+        "query_id", "neighbor_id", sim.alias("__sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round("__sim", round_to).alias("cos_sim"), "rank")
+    )
+
+
 def cosine_topk_bucketed(
     queries: DataFrame,
     corpus: DataFrame,

@@ -68,6 +68,60 @@ def q_emb_lsh_buckets(spark, sf_dir):
 
 
 @register(
+    "q_emb_ivf_topk",
+    oracle="""
+    WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                  FROM embeddings WHERE vec_id < 16),
+    corpus AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nv
+               FROM embeddings WHERE vec_id >= 16),
+    qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id >= 16 AND vec_id < 26),
+    assign AS (
+        SELECT nid, nv, cid FROM (
+            SELECT c.nid, c.nv, t.cid,
+                   ROW_NUMBER() OVER (PARTITION BY c.nid
+                       ORDER BY list_distance(c.nv, t.cv), t.cid) AS rk
+            FROM corpus c CROSS JOIN cent t
+        ) WHERE rk = 1
+    ),
+    probes AS (
+        SELECT qid, qv, cid FROM (
+            SELECT q.qid, q.qv, t.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid
+                       ORDER BY list_distance(q.qv, t.cv), t.cid) AS rk
+            FROM qs q CROSS JOIN cent t
+        ) WHERE rk <= 2
+    ),
+    scored AS (
+        SELECT p.qid AS query_id, a.nid AS neighbor_id,
+               list_cosine_similarity(p.qv, a.nv) AS sim
+        FROM probes p JOIN assign a USING (cid)
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 4) AS cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_emb_ivf_topk(spark, sf_dir):
+    """IVF ANN scale path: 16 fixed coarse centroids (vec_id < 16), corpus
+    assigned to nearest list, queries probe their 2 nearest lists, cosine
+    top-5 among candidates. Deterministic (L2 assignment, ties → lowest
+    centroid id) hence oracle-checkable."""
+    from ..pipeline.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 16)
+    corpus = emb.where(F.col("vec_id") >= 16)
+    qs = emb.where((F.col("vec_id") >= 16) & (F.col("vec_id") < 26))
+    return ivf_topk(qs, corpus, cent, k=5, nprobe=2)
+
+
+@register(
     "q_emb_label_stats",
     oracle="""
     SELECT label, COUNT(*) AS n_vectors,

@@ -1,1 +1,4 @@
-from .ingest import stream_ingest_candles, streaming_resample  # noqa: F401
+from .ingest import (  # noqa: F401
+    stream_ingest_candles, streaming_dedup, streaming_resample,
+)
+from .stateful import stateful_sessionize  # noqa: F401

@@ -68,6 +68,56 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == 60
 
 
+def test_stateful_sessionize_across_batches(spark, tmp_path):
+    """Sessions spanning micro-batch boundaries must merge via state: batch 1
+    ends mid-session; batch 2 continues it, then a gap closes it."""
+    import time
+
+    src = str(tmp_path / "ssrc")
+    out_dir = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sckpt")
+
+    from backtest_crew_datalake_spark.streaming.stateful import (
+        stateful_sessionize,
+    )
+
+    def write_batch(rows, mode):
+        pdf = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        pdf.coalesce(1).write.mode(mode).parquet(src)
+
+    b = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    # batch 1: user 1 events at 00:00, 00:05 (open session in state)
+    write_batch([(1, b.to_pydatetime()), (1, (b + 5 * m).to_pydatetime())],
+                "overwrite")
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    sessions = stateful_sessionize(stream, timeout_seconds=1800)
+
+    def run_once():
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("parquet").option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(out_dir).count() == 0  # nothing closed yet
+
+    # batch 2: continuation at 00:10, then a >30min gap at 01:00 closes it
+    write_batch([(1, (b + 10 * m).to_pydatetime()),
+                 (1, (b + 60 * m).to_pydatetime())], "append")
+    run_once()
+    out = spark.read.parquet(out_dir).toPandas()
+    assert len(out) == 1
+    s = out.iloc[0]
+    assert s.user_id == 1 and s.n_events == 3
+    assert pd.Timestamp(s.session_start) == b          # started in batch 1
+    assert pd.Timestamp(s.session_end) == b + 10 * m   # extended in batch 2
+
+
 def test_streaming_resample_counts(spark, tmp_path):
     src_dir = str(tmp_path / "src")
     out_dir = str(tmp_path / "out")
