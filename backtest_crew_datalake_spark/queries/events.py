@@ -689,6 +689,59 @@ def q_evt_neighbors(spark, sf_dir):
 
 
 @register(
+    "q_evt_rolling_window",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_prev_1h,
+           ROUND(SUM(value) OVER w, 2) AS sum_prev_1h
+    FROM events
+    WHERE user_id < 40
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_evt_rolling_window(spark, sf_dir):
+    """Time-based RANGE window: per event, count/sum of the same user's
+    events in the trailing hour (microsecond-exact frame on both engines)."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id", "user_id",
+        F.count("*").over(w).alias("n_prev_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_prev_1h"),
+    )
+
+
+@register(
+    "q_evt_value_quantiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 6) AS p25,
+           ROUND(quantile_cont(value, 0.50), 6) AS p50,
+           ROUND(quantile_cont(value, 0.90), 6) AS p90,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_evt_value_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear interpolation on the sorted set)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.90)"), 6).alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
     "q_evt_minmax",
     oracle="""
     SELECT event_type,
