@@ -426,6 +426,91 @@ def q_string_funcs_part(spark, sf_dir):
 
 
 @register(
+    "q_order_size_distribution",
+    oracle="""
+    SELECT n_items, COUNT(*) AS n_orders
+    FROM (SELECT l_orderkey, COUNT(*) AS n_items
+          FROM lineitem GROUP BY 1)
+    GROUP BY 1
+    """,
+)
+def q_order_size_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of per-order item counts (aggregate of
+    an aggregate — two keyed shuffles, second one tiny)."""
+    li = load(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(F.count("*").alias("n_items"))
+    return per_order.groupBy("n_items").agg(F.count("*").alias("n_orders"))
+
+
+@register(
+    "q_large_volume_customers",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey,
+           STRFTIME(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           ROUND(o.o_totalprice, 2) AS totalprice,
+           ROUND(t.total_qty, 2) AS total_qty
+    FROM (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+          FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300) t
+    JOIN orders o ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING-filtered aggregate semi-joined back through
+    orders to customers."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "q_brand_supplier_counts",
+    oracle="""
+    SELECT p.p_brand,
+           CASE WHEN p.p_size < 10 THEN 'small'
+                WHEN p.p_size < 30 THEN 'medium'
+                ELSE 'large' END AS size_band,
+           COUNT(DISTINCT l.l_suppkey) AS n_suppliers,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+    """,
+)
+def q_brand_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-count per banded dimension attributes."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    band = (
+        F.when(F.col("p_size") < 10, "small")
+        .when(F.col("p_size") < 30, "medium")
+        .otherwise("large")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", band.alias("size_band"))
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
     "q_supplier_balance_band",
     oracle="""
     SELECT n_name AS nation,
