@@ -162,6 +162,39 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+# GPT2-style coarse token pattern: contractions, letter runs, digit runs,
+# punctuation runs (each optionally space-prefixed). RE2 (duckdb) and Java
+# (Spark) agree on this subset (no lookaround/backrefs).
+_BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+_BPE_SQL = _BPE_PATTERN.replace("'", "''")  # SQL string-literal escaping
+
+
+@register(
+    "q_doc_bpe_token_count",
+    oracle=f"""
+    SELECT lang,
+           SUM(LEN(regexp_extract_all(text, '{_BPE_SQL}'))) AS total_bpe_tokens,
+           ROUND(AVG(LEN(regexp_extract_all(text, '{_BPE_SQL}'))), 6)
+               AS avg_bpe_tokens,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)
+                 / LEN(regexp_extract_all(text, '{_BPE_SQL}'))), 6)
+               AS chars_per_token
+    FROM documents GROUP BY 1
+    """,
+)
+def q_doc_bpe_token_count(spark, sf_dir):
+    """BPE-ish regex token counting (the training-data budget estimator):
+    GPT2-style pre-tokenizer pattern, counts per language."""
+    d = load(spark, sf_dir, "documents")
+    n = F.regexp_count("text", F.lit(_BPE_PATTERN))
+    return d.groupBy("lang").agg(
+        F.sum(n).alias("total_bpe_tokens"),
+        F.round(F.avg(n), 6).alias("avg_bpe_tokens"),
+        F.round(F.avg(F.col("n_chars").cast("double") / n), 6)
+        .alias("chars_per_token"),
+    )
+
+
 @register("q_doc_minhash_lsh_pairs", oracle=None)
 def q_doc_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH candidate near-dup pairs (rows-only check: the minhash

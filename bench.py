@@ -57,11 +57,16 @@ def main():
     )
     load_sec = round(time.perf_counter() - t0, 3)
 
+    # median of 3 runs per query — single-shot timings on a shared box are
+    # ±50% noise; the median is what the plan actually costs
     for name in HEADLINE:
         build = registry[name].build
-        t0 = time.perf_counter()
-        build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

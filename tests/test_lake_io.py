@@ -54,6 +54,32 @@ def test_upsert_idempotent_and_keep_last(spark, tmp_path):
     assert got.where(F.col("close") == 123456.0).count() == 10
 
 
+def test_write_levels_idempotent_keep_last(spark, tmp_path):
+    """Levels upsert keyed (session_date, symbol), new rows win
+    (ref or_levels.py:67-83)."""
+    from backtest_crew_datalake_spark.operators.levels import build_or_levels
+    from backtest_crew_datalake_spark.sources.writer import write_levels
+
+    root = str(tmp_path / "lake")
+    m1 = make_m1(spark, ["BTC-USD"], "2024-01-01", "2024-01-02", seed=42)
+    lv = build_or_levels(m1, or_window="00:00-01:00", tz="UTC", by=["symbol"])
+    write_levels(spark, lv, root)
+    got1 = spark.read.parquet(f"{root}/levels")
+    n1 = got1.count()
+    assert n1 == 2  # one row per session day
+
+    # re-write the same levels: idempotent
+    write_levels(spark, lv, root)
+    assert spark.read.parquet(f"{root}/levels").count() == n1
+
+    # overwrite one session with a changed row: keep-last wins
+    patched = lv.withColumn("or_high", F.lit(999999.0))
+    write_levels(spark, patched, root)
+    got = spark.read.parquet(f"{root}/levels")
+    assert got.count() == n1
+    assert got.where(F.col("or_high") == 999999.0).count() == n1
+
+
 def test_empty_lake_returns_empty_typed(spark, tmp_path):
     got = read_range(spark, str(tmp_path / "nolake"), symbol="BTC-USD")
     assert got.count() == 0
