@@ -742,6 +742,72 @@ def q_evt_value_quantiles(spark, sf_dir):
 
 
 @register(
+    "q_evt_pivot_user_types",
+    oracle="""
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def q_evt_pivot_user_types(spark, sf_dir):
+    """Pivot: per-user event counts spread across one column per type
+    (explicit value list → deterministic schema; Spark map-side pivots)."""
+    e = load(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+          for c in ("click", "error", "purchase", "signup", "view")],
+    )
+
+
+@register(
+    "q_evt_cube",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               STRFTIME(DATE_TRUNC('week', ts), '%Y-%m-%d') AS wk,
+               value
+        FROM events
+    ),
+    cubed AS (
+        SELECT event_type, wk, COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS total_value
+        FROM base GROUP BY CUBE (event_type, wk)
+    )
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(wk, 'ALL') AS week,
+           n, total_value
+    FROM cubed
+    """,
+)
+def q_evt_cube(spark, sf_dir):
+    """CUBE grouping sets over (type, week) — all four aggregation levels in
+    one pass (free from Spark SQL; absent in the reference)."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "week", F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd")
+    )
+    return (
+        e.cube("event_type", "week")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("week", F.lit("ALL")).alias("week"),
+            "n", "total_value",
+        )
+    )
+
+
+@register(
     "q_evt_minmax",
     oracle="""
     SELECT event_type,

@@ -52,6 +52,15 @@ def test_cosine_topk_broadcasts_queries_not_corpus(spark):
     assert "BroadcastNestedLoopJoin" in p
 
 
+def test_ivf_broadcasts_centroids(spark):
+    p = _plan(spark, "q_emb_ivf_topk")
+    # centroid assignment: broadcast nested-loop (centroids tiny); the
+    # probe→list candidate join is a hash/broadcast equi-join, never a
+    # cartesian product over the corpus
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
 def test_lake_read_prunes_partitions(spark, tmp_path):
     from backtest_crew_datalake_spark.schemas import enforce_schema
     from backtest_crew_datalake_spark.sources.lake import read_range
