@@ -125,6 +125,22 @@ def _cmd_qc(a):
     gap_ranges(miss, by=["symbol"]).orderBy("gap_start").show()
 
 
+def _cmd_binance_ingest(a):
+    """ref datalake-binance-ingest console script: fetch klines → upsert."""
+    from datetime import datetime, timezone
+
+    from .sources.connectors import ingest_binance_range
+
+    spark = _spark()
+    n = ingest_binance_range(
+        spark, a.lake_root, a.symbol,
+        datetime.fromisoformat(a.date_from).replace(tzinfo=timezone.utc),
+        datetime.fromisoformat(a.date_to).replace(tzinfo=timezone.utc),
+        tf=a.tf,
+    )
+    print(f"ingested {n} bars for {a.symbol}")
+
+
 def _cmd_synth_ingest(a):
     """Offline synthetic ingest (ref DATALAKE_SYNTH mode / tools/synth_gen.py)."""
     from .schemas import enforce_schema
@@ -190,6 +206,14 @@ def main(argv=None):
     sp.add_argument("--day", required=True)
     sp.add_argument("--tf", default="M1")
     sp.set_defaults(fn=_cmd_qc)
+
+    sp = sub.add_parser("binance-ingest")
+    sp.add_argument("--lake-root", required=True)
+    sp.add_argument("--symbol", required=True)
+    sp.add_argument("--tf", default="M1")
+    sp.add_argument("--date-from", required=True)
+    sp.add_argument("--date-to", required=True)
+    sp.set_defaults(fn=_cmd_binance_ingest)
 
     sp = sub.add_parser("synth-ingest")
     sp.add_argument("--lake-root", required=True)

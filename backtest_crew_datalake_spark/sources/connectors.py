@@ -159,6 +159,37 @@ def fetch_ibkr_bars(
     return enforce_schema(df, timeframe=tf, symbol=symbol)
 
 
+def ingest_binance_range(
+    spark: SparkSession,
+    lake_root: str,
+    symbol: str,
+    start: datetime,
+    end: datetime,
+    tf: str = "M1",
+    http_get=None,
+    weight_budget: float = 5000.0,
+) -> int:
+    """End-to-end Binance ingest: paginated fetch (S6) → schema enforcement →
+    keyed upsert into the lake (S4), paced by the sliding weight budget
+    (ref binance/ingest_cli.py main flow + fill_binance_month.py pacing).
+    Returns the number of bars ingested. Idempotent per the lake contract."""
+    from .writer import upsert_candles
+
+    bucket = TokenBucket(weight_budget, 60.0)
+    orig = http_get or _default_http_get
+
+    def wrapped(url):
+        bucket.acquire(2.0)  # klines request weight ≈ 2
+        return orig(url)
+
+    df = fetch_binance_klines(spark, symbol, start, end, tf=tf,
+                              http_get=wrapped)
+    n = df.count()
+    if n:
+        upsert_candles(spark, df, lake_root)
+    return n
+
+
 class TokenBucket:
     """Sliding-budget rate limiter (SURVEY §2.9 M3).
 

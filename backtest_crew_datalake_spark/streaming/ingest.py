@@ -63,6 +63,31 @@ def stream_ingest_candles(
     return writer.start()
 
 
+def streaming_sessions(
+    stream_df: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    by: tuple = ("user_id",),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Native session windows over a stream: one output row per closed
+    session with start/end/count. Built-in `session_window` merges
+    overlapping gap-extended windows; the watermark bounds state and seals
+    sessions for append output (cf. streaming/stateful.py for the custom
+    applyInPandasWithState formulation of the same op)."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(*by, F.session_window(ts_col, gap))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            *by,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def streaming_dedup(
     stream_df: DataFrame,
     key: list[str] | None = None,

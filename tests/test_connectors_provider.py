@@ -105,6 +105,28 @@ def test_parallel_fetch_plan(spark):
     assert plan.count() == 6  # 2 symbols × 3 chunks/day (ref ingest_cli.py:17)
 
 
+def test_ingest_binance_range_end_to_end(spark, tmp_path):
+    """S6→S4 composition: fetch (fake HTTP, paced) → enforce → upsert; read
+    back through the lake contract; idempotent on re-ingest."""
+    from backtest_crew_datalake_spark.sources.connectors import (
+        ingest_binance_range,
+    )
+    from backtest_crew_datalake_spark.sources.lake import read_range
+
+    root = str(tmp_path / "lake")
+    http_get, _ = _fake_binance()
+    args = (spark, root, "BTC-USD",
+            datetime(2024, 1, 1, tzinfo=timezone.utc),
+            datetime(2024, 1, 2, tzinfo=timezone.utc))
+    n = ingest_binance_range(*args, http_get=http_get)
+    assert n == 1440
+    got = read_range(spark, root, symbol="BTC-USD", source="binance")
+    assert got.count() == 1440
+    ingest_binance_range(*args, http_get=http_get)  # idempotent
+    assert read_range(spark, root, symbol="BTC-USD",
+                      source="binance").count() == 1440
+
+
 def test_token_bucket_pacing():
     from backtest_crew_datalake_spark.sources.connectors import TokenBucket
 

@@ -121,6 +121,28 @@ def test_text_ops(spark):
     assert fp.iloc[0].fingerprint != fp[fp.doc_id == 3].iloc[0].fingerprint
 
 
+def test_ann_recall_on_real_embeddings(spark):
+    """Recall@5 of the ANN paths vs brute force on the driver's embeddings
+    table: IVF(nprobe=2) and sign-LSH must each recover a meaningful
+    fraction of the true neighbors; IVF must beat nothing-found."""
+    from backtest_crew_datalake_spark.pipeline.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = emb.where(F.col("vec_id") < 16)
+    corpus = emb.where(F.col("vec_id") >= 16)
+    qs = emb.where((F.col("vec_id") >= 16) & (F.col("vec_id") < 36))
+
+    exact = cosine_topk(qs, corpus, k=5).toPandas()
+    approx = ivf_topk(qs, corpus, cent, k=5, nprobe=4).toPandas()
+    truth = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    got = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.3, f"IVF recall@5 too low: {recall}"
+    # self-match sanity: each query is its own nearest neighbor in both
+    self_pairs = {(q, q) for q in exact.query_id.unique()}
+    assert self_pairs <= truth and self_pairs <= got
+
+
 def test_multimodal_plumbing(spark):
     rows = [(i, "image", bytes([i]) * (10 + i), {"src": f"f{i}"})
             for i in range(5)]

@@ -118,6 +118,46 @@ def test_stateful_sessionize_across_batches(spark, tmp_path):
     assert pd.Timestamp(s.session_end) == b + 10 * m   # extended in batch 2
 
 
+def test_streaming_session_window(spark, tmp_path):
+    """Native session_window: two sessions for user 1 (gap > 30 min), one
+    for user 2; all sealed because a late sentinel advances the watermark."""
+    src = str(tmp_path / "swsrc")
+    out_dir = str(tmp_path / "swout")
+    ckpt = str(tmp_path / "swckpt")
+
+    from backtest_crew_datalake_spark.streaming.ingest import streaming_sessions
+
+    b = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+    rows = [
+        (1, b), (1, b + 5 * m), (1, b + 10 * m),    # session A (3 events)
+        (1, b + 120 * m),                            # session B
+        (2, b + 30 * m),                             # session C
+        (99, b + 600 * m),                           # watermark sentinel
+    ]
+    spark.createDataFrame(
+        [(u, t.to_pydatetime()) for u, t in rows], "user_id long, ts timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    q = (
+        streaming_sessions(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(out_dir).toPandas()
+    u1 = out[out.user_id == 1].sort_values("session_start")
+    assert len(u1) == 2
+    assert u1.iloc[0].n_events == 3
+    assert pd.Timestamp(u1.iloc[0].session_start) == b
+    # session end = last event + gap (session_window semantics)
+    assert pd.Timestamp(u1.iloc[0].session_end) == b + 40 * m
+    assert len(out[out.user_id == 2]) == 1
+
+
 def test_streaming_resample_counts(spark, tmp_path):
     src_dir = str(tmp_path / "src")
     out_dir = str(tmp_path / "out")
