@@ -35,7 +35,7 @@ def read_range(
     *,
     market: str = "crypto",
     timeframe: str = "M1",
-    symbol: str,
+    symbol: str | Sequence[str],
     date_from=None,
     date_to=None,
     source: str = "ibkr",
@@ -58,11 +58,16 @@ def read_range(
 
         return spark.createDataFrame([], CANDLE_SCHEMA)
 
+    sym_pred = (
+        F.col("symbol").isin(list(symbol))
+        if isinstance(symbol, (list, tuple))
+        else (F.col("symbol") == symbol)
+    )
     df = df.where(
         (F.col("source") == source)
         & (F.col("market") == market)
         & (F.col("timeframe") == timeframe)
-        & (F.col("symbol") == symbol)
+        & sym_pred
     )
     # Partition pruning: year/month are zero-padded strings, so
     # concat(year, month) compares chronologically — Catalyst evaluates these
@@ -83,7 +88,10 @@ def read_range(
         keep = ["ts", *[c for c in columns if c != "ts"]]
         df = df.select(*keep)
     if dedupe:
-        df = dedupe_keep(df, key=["ts"], order=None, keep="first")
+        # single-series reads keep the reference contract (dedupe on ts,
+        # api.py:70); multi-symbol reads dedupe per series
+        key = ["symbol", "ts"] if isinstance(symbol, (list, tuple)) else ["ts"]
+        df = dedupe_keep(df, key=key, order=None, keep="first")
     # Sort within partitions only — a global orderBy is a full-range shuffle
     # that the consumer (window ops partitioned by symbol) doesn't need.
     return df.sortWithinPartitions("ts")

@@ -54,6 +54,16 @@ def test_upsert_idempotent_and_keep_last(spark, tmp_path):
     assert got.where(F.col("close") == 123456.0).count() == 10
 
 
+def test_multi_symbol_read(spark, tmp_path):
+    root = str(tmp_path / "lake")
+    m1 = make_m1(spark, ["BTC-USD", "ETH-USD", "SOL-USD"],
+                 "2024-01-01", "2024-01-01", seed=42)
+    upsert_candles(spark, m1, root)
+    got = read_range(spark, root, symbol=["BTC-USD", "ETH-USD"])
+    assert got.count() == 2880  # both series, per-series dedupe
+    assert got.select("symbol").distinct().count() == 2
+
+
 def test_write_levels_idempotent_keep_last(spark, tmp_path):
     """Levels upsert keyed (session_date, symbol), new rows win
     (ref or_levels.py:67-83)."""

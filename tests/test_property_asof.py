@@ -60,6 +60,44 @@ def test_asof_matches_merge_asof(spark, data):
 
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(drop=st.sets(st.integers(0, 119), max_size=60))
+def test_resample_matches_pandas_on_random_gaps(spark, drop):
+    """Resample with arbitrary missing minutes must equal the pandas
+    resample(label='left', closed='left') + ffill + dropna oracle."""
+    from pyspark.sql import functions as F
+
+    from backtest_crew_datalake_spark.operators.resample import resample_ohlcv
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        ("S", base + pd.Timedelta(minutes=i),
+         100.0 + i, 101.0 + i, 99.0 + i, 100.5 + i, float(i % 7))
+        for i in range(120) if i not in drop
+    ]
+    if not rows:
+        return
+    pdf = pd.DataFrame(rows, columns=["symbol", "ts", "open", "high",
+                                      "low", "close", "volume"])
+    df = spark.createDataFrame(pdf)
+    got = resample_ohlcv(df, "M5", by=["symbol"]).orderBy("ts").toPandas()
+
+    oracle = (
+        pdf.set_index("ts")
+        .resample("5min", label="left", closed="left")
+        .agg({"open": "first", "high": "max", "low": "min",
+              "close": "last", "volume": "sum"})
+    )
+    oracle[["open", "high", "low", "close"]] = (
+        oracle[["open", "high", "low", "close"]].ffill()
+    )
+    oracle = oracle.dropna(subset=["open"]).reset_index()
+    assert len(got) == len(oracle)
+    for c in ("open", "high", "low", "close", "volume"):
+        assert (got[c].values == oracle[c].values).all(), c
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(rows=st.lists(
     st.tuples(st.integers(0, 5), st.integers(0, 3), st.integers(0, 99)),
     min_size=1, max_size=40))
