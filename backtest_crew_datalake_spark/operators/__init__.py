@@ -6,3 +6,4 @@ from .levels import build_or_levels  # noqa: F401
 from .qc import bars_per_day, bars_per_hour, completeness_check  # noqa: F401
 from .sessionize import sessionize  # noqa: F401
 from .skew import salted_join, salted_group_count  # noqa: F401
+from .rangejoin import interval_join  # noqa: F401

@@ -742,6 +742,58 @@ def q_evt_value_quantiles(spark, sf_dir):
 
 
 @register(
+    "q_evt_interval_join",
+    oracle="""
+    WITH sessions AS (
+        SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+        FROM (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM (
+                SELECT user_id, ts,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                                    - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT)
+                                    >= 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events WHERE user_id < 10
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+        ) GROUP BY 1, 2
+    )
+    SELECT s.user_id AS session_user, s.session_id,
+           e.event_id AS error_event_id
+    FROM sessions s JOIN events e
+      ON e.event_type = 'error' AND e.ts BETWEEN s.s_start AND s.s_end
+    """,
+)
+def q_evt_interval_join(spark, sf_dir):
+    """Range/interval join at scale: errors (any user) falling inside the
+    sessions of users 0-9 — bin-bucketed equi-join instead of the
+    BroadcastNestedLoop a raw BETWEEN predicate would produce."""
+    from ..operators.rangejoin import interval_join
+
+    e = load(spark, sf_dir, "events")
+    sessions = sessionize(
+        e.where(F.col("user_id") < 10), by=["user_id"], timeout_seconds=1800
+    ).select(
+        F.col("user_id").alias("session_user"),
+        "session_id",
+        F.col("session_start").alias("s_start"),
+        F.col("session_end").alias("s_end"),
+    )
+    errors = e.where(F.col("event_type") == "error").select("event_id", "ts")
+    joined = interval_join(errors, sessions, point_ts="ts",
+                           start_col="s_start", end_col="s_end",
+                           bin_seconds=3600)
+    return joined.select(
+        "session_user", "session_id",
+        F.col("event_id").alias("error_event_id"),
+    )
+
+
+@register(
     "q_evt_pivot_user_types",
     oracle="""
     SELECT user_id,

@@ -62,13 +62,8 @@ def main():
         n_read = m1.count()
 
     # operate on the whole lake (all symbols) for the heavy stages
-    all_m1 = None
     with stage("read_all"):
-        parts = [read_range(spark, root, symbol=s) for s in symbols]
-        all_m1 = parts[0]
-        for p in parts[1:]:
-            all_m1 = all_m1.unionByName(p)
-        all_m1 = all_m1.cache()
+        all_m1 = read_range(spark, root, symbol=symbols).cache()
         n_total = all_m1.count()
 
     with stage("resample_m5"):
