@@ -143,6 +143,32 @@ def test_ann_recall_on_real_embeddings(spark):
     assert self_pairs <= truth and self_pairs <= got
 
 
+def test_count_min_sketch(spark):
+    """CMS never underestimates; is exact for heavy hitters at this width;
+    merged sketches equal the sketch of the union."""
+    from backtest_crew_datalake_spark.pipeline.sketch import (
+        cms_build, cms_estimate, cms_merge,
+    )
+
+    rows = [(f"k{i % 20}",) for i in range(1000)] + [("rare",)]
+    df = spark.createDataFrame(rows, ["k"])
+    sk = cms_build(df, "k", depth=4, width=256)
+    keys = df.select("k").distinct()
+    est = {r.k: r.est_count for r in
+           cms_estimate(sk, keys, "k", depth=4, width=256).collect()}
+    exact = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+    for k, n in exact.items():
+        assert est[k] >= n               # CMS overestimates only
+        assert est[k] <= n + 60          # e/width * N bound with slack
+    # mergeability: sketch(a) + sketch(b) == sketch(a ∪ b)
+    half1 = spark.createDataFrame(rows[:500], ["k"])
+    half2 = spark.createDataFrame(rows[500:], ["k"])
+    merged = cms_merge(cms_build(half1, "k"), cms_build(half2, "k"))
+    est2 = {r.k: r.est_count for r in
+            cms_estimate(merged, keys, "k").collect()}
+    assert est2 == est
+
+
 def test_multimodal_plumbing(spark):
     rows = [(i, "image", bytes([i]) * (10 + i), {"src": f"f{i}"})
             for i in range(5)]
