@@ -70,6 +70,26 @@ def bars_per_hour(
     )
 
 
+def monotonicity_violations(
+    df: DataFrame, by: Sequence[str] = ("symbol",), ts_col: str = "ts"
+) -> DataFrame:
+    """Rows whose ts is NOT strictly greater than the previous row's within
+    the group — the guard the reference runs before as-of joins
+    (ref mtf.py:21-23 is_monotonic_increasing). Empty result == monotone
+    (after the read contract's sort+dedupe it always is; this is the QC
+    check for externally-supplied frames)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*by).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    return (
+        df.withColumn("__prev_ts", prev)
+        .where(F.col("__prev_ts").isNotNull()
+               & (F.col(ts_col) <= F.col("__prev_ts")))
+        .drop("__prev_ts")
+    )
+
+
 def validate_layout(spark: SparkSession, lake_root: str) -> list[str]:
     """Return parquet paths under <root>/data that violate the layout regex
     (driver-side filesystem walk — metadata-scale, not data-scale)."""

@@ -794,6 +794,29 @@ def q_evt_interval_join(spark, sf_dir):
 
 
 @register(
+    "q_evt_json_props",
+    oracle="""
+    SELECT event_type,
+           ROUND(AVG(CAST(json_extract(props, '$.k') AS INTEGER)), 6) AS avg_k,
+           MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_evt_json_props(spark, sf_dir):
+    """Semi-structured column handling: JSON field extraction from the
+    `props` string column (get_json_object — JVM-side, no Python), typed
+    cast, aggregate."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
     "q_evt_pivot_user_types",
     oracle="""
     SELECT user_id,

@@ -79,6 +79,44 @@ def test_bars_per_hour_zero_fill(spark):
     assert out[out.hour == 4].iloc[0].n_bars == 60
 
 
+def test_monotonicity_violations(spark):
+    from backtest_crew_datalake_spark.operators.qc import (
+        monotonicity_violations,
+    )
+
+    rows = [
+        ("S", "2024-01-01 00:01:00"), ("S", "2024-01-01 00:02:00"),
+        ("S", "2024-01-01 00:02:00"),  # duplicate ts → violation
+        ("T", "2024-01-01 00:05:00"),
+    ]
+    df = spark.createDataFrame(rows, ["symbol", "ts"]) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    bad = monotonicity_violations(df)
+    assert bad.count() == 1
+    # sorted + deduped series is clean
+    from backtest_crew_datalake_spark.operators.dedup import dedupe_keep
+    clean = dedupe_keep(df, key=["symbol", "ts"], order=None, keep="first")
+    assert monotonicity_violations(clean).count() == 0
+
+
+def test_entry_under_non_utc_session_tz(spark):
+    """Driver-env hardening: queries must produce UTC-correct results even
+    if the caller's session tz is not UTC (load() re-pins it)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    spark.conf.set("spark.sql.session.timeZone", "America/Chicago")
+    try:
+        df = entrymod.queries()["q_evt_minmax"](spark, "/root/testdata/sf0.001")
+        row = df.where(F.col("event_type") == "click").collect()[0]
+        # epoch-ms values are tz-independent; sanity: January 2024 range
+        assert 1704000000000 < row.first_ts_ms < 1706750000000
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def test_sessionize(spark):
     rows = [
         (1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),
