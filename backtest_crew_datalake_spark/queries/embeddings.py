@@ -122,6 +122,37 @@ def q_emb_ivf_topk(spark, sf_dir):
 
 
 @register(
+    "q_emb_dim_stats",
+    oracle="""
+    SELECT dim,
+           ROUND(AVG(v), 4) AS mean_v,
+           ROUND(STDDEV_SAMP(v), 4) AS std_v,
+           ROUND(MIN(v), 4) AS min_v,
+           ROUND(MAX(v), 4) AS max_v
+    FROM (
+        SELECT d - 1 AS dim, CAST(embedding[d] AS DOUBLE) AS v
+        FROM embeddings,
+             (SELECT UNNEST(generate_series(1, 8)) AS d)
+    )
+    GROUP BY 1
+    """,
+)
+def q_emb_dim_stats(spark, sf_dir):
+    """Lateral explode surface: posexplode the embedding array → per-dimension
+    distribution stats for the first 8 dims."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("dim", "v")) \
+        .where(F.col("dim") < 8) \
+        .withColumn("v", F.col("v").cast("double"))
+    return ex.groupBy("dim").agg(
+        F.round(F.avg("v"), 4).alias("mean_v"),
+        F.round(F.stddev_samp("v"), 4).alias("std_v"),
+        F.round(F.min("v"), 4).alias("min_v"),
+        F.round(F.max("v"), 4).alias("max_v"),
+    )
+
+
+@register(
     "q_emb_label_stats",
     oracle="""
     SELECT label, COUNT(*) AS n_vectors,
