@@ -511,6 +511,65 @@ def q_brand_supplier_counts(spark, sf_dir):
 
 
 @register(
+    "q_customer_recency",
+    oracle="""
+    SELECT o_custkey,
+           STRFTIME(MAX(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS last_order,
+           DATE_DIFF('day', MIN(CAST(o_orderdate AS DATE)),
+                     MAX(CAST(o_orderdate AS DATE))) AS active_days,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def q_customer_recency(spark, sf_dir):
+    """Date arithmetic: per-customer order recency span (datediff on DATE
+    granularity, identical truncation on both engines)."""
+    o = load(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.groupBy("o_custkey").agg(
+        F.date_format(F.max(d), "yyyy-MM-dd").alias("last_order"),
+        F.datediff(F.max(d), F.min(d)).alias("active_days"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "q_month_over_month",
+    oracle="""
+    WITH m AS (
+        SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month,
+               SUM(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT month,
+           ROUND(rev, 2) AS revenue,
+           ROUND(rev - LAG(rev) OVER (ORDER BY month), 2) AS delta,
+           ROUND((rev - LAG(rev) OVER (ORDER BY month))
+                 / LAG(rev) OVER (ORDER BY month) * 100, 4) AS pct_change
+    FROM m
+    """,
+)
+def q_month_over_month(spark, sf_dir):
+    """Month-over-month revenue deltas: aggregate then lag window (tiny
+    post-agg window — single partition is fine at months-cardinality)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd")
+        .alias("month")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.orderBy("month")
+    prev = F.lag("rev").over(w)
+    return m.select(
+        "month",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") - prev, 2).alias("delta"),
+        F.round((F.col("rev") - prev) / prev * 100, 4).alias("pct_change"),
+    )
+
+
+@register(
     "q_supplier_balance_band",
     oracle="""
     SELECT n_name AS nation,
