@@ -883,6 +883,42 @@ def q_evt_cube(spark, sf_dir):
 
 
 @register(
+    "q_evt_zscore_outliers",
+    oracle="""
+    WITH s AS (
+        SELECT event_id, event_type, value,
+               AVG(value) OVER (PARTITION BY event_type) AS mu,
+               STDDEV_SAMP(value) OVER (PARTITION BY event_type) AS sigma
+        FROM events
+    )
+    SELECT event_id, event_type,
+           ROUND(value, 6) AS value,
+           ROUND((value - mu) / sigma, 4) AS zscore
+    FROM s
+    WHERE ABS(ROUND((value - mu) / sigma, 4)) > 2.5
+    """,
+)
+def q_evt_zscore_outliers(spark, sf_dir):
+    """Per-group standardization + outlier filter: z-score of value within
+    event_type via unbounded window aggregates (single keyed shuffle; the
+    whole-group mean/std reuse one window frame)."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return (
+        e.withColumn("__z", F.round(z, 4))
+        .where(F.abs("__z") > 2.5)
+        .select(
+            "event_id", "event_type",
+            F.round("value", 6).alias("value"),
+            F.round("__z", 4).alias("zscore"),
+        )
+    )
+
+
+@register(
     "q_evt_minmax",
     oracle="""
     SELECT event_type,
