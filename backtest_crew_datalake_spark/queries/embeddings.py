@@ -122,6 +122,48 @@ def q_emb_ivf_topk(spark, sf_dir):
 
 
 @register(
+    "q_emb_near_dup_pairs",
+    oracle="""
+    WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, c.v), 4) AS cos_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE ROUND(list_cosine_similarity(a.v, c.v), 4) >= 0.35
+    """,
+)
+def q_emb_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs with LSH blocking: candidates
+    restricted to the same 4-bit sign bucket (the blocking an exact
+    O(N²) pass can't afford at scale), exact cosine filter >= 0.35.
+    Oracle replicates the identical deterministic blocking."""
+    from ..pipeline.similarity import _dot, _norm, lsh_sign_buckets
+
+    emb = lsh_sign_buckets(load(spark, sf_dir, "embeddings"), bits=4)
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("__va"), "bucket")
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("__vb"), "bucket")
+    sim = F.round(
+        _dot(F.col("__va"), F.col("__vb"))
+        / (_norm(F.col("__va")) * _norm(F.col("__vb"))),
+        4,
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.35)
+    )
+
+
+@register(
     "q_emb_dim_stats",
     oracle="""
     SELECT dim,
