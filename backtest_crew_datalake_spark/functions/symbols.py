@@ -21,7 +21,6 @@ def to_binance_symbol(sym: Column | str) -> Column:
     ref src/datalake/utils/symbols/binance_map.py:14-24.
     """
     s = F.upper(F.trim(F.col(sym) if isinstance(sym, str) else sym))
-    expr = None
     base = F.split(s, "-", 2).getItem(0)
     quote = F.split(s, "-", 2).getItem(1)
     mapped_quote = F.when(quote == "USD", F.lit("USDT")).otherwise(quote)

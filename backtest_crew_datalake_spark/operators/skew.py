@@ -34,8 +34,12 @@ def salted_join(
     spreading each hot key over ``salt`` partitions.
 
     ``small`` must be unique per join key (dimension-like) — replication
-    would otherwise duplicate matches.
+    would otherwise duplicate matches. Only inner/left are valid: for
+    right/outer joins each unmatched small-side replica would surface as
+    ``salt`` duplicate null-extended rows.
     """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left' only")
     on = list(on)
     big_salted = big.withColumn(
         _SALT, (F.pmod(F.floor(F.rand(seed) * salt), F.lit(salt))).cast("int")

@@ -84,13 +84,16 @@ def read_range(
     if date_to is not None:
         df = df.where(F.col("ts") < F.lit(date_to).cast("timestamp"))
         df = df.where(ym <= F.date_format(F.lit(date_to).cast("timestamp"), "yyyyMM"))
+    # single-series reads keep the reference contract (dedupe on ts,
+    # api.py:70); multi-symbol reads dedupe per series
+    multi = isinstance(symbol, (list, tuple))
     if columns is not None:
         keep = ["ts", *[c for c in columns if c != "ts"]]
+        if multi and "symbol" not in keep:
+            keep.append("symbol")  # dedupe/grouping key must survive pruning
         df = df.select(*keep)
     if dedupe:
-        # single-series reads keep the reference contract (dedupe on ts,
-        # api.py:70); multi-symbol reads dedupe per series
-        key = ["symbol", "ts"] if isinstance(symbol, (list, tuple)) else ["ts"]
+        key = ["symbol", "ts"] if multi else ["ts"]
         df = dedupe_keep(df, key=key, order=None, keep="first")
     # Sort within partitions only — a global orderBy is a full-range shuffle
     # that the consumer (window ops partitioned by symbol) doesn't need.

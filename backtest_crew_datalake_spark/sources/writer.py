@@ -30,6 +30,18 @@ from ..schemas import PRIMARY_KEY, enforce_schema
 _PRIO = "__upsert_priority"
 
 
+def _dataset_exists(spark: SparkSession, path: str) -> bool:
+    """True if the dataset directory exists (Hadoop FS — works for any
+    supported filesystem, not just local). Treating ONLY a missing path as
+    'empty lake' keeps transient read errors fatal: a swallowed IO failure
+    here would make the dynamic-partition overwrite silently replace
+    existing partitions with just the new rows."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(hpath)
+
+
 def _with_partitions(df: DataFrame) -> DataFrame:
     # Zero-padded strings to match the reference tree exactly
     # (year=2024/month=01, docs/specs/partitioning.md); lexicographic order on
@@ -63,7 +75,7 @@ def upsert_candles(
                             "year", "month").distinct().collect()
     ]
     path = f"{lake_root}/{dataset}"
-    try:
+    if _dataset_exists(spark, path):
         existing = spark.read.option("basePath", path).parquet(path)
         pred = F.lit(False)
         for s, m, tf, sym, y, mo in touched:
@@ -78,7 +90,7 @@ def upsert_candles(
             .withColumn(_PRIO, F.lit(0))
         )
         merged = existing.unionByName(new, allowMissingColumns=True)
-    except Exception:  # first write into an empty lake
+    else:  # first write into an empty lake
         merged = new
 
     out = dedupe_keep(merged, key=key, order=[_PRIO], keep="last").drop(_PRIO)
@@ -100,13 +112,13 @@ def write_levels(
     partitioned by symbol/year (ref or_levels.py:67-83, key at line 76)."""
     path = f"{lake_root}/levels"
     new = df.withColumn("year", F.year("session_date")).withColumn(_PRIO, F.lit(1))
-    try:
+    if _dataset_exists(spark, path):
         existing = (
             spark.read.option("basePath", path).parquet(path)
             .withColumn(_PRIO, F.lit(0))
         )
         merged = existing.unionByName(new, allowMissingColumns=True)
-    except Exception:
+    else:
         merged = new
     out = dedupe_keep(merged, key=["session_date", "symbol"],
                       order=[_PRIO], keep="last").drop(_PRIO)

@@ -54,6 +54,28 @@ def test_upsert_idempotent_and_keep_last(spark, tmp_path):
     assert got.where(F.col("close") == 123456.0).count() == 10
 
 
+def test_multi_symbol_column_pruned_read(spark, tmp_path):
+    """Column pruning must not drop the per-series dedupe key."""
+    root = str(tmp_path / "lake")
+    m1 = make_m1(spark, ["BTC-USD", "ETH-USD"], "2024-01-01", "2024-01-01",
+                 seed=7)
+    upsert_candles(spark, m1, root)
+    got = read_range(spark, root, symbol=["BTC-USD", "ETH-USD"],
+                     columns=["close"])
+    assert got.count() == 2880
+    assert set(got.columns) == {"ts", "close", "symbol"}
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest as _pytest
+
+    from backtest_crew_datalake_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([("a", 1)], ["k", "v"])
+    with _pytest.raises(ValueError, match="inner.*left"):
+        salted_join(df, df, on=["k"], how="outer")
+
+
 def test_multi_symbol_read(spark, tmp_path):
     root = str(tmp_path / "lake")
     m1 = make_m1(spark, ["BTC-USD", "ETH-USD", "SOL-USD"],
