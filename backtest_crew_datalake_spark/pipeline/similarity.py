@@ -194,3 +194,88 @@ def cosine_topk_bucketed(
         .select("query_id", "neighbor_id",
                 F.round("__sim", round_to).alias("cos_sim"), "rank")
     )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every row to its nearest centroid (L2; ties → lowest
+    centroid_id). Input centroids must have (centroid_id, ``vec_col``).
+    Output: the input rows + ``centroid_id``.
+
+    Scale shape: centroids broadcast (k rows), so assignment is one
+    streaming pass over the corpus — no shuffle of the data, only the
+    row_number window keyed by the row id (which collapses to a map-side
+    top-1 under AQE since each id is unique)."""
+    from pyspark.sql import Window
+
+    cent = F.broadcast(
+        centroids.select(
+            F.col("centroid_id").alias("__cid"), F.col(vec_col).alias("__cv")
+        )
+    )
+    d2 = _sqdist(F.col(vec_col), F.col("__cv"))
+    w = Window.partitionBy(id_col).orderBy(d2.asc(), F.col("__cid").asc())
+    return (
+        df.crossJoin(cent)
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .withColumn("centroid_id", F.col("__cid"))
+        .drop("__cid", "__cv", "__rk")
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means refinement as pure DataFrame ops — no MLlib, no
+    driver-side loop over data, no collect. Deterministic end to end:
+    init = the k lowest-id vectors, L2 assignment with ties → lowest
+    centroid id, means in double precision. Clusters that go empty keep
+    their previous centroid. Returns (centroid_id, ``vec_col``:
+    array<double>).
+
+    Scale shape per iteration: one broadcast cross-join (N×k distance
+    evals, streaming) + one posexplode groupBy keyed (centroid, dim) —
+    k×64 groups, so map-side partial aggregation does virtually all the
+    reduction and the shuffle is a few KB regardless of corpus size.
+    ``iters`` is a fixed small constant; the lineage stays linear and is
+    evaluated once at the final action (used by IVF, SURVEY §7.1
+    extensions — the reference has no vector surface at all)."""
+    emb = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+    )
+    cent = (
+        emb.orderBy("__id")
+        .limit(k)
+        .select(F.col("__id").alias("centroid_id"), vec_col)
+    )
+    for _ in range(iters):
+        assigned = kmeans_assign(emb, cent, id_col="__id", vec_col=vec_col)
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode(vec_col).alias("__pos", "__val")
+            )
+            .groupBy("centroid_id", "__pos")
+            .agg(F.avg("__val").alias("__mv"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__mv"))),
+                    lambda s: s["__mv"],
+                ).alias("__nv")
+            )
+        )
+        cent = cent.join(means, "centroid_id", "left").select(
+            "centroid_id",
+            F.coalesce(F.col("__nv"), F.col(vec_col)).alias(vec_col),
+        )
+    return cent

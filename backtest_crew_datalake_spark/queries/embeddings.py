@@ -219,3 +219,61 @@ def q_emb_label_stats(spark, sf_dir):
         F.round(F.avg(F.col("embedding").getItem(0).cast("double")), 6)
         .alias("avg_dim0"),
     )
+
+
+@register(
+    "q_emb_kmeans_clusters",
+    oracle="""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 8),
+    a1 AS (SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c.cid,
+                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                        ORDER BY list_distance(e.v, c.cv), c.cid) AS rk
+             FROM emb e CROSS JOIN c0 c) WHERE rk = 1),
+    m1 AS (SELECT cid, dim, AVG(v[dim]) AS mv
+           FROM a1, range(1, 65) t(dim) GROUP BY 1, 2),
+    n1 AS (SELECT cid, list(mv ORDER BY dim) AS nv FROM m1 GROUP BY cid),
+    c1 AS (SELECT c0.cid, COALESCE(n1.nv, c0.cv) AS cv
+           FROM c0 LEFT JOIN n1 USING (cid)),
+    a2 AS (SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c.cid,
+                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                        ORDER BY list_distance(e.v, c.cv), c.cid) AS rk
+             FROM emb e CROSS JOIN c1 c) WHERE rk = 1),
+    m2 AS (SELECT cid, dim, AVG(v[dim]) AS mv
+           FROM a2, range(1, 65) t(dim) GROUP BY 1, 2),
+    n2 AS (SELECT cid, list(mv ORDER BY dim) AS nv FROM m2 GROUP BY cid),
+    c2 AS (SELECT c1.cid, COALESCE(n2.nv, c1.cv) AS cv
+           FROM c1 LEFT JOIN n2 USING (cid)),
+    a3 AS (SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c.cid,
+                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                        ORDER BY list_distance(e.v, c.cv), c.cid) AS rk
+             FROM emb e CROSS JOIN c2 c) WHERE rk = 1)
+    SELECT cid AS centroid_id, COUNT(*) AS n_members,
+           ROUND(AVG(v[1]), 4) AS mean_d0, ROUND(AVG(v[2]), 4) AS mean_d1,
+           ROUND(AVG(v[3]), 4) AS mean_d2, ROUND(AVG(v[4]), 4) AS mean_d3
+    FROM a3 GROUP BY 1
+    """,
+)
+def q_emb_kmeans_clusters(spark, sf_dir):
+    """K-means-refined IVF coarse quantizer (ROADMAP item): 2 Lloyd
+    iterations as pure DataFrame ops (broadcast assignment + posexplode
+    per-dim means — see pipeline/similarity.kmeans_centroids), then the
+    final cluster occupancy + first-4-dim means. The oracle unrolls the
+    same two iterations as DuckDB CTEs, so the entire iterative algorithm
+    is value-checked, not just row counts."""
+    from ..pipeline.similarity import kmeans_assign, kmeans_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, k=8, iters=2)
+    assigned = kmeans_assign(emb, cent)
+    v = F.col("embedding")
+    return assigned.groupBy("centroid_id").agg(
+        F.count("*").alias("n_members"),
+        F.round(F.avg(v.getItem(0).cast("double")), 4).alias("mean_d0"),
+        F.round(F.avg(v.getItem(1).cast("double")), 4).alias("mean_d1"),
+        F.round(F.avg(v.getItem(2).cast("double")), 4).alias("mean_d2"),
+        F.round(F.avg(v.getItem(3).cast("double")), 4).alias("mean_d3"),
+    )

@@ -187,3 +187,62 @@ def test_multimodal_plumbing(spark):
     frames = frame_sample_stub(df, every_n=10)
     pdf = frames.groupBy("media_id").count().toPandas()
     assert len(pdf) == 5 and (pdf["count"] >= 1).all()
+
+
+def test_kmeans_centroids_match_numpy(spark):
+    """kmeans_centroids (Lloyd as DataFrame ops) is bit-close to an
+    independent numpy implementation with the same deterministic init."""
+    import numpy as np
+    from backtest_crew_datalake_spark.pipeline.similarity import (
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {r["centroid_id"]: np.array(r["embedding"])
+           for r in kmeans_centroids(emb, k=8, iters=2).collect()}
+
+    rows = sorted((r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+                  for r in emb.collect())
+    ids = np.array([r[0] for r in rows])
+    X = np.stack([r[1] for r in rows])
+    C = X[:8].copy()
+    for _ in range(2):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)  # first occurrence = lowest centroid id
+        for j in range(8):
+            if (a == j).any():
+                C[j] = X[a == j].mean(0)
+    for j in range(8):
+        assert np.abs(got[int(ids[j])] - C[j]).max() < 1e-9
+
+
+def test_kmeans_clear_clusters_and_empty_keepold(spark):
+    """Two well-separated blobs -> centroids converge to the blob means;
+    a centroid that captures nothing keeps its previous position."""
+    from backtest_crew_datalake_spark.pipeline.similarity import (
+        kmeans_centroids,
+    )
+
+    rows = [(0, [0.0, 0.1]), (1, [10.0, 10.1]), (2, [0.2, 0.0]),
+            (3, [0.1, 0.2]), (4, [10.1, 9.9]), (5, [9.9, 10.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>"))
+    cent = {r["centroid_id"]: r["embedding"]
+            for r in kmeans_centroids(df, k=2, iters=3).collect()}
+    import numpy as np
+    blob0 = np.mean([[0.0, 0.1], [0.2, 0.0], [0.1, 0.2]], axis=0)
+    blob1 = np.mean([[10.0, 10.1], [10.1, 9.9], [9.9, 10.0]], axis=0)
+    assert np.abs(np.array(cent[0]) - blob0).max() < 1e-7
+    assert np.abs(np.array(cent[1]) - blob1).max() < 1e-7
+
+    # duplicate init vectors: every point ties to both centroids and the
+    # tie-break sends all of them to the lowest centroid id, so cluster 1
+    # goes empty on iteration 1 and must keep its previous position
+    dup = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 1.0])],
+        ["vec_id", "embedding"],
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    c2 = {r["centroid_id"]: r["embedding"]
+          for r in kmeans_centroids(dup, k=2, iters=1).collect()}
+    assert list(c2[1]) == [0.0, 0.0]  # empty cluster kept its init centroid
+    assert abs(c2[0][0] - 1 / 3) < 1e-9 and abs(c2[0][1] - 1 / 3) < 1e-9
