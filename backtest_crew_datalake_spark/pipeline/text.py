@@ -106,3 +106,49 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     (cheap canonical-duplicate detector; md5 matches DuckDB's exactly)."""
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col(text_col)))))
     return df.withColumn("fingerprint", F.md5(canon.cast("binary")))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03): hash
+    every word ``k``-gram, slide a ``w``-gram window, keep each window's
+    minimum hash, emit the distinct selected hashes per document. Guarantees
+    any shared run of ``k+w-1`` words between two documents shares ≥1
+    fingerprint.
+
+    The gram hash is the md5 hex string (lowercase in every engine) and the
+    window minimum is its lexicographic MIN — both portable, so a SQL oracle
+    can reproduce the exact fingerprint set. Only full ``w``-gram windows
+    select fingerprints, so docs shorter than ``k+w-1`` words emit none.
+
+    Scale shape: one posexplode (no shuffle — grams stay with their doc
+    partition), one window keyed by doc id (shuffle on doc_id only), one
+    distinct. Output: (``id_col``, fingerprint).
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    grams = F.expr(
+        f"transform(sequence(0, size(__toks) - {k}), "
+        f"i -> array_join(slice(__toks, i + 1, {k}), ' '))"
+    )
+    g = (
+        df.select(id_col, toks.alias("__toks"))
+        .where(F.size("__toks") >= k)
+        .select(id_col, F.posexplode(grams).alias("pos", "gram"))
+        .withColumn("h", F.md5(F.col("gram").cast("binary")))
+    )
+    wmin = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    wcnt = Window.partitionBy(id_col)
+    return (
+        g.withColumn("__fp", F.min("h").over(wmin))
+        .withColumn("__n", F.count("*").over(wcnt))
+        .where(F.col("pos") <= F.col("__n") - w)
+        .select(id_col, F.col("__fp").alias("fingerprint"))
+        .distinct()
+    )

@@ -272,3 +272,71 @@ def q_doc_ngram_jaccard(spark, sf_dir):
     the first 100 docs; threshold 0.05."""
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     return ngram_jaccard_pairs(d, n=2, threshold=0.05)
+
+
+@register(
+    "q_doc_winnow_pairs",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ),
+    gp AS (
+        SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS pos
+        FROM t WHERE len(toks) >= 3
+    ),
+    g AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(toks[pos+1:pos+3], ' ')) AS h
+        FROM gp
+    ),
+    wm AS (
+        SELECT doc_id, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+        FROM g
+    ),
+    f AS (
+        SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= n_grams - 4
+    ),
+    rare AS (
+        SELECT fp FROM f GROUP BY fp HAVING COUNT(DISTINCT doc_id) <= 10
+    ),
+    fk AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fps
+    FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_doc_winnow_pairs(spark, sf_dir):
+    """Winnowing fingerprint near-dup candidates (ROADMAP item): k=3-gram
+    md5 hashes, w=4 window minima (pipeline/text.winnow_fingerprints), then
+    doc pairs sharing ≥2 fingerprints. Fingerprints seen in >10 docs are
+    dropped before pairing (stop-gram removal) — the standard blocking cap
+    that keeps the self-join fan-out bounded at any corpus size (a
+    fingerprint with doc-frequency d contributes d·(d-1)/2 pairs, so the
+    cap bounds per-key work at 45 pairs; at 100 TB this is the difference
+    between a shuffle join and an explosion). The DuckDB oracle reproduces
+    the full algorithm, so the entire winnowing pipeline is value-checked."""
+    from ..pipeline.text import winnow_fingerprints
+
+    d = load(spark, sf_dir, "documents")
+    f = winnow_fingerprints(d, k=3, w=4)
+    rare = (
+        f.groupBy("fingerprint")
+        .agg(F.countDistinct("doc_id").alias("__df"))
+        .where(F.col("__df") <= 10)
+        .select("fingerprint")
+    )
+    fk = f.join(rare, "fingerprint")
+    a = fk.select(F.col("doc_id").alias("id_a"), "fingerprint")
+    b = fk.select(F.col("doc_id").alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_fps"))
+        .where(F.col("shared_fps") >= 2)
+    )

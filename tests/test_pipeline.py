@@ -246,3 +246,34 @@ def test_kmeans_clear_clusters_and_empty_keepold(spark):
           for r in kmeans_centroids(dup, k=2, iters=1).collect()}
     assert list(c2[1]) == [0.0, 0.0]  # empty cluster kept its init centroid
     assert abs(c2[0][0] - 1 / 3) < 1e-9 and abs(c2[0][1] - 1 / 3) < 1e-9
+
+
+def test_winnow_fingerprints_vs_python_reference(spark):
+    """winnow_fingerprints matches a from-scratch python winnowing; shared
+    k+w-1-word runs guarantee a shared fingerprint (the winnowing property)."""
+    import hashlib
+    from backtest_crew_datalake_spark.pipeline.text import winnow_fingerprints
+
+    docs = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "one two three alpha beta gamma delta epsilon zeta eta nine"),
+        (2, "совершенно unrelated words here nothing shared at all today"),
+        (3, "tiny doc"),  # < k words -> no fingerprints
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {}
+    for r in winnow_fingerprints(df, k=3, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+
+    def ref(text, k=3, w=4):
+        toks = text.lower().split()
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        return {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
+
+    for doc_id, text in docs:
+        assert got.get(doc_id, set()) == ref(text), doc_id
+    # docs 0 and 1 share the 8-word run 'alpha..eta' (> k+w-1 = 6 words)
+    assert got[0] & got[1]
+    assert not (got[0] & got[2])
+    assert 3 not in got
