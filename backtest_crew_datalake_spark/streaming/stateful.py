@@ -165,3 +165,122 @@ def tws_sessionize(
         outputMode="append",
         timeMode="none",
     )
+
+
+LEVELS_OUT_SCHEMA = T.StructType([
+    T.StructField("session_date", T.DateType(), False),
+    T.StructField("tz", T.StringType(), False),
+    T.StructField("or_start", T.TimestampType(), True),
+    T.StructField("or_end", T.TimestampType(), True),
+    T.StructField("or_high", T.DoubleType(), True),
+    T.StructField("or_low", T.DoubleType(), True),
+    T.StructField("break_dir", T.StringType(), True),
+    T.StructField("break_ts", T.TimestampType(), True),
+    T.StructField("retest_ts", T.TimestampType(), True),
+    T.StructField("retest_price", T.DoubleType(), True),
+    T.StructField("symbol", T.StringType(), False),
+])
+
+_LEVELS_STATE_SCHEMA = T.StructType([
+    T.StructField("day", T.StringType(), True),
+    T.StructField("or_high", T.DoubleType(), True),
+    T.StructField("or_low", T.DoubleType(), True),
+    T.StructField("up_us", T.LongType(), True),
+    T.StructField("dn_us", T.LongType(), True),
+    T.StructField("rtu_us", T.LongType(), True),
+    T.StructField("rtu_close", T.DoubleType(), True),
+    T.StructField("rtd_us", T.LongType(), True),
+    T.StructField("rtd_close", T.DoubleType(), True),
+])
+
+
+def streaming_or_levels(
+    stream_df: DataFrame,
+    or_window: str = "00:00-01:00",
+    tz: str = "UTC",
+    symbol_col: str = "symbol",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming OR-levels (D1 as an unbounded-stream operator): per symbol,
+    accumulate the opening-range min/max during the local OR window, then
+    track the FIRST up/dn break and the FIRST up/dn retest candidates
+    incrementally; when a bar of a LATER session day arrives, the completed
+    day is emitted with exactly build_or_levels' row shape — including the
+    reference's retest-before-break quirk, which streams naturally because
+    both retest candidates are tracked independently of the break.
+
+    State is one 9-field tuple per symbol (O(symbols), bounded). Assumes
+    bars arrive session-ordered per symbol (true for candle feeds; enforce
+    upstream with a watermarked sort if not). The tail session stays open
+    in state until the next session's first bar."""
+    start_hm, end_hm = or_window.split("-")
+
+    def _finalize(sym, day, s):
+        or_high, or_low = s[1], s[2]
+        if or_high is None:
+            return None
+        up_us, dn_us = s[3], s[4]
+        up_first = up_us is not None and (dn_us is None or up_us <= dn_us)
+        dn_first = dn_us is not None and not up_first
+        if up_first:
+            bdir, b_us, rt_us, rt_close = "UP", up_us, s[5], s[6]
+        elif dn_first:
+            bdir, b_us, rt_us, rt_close = "DOWN", dn_us, s[7], s[8]
+        else:
+            bdir, b_us, rt_us, rt_close = "NONE", None, None, None
+        loc = pd.Timestamp(f"{day} {start_hm}").tz_localize(tz)
+        or_start = loc.tz_convert("UTC").tz_localize(None)
+        or_end = (pd.Timestamp(f"{day} {end_hm}").tz_localize(tz)
+                  .tz_convert("UTC").tz_localize(None))
+        to_ts = lambda us: None if us is None else pd.Timestamp(us, unit="us")
+        return (pd.Timestamp(day).date(), tz, or_start, or_end, or_high,
+                or_low, bdir, to_ts(b_us), to_ts(rt_us), rt_close, sym)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (sym,) = key
+        s = list(state.get) if state.exists else [None] * 9
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            local = (pd.to_datetime(pdf[ts_col]).dt.tz_localize("UTC")
+                     .dt.tz_convert(tz))
+            for t, lt, hi, lo, cl in zip(
+                pd.to_datetime(pdf[ts_col]), local,
+                pdf["high"], pdf["low"], pdf["close"],
+            ):
+                day = str(lt.date())
+                hm = lt.strftime("%H:%M")
+                if s[0] is not None and day != s[0]:
+                    row = _finalize(sym, s[0], s)
+                    if row is not None:
+                        out.append(row)
+                    s = [day] + [None] * 8
+                elif s[0] is None:
+                    s = [day] + [None] * 8
+                if start_hm <= hm < end_hm:
+                    s[1] = hi if s[1] is None else max(s[1], hi)
+                    s[2] = lo if s[2] is None else min(s[2], lo)
+                elif hm >= end_hm and s[1] is not None:
+                    t_us = t.value // 1000
+                    if s[3] is None and cl > s[1]:
+                        s[3] = t_us
+                    if s[4] is None and cl < s[2]:
+                        s[4] = t_us
+                    if s[5] is None and lo <= s[1]:
+                        s[5], s[6] = t_us, cl
+                    if s[7] is None and hi >= s[2]:
+                        s[7], s[8] = t_us, cl
+        state.update(tuple(s))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in LEVELS_OUT_SCHEMA])
+
+    return (
+        stream_df.groupBy(symbol_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=LEVELS_OUT_SCHEMA,
+            stateStructType=_LEVELS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -243,3 +243,66 @@ def test_tws_sessionize_across_batches(spark, tmp_path):
     assert s.user_id == 1 and s.n_events == 3
     assert pd.Timestamp(s.session_start) == b
     assert pd.Timestamp(s.session_end) == b + 10 * m
+
+
+def test_streaming_or_levels_matches_batch(spark, tmp_path):
+    """streaming_or_levels emits day 1 when day 2's first bar arrives, and
+    the emitted row matches build_or_levels on the same data exactly
+    (including the NYC tz localization and the retest quirk)."""
+    src = str(tmp_path / "olsrc")
+    out_dir = str(tmp_path / "olout")
+    ckpt = str(tmp_path / "olckpt")
+
+    from backtest_crew_datalake_spark.operators.levels import build_or_levels
+    from backtest_crew_datalake_spark.streaming.stateful import (
+        streaming_or_levels,
+    )
+
+    m1 = make_m1(spark, ["BTC-USD", "ETH-USD"], "2024-01-01", "2024-01-02",
+                 seed=11).select("symbol", "ts", "open", "high", "low",
+                                 "close", "volume")
+    day1 = m1.where(F.col("ts") < "2024-01-02")
+    day1.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(day1.schema).parquet(src)
+    levels = streaming_or_levels(stream, or_window="09:30-10:00",
+                                 tz="America/New_York")
+
+    def run_once():
+        q = (
+            levels.writeStream.outputMode("append")
+            .format("parquet").option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # the only NYC session completed so far (2023-12-31, bars 19:00-23:59)
+    # has no OR-window rows -> skipped, exactly like the batch operator
+    assert spark.read.parquet(out_dir).count() == 0
+
+    # day 2 bars close the 2024-01-01 NYC session
+    m1.where(F.col("ts") >= "2024-01-02").write.mode("append").parquet(src)
+    run_once()
+    got = spark.read.parquet(out_dir).toPandas()
+
+    batch = build_or_levels(
+        m1, or_window="09:30-10:00", tz="America/New_York"
+    ).toPandas()
+    # compare all sessions the stream has sealed (all but the open tail)
+    sealed = got.sort_values(["symbol", "session_date"]).reset_index(drop=True)
+    want = (
+        batch[batch.session_date.isin(set(sealed.session_date))]
+        .sort_values(["symbol", "session_date"]).reset_index(drop=True)
+    )
+    assert len(sealed) == len(want) and len(sealed) >= 2
+    for col in ["session_date", "tz", "or_start", "or_end", "or_high",
+                "or_low", "break_dir", "break_ts", "retest_ts",
+                "retest_price", "symbol"]:
+        a, b = sealed[col], want[col]
+        if a.dtype.kind == "f":
+            assert ((a - b).abs().fillna(0) < 1e-9).all(), col
+            assert (a.isna() == b.isna()).all(), col
+        else:
+            assert (a.astype(str).fillna("NA") == b.astype(str).fillna("NA")).all(), col
