@@ -1,0 +1,186 @@
+"""Product quantization (PQ) for ANN at scale — the classic IVF-PQ building
+block (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011), expressed entirely as DataFrame ops.
+
+- pq_codebooks : per-subspace k-means codebooks (Lloyd iterations over the
+  exploded (sub_id, subvector) table — all subspaces trained in ONE grouped
+  flow, not m separate jobs).
+- pq_encode    : corpus → m small codes per vector (the 100 TB win: a
+  64-dim float vector compresses to m bytes, so the candidate scan reads
+  codes, not vectors).
+- pq_topk      : asymmetric distance computation (ADC): the query builds an
+  m×ksub lookup table of exact subspace distances, candidates sum m lookups.
+  As joins: LUT ⋈ codes on (sub_id, code) then groupBy(query, vec) SUM.
+
+Everything is deterministic (init = the ksub lowest-id vectors' subvectors,
+ties → lowest centroid id) so tests can differential against numpy.
+
+Scale shape: codebooks are m·ksub rows (broadcast); encoding is one
+streaming pass over the corpus (broadcast join + per-(vec,sub) top-1);
+ADC's shuffle is keyed (query_id, vec_id) over candidate×m rows — at scale
+you first block candidates with IVF lists (similarity.ivf_topk) or LSH
+buckets and ADC only the shortlist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .similarity import _sqdist
+
+
+def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, d: int):
+    """(id, sub_id, sub) — the vector split into m contiguous d-dim chunks."""
+    chunks = F.array(*[
+        F.slice(F.col(vec_col).cast("array<double>"), j * d + 1, d)
+        for j in range(m)
+    ])
+    return df.select(
+        F.col(id_col).alias("__id"), F.posexplode(chunks).alias("sub_id", "sub")
+    )
+
+
+def _assign_codes(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Nearest centroid per (row, subspace): L2, ties → lowest centroid_id."""
+    from pyspark.sql import Window
+
+    cb = F.broadcast(
+        codebooks.select(
+            "sub_id", F.col("centroid_id").alias("__cid"),
+            F.col("centroid").alias("__cv"),
+        )
+    )
+    d2 = _sqdist(F.col("sub"), F.col("__cv"))
+    w = Window.partitionBy("__id", "sub_id").orderBy(d2.asc(), F.col("__cid").asc())
+    return (
+        subs.join(cb, "sub_id")
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select("__id", "sub_id", "sub", F.col("__cid").alias("code"))
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train per-subspace codebooks: (sub_id, centroid_id, centroid).
+
+    Init: subvectors of the ksub lowest-id corpus rows (centroid_id =
+    0..ksub-1 in that id order). Then ``iters`` Lloyd rounds over ALL
+    subspaces at once — the grouped analogue of similarity.kmeans_centroids;
+    empty cells keep their previous centroid."""
+    d = dim // m
+    subs = _subvectors(corpus, id_col, vec_col, m, d)
+
+    from pyspark.sql import Window
+
+    seed_w = Window.orderBy("__id")
+    seeds = (
+        corpus.select(F.col(id_col).alias("__id"))
+        .orderBy("__id").limit(ksub)
+        .withColumn("centroid_id", F.row_number().over(seed_w) - 1)
+    )
+    cb = (
+        subs.join(seeds, "__id")
+        .select("sub_id", "centroid_id", F.col("sub").alias("centroid"))
+    )
+    for _ in range(iters):
+        assigned = _assign_codes(subs, cb)
+        means = (
+            assigned.select(
+                "sub_id", F.col("code").alias("centroid_id"),
+                F.posexplode("sub").alias("__pos", "__val"),
+            )
+            .groupBy("sub_id", "centroid_id", "__pos")
+            .agg(F.avg("__val").alias("__mv"))
+            .groupBy("sub_id", "centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__mv"))),
+                    lambda s: s["__mv"],
+                ).alias("__nv")
+            )
+        )
+        cb = cb.join(means, ["sub_id", "centroid_id"], "left").select(
+            "sub_id", "centroid_id",
+            F.coalesce(F.col("__nv"), F.col("centroid")).alias("centroid"),
+        )
+    return cb
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to PQ codes: (``id_col``, codes array<int> length m)."""
+    d = dim // m
+    subs = _subvectors(df, id_col, vec_col, m, d)
+    codes = _assign_codes(subs, codebooks)
+    return (
+        codes.groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub_id", "code"))),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+        .select(F.col("__id").alias(id_col), "codes")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """ADC top-k: approximate L2² distance = Σ_sub d²(q_sub, centroid[code]).
+
+    Output (query_id, neighbor_id, approx_d2, rank), rank by ascending
+    distance, ties → lowest neighbor_id. Queries' LUTs are exact subspace
+    distances; only the corpus side is quantized (the 'asymmetric' in ADC).
+    """
+    from pyspark.sql import Window
+
+    d = dim // m
+    qsubs = _subvectors(queries, id_col, vec_col, m, d).withColumnRenamed(
+        "__id", "query_id"
+    )
+    cb = F.broadcast(codebooks)
+    lut = qsubs.join(cb, "sub_id").select(
+        "query_id", "sub_id", F.col("centroid_id").alias("code"),
+        _sqdist(F.col("sub"), F.col("centroid")).alias("__d2"),
+    )
+    cand = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("sub_id", "code"),
+    )
+    scored = (
+        cand.join(F.broadcast(lut), ["sub_id", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__d2").alias("__dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round("__dist", round_to).alias("approx_d2"), "rank")
+    )

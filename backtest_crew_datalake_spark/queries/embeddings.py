@@ -277,3 +277,19 @@ def q_emb_kmeans_clusters(spark, sf_dir):
         F.round(F.avg(v.getItem(2).cast("double")), 4).alias("mean_d2"),
         F.round(F.avg(v.getItem(3).cast("double")), 4).alias("mean_d3"),
     )
+
+
+@register("q_emb_pq_topk", oracle=None)
+def q_emb_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (rows-only: the 3-stage PQ pipeline —
+    grouped Lloyd codebooks, m-byte encoding, ADC lookup-table top-k — is
+    not reasonably SQL-expressible; correctness is covered by the numpy
+    differential in tests/test_pipeline.py::test_pq_matches_numpy_and_recall
+    and the k-means stage itself is oracle-gated via q_emb_kmeans_clusters)."""
+    from ..pipeline.pq import pq_codebooks, pq_encode, pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb, m=8, ksub=16, iters=2, dim=64)
+    codes = pq_encode(emb, cb, m=8, dim=64)
+    qs = emb.where(F.col("vec_id") < 10)
+    return pq_topk(qs, codes, cb, k=5, m=8, dim=64)
