@@ -52,3 +52,46 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_symbol_bucketed_lake_elides_exchanges(spark, tmp_path):
+    """A symbol-bucketed candle table runs the per-symbol hot paths —
+    resample-shaped groupBy(symbol, bucket) and the LOCF window
+    partitionBy(symbol) — with NO Exchange in the plan, and produces the
+    same values as the unbucketed DataFrame."""
+    from backtest_crew_datalake_spark.sources.bucketed import (
+        read_bucketed_candles, write_bucketed_candles,
+    )
+    from backtest_crew_datalake_spark.sources.synth import make_m1
+
+    m1 = make_m1(spark, ["BTC-USD", "ETH-USD", "SOL-USD"],
+                 "2024-01-01", "2024-01-01", seed=3)
+    spark.sql("DROP TABLE IF EXISTS candles_b")
+    write_bucketed_candles(m1, "candles_b", str(tmp_path / "candles_b"),
+                           n_buckets=4)
+    t = read_bucketed_candles(spark, "candles_b")
+    try:
+        agg = (
+            t.groupBy("symbol", F.window("ts", "5 minutes"))
+            .agg(F.max("high").alias("h"), F.min("low").alias("l"))
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+
+        from pyspark.sql import Window
+        w = (Window.partitionBy("symbol").orderBy("ts")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        locf = t.withColumn("c_ff", F.last("close", True).over(w))
+        plan2 = locf._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan2, plan2
+
+        # values identical to the plain (unbucketed) computation
+        plain = (
+            m1.groupBy("symbol", F.window("ts", "5 minutes"))
+            .agg(F.max("high").alias("h"), F.min("low").alias("l"))
+        )
+        got = {(r.symbol, r.window.start): (r.h, r.l) for r in agg.collect()}
+        exp = {(r.symbol, r.window.start): (r.h, r.l) for r in plain.collect()}
+        assert got == exp and len(got) == 3 * 288
+    finally:
+        spark.sql("DROP TABLE IF EXISTS candles_b")
