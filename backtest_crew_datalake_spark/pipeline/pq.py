@@ -184,3 +184,80 @@ def pq_topk(
         .select("query_id", "neighbor_id",
                 F.round("__dist", round_to).alias("approx_d2"), "rank")
     )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF-PQ: coarse k-means lists shortlist the candidates, PQ/ADC ranks
+    them — the standard billion-scale ANN architecture, composed from this
+    repo's two oracle-tested pieces (similarity.kmeans_* for the coarse
+    quantizer, pq_* for the fine one). We quantize raw vectors rather than
+    residuals (IMI/IVFADC's residual trick trades determinism for accuracy;
+    raw keeps every stage independently testable — swap in residuals by
+    subtracting the list centroid before pq_encode).
+
+    Scale shape: both quantizers broadcast; the candidate set is
+    corpus/nlist·nprobe rows of m-byte codes, joined to the query LUT on
+    (sub_id, code) after an equi-join on list_id — every join keyed,
+    nothing quadratic. Output schema matches pq_topk.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import kmeans_assign, kmeans_centroids
+
+    cent = kmeans_centroids(corpus, k=nlist, iters=iters,
+                            id_col=id_col, vec_col=vec_col)
+    lists = kmeans_assign(corpus, cent, id_col=id_col, vec_col=vec_col) \
+        .select(F.col(id_col), F.col("centroid_id").alias("list_id"))
+    cb = pq_codebooks(corpus, m=m, ksub=ksub, iters=iters, dim=dim,
+                      id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(corpus, cb, m=m, dim=dim,
+                      id_col=id_col, vec_col=vec_col)
+    cand = codes.join(lists, id_col).select(
+        F.col(id_col).alias("neighbor_id"), "list_id",
+        F.posexplode("codes").alias("sub_id", "code"),
+    )
+
+    probes = kmeans_assign(queries, cent, id_col=id_col, vec_col=vec_col,
+                           topn=nprobe).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col),
+        F.col("centroid_id").alias("list_id"),
+    )
+    d = dim // m
+    qsubs = _subvectors(
+        probes.select("query_id", vec_col).distinct(), "query_id",
+        vec_col, m, d,
+    ).withColumnRenamed("__id", "query_id")
+    lut = qsubs.join(F.broadcast(cb), "sub_id").select(
+        "query_id", "sub_id", F.col("centroid_id").alias("code"),
+        _sqdist(F.col("sub"), F.col("centroid")).alias("__d2"),
+    )
+
+    probe_pairs = probes.select("query_id", "list_id")
+    scored = (
+        cand.join(F.broadcast(probe_pairs), "list_id")
+        .join(F.broadcast(lut), ["query_id", "sub_id", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__d2").alias("__dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                F.round("__dist", round_to).alias("approx_d2"), "rank")
+    )

@@ -201,15 +201,17 @@ def kmeans_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    topn: int = 1,
 ) -> DataFrame:
-    """Assign every row to its nearest centroid (L2; ties → lowest
+    """Assign every row to its ``topn`` nearest centroids (L2; ties → lowest
     centroid_id). Input centroids must have (centroid_id, ``vec_col``).
-    Output: the input rows + ``centroid_id``.
+    Output: the input rows + ``centroid_id`` (one row per assignment;
+    topn=1 is plain k-means assignment, topn>1 is IVF probing).
 
     Scale shape: centroids broadcast (k rows), so assignment is one
     streaming pass over the corpus — no shuffle of the data, only the
     row_number window keyed by the row id (which collapses to a map-side
-    top-1 under AQE since each id is unique)."""
+    top-n under AQE since each id is unique)."""
     from pyspark.sql import Window
 
     cent = F.broadcast(
@@ -222,7 +224,7 @@ def kmeans_assign(
     return (
         df.crossJoin(cent)
         .withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") == 1)
+        .where(F.col("__rk") <= topn)
         .withColumn("centroid_id", F.col("__cid"))
         .drop("__cid", "__cv", "__rk")
     )

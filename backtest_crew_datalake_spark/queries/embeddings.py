@@ -293,3 +293,16 @@ def q_emb_pq_topk(spark, sf_dir):
     codes = pq_encode(emb, cb, m=8, dim=64)
     qs = emb.where(F.col("vec_id") < 10)
     return pq_topk(qs, codes, cb, k=5, m=8, dim=64)
+
+
+@register("q_emb_ivfpq_topk", oracle=None)
+def q_emb_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN (rows-only: composition of the oracle-gated k-means coarse
+    quantizer and the numpy-differentialed PQ fine quantizer; containment and
+    degeneracy properties proven in
+    tests/test_pipeline.py::test_ivf_pq_recall_and_shortlist_containment)."""
+    from ..pipeline.pq import ivf_pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10)
+    return ivf_pq_topk(qs, emb, k=5, nlist=8, nprobe=2, m=8, ksub=16, iters=1)

@@ -19,13 +19,15 @@ HEADLINE = [
     # relational core
     "q_pricing_summary", "q_top_revenue_orders", "q_nation_revenue",
     "q_window_topk_orders", "q_distinct_aggs", "q_rollup_pricing",
+    "q_bilateral_volume",
     # reference-parity operators on events
     "q_evt_resample", "q_evt_asof_join", "q_evt_sessionize",
     "q_evt_or_levels", "q_evt_dedup_keep_last", "q_evt_interval_join",
     "q_evt_rolling_window",
     # LLM-pipeline extensions
     "q_doc_exact_dedup", "q_doc_quality", "q_doc_ngram_jaccard",
-    "q_doc_bpe_token_count", "q_emb_cosine_topk", "q_emb_ivf_topk",
+    "q_doc_bpe_token_count", "q_doc_winnow_pairs",
+    "q_emb_cosine_topk", "q_emb_ivf_topk", "q_emb_kmeans_clusters",
 ]
 
 

@@ -332,3 +332,60 @@ def test_pq_matches_numpy_and_recall(spark):
         rec += len(true5 & got[qi])
         tot += 5
     assert rec / tot >= 0.2  # >> 5/500 random chance
+
+
+def test_ivf_pq_recall_and_shortlist_containment(spark):
+    """IVF-PQ: every returned neighbor must come from a probed list
+    (shortlist containment), and recall@5 must beat random chance. Also:
+    with nprobe=nlist (probe everything) IVF-PQ equals plain PQ/ADC."""
+    import numpy as np
+    from backtest_crew_datalake_spark.pipeline.pq import (
+        ivf_pq_topk, pq_codebooks, pq_encode, pq_topk,
+    )
+    from backtest_crew_datalake_spark.pipeline.similarity import (
+        kmeans_assign, kmeans_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 10)
+
+    out = ivf_pq_topk(qs, emb, k=5, nlist=8, nprobe=2, m=8, ksub=16,
+                      iters=1).toPandas()
+    assert set(out.groupby("query_id").size()) == {5}
+
+    # shortlist containment: neighbors' lists ⊆ the query's probed lists
+    cent = kmeans_centroids(emb, k=8, iters=1)
+    lists = {r["vec_id"]: r["centroid_id"]
+             for r in kmeans_assign(emb, cent).collect()}
+    probed = {}
+    for r in kmeans_assign(qs, cent, topn=2).collect():
+        probed.setdefault(r["vec_id"], set()).add(r["centroid_id"])
+    for r in out.itertuples():
+        assert lists[r.neighbor_id] in probed[r.query_id]
+
+    # probe-everything degenerates to plain ADC over the full corpus
+    full = ivf_pq_topk(qs, emb, k=5, nlist=8, nprobe=8, m=8, ksub=16,
+                       iters=1).toPandas()
+    cb = pq_codebooks(emb, m=8, ksub=16, iters=1)
+    codes = pq_encode(emb, cb, m=8)
+    plain = pq_topk(qs, codes, cb, k=5, m=8).toPandas()
+    key = ["query_id", "rank"]
+    assert (full.sort_values(key).neighbor_id.tolist()
+            == plain.sort_values(key).neighbor_id.tolist())
+
+    # recall@5 vs exact L2, clearly above the 5/500 random baseline
+    rows = sorted((r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+                  for r in emb.collect())
+    ids = np.array([r[0] for r in rows])
+    X = np.stack([r[1] for r in rows])
+    got = {}
+    for r in out.itertuples():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    rec = tot = 0
+    for qi in range(10):
+        xq = X[ids.tolist().index(qi)]
+        true5 = set(ids[np.argsort(((X - xq) ** 2).sum(1),
+                                   kind="stable")[:5]].tolist())
+        rec += len(true5 & got[qi])
+        tot += 5
+    assert rec / tot >= 0.1  # shortlisted ADC on near-uniform data
