@@ -331,12 +331,18 @@ def q_doc_winnow_pairs(spark, sf_dir):
         .select("fingerprint")
     )
     fk = f.join(rare, "fingerprint")
-    a = fk.select(F.col("doc_id").alias("id_a"), "fingerprint")
-    b = fk.select(F.col("doc_id").alias("id_b"), "fingerprint")
+    # self-join recomputes the winnowing subplan per side (self-join attr
+    # dedup defeats exchange reuse); at corpus scale, materialize the
+    # (doc_id, fingerprint) table first — it is ~1% of corpus bytes — and
+    # pair-join the materialized table, as with every blocking structure
+    # in this engine
     return (
-        a.join(b, "fingerprint")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        fk.alias("a")
+        .join(fk.alias("b"), "fingerprint")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
         .agg(F.count("*").alias("shared_fps"))
         .where(F.col("shared_fps") >= 2)
     )
