@@ -346,3 +346,166 @@ def q_doc_winnow_pairs(spark, sf_dir):
         .agg(F.count("*").alias("shared_fps"))
         .where(F.col("shared_fps") >= 2)
     )
+
+
+@register(
+    "q_doc_minhash_portable",
+    oracle=r"""
+    WITH docs AS (
+        SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, UNNEST(list_distinct(
+            CASE WHEN LEN(toks) >= 3 THEN
+                list_transform(generate_series(1, LEN(toks) - 2),
+                               i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])
+            ELSE [array_to_string(toks, ' ')] END)) AS sh
+        FROM docs
+    ),
+    seeds AS (SELECT UNNEST(range(0, 16)) AS i),
+    mh AS (
+        SELECT doc_id, i, MIN(md5(i::VARCHAR || '|' || sh)) AS h
+        FROM sh, seeds GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT doc_id, i // 2 AS band,
+               md5(string_agg(h, '|' ORDER BY i)) AS bucket
+        FROM mh GROUP BY 1, 2
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                              AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_doc_minhash_portable(spark, sf_dir):
+    """MinHash+LSH with an engine-portable hash family (h_i = min md5 of
+    'i|shingle'; band bucket = md5 of the band's joined minhashes) — the
+    FULL minhash pipeline value-checked against DuckDB, upgrading minhash
+    from the rows-only gate (pipeline/dedup.minhash_dedup_pairs keeps
+    xxhash64 as the faster JVM-side production path; both share the
+    banding/bucketing structure). 16 hashes × 8 bands of 2 rows: collision
+    prob 1-(1-J²)⁸ keeps moderate-similarity pairs visible at sf0.01."""
+    from ..pipeline.dedup import _shingles
+
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        F.col("doc_id"), F.explode(_shingles("text", 3)).alias("sh")
+    )
+    mh = sh.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")).cast("binary")))
+        .alias(f"h{i}")
+        for i in range(16)
+    ])
+    bands = mh.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.md5(F.concat_ws(
+                    "|", *[F.col(f"h{b * 2 + r}") for r in range(2)]
+                ).cast("binary")).alias("bucket"),
+            )
+            for b in range(8)
+        ])).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+@register(
+    "q_doc_simhash_portable",
+    oracle=r"""
+    WITH docs AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split_regex(TRIM(text), '\s+')) AS toks
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, lang, UNNEST(toks) AS t FROM docs),
+    th AS (SELECT doc_id, lang, md5(t) AS h FROM tok),
+    bits AS (
+        SELECT doc_id, lang, j,
+               SUM(CASE WHEN (CAST(strpos('0123456789abcdef',
+                                          substr(h, j // 4 + 1, 1)) - 1 AS INT)
+                         // CAST(pow(2, 3 - j % 4) AS INT)) % 2 = 1
+                        THEN 1 ELSE -1 END) AS s
+        FROM th, (SELECT UNNEST(range(0, 64)) AS j)
+        GROUP BY 1, 2, 3
+    ),
+    sig AS (
+        SELECT doc_id, lang,
+               string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+                          ORDER BY j) AS sig,
+               SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS popcount
+        FROM bits GROUP BY 1, 2
+    )
+    SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT sig) AS n_distinct_sigs,
+           SUM(popcount) AS total_popcount
+    FROM sig GROUP BY 1
+    """,
+)
+def q_doc_simhash_portable(spark, sf_dir):
+    """SimHash with an engine-portable bit source (bit j of a token's md5
+    hex digest instead of xxhash64) — value-checks the full sign-sum
+    signature construction against DuckDB per language (signature
+    distinctness + total popcount pin every bit aggregate). The xxhash64
+    variant (pipeline/dedup.simhash) stays the JVM-fast production path."""
+    from ..pipeline.text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    hashes = F.transform(
+        F.array_distinct(tokens(F.col("text"))),
+        lambda x: F.md5(x.cast("binary")),
+    )
+    base = d.select("doc_id", "lang", hashes.alias("__hs"))
+
+    # one nibble-value array per hex position (16 positions cover 64 bits).
+    # NB: the element lambda must be unary — pyspark treats a binary lambda
+    # as (element, index), so a `p=p` default would bind the array index!
+    def nib_col(p):
+        return F.transform(
+            F.col("__hs"),
+            lambda h: F.conv(F.substring(h, p + 1, 1), 16, 10).cast("int"),
+        )
+
+    for p in range(16):
+        base = base.withColumn(f"__nib{p}", nib_col(p))
+
+    def bit_sum(j):
+        p, s = j // 4, 3 - j % 4
+        return F.aggregate(
+            F.col(f"__nib{p}"),
+            F.lit(0),
+            lambda acc, x: acc + F.when(
+                x.bitwiseAND(F.lit(1 << s)) != 0, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+
+    sums = [bit_sum(j) for j in range(64)]
+    sig = F.concat(*[
+        F.when(s > 0, F.lit("1")).otherwise(F.lit("0")) for s in sums
+    ])
+    pop = sum(
+        (F.when(s > 0, F.lit(1)).otherwise(F.lit(0)) for s in sums),
+        F.lit(0),
+    )
+    per_doc = base.select(
+        "doc_id", "lang", sig.alias("__sig"), pop.alias("__pop")
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("__sig").alias("n_distinct_sigs"),
+        F.sum("__pop").alias("total_popcount"),
+    )
