@@ -938,3 +938,73 @@ def q_evt_minmax(spark, sf_dir):
         F.count("*").alias("n"),
         F.round(F.avg("value"), 6).alias("avg_value"),
     )
+
+
+@register(
+    "q_evt_cms_user_counts",
+    oracle="""
+    WITH cells AS (
+        SELECT d, ('0x' || substr(md5(d::VARCHAR || '|' || user_id::VARCHAR),
+                                  1, 8))::BIGINT % 256 AS cell,
+               COUNT(*) AS n
+        FROM events, (SELECT UNNEST(range(0, 4)) AS d)
+        GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT user_id, d,
+               ('0x' || substr(md5(d::VARCHAR || '|' || user_id::VARCHAR),
+                               1, 8))::BIGINT % 256 AS cell
+        FROM (SELECT DISTINCT user_id FROM events),
+             (SELECT UNNEST(range(0, 4)) AS d)
+    ),
+    est AS (
+        SELECT p.user_id, MIN(COALESCE(c.n, 0)) AS est_count
+        FROM probes p LEFT JOIN cells c ON p.d = c.d AND p.cell = c.cell
+        GROUP BY 1
+    ),
+    ex AS (SELECT user_id, COUNT(*) AS true_count FROM events GROUP BY 1)
+    SELECT e.user_id, e.est_count, x.true_count
+    FROM est e JOIN ex x ON e.user_id = x.user_id
+    """,
+)
+def q_evt_cms_user_counts(spark, sf_dir):
+    """Count-min sketch with a portable hash family (cell = first-8-hex of
+    md5('d|key') mod width): per-user CMS estimate next to the exact count
+    — value-checks the whole build→probe→min pipeline against DuckDB, and
+    the result rows themselves exhibit the CMS ≥-true-count guarantee.
+    (pipeline/sketch.py keeps xxhash64 as the JVM-fast production family;
+    structure is identical.)"""
+    evt = load(spark, sf_dir, "events")
+    key = F.col("user_id").cast("string")
+
+    def cell(d):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{d}|"), key).cast("binary")), 1, 8
+                ),
+                16, 10,
+            ).cast("long") % 256
+        )
+
+    pairs = F.array(*[
+        F.struct(F.lit(d).cast("long").alias("d"), cell(d).alias("cell"))
+        for d in range(4)
+    ])
+    cells = (
+        evt.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.d").alias("d"), F.col("p.cell").alias("cell"))
+        .agg(F.count("*").alias("n"))
+    )
+    probes = (
+        evt.select("user_id").distinct()
+        .select("user_id", F.explode(pairs).alias("p"))
+        .select("user_id", F.col("p.d").alias("d"), F.col("p.cell").alias("cell"))
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["d", "cell"], "left")
+        .groupBy("user_id")
+        .agg(F.min(F.coalesce("n", F.lit(0))).alias("est_count"))
+    )
+    exact = evt.groupBy("user_id").agg(F.count("*").alias("true_count"))
+    return est.join(exact, "user_id")
