@@ -178,3 +178,49 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
             F.when(bit_sum > 0, mask).otherwise(F.lit(0).cast("long"))
         )
     return df.withColumn("simhash", sig)
+
+
+def neardup_window_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    max_hamming: int = 16,
+) -> DataFrame:
+    """Locality-sensitive ordering near-dup scan: sort the corpus by its
+    SimHash signature, then compare each doc only to the next ``window``
+    docs in signature order (lead window), emitting pairs with Hamming
+    distance ≤ ``max_hamming``.
+
+    This is the sorted-fingerprint linear scan: O(N·window) comparisons
+    instead of O(N²) or a shuffle-heavy pair join. One rotation misses
+    near-dups whose differing bits are high-order; production runs r
+    rotations of the signature bits and unions (each rotation is this same
+    operator on rotate(simhash, k)) — recall→1 quickly. The sort is a
+    repartitionByRange + in-partition sort (no single-node global sort);
+    the window crosses partition bounds correctly because rangepartitioned
+    ordering is global.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b by signature order
+    position (re-ordered to id asc for determinism of output values).
+    """
+    from pyspark.sql import Window
+
+    s = simhash(df, text_col).select(id_col, "simhash")
+    w = Window.orderBy("simhash", id_col)
+    out = None
+    for j in range(1, window + 1):
+        nxt_id = F.lead(id_col, j).over(w)
+        nxt_sig = F.lead("simhash", j).over(w)
+        ham = F.bit_count(F.col("simhash").bitwiseXOR(nxt_sig))
+        pair = (
+            s.select(
+                F.least(F.col(id_col), nxt_id).alias("id_a"),
+                F.greatest(F.col(id_col), nxt_id).alias("id_b"),
+                ham.alias("hamming"),
+            )
+            .where(F.col("id_b").isNotNull()
+                   & (F.col("hamming") <= max_hamming))
+        )
+        out = pair if out is None else out.unionByName(pair)
+    return out.groupBy("id_a", "id_b").agg(F.min("hamming").alias("hamming"))

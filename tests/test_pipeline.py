@@ -389,3 +389,60 @@ def test_ivf_pq_recall_and_shortlist_containment(spark):
         rec += len(true5 & got[qi])
         tot += 5
     assert rec / tot >= 0.1  # shortlisted ADC on near-uniform data
+
+
+def test_neardup_window_pairs(spark):
+    """Sorted-simhash window scan: exact dups always pair (hamming 0);
+    found pairs are a subset of the brute-force hamming-close pairs; on
+    this corpus the single-rotation scan recovers a solid fraction."""
+    from backtest_crew_datalake_spark.pipeline.dedup import (
+        neardup_window_pairs, simhash,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in neardup_window_pairs(docs, window=4,
+                                         max_hamming=3).collect()}
+    assert got, "no pairs found at all"
+
+    sigs = {r.doc_id: r.simhash
+            for r in simhash(docs).select("doc_id", "simhash").collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    truth = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = ham(sigs[a], sigs[b])
+            if h <= 3:
+                truth[(a, b)] = h
+    # correctness: every found pair is true and its hamming is exact
+    for p, h in got.items():
+        assert truth.get(p) == h, p
+    # identical-signature docs sort adjacent: the scan may not emit every
+    # pair of a >window-sized group, but the emitted hamming-0 pairs must
+    # CONNECT each equal-signature group (cluster recovery is the sorted
+    # scan's guarantee)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (a, b), h in got.items():
+        if h == 0:
+            parent[find(a)] = find(b)
+    by_sig = {}
+    for i, s_ in sigs.items():
+        by_sig.setdefault(s_, []).append(i)
+    for group in by_sig.values():
+        if len(group) > 1:
+            roots = {find(i) for i in group}
+            assert len(roots) == 1, group
+    # meaningful recall for a single rotation
+    assert len(got) / len(truth) >= 0.2, (len(got), len(truth))
