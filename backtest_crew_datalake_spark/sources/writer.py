@@ -21,6 +21,8 @@ reference's month-routing hazard.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -129,3 +131,63 @@ def write_levels(
         .partitionBy("symbol", "year")
         .parquet(path)
     )
+
+
+def compact_partitions(
+    spark: SparkSession,
+    lake_root: str,
+    dataset: str = "data",
+    target_mb: int = 128,
+) -> dict[str, tuple[int, int]]:
+    """Compact small files within each leaf partition of the lake — the
+    maintenance pass that keeps scan parallelism healthy after many
+    incremental upserts (every upsert rewrites touched partitions; frequent
+    small ingests leave each partition with one small file per run, and at
+    100 TB a million tiny files costs more in listing+open than the scan).
+
+    Per leaf dir: if it holds more parquet files than ceil(bytes/target),
+    rewrite to that many ts-sorted files and atomically swap the directory
+    (write to <leaf>.__compact_tmp, verify the row count matches, then
+    old → .__compact_bak, tmp → leaf, drop bak — same tmp→rename contract
+    as the reference's writer, ref writer.py:201-208). Readers never see a
+    partial leaf; a crash leaves either the old dir or the new dir plus a
+    bak to clean.
+
+    Returns {leaf_path: (files_before, files_after)} for compacted leaves.
+    """
+    import math
+    import shutil
+
+    root = os.path.join(lake_root, dataset)
+    out: dict[str, tuple[int, int]] = {}
+    for dirpath, _dirnames, filenames in os.walk(root):
+        parts = [f for f in filenames
+                 if f.endswith(".parquet") and not f.startswith((".", "_"))]
+        if len(parts) <= 1:
+            continue
+        total_bytes = sum(
+            os.path.getsize(os.path.join(dirpath, f)) for f in parts
+        )
+        want = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+        if len(parts) <= want:
+            continue
+        df = spark.read.parquet(dirpath)
+        n_before = df.count()
+        tmp = dirpath + ".__compact_tmp"
+        bak = dirpath + ".__compact_bak"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (df.coalesce(want).sortWithinPartitions("ts")
+           .write.mode("overwrite").parquet(tmp))
+        n_after = spark.read.parquet(tmp).count()
+        if n_after != n_before:  # never swap in a bad rewrite
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"compaction row-count mismatch in {dirpath}: "
+                f"{n_before} -> {n_after}"
+            )
+        os.rename(dirpath, bak)
+        os.rename(tmp, dirpath)
+        shutil.rmtree(bak)
+        new_parts = [f for f in os.listdir(dirpath) if f.endswith(".parquet")]
+        out[dirpath] = (len(parts), len(new_parts))
+    return out

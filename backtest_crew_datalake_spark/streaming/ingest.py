@@ -132,3 +132,50 @@ def streaming_resample(
         .select(*by, F.col("window.start").alias("bucket"),
                 "open", "high", "low", "close", "volume")
     )
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: each left event pairs with the right
+    events of the same key whose timestamp lies in
+    [left.ts - lookback, left.ts] — the streaming face of the batch
+    interval-join operator (operators/rangejoin.py) and the as-of
+    candidate-window shape.
+
+    Both sides are watermarked so Spark can bound the join state: right
+    rows are dropped from state once the left watermark passes their ts +
+    lookback (the time-condition gives Spark the eviction bound — an
+    unconstrained stream-stream join would hold state forever). Output
+    columns: key, left ts/value as (l_ts, l_value), right as (r_ts,
+    r_value).
+
+    Scale: state is O(keys × events-per-lookback-window); the join
+    shuffles both streams on the key, identical to the batch equi-join.
+    """
+    l = (
+        left.withWatermark(left_ts, watermark)
+        .select(
+            F.col(key), F.col(left_ts).alias("l_ts"),
+            F.col("value").alias("l_value"),
+        )
+    )
+    r = (
+        right.withWatermark(right_ts, watermark)
+        .select(
+            F.col(key).alias("__rk"), F.col(right_ts).alias("r_ts"),
+            F.col("value").alias("r_value"),
+        )
+    )
+    cond = (
+        (F.col(key) == F.col("__rk"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return l.join(r, cond).drop("__rk")

@@ -142,3 +142,53 @@ def test_column_pruned_read(spark, tmp_path):
     assert set(got.columns) == {"ts", "close"}
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "open" not in plan.split("ReadSchema")[-1][:200]
+
+
+def test_compact_partitions(spark, tmp_path):
+    """Many small upserts leave many files per leaf; compaction collapses
+    them, preserves every row and the partition tree, and is a no-op when
+    re-run."""
+    import glob
+
+    from backtest_crew_datalake_spark.sources.writer import (
+        compact_partitions, upsert_candles,
+    )
+
+    lake = str(tmp_path / "lake")
+    m1 = enforce_schema(
+        make_m1(spark, ["BTC-USD"], "2024-01-01", "2024-01-01", seed=9),
+        timeframe="M1",
+    )
+    # the merge-upsert writer keeps one file per leaf by construction, so
+    # build the small-files condition the way it actually arises: APPEND
+    # ingests (landing-style) into the same partition tree
+    upsert_candles(spark, m1.where(F.hour("ts") < 4), lake)
+    for h in range(4, 24, 4):
+        chunk = m1.where((F.hour("ts") >= h) & (F.hour("ts") < h + 4))
+        from backtest_crew_datalake_spark.sources.writer import (
+            _with_partitions,
+        )
+        (_with_partitions(enforce_schema(chunk)).coalesce(1)
+         .write.mode("append")
+         .partitionBy("source", "market", "timeframe", "symbol",
+                      "year", "month")
+         .parquet(f"{lake}/data"))
+
+    leaf_glob = f"{lake}/data/**/*.parquet"
+    before = len(glob.glob(leaf_glob, recursive=True))
+    rows_before = read_range(spark, lake, symbol="BTC-USD").toPandas()
+    assert len(rows_before) == 1440
+
+    stats = compact_partitions(spark, lake, target_mb=128)
+    assert stats, "nothing compacted"
+    after = len(glob.glob(leaf_glob, recursive=True))
+    assert after < before
+    for _leaf, (fb, fa) in stats.items():
+        assert fa < fb
+
+    rows_after = read_range(spark, lake, symbol="BTC-USD").toPandas()
+    assert len(rows_after) == 1440
+    assert (rows_before.sort_values("ts").reset_index(drop=True)["close"]
+            == rows_after.sort_values("ts").reset_index(drop=True)["close"]).all()
+
+    assert compact_partitions(spark, lake, target_mb=128) == {}  # idempotent

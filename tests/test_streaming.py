@@ -379,3 +379,49 @@ def test_binance_poller_to_lake(spark, tmp_path):
     stream_ingest_candles(spark, landing, lake, ckpt)
     got = read_range(spark, lake, symbol="BTC-USD", source="binance")
     assert got.count() == 20  # overlap deduped on the PK
+
+
+def test_streaming_interval_join(spark, tmp_path):
+    """Stream-stream interval join: left events pick up right events of the
+    same key within the lookback window; outside-window and other-key rows
+    don't pair. Matches the equivalent batch join exactly."""
+    from backtest_crew_datalake_spark.streaming.ingest import (
+        streaming_interval_join,
+    )
+
+    lsrc, rsrc = str(tmp_path / "lsrc"), str(tmp_path / "rsrc")
+    out_dir, ckpt = str(tmp_path / "ijout"), str(tmp_path / "ijckpt")
+    b = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+
+    lrows = [(1, b + 40 * m, 1.0), (1, b + 90 * m, 2.0), (2, b + 40 * m, 3.0)]
+    rrows = [(1, b + 20 * m, 10.0),   # within 30min of left@40
+             (1, b + 5 * m, 20.0),    # outside lookback of left@40
+             (1, b + 80 * m, 30.0),   # within 30min of left@90
+             (3, b + 39 * m, 40.0)]   # other key
+    schema = "user_id long, ts timestamp, value double"
+    spark.createDataFrame([(u, t.to_pydatetime(), v) for u, t, v in lrows],
+                          schema).write.parquet(lsrc)
+    spark.createDataFrame([(u, t.to_pydatetime(), v) for u, t, v in rrows],
+                          schema).write.parquet(rsrc)
+
+    ls = spark.readStream.schema(schema).parquet(lsrc)
+    rs = spark.readStream.schema(schema).parquet(rsrc)
+    j = streaming_interval_join(ls, rs, lookback="30 minutes",
+                                watermark="2 hours")
+    q = (j.writeStream.outputMode("append").format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.user_id, r.l_value, r.r_value)
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got == {(1, 1.0, 10.0), (1, 2.0, 30.0)}
+
+    # batch equivalence
+    lb = spark.read.parquet(lsrc)
+    rb = spark.read.parquet(rsrc)
+    cond = ((lb.user_id == rb.user_id) & (rb.ts <= lb.ts)
+            & (rb.ts >= lb.ts - F.expr("INTERVAL 30 minutes")))
+    batch = {(r[0], r[1], r[2]) for r in
+             lb.join(rb, cond).select(lb.user_id, lb.value, rb.value).collect()}
+    assert got == batch
