@@ -306,3 +306,58 @@ def q_emb_ivfpq_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") < 10)
     return ivf_pq_topk(qs, emb, k=5, nlist=8, nprobe=2, m=8, ksub=16, iters=1)
+
+
+@register("q_emb_ann_recall", oracle=None)
+def q_emb_ann_recall(spark, sf_dir):
+    """Recall@5 scoreboard of every ANN variant vs brute-force cosine, in
+    one DataFrame job (rows-only: the ground truth is itself a query-side
+    computation, so the check that matters is the measured recall, which
+    tests/test_pipeline.py bounds). One row per variant:
+    (variant, n_queries, n_hits, recall)."""
+    from ..pipeline.pq import ivf_pq_topk, pq_codebooks, pq_encode, pq_topk
+    from ..pipeline.similarity import (
+        cosine_topk, cosine_topk_bucketed, ivf_topk, kmeans_centroids,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10)
+
+    truth = cosine_topk(qs, emb, k=5).select(
+        "query_id", F.col("neighbor_id").alias("true_id")
+    )
+
+    variants = {
+        "lsh_bucketed": cosine_topk_bucketed(qs, emb, k=5, bits=8),
+        "ivf_fixed": ivf_topk(qs, emb, emb.where(F.col("vec_id") < 16), k=5,
+                              nprobe=2),
+        "ivf_kmeans": ivf_topk(
+            qs, emb,
+            kmeans_centroids(emb, k=8, iters=1)
+            .select(F.col("centroid_id").alias("vec_id"), "embedding"),
+            k=5, nprobe=2),
+        "ivf_pq": ivf_pq_topk(qs, emb, k=5, nlist=8, nprobe=2, m=8,
+                              ksub=16, iters=1),
+    }
+    cb = pq_codebooks(emb, m=8, ksub=16, iters=1)
+    variants["pq_adc"] = pq_topk(qs, pq_encode(emb, cb, m=8), cb, k=5, m=8)
+
+    out = None
+    for name, approx in variants.items():
+        hits = (
+            truth.join(
+                approx.select("query_id",
+                              F.col("neighbor_id").alias("got_id")),
+                ["query_id"],
+            )
+            .where(F.col("true_id") == F.col("got_id"))
+            .agg(F.count("*").alias("n_hits"))
+            .select(
+                F.lit(name).alias("variant"),
+                F.lit(10).cast("long").alias("n_queries"),
+                "n_hits",
+                F.round(F.col("n_hits") / (10 * 5.0), 4).alias("recall"),
+            )
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out
