@@ -96,3 +96,77 @@ def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
     return df.select(
         "media_id", "kind", F.explode(idx).alias("frame_idx")
     )
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("content", T.BinaryType(), True),   # resized payload
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+])
+
+
+def resize_stub(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Image-resize plumbing (mapInPandas): emits a deterministic
+    fixed-dimension payload per input (sha256 stream expanded to
+    width·height//64 bytes — a real implementation swaps in
+    PIL.Image.resize behind the same batch signature). The batch shape is
+    the production one: binary in, binary out, Arrow both ways, constant
+    output dims for downstream batch tensorization."""
+    n_out = max(1, width * height // 64)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for c in pdf["content"]:
+                seed = hashlib.sha256(c or b"").digest()
+                reps = (n_out + len(seed) - 1) // len(seed)
+                out.append((seed * reps)[:n_out])
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "content": out,
+                "width": width,
+                "height": height,
+            })
+
+    return df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("window_idx", T.IntegerType(), False),
+    T.StructField("n_windows", T.IntegerType(), False),
+    T.StructField("feature", T.ArrayType(T.FloatType()), True),
+])
+
+
+def audio_window_features_stub(
+    df: DataFrame, window_bytes: int = 1024
+) -> DataFrame:
+    """Audio framing plumbing: split each payload into fixed-size windows
+    and emit a deterministic 4-dim feature per window (real impl: PCM
+    decode + MFCC per frame, same output shape). One output row per
+    window — the explode happens INSIDE the pandas iterator so a long
+    audio file fans out without a Spark-side explode of the binary."""
+
+    def _win(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, totals, feats = [], [], [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                c = c or b""
+                n = max(1, (len(c) + window_bytes - 1) // window_bytes)
+                for w in range(n):
+                    chunk = c[w * window_bytes:(w + 1) * window_bytes]
+                    h = hashlib.sha256(chunk).digest()
+                    ids.append(mid)
+                    idxs.append(w)
+                    totals.append(n)
+                    feats.append([b / 255.0 for b in h[:4]])
+            yield pd.DataFrame({
+                "media_id": ids, "window_idx": idxs,
+                "n_windows": totals, "feature": feats,
+            })
+
+    return df.mapInPandas(_win, schema=AUDIO_WINDOW_SCHEMA)

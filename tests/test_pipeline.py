@@ -446,3 +446,28 @@ def test_neardup_window_pairs(spark):
             assert len(roots) == 1, group
     # meaningful recall for a single rotation
     assert len(got) / len(truth) >= 0.2, (len(got), len(truth))
+
+
+def test_multimodal_resize_and_audio_windows(spark):
+    """Resize emits constant-dimension payloads deterministically; audio
+    windowing fans one payload into ceil(bytes/window) feature rows."""
+    from backtest_crew_datalake_spark.pipeline.multimodal import (
+        audio_window_features_stub, resize_stub,
+    )
+
+    rows = [(i, "image", bytes([i]) * (100 + 1000 * i), {"s": "x"})
+            for i in range(4)]
+    df = spark.createDataFrame(rows, "media_id long, kind string, "
+                                     "content binary, meta map<string,string>")
+    rz = resize_stub(df, width=64, height=64).orderBy("media_id").toPandas()
+    assert list(rz.width.unique()) == [64]
+    assert all(len(c) == 64 * 64 // 64 for c in rz.content)
+    rz2 = resize_stub(df, width=64, height=64).orderBy("media_id").toPandas()
+    assert list(rz.content) == list(rz2.content)  # deterministic
+
+    au = audio_window_features_stub(df, window_bytes=1024).toPandas()
+    per = au.groupby("media_id").size().to_dict()
+    import math
+    for i in range(4):
+        assert per[i] == max(1, math.ceil((100 + 1000 * i) / 1024))
+    assert all(len(f) == 4 for f in au.feature)
