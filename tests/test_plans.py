@@ -85,3 +85,40 @@ def test_lake_read_prunes_partitions(spark, tmp_path):
     m = re.search(r"(\d+) paths", scan)
     # month pruning: the ym predicate restricts the file index at planning
     assert df.count() == 1440
+
+
+def test_winnow_pairs_plan_no_cartesian(spark):
+    p = _plan(spark, "q_doc_winnow_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # pairing and rare-filter are keyed equi-joins on the fingerprint
+    assert "Exchange hashpartitioning(fingerprint" in p
+
+
+def test_kmeans_plan_broadcast_only_centroids(spark):
+    p = _plan(spark, "q_emb_kmeans_clusters")
+    # centroid assignment is broadcast (tiny side); the corpus itself must
+    # never be the build side of a nested-loop join
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # k-row centroid cross joins
+    # per-dim means: keyed partial aggregation, no global sort
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_bilateral_volume_plan(spark):
+    p = _plan(spark, "q_bilateral_volume")
+    assert p.count("BroadcastHashJoin") >= 2  # both nation roles broadcast
+    assert "CartesianProduct" not in p
+
+
+def test_minhash_portable_plan_no_cartesian(spark):
+    p = _plan(spark, "q_doc_minhash_portable")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_cms_plan_broadcasts_sketch(spark):
+    p = _plan(spark, "q_evt_cms_user_counts")
+    # the 4x256-cell sketch is the broadcast side of the probe join
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
