@@ -509,3 +509,46 @@ def q_doc_simhash_portable(spark, sf_dir):
         F.countDistinct("__sig").alias("n_distinct_sigs"),
         F.sum("__pop").alias("total_popcount"),
     )
+
+
+@register(
+    "q_doc_distinct_estimate",
+    oracle="""
+    WITH cells AS (
+        SELECT DISTINCT ('0x' || substr(md5(text), 1, 8))::BIGINT % 1024
+               AS cell
+        FROM documents
+    ),
+    occ AS (SELECT COUNT(*) AS n_occupied FROM cells),
+    ex AS (SELECT COUNT(DISTINCT text) AS true_distinct FROM documents)
+    SELECT o.n_occupied,
+           ROUND(-1024.0 * LN((1024.0 - o.n_occupied) / 1024.0), 4)
+               AS est_distinct,
+           x.true_distinct
+    FROM occ o, ex x
+    """,
+)
+def q_doc_distinct_estimate(spark, sf_dir):
+    """Linear-counting distinct estimator with a portable hash (occupancy of
+    md5-derived cells in an m=1024 bitmap; estimate = -m·ln(empty/m)) next
+    to the exact distinct count — the cardinality-sketch building block
+    value-checked end to end. Unlike approx_count_distinct's HLL++ (engine-
+    specific registers), every intermediate here is reproducible in any
+    engine; at 100 TB the bitmap is a 1024-cell aggregate, merged across
+    partitions for free by the distinct."""
+    d = load(spark, sf_dir, "documents")
+    cell = (
+        F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 1024
+    )
+    occ = d.select(cell.alias("cell")).distinct().agg(
+        F.count("*").alias("n_occupied")
+    )
+    exact = d.agg(F.countDistinct("text").alias("true_distinct"))
+    return occ.crossJoin(exact).select(
+        "n_occupied",
+        F.round(
+            -1024.0 * F.log((1024.0 - F.col("n_occupied")) / 1024.0), 4
+        ).alias("est_distinct"),
+        "true_distinct",
+    )
