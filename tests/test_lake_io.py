@@ -192,3 +192,64 @@ def test_compact_partitions(spark, tmp_path):
             == rows_after.sort_values("ts").reset_index(drop=True)["close"]).all()
 
     assert compact_partitions(spark, lake, target_mb=128) == {}  # idempotent
+
+
+def test_zorder_key_and_rowgroup_skipping(spark, tmp_path):
+    """zorder_key matches a python Morton reference; a Z-ordered layout
+    gives strictly tighter row-group statistics on the SECOND column than a
+    first-column sort (the skipping win it exists for)."""
+    import pyarrow.parquet as pq_
+
+    from backtest_crew_datalake_spark.sources.layout import (
+        write_zordered, zorder_key,
+    )
+
+    # bit-exact morton check vs python
+    rows = [(a, b) for a in (0, 1, 5, 255, 65535) for b in (0, 3, 7, 1024)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {(r.a, r.b): r.z for r in
+           df.withColumn("z", zorder_key("a", "b")).collect()}
+
+    def morton(a, b, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (a, b), z in got.items():
+        assert z == morton(a, b), (a, b)
+
+    # layout comparison: 64k rows over a 256x256 (x, y) grid
+    grid = spark.range(0, 65536).select(
+        (F.col("id") % 256).alias("x"), (F.col("id") / 256).cast("long").alias("y"),
+    )
+    xs_path = str(tmp_path / "xsorted")
+    zo_path = str(tmp_path / "zordered")
+    (grid.repartitionByRange(4, "x").sortWithinPartitions("x")
+         .write.option("parquet.block.size", 64 * 1024).parquet(xs_path))
+    write_zordered(grid, zo_path, "x", "y", bits=8, files=4,
+                   **{"parquet.block.size": str(64 * 1024)})
+
+    def candidate_rowgroups(path, col, lo, hi):
+        import glob
+        total = cand = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq_.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                total += 1
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col:
+                        st = c.statistics
+                        if st.min <= hi and st.max >= lo:
+                            cand += 1
+        return cand, total
+
+    # predicate on y (the column the x-sort ignores)
+    c_x, t_x = candidate_rowgroups(xs_path, "y", 100, 110)
+    c_z, t_z = candidate_rowgroups(zo_path, "y", 100, 110)
+    assert t_x > 4 and t_z > 4  # multiple row groups exist in both layouts
+    # x-sorted: every row group spans all y values -> no skipping at all
+    assert c_x == t_x
+    # z-ordered: a thin y-slice must skip a solid majority of row groups
+    assert c_z / t_z <= 0.5, (c_z, t_z)
