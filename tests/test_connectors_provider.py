@@ -210,3 +210,28 @@ def test_provider_routing(spark, tmp_path):
         exec_tf="1 min", filter_tf="M1",
     )
     assert fl3.count() == ex3.count() == 1440
+
+
+def test_cli_read_csv_sink(spark, tmp_path, capsys):
+    """End-to-end CLI drive: synth-ingest then read --out-csv (S5 sink);
+    the CSV round-trips the row count and the half-open range."""
+    import glob
+
+    import pandas as pd
+
+    from backtest_crew_datalake_spark.cli import main
+
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "out_csv")
+    main(["synth-ingest", "--lake-root", lake, "--symbols", "BTC-USD",
+          "--date-from", "2024-01-01", "--date-to", "2024-01-01",
+          "--seed", "3"])
+    main(["read", "--lake-root", lake, "--symbol", "BTC-USD",
+          "--date-from", "2024-01-01", "--date-to", "2024-01-02",
+          "--out-csv", out, "--head", "0"])
+    files = glob.glob(f"{out}/*.csv")
+    assert files
+    pdf = pd.concat([pd.read_csv(f) for f in files])
+    assert len(pdf) == 1440
+    assert pdf["ts"].min().startswith("2024-01-01T00:00")
+    assert pdf["ts"].max().startswith("2024-01-01T23:59")
