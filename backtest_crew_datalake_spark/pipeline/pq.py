@@ -199,19 +199,26 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 4,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: coarse k-means lists shortlist the candidates, PQ/ADC ranks
     them — the standard billion-scale ANN architecture, composed from this
     repo's two oracle-tested pieces (similarity.kmeans_* for the coarse
-    quantizer, pq_* for the fine one). We quantize raw vectors rather than
-    residuals (IMI/IVFADC's residual trick trades determinism for accuracy;
-    raw keeps every stage independently testable — swap in residuals by
-    subtracting the list centroid before pq_encode).
+    quantizer, pq_* for the fine one).
+
+    ``residual=False`` quantizes raw vectors (each stage independently
+    testable); ``residual=True`` is the classic IVFADC: the PQ codebooks
+    are trained on (vector − list centroid) residuals, which concentrates
+    the quantizer's resolution on the within-list variance — queries then
+    build one distance LUT per probed list (against q − centroid_list).
+    Both paths are deterministic.
 
     Scale shape: both quantizers broadcast; the candidate set is
     corpus/nlist·nprobe rows of m-byte codes, joined to the query LUT on
     (sub_id, code) after an equi-join on list_id — every join keyed,
-    nothing quadratic. Output schema matches pq_topk.
+    nothing quadratic. The residual LUT is nprobe× larger per query (one
+    per probed list) and still broadcast-sized. Output schema matches
+    pq_topk.
     """
     from pyspark.sql import Window
 
@@ -219,11 +226,29 @@ def ivf_pq_topk(
 
     cent = kmeans_centroids(corpus, k=nlist, iters=iters,
                             id_col=id_col, vec_col=vec_col)
-    lists = kmeans_assign(corpus, cent, id_col=id_col, vec_col=vec_col) \
-        .select(F.col(id_col), F.col("centroid_id").alias("list_id"))
-    cb = pq_codebooks(corpus, m=m, ksub=ksub, iters=iters, dim=dim,
+    assigned = kmeans_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
+    lists = assigned.select(F.col(id_col), F.col("centroid_id").alias("list_id"))
+
+    minus = lambda a, b: F.zip_with(  # noqa: E731
+        a, b, lambda x, y: x.cast("double") - y.cast("double")
+    )
+    if residual:
+        centv = cent.select(
+            F.col("centroid_id"), F.col(vec_col).alias("__centv")
+        )
+        enc_corpus = (
+            assigned.join(F.broadcast(centv), "centroid_id")
+            .select(
+                F.col(id_col),
+                minus(F.col(vec_col), F.col("__centv")).alias(vec_col),
+            )
+        )
+    else:
+        enc_corpus = corpus.select(id_col, vec_col)
+
+    cb = pq_codebooks(enc_corpus, m=m, ksub=ksub, iters=iters, dim=dim,
                       id_col=id_col, vec_col=vec_col)
-    codes = pq_encode(corpus, cb, m=m, dim=dim,
+    codes = pq_encode(enc_corpus, cb, m=m, dim=dim,
                       id_col=id_col, vec_col=vec_col)
     cand = codes.join(lists, id_col).select(
         F.col(id_col).alias("neighbor_id"), "list_id",
@@ -236,22 +261,55 @@ def ivf_pq_topk(
         F.col("centroid_id").alias("list_id"),
     )
     d = dim // m
-    qsubs = _subvectors(
-        probes.select("query_id", vec_col).distinct(), "query_id",
-        vec_col, m, d,
-    ).withColumnRenamed("__id", "query_id")
-    lut = qsubs.join(F.broadcast(cb), "sub_id").select(
-        "query_id", "sub_id", F.col("centroid_id").alias("code"),
-        _sqdist(F.col("sub"), F.col("centroid")).alias("__d2"),
-    )
-
     probe_pairs = probes.select("query_id", "list_id")
-    scored = (
-        cand.join(F.broadcast(probe_pairs), "list_id")
-        .join(F.broadcast(lut), ["query_id", "sub_id", "code"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("__d2").alias("__dist"))
-    )
+    if residual:
+        centv = cent.select(
+            F.col("centroid_id").alias("list_id"), F.col(vec_col).alias("__centv")
+        )
+        qres = probes.join(F.broadcast(centv), "list_id").select(
+            "query_id", "list_id",
+            minus(F.col(vec_col), F.col("__centv")).alias(vec_col),
+        )
+        # one LUT per (query, probed list): key the subvector split by both
+        qsubs = _subvectors(
+            qres.withColumn("__qid", F.concat_ws("|", "query_id", "list_id")),
+            "__qid", vec_col, m, d,
+        )
+        qkeys = qres.select(
+            F.concat_ws("|", "query_id", "list_id").alias("__id"),
+            "query_id", "list_id",
+        )
+        lut = (
+            qsubs.join(qkeys, "__id")
+            .join(F.broadcast(cb), "sub_id")
+            .select(
+                "query_id", "list_id", "sub_id",
+                F.col("centroid_id").alias("code"),
+                _sqdist(F.col("sub"), F.col("centroid")).alias("__d2"),
+            )
+        )
+        scored = (
+            cand.join(F.broadcast(probe_pairs), "list_id")
+            .join(F.broadcast(lut),
+                  ["query_id", "list_id", "sub_id", "code"])
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.sum("__d2").alias("__dist"))
+        )
+    else:
+        qsubs = _subvectors(
+            probes.select("query_id", vec_col).distinct(), "query_id",
+            vec_col, m, d,
+        ).withColumnRenamed("__id", "query_id")
+        lut = qsubs.join(F.broadcast(cb), "sub_id").select(
+            "query_id", "sub_id", F.col("centroid_id").alias("code"),
+            _sqdist(F.col("sub"), F.col("centroid")).alias("__d2"),
+        )
+        scored = (
+            cand.join(F.broadcast(probe_pairs), "list_id")
+            .join(F.broadcast(lut), ["query_id", "sub_id", "code"])
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.sum("__d2").alias("__dist"))
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__dist").asc(), F.col("neighbor_id").asc()
     )
