@@ -338,6 +338,8 @@ def q_emb_ann_recall(spark, sf_dir):
             k=5, nprobe=2),
         "ivf_pq": ivf_pq_topk(qs, emb, k=5, nlist=8, nprobe=2, m=8,
                               ksub=16, iters=1),
+        "ivf_pq_residual": ivf_pq_topk(qs, emb, k=5, nlist=8, nprobe=2,
+                                       m=8, ksub=16, iters=1, residual=True),
     }
     cb = pq_codebooks(emb, m=8, ksub=16, iters=1)
     variants["pq_adc"] = pq_topk(qs, pq_encode(emb, cb, m=8), cb, k=5, m=8)

@@ -197,9 +197,11 @@ def q_doc_bpe_token_count(spark, sf_dir):
 
 @register("q_doc_minhash_lsh_pairs", oracle=None)
 def q_doc_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash+LSH candidate near-dup pairs (rows-only check: the minhash
-    primitive xxhash64 has no DuckDB equivalent; correctness of the LSH
-    recall is covered by tests/test_pipeline.py against exact Jaccard)."""
+    """MinHash+LSH candidate near-dup pairs — the xxhash64 production path
+    (rows-only: xxhash64 has no DuckDB equivalent; the SAME pipeline with a
+    portable md5 hash family is fully value-checked by
+    q_doc_minhash_portable, and LSH recall is pytest-gated vs exact
+    Jaccard)."""
     from ..pipeline.dedup import minhash_dedup_pairs
 
     d = load(spark, sf_dir, "documents")
@@ -208,7 +210,9 @@ def q_doc_minhash_lsh_pairs(spark, sf_dir):
 
 @register("q_doc_simhash", oracle=None)
 def q_doc_simhash(spark, sf_dir):
-    """64-bit SimHash signatures (rows-only: xxhash64-based). Emits signature
+    """64-bit SimHash signatures — the xxhash64 production path (rows-only;
+    the same construction with a portable md5 bit source is fully
+    value-checked by q_doc_simhash_portable). Emits signature
     + a popcount band so the driver's rows/schema check is meaningful."""
     from ..pipeline.dedup import simhash
 
