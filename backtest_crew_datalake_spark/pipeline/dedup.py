@@ -186,6 +186,7 @@ def neardup_window_pairs(
     id_col: str = "doc_id",
     window: int = 4,
     max_hamming: int = 16,
+    prefix_bits: int = 4,
 ) -> DataFrame:
     """Locality-sensitive ordering near-dup scan: sort the corpus by its
     SimHash signature, then compare each doc only to the next ``window``
@@ -193,34 +194,45 @@ def neardup_window_pairs(
     distance ≤ ``max_hamming``.
 
     This is the sorted-fingerprint linear scan: O(N·window) comparisons
-    instead of O(N²) or a shuffle-heavy pair join. One rotation misses
-    near-dups whose differing bits are high-order; production runs r
-    rotations of the signature bits and unions (each rotation is this same
-    operator on rotate(simhash, k)) — recall→1 quickly. The sort is a
-    repartitionByRange + in-partition sort (no single-node global sort);
-    the window crosses partition bounds correctly because rangepartitioned
-    ordering is global.
+    instead of O(N²) or a shuffle-heavy pair join. The scan window is
+    PARTITIONED by the signature's top ``prefix_bits`` bits, so the window
+    shuffle is keyed (2^prefix_bits partitions, parallel) rather than the
+    single-partition global-order window Spark would otherwise plan. The
+    cost: pairs straddling a prefix boundary are missed — but those differ
+    in a top bit by construction, and the standard remedy (run r rotations
+    of the signature and union; each rotation is this operator on
+    rotate(simhash, k)) recovers them, exactly as it recovers low-order
+    near-misses. Identical signatures always share a prefix, so duplicate
+    clusters are never split. All ``window`` leads are evaluated in ONE
+    window pass (array of leads + explode), not one pass per offset.
 
-    Output: (id_a, id_b, hamming) with id_a < id_b by signature order
-    position (re-ordered to id asc for determinism of output values).
+    Output: (id_a, id_b, hamming) with id_a < id_b (min-hamming per pair).
     """
     from pyspark.sql import Window
 
-    s = simhash(df, text_col).select(id_col, "simhash")
-    w = Window.orderBy("simhash", id_col)
-    out = None
-    for j in range(1, window + 1):
-        nxt_id = F.lead(id_col, j).over(w)
-        nxt_sig = F.lead("simhash", j).over(w)
-        ham = F.bit_count(F.col("simhash").bitwiseXOR(nxt_sig))
-        pair = (
-            s.select(
-                F.least(F.col(id_col), nxt_id).alias("id_a"),
-                F.greatest(F.col(id_col), nxt_id).alias("id_b"),
-                ham.alias("hamming"),
-            )
-            .where(F.col("id_b").isNotNull()
-                   & (F.col("hamming") <= max_hamming))
+    s = simhash(df, text_col).select(id_col, "simhash").withColumn(
+        "__prefix", F.shiftrightunsigned("simhash", 64 - prefix_bits)
+    )
+    w = Window.partitionBy("__prefix").orderBy("simhash", id_col)
+    neighbors = F.array(*[
+        F.struct(
+            F.lead(id_col, j).over(w).alias("nid"),
+            F.lead("simhash", j).over(w).alias("nsig"),
         )
-        out = pair if out is None else out.unionByName(pair)
-    return out.groupBy("id_a", "id_b").agg(F.min("hamming").alias("hamming"))
+        for j in range(1, window + 1)
+    ])
+    ham = F.bit_count(F.col("simhash").bitwiseXOR(F.col("nb.nsig")))
+    return (
+        # window exprs must live in a plain projection; explode afterwards
+        s.withColumn("__nbs", neighbors)
+        .withColumn("nb", F.explode("__nbs"))
+        .where(F.col("nb.nid").isNotNull())
+        .select(
+            F.least(F.col(id_col), F.col("nb.nid")).alias("id_a"),
+            F.greatest(F.col(id_col), F.col("nb.nid")).alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .groupBy("id_a", "id_b")
+        .agg(F.min("hamming").alias("hamming"))
+    )

@@ -90,22 +90,14 @@ def pq_codebooks(
         subs.join(seeds, "__id")
         .select("sub_id", "centroid_id", F.col("sub").alias("centroid"))
     )
+    from .similarity import lloyd_means
+
     for _ in range(iters):
         assigned = _assign_codes(subs, cb)
-        means = (
-            assigned.select(
-                "sub_id", F.col("code").alias("centroid_id"),
-                F.posexplode("sub").alias("__pos", "__val"),
-            )
-            .groupBy("sub_id", "centroid_id", "__pos")
-            .agg(F.avg("__val").alias("__mv"))
-            .groupBy("sub_id", "centroid_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("__pos", "__mv"))),
-                    lambda s: s["__mv"],
-                ).alias("__nv")
-            )
+        means = lloyd_means(
+            assigned.select("sub_id", F.col("code").alias("centroid_id"),
+                            F.col("sub")),
+            ["sub_id", "centroid_id"], "sub", "__nv",
         )
         cb = cb.join(means, ["sub_id", "centroid_id"], "left").select(
             "sub_id", "centroid_id",

@@ -118,30 +118,21 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    cent = F.broadcast(centroids.select(
-        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")
-    ))
-
-    def assign(df, ident, topn):
-        d2 = _sqdist(F.col(vec_col), F.col("__cv"))
-        w = Window.partitionBy(ident).orderBy(d2.asc(), F.col("__cid").asc())
-        return (
-            df.crossJoin(cent)
-            .withColumn("__crank", F.row_number().over(w))
-            .where(F.col("__crank") <= topn)
-            .drop("__cv", "__crank")
-        )
-
-    lists = assign(
-        corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("__nv")).withColumnRenamed(
-                          "__nv", vec_col),
-        "neighbor_id", 1,
-    ).select("neighbor_id", F.col(vec_col).alias("__cv2"), "__cid")
-    probes = assign(
+    # single assignment implementation for the whole module: kmeans_assign
+    # (L2, ties → lowest centroid id, topn for probing)
+    cent = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col)
+    )
+    lists = kmeans_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
+        cent, id_col="neighbor_id", vec_col=vec_col,
+    ).select("neighbor_id", F.col(vec_col).alias("__cv2"),
+             F.col("centroid_id").alias("__cid"))
+    probes = kmeans_assign(
         queries.select(F.col(id_col).alias("query_id"), vec_col),
-        "query_id", nprobe,
-    ).select("query_id", F.col(vec_col).alias("__qv"), "__cid")
+        cent, id_col="query_id", vec_col=vec_col, topn=nprobe,
+    ).select("query_id", F.col(vec_col).alias("__qv"),
+             F.col("centroid_id").alias("__cid"))
 
     sim = _dot(F.col("__qv"), F.col("__cv2")) / (
         _norm(F.col("__qv")) * _norm(F.col("__cv2"))
@@ -262,22 +253,31 @@ def kmeans_centroids(
     )
     for _ in range(iters):
         assigned = kmeans_assign(emb, cent, id_col="__id", vec_col=vec_col)
-        means = (
-            assigned.select(
-                "centroid_id", F.posexplode(vec_col).alias("__pos", "__val")
-            )
-            .groupBy("centroid_id", "__pos")
-            .agg(F.avg("__val").alias("__mv"))
-            .groupBy("centroid_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("__pos", "__mv"))),
-                    lambda s: s["__mv"],
-                ).alias("__nv")
-            )
-        )
+        means = lloyd_means(assigned, ["centroid_id"], vec_col, "__nv")
         cent = cent.join(means, "centroid_id", "left").select(
             "centroid_id",
             F.coalesce(F.col("__nv"), F.col(vec_col)).alias(vec_col),
         )
     return cent
+
+
+def lloyd_means(
+    df: DataFrame, keys: list[str], vec_col: str, out_col: str
+) -> DataFrame:
+    """Per-``keys`` element-wise mean of an array column, rebuilt in
+    position order — the Lloyd 'recompute centroids' step, shared by
+    kmeans_centroids (keys=[centroid_id]) and pq.pq_codebooks
+    (keys=[sub_id, centroid_id]). Shuffle is keyed (``keys`` × dim) —
+    tiny regardless of input size thanks to map-side partial aggregation."""
+    return (
+        df.select(*keys, F.posexplode(vec_col).alias("__pos", "__val"))
+        .groupBy(*keys, "__pos")
+        .agg(F.avg("__val").alias("__mv"))
+        .groupBy(*keys)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__mv"))),
+                lambda s: s["__mv"],
+            ).alias(out_col)
+        )
+    )

@@ -344,6 +344,10 @@ def q_emb_ann_recall(spark, sf_dir):
     cb = pq_codebooks(emb, m=8, ksub=16, iters=1)
     variants["pq_adc"] = pq_topk(qs, pq_encode(emb, cb, m=8), cb, k=5, m=8)
 
+    truth_stats = truth.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count("*").alias("__n_truth"),
+    )
     out = None
     for name, approx in variants.items():
         hits = (
@@ -354,11 +358,13 @@ def q_emb_ann_recall(spark, sf_dir):
             )
             .where(F.col("true_id") == F.col("got_id"))
             .agg(F.count("*").alias("n_hits"))
+            .crossJoin(F.broadcast(truth_stats))
             .select(
                 F.lit(name).alias("variant"),
-                F.lit(10).cast("long").alias("n_queries"),
+                F.col("n_queries").cast("long").alias("n_queries"),
                 "n_hits",
-                F.round(F.col("n_hits") / (10 * 5.0), 4).alias("recall"),
+                F.round(F.col("n_hits") / F.col("__n_truth"), 4)
+                .alias("recall"),
             )
         )
         out = hits if out is None else out.unionByName(hits)

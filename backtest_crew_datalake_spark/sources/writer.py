@@ -138,6 +138,7 @@ def compact_partitions(
     lake_root: str,
     dataset: str = "data",
     target_mb: int = 128,
+    sort_col: str | None = "ts",
 ) -> dict[str, tuple[int, int]]:
     """Compact small files within each leaf partition of the lake — the
     maintenance pass that keeps scan parallelism healthy after many
@@ -146,12 +147,15 @@ def compact_partitions(
     100 TB a million tiny files costs more in listing+open than the scan).
 
     Per leaf dir: if it holds more parquet files than ceil(bytes/target),
-    rewrite to that many ts-sorted files and atomically swap the directory
-    (write to <leaf>.__compact_tmp, verify the row count matches, then
-    old → .__compact_bak, tmp → leaf, drop bak — same tmp→rename contract
-    as the reference's writer, ref writer.py:201-208). Readers never see a
-    partial leaf; a crash leaves either the old dir or the new dir plus a
-    bak to clean.
+    rewrite to that many files — sorted by ``sort_col`` when the column
+    exists (pass None to skip sorting; the default suits the candle
+    datasets) — then swap the directory in: old → dot-prefixed bak, tmp →
+    leaf, drop bak. tmp/bak names are dot-prefixed so Spark's file listing
+    and partition discovery ignore them mid-swap (hidden-path rule). The
+    swap is two renames, not one atomic op: a crash in the gap leaves the
+    leaf absent but fully preserved in the bak — the next run restores it
+    before compacting (recovery below). Row counts are verified before any
+    swap.
 
     Returns {leaf_path: (files_before, files_after)} for compacted leaves.
     """
@@ -160,6 +164,27 @@ def compact_partitions(
 
     root = os.path.join(lake_root, dataset)
     out: dict[str, tuple[int, int]] = {}
+
+    def _tmp_bak(dirpath):
+        parent, base = os.path.split(dirpath)
+        return (os.path.join(parent, f".__compact_tmp_{base}"),
+                os.path.join(parent, f".__compact_bak_{base}"))
+
+    # recovery pass: restore leaves lost to a crash between the two renames,
+    # and clear stale tmps — before the (pre-materialized) compaction walk
+    for dirpath, subdirs, _files in list(os.walk(root)):
+        for sub in list(subdirs):
+            full = os.path.join(dirpath, sub)
+            if sub.startswith(".__compact_tmp_"):
+                shutil.rmtree(full, ignore_errors=True)
+            elif sub.startswith(".__compact_bak_"):
+                orig = os.path.join(dirpath,
+                                    sub[len(".__compact_bak_"):])
+                if os.path.exists(orig):
+                    shutil.rmtree(full)          # swap completed; drop bak
+                else:
+                    os.rename(full, orig)        # crashed mid-swap; restore
+
     # materialize the walk before mutating directories beneath it
     leaves = [(d, fs) for d, _sub, fs in os.walk(root)]
     for dirpath, filenames in leaves:
@@ -175,11 +200,12 @@ def compact_partitions(
             continue
         df = spark.read.parquet(dirpath)
         n_before = df.count()
-        tmp = dirpath + ".__compact_tmp"
-        bak = dirpath + ".__compact_bak"
+        tmp, bak = _tmp_bak(dirpath)
         shutil.rmtree(tmp, ignore_errors=True)
-        (df.coalesce(want).sortWithinPartitions("ts")
-           .write.mode("overwrite").parquet(tmp))
+        w = df.coalesce(want)
+        if sort_col is not None and sort_col in df.columns:
+            w = w.sortWithinPartitions(sort_col)
+        w.write.mode("overwrite").parquet(tmp)
         n_after = spark.read.parquet(tmp).count()
         if n_after != n_before:  # never swap in a bad rewrite
             shutil.rmtree(tmp, ignore_errors=True)

@@ -228,10 +228,21 @@ def streaming_or_levels(
             bdir, b_us, rt_us, rt_close = "DOWN", dn_us, s[7], s[8]
         else:
             bdir, b_us, rt_us, rt_close = "NONE", None, None, None
-        loc = pd.Timestamp(f"{day} {start_hm}").tz_localize(tz)
-        or_start = loc.tz_convert("UTC").tz_localize(None)
-        or_end = (pd.Timestamp(f"{day} {end_hm}").tz_localize(tz)
-                  .tz_convert("UTC").tz_localize(None))
+        # DST-safe localization: a window boundary falling in a
+        # spring-forward gap shifts forward, one in a fall-back overlap
+        # takes the first (DST) occurrence — without these, pandas raises
+        # NonExistentTimeError/AmbiguousTimeError and kills the query.
+        # (Only the emitted or_start/or_end metadata depends on this; the
+        # break/retest logic works on local wall-clock HH:MM strings.)
+        def _loc(hm):
+            return (
+                pd.Timestamp(f"{day} {hm}")
+                .tz_localize(tz, nonexistent="shift_forward", ambiguous=True)
+                .tz_convert("UTC").tz_localize(None)
+            )
+
+        or_start = _loc(start_hm)
+        or_end = _loc(end_hm)
         to_ts = lambda us: None if us is None else pd.Timestamp(us, unit="us")
         return (pd.Timestamp(day).date(), tz, or_start, or_end, or_high,
                 or_low, bdir, to_ts(b_us), to_ts(rt_us), rt_close, sym)
