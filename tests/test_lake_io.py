@@ -257,3 +257,33 @@ def test_zorder_key_and_rowgroup_skipping(spark, tmp_path):
     # and strictly beat the single-column sort
     assert c_z / t_z <= 0.5, (c_z, t_z)
     assert c_z / t_z < c_x / t_x
+
+
+def test_compact_crash_recovery(spark, tmp_path):
+    """A crash between the swap's two renames leaves the leaf as a hidden
+    bak dir (invisible to Spark); the next compaction run restores it."""
+    import os
+
+    from backtest_crew_datalake_spark.sources.writer import (
+        compact_partitions, upsert_candles,
+    )
+
+    lake = str(tmp_path / "lake")
+    m1 = enforce_schema(
+        make_m1(spark, ["BTC-USD"], "2024-01-01", "2024-01-01", seed=2),
+        timeframe="M1",
+    )
+    upsert_candles(spark, m1, lake)
+    leaf = None
+    for d, _s, fs in os.walk(f"{lake}/data"):
+        if any(f.endswith(".parquet") for f in fs):
+            leaf = d
+    parent, base = os.path.split(leaf)
+    bak = os.path.join(parent, f".__compact_bak_{base}")
+    os.rename(leaf, bak)  # simulated crash mid-swap
+    # hidden-path rule: the bak is invisible, so the data is "gone"
+    assert read_range(spark, lake, symbol="BTC-USD").count() == 0
+
+    compact_partitions(spark, lake)
+    assert read_range(spark, lake, symbol="BTC-USD").count() == 1440
+    assert not os.path.exists(bak)
