@@ -1008,3 +1008,80 @@ def q_evt_cms_user_counts(spark, sf_dir):
     )
     exact = evt.groupBy("user_id").agg(F.count("*").alias("true_count"))
     return est.join(exact, "user_id")
+
+
+@register(
+    "q_evt_histogram_quantiles",
+    oracle="""
+    WITH stats AS (
+        SELECT MIN(value) AS lo, MAX(value) AS hi, COUNT(*) AS n
+        FROM events WHERE value IS NOT NULL
+    ),
+    bins AS (
+        SELECT LEAST(CAST(FLOOR((value - s.lo) / ((s.hi - s.lo) / 64.0))
+                          AS BIGINT), 63) AS bin,
+               COUNT(*) AS cnt
+        FROM events, stats s WHERE value IS NOT NULL
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin, cnt,
+               SUM(cnt) OVER (ORDER BY bin) AS cum_cnt
+        FROM bins
+    ),
+    qs AS (SELECT UNNEST([0.5, 0.9, 0.99]::DOUBLE[]) AS q),
+    est AS (
+        SELECT q.q, MIN(c.bin) AS qbin
+        FROM qs q JOIN cum c
+          ON c.cum_cnt >= q.q * (SELECT n FROM stats)
+        GROUP BY 1
+    )
+    SELECT e.q,
+           ROUND(s.lo + (e.qbin + 0.5) * ((s.hi - s.lo) / 64.0), 4)
+               AS est_value,
+           e.qbin
+    FROM est e, stats s
+    """,
+)
+def q_evt_histogram_quantiles(spark, sf_dir):
+    """Equi-width-histogram quantile sketch (the portable cousin of
+    percentile_approx): 64 bins over [min, max], quantile ≈ midpoint of the
+    first bin whose cumulative count crosses q·n. Every intermediate —
+    bin edges, counts, cumulative crossing — is reproducible in any engine,
+    so the whole sketch is value-checked (HLL/KLL register states are not).
+    Scale shape: one pass for min/max (broadcast 1-row), one keyed bin agg
+    (64 groups, map-side), driver-free crossing via a 64-row window."""
+    evt = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    stats = evt.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    width = (F.col("hi") - F.col("lo")) / 64.0
+    bins = (
+        evt.crossJoin(F.broadcast(stats))
+        .select(
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / width).cast("long"),
+                F.lit(63),
+            ).alias("bin")
+        )
+        .groupBy("bin").agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    cum = bins.withColumn(
+        "cum_cnt", F.sum("cnt").over(Window.orderBy("bin"))
+    )
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], ["q"])
+    est = (
+        F.broadcast(qs).crossJoin(cum.crossJoin(F.broadcast(stats)))
+        .where(F.col("cum_cnt") >= F.col("q") * F.col("n"))
+        .groupBy("q").agg(F.min("bin").alias("qbin"))
+    )
+    return est.crossJoin(F.broadcast(stats)).select(
+        "q",
+        F.round(
+            F.col("lo") + (F.col("qbin") + 0.5) * width, 4
+        ).alias("est_value"),
+        "qbin",
+    )
