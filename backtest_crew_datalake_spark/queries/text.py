@@ -556,3 +556,125 @@ def q_doc_distinct_estimate(spark, sf_dir):
         ).alias("est_distinct"),
         "true_distinct",
     )
+
+
+@register(
+    "q_doc_aligned_span_pairs",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ),
+    gp AS (
+        SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS pos
+        FROM t WHERE len(toks) >= 3
+    ),
+    g AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(toks[pos+1:pos+3], ' ')) AS h
+        FROM gp
+    ),
+    wm AS (
+        SELECT doc_id, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+        FROM g
+    ),
+    f AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= n_grams - 4),
+    rare AS (
+        SELECT fp FROM f GROUP BY fp HAVING COUNT(DISTINCT doc_id) <= 10
+    ),
+    fk AS (
+        SELECT f.doc_id, f.fp, MIN(g.pos) AS first_pos
+        FROM f JOIN rare USING (fp)
+               JOIN g ON g.doc_id = f.doc_id AND g.h = f.fp
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.first_pos - b.first_pos AS delta
+        FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    deltas AS (
+        SELECT id_a, id_b, delta, COUNT(*) AS dn,
+               COUNT(*) OVER (PARTITION BY id_a, id_b) AS n_shared
+        FROM pairs GROUP BY 1, 2, 3
+    ),
+    best AS (
+        SELECT id_a, id_b, delta, dn, n_shared,
+               ROW_NUMBER() OVER (PARTITION BY id_a, id_b
+                                  ORDER BY dn DESC, delta ASC) AS rk
+        FROM (SELECT id_a, id_b, delta, dn,
+                     SUM(dn) OVER (PARTITION BY id_a, id_b) AS n_shared
+              FROM deltas)
+    )
+    SELECT id_a, id_b, n_shared,
+           dn AS aligned_fps, delta AS align_delta
+    FROM best WHERE rk = 1 AND n_shared >= 2
+    """,
+)
+def q_doc_aligned_span_pairs(spark, sf_dir):
+    """Alignment-consistent near-dup pairs (MOSS-style positional evidence):
+    shared winnowing fingerprints plus each fingerprint's first gram
+    position; a genuinely copied span shows up as many shared fps at ONE
+    consistent position delta, while coincidental shared vocabulary
+    scatters. Emits the dominant delta and its support next to the raw
+    shared count — all value-checked (winnow + positions + mode, entirely
+    in SQL on the oracle side). Same df-cap blocking as q_doc_winnow_pairs."""
+    from pyspark.sql import Window
+
+    from ..pipeline.text import winnow_fingerprints
+
+    d = load(spark, sf_dir, "documents")
+    f = winnow_fingerprints(d, k=3, w=4)
+    rare = (
+        f.groupBy("fingerprint")
+        .agg(F.countDistinct("doc_id").alias("__df"))
+        .where(F.col("__df") <= 10)
+        .select("fingerprint")
+    )
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = F.expr(
+        "transform(sequence(0, size(__toks) - 3), "
+        "i -> array_join(slice(__toks, i + 1, 3), ' '))"
+    )
+    g = (
+        d.select("doc_id", toks.alias("__toks"))
+        .where(F.size("__toks") >= 3)
+        .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+        .select("doc_id", "pos",
+                F.md5(F.col("gram").cast("binary")).alias("h"))
+    )
+    fk = (
+        f.join(rare, "fingerprint")
+        .join(g, (f.doc_id == g.doc_id)
+              & (F.col("fingerprint") == F.col("h")))
+        .groupBy(f.doc_id.alias("doc_id"), "fingerprint")
+        .agg(F.min("pos").alias("first_pos"))
+    )
+    pairs = (
+        fk.alias("a")
+        .join(fk.alias("b"), "fingerprint")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (F.col("a.first_pos") - F.col("b.first_pos")).alias("delta"),
+        )
+    )
+    deltas = pairs.groupBy("id_a", "id_b", "delta").agg(
+        F.count("*").alias("dn")
+    )
+    wp = Window.partitionBy("id_a", "id_b")
+    wr = Window.partitionBy("id_a", "id_b").orderBy(
+        F.col("dn").desc(), F.col("delta").asc()
+    )
+    return (
+        deltas.withColumn("n_shared", F.sum("dn").over(wp))
+        .withColumn("rk", F.row_number().over(wr))
+        .where((F.col("rk") == 1) & (F.col("n_shared") >= 2))
+        .select("id_a", "id_b", "n_shared",
+                F.col("dn").alias("aligned_fps"),
+                F.col("delta").alias("align_delta"))
+    )
