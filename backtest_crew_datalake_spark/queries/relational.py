@@ -69,13 +69,15 @@ def q_pricing_summary(spark, sf_dir):
 )
 def q_top_revenue_orders(spark, sf_dir):
     """TPC-H Q3 shape: 3-way join + agg + top-k order/limit. Customer is the
-    small side → broadcast."""
+    smaller side but still scales with SF (~3 M rows at sf100 even after the
+    1/5 segment filter), so no broadcast hint — AQE picks broadcast at small
+    SF and degrades gracefully to a shuffle join at scale."""
     c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -329,9 +331,9 @@ def q_rollup_pricing(spark, sf_dir):
     "q_conditional_pivot",
     oracle="""
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
            ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS open_value
     FROM orders GROUP BY 1
     """,
@@ -457,7 +459,9 @@ def q_order_size_distribution(spark, sf_dir):
 )
 def q_large_volume_customers(spark, sf_dir):
     """TPC-H Q18 shape: HAVING-filtered aggregate semi-joined back through
-    orders to customers."""
+    orders to customers. The broadcast-able side is `big` — the HAVING
+    filter (qty > 300) keeps a few hundred rows at any SF — NOT customer,
+    which grows with SF (~15 M rows at sf100)."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
@@ -467,8 +471,8 @@ def q_large_volume_customers(spark, sf_dir):
         .where(F.col("total_qty") > 300)
     )
     return (
-        big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(F.broadcast(big), big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name", "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -492,7 +496,9 @@ def q_large_volume_customers(spark, sf_dir):
     """,
 )
 def q_brand_supplier_counts(spark, sf_dir):
-    """TPC-H Q16 shape: distinct-count per banded dimension attributes."""
+    """TPC-H Q16 shape: distinct-count per banded dimension attributes.
+    Part is unfiltered and scales with SF (~20 M rows at sf100) — no
+    broadcast hint; AQE decides per actual size."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
     band = (
@@ -501,7 +507,7 @@ def q_brand_supplier_counts(spark, sf_dir):
         .otherwise("large")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", band.alias("size_band"))
         .agg(
             F.countDistinct("l_suppkey").alias("n_suppliers"),
@@ -603,10 +609,10 @@ def q_supplier_balance_band(spark, sf_dir):
     "q_priority_shipping",
     oracle="""
     SELECT l.l_linestatus,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
       AND l.l_shipdate <  TIMESTAMP '1997-01-01'
@@ -648,8 +654,9 @@ def q_priority_shipping(spark, sf_dir):
 )
 def q_promo_revenue(spark, sf_dir):
     """TPC-H Q14 shape: conditional-share ratio (promo revenue %) in one
-    pass — no self-join, just two conditional sums. Part is the broadcast
-    side; the month predicate prunes lineitem at the scan."""
+    pass — no self-join, just two conditional sums. The month predicate
+    prunes lineitem at the scan; part is unfiltered and SF-scaled, so the
+    join strategy is left to AQE (no broadcast hint)."""
     li = load(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -657,7 +664,7 @@ def q_promo_revenue(spark, sf_dir):
     p = load(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -689,13 +696,14 @@ def q_promo_revenue(spark, sf_dir):
 def q_small_qty_revenue(spark, sf_dir):
     """TPC-H Q17 shape: correlated per-part average (small-quantity orders).
     The per-part AVG is a window over l_partkey — one shuffle keyed by
-    partkey, no join-back of an aggregated copy of lineitem; the brand
-    filter broadcasts."""
+    partkey, no join-back of an aggregated copy of lineitem. The brand
+    filter keeps ~1/25 of part, which still scales with SF — AQE picks the
+    join strategy from the filtered runtime size (no forced hint)."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
     w = Window.partitionBy("l_partkey")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .withColumn("avg_qty", F.avg("l_quantity").over(w))
         .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
@@ -723,10 +731,10 @@ def q_disjunctive_pred(spark, sf_dir):
     """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
     clauses across both join sides. Catalyst extracts the common join key
     (hash join, not BNLJ) and pushes the per-table residuals of the OR
-    down each scan."""
+    down each scan. Part is unfiltered and SF-scaled — no broadcast hint."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     clause = (
         (
             (F.col("p_brand") == "Brand#13")

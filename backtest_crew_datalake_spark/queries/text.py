@@ -26,7 +26,7 @@ _STOP_EN_SQL = "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"]) + "]"
         FROM documents
     )
     SELECT lang, COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            ROUND(AVG(n_tokens), 6) AS avg_tokens,
            ROUND(AVG(n_chars), 6) AS avg_chars
     FROM t GROUP BY 1
@@ -173,7 +173,7 @@ _BPE_SQL = _BPE_PATTERN.replace("'", "''")  # SQL string-literal escaping
     "q_doc_bpe_token_count",
     oracle=f"""
     SELECT lang,
-           SUM(LEN(regexp_extract_all(text, '{_BPE_SQL}'))) AS total_bpe_tokens,
+           CAST(SUM(LEN(regexp_extract_all(text, '{_BPE_SQL}'))) AS BIGINT) AS total_bpe_tokens,
            ROUND(AVG(LEN(regexp_extract_all(text, '{_BPE_SQL}'))), 6)
                AS avg_bpe_tokens,
            ROUND(AVG(CAST(n_chars AS DOUBLE)
@@ -456,7 +456,7 @@ def q_doc_minhash_portable(spark, sf_dir):
         FROM bits GROUP BY 1, 2
     )
     SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT sig) AS n_distinct_sigs,
-           SUM(popcount) AS total_popcount
+           CAST(SUM(popcount) AS BIGINT) AS total_popcount
     FROM sig GROUP BY 1
     """,
 )
@@ -609,7 +609,7 @@ def q_doc_distinct_estimate(spark, sf_dir):
                      SUM(dn) OVER (PARTITION BY id_a, id_b) AS n_shared
               FROM deltas)
     )
-    SELECT id_a, id_b, n_shared,
+    SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
            dn AS aligned_fps, delta AS align_delta
     FROM best WHERE rk = 1 AND n_shared >= 2
     """,

@@ -117,6 +117,43 @@ def test_minhash_portable_plan_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_no_forced_broadcast_of_sf_scaled_tables():
+    """Broadcast hints override AQE's size threshold, so a hint on a table
+    that grows with scale factor (customer/part/orders/lineitem/supplier,
+    or the events/documents/embeddings facts) is an OOM at sf100 even if it
+    worked at sf0.1. Bounded inputs (nation, region, one-row cutoffs,
+    HAVING-filtered aggregates, sketches) may keep their hints. This gate
+    scans the query source for `F.broadcast(<name>)` and rejects any hint
+    whose target is named like an SF-scaled input."""
+    import pathlib
+    import re
+
+    qdir = pathlib.Path(__file__).parent.parent / (
+        "backtest_crew_datalake_spark"
+    )
+    sf_scaled = {
+        "c", "customer", "p", "part", "o", "orders", "li", "l", "lineitem",
+        "s", "supplier", "e", "events", "d", "docs", "documents", "emb",
+        "embeddings", "corpus",
+    }
+    offenders = []
+    for path in qdir.rglob("*.py"):
+        src = path.read_text()
+        for m in re.finditer(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*[),]", src):
+            if m.group(1) in sf_scaled:
+                line = src[: m.start()].count("\n") + 1
+                offenders.append(f"{path.name}:{line} broadcast({m.group(1)})")
+    assert not offenders, f"forced broadcast of SF-scaled inputs: {offenders}"
+
+
+def test_q18_broadcasts_filtered_agg_not_customer(spark):
+    p = _plan(spark, "q_large_volume_customers")
+    # the HAVING-filtered aggregate (bounded) is the broadcast side; customer
+    # joins by shuffle or AQE's runtime choice — never a forced broadcast
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_cms_plan_broadcasts_sketch(spark):
     p = _plan(spark, "q_evt_cms_user_counts")
     # the 4x256-cell sketch is the broadcast side of the probe join
