@@ -31,8 +31,13 @@ def dedupe_keep(
     """Keep one row per ``key``: the first/last by ``order`` (ordering
     columns must be non-null — min_by/max_by skip null keys).
 
-    ``order=None`` means "input priority" is irrelevant (all candidates
-    equal) and any row may win.
+    ``order=None`` means no caller-meaningful priority exists — the winner
+    is still DETERMINISTIC: the packed non-key row itself is the ordering
+    key (struct comparison is field-lexicographic), so keep='first' takes
+    the row-wise minimum and keep='last' the maximum, independent of
+    partitioning or task scheduling. (``F.first`` would pick whichever row
+    a task happened to see first — nondeterministic under shuffle, and it
+    can diverge from the DuckDB oracle on conflicting duplicates.)
     """
     if keep not in ("first", "last"):
         raise ValueError("keep must be 'first' or 'last'")
@@ -40,7 +45,7 @@ def dedupe_keep(
     others = [c for c in df.columns if c not in key]
     row = F.struct(*[F.col(c) for c in others])
     if order is None:
-        pick = F.first(row)
+        pick = F.min_by(row, row) if keep == "first" else F.max_by(row, row)
     else:
         ordk = F.struct(*[F.col(c) if isinstance(c, str) else c for c in order])
         pick = F.max_by(row, ordk) if keep == "last" else F.min_by(row, ordk)

@@ -187,6 +187,7 @@ def neardup_window_pairs(
     window: int = 4,
     max_hamming: int = 16,
     prefix_bits: int = 4,
+    rotations: int = 1,
 ) -> DataFrame:
     """Locality-sensitive ordering near-dup scan: sort the corpus by its
     SimHash signature, then compare each doc only to the next ``window``
@@ -198,41 +199,56 @@ def neardup_window_pairs(
     PARTITIONED by the signature's top ``prefix_bits`` bits, so the window
     shuffle is keyed (2^prefix_bits partitions, parallel) rather than the
     single-partition global-order window Spark would otherwise plan. The
-    cost: pairs straddling a prefix boundary are missed — but those differ
-    in a top bit by construction, and the standard remedy (run r rotations
-    of the signature and union; each rotation is this operator on
-    rotate(simhash, k)) recovers them, exactly as it recovers low-order
-    near-misses. Identical signatures always share a prefix, so duplicate
-    clusters are never split. All ``window`` leads are evaluated in ONE
-    window pass (array of leads + explode), not one pass per offset.
+    cost: pairs straddling a prefix boundary are missed — the standard
+    remedy is ``rotations`` > 1: the scan re-runs on bit-rotated copies of
+    the signature (rotation is a bit bijection, so Hamming distance is
+    preserved) and the union of passes recovers boundary-straddling pairs —
+    a pair only stays hidden if it straddles a boundary in EVERY rotation.
+    Each rotation is one more keyed window pass (r× cost, still O(N·w·r)
+    comparisons total, never a pair join). Identical signatures always
+    share a prefix, so duplicate clusters are never split. All ``window``
+    leads are evaluated in ONE window pass (array of leads + explode), not
+    one pass per offset.
 
     Output: (id_a, id_b, hamming) with id_a < id_b (min-hamming per pair).
     """
     from pyspark.sql import Window
 
-    s = simhash(df, text_col).select(id_col, "simhash").withColumn(
-        "__prefix", F.shiftrightunsigned("simhash", 64 - prefix_bits)
-    )
-    w = Window.partitionBy("__prefix").orderBy("simhash", id_col)
-    neighbors = F.array(*[
-        F.struct(
-            F.lead(id_col, j).over(w).alias("nid"),
-            F.lead("simhash", j).over(w).alias("nsig"),
+    sig = simhash(df, text_col).select(id_col, "simhash")
+    passes = []
+    for k in range(max(1, rotations)):
+        shift = (64 // max(1, rotations)) * k
+        rot = (
+            F.col("simhash") if shift == 0
+            else F.shiftleft("simhash", shift).bitwiseOR(
+                F.shiftrightunsigned("simhash", 64 - shift))
         )
-        for j in range(1, window + 1)
-    ])
-    ham = F.bit_count(F.col("simhash").bitwiseXOR(F.col("nb.nsig")))
-    return (
-        # window exprs must live in a plain projection; explode afterwards
-        s.withColumn("__nbs", neighbors)
-        .withColumn("nb", F.explode("__nbs"))
-        .where(F.col("nb.nid").isNotNull())
-        .select(
-            F.least(F.col(id_col), F.col("nb.nid")).alias("id_a"),
-            F.greatest(F.col(id_col), F.col("nb.nid")).alias("id_b"),
-            ham.alias("hamming"),
+        s = sig.withColumn("__rsig", rot).withColumn(
+            "__prefix", F.shiftrightunsigned("__rsig", 64 - prefix_bits)
         )
-        .where(F.col("hamming") <= max_hamming)
-        .groupBy("id_a", "id_b")
-        .agg(F.min("hamming").alias("hamming"))
-    )
+        w = Window.partitionBy("__prefix").orderBy("__rsig", id_col)
+        neighbors = F.array(*[
+            F.struct(
+                F.lead(id_col, j).over(w).alias("nid"),
+                F.lead("__rsig", j).over(w).alias("nsig"),
+            )
+            for j in range(1, window + 1)
+        ])
+        # Hamming on the rotated signatures equals Hamming on the originals
+        ham = F.bit_count(F.col("__rsig").bitwiseXOR(F.col("nb.nsig")))
+        passes.append(
+            # window exprs must live in a plain projection; explode after
+            s.withColumn("__nbs", neighbors)
+            .withColumn("nb", F.explode("__nbs"))
+            .where(F.col("nb.nid").isNotNull())
+            .select(
+                F.least(F.col(id_col), F.col("nb.nid")).alias("id_a"),
+                F.greatest(F.col(id_col), F.col("nb.nid")).alias("id_b"),
+                ham.alias("hamming"),
+            )
+            .where(F.col("hamming") <= max_hamming)
+        )
+    out = passes[0]
+    for p in passes[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("id_a", "id_b").agg(F.min("hamming").alias("hamming"))

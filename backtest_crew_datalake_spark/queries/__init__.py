@@ -89,6 +89,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_doc_simhash_portable",
     "q_doc_distinct_estimate",
     "q_doc_aligned_span_pairs",
+    "q_doc_dedup_recall",
     "q_doc_minhash_lsh_pairs",
     "q_doc_simhash",
     "q_emb_cosine_topk",

@@ -391,9 +391,14 @@ def q_doc_minhash_portable(spark, sf_dir):
     xxhash64 as the faster JVM-side production path; both share the
     banding/bucketing structure). 16 hashes × 8 bands of 2 rows: collision
     prob 1-(1-J²)⁸ keeps moderate-similarity pairs visible at sf0.01."""
+    return _portable_minhash_pairs(load(spark, sf_dir, "documents"))
+
+
+def _portable_minhash_pairs(d):
+    """Engine-portable MinHash+LSH candidate pairs (see
+    q_doc_minhash_portable); shared by the recall scoreboard."""
     from ..pipeline.dedup import _shingles
 
-    d = load(spark, sf_dir, "documents")
     sh = d.select(
         F.col("doc_id"), F.explode(_shingles("text", 3)).alias("sh")
     )
@@ -426,6 +431,85 @@ def q_doc_minhash_portable(spark, sf_dir):
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
         .agg(F.count("*").alias("n_bands"))
+    )
+
+
+@register(
+    "q_doc_dedup_recall",
+    oracle=r"""
+    WITH docs AS (
+        SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, UNNEST(list_distinct(
+            CASE WHEN LEN(toks) >= 3 THEN
+                list_transform(generate_series(1, LEN(toks) - 2),
+                               i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])
+            ELSE [array_to_string(toks, ' ')] END)) AS sh
+        FROM docs
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5
+    ),
+    seeds AS (SELECT UNNEST(range(0, 16)) AS i),
+    mh AS (
+        SELECT doc_id, i, MIN(md5(i::VARCHAR || '|' || sh)) AS h
+        FROM sh, seeds GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT doc_id, i // 2 AS band,
+               md5(string_agg(h, '|' ORDER BY i)) AS bucket
+        FROM mh GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                                  AND a.doc_id < b.doc_id
+    ),
+    hits AS (SELECT t.* FROM truth t SEMI JOIN cand c
+             ON t.id_a = c.id_a AND t.id_b = c.id_b)
+    SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM hits) AS n_hits,
+           ROUND(CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+                 / NULLIF((SELECT COUNT(*) FROM truth), 0), 4) AS recall
+    """,
+)
+def q_doc_dedup_recall(spark, sf_dir):
+    """Driver-visible LSH recall scoreboard: ground truth = exact 3-gram
+    Jaccard >= 0.5 pairs (the reference standard, ngram_jaccard_pairs);
+    candidates = the portable MinHash+LSH pipeline. Emits one row
+    (n_truth, n_candidates, n_hits, recall) so the banded-LSH recall claim
+    is a value-checked NUMBER, not just a pytest floor. Both sides are
+    deterministic md5 pipelines, so Spark and DuckDB agree exactly."""
+    from ..pipeline.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(d, n=3, threshold=0.5).select("id_a", "id_b")
+    cand = _portable_minhash_pairs(d).select("id_a", "id_b")
+    hits = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    return (
+        truth.agg(F.count("*").alias("n_truth"))
+        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .select(
+            "n_truth", "n_candidates", "n_hits",
+            F.round(
+                F.col("n_hits").cast("double")
+                / F.when(F.col("n_truth") > 0, F.col("n_truth")),
+                4,
+            ).alias("recall"),
+        )
     )
 
 

@@ -51,12 +51,22 @@ def read_range(
     (ref reader.py:30 half-done column pruning — here it's complete).
     Empty lake -> empty typed DataFrame, not an error (ref tests/test_read_api.py).
     """
+    multi = isinstance(symbol, (list, tuple))
     try:
         df = _scan(spark, lake_root, dataset)
     except Exception:  # empty / nonexistent lake dir
         from ..schemas import CANDLE_SCHEMA
 
-        return spark.createDataFrame([], CANDLE_SCHEMA)
+        # Same schema contract as the non-empty path: apply the identical
+        # column projection so an empty LAKE and an empty FILTER RESULT are
+        # indistinguishable to unionByName/select consumers.
+        empty = spark.createDataFrame([], CANDLE_SCHEMA)
+        if columns is not None:
+            keep = ["ts", *[c for c in columns if c != "ts"]]
+            if multi and "symbol" not in keep:
+                keep.append("symbol")
+            empty = empty.select(*keep)
+        return empty
 
     sym_pred = (
         F.col("symbol").isin(list(symbol))
@@ -86,7 +96,6 @@ def read_range(
         df = df.where(ym <= F.date_format(F.lit(date_to).cast("timestamp"), "yyyyMM"))
     # single-series reads keep the reference contract (dedupe on ts,
     # api.py:70); multi-symbol reads dedupe per series
-    multi = isinstance(symbol, (list, tuple))
     if columns is not None:
         keep = ["ts", *[c for c in columns if c != "ts"]]
         if multi and "symbol" not in keep:
@@ -106,10 +115,16 @@ def read_day(
     """Inclusive-day sugar for the legacy closed contract
     [day 00:00, day 23:59:59] (ref reader.py:35-37, aggregates/loader.py:27).
     The engine standard is half-open `read_range`; this is the documented
-    compatibility helper (SURVEY §1.3 contract 2)."""
+    compatibility helper (SURVEY §1.3 contract 2).
+
+    The reference bound is CLOSED at second precision: a bar stamped
+    23:59:59 is included, a sub-second bar at 23:59:59.5 is NOT (it exceeds
+    the 23:59:59 end bound). The half-open equivalent is
+    ``ts < day 23:59:59.000001`` — one microsecond past the last included
+    whole second."""
     return read_range(
         spark, lake_root, symbol=symbol,
         date_from=f"{day} 00:00:00",
-        date_to=f"{day} 23:59:59.999999",  # closed end ≈ half-open at day end
+        date_to=f"{day} 23:59:59.000001",  # closed [.., 23:59:59] as half-open
         **kw,
     )

@@ -22,6 +22,9 @@ reference's month-routing hazard.
 from __future__ import annotations
 
 import os
+import re
+import time
+from contextlib import contextmanager, nullcontext
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,6 +33,72 @@ from ..operators.dedup import dedupe_keep
 from ..schemas import PRIMARY_KEY, enforce_schema
 
 _PRIO = "__upsert_priority"
+_PART_COLS = ["source", "market", "timeframe", "symbol", "year", "month"]
+
+# Above this many touched partitions the per-partition OR-chain predicate
+# (planning-time pruning) is replaced by a distributed left-semi join on the
+# partition tuple (runtime pruning via DPP) — a 10^5-partition backfill never
+# collects its partition list to the driver.
+_PRED_LIMIT = 512
+
+# A lock older than this is presumed orphaned by a dead writer and stolen.
+_LOCK_LEASE_MS = 15 * 60 * 1000
+
+
+class PartitionLockTimeout(RuntimeError):
+    """Another writer held a partition lock past the acquire timeout."""
+
+
+def _lock_name(vals) -> str:
+    return "__".join(re.sub(r"[^A-Za-z0-9._-]", "-", str(v)) for v in vals)
+
+
+@contextmanager
+def _partition_locks(spark: SparkSession, lock_dir: str,
+                     names: list[str], timeout_s: float = 120.0,
+                     lease_ms: int = _LOCK_LEASE_MS):
+    """Serialize concurrent upserts that touch the same partitions.
+
+    One lock file per touched partition under ``lock_dir`` (kept OUTSIDE
+    the dataset directory — e.g. ``<lake_root>/.locks/<dataset>`` — so
+    creating it never makes an empty lake look non-empty), created with
+    the Hadoop FileSystem's atomic ``createNewFile``. Locks are acquired in
+    sorted order (no deadlock between writers with overlapping sets), polled
+    until ``timeout_s``, and stolen when older than ``lease_ms`` (orphaned by
+    a crashed writer). Atomicity note: create-exclusive is atomic on HDFS and
+    local FS; plain S3 has no atomic create — there, front this with a real
+    lock service or a table format (Delta/Iceberg) instead.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path
+    fs = jpath(lock_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(jpath(lock_dir))
+    want = [jpath(f"{lock_dir}/{n}.lock") for n in sorted(set(names))]
+    held = []
+    try:
+        for p in want:
+            deadline = time.monotonic() + timeout_s
+            while not fs.createNewFile(p):
+                try:
+                    age_ms = int(time.time() * 1000) - fs.getFileStatus(
+                        p).getModificationTime()
+                    if age_ms > lease_ms:
+                        fs.delete(p, False)  # stale: steal and re-create
+                        continue
+                except Exception:
+                    continue  # holder released between probe and stat
+                if time.monotonic() > deadline:
+                    raise PartitionLockTimeout(
+                        f"timed out after {timeout_s}s waiting for {p}")
+                time.sleep(0.1)
+            held.append(p)
+        yield
+    finally:
+        for p in held:
+            try:
+                fs.delete(p, False)
+            except Exception:
+                pass  # best-effort release; lease expiry reclaims strays
 
 
 def _dataset_exists(spark: SparkSession, path: str) -> bool:
@@ -60,51 +129,74 @@ def upsert_candles(
     lake_root: str,
     dataset: str = "data",
     key: list[str] | None = None,
+    lock: bool = True,
 ) -> None:
     """Merge-upsert candle rows into <lake_root>/<dataset>, dedupe keep-last on
     the primary key (source, symbol, timeframe, ts) with NEW rows winning
     (ref writer.py:193-199 keep='last' after concat([existing, new])).
 
     Idempotent: re-writing the same rows is a no-op (ref README.md:176).
+    Concurrent writers touching the same partitions serialize on per-partition
+    lock files (``lock=False`` opts out for single-writer pipelines).
     """
     key = key or PRIMARY_KEY
     new = _with_partitions(enforce_schema(df_new)).withColumn(_PRIO, F.lit(1))
-
-    # Restrict the merge to partitions the new data actually touches.
-    touched = [
-        (r["source"], r["market"], r["timeframe"], r["symbol"], r["year"], r["month"])
-        for r in new.select("source", "market", "timeframe", "symbol",
-                            "year", "month").distinct().collect()
-    ]
     path = f"{lake_root}/{dataset}"
-    if _dataset_exists(spark, path):
-        existing = spark.read.option("basePath", path).parquet(path)
-        pred = F.lit(False)
-        for s, m, tf, sym, y, mo in touched:
-            pred = pred | (
-                (F.col("source") == s) & (F.col("market") == m)
-                & (F.col("timeframe") == tf) & (F.col("symbol") == sym)
-                & (F.col("year") == y) & (F.col("month") == mo)
-            )
-        existing = (
-            enforce_schema(existing.where(pred))
-            .transform(_with_partitions)
-            .withColumn(_PRIO, F.lit(0))
-        )
-        merged = existing.unionByName(new, allowMissingColumns=True)
-    else:  # first write into an empty lake
-        merged = new
 
-    out = dedupe_keep(merged, key=key, order=[_PRIO], keep="last").drop(_PRIO)
-    (
-        # Sort within files by ts so parquet row-group min/max stats make the
-        # reader's ts-range pushdown effective (SURVEY §4 predicate pushdown).
-        out.repartition("source", "market", "timeframe", "symbol", "year", "month")
-        .sortWithinPartitions("ts")
-        .write.mode("overwrite")
-        .partitionBy("source", "market", "timeframe", "symbol", "year", "month")
-        .parquet(path)
+    # Restrict the merge to partitions the new data actually touches. The
+    # touched list is collected ONLY up to _PRED_LIMIT (planning-time
+    # OR-chain pruning); a wide backfill switches to a left-semi join on the
+    # partition tuple — fully distributed, pruned at runtime by dynamic
+    # partition pruning instead of at the driver.
+    touched_df = new.select(*_PART_COLS).distinct()
+    touched = touched_df.limit(_PRED_LIMIT + 1).collect()
+    overflow = len(touched) > _PRED_LIMIT
+    lock_names = (
+        ["__dataset"] if overflow or not touched
+        else [_lock_name(tuple(r[c] for c in _PART_COLS)) for r in touched]
     )
+
+    guard = (
+        _partition_locks(spark, f"{lake_root}/.locks/{dataset}", lock_names)
+        if lock else nullcontext()
+    )
+    with guard:
+        if _dataset_exists(spark, path):
+            existing = spark.read.option("basePath", path).parquet(path)
+            if overflow:
+                existing = existing.join(
+                    touched_df, on=_PART_COLS, how="left_semi")
+            else:
+                pred = F.lit(False)
+                for r in touched:
+                    clause = F.lit(True)
+                    for c in _PART_COLS:
+                        clause = clause & (F.col(c) == r[c])
+                    pred = pred | clause
+                existing = existing.where(pred)
+            existing = (
+                enforce_schema(existing)
+                .transform(_with_partitions)
+                .withColumn(_PRIO, F.lit(0))
+            )
+            merged = existing.unionByName(new, allowMissingColumns=True)
+        else:  # first write into an empty lake
+            merged = new
+
+        out = dedupe_keep(merged, key=key, order=[_PRIO], keep="last").drop(_PRIO)
+        (
+            # Sort within files by ts so parquet row-group min/max stats make
+            # the reader's ts-range pushdown effective (SURVEY §4).
+            out.repartition(*_PART_COLS)
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            # Per-write dynamic overwrite: replace ONLY partitions present in
+            # the output even when the caller's session lacks the conf —
+            # static overwrite here would delete every untouched partition.
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*_PART_COLS)
+            .parquet(path)
+        )
 
 
 def write_levels(
@@ -128,6 +220,8 @@ def write_levels(
         out.repartition("symbol", "year")
         .sortWithinPartitions("session_date")
         .write.mode("overwrite")
+        # per-write dynamic overwrite — see upsert_candles
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("symbol", "year")
         .parquet(path)
     )
@@ -145,6 +239,14 @@ def compact_partitions(
     incremental upserts (every upsert rewrites touched partitions; frequent
     small ingests leave each partition with one small file per run, and at
     100 TB a million tiny files costs more in listing+open than the scan).
+
+    OFFLINE, LOCAL-FILESYSTEM maintenance pass: it walks/renames via the
+    driver's os module (os.walk/os.rename), so it requires a posix-rename
+    filesystem and NO concurrent readers or writers on the dataset (the
+    two-rename swap has a window where a reader sees the leaf absent and
+    returns zero rows for that partition). Run it from a scheduled
+    maintenance job that owns the lake exclusively; for object-store lakes
+    use a table format's OPTIMIZE instead.
 
     Per leaf dir: if it holds more parquet files than ceil(bytes/target),
     rewrite to that many files — sorted by ``sort_col`` when the column

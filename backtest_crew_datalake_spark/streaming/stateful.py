@@ -261,7 +261,13 @@ def streaming_or_levels(
             ):
                 day = str(lt.date())
                 hm = lt.strftime("%H:%M")
-                if s[0] is not None and day != s[0]:
+                if s[0] is not None and day < s[0]:
+                    # Late out-of-order bar from an already-finalized
+                    # session: rolling state back would emit the OPEN day's
+                    # partial row and strand state on the stale day — drop
+                    # it instead (ISO dates compare lexicographically).
+                    continue
+                if s[0] is not None and day > s[0]:
                     row = _finalize(sym, s[0], s)
                     if row is not None:
                         out.append(row)

@@ -24,10 +24,14 @@ HEADLINE = [
     "q_evt_resample", "q_evt_asof_join", "q_evt_sessionize",
     "q_evt_or_levels", "q_evt_dedup_keep_last", "q_evt_interval_join",
     "q_evt_rolling_window",
-    # LLM-pipeline extensions
+    # LLM-pipeline extensions — exact paths AND the bucketed scale paths
+    # (minhash-LSH, CMS sketch, sign-LSH ANN), so a regression in a
+    # scale-path plan shows up in the bench, not just in correctness
     "q_doc_exact_dedup", "q_doc_quality", "q_doc_ngram_jaccard",
     "q_doc_bpe_token_count", "q_doc_winnow_pairs",
-    "q_emb_cosine_topk", "q_emb_ivf_topk", "q_emb_kmeans_clusters",
+    "q_doc_minhash_portable", "q_evt_cms_user_counts",
+    "q_emb_cosine_topk", "q_emb_lsh_buckets", "q_emb_ivf_topk",
+    "q_emb_kmeans_clusters",
 ]
 
 

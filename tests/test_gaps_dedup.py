@@ -87,3 +87,16 @@ def test_dedupe_keep_first_last(spark):
     first = dedupe_keep(df, key=["symbol", "ts"], order=["prio"], keep="first") \
         .orderBy("ts").toPandas()
     assert list(first.close) == [1.0, 3.0]
+
+
+def test_dedupe_keep_deterministic_without_order(spark):
+    """order=None must still pick a deterministic winner (row-wise min for
+    keep='first', max for keep='last') — not whichever row a task saw first."""
+    from backtest_crew_datalake_spark.operators.dedup import dedupe_keep
+
+    rows = [("k", 1.0, "b"), ("k", 2.0, "a"), ("k", 1.0, "a")]
+    df = spark.createDataFrame(rows, ["key", "v", "tag"]).repartition(8)
+    first = dedupe_keep(df, key=["key"], order=None, keep="first").collect()[0]
+    last = dedupe_keep(df, key=["key"], order=None, keep="last").collect()[0]
+    assert (first["v"], first["tag"]) == (1.0, "a")  # struct-lexicographic min
+    assert (last["v"], last["tag"]) == (2.0, "a")    # struct-lexicographic max

@@ -287,3 +287,92 @@ def test_compact_crash_recovery(spark, tmp_path):
     compact_partitions(spark, lake)
     assert read_range(spark, lake, symbol="BTC-USD").count() == 1440
     assert not os.path.exists(bak)
+
+
+def test_upsert_dynamic_overwrite_forced_per_write(spark, tmp_path):
+    """An upsert must replace only the partitions present in its output even
+    when the caller's session is configured for STATIC partition overwrite
+    (the per-write .option overrides the session conf; without it a static
+    overwrite deletes every existing partition — whole-lake data loss)."""
+    root = str(tmp_path / "lake")
+    jan = make_m1(spark, ["BTC-USD"], "2024-01-01", "2024-01-01", seed=3)
+    feb = make_m1(spark, ["BTC-USD"], "2024-02-01", "2024-02-01", seed=3)
+    upsert_candles(spark, jan, root)
+
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        upsert_candles(spark, feb, root)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+    got = read_range(spark, root, symbol="BTC-USD")
+    assert got.count() == 2880  # January survived the February upsert
+    months = {r[0] for r in got.select(F.month("ts")).distinct().collect()}
+    assert months == {1, 2}
+
+
+def test_concurrent_upserts_same_partition_no_lost_rows(spark, tmp_path):
+    """Two writers upserting disjoint row sets into the SAME partition
+    serialize on the partition lock; the read-modify-write interleave that
+    would drop the first writer's rows cannot happen."""
+    import threading
+
+    root = str(tmp_path / "lake")
+    m1 = make_m1(spark, ["BTC-USD"], "2024-01-01", "2024-01-01", seed=5)
+    first = m1.where(F.hour("ts") < 12)
+    second = m1.where(F.hour("ts") >= 12)
+
+    errs = []
+
+    def run(df):
+        try:
+            upsert_candles(spark, df, root)
+        except Exception as e:  # surface thread failures in the assert below
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(df,))
+               for df in (first, second)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert read_range(spark, root, symbol="BTC-USD").count() == 1440
+    # locks released
+    import glob
+    assert glob.glob(f"{root}/.locks/data/*.lock") == []
+
+
+def test_read_day_closed_second_contract(spark, tmp_path):
+    """read_day keeps the reference's CLOSED [00:00, 23:59:59] bound at
+    second precision: a bar stamped 23:59:59 is included, a sub-second bar
+    at 23:59:59.5 is excluded (ref reader.py:35-37)."""
+    import datetime as dt
+
+    from backtest_crew_datalake_spark.sources.lake import read_day
+
+    root = str(tmp_path / "lake")
+    rows = [
+        (dt.datetime(2024, 1, 1, 23, 59, 59), 101.0),
+        (dt.datetime(2024, 1, 1, 23, 59, 59, 500000), 102.0),
+        (dt.datetime(2024, 1, 2, 0, 0, 0), 103.0),
+    ]
+    df = spark.createDataFrame(
+        [(t, c, "BTC-USD") for t, c in rows], ["ts", "close", "symbol"]
+    )
+    upsert_candles(spark, enforce_schema(df, timeframe="M1"), root)
+    got = read_day(spark, root, symbol="BTC-USD", day="2024-01-01")
+    closes = {r["close"] for r in got.select("close").collect()}
+    assert closes == {101.0}
+
+
+def test_empty_lake_respects_column_projection(spark, tmp_path):
+    """An empty LAKE and an empty FILTER RESULT must expose the same schema
+    to unionByName/select consumers."""
+    got = read_range(spark, str(tmp_path / "nolake"), symbol="BTC-USD",
+                     columns=["close"])
+    assert got.columns == ["ts", "close"]
+    multi = read_range(spark, str(tmp_path / "nolake"),
+                       symbol=["BTC-USD", "ETH-USD"], columns=["close"])
+    assert set(multi.columns) == {"ts", "close", "symbol"}

@@ -516,3 +516,62 @@ def test_ivf_pq_residual_variant(spark):
     # (near-uniform data gives residuals little to exploit, so ~parity)
     assert r_res >= 0.1
     assert r_res >= r_raw - 0.15, (r_res, r_raw)
+
+
+def test_adversarial_lsh_recall_vs_exact_jaccard(spark):
+    """Seeded adversarial near-dup corpus: 30 clusters of 2-3 mutated copies
+    plus 150 random singletons. Ground truth = exact 3-gram Jaccard >= 0.4
+    (ngram_jaccard_pairs). Gates:
+    - MinHash+LSH recall >= 0.9 (banded candidates find the clusters);
+    - sorted-simhash window scan: adding rotations recovers pairs that
+      straddle a prefix boundary — rotated recall >= single-pass recall,
+      and the rotated pass clears a 0.85 floor.
+    """
+    import random
+
+    rng = random.Random(20260813)
+    vocab = [f"tok{i}" for i in range(400)]
+    docs, truth_clusters, did = [], [], 0
+    for c in range(30):
+        base = [rng.choice(vocab) for _ in range(60)]
+        ids = []
+        for _m in range(2 + c % 2):
+            toks = list(base)
+            for _ in range(3):  # ~5% token mutation -> jaccard ~0.7
+                toks[rng.randrange(len(toks))] = rng.choice(vocab)
+            docs.append((did, " ".join(toks)))
+            ids.append(did)
+            did += 1
+        truth_clusters.append(ids)
+    for _ in range(150):
+        docs.append((did, " ".join(rng.choice(vocab) for _ in range(60))))
+        did += 1
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.4).collect()
+    }
+    assert len(truth) >= 25  # the engineered clusters are in the truth set
+
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs(df, n=3, num_hashes=32, bands=16).collect()
+    }
+    lsh_recall = len(truth & lsh) / len(truth)
+    assert lsh_recall >= 0.9, f"minhash-LSH recall {lsh_recall}"
+
+    from backtest_crew_datalake_spark.pipeline.dedup import (
+        neardup_window_pairs,
+    )
+
+    kw = dict(window=6, max_hamming=20, prefix_bits=4)
+    one = {(r.id_a, r.id_b)
+           for r in neardup_window_pairs(df, rotations=1, **kw).collect()}
+    four = {(r.id_a, r.id_b)
+            for r in neardup_window_pairs(df, rotations=4, **kw).collect()}
+    r1 = len(truth & one) / len(truth)
+    r4 = len(truth & four) / len(truth)
+    assert one <= four  # union of passes only ever adds pairs
+    assert r4 >= r1, (r1, r4)
+    assert r4 >= 0.85, f"rotated window-scan recall {r4} (single-pass {r1})"

@@ -425,3 +425,55 @@ def test_streaming_interval_join(spark, tmp_path):
     batch = {(r[0], r[1], r[2]) for r in
              lb.join(rb, cond).select(lb.user_id, lb.value, rb.value).collect()}
     assert got == batch
+
+
+def test_streaming_or_levels_drops_late_prior_day_bars(spark, tmp_path):
+    """A late out-of-order bar from an already-finalized session day must be
+    DROPPED — rolling state back would prematurely emit the open day's
+    partial row and strand state on the stale day."""
+    import datetime as dt
+
+    from backtest_crew_datalake_spark.streaming.stateful import (
+        streaming_or_levels,
+    )
+
+    src = str(tmp_path / "latesrc")
+    out_dir = str(tmp_path / "lateout")
+    ckpt = str(tmp_path / "lateckpt")
+    schema = ("symbol string, ts timestamp, open double, high double, "
+              "low double, close double, volume double")
+
+    def bar(day, h, m, hi, lo, cl):
+        return ("BTC-USD", dt.datetime(2024, 1, day, h, m),
+                cl, hi, lo, cl, 1.0)
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, schema).write.mode(mode).parquet(src)
+
+    def run_once(levels):
+        q = (levels.writeStream.outputMode("append").format("parquet")
+             .option("path", out_dir).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    write([bar(1, 0, 10, 10.0, 9.0, 9.5),    # day1 OR window
+           bar(1, 2, 0, 11.0, 8.0, 10.5),    # day1 post-window
+           bar(2, 0, 10, 20.0, 19.0, 19.5)], "overwrite")  # opens day2
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    levels = streaming_or_levels(stream, or_window="00:00-01:00", tz="UTC")
+    run_once(levels)
+    assert spark.read.parquet(out_dir).count() == 1  # day1 sealed
+
+    write([bar(1, 5, 0, 99.0, 1.0, 50.0)], "append")  # LATE day1 bar
+    run_once(levels)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 1  # no premature day2 emission, no day1 re-emit
+
+    write([bar(3, 0, 10, 30.0, 29.0, 29.5)], "append")  # day3 seals day2
+    run_once(levels)
+    got = spark.read.parquet(out_dir).toPandas().sort_values("session_date")
+    assert len(got) == 2
+    d2 = got.iloc[1]
+    # day2 OR levels are unpolluted by the dropped late bar
+    assert d2.or_high == 20.0 and d2.or_low == 19.0
