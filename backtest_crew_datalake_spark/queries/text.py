@@ -225,17 +225,49 @@ def q_doc_simhash(spark, sf_dir):
 
 @register("q_multimodal_features", oracle=None)
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing end-to-end (rows-only): documents' text encoded as
-    opaque binary payloads → Arrow mapInPandas feature extraction (decode
-    stubbed deterministically — see pipeline/multimodal.py)."""
-    from ..pipeline.multimodal import extract_media_features
+    """Multimodal pipeline end-to-end (rows-only): each document is rendered
+    into a REAL media payload — even doc_ids become an uncompressed 24-bpp
+    BMP (8x8 RGB pixels derived from the text hash), odd doc_ids a mono PCM
+    WAV (160 int16 samples) — via mapInPandas, then decoded back by the
+    REAL stdlib decoders (pipeline/multimodal.decode_bmp / decode_wav): the
+    whole encode→Arrow→decode→feature path runs on true media bytes with no
+    external codec libraries. Value-level checks live in
+    tests/test_pipeline.py (encode/decode roundtrips vs numpy)."""
+    import hashlib as _hashlib
+
+    import numpy as _np
+    import pandas as _pd
+
+    from ..pipeline.multimodal import (
+        MEDIA_SCHEMA, encode_bmp, encode_wav, extract_media_features,
+    )
 
     d = load(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.encode("text", "utf-8").alias("content"),
+        F.col("doc_id").alias("media_id"), "text"
     )
-    feats = extract_media_features(d)
+
+    def _render(batches):
+        for pdf in batches:
+            ids, kinds, contents = [], [], []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                seed = _hashlib.sha256((text or "").encode()).digest()
+                rng = _np.frombuffer(seed * 24, dtype=_np.uint8)
+                if mid % 2 == 0:
+                    px = rng[: 8 * 8 * 3].reshape(8, 8, 3)
+                    kinds.append("image")
+                    contents.append(encode_bmp(px))
+                else:
+                    samples = (rng[:160].astype(_np.int16) - 128) * 256
+                    kinds.append("audio")
+                    contents.append(encode_wav(samples, rate=16000))
+                ids.append(mid)
+            yield _pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "content": contents,
+                 "meta": [None] * len(ids)}
+            )
+
+    media = d.mapInPandas(_render, schema=MEDIA_SCHEMA)
+    feats = extract_media_features(media)
     return feats.select("media_id", "kind", "n_bytes", "digest",
                         "width", "height")
 

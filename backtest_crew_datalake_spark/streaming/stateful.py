@@ -200,6 +200,7 @@ def streaming_or_levels(
     tz: str = "UTC",
     symbol_col: str = "symbol",
     ts_col: str = "ts",
+    emit_timeout_delay: str | None = None,
 ) -> DataFrame:
     """Streaming OR-levels (D1 as an unbounded-stream operator): per symbol,
     accumulate the opening-range min/max during the local OR window, then
@@ -211,9 +212,18 @@ def streaming_or_levels(
 
     State is one 9-field tuple per symbol (O(symbols), bounded). Assumes
     bars arrive session-ordered per symbol (true for candle feeds; enforce
-    upstream with a watermarked sort if not). The tail session stays open
-    in state until the next session's first bar."""
+    upstream with a watermarked sort if not).
+
+    Tail flush: by default the open session stays in state until the next
+    session's first bar arrives. With ``emit_timeout_delay`` (a watermark
+    delay string, e.g. ``"0 seconds"`` or ``"5 minutes"``), the stream gets
+    ``withWatermark(ts, delay)`` and an EVENT-TIME TIMEOUT set to the open
+    session's local midnight: once the watermark (driven by any symbol's
+    bars) passes end-of-day + delay, the open day is emitted and its state
+    removed — a quiet symbol's last session no longer waits forever for
+    that symbol's own next bar."""
     start_hm, end_hm = or_window.split("-")
+    timeout_mode = emit_timeout_delay is not None
 
     def _finalize(sym, day, s):
         or_high, or_low = s[1], s[2]
@@ -247,8 +257,28 @@ def streaming_or_levels(
         return (pd.Timestamp(day).date(), tz, or_start, or_end, or_high,
                 or_low, bdir, to_ts(b_us), to_ts(rt_us), rt_close, sym)
 
+    def _day_end_utc_ms(day: str) -> int:
+        nxt = (
+            (pd.Timestamp(day) + pd.Timedelta(days=1))
+            .tz_localize(tz, nonexistent="shift_forward", ambiguous=True)
+            .tz_convert("UTC")
+        )
+        return nxt.value // 1_000_000
+
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         (sym,) = key
+        if timeout_mode and state.hasTimedOut:
+            # watermark passed the open session's end-of-day: flush it
+            s = list(state.get) if state.exists else None
+            state.remove()
+            if s is not None and s[0] is not None:
+                row = _finalize(sym, s[0], s)
+                if row is not None:
+                    yield pd.DataFrame(
+                        [row],
+                        columns=[f.name for f in LEVELS_OUT_SCHEMA],
+                    )
+            return
         s = list(state.get) if state.exists else [None] * 9
         out = []
         for pdf in pdfs:
@@ -288,16 +318,30 @@ def streaming_or_levels(
                     if s[7] is None and hi >= s[2]:
                         s[7], s[8] = t_us, cl
         state.update(tuple(s))
+        if timeout_mode and s[0] is not None:
+            # flush the open day once the watermark passes its local
+            # midnight (timeout must stay ahead of the current watermark)
+            state.setTimeoutTimestamp(
+                max(_day_end_utc_ms(s[0]),
+                    state.getCurrentWatermarkMs() + 1)
+            )
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in LEVELS_OUT_SCHEMA])
 
+    src = (
+        stream_df.withWatermark(ts_col, emit_timeout_delay)
+        if timeout_mode else stream_df
+    )
     return (
-        stream_df.groupBy(symbol_col)
+        src.groupBy(symbol_col)
         .applyInPandasWithState(
             fn,
             outputStructType=LEVELS_OUT_SCHEMA,
             stateStructType=_LEVELS_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.EventTimeTimeout
+                if timeout_mode else GroupStateTimeout.NoTimeout
+            ),
         )
     )

@@ -477,3 +477,63 @@ def test_streaming_or_levels_drops_late_prior_day_bars(spark, tmp_path):
     d2 = got.iloc[1]
     # day2 OR levels are unpolluted by the dropped late bar
     assert d2.or_high == 20.0 and d2.or_low == 19.0
+
+
+def test_streaming_or_levels_emit_on_timeout(spark, tmp_path):
+    """With emit_timeout_delay, a quiet symbol's open session flushes when
+    the WATERMARK (driven by any symbol) passes its end-of-day — it no
+    longer waits for that symbol's own next bar — and the flushed row
+    matches build_or_levels exactly."""
+    import datetime as dt
+
+    from backtest_crew_datalake_spark.operators.levels import build_or_levels
+    from backtest_crew_datalake_spark.streaming.stateful import (
+        streaming_or_levels,
+    )
+
+    src = str(tmp_path / "tosrc")
+    out_dir = str(tmp_path / "toout")
+    ckpt = str(tmp_path / "tockpt")
+    schema = ("symbol string, ts timestamp, open double, high double, "
+              "low double, close double, volume double")
+
+    def bar(sym, day, h, m, hi, lo, cl):
+        return (sym, dt.datetime(2024, 1, day, h, m), cl, hi, lo, cl, 1.0)
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, schema).write.mode(mode).parquet(src)
+
+    def run_once(levels):
+        q = (levels.writeStream.outputMode("append").format("parquet")
+             .option("path", out_dir).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    btc_bars = [bar("BTC-USD", 1, 0, 10, 10.0, 9.0, 9.5),
+                bar("BTC-USD", 1, 0, 20, 10.5, 9.2, 10.2),
+                bar("BTC-USD", 1, 2, 0, 11.0, 8.0, 10.6)]
+    write(btc_bars, "overwrite")
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    levels = streaming_or_levels(stream, or_window="00:00-01:00", tz="UTC",
+                                 emit_timeout_delay="0 seconds")
+    run_once(levels)
+    assert spark.read.parquet(out_dir).count() == 0  # day still open
+
+    # a DIFFERENT symbol's day-2 bar advances the global watermark past
+    # BTC's 2024-01-01 midnight -> BTC's open session times out and flushes
+    write([bar("ETH-USD", 2, 0, 10, 5.0, 4.0, 4.5)], "append")
+    run_once(levels)
+    run_once(levels)  # timeout fires in the batch AFTER the watermark moves
+    got = spark.read.parquet(out_dir).toPandas()
+    got = got[got.symbol == "BTC-USD"]
+    assert len(got) == 1
+
+    want = build_or_levels(
+        spark.createDataFrame(btc_bars, schema),
+        or_window="00:00-01:00", tz="UTC",
+    ).toPandas().iloc[0]
+    g = got.iloc[0]
+    for col in ["session_date", "or_high", "or_low", "break_dir",
+                "break_ts", "retest_ts", "retest_price"]:
+        assert str(g[col]) == str(want[col]), col
