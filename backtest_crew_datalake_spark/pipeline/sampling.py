@@ -1,0 +1,162 @@
+"""Training-corpus assembly operators: deterministic sampling, dataset
+splits, vocabulary building, token-budget packing, and benchmark
+decontamination.
+
+These are the corpus-side counterparts of the dedup/similarity operators: the
+steps between "cleaned documents" and "training shards". All are built on
+content/id hashing with an engine-portable hash (md5 hex), so every operator
+is (a) deterministic across runs, partitionings, and engines — the property
+random() sampling cannot give a distributed pipeline — and (b) value-checkable
+against a DuckDB oracle.
+
+Scale notes:
+- hash predicates (sample/split) are pure row-local expressions: no shuffle,
+  full pushdown past the scan, stable under repartitioning;
+- vocab_topk is one token-explode + hash agg + a k-row ordered head;
+- pack_bins is a per-group running-sum window (one keyed shuffle);
+- contamination joins the corpus's shingles against the (small) benchmark
+  shingle set — broadcast the benchmark side at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col: Column, salt: str = "", buckets: int = 100) -> Column:
+    """Deterministic [0, buckets) bucket from the md5 of ``salt|value``.
+
+    Uses the first 4 hex chars (16 bits) of the digest — uniform enough for
+    percentage-level sampling and engine-portable (DuckDB computes the same
+    md5 hex string).
+    """
+    h = F.md5(F.concat(F.lit(f"{salt}|"), col.cast("string")).cast("binary"))
+    return (F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+            % F.lit(buckets)).cast("int")
+
+
+def hash_sample(
+    df: DataFrame, rate_pct: int, key_col: str = "doc_id", salt: str = "s",
+) -> DataFrame:
+    """Keep a deterministic ~rate_pct% of rows by id hash. Unlike
+    ``df.sample``, the selection is a pure function of the key: stable
+    across runs, engines, and partitionings, and a document keeps or loses
+    membership independently of everything else (safe under incremental
+    re-runs over a growing corpus)."""
+    return df.where(hash_bucket(F.col(key_col), salt) < rate_pct)
+
+
+def train_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    salt: str = "split",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Assign each row a deterministic train/val/test split by id hash
+    (train_pct / val_pct / remainder). Adds a ``split`` column."""
+    b = hash_bucket(F.col(key_col), salt)
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def vocab_topk(
+    df: DataFrame, text_col: str = "text", k: int = 50,
+) -> DataFrame:
+    """Top-k corpus vocabulary by token frequency with a deterministic
+    tie-break (count desc, token asc). Output: (rank, token, n)."""
+    from pyspark.sql import Window
+
+    from .text import tokens
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token").agg(F.count("*").alias("n"))
+    )
+    # orderBy + limit compiles to TakeOrderedAndProject — a distributed
+    # per-partition top-k + k-row merge, never a global sort. The ranking
+    # window then runs over only the k survivors.
+    top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "token", "n"
+    )
+
+
+def pack_bins(
+    df: DataFrame,
+    size_col: str,
+    capacity: int,
+    by: Sequence[str] = (),
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Sequential token-budget packing: within each ``by`` group, walk rows
+    in ``order_col`` order and assign ``bin = floor(exclusive_running_sum /
+    capacity)`` — the streaming shard-assembly rule (each bin holds
+    consecutive documents totalling ~capacity tokens; a bin may overflow by
+    at most one document, exactly like an append-until-full shard writer).
+    Deterministic, one keyed window shuffle, no driver loop. Adds ``bin``.
+    """
+    from pyspark.sql import Window
+
+    by = list(by)
+    w = (
+        Window.partitionBy(*by).orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return df.withColumn(
+        "bin", F.floor(cum_excl / F.lit(capacity)).cast("bigint")
+    )
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_ratio: float = 0.1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination scan: for each corpus document, the share
+    of its distinct word n-gram shingles that appear in ANY benchmark
+    document. Documents with ratio >= min_ratio are flagged (these are the
+    train-set rows that would leak evaluation data).
+
+    Output: (doc_id, n_shared, n_shingles, ratio), ratio rounded to 6.
+    At scale the benchmark shingle set is small — broadcast it so the scan
+    over the 100 TB corpus is map-side only.
+    """
+    from .dedup import _shingles
+
+    bench_sh = (
+        benchmark.select(F.explode(_shingles(text_col, n)).alias("sh"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    corpus_sh = corpus.select(
+        F.col(id_col), F.explode(_shingles(text_col, n)).alias("sh")
+    )
+    sizes = corpus_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    shared = (
+        corpus_sh.join(bench_sh, "sh", "left_semi")
+        .groupBy(id_col).agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        sizes.join(shared, id_col, "left")
+        .withColumn("n_shared", F.coalesce("n_shared", F.lit(0)))
+        .withColumn(
+            "ratio", F.round(F.col("n_shared") / F.col("n_shingles"), 6)
+        )
+        .where(F.col("ratio") >= min_ratio)
+        .select(id_col, "n_shared", "n_shingles", "ratio")
+    )

@@ -90,6 +90,11 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_doc_distinct_estimate",
     "q_doc_aligned_span_pairs",
     "q_doc_dedup_recall",
+    "q_doc_hash_sample",
+    "q_doc_train_split",
+    "q_doc_vocab_topk",
+    "q_doc_pack_bins",
+    "q_doc_contamination",
     "q_doc_minhash_lsh_pairs",
     "q_doc_simhash",
     "q_emb_cosine_topk",

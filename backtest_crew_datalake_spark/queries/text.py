@@ -794,3 +794,181 @@ def q_doc_aligned_span_pairs(spark, sf_dir):
                 F.col("dn").alias("aligned_fps"),
                 F.col("delta").alias("align_delta"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-corpus assembly (pipeline/sampling.py): deterministic sampling,
+# splits, vocabulary, packing, decontamination. The md5 hash bucket is
+# engine-portable; `_HEX4` parses the first 4 digest hex chars in DuckDB.
+# ---------------------------------------------------------------------------
+
+def _hex4(expr: str) -> str:
+    """DuckDB SQL for int value of the first 4 hex chars of ``expr``."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    ) + ")"
+
+
+@register(
+    "q_doc_hash_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_hex4("md5('s|' || doc_id::VARCHAR)")} % 100 < 10
+    """,
+)
+def q_doc_hash_sample(spark, sf_dir):
+    """Deterministic ~10% corpus sample by id hash (pipeline/sampling.py):
+    selection is a pure row-local function of doc_id — stable across runs,
+    engines, and partitionings, pushes past the scan, and never shuffles
+    (unlike df.sample, whose output depends on partitioning and seed
+    plumbing)."""
+    from ..pipeline.sampling import hash_sample
+
+    d = load(spark, sf_dir, "documents")
+    return hash_sample(d, 10, key_col="doc_id", salt="s").select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "q_doc_train_split",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT CASE
+                 WHEN {_hex4("md5('split|' || doc_id::VARCHAR)")} % 100 < 80
+                   THEN 'train'
+                 WHEN {_hex4("md5('split|' || doc_id::VARCHAR)")} % 100 < 90
+                   THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               n_chars
+        FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM tagged GROUP BY 1
+    """,
+)
+def q_doc_train_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split by id hash — the
+    distributed-safe split rule (membership is a pure function of the id,
+    so growing the corpus or changing partitioning never reshuffles
+    existing assignments). Emits per-split counts + mean doc length."""
+    from ..pipeline.sampling import train_split
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        train_split(d, key_col="doc_id", salt="split")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"),
+             F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+    )
+
+
+@register(
+    "q_doc_vocab_topk",
+    oracle=r"""
+    WITH tok AS (
+        SELECT UNNEST(string_split_regex(TRIM(text), '\s+')) AS token
+        FROM documents
+    ),
+    counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1),
+    ranked AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank, token, n
+        FROM counts
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, token, n
+    FROM ranked WHERE rank <= 50
+    """,
+)
+def q_doc_vocab_topk(spark, sf_dir):
+    """Top-50 corpus vocabulary by token frequency, deterministic tie-break
+    (count desc, token asc). orderBy+limit compiles to
+    TakeOrderedAndProject — distributed per-partition top-k, no global
+    sort (pipeline/sampling.vocab_topk)."""
+    from ..pipeline.sampling import vocab_topk
+
+    d = load(spark, sf_dir, "documents")
+    return vocab_topk(d, k=50).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
+
+
+@register(
+    "q_doc_pack_bins",
+    oracle="""
+    WITH packed AS (
+        SELECT lang, n_chars,
+               CAST(FLOOR(COALESCE(SUM(n_chars) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / 8192) AS BIGINT) AS bin
+        FROM documents
+    )
+    SELECT lang, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def q_doc_pack_bins(spark, sf_dir):
+    """Sequential shard packing: per language, walk docs in id order and cut
+    a new ~8 KiB bin whenever the running size passes the capacity — the
+    append-until-full shard-writer rule as ONE keyed window (exclusive
+    running sum), no driver loop (pipeline/sampling.pack_bins). Emits per
+    (lang, bin) doc counts and sizes."""
+    from ..pipeline.sampling import pack_bins
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        pack_bins(d, size_col="n_chars", capacity=8192, by=["lang"],
+                  order_col="doc_id")
+        .groupBy("lang", "bin")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@register(
+    "q_doc_contamination",
+    oracle=r"""
+    WITH shingled AS (
+        SELECT doc_id, UNNEST(list_distinct(
+            CASE WHEN LEN(toks) >= 3 THEN
+                list_transform(generate_series(1, LEN(toks) - 2),
+                               i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])
+            ELSE [array_to_string(toks, ' ')] END)) AS sh
+        FROM (SELECT doc_id,
+                     string_split_regex(TRIM(text), '\s+') AS toks
+              FROM documents)
+    ),
+    bench AS (SELECT DISTINCT sh FROM shingled WHERE doc_id < 20),
+    corpus AS (SELECT doc_id, sh FROM shingled WHERE doc_id >= 20),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY 1),
+    shared AS (
+        SELECT doc_id, COUNT(*) AS n_shared
+        FROM corpus SEMI JOIN bench USING (sh) GROUP BY 1
+    )
+    SELECT s.doc_id, COALESCE(h.n_shared, 0) AS n_shared, s.n_shingles,
+           ROUND(CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / s.n_shingles,
+                 6) AS ratio
+    FROM sizes s LEFT JOIN shared h ON s.doc_id = h.doc_id
+    WHERE CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / s.n_shingles >= 0.1
+    """,
+)
+def q_doc_contamination(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing >= 10% of
+    their distinct 3-gram shingles with the benchmark set (docs 0-19 stand
+    in for an eval suite). The benchmark shingle set broadcasts, so at
+    100 TB the corpus-side scan is map-side only
+    (pipeline/sampling.contamination)."""
+    from ..pipeline.sampling import contamination
+
+    d = load(spark, sf_dir, "documents")
+    return contamination(
+        d.where(F.col("doc_id") >= 20),
+        d.where(F.col("doc_id") < 20),
+        n=3, min_ratio=0.1,
+    )

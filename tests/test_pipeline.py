@@ -661,3 +661,64 @@ def test_extract_media_features_real_payloads(spark):
     assert abs(out[1].feature[0] - 128 / 255) < 1e-6
     assert out[2].width is None
     assert out[2].feature[2] - 0.02 < 1e-6  # 320 frames @ 16 kHz duration
+
+
+def test_hash_sample_and_split_deterministic(spark):
+    """Hash sampling/splitting is a pure function of the key: identical
+    output under different partitionings, roughly proportional rates, and
+    split assignment is stable when the corpus grows."""
+    from backtest_crew_datalake_spark.pipeline.sampling import (
+        hash_sample, train_split,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in hash_sample(df, 10).collect()}
+    b = {r.doc_id for r in hash_sample(df.repartition(17), 10).collect()}
+    assert a == b
+    assert 120 <= len(a) <= 280  # ~10% of 2000
+
+    s1 = {r.doc_id: r.split for r in train_split(df).collect()}
+    grown = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    s2 = {r.doc_id: r.split for r in train_split(grown).collect()}
+    assert all(s2[k] == v for k, v in s1.items())  # growth never reassigns
+    frac = sum(1 for v in s1.values() if v == "train") / len(s1)
+    assert 0.74 <= frac <= 0.86
+
+
+def test_pack_bins_append_until_full(spark):
+    """pack_bins is the append-until-full shard rule: bins are contiguous
+    in order, start at 0, and no bin would still fit its last document's
+    predecessor set (total - last_doc < capacity)."""
+    from backtest_crew_datalake_spark.pipeline.sampling import pack_bins
+
+    import random
+    rng = random.Random(3)
+    rows = [(i, "en", rng.randrange(50, 900)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "sz"])
+    out = pack_bins(df, "sz", capacity=2048, by=["lang"],
+                    order_col="doc_id").orderBy("doc_id").collect()
+    bins = [r.bin for r in out]
+    assert bins[0] == 0
+    assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+    from collections import defaultdict
+    totals, last = defaultdict(int), {}
+    for r in out:
+        totals[r.bin] += r.sz
+        last[r.bin] = r.sz
+    for b, tot in totals.items():
+        assert tot - last[b] < 2048, (b, tot)
+
+
+def test_contamination_flags_copied_benchmark_doc(spark):
+    from backtest_crew_datalake_spark.pipeline.sampling import contamination
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog again")],
+        ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog again"),  # copy
+         (11, "completely different words about spark window functions")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in contamination(corpus, bench, n=3).collect()}
+    assert 10 in out and out[10].ratio == 1.0
+    assert 11 not in out
