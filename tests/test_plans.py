@@ -154,6 +154,28 @@ def test_q18_broadcasts_filtered_agg_not_customer(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_contamination_plan_broadcasts_benchmark(spark):
+    p = _plan(spark, "q_doc_contamination")
+    # benchmark shingle set broadcasts; the corpus-side scan must stay
+    # map-side (semi join against the broadcast, no corpus cartesian)
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pack_bins_single_keyed_window_shuffle(spark):
+    p = _plan(spark, "q_doc_pack_bins")
+    # one keyed shuffle (the lang window); never a global range sort
+    assert "Exchange rangepartitioning" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_vocab_topk_uses_distributed_topk(spark):
+    p = _plan(spark, "q_doc_vocab_topk")
+    # orderBy+limit must compile to TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in p
+
+
 def test_cms_plan_broadcasts_sketch(spark):
     p = _plan(spark, "q_evt_cms_user_counts")
     # the 4x256-cell sketch is the broadcast side of the probe join
