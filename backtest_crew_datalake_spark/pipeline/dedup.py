@@ -22,6 +22,28 @@ from pyspark.sql import DataFrame, functions as F
 from .text import tokens
 
 
+def spread_partitions(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition by ``cols`` ONLY when the input has fewer partitions than
+    the cluster's default parallelism. Single-row-group parquet files scan
+    as ONE task, which starves the hash-heavy per-shingle aggregations
+    downstream (observed: the 16-way md5 minhash agg pinned to one core).
+    At 100 TB the scan already yields >= parallelism partitions and this is
+    a no-op — no extra shuffle on the scale path.
+
+    The partition count is pinned explicitly: an unsized repartition(col)
+    is an AQE coalesce target, and for a few-KB input AQE merges it back
+    to ONE partition — CPU-heavy stages need the split even though the
+    bytes are tiny (measured: pinned 32-way is 6x faster than AQE's
+    choice on the minhash agg)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        if cols:  # co-locate by key for downstream keyed aggs
+            return df.repartition(sc.defaultParallelism,
+                                  *[F.col(c) for c in cols])
+        return df.repartition(sc.defaultParallelism)  # round-robin
+    return df
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     keep: str = "min",
@@ -111,7 +133,7 @@ def minhash_dedup_pairs(
     the exact shingle join.
     """
     rows_per_band = num_hashes // bands
-    sh = df.select(
+    sh = spread_partitions(df, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(_shingles(text_col, n)).alias("sh"),
     )
@@ -158,6 +180,7 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
     +1 if set else -1; the signature bit is 1 where the sum is positive.
     Implemented with transform/aggregate over the token array — no UDFs.
     """
+    df = spread_partitions(df)  # 64 per-row bit sums: CPU-heavy, row-local
     t = F.array_distinct(tokens(F.col(text_col)))
     hashes = F.transform(t, lambda x: F.xxhash64(x))
 

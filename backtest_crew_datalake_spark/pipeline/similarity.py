@@ -45,10 +45,14 @@ def cosine_topk(
     """
     from pyspark.sql import Window
 
+    from .dedup import spread_partitions
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    c = corpus.select(
+    # the corpus streams through the dot-product scan — make sure a
+    # single-row-group input doesn't pin the whole scan to one task
+    c = spread_partitions(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     )
     sim = _dot(F.col("__qv"), F.col("__cv")) / (
@@ -164,10 +168,12 @@ def cosine_topk_bucketed(
     design; the benchmark-scale variant). Same output schema as cosine_topk."""
     from pyspark.sql import Window
 
+    from .dedup import spread_partitions
+
     qb = lsh_sign_buckets(queries, vec_col, bits).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "bucket"
     )
-    cb = lsh_sign_buckets(corpus, vec_col, bits).select(
+    cb = lsh_sign_buckets(spread_partitions(corpus), vec_col, bits).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "bucket"
     )
     sim = _dot(F.col("__qv"), F.col("__cv")) / (
@@ -205,6 +211,9 @@ def kmeans_assign(
     top-n under AQE since each id is unique)."""
     from pyspark.sql import Window
 
+    from .dedup import spread_partitions
+
+    df = spread_partitions(df, id_col)  # N×k distance evals: CPU-heavy
     cent = F.broadcast(
         centroids.select(
             F.col("centroid_id").alias("__cid"), F.col(vec_col).alias("__cv")

@@ -132,6 +132,9 @@ def winnow_fingerprints(
     """
     from pyspark.sql import Window
 
+    from .dedup import spread_partitions
+
+    df = spread_partitions(df, id_col)  # gram md5 is CPU-heavy, row-local
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     grams = F.expr(
         f"transform(sequence(0, size(__toks) - {k}), "

@@ -429,9 +429,9 @@ def q_doc_minhash_portable(spark, sf_dir):
 def _portable_minhash_pairs(d):
     """Engine-portable MinHash+LSH candidate pairs (see
     q_doc_minhash_portable); shared by the recall scoreboard."""
-    from ..pipeline.dedup import _shingles
+    from ..pipeline.dedup import _shingles, spread_partitions
 
-    sh = d.select(
+    sh = spread_partitions(d, "doc_id").select(
         F.col("doc_id"), F.explode(_shingles("text", 3)).alias("sh")
     )
     mh = sh.groupBy("doc_id").agg(*[
