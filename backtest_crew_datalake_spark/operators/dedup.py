@@ -20,6 +20,19 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _orderable(dt: T.DataType) -> bool:
+    """True if Spark defines an ordering for ``dt`` (maps don't; arrays and
+    structs are orderable iff their element/field types are)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def dedupe_keep(
@@ -45,7 +58,17 @@ def dedupe_keep(
     others = [c for c in df.columns if c not in key]
     row = F.struct(*[F.col(c) for c in others])
     if order is None:
-        pick = F.min_by(row, row) if keep == "first" else F.max_by(row, row)
+        # The ordering struct must hold only ORDERABLE types — a MapType
+        # non-key column in the comparison key would raise AnalysisException
+        # (maps have no ordering). Such columns stay in the VALUE struct but
+        # are excluded from the ordering; determinism then rests on the
+        # orderable columns (rows identical in every orderable column but
+        # differing in a map column tie arbitrarily — documented narrowing).
+        fields = {f.name: f.dataType for f in df.schema.fields}
+        ordcols = [c for c in others if _orderable(fields[c])]
+        ordk = (F.struct(*[F.col(c) for c in ordcols]) if ordcols
+                else F.lit(0))
+        pick = F.min_by(row, ordk) if keep == "first" else F.max_by(row, ordk)
     else:
         ordk = F.struct(*[F.col(c) if isinstance(c, str) else c for c in order])
         pick = F.max_by(row, ordk) if keep == "last" else F.min_by(row, ordk)

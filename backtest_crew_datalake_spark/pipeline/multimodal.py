@@ -141,11 +141,16 @@ def decode_wav(content: bytes) -> dict:
         nch, sw, rate, nfr = (wf.getnchannels(), wf.getsampwidth(),
                               wf.getframerate(), wf.getnframes())
         raw = wf.readframes(nfr)
-    dt = {1: np.int8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(sw)
-    if dt is None:
+    if sw == 1:
+        # 8-bit PCM WAV is UNSIGNED (0..255, silence at 128) per the WAV
+        # spec — signed i8 would read silence as a -1.0 DC offset.
+        x = np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0
+        x /= 128.0
+    elif sw in (2, 4):
+        x = np.frombuffer(raw, np.dtype(f"<i{sw}")).astype(np.float64)
+        x /= float(2 ** (8 * sw - 1))
+    else:
         raise NotImplementedError(f"unsupported WAV sample width {sw}")
-    x = np.frombuffer(raw, dt).astype(np.float64)
-    x /= float(2 ** (8 * sw - 1))
     dur = nfr / float(rate) if rate else 0.0
     if x.size:
         rms = float(np.sqrt(np.mean(x * x)))

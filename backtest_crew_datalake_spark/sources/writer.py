@@ -53,10 +53,61 @@ def _lock_name(vals) -> str:
     return "__".join(re.sub(r"[^A-Za-z0-9._-]", "-", str(v)) for v in vals)
 
 
+_DATASET_LOCK = "__dataset"
+
+
+def _try_steal(fs, jpath, p, lease_ms: int) -> bool:
+    """Remove ``p`` iff it is older than the lease. Returns True when the
+    lock is (now) gone and a create may be retried immediately.
+
+    The steal is ATOMIC: rename the stale lock to a unique tombstone name,
+    then delete the tombstone. Rename is atomic on HDFS/local FS, so of two
+    concurrent stealers exactly one rename succeeds — and a lock freshly
+    re-created by the winner is never clobbered by the loser (the loser's
+    rename targets a source path that no longer exists and fails). A plain
+    delete-after-stat could delete the WINNER's new lock instead of the
+    stale one, leaving two writers both believing they hold it.
+    """
+    try:
+        age_ms = int(time.time() * 1000) - fs.getFileStatus(
+            p).getModificationTime()
+    except Exception:
+        return True  # holder released between probe and stat — retry create
+    if age_ms <= lease_ms:
+        return False
+    tomb = jpath(f"{p}.steal.{os.getpid()}.{time.monotonic_ns()}")
+    try:
+        if fs.rename(p, tomb):
+            fs.delete(tomb, False)
+            return True
+    except Exception:
+        pass
+    return False  # another writer stole (or refreshed) it first
+
+
+def _acquire(fs, jpath, p, deadline: float, lease_ms: int) -> None:
+    # Deadline is checked on EVERY iteration — including after a stat/steal
+    # failure — so a persistently failing filesystem raises instead of
+    # looping forever.
+    while not fs.createNewFile(p):
+        if time.monotonic() > deadline:
+            raise PartitionLockTimeout(f"timed out waiting for {p}")
+        time.sleep(0.01 if _try_steal(fs, jpath, p, lease_ms) else 0.1)
+
+
+def _wait_absent(fs, jpath, p, deadline: float, lease_ms: int) -> None:
+    while fs.exists(p):
+        if time.monotonic() > deadline:
+            raise PartitionLockTimeout(f"timed out waiting for {p} release")
+        if not _try_steal(fs, jpath, p, lease_ms):
+            time.sleep(0.1)
+
+
 @contextmanager
 def _partition_locks(spark: SparkSession, lock_dir: str,
                      names: list[str], timeout_s: float = 120.0,
-                     lease_ms: int = _LOCK_LEASE_MS):
+                     lease_ms: int = _LOCK_LEASE_MS,
+                     exclusive: bool = False):
     """Serialize concurrent upserts that touch the same partitions.
 
     One lock file per touched partition under ``lock_dir`` (kept OUTSIDE
@@ -65,33 +116,64 @@ def _partition_locks(spark: SparkSession, lock_dir: str,
     the Hadoop FileSystem's atomic ``createNewFile``. Locks are acquired in
     sorted order (no deadlock between writers with overlapping sets), polled
     until ``timeout_s``, and stolen when older than ``lease_ms`` (orphaned by
-    a crashed writer). Atomicity note: create-exclusive is atomic on HDFS and
-    local FS; plain S3 has no atomic create — there, front this with a real
-    lock service or a table format (Delta/Iceberg) instead.
+    a crashed writer — steal is rename-then-delete, atomic, see _try_steal).
+
+    Two compatible lock modes share one directory (a wide backfill that
+    cannot enumerate its partitions must still serialize against narrow
+    upserts into partitions it may touch):
+
+    - shared (default): wait for the ``__dataset`` sentinel to be absent,
+      acquire the per-partition locks, then RE-CHECK the sentinel — if an
+      exclusive writer slipped in mid-acquisition, release everything and
+      retry. Once the re-check passes, either the exclusive writer arrived
+      after our locks existed (it now waits for them) or not at all.
+    - exclusive: acquire the ``__dataset`` sentinel, then wait until no
+      per-partition lock remains (shared writers that pre-dated the
+      sentinel drain; new ones block on the sentinel).
+
+    Atomicity note: create-exclusive/rename are atomic on HDFS and local
+    FS; plain S3 has neither — there, front this with a real lock service
+    or a table format (Delta/Iceberg) instead.
     """
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path
     fs = jpath(lock_dir).getFileSystem(spark._jsc.hadoopConfiguration())
     fs.mkdirs(jpath(lock_dir))
-    want = [jpath(f"{lock_dir}/{n}.lock") for n in sorted(set(names))]
+    deadline = time.monotonic() + timeout_s
+    sentinel = jpath(f"{lock_dir}/{_DATASET_LOCK}.lock")
     held = []
     try:
-        for p in want:
-            deadline = time.monotonic() + timeout_s
-            while not fs.createNewFile(p):
-                try:
-                    age_ms = int(time.time() * 1000) - fs.getFileStatus(
-                        p).getModificationTime()
-                    if age_ms > lease_ms:
-                        fs.delete(p, False)  # stale: steal and re-create
-                        continue
-                except Exception:
-                    continue  # holder released between probe and stat
+        if exclusive:
+            _acquire(fs, jpath, sentinel, deadline, lease_ms)
+            held.append(sentinel)
+            while True:  # drain pre-existing shared writers
+                others = [
+                    st.getPath() for st in fs.listStatus(jpath(lock_dir))
+                    if st.getPath().getName().endswith(".lock")
+                    and st.getPath().getName() != sentinel.getName()
+                ]
+                if not others:
+                    break
                 if time.monotonic() > deadline:
                     raise PartitionLockTimeout(
-                        f"timed out after {timeout_s}s waiting for {p}")
+                        f"timed out draining {len(others)} partition locks")
+                if not any(_try_steal(fs, jpath, q, lease_ms)
+                           for q in others):
+                    time.sleep(0.1)
+        else:
+            want = [jpath(f"{lock_dir}/{n}.lock") for n in sorted(set(names))]
+            while True:
+                _wait_absent(fs, jpath, sentinel, deadline, lease_ms)
+                for p in want:
+                    _acquire(fs, jpath, p, deadline, lease_ms)
+                    held.append(p)
+                if not fs.exists(sentinel):
+                    break
+                # exclusive writer arrived mid-acquisition: back off, retry
+                for p in held:
+                    fs.delete(p, False)
+                held.clear()
                 time.sleep(0.1)
-            held.append(p)
         yield
     finally:
         for p in held:
@@ -151,13 +233,18 @@ def upsert_candles(
     touched_df = new.select(*_PART_COLS).distinct()
     touched = touched_df.limit(_PRED_LIMIT + 1).collect()
     overflow = len(touched) > _PRED_LIMIT
+    # A writer that can't (or needn't) enumerate its partitions takes the
+    # dataset sentinel EXCLUSIVELY; narrow writers take per-partition locks
+    # that the sentinel protocol serializes against (see _partition_locks).
+    exclusive = overflow or not touched
     lock_names = (
-        ["__dataset"] if overflow or not touched
+        [] if exclusive
         else [_lock_name(tuple(r[c] for c in _PART_COLS)) for r in touched]
     )
 
     guard = (
-        _partition_locks(spark, f"{lake_root}/.locks/{dataset}", lock_names)
+        _partition_locks(spark, f"{lake_root}/.locks/{dataset}", lock_names,
+                         exclusive=exclusive)
         if lock else nullcontext()
     )
     with guard:
