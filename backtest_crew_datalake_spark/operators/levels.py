@@ -64,7 +64,11 @@ def build_or_levels(
         .where(F.col("or_high").isNotNull())  # skip sessions w/o OR rows
     )
 
-    joined = base.join(F.broadcast(levels), on=[*by, "session_date"], how="inner")
+    # No broadcast hint: `levels` has one row per (by..., session_date), which
+    # scales linearly with the input (~rows/1440) — at 100 TB that is ~1e9
+    # sessions, far past broadcast range. AQE still broadcasts it while it is
+    # actually small; a forced hint would pin an OOM plan at scale.
+    joined = base.join(levels, on=[*by, "session_date"], how="inner")
     up_break = after & (F.col("close") > F.col("or_high"))
     dn_break = after & (F.col("close") < F.col("or_low"))
     up_retest = after & (F.col("low") <= F.col("or_high"))

@@ -359,7 +359,13 @@ def q_doc_winnow_pairs(spark, sf_dir):
     from ..pipeline.text import winnow_fingerprints
 
     d = load(spark, sf_dir, "documents")
-    f = winnow_fingerprints(d, k=3, w=4)
+    # Materialize the (doc_id, fingerprint) table before the df-agg and the
+    # pair self-join: self-join attribute dedup defeats exchange reuse, so
+    # without this the tokenize→md5→window-minima subplan executes once for
+    # the rare-fingerprint agg and once per self-join side (3×). The
+    # fingerprint table is ~1% of corpus bytes — checkpointing it is the
+    # scale-correct shape for every blocking structure in this engine.
+    f = winnow_fingerprints(d, k=3, w=4).localCheckpoint(eager=False)
     rare = (
         f.groupBy("fingerprint")
         .agg(F.countDistinct("doc_id").alias("__df"))
@@ -367,11 +373,6 @@ def q_doc_winnow_pairs(spark, sf_dir):
         .select("fingerprint")
     )
     fk = f.join(rare, "fingerprint")
-    # self-join recomputes the winnowing subplan per side (self-join attr
-    # dedup defeats exchange reuse); at corpus scale, materialize the
-    # (doc_id, fingerprint) table first — it is ~1% of corpus bytes — and
-    # pair-join the materialized table, as with every blocking structure
-    # in this engine
     return (
         fk.alias("a")
         .join(fk.alias("b"), "fingerprint")

@@ -95,6 +95,17 @@ def test_winnow_pairs_plan_no_cartesian(spark):
     assert "Exchange hashpartitioning(fingerprint" in p
 
 
+def test_winnow_pairs_single_winnow_subtree(spark):
+    # the fingerprint table is checkpointed before the rare-agg and the pair
+    # self-join, so the expensive tokenize→md5→window subplan appears ONCE
+    # (inside the checkpointed RDD) and the SQL plan reads ExistingRDD — a
+    # plan with any parquet scan means the checkpoint regressed and the
+    # winnow subtree computes 3×
+    p = _plan(spark, "q_doc_winnow_pairs")
+    assert "FileScan parquet" not in p
+    assert "Scan ExistingRDD" in p
+
+
 def test_kmeans_plan_broadcast_only_centroids(spark):
     p = _plan(spark, "q_emb_kmeans_clusters")
     # centroid assignment is broadcast (tiny side); the corpus itself must
@@ -135,6 +146,10 @@ def test_no_forced_broadcast_of_sf_scaled_tables():
         "c", "customer", "p", "part", "o", "orders", "li", "l", "lineitem",
         "s", "supplier", "e", "events", "d", "docs", "documents", "emb",
         "embeddings", "corpus",
+        # derived-but-SF-scaled: tables with one row per group of an
+        # SF-scaled input (per-session levels, per-doc fingerprints, ...)
+        # grow linearly with the data and must not be hint-broadcast either
+        "levels", "f", "fk", "base", "joined", "sessions", "fingerprints",
     }
     offenders = []
     for path in qdir.rglob("*.py"):
@@ -144,6 +159,18 @@ def test_no_forced_broadcast_of_sf_scaled_tables():
                 line = src[: m.start()].count("\n") + 1
                 offenders.append(f"{path.name}:{line} broadcast({m.group(1)})")
     assert not offenders, f"forced broadcast of SF-scaled inputs: {offenders}"
+
+
+@pytest.mark.parametrize("q", ["q_evt_or_levels", "q_evt_or_levels_nyc"])
+def test_or_levels_no_forced_broadcast(spark, q):
+    """Plan-level gate (stronger than the name heuristic above): the
+    per-session levels table has one row per (symbol, session_date) — it
+    scales with the input (~rows/1440; ~1e9 sessions at 100 TB) and must
+    never carry a broadcast hint. AQE may still choose to broadcast it at
+    runtime while small; a hint would pin the OOM plan at scale."""
+    df = all_queries()[q].build(spark, SF)
+    lp = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in lp
 
 
 def test_q18_broadcasts_filtered_agg_not_customer(spark):
