@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 import re
+import threading
 import time
 from contextlib import contextmanager, nullcontext
 
@@ -42,7 +43,22 @@ _PART_COLS = ["source", "market", "timeframe", "symbol", "year", "month"]
 _PRED_LIMIT = 512
 
 # A lock older than this is presumed orphaned by a dead writer and stolen.
+# Live holders renew their locks every lease/3 (heartbeat thread in
+# _partition_locks), so lock age only approaches the lease when the holding
+# process is dead or wholly stalled — a write may run arbitrarily longer
+# than the lease without being stolen mid-write.
 _LOCK_LEASE_MS = 15 * 60 * 1000
+
+# Shared-mode acquisition retries when an exclusive writer keeps slipping in
+# between the sentinel check and per-partition lock acquisition. Each retry
+# waits out the sentinel again; exhausting this means exclusive writers are
+# arriving continuously for ~_SHARED_RETRIES full timeout windows.
+_SHARED_RETRIES = 16
+
+# Test seam: invoked between the staleness stat and the steal rename in
+# _try_steal, so tests can deterministically interleave a competing writer
+# into that window. Always None in production.
+_STEAL_STAT_HOOK = None
 
 
 class PartitionLockTimeout(RuntimeError):
@@ -60,13 +76,19 @@ def _try_steal(fs, jpath, p, lease_ms: int) -> bool:
     """Remove ``p`` iff it is older than the lease. Returns True when the
     lock is (now) gone and a create may be retried immediately.
 
-    The steal is ATOMIC: rename the stale lock to a unique tombstone name,
-    then delete the tombstone. Rename is atomic on HDFS/local FS, so of two
-    concurrent stealers exactly one rename succeeds — and a lock freshly
-    re-created by the winner is never clobbered by the loser (the loser's
-    rename targets a source path that no longer exists and fails). A plain
-    delete-after-stat could delete the WINNER's new lock instead of the
-    stale one, leaving two writers both believing they hold it.
+    The steal is rename-then-verify-then-delete: rename the stale lock to a
+    unique tombstone name, RE-STAT the tombstone, and only delete it if it
+    is still stale. Rename is atomic on HDFS/local FS, so of two concurrent
+    stealers exactly one rename succeeds. The re-stat closes the remaining
+    race: stealer A can steal AND re-create the lock between B's staleness
+    stat and B's rename, so B's rename succeeds — against A's FRESH lock.
+    B sees a fresh tombstone, renames it back into place, and reports
+    failure instead of deleting a live lock. (The heartbeat keeps every
+    live lock's age under lease/3, so tombstone freshness is a reliable
+    live-lock signal.) A sub-millisecond window remains if the rename-back
+    itself loses a race to yet another creator; filesystems without atomic
+    create/rename (plain S3) need a real lock service — see
+    _partition_locks docstring.
     """
     try:
         age_ms = int(time.time() * 1000) - fs.getFileStatus(
@@ -75,9 +97,24 @@ def _try_steal(fs, jpath, p, lease_ms: int) -> bool:
         return True  # holder released between probe and stat — retry create
     if age_ms <= lease_ms:
         return False
+    if _STEAL_STAT_HOOK is not None:
+        _STEAL_STAT_HOOK()
     tomb = jpath(f"{p}.steal.{os.getpid()}.{time.monotonic_ns()}")
     try:
         if fs.rename(p, tomb):
+            try:
+                tomb_age = int(time.time() * 1000) - fs.getFileStatus(
+                    tomb).getModificationTime()
+            except Exception:
+                return False
+            if tomb_age <= lease_ms:
+                # We renamed a LIVE lock (re-created by a faster stealer
+                # after our staleness stat): put it back and report failure.
+                if not fs.rename(tomb, p):
+                    # p was re-created again in the window; the tombstone is
+                    # an orphaned copy of a superseded lock — drop it.
+                    fs.delete(tomb, False)
+                return False
             fs.delete(tomb, False)
             return True
     except Exception:
@@ -85,11 +122,34 @@ def _try_steal(fs, jpath, p, lease_ms: int) -> bool:
     return False  # another writer stole (or refreshed) it first
 
 
+def _create_excl(fs, p) -> bool:
+    """Atomic create-if-absent of an empty lock file.
+
+    Hadoop's ``FileSystem#createNewFile`` is exists()-then-create() — on the
+    LOCAL filesystem neither step excludes a concurrent creator, so two
+    writers racing the same lock can BOTH "create" it (observed on
+    local[32]: both proceed, dynamic overwrites interleave, and the dataset
+    is corrupted with nested partition dirs). For ``file:`` paths use POSIX
+    ``O_CREAT|O_EXCL`` — the kernel arbitrates, exactly one creator wins.
+    On HDFS-like stores createNewFile IS atomic (namenode-enforced), so the
+    Hadoop call is used there.
+    """
+    uri = p.toUri()
+    if uri.getScheme() in (None, "file"):
+        try:
+            os.close(os.open(uri.getPath(),
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            return True
+        except FileExistsError:
+            return False
+    return fs.createNewFile(p)
+
+
 def _acquire(fs, jpath, p, deadline: float, lease_ms: int) -> None:
     # Deadline is checked on EVERY iteration — including after a stat/steal
     # failure — so a persistently failing filesystem raises instead of
     # looping forever.
-    while not fs.createNewFile(p):
+    while not _create_excl(fs, p):
         if time.monotonic() > deadline:
             raise PartitionLockTimeout(f"timed out waiting for {p}")
         time.sleep(0.01 if _try_steal(fs, jpath, p, lease_ms) else 0.1)
@@ -131,6 +191,19 @@ def _partition_locks(spark: SparkSession, lock_dir: str,
       per-partition lock remains (shared writers that pre-dated the
       sentinel drain; new ones block on the sentinel).
 
+    ``timeout_s`` is PER PHASE — each sentinel wait, each per-partition
+    lock acquisition, and the exclusive drain gets its own ``timeout_s``
+    budget (the pre-sentinel per-lock semantics) — so a contended writer
+    touching hundreds of partitions is not starved by a single shared
+    deadline. Worst-case wall time is therefore
+    O(timeout_s × (n_locks + 2)).
+
+    While locks are held (including during acquisition of later locks and
+    the exclusive drain), a daemon heartbeat thread refreshes their mtime
+    every ``lease_ms/3``, so a write that runs longer than the lease is
+    never stolen mid-write; only locks of dead/stalled processes age past
+    the lease.
+
     Atomicity note: create-exclusive/rename are atomic on HDFS and local
     FS; plain S3 has neither — there, front this with a real lock service
     or a table format (Delta/Iceberg) instead.
@@ -139,13 +212,34 @@ def _partition_locks(spark: SparkSession, lock_dir: str,
     jpath = jvm.org.apache.hadoop.fs.Path
     fs = jpath(lock_dir).getFileSystem(spark._jsc.hadoopConfiguration())
     fs.mkdirs(jpath(lock_dir))
-    deadline = time.monotonic() + timeout_s
     sentinel = jpath(f"{lock_dir}/{_DATASET_LOCK}.lock")
     held = []
+    stop = threading.Event()
+
+    def _phase_deadline() -> float:
+        return time.monotonic() + timeout_s
+
+    def _heartbeat():
+        # Lease renewal: bump mtime of every held lock each lease/3 so
+        # _try_steal (age > lease) never fires on a live holder, however
+        # long the write runs. Errors are ignored: a vanished lock means it
+        # was released or (pathologically) stolen — nothing to refresh.
+        while not stop.wait(lease_ms / 3000.0):
+            now_ms = int(time.time() * 1000)
+            for q in list(held):
+                try:
+                    fs.setTimes(q, now_ms, -1)
+                except Exception:
+                    pass
+
+    hb = threading.Thread(target=_heartbeat, name="sparklake-lock-heartbeat",
+                          daemon=True)
+    hb.start()
     try:
         if exclusive:
-            _acquire(fs, jpath, sentinel, deadline, lease_ms)
+            _acquire(fs, jpath, sentinel, _phase_deadline(), lease_ms)
             held.append(sentinel)
+            drain_deadline = _phase_deadline()
             while True:  # drain pre-existing shared writers
                 others = [
                     st.getPath() for st in fs.listStatus(jpath(lock_dir))
@@ -154,7 +248,7 @@ def _partition_locks(spark: SparkSession, lock_dir: str,
                 ]
                 if not others:
                     break
-                if time.monotonic() > deadline:
+                if time.monotonic() > drain_deadline:
                     raise PartitionLockTimeout(
                         f"timed out draining {len(others)} partition locks")
                 if not any(_try_steal(fs, jpath, q, lease_ms)
@@ -162,10 +256,10 @@ def _partition_locks(spark: SparkSession, lock_dir: str,
                     time.sleep(0.1)
         else:
             want = [jpath(f"{lock_dir}/{n}.lock") for n in sorted(set(names))]
-            while True:
-                _wait_absent(fs, jpath, sentinel, deadline, lease_ms)
+            for _attempt in range(_SHARED_RETRIES):
+                _wait_absent(fs, jpath, sentinel, _phase_deadline(), lease_ms)
                 for p in want:
-                    _acquire(fs, jpath, p, deadline, lease_ms)
+                    _acquire(fs, jpath, p, _phase_deadline(), lease_ms)
                     held.append(p)
                 if not fs.exists(sentinel):
                     break
@@ -174,8 +268,14 @@ def _partition_locks(spark: SparkSession, lock_dir: str,
                     fs.delete(p, False)
                 held.clear()
                 time.sleep(0.1)
+            else:
+                raise PartitionLockTimeout(
+                    f"exclusive writers kept arriving for {_SHARED_RETRIES} "
+                    "acquisition attempts")
         yield
     finally:
+        stop.set()
+        hb.join(timeout=2.0)
         for p in held:
             try:
                 fs.delete(p, False)

@@ -2,9 +2,11 @@
 contract, empty-lake behavior, schema enforcement
 (ref writer.py:126-233, api.py:12-72, tests/test_read_api.py)."""
 
+import os
 import pathlib
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from backtest_crew_datalake_spark.operators.qc import validate_layout
@@ -376,3 +378,167 @@ def test_empty_lake_respects_column_projection(spark, tmp_path):
     multi = read_range(spark, str(tmp_path / "nolake"),
                        symbol=["BTC-USD", "ETH-USD"], columns=["close"])
     assert set(multi.columns) == {"ts", "close", "symbol"}
+
+def test_wide_exclusive_vs_narrow_shared_no_lost_update(
+        spark, tmp_path, monkeypatch):
+    """A wide backfill (touched partitions > _PRED_LIMIT -> exclusive
+    dataset sentinel) racing a narrow upsert (shared per-partition locks)
+    must serialize: the narrow writer's partition is one the wide writer
+    also rewrites, so an unserialized interleave loses one side's rows."""
+    import threading
+
+    from backtest_crew_datalake_spark.sources import writer
+
+    monkeypatch.setattr(writer, "_PRED_LIMIT", 2)
+
+    root = str(tmp_path / "lake")
+    # seed the lake so both writers take the read-modify-write path
+    upsert_candles(
+        spark, make_m1(spark, ["BTC-USD"], "2023-12-01", "2023-12-01",
+                       seed=11), root)
+    # 3 month-partitions > patched limit of 2 -> exclusive mode
+    wide = make_m1(spark, ["BTC-USD"], "2024-01-01", "2024-01-01", seed=11) \
+        .unionByName(make_m1(spark, ["BTC-USD"], "2024-02-01", "2024-02-01",
+                             seed=11)) \
+        .unionByName(make_m1(spark, ["BTC-USD"], "2024-03-01", "2024-03-01",
+                             seed=11))
+    # narrow writer hits one of the SAME partitions (2024-01), disjoint rows
+    narrow = make_m1(spark, ["BTC-USD"], "2024-01-02", "2024-01-02", seed=11)
+
+    errs = []
+
+    def run(df):
+        try:
+            upsert_candles(spark, df, root)
+        except Exception as e:
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(df,))
+               for df in (wide, narrow)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    # every row from the seed, the wide backfill, and the narrow upsert
+    assert read_range(spark, root, symbol="BTC-USD").count() == 5 * 1440
+    import glob
+    assert glob.glob(f"{root}/.locks/data/*.lock") == []
+
+
+def _lock_fs(spark, lock_dir):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path
+    fs = jpath(lock_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(jpath(lock_dir))
+    return fs, jpath
+
+
+def test_steal_verifies_tombstone_freshness(spark, tmp_path, monkeypatch):
+    """The ADVICE race: stealer B stats the lock stale; before B's rename,
+    stealer A steals it AND re-creates a fresh lock at the same path. B's
+    rename then succeeds -- against A's LIVE lock. B must detect the fresh
+    tombstone, restore the lock, and report failure, never deleting a live
+    lock."""
+    import time as _t
+
+    from backtest_crew_datalake_spark.sources import writer
+
+    lock_dir = str(tmp_path / "locks")
+    fs, jpath = _lock_fs(spark, lock_dir)
+    p_os = os.path.join(lock_dir, "part.lock")
+    p = jpath(p_os)
+
+    open(p_os, "w").close()
+    stale = _t.time() - 3600
+    os.utime(p_os, (stale, stale))
+
+    def faster_stealer_wins():
+        # simulate A: steal the stale lock and immediately re-create it
+        os.remove(p_os)
+        open(p_os, "w").close()  # fresh mtime -> live lock
+
+    monkeypatch.setattr(writer, "_STEAL_STAT_HOOK", faster_stealer_wins)
+    assert writer._try_steal(fs, jpath, p, writer._LOCK_LEASE_MS) is False
+    # A's live lock survived (restored from the tombstone)
+    assert os.path.exists(p_os)
+    assert not [f for f in os.listdir(lock_dir) if ".steal." in f]
+
+
+def test_steal_race_exactly_one_acquirer(spark, tmp_path):
+    """Two waiters polling a forced-stale lock: exactly one acquires it (the
+    rename tombstone arbitrates the steal; createNewFile arbitrates the
+    re-create); the other times out against the winner's fresh lock."""
+    import threading
+    import time as _t
+
+    from backtest_crew_datalake_spark.sources import writer
+
+    lock_dir = str(tmp_path / "locks")
+    fs, jpath = _lock_fs(spark, lock_dir)
+    p_os = os.path.join(lock_dir, "part.lock")
+    p = jpath(p_os)
+    open(p_os, "w").close()
+    stale = _t.time() - 3600
+    os.utime(p_os, (stale, stale))
+
+    results = []
+
+    def waiter():
+        try:
+            writer._acquire(fs, jpath, p, _t.monotonic() + 2.0,
+                            writer._LOCK_LEASE_MS)
+            results.append("acquired")
+        except writer.PartitionLockTimeout:
+            results.append("timeout")
+
+    threads = [threading.Thread(target=waiter) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(results) == ["acquired", "timeout"], results
+    assert os.path.exists(p_os)  # the winner's lock is in place
+
+
+def test_heartbeat_prevents_midwrite_steal(spark, tmp_path):
+    """A write that outlives the lock lease must NOT lose its lock: the
+    holder's heartbeat renews the mtime every lease/3, so a competitor
+    waiting with steal-on-stale times out instead of stealing mid-write."""
+    import threading
+    import time as _t
+
+    from backtest_crew_datalake_spark.sources.writer import (
+        PartitionLockTimeout, _partition_locks)
+
+    lock_dir = str(tmp_path / "locks")
+    release = threading.Event()
+    held = threading.Event()
+    errs = []
+
+    def holder():
+        try:
+            with _partition_locks(spark, lock_dir, ["p1"], timeout_s=5.0,
+                                  lease_ms=600):
+                held.set()
+                release.wait(10.0)  # hold well past the 600 ms lease
+        except Exception as e:
+            errs.append(e)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    assert held.wait(10.0)
+    _t.sleep(0.9)  # lock is now older than the lease unless renewed
+    try:
+        with pytest.raises(PartitionLockTimeout):
+            with _partition_locks(spark, lock_dir, ["p1"], timeout_s=1.2,
+                                  lease_ms=600):
+                pass
+    finally:
+        release.set()
+        t.join(10.0)
+    assert not errs, errs
+    # after release, the lock is gone and a new writer proceeds immediately
+    with _partition_locks(spark, lock_dir, ["p1"], timeout_s=2.0,
+                          lease_ms=600):
+        pass
