@@ -45,12 +45,17 @@ def dedupe_keep(
     columns must be non-null — min_by/max_by skip null keys).
 
     ``order=None`` means no caller-meaningful priority exists — the winner
-    is still DETERMINISTIC: the packed non-key row itself is the ordering
-    key (struct comparison is field-lexicographic), so keep='first' takes
-    the row-wise minimum and keep='last' the maximum, independent of
-    partitioning or task scheduling. (``F.first`` would pick whichever row
-    a task happened to see first — nondeterministic under shuffle, and it
-    can diverge from the DuckDB oracle on conflicting duplicates.)
+    is still FULLY DETERMINISTIC over every non-key column: the packed
+    non-key row itself is the ordering key (struct comparison is
+    field-lexicographic), so keep='first' takes the row-wise minimum and
+    keep='last' the maximum, independent of partitioning or task
+    scheduling. Columns of types Spark cannot order (maps, and arrays/
+    structs containing them) participate via their ``to_json``
+    serialization — a pure function of the row, so rows differing only in
+    a map column still pick the same winner on every run. (``F.first``
+    would pick whichever row a task happened to see first —
+    nondeterministic under shuffle, and it can diverge from the DuckDB
+    oracle on conflicting duplicates.)
     """
     if keep not in ("first", "last"):
         raise ValueError("keep must be 'first' or 'last'")
@@ -58,16 +63,19 @@ def dedupe_keep(
     others = [c for c in df.columns if c not in key]
     row = F.struct(*[F.col(c) for c in others])
     if order is None:
-        # The ordering struct must hold only ORDERABLE types — a MapType
+        # The ordering struct may hold only ORDERABLE types — a MapType
         # non-key column in the comparison key would raise AnalysisException
-        # (maps have no ordering). Such columns stay in the VALUE struct but
-        # are excluded from the ordering; determinism then rests on the
-        # orderable columns (rows identical in every orderable column but
-        # differing in a map column tie arbitrarily — documented narrowing).
+        # (maps have no ordering). Unorderable columns enter the ordering
+        # as their JSON serialization instead, keeping the winner a
+        # deterministic function of the full row.
         fields = {f.name: f.dataType for f in df.schema.fields}
-        ordcols = [c for c in others if _orderable(fields[c])]
-        ordk = (F.struct(*[F.col(c) for c in ordcols]) if ordcols
-                else F.lit(0))
+        ordk = (
+            F.struct(*[
+                F.col(c) if _orderable(fields[c]) else F.to_json(F.col(c))
+                for c in others
+            ])
+            if others else F.lit(0)
+        )
         pick = F.min_by(row, ordk) if keep == "first" else F.max_by(row, ordk)
     else:
         ordk = F.struct(*[F.col(c) if isinstance(c, str) else c for c in order])

@@ -5,15 +5,18 @@ Decode support is tiered by what a dependency-free container can honestly do:
 
 - REAL decoders for self-describing formats the stdlib + numpy can parse:
   uncompressed 24-bpp BMP (``decode_bmp`` — struct header parse + numpy
-  pixel stats) and PCM WAV (``decode_wav`` — stdlib ``wave`` + numpy RMS/
-  peak/zero-crossing features). Matching pure-python ENCODERS
-  (``encode_bmp`` / ``encode_wav``) exist so tests and queries can run the
-  real encode→decode path end to end with no media libraries at all.
+  pixel stats), PCM WAV (``decode_wav`` — stdlib ``wave`` + numpy RMS/
+  peak/zero-crossing features), and 8-bit truecolor PNG (``decode_png`` —
+  chunk walk, stdlib ``zlib`` inflate, full scanline defilter incl. Paeth).
+  Matching pure-python ENCODERS (``encode_bmp`` / ``encode_wav`` /
+  ``encode_png``) exist so tests and queries can run the real
+  encode→decode path end to end with no media libraries at all.
 - A deterministic STUB (``decode_image_stub``) for formats that genuinely
-  need external codecs (JPEG/PNG/MP3/H.264): fake features derived from the
+  need external codecs (JPEG/MP3/H.264): fake features derived from the
   payload hash. ``decode_media`` sniffs the format and routes — real
-  decoders for BMP/WAV, stub otherwise; a payload that *claims* BMP/WAV but
-  is malformed raises rather than silently degrading to the stub.
+  decoders for BMP/WAV/PNG, stub otherwise; a payload that *claims* a
+  real format but is malformed raises rather than silently degrading to
+  the stub.
 
 Scale notes: mapInPandas streams Arrow batches — the binary payload never
 round-trips through Python row objects; `spark.sql.execution.arrow
@@ -27,6 +30,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -166,20 +170,131 @@ def decode_wav(content: bytes) -> dict:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an 8-bit truecolor PNG
+    (filter-0 scanlines, single zlib IDAT) — stdlib zlib only."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def _png_defilter(raw: bytes, w: int, h: int, nch: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (types 0-4: None/Sub/Up/Average/
+    Paeth) -> (h, w, nch) uint8. Sub/Up are vectorized; Average and Paeth
+    walk pixels (their recurrences are inherently sequential along x) —
+    fine at feature-extraction scale, and encode_png emits filter 0 only."""
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.zeros((h, stride), np.int32)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1).astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 1:   # Sub: cumulative along x per channel offset
+            cur = np.cumsum(line.reshape(w, nch), axis=0).reshape(-1) & 0xFF
+        elif f == 2:   # Up
+            cur = (line + prev) & 0xFF
+        elif f == 3:   # Average
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                cur[x] = (line[x] + (a + prev[x]) // 2) & 0xFF
+        elif f == 4:   # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = int(cur[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                c = int(prev[x - nch]) if x >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur
+        prev = cur
+    return out.astype(np.uint8).reshape(h, w, nch)
+
+
+def decode_png(content: bytes) -> dict:
+    """REAL decode of 8-bit truecolor PNG (color type 2 RGB / 6 RGBA,
+    non-interlaced): chunk walk, stdlib zlib inflate, per-scanline
+    defilter (incl. Paeth), numpy pixel statistics — the same 8-dim
+    feature family as decode_bmp (stats over the RGB channels; alpha is
+    ignored for statistics)."""
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(content):
+        (ln,) = struct.unpack(">I", content[pos:pos + 4])
+        tag = content[pos + 4:pos + 8]
+        data = content[pos + 8:pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if meta is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, ilace = meta
+    if depth != 8 or ctype not in (2, 6) or comp != 0 or ilace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced truecolor PNG is supported "
+            f"(depth={depth}, color_type={ctype}, interlace={ilace})")
+    nch = 3 if ctype == 2 else 4
+    px = _png_defilter(zlib.decompress(b"".join(idat)), w, h, nch)
+    rgb = px[:, :, :3]
+    means = rgb.mean(axis=(0, 1)) / 255.0
+    stds = rgb.std(axis=(0, 1)) / 255.0
+    return {
+        "width": int(w), "height": int(h),
+        "feature": [float(means[0]), float(means[1]), float(means[2]),
+                    float(stds[0]), float(stds[1]), float(stds[2]),
+                    float(rgb.mean()) / 255.0, float(w) / float(max(h, 1))],
+    }
+
+
 _DIB_SIZES = (12, 40, 52, 56, 108, 124)
 
 
 def decode_media(content: bytes) -> dict:
-    """Sniff the payload format and route: REAL decoders for BMP and WAV,
-    the deterministic stub for everything else. A payload that passes the
-    sniff but fails to parse raises (corrupt data must not silently become
-    fake features)."""
+    """Sniff the payload format and route: REAL decoders for BMP, WAV and
+    PNG, the deterministic stub for everything else. A payload that passes
+    the sniff but fails to parse raises (corrupt data must not silently
+    become fake features)."""
     c = content or b""
     if (len(c) >= 54 and c[:2] == b"BM"
             and int.from_bytes(c[14:18], "little") in _DIB_SIZES):
         return decode_bmp(c)
     if len(c) >= 44 and c[:4] == b"RIFF" and c[8:12] == b"WAVE":
         return decode_wav(c)
+    if c[:8] == _PNG_SIG:
+        return decode_png(c)
     return decode_image_stub(c)
 
 

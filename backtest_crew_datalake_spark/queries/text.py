@@ -226,11 +226,12 @@ def q_doc_simhash(spark, sf_dir):
 @register("q_multimodal_features", oracle=None)
 def q_multimodal_features(spark, sf_dir):
     """Multimodal pipeline end-to-end (rows-only): each document is rendered
-    into a REAL media payload — even doc_ids become an uncompressed 24-bpp
-    BMP (8x8 RGB pixels derived from the text hash), odd doc_ids a mono PCM
-    WAV (160 int16 samples) — via mapInPandas, then decoded back by the
-    REAL stdlib decoders (pipeline/multimodal.decode_bmp / decode_wav): the
-    whole encode→Arrow→decode→feature path runs on true media bytes with no
+    into a REAL media payload — doc_id % 3 == 0 becomes an uncompressed
+    24-bpp BMP (8x8 RGB pixels derived from the text hash), % 3 == 1 a mono
+    PCM WAV (160 int16 samples), % 3 == 2 an 8-bit truecolor PNG (zlib
+    IDAT) — via mapInPandas, then decoded back by the REAL stdlib decoders
+    (pipeline/multimodal.decode_bmp / decode_wav / decode_png): the whole
+    encode→Arrow→decode→feature path runs on true media bytes with no
     external codec libraries. Value-level checks live in
     tests/test_pipeline.py (encode/decode roundtrips vs numpy)."""
     import hashlib as _hashlib
@@ -239,7 +240,8 @@ def q_multimodal_features(spark, sf_dir):
     import pandas as _pd
 
     from ..pipeline.multimodal import (
-        MEDIA_SCHEMA, encode_bmp, encode_wav, extract_media_features,
+        MEDIA_SCHEMA, encode_bmp, encode_png, encode_wav,
+        extract_media_features,
     )
 
     d = load(spark, sf_dir, "documents").select(
@@ -252,14 +254,18 @@ def q_multimodal_features(spark, sf_dir):
             for mid, text in zip(pdf["media_id"], pdf["text"]):
                 seed = _hashlib.sha256((text or "").encode()).digest()
                 rng = _np.frombuffer(seed * 24, dtype=_np.uint8)
-                if mid % 2 == 0:
+                if mid % 3 == 0:
                     px = rng[: 8 * 8 * 3].reshape(8, 8, 3)
                     kinds.append("image")
                     contents.append(encode_bmp(px))
-                else:
+                elif mid % 3 == 1:
                     samples = (rng[:160].astype(_np.int16) - 128) * 256
                     kinds.append("audio")
                     contents.append(encode_wav(samples, rate=16000))
+                else:
+                    px = rng[: 8 * 8 * 3].reshape(8, 8, 3)
+                    kinds.append("image")
+                    contents.append(encode_png(px))
                 ids.append(mid)
             yield _pd.DataFrame(
                 {"media_id": ids, "kind": kinds, "content": contents,

@@ -100,3 +100,46 @@ def test_dedupe_keep_deterministic_without_order(spark):
     last = dedupe_keep(df, key=["key"], order=None, keep="last").collect()[0]
     assert (first["v"], first["tag"]) == (1.0, "a")  # struct-lexicographic min
     assert (last["v"], last["tag"]) == (2.0, "a")    # struct-lexicographic max
+
+def test_dedupe_keep_maptype_deterministic(spark):
+    """order=None with a MapType column: maps cannot enter a comparison
+    struct directly (no ordering), so they participate via to_json — rows
+    identical in every orderable column but differing in the map still pick
+    the SAME winner on every run, under any partitioning."""
+    from pyspark.sql import types as T
+
+    from backtest_crew_datalake_spark.operators.dedup import dedupe_keep
+
+    schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+    ])
+    rows = [("k", 1.0, {"x": "2"}), ("k", 1.0, {"x": "1"}),
+            ("k", 1.0, {"x": "3"})]
+    for nparts in (1, 8):
+        df = spark.createDataFrame(rows, schema).repartition(nparts)
+        first = dedupe_keep(df, key=["key"], order=None, keep="first") \
+            .collect()[0]
+        last = dedupe_keep(df, key=["key"], order=None, keep="last") \
+            .collect()[0]
+        # to_json('{"x":"1"}') < '{"x":"2"}' < '{"x":"3"}'
+        assert first["meta"] == {"x": "1"}
+        assert last["meta"] == {"x": "3"}
+
+
+def test_dedupe_keep_all_unorderable_non_key(spark):
+    """Every non-key column unorderable: the ordering is the JSON
+    serialization alone — still a deterministic pick, no crash."""
+    from pyspark.sql import types as T
+
+    from backtest_crew_datalake_spark.operators.dedup import dedupe_keep
+
+    schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("meta", T.MapType(T.StringType(), T.LongType())),
+    ])
+    rows = [("k", {"b": 2}), ("k", {"a": 1})]
+    df = spark.createDataFrame(rows, schema).repartition(4)
+    first = dedupe_keep(df, key=["key"], order=None, keep="first").collect()
+    assert len(first) == 1 and first[0]["meta"] == {"a": 1}

@@ -722,3 +722,144 @@ def test_contamination_flags_copied_benchmark_doc(spark):
     out = {r.doc_id: r for r in contamination(corpus, bench, n=3).collect()}
     assert 10 in out and out[10].ratio == 1.0
     assert 11 not in out
+
+def test_wav_8bit_unsigned_decode():
+    """8-bit PCM WAV is UNSIGNED (silence at 128): digital silence must
+    decode to mean == rms == 0 exactly, and a full-scale square wave to
+    |peak| <= 1 with symmetric mean — a signed-i8 misread would show
+    silence as a -1.0 DC offset (the r3 fix, now pinned)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from backtest_crew_datalake_spark.pipeline.multimodal import decode_wav
+
+    def enc8(samples_u8, rate=8000):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(1)
+            wf.setframerate(rate)
+            wf.writeframes(np.asarray(samples_u8, dtype=np.uint8).tobytes())
+        return buf.getvalue()
+
+    silence = decode_wav(enc8(np.full(800, 128)))
+    f = silence["feature"]
+    assert f[3] == 0.0 and f[6] == 0.0   # rms == mean == 0 for silence
+    assert f[4] == 0.0                   # peak
+
+    square = np.tile([255, 1], 400)      # ±127/128 full-scale square
+    g = decode_wav(enc8(square))["feature"]
+    assert abs(g[4] - 127 / 128) < 1e-12            # peak
+    assert abs(g[6]) < 0.01                         # symmetric -> mean ~ 0
+    assert abs(g[3] - 127 / 128) < 0.01             # rms of a square wave
+
+
+def test_png_roundtrip_real_decode():
+    """encode_png -> decode_png reproduces exact dimensions and pixel stats
+    (vs direct numpy), and the sniffing dispatcher routes PNG to the real
+    decoder — not the hash stub."""
+    import numpy as np
+
+    from backtest_crew_datalake_spark.pipeline.multimodal import (
+        decode_media, decode_png, encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w in [(8, 8), (5, 7), (3, 2)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = decode_png(encode_png(px))
+        assert (out["width"], out["height"]) == (w, h)
+        assert np.allclose(out["feature"][:3], px.mean(axis=(0, 1)) / 255.0,
+                           atol=1e-12)
+        assert abs(out["feature"][6] - px.mean() / 255.0) < 1e-12
+        assert abs(out["feature"][7] - w / h) < 1e-12
+    px = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    assert decode_media(encode_png(px))["width"] == 4
+
+
+def test_png_decode_filtered_scanlines_and_rgba():
+    """decode_png reverses every PNG filter type (Sub/Up/Average/Paeth) and
+    handles RGBA (color type 6, alpha excluded from stats): a PNG whose
+    scanlines cycle through all five filters decodes to the same pixel
+    statistics as the unfiltered encoding of the same array."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from backtest_crew_datalake_spark.pipeline.multimodal import (
+        _PNG_SIG, _png_chunk, decode_png,
+    )
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    def build_png(px, nch, filters):
+        h, w, _ = px.shape
+        ctype = 2 if nch == 3 else 6
+        raw = bytearray()
+        prev = np.zeros(w * nch, np.int32)
+        for y in range(h):
+            line = px[y].reshape(-1).astype(np.int32)
+            f = filters[y % len(filters)]
+            out = np.zeros(w * nch, np.int32)
+            for x in range(w * nch):
+                a = int(line[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                c = int(prev[x - nch]) if x >= nch else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    pred = paeth(a, b, c)
+                out[x] = (line[x] - pred) & 0xFF
+            raw += bytes([f]) + out.astype(np.uint8).tobytes()
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + _png_chunk(b"IEND", b""))
+
+    rng = np.random.default_rng(23)
+    # RGB with all five filter types across scanlines
+    px = rng.integers(0, 256, size=(10, 6, 3), dtype=np.uint8)
+    out = decode_png(build_png(px, 3, [0, 1, 2, 3, 4]))
+    assert (out["width"], out["height"]) == (6, 10)
+    assert np.allclose(out["feature"][:3], px.mean(axis=(0, 1)) / 255.0,
+                       atol=1e-12)
+    # RGBA: stats over RGB only
+    pxa = rng.integers(0, 256, size=(4, 5, 4), dtype=np.uint8)
+    out = decode_png(build_png(pxa, 4, [4, 3, 2, 1]))
+    assert (out["width"], out["height"]) == (5, 4)
+    assert np.allclose(out["feature"][:3],
+                       pxa[:, :, :3].mean(axis=(0, 1)) / 255.0, atol=1e-12)
+
+
+def test_extract_media_features_png_payload(spark):
+    """The Spark mapInPandas path decodes REAL PNG payloads alongside BMP
+    and WAV: the width/height/features come from actual zlib-inflated
+    pixels, not the hash stub."""
+    import numpy as np
+
+    from backtest_crew_datalake_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA, encode_png, extract_media_features,
+    )
+
+    px = np.full((6, 4, 3), 64, dtype=np.uint8)
+    rows = [(3, "image", bytearray(encode_png(px)), None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_media_features(df).collect()[0]
+    assert (out.width, out.height) == (4, 6)
+    assert abs(out.feature[0] - 64 / 255) < 1e-6
+    assert abs(out.feature[3]) < 1e-12  # constant image -> zero std
