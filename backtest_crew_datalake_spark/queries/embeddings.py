@@ -308,12 +308,234 @@ def q_emb_ivfpq_topk(spark, sf_dir):
     return ivf_pq_topk(qs, emb, k=5, nlist=8, nprobe=2, m=8, ksub=16, iters=1)
 
 
-@register("q_emb_ann_recall", oracle=None)
+# Recall scoreboard oracle: every ANN variant unrolled as DuckDB CTEs —
+# ground truth (brute-force cosine top-5), LSH bucketing, IVF with fixed and
+# k-means centroids (1 Lloyd iteration, same unrolling as the
+# q_emb_kmeans_clusters oracle), PQ codebooks/encode/ADC (1 Lloyd iteration
+# per subspace), IVF-PQ, and residual IVF-PQ. Squared distances are explicit
+# index-order sums (matching similarity._sqdist) rather than
+# list_distance()^2, so ADC sums agree with Spark to the last ulp.
+_SQD8 = ("list_aggregate(list_transform(range(1, 9), "
+         "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')")
+_SUBS = ("SELECT vec_id, s.sub_id, v[s.sub_id * 8 + 1 : s.sub_id * 8 + 8] "
+         "AS sub FROM {src}, (SELECT UNNEST(range(0, 8)) AS sub_id) s")
+_ANN_RECALL_ORACLE = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qs AS (SELECT vec_id, v FROM emb WHERE vec_id < 10),
+-- ground truth: exact cosine top-5 (query is part of the corpus)
+tr AS (
+    SELECT query_id, true_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS true_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                            c.vec_id) AS rk
+        FROM qs q CROSS JOIN emb c) WHERE rk <= 5
+),
+tstat AS (SELECT COUNT(DISTINCT query_id) AS nq, COUNT(*) AS nt FROM tr),
+-- variant lsh_bucketed: candidates restricted to the same 8-bit sign bucket
+bk AS (
+    SELECT vec_id, v,
+           (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+         + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+         + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)
+         + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END)
+         + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END)
+         + (CASE WHEN v[7] > 0 THEN 64 ELSE 0 END)
+         + (CASE WHEN v[8] > 0 THEN 128 ELSE 0 END) AS bucket
+    FROM emb
+),
+l5 AS (
+    SELECT query_id, got_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS got_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                            c.vec_id) AS rk
+        FROM bk q JOIN bk c USING (bucket) WHERE q.vec_id < 10)
+    WHERE rk <= 5
+),
+-- variant ivf_fixed: 16 fixed centroids (vec_id < 16), nprobe=2
+cf AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 16),
+af AS (SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.v, c.cv), c.cid) AS rk
+        FROM emb e CROSS JOIN cf c) WHERE rk = 1),
+pf AS (SELECT vec_id, v, cid FROM (
+        SELECT q.vec_id, q.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_distance(q.v, c.cv), c.cid) AS rk
+        FROM qs q CROSS JOIN cf c) WHERE rk <= 2),
+if5 AS (
+    SELECT query_id, got_id FROM (
+        SELECT p.vec_id AS query_id, a.vec_id AS got_id,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                   ORDER BY list_cosine_similarity(p.v, a.v) DESC,
+                            a.vec_id) AS rk
+        FROM pf p JOIN af a USING (cid)) WHERE rk <= 5
+),
+-- variant ivf_kmeans: k=8 centroids refined by ONE Lloyd iteration
+-- (init = the 8 lowest-id vectors; empty clusters keep their centroid)
+c0 AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 8),
+ka1 AS (SELECT vec_id, v, cid FROM (
+         SELECT e.vec_id, e.v, c.cid,
+                ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_distance(e.v, c.cv), c.cid) AS rk
+         FROM emb e CROSS JOIN c0 c) WHERE rk = 1),
+km1 AS (SELECT cid, dim, AVG(v[dim]) AS mv
+        FROM ka1, range(1, 65) t(dim) GROUP BY 1, 2),
+kn1 AS (SELECT cid, list(mv ORDER BY dim) AS nv FROM km1 GROUP BY cid),
+kc1 AS (SELECT c0.cid, COALESCE(kn1.nv, c0.cv) AS cv
+        FROM c0 LEFT JOIN kn1 USING (cid)),
+ka AS (SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.v, c.cv), c.cid) AS rk
+        FROM emb e CROSS JOIN kc1 c) WHERE rk = 1),
+kp AS (SELECT vec_id, v, cid FROM (
+        SELECT q.vec_id, q.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_distance(q.v, c.cv), c.cid) AS rk
+        FROM qs q CROSS JOIN kc1 c) WHERE rk <= 2),
+ik5 AS (
+    SELECT query_id, got_id FROM (
+        SELECT p.vec_id AS query_id, a.vec_id AS got_id,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                   ORDER BY list_cosine_similarity(p.v, a.v) DESC,
+                            a.vec_id) AS rk
+        FROM kp p JOIN ka a USING (cid)) WHERE rk <= 5
+),
+-- PQ codebooks on the raw corpus: m=8 subspaces x 8 dims, ksub=16,
+-- ONE Lloyd iteration (init = subvectors of the 16 lowest-id rows)
+subs AS ({_SUBS.format(src='emb')}),
+pseed AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS pcid
+          FROM (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 16)),
+pcb0 AS (SELECT s.sub_id, p.pcid, s.sub AS cent
+         FROM subs s JOIN pseed p USING (vec_id)),
+pa1 AS (SELECT vec_id, sub_id, sub, code FROM (
+         SELECT s.vec_id, s.sub_id, s.sub, c.pcid AS code,
+                ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_id
+                    ORDER BY {_SQD8.format(a='s.sub', b='c.cent')},
+                             c.pcid) AS rk
+         FROM subs s JOIN pcb0 c USING (sub_id)) WHERE rk = 1),
+pm1 AS (SELECT sub_id, code, dim, AVG(sub[dim]) AS mv
+        FROM pa1, range(1, 9) t(dim) GROUP BY 1, 2, 3),
+pn1 AS (SELECT sub_id, code, list(mv ORDER BY dim) AS nv
+        FROM pm1 GROUP BY 1, 2),
+pcb AS (SELECT b.sub_id, b.pcid, COALESCE(n.nv, b.cent) AS cent
+        FROM pcb0 b LEFT JOIN pn1 n
+          ON n.sub_id = b.sub_id AND n.code = b.pcid),
+codes AS (SELECT vec_id, sub_id, code FROM (
+           SELECT s.vec_id, s.sub_id, c.pcid AS code,
+                  ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_id
+                      ORDER BY {_SQD8.format(a='s.sub', b='c.cent')},
+                               c.pcid) AS rk
+           FROM subs s JOIN pcb c USING (sub_id)) WHERE rk = 1),
+qlut AS (SELECT s.vec_id AS query_id, s.sub_id, c.pcid AS code,
+                {_SQD8.format(a='s.sub', b='c.cent')} AS d2
+         FROM subs s JOIN pcb c USING (sub_id) WHERE s.vec_id < 10),
+-- variant pq_adc: full-corpus ADC over the PQ codes
+adc AS (SELECT l.query_id, c.vec_id AS got_id, SUM(l.d2) AS dist
+        FROM codes c JOIN qlut l
+          ON l.sub_id = c.sub_id AND l.code = c.code
+        GROUP BY 1, 2),
+pq5 AS (SELECT query_id, got_id FROM (
+         SELECT query_id, got_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY dist, got_id) AS rk
+         FROM adc) WHERE rk <= 5),
+-- variant ivf_pq: ADC restricted to the query's 2 probed k-means lists
+ip_adc AS (SELECT l.query_id, c.vec_id AS got_id, SUM(l.d2) AS dist
+           FROM kp p
+           JOIN ka a ON a.cid = p.cid
+           JOIN codes c ON c.vec_id = a.vec_id
+           JOIN qlut l ON l.query_id = p.vec_id
+                      AND l.sub_id = c.sub_id AND l.code = c.code
+           GROUP BY 1, 2),
+ip5 AS (SELECT query_id, got_id FROM (
+         SELECT query_id, got_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY dist, got_id) AS rk
+         FROM ip_adc) WHERE rk <= 5),
+-- variant ivf_pq_residual: PQ trained/encoded on (v - list centroid)
+-- residuals; one LUT per (query, probed list) against (q - centroid)
+rv AS (SELECT a.vec_id,
+              list_transform(range(1, 65), i -> a.v[i] - k.cv[i]) AS v
+       FROM ka a JOIN kc1 k USING (cid)),
+rsubs AS ({_SUBS.format(src='rv')}),
+rcb0 AS (SELECT s.sub_id, p.pcid, s.sub AS cent
+         FROM rsubs s JOIN pseed p USING (vec_id)),
+ra1 AS (SELECT vec_id, sub_id, sub, code FROM (
+         SELECT s.vec_id, s.sub_id, s.sub, c.pcid AS code,
+                ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_id
+                    ORDER BY {_SQD8.format(a='s.sub', b='c.cent')},
+                             c.pcid) AS rk
+         FROM rsubs s JOIN rcb0 c USING (sub_id)) WHERE rk = 1),
+rm1 AS (SELECT sub_id, code, dim, AVG(sub[dim]) AS mv
+        FROM ra1, range(1, 9) t(dim) GROUP BY 1, 2, 3),
+rn1 AS (SELECT sub_id, code, list(mv ORDER BY dim) AS nv
+        FROM rm1 GROUP BY 1, 2),
+rcb AS (SELECT b.sub_id, b.pcid, COALESCE(n.nv, b.cent) AS cent
+        FROM rcb0 b LEFT JOIN rn1 n
+          ON n.sub_id = b.sub_id AND n.code = b.pcid),
+rcodes AS (SELECT vec_id, sub_id, code FROM (
+            SELECT s.vec_id, s.sub_id, c.pcid AS code,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_id
+                       ORDER BY {_SQD8.format(a='s.sub', b='c.cent')},
+                                c.pcid) AS rk
+            FROM rsubs s JOIN rcb c USING (sub_id)) WHERE rk = 1),
+qres AS (SELECT p.vec_id AS query_id, p.cid,
+                list_transform(range(1, 65), i -> p.v[i] - k.cv[i]) AS v
+         FROM kp p JOIN kc1 k USING (cid)),
+qrsubs AS (SELECT query_id, cid, s.sub_id,
+                  v[s.sub_id * 8 + 1 : s.sub_id * 8 + 8] AS sub
+           FROM qres, (SELECT UNNEST(range(0, 8)) AS sub_id) s),
+rlut AS (SELECT q.query_id, q.cid, q.sub_id, c.pcid AS code,
+                {_SQD8.format(a='q.sub', b='c.cent')} AS d2
+         FROM qrsubs q JOIN rcb c USING (sub_id)),
+ir_adc AS (SELECT l.query_id, a.vec_id AS got_id, SUM(l.d2) AS dist
+           FROM ka a
+           JOIN rcodes c ON c.vec_id = a.vec_id
+           JOIN rlut l ON l.cid = a.cid
+                      AND l.sub_id = c.sub_id AND l.code = c.code
+           GROUP BY 1, 2),
+ir5 AS (SELECT query_id, got_id FROM (
+         SELECT query_id, got_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY dist, got_id) AS rk
+         FROM ir_adc) WHERE rk <= 5)
+SELECT v.variant, t.nq AS n_queries, v.n_hits,
+       ROUND(v.n_hits / t.nt, 4) AS recall
+FROM tstat t CROSS JOIN (
+    SELECT 'lsh_bucketed' AS variant, COUNT(*) AS n_hits
+    FROM tr JOIN l5 ON tr.query_id = l5.query_id AND tr.true_id = l5.got_id
+    UNION ALL
+    SELECT 'ivf_fixed', COUNT(*)
+    FROM tr JOIN if5 ON tr.query_id = if5.query_id AND tr.true_id = if5.got_id
+    UNION ALL
+    SELECT 'ivf_kmeans', COUNT(*)
+    FROM tr JOIN ik5 ON tr.query_id = ik5.query_id AND tr.true_id = ik5.got_id
+    UNION ALL
+    SELECT 'pq_adc', COUNT(*)
+    FROM tr JOIN pq5 ON tr.query_id = pq5.query_id AND tr.true_id = pq5.got_id
+    UNION ALL
+    SELECT 'ivf_pq', COUNT(*)
+    FROM tr JOIN ip5 ON tr.query_id = ip5.query_id AND tr.true_id = ip5.got_id
+    UNION ALL
+    SELECT 'ivf_pq_residual', COUNT(*)
+    FROM tr JOIN ir5 ON tr.query_id = ir5.query_id AND tr.true_id = ir5.got_id
+) v
+"""
+
+
+@register("q_emb_ann_recall", oracle=_ANN_RECALL_ORACLE)
 def q_emb_ann_recall(spark, sf_dir):
     """Recall@5 scoreboard of every ANN variant vs brute-force cosine, in
-    one DataFrame job (rows-only: the ground truth is itself a query-side
-    computation, so the check that matters is the measured recall, which
-    tests/test_pipeline.py bounds). One row per variant:
+    one DataFrame job. ORACLE-GATED: every variant — LSH bucketing, IVF
+    (fixed + 1-Lloyd-iteration k-means centroids), PQ/ADC, IVF-PQ, and
+    residual IVF-PQ — is deterministic (L2 ties → lowest id, fixed seeds =
+    lowest-id vectors), so the whole scoreboard is value-checked against a
+    DuckDB unrolling of the same algorithms. One row per variant:
     (variant, n_queries, n_hits, recall)."""
     from ..pipeline.pq import ivf_pq_topk, pq_codebooks, pq_encode, pq_topk
     from ..pipeline.similarity import (

@@ -285,7 +285,7 @@ def q_multimodal_features(spark, sf_dir):
         SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks
         FROM documents WHERE doc_id < 100
     ),
-    sh AS (
+    sh0 AS (
         SELECT doc_id, UNNEST(list_distinct(
             CASE WHEN LEN(toks) >= 2 THEN
                 list_transform(generate_series(1, LEN(toks) - 1),
@@ -293,6 +293,8 @@ def q_multimodal_features(spark, sf_dir):
             ELSE [array_to_string(toks, ' ')] END)) AS s
         FROM docs
     ),
+    rare AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 10),
+    sh AS (SELECT doc_id, s FROM sh0 JOIN rare USING (s)),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
     inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
@@ -311,9 +313,13 @@ def q_multimodal_features(spark, sf_dir):
 )
 def q_doc_ngram_jaccard(spark, sf_dir):
     """Word-bigram Jaccard near-duplicate pairs (exact shingle self-join) over
-    the first 100 docs; threshold 0.05."""
+    the first 100 docs; threshold 0.05, with the ``max_df`` boilerplate cap
+    ON (shingles in more than 10 of the 100 docs are dropped before the
+    self-join — the guard that bounds per-key join fan-out at corpus scale;
+    the oracle reproduces the cap, so the capped pipeline is value-checked
+    end to end)."""
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    return ngram_jaccard_pairs(d, n=2, threshold=0.05)
+    return ngram_jaccard_pairs(d, n=2, threshold=0.05, max_df=10)
 
 
 @register(
