@@ -92,6 +92,9 @@ def pq_codebooks(
     )
     from .similarity import lloyd_means
 
+    # Same lineage-doubling guard as similarity.kmeans_centroids: past 2
+    # Lloyd rounds, checkpoint the m·ksub-row codebook each round.
+    checkpoint = iters > 2
     for _ in range(iters):
         assigned = _assign_codes(subs, cb)
         means = lloyd_means(
@@ -103,6 +106,8 @@ def pq_codebooks(
             "sub_id", "centroid_id",
             F.coalesce(F.col("__nv"), F.col("centroid")).alias("centroid"),
         )
+        if checkpoint:
+            cb = cb.localCheckpoint(eager=False)
     return cb
 
 

@@ -260,6 +260,13 @@ def kmeans_centroids(
         .limit(k)
         .select(F.col("__id").alias("centroid_id"), vec_col)
     )
+    # Each Lloyd round embeds the previous centroid plan on BOTH sides of
+    # the assignment (broadcast) and the empty-cluster coalesce join, so
+    # the logical plan doubles per iteration — fine for the usual 1-2
+    # rounds, an analyzer blow-up beyond that. Past 2 rounds, truncate the
+    # lineage each round by checkpointing the k-row centroid table (lazy:
+    # materializes with the next round's job).
+    checkpoint = iters > 2
     for _ in range(iters):
         assigned = kmeans_assign(emb, cent, id_col="__id", vec_col=vec_col)
         means = lloyd_means(assigned, ["centroid_id"], vec_col, "__nv")
@@ -267,6 +274,8 @@ def kmeans_centroids(
             "centroid_id",
             F.coalesce(F.col("__nv"), F.col(vec_col)).alias(vec_col),
         )
+        if checkpoint:
+            cent = cent.localCheckpoint(eager=False)
     return cent
 
 

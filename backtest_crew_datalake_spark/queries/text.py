@@ -809,6 +809,140 @@ def q_doc_aligned_span_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "q_doc_shared_spans",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ),
+    gp AS (
+        SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS pos
+        FROM t WHERE len(toks) >= 3
+    ),
+    g AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(toks[pos+1:pos+3], ' ')) AS h
+        FROM gp
+    ),
+    wm AS (
+        SELECT doc_id, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+        FROM g
+    ),
+    f AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= n_grams - 4),
+    rare AS (
+        SELECT fp FROM f GROUP BY fp HAVING COUNT(DISTINCT doc_id) <= 10
+    ),
+    fk AS (
+        SELECT f.doc_id, f.fp, MIN(g.pos) AS first_pos
+        FROM f JOIN rare USING (fp)
+               JOIN g ON g.doc_id = f.doc_id AND g.h = f.fp
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.first_pos - b.first_pos AS delta
+        FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    deltas AS (
+        SELECT id_a, id_b, delta, COUNT(*) AS dn FROM pairs GROUP BY 1, 2, 3
+    ),
+    best AS (
+        SELECT id_a, id_b, delta,
+               ROW_NUMBER() OVER (PARTITION BY id_a, id_b
+                                  ORDER BY dn DESC, delta ASC) AS rk,
+               SUM(dn) OVER (PARTITION BY id_a, id_b) AS n_shared
+        FROM deltas
+    ),
+    ap AS (SELECT id_a, id_b, delta FROM best
+           WHERE rk = 1 AND n_shared >= 2),
+    m AS (
+        SELECT ap.id_a, ap.id_b, ap.delta, a.pos AS pos_a
+        FROM ap
+        JOIN g a ON a.doc_id = ap.id_a
+        JOIN g b ON b.doc_id = ap.id_b AND b.h = a.h
+                AND b.pos = a.pos - ap.delta
+    ),
+    isl AS (
+        SELECT id_a, id_b, delta, pos_a,
+               pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b
+                                          ORDER BY pos_a) AS grp
+        FROM m
+    )
+    SELECT id_a, id_b,
+           MIN(pos_a) AS start_a,
+           MIN(pos_a) - delta AS start_b,
+           COUNT(*) + 2 AS len_tokens,
+           delta AS align_delta
+    FROM isl GROUP BY id_a, id_b, delta, grp
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_doc_shared_spans(spark, sf_dir):
+    """Maximal shared-span extraction (the step after pair detection in a
+    dedup pipeline: WHAT was copied, not just WHO copied): anchor on the
+    aligned pairs' dominant delta (q_doc_aligned_span_pairs), match every
+    3-gram of doc A against doc B at exactly that offset (keyed equi-join
+    on (doc, gram-hash, position) — no cartesian), then collapse runs of
+    consecutive matching positions into maximal spans with gaps-and-islands.
+    One row per maximal span >= 4 tokens: token offsets in both docs and
+    the span length. Scale shape: the gram table is semi-joined down to
+    candidate docs before the match join; every join and window is keyed by
+    (pair, position) — the blocking df-cap bounds the pair fan-out."""
+    from pyspark.sql import Window
+
+    ap = q_doc_aligned_span_pairs(spark, sf_dir).select(
+        "id_a", "id_b", F.col("align_delta").alias("delta")
+    )
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = F.expr(
+        "transform(sequence(0, size(__toks) - 3), "
+        "i -> array_join(slice(__toks, i + 1, 3), ' '))"
+    )
+    g = (
+        d.select("doc_id", toks.alias("__toks"))
+        .where(F.size("__toks") >= 3)
+        .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+        .select("doc_id", "pos",
+                F.md5(F.col("gram").cast("binary")).alias("h"))
+    )
+    # reduce the corpus-wide gram table to candidate docs BEFORE the match
+    # join (semi-joins are map-side once AQE broadcasts the small pair set)
+    ga = g.join(ap.select(F.col("id_a").alias("doc_id")).distinct(),
+                "doc_id", "left_semi").select(
+        F.col("doc_id").alias("id_a"), F.col("pos").alias("pos_a"), "h"
+    )
+    gb = g.join(ap.select(F.col("id_b").alias("doc_id")).distinct(),
+                "doc_id", "left_semi").select(
+        F.col("doc_id").alias("id_b"), F.col("pos").alias("pos_b"), "h"
+    )
+    m = (
+        ap.join(ga, "id_a")
+        .join(gb, ["id_b", "h"])
+        .where(F.col("pos_b") == F.col("pos_a") - F.col("delta"))
+        .select("id_a", "id_b", "delta", "pos_a")
+    )
+    w = Window.partitionBy("id_a", "id_b").orderBy("pos_a")
+    return (
+        m.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "delta", "grp")
+        .agg(F.min("pos_a").alias("start_a"),
+             F.count("*").alias("n_grams"))
+        .where(F.col("n_grams") >= 2)
+        .select(
+            "id_a", "id_b", "start_a",
+            (F.col("start_a") - F.col("delta")).alias("start_b"),
+            (F.col("n_grams") + 2).alias("len_tokens"),
+            F.col("delta").alias("align_delta"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-corpus assembly (pipeline/sampling.py): deterministic sampling,
 # splits, vocabulary, packing, decontamination. The md5 hash bucket is

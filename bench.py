@@ -32,6 +32,9 @@ HEADLINE = [
     "q_doc_minhash_portable", "q_evt_cms_user_counts",
     "q_emb_cosine_topk", "q_emb_lsh_buckets", "q_emb_ivf_topk",
     "q_emb_kmeans_clusters",
+    # corpus-assembly ops (decontamination broadcast semi-join; the packing
+    # keyed window) — benched so their scale-path plans have perf evidence
+    "q_doc_contamination", "q_doc_pack_bins",
 ]
 
 

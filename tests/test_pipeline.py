@@ -198,22 +198,24 @@ def test_kmeans_centroids_match_numpy(spark):
     )
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    got = {r["centroid_id"]: np.array(r["embedding"])
-           for r in kmeans_centroids(emb, k=8, iters=2).collect()}
-
     rows = sorted((r["vec_id"], np.array(r["embedding"], dtype=np.float64))
                   for r in emb.collect())
     ids = np.array([r[0] for r in rows])
     X = np.stack([r[1] for r in rows])
-    C = X[:8].copy()
-    for _ in range(2):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-        a = d2.argmin(1)  # first occurrence = lowest centroid id
+    # iters=4 additionally exercises the >2-iteration checkpoint path —
+    # lineage truncation must not change the values
+    for iters in (2, 4):
+        got = {r["centroid_id"]: np.array(r["embedding"])
+               for r in kmeans_centroids(emb, k=8, iters=iters).collect()}
+        C = X[:8].copy()
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(1)  # first occurrence = lowest centroid id
+            for j in range(8):
+                if (a == j).any():
+                    C[j] = X[a == j].mean(0)
         for j in range(8):
-            if (a == j).any():
-                C[j] = X[a == j].mean(0)
-    for j in range(8):
-        assert np.abs(got[int(ids[j])] - C[j]).max() < 1e-9
+            assert np.abs(got[int(ids[j])] - C[j]).max() < 1e-9
 
 
 def test_kmeans_clear_clusters_and_empty_keepold(spark):
@@ -863,3 +865,32 @@ def test_extract_media_features_png_payload(spark):
     assert (out.width, out.height) == (4, 6)
     assert abs(out.feature[0] - 64 / 255) < 1e-6
     assert abs(out.feature[3]) < 1e-12  # constant image -> zero std
+
+def test_lloyd_checkpoint_constant_plan_depth(spark):
+    """Each Lloyd round embeds the previous centroid plan on both sides of
+    the assignment join, doubling the logical plan per iteration; past 2
+    rounds the loop checkpoints the centroid/codebook table, so plan size
+    must stay CONSTANT in the iteration count (analyzer blow-up guard for
+    long refinements), with the truncated lineage visible as LogicalRDD."""
+    from backtest_crew_datalake_spark.pipeline.pq import pq_codebooks
+    from backtest_crew_datalake_spark.pipeline.similarity import (
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def kplan(iters):
+        df = kmeans_centroids(emb, k=4, iters=iters)
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    p4, p8 = kplan(4), kplan(8)
+    assert len(p8) < len(p4) * 1.5, (len(p4), len(p8))
+    assert "LogicalRDD" in p4
+
+    def pqplan(iters):
+        cb = pq_codebooks(emb, m=8, ksub=4, iters=iters)
+        return cb._jdf.queryExecution().optimizedPlan().toString()
+
+    q4, q8 = pqplan(4), pqplan(8)
+    assert len(q8) < len(q4) * 1.5, (len(q4), len(q8))
+    assert "LogicalRDD" in q4

@@ -106,6 +106,15 @@ def test_winnow_pairs_single_winnow_subtree(spark):
     assert "Scan ExistingRDD" in p
 
 
+def test_shared_spans_plan_keyed_joins(spark):
+    p = _plan(spark, "q_doc_shared_spans")
+    # anchor + extension joins are keyed equi-joins; the islands window is
+    # keyed by the pair — never a cartesian or a global sort
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Exchange rangepartitioning" not in p
+
+
 def test_kmeans_plan_broadcast_only_centroids(spark):
     p = _plan(spark, "q_emb_kmeans_clusters")
     # centroid assignment is broadcast (tiny side); the corpus itself must
