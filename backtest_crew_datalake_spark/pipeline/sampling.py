@@ -140,20 +140,30 @@ def contamination(
     bench_sh = (
         benchmark.select(F.explode(_shingles(text_col, n)).alias("sh"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
     if broadcast_benchmark:
         bench_sh = F.broadcast(bench_sh)
-    corpus_sh = corpus.select(
+    from .dedup import spread_partitions
+
+    # single-row-group inputs scan as ONE task; the shingle explode is the
+    # CPU-heavy stage, so spread it (no-op at real scale — see helper)
+    corpus_sh = spread_partitions(corpus).select(
         F.col(id_col), F.explode(_shingles(text_col, n)).alias("sh")
     )
-    sizes = corpus_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    shared = (
-        corpus_sh.join(bench_sh, "sh", "left_semi")
-        .groupBy(id_col).agg(F.count("*").alias("n_shared"))
-    )
+    # ONE streaming pass over the exploded corpus: a LEFT join against the
+    # distinct (broadcast) benchmark set marks hits without duplicating
+    # rows, so the shingle count and the hit count come out of a single
+    # aggregation. The previous sizes ⋈ semi-join shape scanned and
+    # shingled the corpus TWICE — at 100 TB that is a second full pass
+    # (and checkpointing the exploded corpus is bigger than the corpus).
     return (
-        sizes.join(shared, id_col, "left")
-        .withColumn("n_shared", F.coalesce("n_shared", F.lit(0)))
+        corpus_sh.join(bench_sh, "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("__hit").alias("n_shared"),
+        )
         .withColumn(
             "ratio", F.round(F.col("n_shared") / F.col("n_shingles"), 6)
         )

@@ -756,24 +756,33 @@ def q_doc_aligned_span_pairs(spark, sf_dir):
     from ..pipeline.text import winnow_fingerprints
 
     d = load(spark, sf_dir, "documents")
-    f = winnow_fingerprints(d, k=3, w=4)
+    # Checkpoint both blocking structures before they fan out (same pattern
+    # as q_doc_winnow_pairs): f feeds the rare-agg AND both sides of the
+    # fk self-join (4 recomputes of the winnow subplan without it); the
+    # gram table g feeds the position join on both fk sides (2 recomputes).
+    f = winnow_fingerprints(d, k=3, w=4).localCheckpoint(eager=False)
     rare = (
         f.groupBy("fingerprint")
         .agg(F.countDistinct("doc_id").alias("__df"))
         .where(F.col("__df") <= 10)
         .select("fingerprint")
     )
+    from ..pipeline.dedup import spread_partitions
+
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     grams = F.expr(
         "transform(sequence(0, size(__toks) - 3), "
         "i -> array_join(slice(__toks, i + 1, 3), ' '))"
     )
     g = (
-        d.select("doc_id", toks.alias("__toks"))
+        # gram md5 is the CPU-heavy stage; single-row-group inputs scan as
+        # one task without the spread (no-op at real scale)
+        spread_partitions(d, "doc_id").select("doc_id", toks.alias("__toks"))
         .where(F.size("__toks") >= 3)
         .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
         .select("doc_id", "pos",
                 F.md5(F.col("gram").cast("binary")).alias("h"))
+        .localCheckpoint(eager=False)
     )
     fk = (
         f.join(rare, "fingerprint")
@@ -899,17 +908,24 @@ def q_doc_shared_spans(spark, sf_dir):
     )
 
     d = load(spark, sf_dir, "documents")
+    from ..pipeline.dedup import spread_partitions
+
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     grams = F.expr(
         "transform(sequence(0, size(__toks) - 3), "
         "i -> array_join(slice(__toks, i + 1, 3), ' '))"
     )
     g = (
-        d.select("doc_id", toks.alias("__toks"))
+        # gram md5 is the CPU-heavy stage; single-row-group inputs scan as
+        # one task without the spread (no-op at real scale)
+        spread_partitions(d, "doc_id").select("doc_id", toks.alias("__toks"))
         .where(F.size("__toks") >= 3)
         .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
         .select("doc_id", "pos",
                 F.md5(F.col("gram").cast("binary")).alias("h"))
+        # feeds both the id_a and id_b sides of the match join — checkpoint
+        # so tokenize+md5 runs once (same pattern as the winnow queries)
+        .localCheckpoint(eager=False)
     )
     # reduce the corpus-wide gram table to candidate docs BEFORE the match
     # join (semi-joins are map-side once AQE broadcasts the small pair set)
