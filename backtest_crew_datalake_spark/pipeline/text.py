@@ -126,32 +126,32 @@ def winnow_fingerprints(
     can reproduce the exact fingerprint set. Only full ``w``-gram windows
     select fingerprints, so docs shorter than ``k+w-1`` words emit none.
 
-    Scale shape: one posexplode (no shuffle — grams stay with their doc
-    partition), one window keyed by doc id (shuffle on doc_id only), one
-    distinct. Output: (``id_col``, fingerprint).
+    Scale shape: ENTIRELY ROW-LOCAL — the gram-hash array, the sliding
+    ``w``-window minima (`transform` + `array_min` over array slices), and
+    the per-doc dedup (`array_distinct`) all happen inside the row, then a
+    single explode emits (doc, fingerprint). No gram explosion, no
+    doc-keyed window shuffle, no distinct shuffle: winnowing is a map-only
+    stage at any corpus size (an earlier formulation posexploded grams and
+    ran a doc-partitioned window — one full shuffle of the gram table that
+    this shape simply doesn't have). Output: (``id_col``, fingerprint).
     """
-    from pyspark.sql import Window
-
     from .dedup import spread_partitions
 
     df = spread_partitions(df, id_col)  # gram md5 is CPU-heavy, row-local
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    grams = F.expr(
+    gram_hashes = F.expr(
         f"transform(sequence(0, size(__toks) - {k}), "
-        f"i -> array_join(slice(__toks, i + 1, {k}), ' '))"
+        f"i -> md5(cast(array_join(slice(__toks, i + 1, {k}), ' ') "
+        f"AS BINARY)))"
     )
-    g = (
-        df.select(id_col, toks.alias("__toks"))
-        .where(F.size("__toks") >= k)
-        .select(id_col, F.posexplode(grams).alias("pos", "gram"))
-        .withColumn("h", F.md5(F.col("gram").cast("binary")))
+    fps = F.expr(
+        f"array_distinct(transform(sequence(0, size(__h) - {w}), "
+        f"i -> array_min(slice(__h, i + 1, {w}))))"
     )
-    wmin = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
-    wcnt = Window.partitionBy(id_col)
     return (
-        g.withColumn("__fp", F.min("h").over(wmin))
-        .withColumn("__n", F.count("*").over(wcnt))
-        .where(F.col("pos") <= F.col("__n") - w)
-        .select(id_col, F.col("__fp").alias("fingerprint"))
-        .distinct()
+        df.select(id_col, toks.alias("__toks"))
+        # only full w-gram windows select: needs >= k+w-1 tokens
+        .where(F.size("__toks") >= k + w - 1)
+        .select(id_col, gram_hashes.alias("__h"))
+        .select(id_col, F.explode(fps).alias("fingerprint"))
     )

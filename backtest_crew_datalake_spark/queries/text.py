@@ -362,36 +362,34 @@ def q_doc_winnow_pairs(spark, sf_dir):
     """Winnowing fingerprint near-dup candidates (ROADMAP item): k=3-gram
     md5 hashes, w=4 window minima (pipeline/text.winnow_fingerprints), then
     doc pairs sharing ≥2 fingerprints. Fingerprints seen in >10 docs are
-    dropped before pairing (stop-gram removal) — the standard blocking cap
-    that keeps the self-join fan-out bounded at any corpus size (a
-    fingerprint with doc-frequency d contributes d·(d-1)/2 pairs, so the
-    cap bounds per-key work at 45 pairs; at 100 TB this is the difference
-    between a shuffle join and an explosion). The DuckDB oracle reproduces
-    the full algorithm, so the entire winnowing pipeline is value-checked."""
+    dropped before pairing (stop-gram removal).
+
+    Pair generation is BUCKET-LOCAL, not a self-join: the df cap bounds
+    each fingerprint's posting list at 10 ids, so collect the sorted list
+    per fingerprint and emit the ≤45 ordered pairs with a JVM `transform`
+    inside the row. One shuffle to group by fingerprint + one to count
+    pairs — versus the self-join shape's rare-agg + join + self-join (and
+    its recompute of the winnow subplan per side). Identical semantics to
+    the oracle's self-join formulation; strictly fewer shuffles at any
+    scale, and safe precisely BECAUSE the cap bounds the array (a
+    fingerprint with doc-frequency d yields d·(d-1)/2 pairs — the cap
+    holds that at 45)."""
     from ..pipeline.text import winnow_fingerprints
 
     d = load(spark, sf_dir, "documents")
-    # Materialize the (doc_id, fingerprint) table before the df-agg and the
-    # pair self-join: self-join attribute dedup defeats exchange reuse, so
-    # without this the tokenize→md5→window-minima subplan executes once for
-    # the rare-fingerprint agg and once per self-join side (3×). The
-    # fingerprint table is ~1% of corpus bytes — checkpointing it is the
-    # scale-correct shape for every blocking structure in this engine.
-    f = winnow_fingerprints(d, k=3, w=4).localCheckpoint(eager=False)
-    rare = (
-        f.groupBy("fingerprint")
-        .agg(F.countDistinct("doc_id").alias("__df"))
-        .where(F.col("__df") <= 10)
-        .select("fingerprint")
+    f = winnow_fingerprints(d, k=3, w=4)
+    pairs = F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "b -> struct(a AS id_a, b AS id_b))))"
     )
-    fk = f.join(rare, "fingerprint")
     return (
-        fk.alias("a")
-        .join(fk.alias("b"), "fingerprint")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
+        f.groupBy("fingerprint")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= 10))  # df cap
+        .select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared_fps"))
         .where(F.col("shared_fps") >= 2)
     )
@@ -756,10 +754,9 @@ def q_doc_aligned_span_pairs(spark, sf_dir):
     from ..pipeline.text import winnow_fingerprints
 
     d = load(spark, sf_dir, "documents")
-    # Checkpoint both blocking structures before they fan out (same pattern
-    # as q_doc_winnow_pairs): f feeds the rare-agg AND both sides of the
-    # fk self-join (4 recomputes of the winnow subplan without it); the
-    # gram table g feeds the position join on both fk sides (2 recomputes).
+    # f feeds the rare-agg AND the fk join — checkpoint so the winnow
+    # subplan computes once (pairing itself is bucket-local below, no
+    # self-join, so g is consumed once and needs no checkpoint).
     f = winnow_fingerprints(d, k=3, w=4).localCheckpoint(eager=False)
     rare = (
         f.groupBy("fingerprint")
@@ -782,7 +779,6 @@ def q_doc_aligned_span_pairs(spark, sf_dir):
         .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
         .select("doc_id", "pos",
                 F.md5(F.col("gram").cast("binary")).alias("h"))
-        .localCheckpoint(eager=False)
     )
     fk = (
         f.join(rare, "fingerprint")
@@ -791,15 +787,23 @@ def q_doc_aligned_span_pairs(spark, sf_dir):
         .groupBy(f.doc_id.alias("doc_id"), "fingerprint")
         .agg(F.min("pos").alias("first_pos"))
     )
+    # bucket-local pair generation (same shape as q_doc_winnow_pairs): the
+    # df cap bounds each posting list at 10 entries, so collect the sorted
+    # (doc_id, first_pos) list per fingerprint and emit ordered pairs
+    # in-row — no fk self-join, no recompute of the f ⋈ g subplan
+    pairs_expr = F.expr(
+        "flatten(transform(es, (a, i) -> "
+        "transform(slice(es, i + 2, size(es)), "
+        "b -> struct(a.doc_id AS id_a, b.doc_id AS id_b, "
+        "a.first_pos - b.first_pos AS delta))))"
+    )
     pairs = (
-        fk.alias("a")
-        .join(fk.alias("b"), "fingerprint")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            (F.col("a.first_pos") - F.col("b.first_pos")).alias("delta"),
-        )
+        fk.groupBy("fingerprint")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "first_pos")))
+             .alias("es"))
+        .where(F.size("es") >= 2)
+        .select(F.explode(pairs_expr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.delta")
     )
     deltas = pairs.groupBy("id_a", "id_b", "delta").agg(
         F.count("*").alias("dn")

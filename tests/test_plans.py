@@ -96,14 +96,12 @@ def test_winnow_pairs_plan_no_cartesian(spark):
 
 
 def test_winnow_pairs_single_winnow_subtree(spark):
-    # the fingerprint table is checkpointed before the rare-agg and the pair
-    # self-join, so the expensive tokenize→md5→window subplan appears ONCE
-    # (inside the checkpointed RDD) and the SQL plan reads ExistingRDD — a
-    # plan with any parquet scan means the checkpoint regressed and the
-    # winnow subtree computes 3×
+    # bucket-local pair generation consumes the winnow table exactly once:
+    # the plan holds ONE parquet scan of documents. Two or more scans mean
+    # the pairing regressed to a self-join that recomputes the expensive
+    # tokenize→md5→window subplan per side.
     p = _plan(spark, "q_doc_winnow_pairs")
-    assert "FileScan parquet" not in p
-    assert "Scan ExistingRDD" in p
+    assert p.count("FileScan parquet") == 1
 
 
 def test_shared_spans_plan_keyed_joins(spark):
