@@ -82,22 +82,51 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard near-duplicate pairs (id_a < id_b, jaccard >= th).
 
     jaccard = |A∩B| / (|A| + |B| - |A∩B|) over distinct word n-gram sets.
-    ``max_df`` drops shingles present in more than max_df docs before the
-    self-join (boilerplate guard — at scale this caps the join fan-out).
+    ``max_df`` drops shingles present in more than max_df docs before
+    pairing (boilerplate guard — at scale this caps the join fan-out).
+
+    With ``max_df`` set, pair generation is BUCKET-LOCAL: each surviving
+    shingle's posting list is bounded at max_df ids, so the sorted list is
+    collected per shingle and the ≤ max_df·(max_df-1)/2 ordered pairs are
+    emitted in-row — one keyed shuffle instead of a shingle self-join, and
+    the doc sizes fall out of the same grouped table (the exchange is
+    shared). Without a cap the posting lists are unbounded and the general
+    self-join shape is used.
     """
     sh = (
         df.select(F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("sh"))
     )
     if max_df is not None:
-        rare = sh.groupBy("sh").count().where(F.col("count") <= max_df).select("sh")
-        sh = sh.join(rare, "sh")
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
+        groups = (
+            sh.groupBy("sh")
+            .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+            .where(F.size("ids") <= max_df)
+        )
+        sizes = (
+            groups.select(F.explode("ids").alias("id"))
+            .groupBy("id").agg(F.count("*").alias("sz"))
+        )
+        pair_expr = F.expr(
+            "flatten(transform(ids, (a, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), "
+            "b -> struct(a AS id_a, b AS id_b))))"
+        )
+        inter = (
+            groups.where(F.size("ids") >= 2)
+            .select(F.explode(pair_expr).alias("p"))
+            .groupBy(F.col("p.id_a").alias("id_a"),
+                     F.col("p.id_b").alias("id_b"))
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("n_inter"))
+        )
     return (
         inter.join(sizes.withColumnRenamed("id", "id_a")
                    .withColumnRenamed("sz", "sz_a"), "id_a")

@@ -894,3 +894,13 @@ def test_lloyd_checkpoint_constant_plan_depth(spark):
     q4, q8 = pqplan(4), pqplan(8)
     assert len(q8) < len(q4) * 1.5, (len(q4), len(q8))
     assert "LogicalRDD" in q4
+
+def test_ngram_jaccard_bucket_local_matches_self_join(spark):
+    """With max_df set, pairs are generated bucket-locally from collected
+    posting lists; when no shingle actually exceeds the cap this must be
+    EXACTLY the self-join path's answer (same pairs, same jaccard)."""
+    d = _docs(spark)
+    capped = ngram_jaccard_pairs(d, n=2, threshold=0.3, max_df=10).collect()
+    free = ngram_jaccard_pairs(d, n=2, threshold=0.3).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, free))
+    assert len(capped) > 0
