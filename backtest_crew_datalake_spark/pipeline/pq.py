@@ -80,6 +80,8 @@ def pq_codebooks(
 
     from pyspark.sql import Window
 
+    # Unpartitioned window is safe here: it runs AFTER the limit, over the
+    # ksub surviving rows (a bounded constant), never over the corpus.
     seed_w = Window.orderBy("__id")
     seeds = (
         corpus.select(F.col(id_col).alias("__id"))
