@@ -94,9 +94,9 @@ def pq_codebooks(
     )
     from .similarity import lloyd_means
 
-    # Same lineage-doubling guard as similarity.kmeans_centroids: past 2
-    # Lloyd rounds, checkpoint the m·ksub-row codebook each round.
-    checkpoint = iters > 2
+    # Same lineage/recompute guard as similarity.kmeans_centroids: from 2
+    # Lloyd rounds up, checkpoint the m·ksub-row codebook each round.
+    checkpoint = iters >= 2
     for _ in range(iters):
         assigned = _assign_codes(subs, cb)
         means = lloyd_means(

@@ -262,11 +262,13 @@ def kmeans_centroids(
     )
     # Each Lloyd round embeds the previous centroid plan on BOTH sides of
     # the assignment (broadcast) and the empty-cluster coalesce join, so
-    # the logical plan doubles per iteration — fine for the usual 1-2
-    # rounds, an analyzer blow-up beyond that. Past 2 rounds, truncate the
-    # lineage each round by checkpointing the k-row centroid table (lazy:
-    # materializes with the next round's job).
-    checkpoint = iters > 2
+    # the logical plan doubles per iteration — and every broadcast
+    # materialization of round i's centroids RE-RUNS rounds 1..i-1 (each
+    # broadcast is its own job over the un-truncated lineage). From 2
+    # rounds up, checkpoint the k-row centroid table each round (lazy:
+    # materializes with the next round's job) so each round's corpus pass
+    # runs exactly once and plan depth stays constant.
+    checkpoint = iters >= 2
     for _ in range(iters):
         assigned = kmeans_assign(emb, cent, id_col="__id", vec_col=vec_col)
         means = lloyd_means(assigned, ["centroid_id"], vec_col, "__nv")
