@@ -129,11 +129,14 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_doc_aligned_span_pairs",
     "q_multimodal_features",
     "q_evt_dedup_keep_last",
-    # -- (c) corpus/embedding representatives benched this round
+    # -- (c) NEW this round: never driver-checked
+    "q_evt_funnel",
+    "q_evt_retention",
+    "q_doc_repetition",
+    # -- tail: green in CORRECTNESS_r03 and untouched since
     "q_doc_contamination",
     "q_doc_pack_bins",
     "q_emb_kmeans_clusters",
-    # -- tail: green in CORRECTNESS_r03 and untouched since
     "q_doc_token_stats",
     "q_doc_quality",
     "q_doc_lang_id",

@@ -1087,3 +1087,101 @@ def q_evt_histogram_quantiles(spark, sf_dir):
         ).alias("est_value"),
         "qbin",
     )
+
+
+@register(
+    "q_evt_funnel",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS s_ts FROM events
+        WHERE event_type = 'signup' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS c_ts
+        FROM events e JOIN s ON s.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > s.s_ts GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS p_ts
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1
+    )
+    SELECT 1 AS step, 'signup' AS event_type,
+           (SELECT COUNT(*) FROM s) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)
+    """,
+)
+def q_evt_funnel(spark, sf_dir):
+    """Ordered 3-step funnel (signup -> first click after signup -> first
+    purchase after that click) — the event-pipeline staple for conversion
+    analysis. Each step is a keyed aggregation joined on user_id (the
+    natural funnel key), so at 100 TB every stage is one co-partitioned
+    shuffle on user_id — no windows over the full event stream, no
+    cross-step fan-out."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = (e.where(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("s_ts")))
+    c = (e.where(F.col("event_type") == "click")
+         .join(s, "user_id")
+         .where(F.col("ts") > F.col("s_ts"))
+         .groupBy("user_id").agg(F.min("ts").alias("c_ts")))
+    p = (e.where(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .where(F.col("ts") > F.col("c_ts"))
+         .groupBy("user_id").agg(F.min("ts").alias("p_ts")))
+
+    def _cnt(df, step, name):
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(step).alias("step"),
+            F.lit(name).alias("event_type"),
+            "n_users",
+        )
+
+    return (
+        _cnt(s, 1, "signup")
+        .unionByName(_cnt(c, 2, "click"))
+        .unionByName(_cnt(p, 3, "purchase"))
+    )
+
+
+@register(
+    "q_evt_retention",
+    oracle="""
+    WITH wk AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY 1)
+    SELECT STRFTIME(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', c.cohort_week, w.week) / 7 AS BIGINT)
+               AS week_offset,
+           COUNT(*) AS n_users
+    FROM wk w JOIN cohort c ON c.user_id = w.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_evt_retention(spark, sf_dir):
+    """Weekly cohort retention (the other event-pipeline staple): users
+    grouped by the week of their first activity; one row per (cohort week,
+    week offset) with the count of cohort members active that week. Two
+    keyed aggregations on user_id + one on the (cohort, offset) pair —
+    every shuffle keyed, nothing windowed over the raw stream."""
+    e = load(spark, sf_dir, "events")
+    wk = e.select(
+        "user_id",
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+    ).distinct()
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        wk.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("week", "cohort_week") / 7).cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -1139,3 +1139,66 @@ def q_doc_contamination(spark, sf_dir):
         d.where(F.col("doc_id") < 20),
         n=3, min_ratio=0.1,
     )
+
+
+@register(
+    "q_doc_repetition",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               string_split_regex(TRIM(text), '\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, lang,
+               LEN(toks) - 2 AS n_grams,
+               LEN(list_distinct(list_transform(
+                   generate_series(1, LEN(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               ))) AS n_distinct
+        FROM t WHERE LEN(toks) >= 3
+    ),
+    d AS (
+        SELECT doc_id, lang,
+               ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6)
+                   AS dup_frac
+        FROM g
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG(dup_frac), 6) AS avg_dup_frac,
+           ROUND(MAX(dup_frac), 6) AS max_dup_frac,
+           CAST(COUNT(*) FILTER (dup_frac > 0.2) AS BIGINT) AS n_flagged
+    FROM d GROUP BY 1
+    """,
+)
+def q_doc_repetition(spark, sf_dir):
+    """Duplicate-n-gram repetition score (the Gopher-style corpus-quality
+    filter: a document whose 3-grams repeat heavily is boilerplate or
+    degenerate generation): per doc, dup_frac = 1 - distinct_3grams /
+    total_3grams, aggregated per language with a >0.2 flag count.
+    Entirely row-local (transform + array_distinct inside the row) + one
+    tiny per-language aggregation — a map-only scan at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.expr(
+        "transform(sequence(0, size(__toks) - 3), "
+        "i -> array_join(slice(__toks, i + 1, 3), ' '))"
+    )
+    dup_frac = F.round(
+        1.0 - F.size(F.array_distinct("__g")).cast("double")
+        / F.size("__g"), 6
+    )
+    return (
+        d.select("doc_id", "lang", toks.alias("__toks"))
+        .where(F.size("__toks") >= 3)
+        .select("doc_id", "lang", grams.alias("__g"))
+        .select("lang", dup_frac.alias("dup_frac"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("dup_frac"), 6).alias("avg_dup_frac"),
+            F.round(F.max("dup_frac"), 6).alias("max_dup_frac"),
+            F.sum(F.when(F.col("dup_frac") > 0.2, 1).otherwise(0))
+            .cast("bigint").alias("n_flagged"),
+        )
+    )
