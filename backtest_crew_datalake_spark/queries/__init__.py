@@ -125,15 +125,19 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_doc_winnow_pairs",
     "q_doc_ngram_jaccard",
     "q_emb_ann_recall",
+    "q_emb_pq_topk",
+    "q_emb_ivfpq_topk",
     "q_doc_shared_spans",
     "q_doc_aligned_span_pairs",
-    "q_multimodal_features",
-    "q_evt_dedup_keep_last",
     # -- (c) NEW this round: never driver-checked
     "q_evt_funnel",
     "q_evt_retention",
     "q_doc_repetition",
-    # -- tail: green in CORRECTNESS_r03 and untouched since
+    # -- tail: green in CORRECTNESS_r03 / covered by pytest gates.
+    # q_multimodal_features (rows-only; PNG path pinned by roundtrip
+    # pytest) and q_evt_dedup_keep_last (r3-green; this round's dedup
+    # change touched only the order=None path it doesn't use) yield their
+    # window slots to value-checked rows.
     "q_doc_contamination",
     "q_doc_pack_bins",
     "q_emb_kmeans_clusters",
@@ -158,8 +162,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_emb_near_dup_pairs",
     "q_emb_dim_stats",
     "q_emb_label_stats",
-    "q_emb_pq_topk",
-    "q_emb_ivfpq_topk",
+    "q_multimodal_features",
+    "q_evt_dedup_keep_last",
     "q_evt_minmax",
     "q_evt_cms_user_counts",
     "q_evt_histogram_quantiles",

@@ -279,13 +279,86 @@ def q_emb_kmeans_clusters(spark, sf_dir):
     )
 
 
-@register("q_emb_pq_topk", oracle=None)
+# PQ oracle building blocks (shared by the pq/ivfpq/ann-recall oracles):
+# squared distances as explicit index-order sums matching similarity._sqdist.
+_SQD8 = ("list_aggregate(list_transform(range(1, 9), "
+         "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')")
+_SUBS = ("SELECT vec_id, s.sub_id, v[s.sub_id * 8 + 1 : s.sub_id * 8 + 8] "
+         "AS sub FROM {src}, (SELECT UNNEST(range(0, 8)) AS sub_id) s")
+
+
+def _pq_train_sql(iters: int, src: str = "emb") -> str:
+    """CTE chain training m=8 × ksub=16 PQ codebooks on ``src`` with
+    ``iters`` Lloyd rounds (init = subvectors of the 16 lowest-id rows,
+    empty cells keep their centroid). Emits CTEs ``subs`` … ``pcb``
+    (the final codebook) for embedding in a WITH clause."""
+    parts = [
+        f"subs AS ({_SUBS.format(src=src)})",
+        "pseed AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1"
+        " AS pcid FROM (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 16))",
+        "pcb0 AS (SELECT s.sub_id, p.pcid, s.sub AS cent"
+        " FROM subs s JOIN pseed p USING (vec_id))",
+    ]
+    prev = "pcb0"
+    for it in range(1, iters + 1):
+        d2 = _SQD8.format(a="s.sub", b="c.cent")
+        parts.append(
+            f"pa{it} AS (SELECT vec_id, sub_id, sub, code FROM ("
+            f"SELECT s.vec_id, s.sub_id, s.sub, c.pcid AS code,"
+            f" ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_id"
+            f" ORDER BY {d2}, c.pcid) AS rk"
+            f" FROM subs s JOIN {prev} c USING (sub_id)) WHERE rk = 1)")
+        parts.append(
+            f"pm{it} AS (SELECT sub_id, code, dim, AVG(sub[dim]) AS mv"
+            f" FROM pa{it}, range(1, 9) t(dim) GROUP BY 1, 2, 3)")
+        parts.append(
+            f"pn{it} AS (SELECT sub_id, code, list(mv ORDER BY dim) AS nv"
+            f" FROM pm{it} GROUP BY 1, 2)")
+        nxt = "pcb" if it == iters else f"pcb{it}"
+        parts.append(
+            f"{nxt} AS (SELECT b.sub_id, b.pcid, COALESCE(n.nv, b.cent)"
+            f" AS cent FROM {prev} b LEFT JOIN pn{it} n"
+            f" ON n.sub_id = b.sub_id AND n.code = b.pcid)")
+        prev = nxt
+    return ",\n".join(parts)
+
+
+_PQ_CODES_LUT_SQL = f"""
+codes AS (SELECT vec_id, sub_id, code FROM (
+           SELECT s.vec_id, s.sub_id, c.pcid AS code,
+                  ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_id
+                      ORDER BY {_SQD8.format(a='s.sub', b='c.cent')},
+                               c.pcid) AS rk
+           FROM subs s JOIN pcb c USING (sub_id)) WHERE rk = 1),
+qlut AS (SELECT s.vec_id AS query_id, s.sub_id, c.pcid AS code,
+                {_SQD8.format(a='s.sub', b='c.cent')} AS d2
+         FROM subs s JOIN pcb c USING (sub_id) WHERE s.vec_id < 10)
+"""
+
+
+@register(
+    "q_emb_pq_topk",
+    oracle=f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{_pq_train_sql(2)},
+{_PQ_CODES_LUT_SQL},
+adc AS (SELECT l.query_id, c.vec_id AS neighbor_id, SUM(l.d2) AS dist
+        FROM codes c JOIN qlut l
+          ON l.sub_id = c.sub_id AND l.code = c.code
+        GROUP BY 1, 2)
+SELECT query_id, neighbor_id, ROUND(dist, 4) AS approx_d2, rank FROM (
+    SELECT query_id, neighbor_id, dist,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY dist, neighbor_id) AS rank
+    FROM adc) WHERE rank <= 5
+""",
+)
 def q_emb_pq_topk(spark, sf_dir):
-    """Product-quantization ANN (rows-only: the 3-stage PQ pipeline —
-    grouped Lloyd codebooks, m-byte encoding, ADC lookup-table top-k — is
-    not reasonably SQL-expressible; correctness is covered by the numpy
-    differential in tests/test_pipeline.py::test_pq_matches_numpy_and_recall
-    and the k-means stage itself is oracle-gated via q_emb_kmeans_clusters)."""
+    """Product-quantization ANN top-k: 2-Lloyd-round grouped codebooks,
+    m-byte encoding, ADC lookup-table ranking. ORACLE-GATED: the whole
+    3-stage pipeline is unrolled as DuckDB CTEs (deterministic init/ties),
+    so codes, LUT distances and ranking are value-checked; the numpy
+    differential in tests/test_pipeline.py covers it independently."""
     from ..pipeline.pq import pq_codebooks, pq_encode, pq_topk
 
     emb = load(spark, sf_dir, "embeddings")
@@ -295,12 +368,54 @@ def q_emb_pq_topk(spark, sf_dir):
     return pq_topk(qs, codes, cb, k=5, m=8, dim=64)
 
 
-@register("q_emb_ivfpq_topk", oracle=None)
+@register(
+    "q_emb_ivfpq_topk",
+    oracle=f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qs AS (SELECT vec_id, v FROM emb WHERE vec_id < 10),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 8),
+ka1 AS (SELECT vec_id, v, cid FROM (
+         SELECT e.vec_id, e.v, c.cid,
+                ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_distance(e.v, c.cv), c.cid) AS rk
+         FROM emb e CROSS JOIN c0 c) WHERE rk = 1),
+km1 AS (SELECT cid, dim, AVG(v[dim]) AS mv
+        FROM ka1, range(1, 65) t(dim) GROUP BY 1, 2),
+kn1 AS (SELECT cid, list(mv ORDER BY dim) AS nv FROM km1 GROUP BY cid),
+kc1 AS (SELECT c0.cid, COALESCE(kn1.nv, c0.cv) AS cv
+        FROM c0 LEFT JOIN kn1 USING (cid)),
+ka AS (SELECT vec_id, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.v, c.cv), c.cid) AS rk
+        FROM emb e CROSS JOIN kc1 c) WHERE rk = 1),
+kp AS (SELECT vec_id, cid FROM (
+        SELECT q.vec_id, q.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_distance(q.v, c.cv), c.cid) AS rk
+        FROM qs q CROSS JOIN kc1 c) WHERE rk <= 2),
+{_pq_train_sql(1)},
+{_PQ_CODES_LUT_SQL},
+ip_adc AS (SELECT l.query_id, c.vec_id AS neighbor_id, SUM(l.d2) AS dist
+           FROM kp p
+           JOIN ka a ON a.cid = p.cid
+           JOIN codes c ON c.vec_id = a.vec_id
+           JOIN qlut l ON l.query_id = p.vec_id
+                      AND l.sub_id = c.sub_id AND l.code = c.code
+           GROUP BY 1, 2)
+SELECT query_id, neighbor_id, ROUND(dist, 4) AS approx_d2, rank FROM (
+    SELECT query_id, neighbor_id, dist,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY dist, neighbor_id) AS rank
+    FROM ip_adc) WHERE rank <= 5
+""",
+)
 def q_emb_ivfpq_topk(spark, sf_dir):
-    """IVF-PQ ANN (rows-only: composition of the oracle-gated k-means coarse
-    quantizer and the numpy-differentialed PQ fine quantizer; containment and
-    degeneracy properties proven in
-    tests/test_pipeline.py::test_ivf_pq_recall_and_shortlist_containment)."""
+    """IVF-PQ ANN top-k: 1-Lloyd-round coarse quantizer shortlists by
+    probed list, PQ/ADC ranks the shortlist. ORACLE-GATED end to end
+    (coarse k-means + PQ training + encode + probe-restricted ADC unrolled
+    as DuckDB CTEs); containment/degeneracy properties additionally proven
+    in tests/test_pipeline.py."""
     from ..pipeline.pq import ivf_pq_topk
 
     emb = load(spark, sf_dir, "embeddings")
@@ -313,12 +428,9 @@ def q_emb_ivfpq_topk(spark, sf_dir):
 # k-means centroids (1 Lloyd iteration, same unrolling as the
 # q_emb_kmeans_clusters oracle), PQ codebooks/encode/ADC (1 Lloyd iteration
 # per subspace), IVF-PQ, and residual IVF-PQ. Squared distances are explicit
-# index-order sums (matching similarity._sqdist) rather than
-# list_distance()^2, so ADC sums agree with Spark to the last ulp.
-_SQD8 = ("list_aggregate(list_transform(range(1, 9), "
-         "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')")
-_SUBS = ("SELECT vec_id, s.sub_id, v[s.sub_id * 8 + 1 : s.sub_id * 8 + 8] "
-         "AS sub FROM {src}, (SELECT UNNEST(range(0, 8)) AS sub_id) s")
+# index-order sums (matching similarity._sqdist, via the shared _SQD8/_SUBS
+# helpers above) rather than list_distance()^2, so ADC sums agree with
+# Spark to the last ulp.
 _ANN_RECALL_ORACLE = f"""
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 qs AS (SELECT vec_id, v FROM emb WHERE vec_id < 10),
