@@ -104,6 +104,21 @@ def test_winnow_pairs_single_winnow_subtree(spark):
     assert p.count("FileScan parquet") == 1
 
 
+def test_funnel_retention_repetition_plans(spark):
+    # funnel/retention: every join and agg keyed (user_id / cohort pair) —
+    # no cartesian, no nested-loop, no global sort at any scale
+    for q in ("q_evt_funnel", "q_evt_retention"):
+        p = _plan(spark, q)
+        assert "CartesianProduct" not in p, q
+        assert "BroadcastNestedLoopJoin" not in p, q
+        assert "Exchange rangepartitioning" not in p, q
+    # repetition: row-local scoring + one per-language aggregation — the
+    # whole query is a map stage plus a single keyed exchange
+    p = _plan(spark, "q_doc_repetition")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in p
+
+
 def test_shared_spans_plan_keyed_joins(spark):
     p = _plan(spark, "q_doc_shared_spans")
     # anchor + extension joins are keyed equi-joins; the islands window is
