@@ -892,3 +892,179 @@ def q_grouping_sets(spark, sf_dir):
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                 (l_returnflag), (l_linestatus))
     """)
+
+
+@register(
+    "q_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS forecast_revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01'
+      AND l_shipdate <  DATE '1996-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: single-scan filtered aggregation — the pure
+    predicate-pushdown + map-side-combine baseline (every predicate reaches
+    the parquet scan; no shuffle beyond the 1-row final agg)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & F.col("l_discount").between(0.02, 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+        .alias("forecast_revenue")
+    )
+
+
+@register(
+    "q_order_priority_checks",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate <  DATE '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY 1
+    """,
+)
+def q_order_priority_checks(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join with a
+    non-equi residual (lineitem shipped >60 days after the order date —
+    the reference dataset has no commitdate, so the late predicate is
+    shipdate-vs-orderdate). The semi join is keyed on l_orderkey, so at
+    scale it is one co-partitioned shuffle; the date filter prunes orders
+    at the scan."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    o = o.where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.date_add("o_orderdate", 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+@register(
+    "q_top_supplier_revenue",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey AS suppkey,
+               SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate <  DATE '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, ROUND(r.total_rev, 2) AS total_rev
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def q_top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15 shape: per-supplier quarterly revenue, keep the
+    supplier(s) at the maximum (scalar subquery against the same
+    aggregate). The 1-row max broadcasts; the revenue agg is one keyed
+    shuffle; supplier is a broadcastable dim at any SF where suppliers
+    fit (they do not scale with lineitem) — left to AQE."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_rev") == F.col("__mx"))
+        .join(s, F.col("s_suppkey") == F.col("suppkey"))
+        .select("s_suppkey", "s_name",
+                F.round("total_rev", 2).alias("total_rev"))
+    )
+
+
+@register(
+    "q_blame_suppliers",
+    oracle="""
+    WITH l1 AS (
+        SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem
+    )
+    SELECT n.n_name, COUNT(*) AS n_blamed
+    FROM l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE EXISTS (
+        SELECT 1 FROM l1 l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM l1 l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate >= l1.l_shipdate
+    )
+    GROUP BY 1
+    """,
+)
+def q_blame_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (the decorrelation stress test): in multi-supplier
+    orders, blame the supplier whose line shipped STRICTLY last — EXISTS
+    (another supplier in the order) decorrelates to a left-semi join and
+    NOT EXISTS (another supplier shipped at-or-after me) to a left-anti
+    join, both keyed on l_orderkey with non-equi residuals; blamed counts
+    roll up per nation through broadcastable dims. No window over the full
+    lineitem stream; the two correlated joins are co-partitioned
+    order-keyed shuffles."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"),
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    multi = li.join(
+        l2,
+        (F.col("l_orderkey") == F.col("o2"))
+        & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    )
+    last = multi.join(
+        l3,
+        (F.col("l_orderkey") == F.col("o3"))
+        & (F.col("l_suppkey") != F.col("s3"))
+        & (F.col("d3") >= F.col("l_shipdate")),
+        "left_anti",
+    )
+    return (
+        # supplier is SF-scaled — no broadcast hint (AQE broadcasts while
+        # small); nation is bounded and may keep its hint
+        last.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_blamed"))
+    )

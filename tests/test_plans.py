@@ -119,6 +119,15 @@ def test_funnel_retention_repetition_plans(spark):
     assert "CartesianProduct" not in p
 
 
+def test_blame_suppliers_decorrelated_plan(spark):
+    # Q21 shape: EXISTS/NOT EXISTS must decorrelate to keyed semi/anti
+    # joins on l_orderkey — never a nested-loop over lineitem
+    p = _plan(spark, "q_blame_suppliers")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Exchange rangepartitioning" not in p
+
+
 def test_shared_spans_plan_keyed_joins(spark):
     p = _plan(spark, "q_doc_shared_spans")
     # anchor + extension joins are keyed equi-joins; the islands window is
