@@ -904,3 +904,34 @@ def test_ngram_jaccard_bucket_local_matches_self_join(spark):
     free = ngram_jaccard_pairs(d, n=2, threshold=0.3).collect()
     assert sorted(map(tuple, capped)) == sorted(map(tuple, free))
     assert len(capped) > 0
+
+def test_shared_spans_extracts_known_copied_span(spark, tmp_path):
+    """Constructed ground truth for q_doc_shared_spans: doc 1 embeds an
+    exact copy of doc 0's tokens [10, 31) at offset 20; every other token
+    is globally unique. The extractor must emit exactly one maximal span
+    with the true offsets, length and alignment delta."""
+    import pandas as pd
+
+    from backtest_crew_datalake_spark.queries import all_queries
+
+    a_toks = [f"a{i}" for i in range(60)]
+    copied = a_toks[10:31]                      # 21 tokens
+    b_toks = [f"b{i}" for i in range(20)] + copied + \
+        [f"c{i}" for i in range(20)]
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": [" ".join(a_toks), " ".join(b_toks)],
+        "lang": ["en", "en"],
+        "source": ["t", "t"],
+        "n_chars": [len(" ".join(a_toks)), len(" ".join(b_toks))],
+    })
+    sf_dir = str(tmp_path)
+    pdf.to_parquet(f"{sf_dir}/documents.parquet")
+
+    rows = all_queries()["q_doc_shared_spans"].build(spark, sf_dir).collect()
+    assert len(rows) == 1, rows
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (0, 1)
+    assert r["start_a"] == 10 and r["start_b"] == 20
+    assert r["len_tokens"] == 21
+    assert r["align_delta"] == -10
