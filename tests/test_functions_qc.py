@@ -131,3 +131,35 @@ def test_sessionize(spark):
     u1 = out[out.user_id == 1]
     assert list(u1.n_events) == [2, 1]
     assert u1.iloc[0].duration_sec == 600
+
+
+def test_funnel_ground_truth(spark, tmp_path):
+    """Constructed funnel truth: user 1 fully converts in order; user 2
+    clicks BEFORE signing up (must not count past step 1); user 3 signs up
+    and clicks but never purchases; user 4 only clicks (not in step 1)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from backtest_crew_datalake_spark.queries import all_queries
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, uid, typ, minutes):
+        return (i, t0 + dt.timedelta(minutes=minutes), uid, typ, 1.0, "{}")
+
+    rows = [
+        ev(1, 1, "signup", 0), ev(2, 1, "click", 10), ev(3, 1, "purchase", 20),
+        ev(4, 2, "click", 0), ev(5, 2, "signup", 10),
+        ev(6, 3, "signup", 0), ev(7, 3, "click", 5),
+        ev(8, 4, "click", 0),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value",
+                       "props"])
+    pdf.to_parquet(f"{tmp_path}/events.parquet")
+
+    out = {r["event_type"]: r["n_users"]
+           for r in all_queries()["q_evt_funnel"]
+           .build(spark, str(tmp_path)).collect()}
+    assert out == {"signup": 3, "click": 2, "purchase": 1}

@@ -542,3 +542,82 @@ def test_heartbeat_prevents_midwrite_steal(spark, tmp_path):
     with _partition_locks(spark, lock_dir, ["p1"], timeout_s=2.0,
                           lease_ms=600):
         pass
+
+def test_exclusive_drains_preexisting_shared_locks(spark, tmp_path):
+    """An exclusive writer must take the dataset sentinel, then WAIT until
+    pre-existing shared (per-partition) locks drain before proceeding."""
+    import threading
+    import time as _t
+
+    from backtest_crew_datalake_spark.sources.writer import _partition_locks
+
+    lock_dir = str(tmp_path / "locks")
+    shared_held = threading.Event()
+    release_shared = threading.Event()
+    excl_entered = threading.Event()
+    errs = []
+
+    def shared():
+        try:
+            with _partition_locks(spark, lock_dir, ["p1"], timeout_s=10.0):
+                shared_held.set()
+                release_shared.wait(10.0)
+        except Exception as e:
+            errs.append(e)
+
+    def exclusive():
+        try:
+            with _partition_locks(spark, lock_dir, [], timeout_s=10.0,
+                                  exclusive=True):
+                excl_entered.set()
+        except Exception as e:
+            errs.append(e)
+
+    ts = threading.Thread(target=shared)
+    ts.start()
+    assert shared_held.wait(10.0)
+    te = threading.Thread(target=exclusive)
+    te.start()
+    _t.sleep(0.5)
+    # exclusive holds the sentinel but must NOT have entered yet
+    assert os.path.exists(os.path.join(lock_dir, "__dataset.lock"))
+    assert not excl_entered.is_set()
+    release_shared.set()
+    assert excl_entered.wait(10.0)  # drains as soon as the shared lock goes
+    ts.join(10.0)
+    te.join(10.0)
+    assert not errs, errs
+    assert [f for f in os.listdir(lock_dir) if f.endswith(".lock")] == []
+
+
+def test_shared_blocks_on_sentinel_until_released(spark, tmp_path):
+    """A shared writer arriving while the dataset sentinel exists must wait;
+    it proceeds as soon as the sentinel is removed."""
+    import threading
+    import time as _t
+
+    from backtest_crew_datalake_spark.sources.writer import _partition_locks
+
+    lock_dir = str(tmp_path / "locks")
+    os.makedirs(lock_dir, exist_ok=True)
+    sentinel = os.path.join(lock_dir, "__dataset.lock")
+    open(sentinel, "w").close()  # fresh sentinel: an exclusive writer "runs"
+
+    entered = threading.Event()
+    errs = []
+
+    def shared():
+        try:
+            with _partition_locks(spark, lock_dir, ["p1"], timeout_s=10.0):
+                entered.set()
+        except Exception as e:
+            errs.append(e)
+
+    t = threading.Thread(target=shared)
+    t.start()
+    _t.sleep(0.5)
+    assert not entered.is_set()  # blocked on the live sentinel
+    os.remove(sentinel)          # exclusive writer "finishes"
+    assert entered.wait(10.0)
+    t.join(10.0)
+    assert not errs, errs
