@@ -35,6 +35,9 @@ HEADLINE = [
     # corpus-assembly ops (decontamination broadcast semi-join; the packing
     # keyed window) — benched so their scale-path plans have perf evidence
     "q_doc_contamination", "q_doc_pack_bins",
+    # round-4 additions: keyed funnel chain, cohort retention, decorrelated
+    # Q21 semi/anti pair
+    "q_evt_funnel", "q_evt_retention", "q_blame_suppliers",
 ]
 
 

@@ -163,3 +163,36 @@ def test_funnel_ground_truth(spark, tmp_path):
            for r in all_queries()["q_evt_funnel"]
            .build(spark, str(tmp_path)).collect()}
     assert out == {"signup": 3, "click": 2, "purchase": 1}
+
+
+def test_retention_ground_truth(spark, tmp_path):
+    """Constructed cohorts: users 1-2 first active in week 0 (user 1 also
+    active in week 1), user 3 first active in week 1. Weeks are Monday
+    date_trunc buckets."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from backtest_crew_datalake_spark.queries import all_queries
+
+    w0 = dt.datetime(2024, 1, 1)   # a Monday
+    w1 = w0 + dt.timedelta(days=7)
+    rows = [
+        (1, w0, 1, "click", 1.0, "{}"),
+        (2, w0 + dt.timedelta(days=2), 2, "view", 1.0, "{}"),
+        (3, w1 + dt.timedelta(days=1), 1, "click", 1.0, "{}"),
+        (4, w1, 3, "signup", 1.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value",
+                       "props"])
+    pdf.to_parquet(f"{tmp_path}/events.parquet")
+
+    got = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in all_queries()["q_evt_retention"]
+           .build(spark, str(tmp_path)).collect()}
+    assert got == {
+        ("2024-01-01", 0): 2,   # users 1, 2 in their cohort week
+        ("2024-01-01", 1): 1,   # user 1 retained one week later
+        ("2024-01-08", 0): 1,   # user 3's own cohort week
+    }
