@@ -345,3 +345,85 @@ def streaming_or_levels(
             ),
         )
     )
+
+
+FUNNEL_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType(), False),
+    T.StructField("step", T.IntegerType(), False),
+    T.StructField("event_type", T.StringType(), False),
+    T.StructField("ts", T.TimestampType(), False),
+])
+
+_FUNNEL_STATE_SCHEMA = T.StructType([
+    T.StructField("stage", T.IntegerType(), True),      # steps completed
+    T.StructField("stage_us", T.LongType(), True),      # ts of last step
+])
+
+
+def stateful_funnel(
+    stream_df: DataFrame,
+    steps: tuple[str, ...] = ("signup", "click", "purchase"),
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming ordered-funnel tracking (the incremental analogue of the
+    batch ``q_evt_funnel``): per user, advance through ``steps`` strictly
+    in order — step i+1 counts only if its event's timestamp is AFTER the
+    event that completed step i. Emits one row per stage advancement
+    (user_id, step, event_type, ts) the moment it happens, so a dashboard
+    can read conversion counts per step with a trailing aggregation.
+
+    State per user is two scalars (stage reached, its timestamp) —
+    O(active users), RocksDB-friendly. Events are sorted within each
+    micro-batch; cross-batch late events older than the current stage
+    timestamp are ignored (same at-the-watermark caveat as
+    stateful_sessionize — front with a watermark-sorted buffer when the
+    source can be badly out of order)."""
+    step_idx = {s: i for i, s in enumerate(steps)}
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (user,) = key
+        if state.exists:
+            stage, stage_us = state.get
+        else:
+            stage, stage_us = 0, None
+        advanced = []
+        rows = []
+        for pdf in pdfs:
+            sub = pdf[[ts_col, type_col]]
+            rows.append(sub)
+        if rows:
+            allr = pd.concat(rows).sort_values(ts_col)
+            for t, typ in zip(
+                pd.to_datetime(allr[ts_col]), allr[type_col]
+            ):
+                if stage >= len(steps):
+                    break
+                if step_idx.get(typ) != stage:
+                    continue
+                t_us = t.value // 1000
+                if stage > 0 and (stage_us is None or t_us <= stage_us):
+                    continue  # must be strictly after the previous step
+                stage += 1
+                stage_us = t_us
+                advanced.append((user, stage, typ, t_us))
+        state.update((stage, stage_us))
+        if advanced:
+            yield pd.DataFrame({
+                "user_id": [a[0] for a in advanced],
+                "step": [a[1] for a in advanced],
+                "event_type": [a[2] for a in advanced],
+                "ts": [pd.Timestamp(a[3], unit="us") for a in advanced],
+            })
+
+    return (
+        stream_df.groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=FUNNEL_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -537,3 +537,61 @@ def test_streaming_or_levels_emit_on_timeout(spark, tmp_path):
     for col in ["session_date", "or_high", "or_low", "break_dir",
                 "break_ts", "retest_ts", "retest_price"]:
         assert str(g[col]) == str(want[col]), col
+
+
+def test_stateful_funnel_across_batches(spark, tmp_path):
+    """Funnel stages crossing micro-batch boundaries advance via state:
+    user 1 signs up in batch 1 and clicks+purchases in batch 2; user 2's
+    click arrives BEFORE their signup (within batch 1, sorted) so it must
+    not advance past step 1; a replayed older click in batch 2 must not
+    advance user 2 either (strictly-after rule)."""
+    src = str(tmp_path / "fsrc")
+    out_dir = str(tmp_path / "fout")
+    ckpt = str(tmp_path / "fckpt")
+
+    from backtest_crew_datalake_spark.streaming.stateful import stateful_funnel
+
+    def write_batch(rows, mode):
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string")
+        df.coalesce(1).write.mode(mode).parquet(src)
+
+    b = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta(minutes=1)
+
+    write_batch([
+        (1, b.to_pydatetime(), "signup"),
+        (2, b.to_pydatetime(), "click"),               # before signup
+        (2, (b + 2 * m).to_pydatetime(), "signup"),
+    ], "overwrite")
+
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string").parquet(src)
+    funnel = stateful_funnel(stream)
+
+    def run_once():
+        q = (
+            funnel.writeStream.outputMode("append")
+            .format("parquet").option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    out = spark.read.parquet(out_dir).toPandas()
+    # batch 1: both users reach step 1 (signup); user 2's early click ignored
+    assert set(zip(out.user_id, out.step)) == {(1, 1), (2, 1)}
+
+    write_batch([
+        (1, (b + 5 * m).to_pydatetime(), "click"),
+        (1, (b + 9 * m).to_pydatetime(), "purchase"),
+        (2, (b + 1 * m).to_pydatetime(), "click"),     # older than signup
+    ], "append")
+    run_once()
+    out = spark.read.parquet(out_dir).toPandas()
+    got = set(zip(out.user_id, out.step, out.event_type))
+    assert got == {
+        (1, 1, "signup"), (1, 2, "click"), (1, 3, "purchase"),
+        (2, 1, "signup"),
+    }
