@@ -935,3 +935,56 @@ def test_shared_spans_extracts_known_copied_span(spark, tmp_path):
     assert r["start_a"] == 10 and r["start_b"] == 20
     assert r["len_tokens"] == 21
     assert r["align_delta"] == -10
+
+def test_winnow_pairs_vs_python_bruteforce(spark, tmp_path):
+    """Bucket-local pair generation == brute-force O(n^2) fingerprint-set
+    intersection on a randomized corpus with planted overlaps (df cap and
+    shared_fps >= 2 threshold applied identically)."""
+    import hashlib
+    import itertools
+    import random
+
+    import pandas as pd
+
+    from backtest_crew_datalake_spark.queries import all_queries
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = []
+    for i in range(30):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(6, 40))]
+        texts.append(" ".join(toks))
+    # plant near-dups: doc 30/31 share doc 0's text with small edits
+    texts.append(texts[0])
+    texts.append(texts[0].replace("w1", "w2"))
+    pdf = pd.DataFrame({
+        "doc_id": range(len(texts)), "text": texts,
+        "lang": ["en"] * len(texts), "source": ["t"] * len(texts),
+        "n_chars": [len(t) for t in texts],
+    })
+    pdf.to_parquet(f"{tmp_path}/documents.parquet")
+
+    def fingerprints(text, k=3, w=4):
+        toks = text.strip().lower().split()
+        if len(toks) < k + w - 1:
+            return set()
+        hs = [hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()
+              for i in range(len(toks) - k + 1)]
+        return {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
+
+    fps = {i: fingerprints(t) for i, t in enumerate(texts)}
+    df_count = {}
+    for s in fps.values():
+        for fp in s:
+            df_count[fp] = df_count.get(fp, 0) + 1
+    rare = {fp for fp, c in df_count.items() if c <= 10}
+    want = {}
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        shared = len(fps[a] & fps[b] & rare)
+        if shared >= 2:
+            want[(a, b)] = shared
+
+    got = {(r["id_a"], r["id_b"]): r["shared_fps"]
+           for r in all_queries()["q_doc_winnow_pairs"]
+           .build(spark, str(tmp_path)).collect()}
+    assert got == want and (30, 31) in got  # planted near-dups found
