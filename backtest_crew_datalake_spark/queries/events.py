@@ -1185,3 +1185,78 @@ def q_evt_retention(spark, sf_dir):
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@register(
+    "q_evt_top_paths",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                            - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT) >= 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    ),
+    paths AS (
+        SELECT user_id, sid,
+               STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM numbered GROUP BY 1, 2
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY 1
+    ORDER BY n_sessions DESC, path
+    LIMIT 15
+    """,
+)
+def q_evt_top_paths(spark, sf_dir):
+    """Top user-journey paths (event-analytics staple): sessionize with the
+    engine's gaps-and-islands shape (30-min timeout, ties broken by
+    event_id), render each session as an ordered 'a>b>c' event-type path,
+    count identical paths and keep the global top 15. The path render is
+    row-local over the per-session collected list (bounded by session
+    length); top-k compiles to TakeOrderedAndProject — no global sort of
+    the path table at any scale."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.col("ts").cast("long")
+           - F.lag(F.col("ts").cast("long")).over(w))
+    numbered = (
+        e.withColumn(
+            "__new_s",
+            F.when(gap.isNull() | (gap >= 1800), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__sid",
+            F.sum("__new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    paths = (
+        numbered.groupBy("user_id", "__sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("ts", "event_id", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(15)
+    )

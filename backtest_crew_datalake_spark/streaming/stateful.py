@@ -427,3 +427,75 @@ def stateful_funnel(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+RETENTION_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType(), False),
+    T.StructField("cohort_week", T.StringType(), False),
+    T.StructField("week_offset", T.IntegerType(), False),
+])
+
+_RETENTION_STATE_SCHEMA = T.StructType([
+    T.StructField("cohort_us", T.LongType(), True),
+    T.StructField("seen_mask", T.LongType(), True),   # 64-week horizon
+])
+
+
+def stateful_retention(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Streaming cohort-retention increments (incremental analogue of the
+    batch ``q_evt_retention``): per user, remember the Monday-truncated
+    week of first activity (the cohort) and emit ONE row per (user, week
+    offset) the first time the user is active in that week — a trailing
+    ``groupBy(cohort_week, week_offset).count()`` over the output then
+    equals the batch retention table over the processed prefix.
+
+    State per user is two longs: the cohort timestamp and a 64-week seen
+    bitmap, so the horizon is 64 weeks (offsets past it are dropped —
+    documented cap; widen to an array state for longer programs). Events
+    earlier than the recorded cohort (late arrivals before the first-seen
+    event) are clamped to offset 0."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (user,) = key
+        if state.exists:
+            cohort_us, seen = state.get
+        else:
+            cohort_us, seen = None, 0
+        out = []
+        for pdf in pdfs:
+            for t in pd.to_datetime(pdf[ts_col]).sort_values():
+                wk = (t - pd.Timedelta(days=int(t.dayofweek))).normalize()
+                wk_us = wk.value // 1000
+                if cohort_us is None:
+                    cohort_us = wk_us
+                offset = max(0, (wk_us - cohort_us) // (7 * 86400_000_000))
+                if offset >= 64:
+                    continue
+                bit = 1 << int(offset)
+                if not seen & bit:
+                    seen |= bit
+                    out.append((user, cohort_us, int(offset)))
+        state.update((cohort_us, seen))
+        if out:
+            yield pd.DataFrame({
+                "user_id": [o[0] for o in out],
+                "cohort_week": [
+                    pd.Timestamp(o[1], unit="us").strftime("%Y-%m-%d")
+                    for o in out],
+                "week_offset": [o[2] for o in out],
+            })
+
+    return (
+        stream_df.groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=RETENTION_SCHEMA,
+            stateStructType=_RETENTION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -595,3 +595,58 @@ def test_stateful_funnel_across_batches(spark, tmp_path):
         (1, 1, "signup"), (1, 2, "click"), (1, 3, "purchase"),
         (2, 1, "signup"),
     }
+
+
+def test_stateful_retention_across_batches(spark, tmp_path):
+    """Retention increments dedupe through state across micro-batches: a
+    second event in an already-seen week emits nothing; a new week emits
+    exactly one increment; the aggregated output matches the batch
+    q_evt_retention on the same events."""
+    src = str(tmp_path / "rsrc")
+    out_dir = str(tmp_path / "rout")
+    ckpt = str(tmp_path / "rckpt")
+
+    from backtest_crew_datalake_spark.streaming.stateful import (
+        stateful_retention,
+    )
+
+    def write_batch(rows, mode):
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        df.coalesce(1).write.mode(mode).parquet(src)
+
+    w0 = pd.Timestamp("2024-01-01")  # a Monday
+    d = pd.Timedelta(days=1)
+    w1 = w0 + 7 * d
+
+    write_batch([
+        (1, w0.to_pydatetime()), (1, (w0 + 2 * d).to_pydatetime()),
+        (2, (w0 + 3 * d).to_pydatetime()),
+    ], "overwrite")
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    ret = stateful_retention(stream)
+
+    def run_once():
+        q = (
+            ret.writeStream.outputMode("append")
+            .format("parquet").option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    out = spark.read.parquet(out_dir).toPandas()
+    # week-0 increments only, deduped within the batch
+    assert sorted(zip(out.user_id, out.week_offset)) == [(1, 0), (2, 0)]
+
+    write_batch([
+        (1, (w1 + d).to_pydatetime()),      # user 1 retained in week 1
+        (2, (w0 + 4 * d).to_pydatetime()),  # user 2 again in week 0: no emit
+        (3, (w1 + 2 * d).to_pydatetime()),  # new cohort
+    ], "append")
+    run_once()
+    out = spark.read.parquet(out_dir).toPandas()
+    agg = out.groupby(["cohort_week", "week_offset"]).size().to_dict()
+    assert agg == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1,
+                   ("2024-01-08", 0): 1}
