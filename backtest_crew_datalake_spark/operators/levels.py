@@ -15,18 +15,21 @@ session day):
   post-OR bars — not only bars after break_ts — so a retest can precede the
   break. We replicate the code.
 
-Spark shape (SURVEY §2.10): two aggregation passes, no per-day Python loop —
-pass 1 computes per-session OR levels (tiny result, broadcast back), pass 2
-computes break/retest with conditional min-of-struct aggregates. Shuffles are
-keyed (symbol, session_date); the join back is a broadcast. At 100 TB the
-per-session levels table is ~days×symbols rows — always broadcastable.
+Spark shape (SURVEY §2.10): ONE keyed shuffle, no per-day Python loop —
+the OR levels are conditional min/max WINDOW aggregates over the
+(by..., session_date) partition, computed in place on every row, and the
+break/retest pass is a groupBy on the SAME keys, so it reuses the window's
+partitioning without a second exchange. (An earlier shape aggregated the
+levels separately and joined them back — a second full shuffle of the base,
+and with a broadcast hint it pinned an OOM plan: the levels table is one
+row per session, which grows linearly with the data.)
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -55,20 +58,14 @@ def build_or_levels(
     in_or = F.col("__ge_start") & F.col("__lt_end")
     after = ~F.col("__lt_end")  # local ts >= or_end (or_levels.py:41)
 
-    levels = (
-        base.groupBy(*by, "session_date")
-        .agg(
-            F.max(F.when(in_or, F.col("high"))).alias("or_high"),
-            F.min(F.when(in_or, F.col("low"))).alias("or_low"),
-        )
+    wses = Window.partitionBy(*by, "session_date")
+    joined = (
+        base.withColumn(
+            "or_high", F.max(F.when(in_or, F.col("high"))).over(wses))
+        .withColumn(
+            "or_low", F.min(F.when(in_or, F.col("low"))).over(wses))
         .where(F.col("or_high").isNotNull())  # skip sessions w/o OR rows
     )
-
-    # No broadcast hint: `levels` has one row per (by..., session_date), which
-    # scales linearly with the input (~rows/1440) — at 100 TB that is ~1e9
-    # sessions, far past broadcast range. AQE still broadcasts it while it is
-    # actually small; a forced hint would pin an OOM plan at scale.
-    joined = base.join(levels, on=[*by, "session_date"], how="inner")
     up_break = after & (F.col("close") > F.col("or_high"))
     dn_break = after & (F.col("close") < F.col("or_low"))
     up_retest = after & (F.col("low") <= F.col("or_high"))
