@@ -202,6 +202,11 @@ def test_or_levels_no_forced_broadcast(spark, q):
     df = all_queries()[q].build(spark, SF)
     lp = df._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" not in lp
+    # the whole analytic is ONE keyed shuffle: window levels + same-key
+    # break/retest aggregate (a second exchange means the agg+join-back
+    # shape regressed)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning") == 1
 
 
 def test_q18_broadcasts_filtered_agg_not_customer(spark):
