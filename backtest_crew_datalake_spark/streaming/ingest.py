@@ -179,3 +179,51 @@ def streaming_interval_join(
         & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {lookback}"))
     )
     return l.join(r, cond).drop("__rk")
+
+
+def streaming_contamination(
+    spark: SparkSession,
+    landing_dir: str,
+    benchmark: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string",
+    n: int = 3,
+    min_ratio: float = 0.1,
+    available_now: bool = True,
+):
+    """Continuous benchmark-decontamination over documents landing as
+    parquet files: each micro-batch runs the batch ``contamination``
+    operator (single-pass marked left join against the distinct benchmark
+    shingle set) and appends flagged docs to ``out_dir``. Documents are
+    self-contained rows, so per-batch scoring IS the exact batch answer —
+    no cross-batch state, no watermark; the benchmark side is computed
+    once per batch from the (static, broadcastable) benchmark frame.
+
+    Returns the StreamingQuery handle.
+    """
+    from ..pipeline.sampling import contamination
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(landing_dir)
+    )
+
+    def _scan(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            contamination(batch_df, benchmark, n=n, min_ratio=min_ratio)
+            .write.mode("append").parquet(out_dir)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_scan)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

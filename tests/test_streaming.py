@@ -650,3 +650,40 @@ def test_stateful_retention_across_batches(spark, tmp_path):
     agg = out.groupby(["cohort_week", "week_offset"]).size().to_dict()
     assert agg == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1,
                    ("2024-01-08", 0): 1}
+
+
+def test_streaming_contamination_matches_batch(spark, tmp_path):
+    """Per-batch decontamination over a landing dir equals the batch
+    operator on the union of all landed docs (docs are self-contained, so
+    no cross-batch state is needed)."""
+    src = str(tmp_path / "csrc")
+    out_dir = str(tmp_path / "cout")
+    ckpt = str(tmp_path / "cckpt")
+
+    from backtest_crew_datalake_spark.pipeline.sampling import contamination
+    from backtest_crew_datalake_spark.streaming.ingest import (
+        streaming_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"])
+    clean = "one two three four five six seven eight nine ten"
+    dirty = "alpha beta gamma delta epsilon zeta plus extra words here"
+
+    def write_batch(rows, mode):
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.mode(mode).parquet(src)
+
+    write_batch([(0, clean), (1, dirty)], "overwrite")
+    streaming_contamination(spark, src, bench, out_dir, ckpt)
+    write_batch([(2, dirty + " more"), (3, clean + " again")], "append")
+    streaming_contamination(spark, src, bench, out_dir, ckpt)
+
+    got = {r["doc_id"]: (r["n_shared"], r["n_shingles"])
+           for r in spark.read.parquet(out_dir).collect()}
+    all_docs = spark.createDataFrame(
+        [(0, clean), (1, dirty), (2, dirty + " more"), (3, clean + " again")],
+        "doc_id long, text string")
+    want = {r["doc_id"]: (r["n_shared"], r["n_shingles"])
+            for r in contamination(all_docs, bench).collect()}
+    assert got == want and set(got) == {1, 2}  # only the dirty docs flagged
