@@ -85,22 +85,35 @@ def ngram_jaccard_pairs(
     ``max_df`` drops shingles present in more than max_df docs before
     pairing (boilerplate guard — at scale this caps the join fan-out).
 
-    With ``max_df`` set, pair generation is BUCKET-LOCAL: each surviving
-    shingle's posting list is bounded at max_df ids, so the sorted list is
-    collected per shingle and the ≤ max_df·(max_df-1)/2 ordered pairs are
-    emitted in-row — one keyed shuffle instead of a shingle self-join, and
-    the doc sizes fall out of the same grouped table (the exchange is
-    shared). Without a cap the posting lists are unbounded and the general
-    self-join shape is used.
+    With ``max_df`` set, pair generation is BUCKET-LOCAL: hot shingles are
+    dropped BEFORE any posting list is materialized (a stop-shingle with a
+    doc frequency in the millions must never build an array in an agg
+    buffer). The doc-frequency count runs as a window aggregate over the
+    same shingle-keyed exchange the grouping needs anyway — window state
+    spills to disk on skewed keys (ExternalAppendOnlyUnsafeRowArray),
+    unlike a hash-agg collect_list buffer — so only rows of rare shingles
+    survive to ``collect_list``, whose buffers are then bounded at max_df
+    by construction. One keyed shuffle total: the post-window
+    groupBy("sh") reuses the window's hash partitioning. The
+    ≤ max_df·(max_df-1)/2 ordered pairs per surviving shingle are emitted
+    in-row, and the doc sizes fall out of the same grouped table. Without
+    a cap the posting lists are unbounded and the general self-join shape
+    is used.
     """
     sh = (
         df.select(F.col(id_col).alias("id"), F.explode(_shingles(text_col, n)).alias("sh"))
     )
     if max_df is not None:
+        from pyspark.sql import Window
+
+        # (id, sh) rows are distinct per doc (array_distinct in _shingles),
+        # so count(*) per shingle IS its document frequency.
+        wdf = Window.partitionBy("sh")
         groups = (
-            sh.groupBy("sh")
+            sh.withColumn("__df", F.count("*").over(wdf))
+            .where(F.col("__df") <= max_df)
+            .groupBy("sh")
             .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-            .where(F.size("ids") <= max_df)
         )
         sizes = (
             groups.select(F.explode("ids").alias("id"))

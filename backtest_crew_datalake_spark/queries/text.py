@@ -371,9 +371,13 @@ def q_doc_winnow_pairs(spark, sf_dir):
     pairs — versus the self-join shape's rare-agg + join + self-join (and
     its recompute of the winnow subplan per side). Identical semantics to
     the oracle's self-join formulation; strictly fewer shuffles at any
-    scale, and safe precisely BECAUSE the cap bounds the array (a
-    fingerprint with doc-frequency d yields d·(d-1)/2 pairs — the cap
-    holds that at 45)."""
+    scale. The df cap is applied as a window count over the SAME
+    fingerprint-keyed exchange BEFORE collect_list builds any buffer —
+    window state spills on skewed keys, so a stop-fingerprint with
+    doc-frequency in the millions never materializes an array (and its
+    d·(d-1)/2 pairs are never emitted)."""
+    from pyspark.sql import Window
+
     from ..pipeline.text import winnow_fingerprints
 
     d = load(spark, sf_dir, "documents")
@@ -383,10 +387,13 @@ def q_doc_winnow_pairs(spark, sf_dir):
         "transform(slice(ids, i + 2, size(ids)), "
         "b -> struct(a AS id_a, b AS id_b))))"
     )
+    wdf = Window.partitionBy("fingerprint")
     return (
-        f.groupBy("fingerprint")
+        f.withColumn("__df", F.count("*").over(wdf))
+        .where(F.col("__df") <= 10)  # df cap, pre-buffer
+        .groupBy("fingerprint")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= 10))  # df cap
+        .where(F.size("ids") >= 2)
         .select(F.explode(pairs).alias("p"))
         .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")

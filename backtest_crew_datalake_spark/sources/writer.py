@@ -195,8 +195,12 @@ def _partition_locks(spark: SparkSession, lock_dir: str,
     lock acquisition, and the exclusive drain gets its own ``timeout_s``
     budget (the pre-sentinel per-lock semantics) — so a contended writer
     touching hundreds of partitions is not starved by a single shared
-    deadline. Worst-case wall time is therefore
-    O(timeout_s × (n_locks + 2)).
+    deadline. One shared-mode attempt is O(timeout_s × (n_locks + 1))
+    (sentinel wait + per-lock acquisitions), and the sentinel re-check
+    can force up to ``_SHARED_RETRIES`` full attempts, so the shared
+    path's worst-case wall time is
+    O(_SHARED_RETRIES × timeout_s × (n_locks + 1)); the exclusive path
+    is O(timeout_s × 2) (sentinel + drain).
 
     While locks are held (including during acquisition of later locks and
     the exclusive drain), a daemon heartbeat thread refreshes their mtime

@@ -195,10 +195,17 @@ def streaming_contamination(
     """Continuous benchmark-decontamination over documents landing as
     parquet files: each micro-batch runs the batch ``contamination``
     operator (single-pass marked left join against the distinct benchmark
-    shingle set) and appends flagged docs to ``out_dir``. Documents are
+    shingle set) and writes flagged docs to ``out_dir``. Documents are
     self-contained rows, so per-batch scoring IS the exact batch answer —
     no cross-batch state, no watermark; the benchmark side is computed
     once per batch from the (static, broadcastable) benchmark frame.
+
+    foreachBatch is at-least-once: a batch replayed after a post-write
+    failure would double its rows under a blind append, so each batch
+    OVERWRITES its own ``batch_id``-keyed subdirectory — replays rewrite
+    the same path and the sink stays exactly-once. Read the sink with
+    ``spark.read.parquet(f"{out_dir}/batch_id=*")`` (or just ``out_dir``
+    with partition discovery).
 
     Returns the StreamingQuery handle.
     """
@@ -215,7 +222,8 @@ def streaming_contamination(
             return
         (
             contamination(batch_df, benchmark, n=n, min_ratio=min_ratio)
-            .write.mode("append").parquet(out_dir)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
         )
 
     writer = (

@@ -466,8 +466,15 @@ def stateful_retention(
         else:
             cohort_us, seen = None, 0
         out = []
-        for pdf in pdfs:
-            for t in pd.to_datetime(pdf[ts_col]).sort_values():
+        # concat ALL Arrow chunks before sorting (mirrors stateful_funnel):
+        # sorting each chunk independently could record the cohort from a
+        # later week than the batch's true minimum when a user's batch
+        # spans chunks, permanently skewing cohort_week
+        chunks = [pdf[[ts_col]] for pdf in pdfs]
+        allr = (pd.concat(chunks) if chunks
+                else pd.DataFrame({ts_col: []}))
+        if len(allr):
+            for t in pd.to_datetime(allr[ts_col]).sort_values():
                 wk = (t - pd.Timedelta(days=int(t.dayofweek))).normalize()
                 wk_us = wk.value // 1000
                 if cohort_us is None:

@@ -38,6 +38,10 @@ HEADLINE = [
     # round-4 additions: keyed funnel chain, cohort retention, decorrelated
     # Q21 semi/anti pair
     "q_evt_funnel", "q_evt_retention", "q_blame_suppliers",
+    # round-5 additions: the two heaviest round-4 shapes (sessionized
+    # string_agg top-k; gram-match + gaps-and-islands span collapse) —
+    # correctness-gated since r4, now with perf evidence
+    "q_evt_top_paths", "q_doc_shared_spans",
 ]
 
 

@@ -70,7 +70,7 @@ def main():
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"weak {name}: rows={len(s_rows)} (no oracle)")
+            print(f"rows-only {name}: rows={len(s_rows)} (no oracle)")
             n_weak += 1
             continue
         try:
