@@ -114,6 +114,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 3,
     w: int = 4,
+    first_pos: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03): hash
     every word ``k``-gram, slide a ``w``-gram window, keep each window's
@@ -134,6 +135,14 @@ def winnow_fingerprints(
     stage at any corpus size (an earlier formulation posexploded grams and
     ran a doc-partitioned window — one full shuffle of the gram table that
     this shape simply doesn't have). Output: (``id_col``, fingerprint).
+
+    With ``first_pos=True``, also emit each fingerprint's first gram
+    position in the document (0-based) — ``array_position`` of the
+    fingerprint in the gram-hash array, still entirely row-local. This is
+    exactly MIN(pos) over grams whose hash equals the fingerprint, i.e.
+    the positional anchor the span-alignment queries need — computed here
+    for free instead of joining the fingerprint table back to an exploded
+    gram table (which costs a full gram shuffle + join at any scale).
     """
     from .dedup import spread_partitions
 
@@ -148,10 +157,17 @@ def winnow_fingerprints(
         f"array_distinct(transform(sequence(0, size(__h) - {w}), "
         f"i -> array_min(slice(__h, i + 1, {w}))))"
     )
-    return (
+    out = (
         df.select(id_col, toks.alias("__toks"))
         # only full w-gram windows select: needs >= k+w-1 tokens
         .where(F.size("__toks") >= k + w - 1)
         .select(id_col, gram_hashes.alias("__h"))
-        .select(id_col, F.explode(fps).alias("fingerprint"))
+        .select(id_col, "__h", F.explode(fps).alias("fingerprint"))
     )
+    if first_pos:
+        return out.select(
+            id_col, "fingerprint",
+            (F.expr("array_position(__h, fingerprint)") - 1)
+            .cast("int").alias("first_pos"),
+        )
+    return out.select(id_col, "fingerprint")

@@ -77,10 +77,12 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_forecast_revenue",
     "q_order_priority_checks",
     "q_top_supplier_revenue",
-    # -- (b) changed this round: need fresh driver rows
+    # -- (b) new or changed this round: need fresh driver rows
+    "q_doc_shared_spans_exact",
     "q_doc_winnow_pairs",
     "q_doc_ngram_jaccard",
     "q_doc_shared_spans",
+    "q_doc_aligned_span_pairs",
     # -- (c) last driver row is round 3
     "q_doc_contamination",
     "q_doc_pack_bins",
@@ -166,7 +168,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_emb_ann_recall",
     "q_emb_pq_topk",
     "q_emb_ivfpq_topk",
-    "q_doc_aligned_span_pairs",
     "q_evt_funnel",
     "q_evt_retention",
     "q_doc_repetition",

@@ -755,57 +755,39 @@ def q_doc_aligned_span_pairs(spark, sf_dir):
     consistent position delta, while coincidental shared vocabulary
     scatters. Emits the dominant delta and its support next to the raw
     shared count — all value-checked (winnow + positions + mode, entirely
-    in SQL on the oracle side). Same df-cap blocking as q_doc_winnow_pairs."""
+    in SQL on the oracle side). Same df-cap blocking as q_doc_winnow_pairs.
+
+    Scale shape: the (doc, fingerprint, first_pos) table is ONE map-only
+    stage — first_pos is the fingerprint's array_position in the row-local
+    gram-hash array (== the oracle's MIN(g.pos) over the f ⋈ g join,
+    computed without building a gram table at all). The df cap is a window
+    count on the fingerprint-keyed exchange the pairing groupBy needs
+    anyway, so the whole query is: map → one fingerprint-keyed shuffle
+    (bucket-local pairs) → one pair-keyed shuffle (delta mode). No
+    checkpoint, no rare-agg join-back, no gram join — three fewer stages
+    than the formulation this replaced."""
     from pyspark.sql import Window
 
     from ..pipeline.text import winnow_fingerprints
 
     d = load(spark, sf_dir, "documents")
-    # f feeds the rare-agg AND the fk join — checkpoint so the winnow
-    # subplan computes once (pairing itself is bucket-local below, no
-    # self-join, so g is consumed once and needs no checkpoint).
-    f = winnow_fingerprints(d, k=3, w=4).localCheckpoint(eager=False)
-    rare = (
-        f.groupBy("fingerprint")
-        .agg(F.countDistinct("doc_id").alias("__df"))
-        .where(F.col("__df") <= 10)
-        .select("fingerprint")
-    )
-    from ..pipeline.dedup import spread_partitions
-
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    grams = F.expr(
-        "transform(sequence(0, size(__toks) - 3), "
-        "i -> array_join(slice(__toks, i + 1, 3), ' '))"
-    )
-    g = (
-        # gram md5 is the CPU-heavy stage; single-row-group inputs scan as
-        # one task without the spread (no-op at real scale)
-        spread_partitions(d, "doc_id").select("doc_id", toks.alias("__toks"))
-        .where(F.size("__toks") >= 3)
-        .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
-        .select("doc_id", "pos",
-                F.md5(F.col("gram").cast("binary")).alias("h"))
-    )
-    fk = (
-        f.join(rare, "fingerprint")
-        .join(g, (f.doc_id == g.doc_id)
-              & (F.col("fingerprint") == F.col("h")))
-        .groupBy(f.doc_id.alias("doc_id"), "fingerprint")
-        .agg(F.min("pos").alias("first_pos"))
-    )
+    fk = winnow_fingerprints(d, k=3, w=4, first_pos=True)
     # bucket-local pair generation (same shape as q_doc_winnow_pairs): the
-    # df cap bounds each posting list at 10 entries, so collect the sorted
-    # (doc_id, first_pos) list per fingerprint and emit ordered pairs
-    # in-row — no fk self-join, no recompute of the f ⋈ g subplan
+    # df cap bounds each posting list at 10 entries BEFORE collect_list
+    # builds a buffer (window state spills on hot keys), so collect the
+    # sorted (doc_id, first_pos) list per fingerprint and emit ordered
+    # pairs in-row — no fk self-join
     pairs_expr = F.expr(
         "flatten(transform(es, (a, i) -> "
         "transform(slice(es, i + 2, size(es)), "
         "b -> struct(a.doc_id AS id_a, b.doc_id AS id_b, "
         "a.first_pos - b.first_pos AS delta))))"
     )
+    wdf = Window.partitionBy("fingerprint")
     pairs = (
-        fk.groupBy("fingerprint")
+        fk.withColumn("__df", F.count("*").over(wdf))
+        .where(F.col("__df") <= 10)  # df cap, pre-buffer
+        .groupBy("fingerprint")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "first_pos")))
              .alias("es"))
         .where(F.size("es") >= 2)
@@ -909,37 +891,43 @@ def q_doc_shared_spans(spark, sf_dir):
     on (doc, gram-hash, position) — no cartesian), then collapse runs of
     consecutive matching positions into maximal spans with gaps-and-islands.
     One row per maximal span >= 4 tokens: token offsets in both docs and
-    the span length. Scale shape: the gram table is semi-joined down to
-    candidate docs before the match join; every join and window is keyed by
-    (pair, position) — the blocking df-cap bounds the pair fan-out."""
+    the span length. Scale shape: the pair table (tiny — df-cap-bounded
+    pair fan-out) is checkpointed once and drives everything; documents
+    are semi-joined down to CANDIDATE docs before the gram table is even
+    built, so tokenize+md5 runs only over docs that appear in some pair
+    (at 100 TB, near-dup candidates are a sliver of the corpus — the
+    gram explode over non-candidates would dominate the query). Every
+    join and window is keyed by (pair, position)."""
     from pyspark.sql import Window
 
+    # tiny (the df cap bounds pairs); checkpointed because it feeds the
+    # candidate-id semi-joins AND the match join — 4 consumers, one compute
     ap = q_doc_aligned_span_pairs(spark, sf_dir).select(
         "id_a", "id_b", F.col("align_delta").alias("delta")
-    )
+    ).localCheckpoint(eager=False)
 
     d = load(spark, sf_dir, "documents")
     from ..pipeline.dedup import spread_partitions
 
+    cand = ap.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     grams = F.expr(
         "transform(sequence(0, size(__toks) - 3), "
         "i -> array_join(slice(__toks, i + 1, 3), ' '))"
     )
     g = (
-        # gram md5 is the CPU-heavy stage; single-row-group inputs scan as
-        # one task without the spread (no-op at real scale)
-        spread_partitions(d, "doc_id").select("doc_id", toks.alias("__toks"))
+        # candidate restriction FIRST (broadcast semi against the tiny id
+        # set), then the CPU-heavy gram md5 explode over survivors only;
+        # checkpoint because both match-join sides read it
+        spread_partitions(d.join(cand, "doc_id", "left_semi"), "doc_id")
+        .select("doc_id", toks.alias("__toks"))
         .where(F.size("__toks") >= 3)
         .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
         .select("doc_id", "pos",
                 F.md5(F.col("gram").cast("binary")).alias("h"))
-        # feeds both the id_a and id_b sides of the match join — checkpoint
-        # so tokenize+md5 runs once (same pattern as the winnow queries)
         .localCheckpoint(eager=False)
     )
-    # reduce the corpus-wide gram table to candidate docs BEFORE the match
-    # join (semi-joins are map-side once AQE broadcasts the small pair set)
     ga = g.join(ap.select(F.col("id_a").alias("doc_id")).distinct(),
                 "doc_id", "left_semi").select(
         F.col("doc_id").alias("id_a"), F.col("pos").alias("pos_a"), "h"
@@ -961,6 +949,151 @@ def q_doc_shared_spans(spark, sf_dir):
         .agg(F.min("pos_a").alias("start_a"),
              F.count("*").alias("n_grams"))
         .where(F.col("n_grams") >= 2)
+        .select(
+            "id_a", "id_b", "start_a",
+            (F.col("start_a") - F.col("delta")).alias("start_b"),
+            (F.col("n_grams") + 2).alias("len_tokens"),
+            F.col("delta").alias("align_delta"),
+        )
+    )
+
+
+@register(
+    "q_doc_shared_spans_exact",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ),
+    gp AS (
+        SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS pos
+        FROM t WHERE len(toks) >= 3
+    ),
+    g AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(toks[pos+1:pos+3], ' ')) AS h
+        FROM gp
+    ),
+    wm AS (
+        SELECT doc_id, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+        FROM g
+    ),
+    f AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= n_grams - 4),
+    rare AS (
+        SELECT fp FROM f GROUP BY fp HAVING COUNT(DISTINCT doc_id) <= 10
+    ),
+    fk AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    m AS (
+        SELECT c.id_a, c.id_b, a.pos AS pos_a, a.pos - b.pos AS delta
+        FROM cand c
+        JOIN g a ON a.doc_id = c.id_a
+        JOIN g b ON b.doc_id = c.id_b AND b.h = a.h
+    ),
+    isl AS (
+        SELECT id_a, id_b, delta, pos_a,
+               pos_a - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, delta
+                                          ORDER BY pos_a) AS grp
+        FROM m
+    )
+    SELECT id_a, id_b,
+           MIN(pos_a) AS start_a,
+           MIN(pos_a) - delta AS start_b,
+           COUNT(*) + 2 AS len_tokens,
+           delta AS align_delta
+    FROM isl GROUP BY id_a, id_b, delta, grp
+    HAVING COUNT(*) >= 4
+    """,
+)
+def q_doc_shared_spans_exact(spark, sf_dir):
+    """EXACT all-maximal shared-span extraction — unlike q_doc_shared_spans
+    (which anchors at each pair's dominant alignment delta and can miss
+    spans at other alignments), this matches every 3-gram of doc A against
+    doc B at ALL deltas and collapses each (pair, delta)'s consecutive
+    matches into maximal spans. Exactness guarantee (differential pytest
+    vs a brute-force oracle): every maximal shared token run of
+    >= k+w-1 = 6 tokens (>= 4 consecutive 3-grams) is reported for every
+    candidate pair, because winnowing guarantees such a run selects at
+    least one common fingerprint in both docs — so the pair is a candidate
+    unless EVERY shared fingerprint is boilerplate-hot (doc frequency >
+    10), the same df-cap blocking every pair query here applies.
+
+    Scale shape: candidacy is the bucket-local df-capped fingerprint
+    pairing (one keyed shuffle, posting lists bounded pre-buffer); the
+    tiny distinct pair set is checkpointed; documents are semi-joined to
+    candidates BEFORE the gram explode; the match join is keyed
+    (id_a) ⋈ (id_b, h) — never a cartesian; islands windows are keyed by
+    (pair, delta). Repeated grams cost x·y match rows per pair — the
+    quadratic is per-(pair, gram), df-cap-bounded, not corpus-wide."""
+    from pyspark.sql import Window
+
+    from ..pipeline.text import winnow_fingerprints
+
+    d = load(spark, sf_dir, "documents")
+    fk = winnow_fingerprints(d, k=3, w=4)
+    wdf = Window.partitionBy("fingerprint")
+    pairs_expr = F.expr(
+        "flatten(transform(ids, (a, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "b -> struct(a AS id_a, b AS id_b))))"
+    )
+    pairs = (
+        fk.withColumn("__df", F.count("*").over(wdf))
+        .where(F.col("__df") <= 10)  # df cap, pre-buffer
+        .groupBy("fingerprint")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(F.explode(pairs_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+        .localCheckpoint(eager=False)  # tiny; feeds 3 semi-joins + the match
+    )
+
+    from ..pipeline.dedup import spread_partitions
+
+    cand = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = F.expr(
+        "transform(sequence(0, size(__toks) - 3), "
+        "i -> array_join(slice(__toks, i + 1, 3), ' '))"
+    )
+    g = (
+        spread_partitions(d.join(cand, "doc_id", "left_semi"), "doc_id")
+        .select("doc_id", toks.alias("__toks"))
+        .where(F.size("__toks") >= 3)
+        .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+        .select("doc_id", "pos",
+                F.md5(F.col("gram").cast("binary")).alias("h"))
+        .localCheckpoint(eager=False)  # both match-join sides read it
+    )
+    ga = g.join(pairs.select(F.col("id_a").alias("doc_id")).distinct(),
+                "doc_id", "left_semi").select(
+        F.col("doc_id").alias("id_a"), F.col("pos").alias("pos_a"), "h"
+    )
+    gb = g.join(pairs.select(F.col("id_b").alias("doc_id")).distinct(),
+                "doc_id", "left_semi").select(
+        F.col("doc_id").alias("id_b"), F.col("pos").alias("pos_b"), "h"
+    )
+    m = (
+        pairs.join(ga, "id_a")
+        .join(gb, ["id_b", "h"])
+        .select("id_a", "id_b",
+                (F.col("pos_a") - F.col("pos_b")).alias("delta"), "pos_a")
+    )
+    w = Window.partitionBy("id_a", "id_b", "delta").orderBy("pos_a")
+    return (
+        m.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "delta", "grp")
+        .agg(F.min("pos_a").alias("start_a"),
+             F.count("*").alias("n_grams"))
+        .where(F.col("n_grams") >= 4)
         .select(
             "id_a", "id_b", "start_a",
             (F.col("start_a") - F.col("delta")).alias("start_b"),

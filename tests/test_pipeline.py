@@ -988,3 +988,95 @@ def test_winnow_pairs_vs_python_bruteforce(spark, tmp_path):
            for r in all_queries()["q_doc_winnow_pairs"]
            .build(spark, str(tmp_path)).collect()}
     assert got == want and (30, 31) in got  # planted near-dups found
+
+
+def test_shared_spans_exact_vs_python_bruteforce(spark, tmp_path):
+    """q_doc_shared_spans_exact == a from-scratch brute force over ALL doc
+    pairs and ALL alignment deltas, on a corpus that plants (a) one doc
+    copying TWO spans from another at DIFFERENT deltas — the case the
+    dominant-delta q_doc_shared_spans misses by construction — and (b)
+    random near-dups. Candidate pairs share >= 1 rare winnow fingerprint
+    (the winnowing guarantee covers every span >= 6 tokens)."""
+    import hashlib
+    import itertools
+    import random
+
+    import pandas as pd
+
+    from backtest_crew_datalake_spark.queries import all_queries
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = []
+    for i in range(20):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(6, 40))]
+        texts.append(" ".join(toks))
+    # (a) doc 20: two distinct spans of doc 0 at different offsets — two
+    # different alignment deltas; globally-unique filler between them
+    a_toks = [f"u{i}" for i in range(40)]
+    texts.append(" ".join(a_toks))                      # doc 20
+    texts.append(" ".join(
+        [f"x{i}" for i in range(5)] + a_toks[0:8]       # delta 5-0=...
+        + [f"y{i}" for i in range(7)] + a_toks[25:35]
+        + [f"z{i}" for i in range(4)]))                 # doc 21
+    # (b) a straight duplicate
+    texts.append(texts[3])                              # doc 22
+    pdf = pd.DataFrame({
+        "doc_id": range(len(texts)), "text": texts,
+        "lang": ["en"] * len(texts), "source": ["t"] * len(texts),
+        "n_chars": [len(t) for t in texts],
+    })
+    pdf.to_parquet(f"{tmp_path}/documents.parquet")
+
+    def grams(text, k=3):
+        toks = text.strip().lower().split()
+        return [hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()
+                for i in range(len(toks) - k + 1)] if len(toks) >= k else []
+
+    def fingerprints(hs, w=4):
+        return {min(hs[i:i + w]) for i in range(len(hs) - w + 1)} \
+            if len(hs) >= w else set()
+
+    gs = {i: grams(t) for i, t in enumerate(texts)}
+    fps = {i: fingerprints(hs) for i, hs in gs.items()}
+    df_count = {}
+    for s in fps.values():
+        for fp in s:
+            df_count[fp] = df_count.get(fp, 0) + 1
+    rare = {fp for fp, c in df_count.items() if c <= 10}
+
+    want = set()
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        if not (fps[a] & fps[b] & rare):
+            continue
+        # all maximal runs at every delta
+        matches = sorted(
+            (pa - pb, pa)
+            for pa, ha in enumerate(gs[a])
+            for pb, hb in enumerate(gs[b]) if ha == hb
+        )
+        by_delta = {}
+        for delta, pa in matches:
+            by_delta.setdefault(delta, []).append(pa)
+        for delta, pas in by_delta.items():
+            run_start, prev = pas[0], pas[0]
+            for p in pas[1:] + [None]:
+                if p is not None and p == prev + 1:
+                    prev = p
+                    continue
+                n = prev - run_start + 1
+                if n >= 4:
+                    want.add((a, b, run_start, run_start - delta,
+                              n + 2, delta))
+                if p is not None:
+                    run_start = prev = p
+    got = {(r["id_a"], r["id_b"], r["start_a"], r["start_b"],
+            r["len_tokens"], r["align_delta"])
+           for r in all_queries()["q_doc_shared_spans_exact"]
+           .build(spark, str(tmp_path)).collect()}
+    assert got == want
+    # the planted two-delta pair produced BOTH spans (deltas differ)
+    deltas_20_21 = {s[5] for s in got if (s[0], s[1]) == (20, 21)}
+    assert len(deltas_20_21) == 2, got
+    # and the straight duplicate is a full-length span at delta 0
+    assert any(s[0] == 3 and s[1] == 22 and s[5] == 0 for s in got), got

@@ -129,12 +129,13 @@ def test_blame_suppliers_decorrelated_plan(spark):
 
 
 def test_shared_spans_plan_keyed_joins(spark):
-    p = _plan(spark, "q_doc_shared_spans")
-    # anchor + extension joins are keyed equi-joins; the islands window is
-    # keyed by the pair — never a cartesian or a global sort
-    assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
-    assert "Exchange rangepartitioning" not in p
+    for q in ("q_doc_shared_spans", "q_doc_shared_spans_exact"):
+        p = _plan(spark, q)
+        # anchor + extension joins are keyed equi-joins; the islands window
+        # is keyed by the pair — never a cartesian or a global sort
+        assert "CartesianProduct" not in p, q
+        assert "BroadcastNestedLoopJoin" not in p, q
+        assert "Exchange rangepartitioning" not in p, q
 
 
 def test_kmeans_plan_broadcast_only_centroids(spark):

@@ -1,0 +1,114 @@
+"""Generate an N× scale-up of the documents/embeddings corpus for scale
+benching (the small testdata SFs verify correctness; this dir verifies that
+corpus/ANN query time grows ~linearly and the per-stage scheduling floor
+amortizes).
+
+Copy i of a document rotates its token sequence by 17·i positions (a token
+bijection): within each copy the near-dup/span structure of the original
+corpus is preserved (≈ N× the pairs), while across copies few n-grams
+survive, so document-frequency caps keep their bite instead of every
+fingerprint becoming N× hot. Copy i of an embedding adds a deterministic
+per-copy offset in one dimension — cluster geometry keeps its shape, ids
+stay unique. The other 8 tables are copied verbatim so the dir is a
+drop-in sf_dir for check_oracles.py / time_queries.py / bench.py.
+
+Usage: python tools/gen_scale.py [out_dir] [n_copies] [src_sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OTHER = ["region", "nation", "customer", "supplier", "part", "orders",
+         "lineitem", "events"]
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from backtest_crew_datalake_spark.session import get_spark
+
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale10"
+    n_copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark(app_name="gen_scale")
+
+    d = spark.read.parquet(f"{src}/documents.parquet")
+    n_docs = d.agg(F.max("doc_id")).first()[0] + 1
+    copies = []
+    for i in range(n_copies):
+        rot = (17 * i) % 1000
+        toks = F.split(F.col("text"), r"\s+")
+        rotated = F.when(
+            F.size(toks) > rot,
+            F.concat_ws(
+                " ",
+                F.concat(
+                    F.slice(toks, rot + 1, F.size(toks) - rot),
+                    F.slice(toks, 1, rot),
+                ),
+            ),
+        ).otherwise(F.col("text"))
+        copies.append(
+            d.select(
+                (F.col("doc_id") + F.lit(i * n_docs)).alias("doc_id"),
+                (rotated if i else F.col("text")).alias("text"),
+                "lang", "source", "n_chars",
+            )
+        )
+    docs = copies[0]
+    for c in copies[1:]:
+        docs = docs.unionByName(c)
+    docs.coalesce(8).write.mode("overwrite").parquet(
+        f"{out_dir}/_documents.tmp")
+    _single_file(spark, f"{out_dir}/_documents.tmp",
+                 f"{out_dir}/documents.parquet")
+
+    e = spark.read.parquet(f"{src}/embeddings.parquet")
+    n_vecs = e.agg(F.max("vec_id")).first()[0] + 1
+    ecopies = []
+    for i in range(n_copies):
+        # dimension-0 offset of 0.01·i: preserves cluster shape, keeps ids
+        # and vectors distinct across copies
+        emb = F.expr(
+            f"transform(embedding, (x, j) -> CAST(x + IF(j = 0, "
+            f"{0.01 * i}, 0.0) AS FLOAT))"
+        )
+        ecopies.append(
+            e.select(
+                (F.col("vec_id") + F.lit(i * n_vecs)).alias("vec_id"),
+                emb.alias("embedding"), "label",
+            )
+        )
+    embs = ecopies[0]
+    for c in ecopies[1:]:
+        embs = embs.unionByName(c)
+    embs.coalesce(8).write.mode("overwrite").parquet(
+        f"{out_dir}/_embeddings.tmp")
+    _single_file(spark, f"{out_dir}/_embeddings.tmp",
+                 f"{out_dir}/embeddings.parquet")
+
+    for t in OTHER:
+        shutil.copyfile(f"{src}/{t}.parquet", f"{out_dir}/{t}.parquet")
+    print(f"wrote {out_dir}: documents x{n_copies}, embeddings x{n_copies}")
+
+
+def _single_file(spark, tmp_dir: str, dest: str) -> None:
+    """The testdata layout is one parquet FILE per table (DuckDB views and
+    load() read '{t}.parquet' directly), so merge the job output dir into a
+    single file via pyarrow and drop the dir."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(tmp_dir)
+    pq.write_table(t, dest, compression="zstd")
+    shutil.rmtree(tmp_dir)
+
+
+if __name__ == "__main__":
+    main()
