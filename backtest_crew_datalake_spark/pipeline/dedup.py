@@ -215,6 +215,68 @@ def minhash_dedup_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list — the step that
+    turns near-duplicate PAIRS into duplicate CLUSTERS (keep one canonical
+    doc per component, drop the rest). Returns (id, component) for every
+    node that appears in an edge; component = the minimum node id reachable.
+
+    Algorithm: iterative min-label propagation as pure DataFrame ops.
+    Each round: every node takes the min of its own label and its
+    neighbors' labels (one keyed join + one keyed agg — both shuffles on
+    node id). Convergence in O(component diameter) rounds; near-dup graphs
+    are dense clique-ish clusters, so the diameter is small in practice.
+    Labels are monotonically non-increasing, so sum(label) is a strictly
+    decreasing convergence witness: when a round leaves the sum unchanged,
+    NO label changed and the loop exits — the per-round action is a single
+    scalar agg, never a collect of data. Each round localCheckpoints (the
+    same lineage-depth discipline as the Lloyd loops). ``max_iters`` caps
+    pathological chains (a path graph of length > max_iters would report
+    unconverged labels — raise it for such graphs; dedup clusters converge
+    in a handful of rounds).
+    """
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+    for _ in range(max_iters):
+        nbr = (
+            sym.join(
+                labels.select(F.col("id").alias("src"), "component"), "src"
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("__nbr"))
+        )
+        labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("__nbr"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        cur_sum = labels.agg(F.sum("component")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
     """64-bit SimHash signature per document.
 

@@ -67,6 +67,38 @@ def train_split(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    by: Sequence[str] = ("lang",),
+    n_per_stratum: int = 10,
+    key_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Exact-allocation stratified sample: the ``n_per_stratum`` rows of
+    each stratum whose md5(salt|key) hash strings sort lowest — rate-based
+    hash sampling can't hit an exact count per group, and df.sampleBy is
+    both approximate and partitioning-dependent. Selection is a pure
+    function of (stratum, key): stable across runs and engines, and a
+    stratum's sample only changes where membership changes.
+
+    One keyed window shuffle (row_number per stratum over hash order,
+    hash-string tiebreak then key). At 100 TB a skewed stratum spills in
+    the window sort; no stratum is ever collected or broadcast.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat(F.lit(f"{salt}|"), F.col(key_col).cast("string"))
+        .cast("binary")
+    )
+    w = Window.partitionBy(*by).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )
+
+
 def vocab_topk(
     df: DataFrame, text_col: str = "text", k: int = 50,
 ) -> DataFrame:

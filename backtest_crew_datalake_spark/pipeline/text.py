@@ -100,6 +100,69 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.drop(*[f"__score_{lang}" for lang in scores])
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split each document into overlapping token chunks — the standard
+    long-document preparation step before tokenization/packing (context
+    windows with ``size - stride`` tokens of overlap so no boundary text is
+    ever lost to truncation).
+
+    Chunk starts are 0, stride, 2·stride, … while start < n_tokens; the
+    last chunk may be short (``n_tokens - start`` tokens). Emits one row
+    per chunk: (id, chunk_id, start_tok, n_tokens, chunk_md5) — the md5 of
+    the space-joined chunk keeps the output narrow and oracle-comparable
+    without shipping chunk text.
+
+    Scale shape: ENTIRELY ROW-LOCAL (sequence + transform + explode inside
+    the row) — a map-only stage at any corpus size, no shuffle, no UDF."""
+    toks = tokens(F.col(text_col))
+    chunks = F.expr(
+        f"transform(sequence(0, cast(floor((size(__toks) - 1) / {stride}) "
+        f"AS INT)), i -> struct(i AS chunk_id, i * {stride} AS start_tok, "
+        f"least({size}, size(__toks) - i * {stride}) AS n_tokens, "
+        f"md5(cast(array_join(slice(__toks, i * {stride} + 1, {size}), ' ') "
+        f"AS BINARY)) AS chunk_md5))"
+    )
+    return (
+        df.select(id_col, toks.alias("__toks"))
+        .where(F.size("__toks") >= 1)
+        .select(id_col, F.explode(chunks).alias("c"))
+        .select(id_col, "c.chunk_id", "c.start_tok", "c.n_tokens",
+                "c.chunk_md5")
+    )
+
+
+def blocklist_scrub(
+    df: DataFrame,
+    blocklist: list[str],
+    text_col: str = "text",
+    mask: str = "[MASK]",
+) -> DataFrame:
+    """Blocklist term scrubbing — mask every whole-word occurrence of the
+    blocklisted terms (the bad-word/PII-pattern redaction step of a corpus
+    pipeline; swap the term alternation for capture-group regexes to redact
+    structured PII like emails — same cascade, same counters).
+
+    Adds ``n_redactions`` (occurrences masked) and ``scrubbed`` (the masked
+    text). Row-local regexp_replace/regexp_count — no shuffle, no UDF; the
+    single compiled alternation scans each document once per pass.
+    """
+    import re
+
+    pat = r"\b(" + "|".join(re.escape(t) for t in blocklist) + r")\b"
+    return df.withColumn(
+        "n_redactions",
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("int"),
+    ).withColumn(
+        "scrubbed", F.regexp_replace(F.col(text_col), pat, mask)
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprint: md5 of the sorted distinct token set — a
     bag-of-words fingerprint that is invariant to word order and repetition

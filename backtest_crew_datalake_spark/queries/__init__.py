@@ -79,6 +79,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_top_supplier_revenue",
     # -- (b) new or changed this round: need fresh driver rows
     "q_doc_shared_spans_exact",
+    "q_doc_dup_clusters",
+    "q_doc_chunks",
+    "q_doc_blocklist_scrub",
+    "q_doc_stratified_sample",
     "q_doc_winnow_pairs",
     "q_doc_ngram_jaccard",
     "q_doc_shared_spans",

@@ -1342,3 +1342,165 @@ def q_doc_repetition(spark, sf_dir):
             .cast("bigint").alias("n_flagged"),
         )
     )
+
+
+@register(
+    "q_doc_dup_clusters",
+    oracle=r"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ),
+    gp AS (
+        SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS pos
+        FROM t WHERE len(toks) >= 3
+    ),
+    g AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(toks[pos+1:pos+3], ' ')) AS h
+        FROM gp
+    ),
+    wm AS (
+        SELECT doc_id, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+        FROM g
+    ),
+    f AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= n_grams - 4),
+    rare AS (
+        SELECT fp FROM f GROUP BY fp HAVING COUNT(DISTINCT doc_id) <= 10
+    ),
+    fk AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp)),
+    edges AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    sym AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION ALL
+        SELECT id_b, id_a FROM edges
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM sym),
+    walk(id, comp) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.id
+    )
+    SELECT id AS doc_id, MIN(comp) AS cluster_id
+    FROM walk GROUP BY id
+    """,
+)
+def q_doc_dup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS from near-duplicate PAIRS (the step a real
+    dedup pipeline runs before keeping one canonical doc per group):
+    winnow-fingerprint pair edges (q_doc_winnow_pairs semantics) fed into
+    iterative min-label connected components
+    (pipeline/dedup.connected_components). Output: (doc_id, cluster_id)
+    for every doc in some pair, cluster_id = min doc_id of the component.
+    The oracle computes the same components with a recursive CTE — the
+    iterative DataFrame loop is value-checked end to end, components
+    included."""
+    from ..pipeline.dedup import connected_components
+
+    edges = q_doc_winnow_pairs(spark, sf_dir).select("id_a", "id_b")
+    return connected_components(edges).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+@register(
+    "q_doc_chunks",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, toks,
+               unnest(range(0, ((len(toks) - 1) // 24) + 1)) AS chunk_id
+        FROM t
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(chunk_id * 24 AS INT) AS start_tok,
+           CAST(LEAST(32, len(toks) - chunk_id * 24) AS INT) AS n_tokens,
+           md5(array_to_string(
+               toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' '))
+               AS chunk_md5
+    FROM s
+    """,
+)
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (pipeline/text.chunk_documents):
+    size 32, stride 24 (8-token overlap) — the long-document context-window
+    prep step before packing. One row per chunk with offsets, length, and
+    the chunk md5. Map-only at any corpus size (row-local sequence +
+    transform + explode; no shuffle, no UDF)."""
+    from ..pipeline.text import chunk_documents
+
+    d = load(spark, sf_dir, "documents")
+    return chunk_documents(d, size=32, stride=24).select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "chunk_md5",
+    )
+
+
+@register(
+    "q_doc_blocklist_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(
+               text, '\b(customer|value|secret)\b')) AS INT)
+               AS n_redactions,
+           md5(regexp_replace(
+               text, '\b(customer|value|secret)\b', '[MASK]', 'g'))
+               AS scrubbed_md5
+    FROM documents
+    WHERE LEN(regexp_extract_all(text, '\b(customer|value|secret)\b')) > 0
+    """,
+)
+def q_doc_blocklist_scrub(spark, sf_dir):
+    """Blocklist term scrubbing (pipeline/text.blocklist_scrub): mask every
+    whole-word occurrence of the blocklisted terms, emit the redaction
+    count and the md5 of the scrubbed text for every doc that was touched
+    (the bad-word/PII redaction step of corpus cleaning; the same cascade
+    takes capture-group regexes for structured PII). Row-local
+    regexp_count + regexp_replace — no shuffle, no UDF."""
+    from ..pipeline.text import blocklist_scrub
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        blocklist_scrub(d, ["customer", "value", "secret"])
+        .where(F.col("n_redactions") > 0)
+        .select("doc_id", "n_redactions",
+                F.md5(F.col("scrubbed").cast("binary"))
+                .alias("scrubbed_md5"))
+    )
+
+
+@register(
+    "q_doc_stratified_sample",
+    oracle=r"""
+    SELECT doc_id, lang
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY lang
+        ORDER BY md5('strat|' || doc_id::VARCHAR), doc_id) <= 10
+    """,
+)
+def q_doc_stratified_sample(spark, sf_dir):
+    """Exact-allocation stratified sampling
+    (pipeline/sampling.stratified_sample): exactly 10 docs per language by
+    deterministic hash order — rate-based hash sampling cannot hit an
+    exact per-stratum count, and df.sampleBy is approximate AND
+    partitioning-dependent. One keyed window shuffle; selection is a pure
+    function of (lang, doc_id)."""
+    from ..pipeline.sampling import stratified_sample
+
+    d = load(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, by=("lang",), n_per_stratum=10).select("doc_id", "lang")

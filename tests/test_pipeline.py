@@ -1080,3 +1080,110 @@ def test_shared_spans_exact_vs_python_bruteforce(spark, tmp_path):
     assert len(deltas_20_21) == 2, got
     # and the straight duplicate is a full-length span at delta 0
     assert any(s[0] == 3 and s[1] == 22 and s[5] == 0 for s in got), got
+
+
+def test_connected_components_shapes(spark):
+    """Chain, clique, isolated pair: labels = min reachable id; the chain
+    (path graph) needs multiple propagation rounds; plan depth stays
+    bounded via per-round checkpoints."""
+    from backtest_crew_datalake_spark.pipeline.dedup import (
+        connected_components,
+    )
+
+    # component A: path 1-2-3-4-5 (diameter 4); component B: clique
+    # {10,11,12}; component C: pair {20, 21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        ["id_a", "id_b"],
+    )
+    got = {r["id"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 12-node path needs ~diameter rounds of min propagation — the
+    sum-based convergence witness must keep iterating until every node
+    carries the global min, and stop after."""
+    from backtest_crew_datalake_spark.pipeline.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"])
+    got = {r["id"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(13)}
+
+
+def test_chunk_documents_boundaries(spark):
+    """Chunk starts/lengths/hashes match a from-scratch python chunker,
+    including the short final chunk and the single-chunk short doc."""
+    import hashlib
+
+    from backtest_crew_datalake_spark.pipeline.text import chunk_documents
+
+    texts = {
+        0: " ".join(f"t{i}" for i in range(80)),   # 80 toks: 4 chunks
+        1: " ".join(f"s{i}" for i in range(24)),   # exactly one stride
+        2: "one two",                              # short single chunk
+    }
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {(r["doc_id"], r["chunk_id"]):
+           (r["start_tok"], r["n_tokens"], r["chunk_md5"])
+           for r in chunk_documents(df, size=32, stride=24).collect()}
+    want = {}
+    for d, t in texts.items():
+        toks = t.split()
+        s = 0
+        cid = 0
+        while s < len(toks):
+            chunk = toks[s:s + 32]
+            want[(d, cid)] = (
+                s, len(chunk),
+                hashlib.md5(" ".join(chunk).encode()).hexdigest())
+            s += 24
+            cid += 1
+    assert got == want
+    assert len([k for k in got if k[0] == 0]) == 4  # 0,24,48,72
+
+
+def test_blocklist_scrub_word_boundaries(spark):
+    """Only whole words are masked ('values' is untouched by 'value');
+    counts match occurrences."""
+    from backtest_crew_datalake_spark.pipeline.text import blocklist_scrub
+
+    df = spark.createDataFrame(
+        [(0, "value values value secret secretive"),
+         (1, "nothing to redact here")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in
+            blocklist_scrub(df, ["value", "secret"]).collect()}
+    assert rows[0]["n_redactions"] == 3
+    assert rows[0]["scrubbed"] == "[MASK] values [MASK] [MASK] secretive"
+    assert rows[1]["n_redactions"] == 0
+    assert rows[1]["scrubbed"] == "nothing to redact here"
+
+
+def test_stratified_sample_exact_allocation(spark):
+    """Exactly n rows per stratum (or the whole stratum when smaller), and
+    the selection is deterministic across invocations."""
+    from backtest_crew_datalake_spark.pipeline.sampling import (
+        stratified_sample,
+    )
+
+    rows = [(i, "en" if i < 40 else ("fr" if i < 60 else "xx"))
+            for i in range(63)]  # en: 40, fr: 20, xx: 3
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out1 = stratified_sample(df, by=("lang",), n_per_stratum=10).collect()
+    counts = {}
+    for r in out1:
+        counts[r["lang"]] = counts.get(r["lang"], 0) + 1
+    assert counts == {"en": 10, "fr": 10, "xx": 3}
+    out2 = stratified_sample(df, by=("lang",), n_per_stratum=10).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
