@@ -78,6 +78,12 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_order_priority_checks",
     "q_top_supplier_revenue",
     # -- (b) new or changed this round: need fresh driver rows
+    "q_min_cost_supplier",
+    "q_market_share",
+    "q_product_profit",
+    "q_returned_item_losses",
+    "q_important_parts",
+    "q_promo_candidate_suppliers",
     "q_doc_shared_spans_exact",
     "q_doc_dup_clusters",
     "q_doc_chunks",

@@ -1068,3 +1068,335 @@ def q_blame_suppliers(spark, sf_dir):
         .groupBy("n_name")
         .agg(F.count("*").alias("n_blamed"))
     )
+
+
+@register(
+    "q_min_cost_supplier",
+    oracle="""
+    WITH regional AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    offers AS (
+      SELECT l.l_partkey, rs.s_suppkey, rs.s_name, rs.s_acctbal, rs.n_name,
+             MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+      FROM lineitem l JOIN regional rs ON l.l_suppkey = rs.s_suppkey
+      GROUP BY 1, 2, 3, 4, 5
+    ),
+    ranked AS (
+      SELECT o.*, ROW_NUMBER() OVER (
+               PARTITION BY l_partkey ORDER BY unit_cost, s_suppkey
+             ) AS rn
+      FROM offers o
+    )
+    SELECT p.p_partkey, p.p_name, r.s_name, r.n_name,
+           ROUND(r.s_acctbal, 2) AS s_acctbal,
+           r.unit_cost AS unit_cost
+    FROM ranked r JOIN part p ON r.l_partkey = p.p_partkey
+    WHERE r.rn = 1 AND p.p_size BETWEEN 10 AND 20
+    ORDER BY s_acctbal DESC, p_partkey
+    LIMIT 20
+    """,
+)
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (no partsupp table in this schema — the observed
+    lineitem unit price l_extendedprice/l_quantity stands in for
+    ps_supplycost): for each part, the cheapest supplier within one region.
+    The reference's correlated `MIN(ps_supplycost)` subquery (SURVEY §2 J-class
+    correlated lookup) is decorrelated into ONE keyed window: per-(part,supp)
+    min via hash agg, then row_number over partkey — no self-join back onto
+    the offers, no second scan of lineitem. nation/region broadcast (bounded
+    dims); supplier is SF-scaled so the lineitem⨝supplier join shuffles on
+    suppkey and AQE may still broadcast it at small SF."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_size").between(10, 20))
+    regional = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    offers = (
+        li.join(regional, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "s_suppkey")
+    best = offers.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        best.join(p, best.l_partkey == p.p_partkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            F.col("unit_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q_market_share",
+    oracle="""
+    SELECT CAST(YEAR(o.o_orderdate) AS INT) AS order_year,
+           ROUND(SUM(CASE WHEN sn.n_name = 'NATION_1'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_volume
+    FROM lineitem l
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+      JOIN region r   ON cn.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: national market share — the classic
+    `SUM(CASE WHEN supp_nation = X)/SUM(ALL)` conditional-aggregate
+    decorrelation of a per-year nested subquery, over an 8-way join with
+    nation in two roles. Bounded dims (nation×2, region) broadcast; part and
+    supplier are SF-scaled fact-side shuffles; one final groupBy on year."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_regionkey"),
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(vol), 2).alias("total_volume"),
+        )
+        .orderBy("order_year")
+    )
+
+
+@register(
+    "q_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(YEAR(o.o_orderdate) AS INT) AS order_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.6 * p.p_retailprice * l.l_quantity), 2) AS profit
+    FROM lineitem l
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    ORDER BY nation, order_year DESC
+    """,
+)
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: product-line profit by nation and year (no partsupp:
+    cost is proxied as 60% of p_retailprice × quantity). Wildcard LIKE on
+    p_name is a non-sargable filter evaluated post-scan on the part dim;
+    profit expression is computed fact-side inside whole-stage codegen,
+    then one (nation, year) groupBy."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .orderBy("nation", F.col("order_year").desc())
+    )
+
+
+@register(
+    "q_returned_item_losses",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           ROUND(c.c_acctbal, 2) AS c_acctbal,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS lost_revenue
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY lost_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_returned_item_losses(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue loss, top-20 customers in one
+    quarter. Both time filter (sargable, pushed to the orders scan) and the
+    returnflag filter (pushed to the lineitem scan) land in PushedFilters;
+    top-k via TakeOrderedAndProject, never a global sort."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("lost_revenue")
+        )
+        .orderBy(F.col("lost_revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q_important_parts",
+    oracle="""
+    WITH natl AS (
+      SELECT l.l_partkey, SUM(l.l_extendedprice * (1 - l.l_discount)) AS value
+      FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY 1
+    )
+    SELECT l_partkey, ROUND(value, 2) AS value
+    FROM natl
+    WHERE value > (SELECT AVG(value) * 1.5 FROM natl)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: per-part value within one nation, kept only above a
+    global-scalar threshold (HAVING > scalar subquery over the SAME agg;
+    1.5x the mean per-part value, so the predicate is SF-invariant).
+    Decorrelated by materializing the per-part agg ONCE (localCheckpoint) so
+    the scalar total and the filter both read it without recomputing the
+    3-way join, then crossJoin-broadcasting the 1-row total."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    dim = n.join(r, n.n_regionkey == r.r_regionkey)
+    natl = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(dim), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value")
+        )
+        .localCheckpoint(eager=False)  # one physical pass feeds both consumers
+    )
+    total = natl.agg((F.avg("value") * 1.5).alias("threshold"))
+    return (
+        natl.crossJoin(F.broadcast(total))
+        .where(F.col("value") > F.col("threshold"))
+        .select("l_partkey", F.round("value", 2).alias("value"))
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "q_promo_candidate_suppliers",
+    oracle="""
+    WITH part_totals AS (
+      SELECT l_partkey, SUM(l_quantity) AS total_qty,
+             COUNT(DISTINCT l_suppkey) AS n_supp
+      FROM lineitem GROUP BY 1
+    ),
+    supp_part AS (
+      SELECT l.l_suppkey, l.l_partkey, SUM(l.l_quantity) AS supp_qty
+      FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE 'red%'
+      GROUP BY 1, 2
+    )
+    SELECT DISTINCT s.s_name, n.n_name AS nation
+    FROM supp_part sp
+      JOIN part_totals pt ON sp.l_partkey = pt.l_partkey
+      JOIN supplier s ON sp.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE sp.supp_qty * pt.n_supp > 2.0 * pt.total_qty
+    ORDER BY s_name
+    """,
+)
+def q_promo_candidate_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: nested semi-join ladder — suppliers who shipped more
+    than 2× the average supplier's share of a part's volume, for parts
+    matching a name prefix (peer-relative threshold, so the predicate stays
+    selective-but-nonempty at every SF). The reference's doubly-nested IN
+    subqueries decorrelate into two keyed aggregates joined on partkey. Both
+    aggs shuffle on (partkey[, suppkey]) — co-partitioned by AQE; no window,
+    no correlated re-scan."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    part_totals = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("total_qty"),
+        F.count_distinct("l_suppkey").alias("n_supp"),
+    )
+    supp_part = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    return (
+        supp_part.join(part_totals, "l_partkey")
+        .where(F.col("supp_qty") * F.col("n_supp") > 2.0 * F.col("total_qty"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", F.col("n_name").alias("nation"))
+        .distinct()
+        .orderBy("s_name")
+    )

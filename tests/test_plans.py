@@ -245,3 +245,32 @@ def test_cms_plan_broadcasts_sketch(spark):
     # the 4x256-cell sketch is the broadcast side of the probe join
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_min_cost_supplier_no_correlated_rescan(spark):
+    # Q2 decorrelation: one lineitem scan feeds the offers agg; the per-part
+    # minimum comes from a window over the (bounded) agg output, never a
+    # second lineitem scan joined back, and never a cartesian product.
+    p = _plan(spark, "q_min_cost_supplier")
+    assert p.count("FileScan parquet") == len(
+        ["lineitem", "supplier", "nation", "region", "part"]
+    )
+    assert "CartesianProduct" not in p
+
+
+def test_important_parts_single_pass(spark):
+    # Q11 decorrelation: the per-part agg is localCheckpoint'ed, so both the
+    # scalar threshold and the filter read the materialized result — the
+    # 3-way join subtree must appear ONCE (as checkpoint scans), not twice.
+    p = _plan(spark, "q_important_parts")
+    assert p.count("FileScan parquet") == 0  # both consumers read the checkpoint
+    assert "Scan ExistingRDD" in p
+
+
+def test_promo_candidates_no_window_over_facts(spark):
+    # Q20 decorrelation: two keyed hash aggregates joined on partkey — no
+    # window function over raw lineitem, no nested-loop join.
+    p = _plan(spark, "q_promo_candidate_suppliers")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
