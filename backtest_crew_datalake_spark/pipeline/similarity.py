@@ -301,3 +301,114 @@ def lloyd_means(
             ).alias(out_col)
         )
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 4,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the k most
+    cosine-similar corpus vectors carrying a DIFFERENT label (the pairs a
+    contrastive trainer wants as in-batch negatives).
+
+    Same execution shape as cosine_topk — bounded query side broadcast, the
+    corpus streams through the dot-product scan — plus the label-inequality
+    filter applied BEFORE the ranking window so excluded same-label rows
+    never reach the shuffle. Deterministic: rank on raw sim, tie-break
+    neighbor_id asc, round only the emitted value.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import spread_partitions
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("__qv"),
+    )
+    c = spread_partitions(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("__cv"),
+    )
+    sim = _dot(F.col("__qv"), F.col("__cv")) / (
+        _norm(F.col("__qv")) * _norm(F.col("__cv"))
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_label") != F.col("neighbor_label"))
+        .select("query_id", "query_label", "neighbor_id", "neighbor_label",
+                sim.alias("__sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "query_label", "neighbor_id", "neighbor_label",
+                F.round("__sim", round_to).alias("cos_sim"), "rank")
+    )
+
+
+def label_silhouette(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-label simplified-silhouette score — embedding-space label quality
+    (how separable each label's cluster is before training on it).
+
+    For each vector: a = euclidean distance to its OWN label centroid,
+    b = min distance to any OTHER centroid, s = (b-a)/max(a,b); output is
+    avg(s) per label. Centroids come from one posexplode + (label, dim)
+    mean — the only full-corpus shuffle — then fold back to arrays and
+    broadcast (#labels rows), so the per-vector distance pass is a
+    broadcast nested loop over a bounded side, never a corpus×corpus join.
+    """
+    ex = df.select(
+        F.col(label_col).alias("__l"), F.posexplode(vec_col).alias("__d", "__v")
+    ).withColumn("__v", F.col("__v").cast("double"))
+    cent = (
+        ex.groupBy("__l", "__d")
+        .agg(F.avg("__v").alias("__cv"))
+        .groupBy("__l")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__d", "__cv"))),
+                lambda s: s["__cv"],
+            ).alias("__cvec")
+        )
+        .select(F.col("__l").alias("cent_label"), "__cvec")
+    )
+    dist = F.sqrt(_sqdist(F.col(vec_col), F.col("__cvec")))
+    per_vec = (
+        df.select(id_col, F.col(label_col).alias("label"), vec_col)
+        .crossJoin(F.broadcast(cent))
+        .select(id_col, "label", "cent_label", dist.alias("__dist"))
+        .groupBy(id_col, "label")
+        .agg(
+            F.max(
+                F.when(F.col("cent_label") == F.col("label"), F.col("__dist"))
+            ).alias("__a"),
+            F.min(
+                F.when(F.col("cent_label") != F.col("label"), F.col("__dist"))
+            ).alias("__b"),
+        )
+    )
+    s = (F.col("__b") - F.col("__a")) / F.greatest(F.col("__a"), F.col("__b"))
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.round(F.avg(s), round_to).alias("silhouette"),
+            F.count("*").alias("n_vecs"),
+        )
+    )

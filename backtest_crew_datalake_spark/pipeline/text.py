@@ -234,3 +234,89 @@ def winnow_fingerprints(
             .cast("int").alias("first_pos"),
         )
     return out.select(id_col, "fingerprint")
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF (corpus-building staple: keyword
+    tagging / topic hints for mixture sampling).
+
+    score = tf · ln((N+1)/(df+1)), smoothed so a token present in every doc
+    scores ~0 instead of dividing by zero. The idf is rounded to 8 decimals
+    and the score to 6 BEFORE ranking so the ordering is reproducible across
+    engines (raw libm ln may differ in the last ulp between JVM and C);
+    ties break on token asc.
+
+    Scale: token explode is linear; doc-frequency is one keyed agg on token
+    (vocab-bounded); N is a 1-row broadcast; the top-k window partitions by
+    doc — no global sort, no unpartitioned window.
+    """
+    from pyspark.sql import Window
+
+    t = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+    )
+    tf = t.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df_t"))
+    ndocs = df.agg(F.count("*").alias("n_docs"))
+    idf = F.round(
+        F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df_t") + F.lit(1.0))), 8
+    )
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn("score", F.round(F.col("tf") * idf, 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "score", "rank")
+    )
+
+
+def length_quantiles(
+    df: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    value_col: str = "n_chars",
+    group_col: str = "lang",
+) -> DataFrame:
+    """EXACT per-group quantiles of a bounded-domain integer column, without
+    a global sort: aggregate to (group, value) counts first, then take the
+    cumulative sum over the DISTINCT values (domain-bounded window — a few
+    thousand rows per group regardless of corpus size) and pick, for each q,
+    the smallest value whose cumulative count reaches ceil(q·total).
+
+    This is the type-1 (inverse-CDF) quantile definition, reproducible in
+    any engine — unlike percentile_approx (sketch-based) or interpolating
+    quantile_cont. At 100 TB the only full-data pass is the first keyed
+    count; everything after runs on the tiny histogram.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col, value_col).agg(F.count("*").alias("__n"))
+    cum_w = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy(group_col)
+    hist = counts.withColumn("__cum", F.sum("__n").over(cum_w)).withColumn(
+        "__tot", F.sum("__n").over(tot_w)
+    )
+    aggs = [F.sum("__n").alias("n_rows")]
+    for q in qs:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("__cum") >= F.ceil(F.lit(q) * F.col("__tot")),
+                    F.col(value_col),
+                )
+            ).alias(f"q_{str(q).replace('.', '_')}")
+        )
+    return hist.groupBy(group_col).agg(*aggs)

@@ -84,6 +84,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_returned_item_losses",
     "q_important_parts",
     "q_promo_candidate_suppliers",
+    "q_doc_tfidf_topk",
+    "q_doc_len_quantiles",
+    "q_emb_hard_negatives",
+    "q_emb_label_silhouette",
     "q_doc_shared_spans_exact",
     "q_doc_dup_clusters",
     "q_doc_chunks",

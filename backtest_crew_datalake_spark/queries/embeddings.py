@@ -703,3 +703,69 @@ def q_emb_ann_recall(spark, sf_dir):
         )
         out = hits if out is None else out.unionByName(hits)
     return out
+
+
+@register(
+    "q_emb_hard_negatives",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, label AS neighbor_label,
+                 embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id >= 10),
+    s AS (SELECT query_id, query_label, neighbor_id, neighbor_label,
+                 list_cosine_similarity(qv, cv) AS sim
+          FROM q CROSS JOIN c
+          WHERE query_label != neighbor_label),
+    r AS (SELECT s.*, ROW_NUMBER() OVER (
+                     PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+                 ) AS rank
+          FROM s)
+    SELECT query_id, query_label, neighbor_id, neighbor_label,
+           ROUND(sim, 4) AS cos_sim, rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def q_emb_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining (pipeline/similarity.hard_negatives):
+    top-5 most-similar DIFFERENT-label vectors for each of 10 query vectors.
+    Query side broadcast, corpus streams; the label filter lands before the
+    ranking window."""
+    from ..pipeline.similarity import hard_negatives
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    c = emb.where(F.col("vec_id") >= 10)
+    return hard_negatives(q, c, k=5)
+
+
+@register(
+    "q_emb_label_silhouette",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, d - 1 AS dim,
+                      CAST(embedding[d] AS DOUBLE) AS v
+               FROM embeddings, (SELECT UNNEST(generate_series(1, 64)) AS d)),
+    cent AS (SELECT label AS cent_label, dim, AVG(v) AS cv
+             FROM e GROUP BY 1, 2),
+    d2 AS (SELECT e.vec_id, e.label, c.cent_label,
+                  SQRT(SUM((e.v - c.cv) * (e.v - c.cv))) AS dist
+           FROM e JOIN cent c ON e.dim = c.dim GROUP BY 1, 2, 3),
+    per_vec AS (SELECT vec_id, label,
+                       MAX(CASE WHEN cent_label = label THEN dist END) AS a,
+                       MIN(CASE WHEN cent_label != label THEN dist END) AS b
+                FROM d2 GROUP BY 1, 2)
+    SELECT label, ROUND(AVG((b - a) / GREATEST(a, b)), 4) AS silhouette,
+           COUNT(*) AS n_vecs
+    FROM per_vec GROUP BY 1
+    """,
+)
+def q_emb_label_silhouette(spark, sf_dir):
+    """Per-label simplified silhouette (pipeline/similarity.label_silhouette):
+    embedding-space label-quality score. One posexplode+keyed-mean pass
+    builds centroids, folded back to arrays and broadcast; per-vector
+    distances are a broadcast loop over #labels rows — never corpus×corpus."""
+    from ..pipeline.similarity import label_silhouette
+
+    emb = load(spark, sf_dir, "embeddings")
+    return label_silhouette(emb)

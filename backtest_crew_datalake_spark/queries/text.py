@@ -1504,3 +1504,72 @@ def q_doc_stratified_sample(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return stratified_sample(
         d, by=("lang",), n_per_stratum=10).select("doc_id", "lang")
+
+
+@register(
+    "q_doc_tfidf_topk",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS token
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT token, COUNT(*) AS df_t FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf,
+               ROUND(tf.tf * ROUND(LN((n.n_docs + 1.0) / (dfreq.df_t + 1.0)), 8),
+                     6) AS score
+        FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    ),
+    r AS (
+        SELECT scored.*, ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, token
+               ) AS rank
+        FROM scored
+    )
+    SELECT doc_id, token, tf, score, rank FROM r WHERE rank <= 3
+    """,
+)
+def q_doc_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 TF-IDF keywords (pipeline/text.tfidf_topk): token
+    explode → per-doc tf → vocab-bounded df agg → 1-row N broadcast →
+    per-doc ranking window. idf/score rounded BEFORE ranking so the order
+    is engine-reproducible."""
+    from ..pipeline.text import tfidf_topk
+
+    d = load(spark, sf_dir, "documents")
+    return tfidf_topk(d, k=3)
+
+
+@register(
+    "q_doc_len_quantiles",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, n_chars, COUNT(*) AS n FROM documents GROUP BY 1, 2
+    ),
+    hist AS (
+        SELECT lang, n_chars, n,
+               SUM(n) OVER (PARTITION BY lang ORDER BY n_chars
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                           ) AS cum,
+               SUM(n) OVER (PARTITION BY lang) AS tot
+        FROM counts
+    )
+    SELECT lang, CAST(SUM(n) AS BIGINT) AS n_rows,
+           MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN n_chars END) AS q_0_5,
+           MIN(CASE WHEN cum >= CEIL(0.9 * tot) THEN n_chars END) AS q_0_9,
+           MIN(CASE WHEN cum >= CEIL(0.99 * tot) THEN n_chars END) AS q_0_99
+    FROM hist GROUP BY 1
+    """,
+)
+def q_doc_len_quantiles(spark, sf_dir):
+    """EXACT per-language p50/p90/p99 of document length
+    (pipeline/text.length_quantiles): inverse-CDF quantiles over the
+    (lang, n_chars) histogram — the full-data pass is ONE keyed count; the
+    quantile pick runs on the domain-bounded histogram, so no global sort
+    and no sketch approximation."""
+    from ..pipeline.text import length_quantiles
+
+    d = load(spark, sf_dir, "documents")
+    return length_quantiles(d)

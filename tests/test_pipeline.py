@@ -1187,3 +1187,68 @@ def test_stratified_sample_exact_allocation(spark):
     assert counts == {"en": 10, "fr": 10, "xx": 3}
     out2 = stratified_sample(df, by=("lang",), n_per_stratum=10).collect()
     assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+
+def test_tfidf_topk_hand_checked(spark):
+    from backtest_crew_datalake_spark.pipeline.text import tfidf_topk
+
+    # "rare" appears only in doc 0; "common" in every doc (idf ~ ln(4/4)=0)
+    rows = [
+        (0, "rare common common"),
+        (1, "common alpha alpha"),
+        (2, "common beta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r.doc_id, r.rank): (r.token, r.tf) for r in
+           tfidf_topk(df, k=2).collect()}
+    # doc 0: 'rare' (tf=1, df=1 -> idf=ln(2)) beats 'common'
+    # (tf=2, df=3 -> idf=0); doc 1: 'alpha' (tf=2, df=1) first.
+    assert out[(0, 1)] == ("rare", 1)
+    assert out[(0, 2)] == ("common", 2)
+    assert out[(1, 1)] == ("alpha", 2)
+
+
+def test_length_quantiles_exact(spark):
+    from backtest_crew_datalake_spark.pipeline.text import length_quantiles
+
+    # 100 docs with n_chars = 1..100: type-1 quantiles are exactly 50/90/99
+    rows = [(i, "en", i) for i in range(1, 101)] + [(200, "fr", 7)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_chars"])
+    out = {r.lang: r for r in length_quantiles(df).collect()}
+    en = out["en"]
+    assert (en.n_rows, en.q_0_5, en.q_0_9, en.q_0_99) == (100, 50, 90, 99)
+    fr = out["fr"]
+    assert (fr.n_rows, fr.q_0_5, fr.q_0_9, fr.q_0_99) == (1, 7, 7, 7)
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from backtest_crew_datalake_spark.pipeline.similarity import hard_negatives
+
+    # query [1,0]: nearest is same-label (1) so must be skipped; best
+    # different-label is the 45-degree vector (2), then orthogonal (3).
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.01], 0),   # same label, nearly identical
+        (2, [1.0, 1.0], 1),
+        (3, [0.0, 1.0], 2),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = df.where(F.col("vec_id") == 0)
+    c = df.where(F.col("vec_id") > 0)
+    out = hard_negatives(q, c, k=2).orderBy("rank").collect()
+    assert [r.neighbor_id for r in out] == [2, 3]
+    assert all(r.neighbor_label != r.query_label for r in out)
+
+
+def test_label_silhouette_separated_clusters(spark):
+    from backtest_crew_datalake_spark.pipeline.similarity import label_silhouette
+
+    # two tight, far-apart clusters -> silhouette near 1 for both labels
+    rows = [
+        (0, [0.0, 0.0], 0), (1, [0.1, 0.0], 0), (2, [0.0, 0.1], 0),
+        (3, [10.0, 10.0], 1), (4, [10.1, 10.0], 1), (5, [10.0, 10.1], 1),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r.label: r for r in label_silhouette(df).collect()}
+    assert out[0].n_vecs == 3 and out[1].n_vecs == 3
+    assert out[0].silhouette > 0.99 and out[1].silhouette > 0.99

@@ -274,3 +274,25 @@ def test_promo_candidates_no_window_over_facts(spark):
     assert "Window" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_len_quantiles_single_scan_histogram_window(spark):
+    # exact-quantile pick must run on the aggregated histogram: ONE
+    # documents scan, and the cumulative window sits above a hash aggregate,
+    # never over raw rows.
+    p = _plan(spark, "q_doc_len_quantiles")
+    assert p.count("FileScan parquet") == 1
+    assert "Exchange rangepartitioning" not in p  # no global sort
+
+
+def test_hard_negatives_broadcasts_queries_not_corpus(spark):
+    p = _plan(spark, "q_emb_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_silhouette_broadcasts_centroids(spark):
+    # per-vector distance pass joins a bounded (#labels) broadcast side
+    p = _plan(spark, "q_emb_label_silhouette")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
