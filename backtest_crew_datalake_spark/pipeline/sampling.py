@@ -202,3 +202,53 @@ def contamination(
         .where(F.col("ratio") >= min_ratio)
         .select(id_col, "n_shared", "n_shingles", "ratio")
     )
+
+
+def source_mix(
+    df: DataFrame,
+    frac: float = 0.5,
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "mix",
+    buckets: int = 10000,
+) -> DataFrame:
+    """Temperature-weighted source mixing (sqrt-temperature, τ=0.5): choose a
+    ~``frac``·N-row corpus whose per-source allocation follows √n_s instead
+    of n_s, so over-represented sources are down-sampled and small sources
+    keep (up to all of) their documents — the standard rebalancing step
+    before pretraining on a multi-source crawl.
+
+    Per-source keep-rate r_s = min(1, frac·N·(√n_s/Σ√n)/n_s); a row is kept
+    iff its md5 hash bucket < floor(buckets·r_s) — selection is a pure
+    function of (key, per-source threshold): stable across runs, engines,
+    and partitionings, and incremental re-runs only change membership where
+    the source histogram changed.
+
+    Scale: one keyed count per source, a 1-row total, and a #sources-row
+    broadcast join; the row filter is hash-local. No full-data shuffle.
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__n"))
+    tot = counts.agg(
+        F.sum("__n").cast("double").alias("__ntot"),
+        F.sum(F.sqrt(F.col("__n").cast("double"))).alias("__wsum"),
+    )
+    n_s = F.col("c.__n")  # qualified: tot derives from counts, so the bare
+    # name is ambiguous after the cross join
+    rate = (
+        (F.lit(float(frac)) * F.col("__ntot"))
+        * (F.sqrt(n_s.cast("double")) / F.col("__wsum"))
+        / n_s
+    )
+    thr = (
+        counts.alias("c")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col(f"c.{source_col}").alias(source_col),
+            n_s.alias("n_source"),
+            F.floor(F.lit(buckets) * F.least(F.lit(1.0), rate)).alias("__thr"),
+        )
+    )
+    return (
+        df.join(F.broadcast(thr), source_col)
+        .where(hash_bucket(F.col(key_col), salt, buckets) < F.col("__thr"))
+    )

@@ -320,3 +320,41 @@ def length_quantiles(
             ).alias(f"q_{str(q).replace('.', '_')}")
         )
     return hist.groupBy(group_col).agg(*aggs)
+
+
+def unigram_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under a corpus unigram LM —
+    the cheap perplexity proxy used for quality-filtering pretraining data
+    (a doc full of globally-rare tokens scores high/surprising, boilerplate
+    scores low).
+
+    Two passes over the token stream: one keyed count builds the unigram
+    table, then the stream joins back on token and folds to a per-doc mean.
+    Per-token log-probs are rounded to 8 decimals before averaging so the
+    result is engine-reproducible. The token join key is Zipf-skewed;
+    the unigram table is NOT broadcast-hinted (web-scale vocab can exceed
+    the broadcast ceiling) — AQE broadcasts it while small and falls back
+    to a shuffle join with skew splitting at scale.
+    """
+    t = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+    )
+    vocab = t.groupBy("token").agg(F.count("*").alias("__cnt"))
+    tot = t.agg(F.count("*").cast("double").alias("__t"))
+    logp = F.round(F.log(F.col("__cnt") / F.col("__t")), 8)
+    return (
+        t.join(vocab, "token")
+        .crossJoin(F.broadcast(tot))
+        .select(id_col, logp.alias("__logp"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.col("__logp")), round_to).alias("nll"),
+        )
+    )

@@ -88,6 +88,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_doc_len_quantiles",
     "q_emb_hard_negatives",
     "q_emb_label_silhouette",
+    "q_doc_source_mix",
+    "q_doc_unigram_nll",
     "q_doc_shared_spans_exact",
     "q_doc_dup_clusters",
     "q_doc_chunks",

@@ -1573,3 +1573,61 @@ def q_doc_len_quantiles(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return length_quantiles(d)
+
+
+@register(
+    "q_doc_source_mix",
+    oracle=f"""
+    WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn,
+                   SUM(SQRT(CAST(n AS DOUBLE))) AS wsum
+            FROM counts),
+    thr AS (SELECT source, n AS n_source,
+                   CAST(FLOOR(10000 * LEAST(1.0,
+                        (0.5 * nn) * (SQRT(CAST(n AS DOUBLE)) / wsum) / n))
+                        AS BIGINT) AS thr
+            FROM counts, tot)
+    SELECT d.doc_id, d.source, t.n_source
+    FROM documents d JOIN thr t USING (source)
+    WHERE {_hex4("md5('mix|' || d.doc_id::VARCHAR)")} % 10000 < t.thr
+    """,
+)
+def q_doc_source_mix(spark, sf_dir):
+    """Temperature-weighted source mixing (pipeline/sampling.source_mix):
+    √n_s-weighted per-source keep rates targeting half the corpus, applied
+    as a row-local md5-bucket predicate against a #sources-row broadcast
+    threshold table. The whole selection is reproducible from (doc_id,
+    source histogram) alone."""
+    from ..pipeline.sampling import source_mix
+
+    d = load(spark, sf_dir, "documents")
+    return source_mix(d, frac=0.5).select("doc_id", "source", "n_source")
+
+
+@register(
+    "q_doc_unigram_nll",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS token
+        FROM documents
+    ),
+    vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM tok),
+    scored AS (
+        SELECT tok.doc_id, ROUND(LN(vocab.cnt / tot.t), 8) AS logp
+        FROM tok JOIN vocab USING (token) CROSS JOIN tot
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens, ROUND(AVG(-logp), 6) AS nll
+    FROM scored GROUP BY 1
+    """,
+)
+def q_doc_unigram_nll(spark, sf_dir):
+    """Per-document unigram-LM negative log-likelihood
+    (pipeline/text.unigram_nll) — the perplexity-proxy quality score. One
+    keyed count builds the unigram table; the token stream joins back
+    (AQE-managed: broadcast while small, skew-split shuffle at scale) and
+    folds to a per-doc mean of 8-decimal-rounded log-probs."""
+    from ..pipeline.text import unigram_nll
+
+    d = load(spark, sf_dir, "documents")
+    return unigram_nll(d)

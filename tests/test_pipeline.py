@@ -1252,3 +1252,35 @@ def test_label_silhouette_separated_clusters(spark):
     out = {r.label: r for r in label_silhouette(df).collect()}
     assert out[0].n_vecs == 3 and out[1].n_vecs == 3
     assert out[0].silhouette > 0.99 and out[1].silhouette > 0.99
+
+
+def test_source_mix_allocation(spark):
+    from backtest_crew_datalake_spark.pipeline.sampling import source_mix
+
+    # 900 docs from 'big', 100 from 'small': sqrt-temperature at frac=0.5
+    # keeps small's share ~3x its natural rate and keeps rates in [0,1]
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = source_mix(df, frac=0.5).groupBy("source").count().collect()
+    got = {r.source: r["count"] for r in out}
+    # expected rates: w = (30, 10), wsum=40 -> big: 500*0.75/900 = 41.7%,
+    # small: 500*0.25/100 = 125% -> capped at 100%
+    assert got["small"] == 100               # small source fully kept
+    assert 300 < got["big"] < 450            # ~41.7% of 900, hash-jittered
+    # determinism: re-run is byte-identical
+    out2 = source_mix(df, frac=0.5).groupBy("source").count().collect()
+    assert got == {r.source: r["count"] for r in out2}
+
+
+def test_unigram_nll_ranks_rare_docs_higher(spark):
+    from backtest_crew_datalake_spark.pipeline.text import unigram_nll
+
+    rows = [
+        (0, "common common common common"),
+        (1, "common common rare1 rare2"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in unigram_nll(df).collect()}
+    assert out[0].n_tokens == 4 and out[1].n_tokens == 4
+    # doc 1 contains two singleton tokens -> higher surprise
+    assert out[1].nll > out[0].nll

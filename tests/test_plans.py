@@ -296,3 +296,11 @@ def test_silhouette_broadcasts_centroids(spark):
     p = _plan(spark, "q_emb_label_silhouette")
     assert "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_source_mix_no_full_shuffle(spark):
+    # the row filter must be a hash-local predicate against a broadcast
+    # threshold table: no exchange of the documents table itself
+    p = _plan(spark, "q_doc_source_mix")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
