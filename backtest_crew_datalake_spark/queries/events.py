@@ -1260,3 +1260,57 @@ def q_evt_top_paths(spark, sf_dir):
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(15)
     )
+
+
+@register(
+    "q_evt_zorder_buckets",
+    oracle="""
+    WITH base AS (
+        SELECT user_id % 1024 AS u, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h
+        FROM events
+    ),
+    keyed AS (
+        SELECT CAST((((u >> 0) & 1) << 0)
+               | (((u >> 1) & 1) << 2)
+               | (((u >> 2) & 1) << 4)
+               | (((u >> 3) & 1) << 6)
+               | (((u >> 4) & 1) << 8)
+               | (((u >> 5) & 1) << 10)
+               | (((u >> 6) & 1) << 12)
+               | (((u >> 7) & 1) << 14)
+               | (((u >> 8) & 1) << 16)
+               | (((u >> 9) & 1) << 18)
+               | (((h >> 0) & 1) << 1)
+               | (((h >> 1) & 1) << 3)
+               | (((h >> 2) & 1) << 5)
+               | (((h >> 3) & 1) << 7)
+               | (((h >> 4) & 1) << 9)
+               | (((h >> 5) & 1) << 11)
+               | (((h >> 6) & 1) << 13)
+               | (((h >> 7) & 1) << 15)
+               | (((h >> 8) & 1) << 17)
+               | (((h >> 9) & 1) << 19) AS BIGINT) AS zkey
+        FROM base
+    )
+    SELECT zkey // 256 AS zbucket, COUNT(*) AS n_events,
+           CAST(MIN(zkey) AS BIGINT) AS zmin, CAST(MAX(zkey) AS BIGINT) AS zmax
+    FROM keyed GROUP BY 1
+    """,
+)
+def q_evt_zorder_buckets(spark, sf_dir):
+    """Z-order layout key distribution (operators/zorder.zorder_key): Morton
+    key over (user_id mod 1024, hour) rolled up to coarse 256-key buckets with
+    per-bucket key ranges — the pruning map a z-clustered write produces.
+    The key is pure row-local bit math (JVM built-ins, unrolled at plan
+    build); the only shuffle is the bounded-domain rollup."""
+    from ..operators.zorder import zorder_key
+
+    e = load(spark, sf_dir, "events")
+    z = zorder_key([F.pmod(F.col("user_id"), F.lit(1024)),
+                    F.hour("ts").cast("long")], bits=10)
+    return (
+        e.select(z.alias("zkey"))
+        .groupBy(F.floor(F.col("zkey") / 256).alias("zbucket"))
+        .agg(F.count("*").alias("n_events"),
+             F.min("zkey").alias("zmin"), F.max("zkey").alias("zmax"))
+    )
