@@ -251,9 +251,10 @@ def tfidf_topk(
     engines (raw libm ln may differ in the last ulp between JVM and C);
     ties break on token asc.
 
-    Scale: token explode is linear; doc-frequency is one keyed agg on token
-    (vocab-bounded); N is a 1-row broadcast; the top-k window partitions by
-    doc — no global sort, no unpartitioned window.
+    Scale: token explode is linear; doc-frequency rides the token-keyed
+    exchange as a window count (no separate vocab agg + join-back); N is a
+    1-row broadcast; the top-k window partitions by doc — no global sort,
+    no unpartitioned window.
     """
     from pyspark.sql import Window
 
@@ -262,13 +263,18 @@ def tfidf_topk(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
     )
     tf = t.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("df_t"))
+    # document frequency as a window count over the SAME token-keyed
+    # exchange the per-doc tf rows already need — one shuffle on token
+    # instead of a separate vocab aggregate joined back (tf rows are
+    # distinct per (doc, token), so count(*) per token IS the df; window
+    # state spills on Zipf-hot tokens instead of buffering an agg join).
+    wdf = Window.partitionBy("token")
     ndocs = df.agg(F.count("*").alias("n_docs"))
     idf = F.round(
         F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df_t") + F.lit(1.0))), 8
     )
     scored = (
-        tf.join(dfreq, "token")
+        tf.withColumn("df_t", F.count("*").over(wdf))
         .crossJoin(F.broadcast(ndocs))
         .withColumn("score", F.round(F.col("tf") * idf, 6))
     )

@@ -42,6 +42,9 @@ HEADLINE = [
     # string_agg top-k; gram-match + gaps-and-islands span collapse) —
     # correctness-gated since r4, now with perf evidence
     "q_evt_top_paths", "q_doc_shared_spans",
+    # round-5 additions: full-corpus token-join shapes (tf-idf ranking,
+    # unigram-LM scoring) and the heaviest new relational decorrelation
+    "q_doc_tfidf_topk", "q_doc_unigram_nll", "q_min_cost_supplier",
 ]
 
 
