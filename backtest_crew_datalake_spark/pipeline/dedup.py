@@ -379,3 +379,78 @@ def neardup_window_pairs(
     for p in passes[1:]:
         out = out.unionByName(p)
     return out.groupBy("id_a", "id_b").agg(F.min("hamming").alias("hamming"))
+
+
+def _portable_minhash_bands(
+    df: DataFrame,
+    id_alias: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Banded MinHash signature rows (id, band, bucket) with the
+    engine-portable md5 hash family (h_i = min md5 of 'i|shingle'; bucket =
+    md5 of the band's joined minhashes) — the same family the oracle-gated
+    q_doc_minhash_portable uses, so consumers stay value-checkable."""
+    rows_per_band = num_hashes // bands
+    sh = spread_partitions(df, id_col).select(
+        F.col(id_col).alias(id_alias),
+        F.explode(_shingles(text_col, n)).alias("sh"),
+    )
+    mh = sh.groupBy(id_alias).agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")).cast("binary")))
+        .alias(f"h{i}")
+        for i in range(num_hashes)
+    ])
+    return mh.select(
+        id_alias,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.md5(F.concat_ws(
+                    "|",
+                    *[F.col(f"h{b * rows_per_band + r}")
+                      for r in range(rows_per_band)],
+                ).cast("binary")).alias("bucket"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select(id_alias, "bb.band", "bb.bucket")
+
+
+def incremental_neardup_flags(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Cross-crawl incremental dedup: flag documents in a NEW batch that
+    near-duplicate anything ALREADY IN the corpus. Returns one row per
+    flagged new doc: (id, first_match = lowest-id colliding corpus doc,
+    n_collisions = colliding (band, corpus-doc) pairs).
+
+    Both sides reduce to banded minhash rows — O(docs × bands) — and meet
+    in a (band, bucket)-keyed equi-join; document text never crosses the
+    wire past the signature pass. In a production lake the corpus side is
+    the PERSISTED signature table maintained by each ingest (append the new
+    batch's band rows after filtering), so the per-batch cost is
+    O(new × bands) signatures + one keyed join against the signature store
+    — the new batch never rescans corpus text.
+    """
+    a = _portable_minhash_bands(
+        new_df, "new_id", id_col, text_col, n, num_hashes, bands)
+    b = _portable_minhash_bands(
+        corpus_df, "old_id", id_col, text_col, n, num_hashes, bands)
+    return (
+        a.join(b, ["band", "bucket"])
+        .groupBy(F.col("new_id").alias(id_col))
+        .agg(
+            F.min("old_id").alias("first_match"),
+            F.count("*").alias("n_collisions"),
+        )
+    )

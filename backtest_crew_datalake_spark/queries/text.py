@@ -1631,3 +1631,51 @@ def q_doc_unigram_nll(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return unigram_nll(d)
+
+
+@register(
+    "q_doc_incremental_dedup",
+    oracle=r"""
+    WITH docs AS (
+        SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, UNNEST(list_distinct(
+            CASE WHEN LEN(toks) >= 3 THEN
+                list_transform(generate_series(1, LEN(toks) - 2),
+                               i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])
+            ELSE [array_to_string(toks, ' ')] END)) AS sh
+        FROM docs
+    ),
+    seeds AS (SELECT UNNEST(range(0, 16)) AS i),
+    mh AS (
+        SELECT doc_id, i, MIN(md5(i::VARCHAR || '|' || sh)) AS h
+        FROM sh, seeds GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT doc_id, i // 2 AS band,
+               md5(string_agg(h, '|' ORDER BY i)) AS bucket
+        FROM mh GROUP BY 1, 2
+    )
+    SELECT a.doc_id, MIN(b.doc_id) AS first_match,
+           COUNT(*) AS n_collisions
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.doc_id >= 400 AND b.doc_id < 400
+    GROUP BY 1
+    """,
+)
+def q_doc_incremental_dedup(spark, sf_dir):
+    """Cross-crawl incremental dedup
+    (pipeline/dedup.incremental_neardup_flags): docs ≥ 400 are the "new
+    crawl", docs < 400 the existing corpus; flag new docs sharing any
+    minhash band bucket with the corpus. Portable md5 hash family — the
+    full signature+join pipeline is value-checked. Text never crosses the
+    wire past the signature pass; in production the corpus side is the
+    persisted signature table."""
+    from ..pipeline.dedup import incremental_neardup_flags
+
+    d = load(spark, sf_dir, "documents")
+    return incremental_neardup_flags(
+        d.where(F.col("doc_id") >= 400), d.where(F.col("doc_id") < 400)
+    )

@@ -1284,3 +1284,25 @@ def test_unigram_nll_ranks_rare_docs_higher(spark):
     assert out[0].n_tokens == 4 and out[1].n_tokens == 4
     # doc 1 contains two singleton tokens -> higher surprise
     assert out[1].nll > out[0].nll
+
+
+def test_incremental_neardup_flags(spark):
+    from backtest_crew_datalake_spark.pipeline.dedup import (
+        incremental_neardup_flags,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today"),
+         (1, "completely unrelated text about spark shuffles and joins")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog today"),  # exact dup
+         (11, "nothing like anything in the existing corpus at all zz")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in
+           incremental_neardup_flags(new, corpus).collect()}
+    assert 10 in out and out[10].first_match == 0
+    assert out[10].n_collisions == 8          # identical text -> all 8 bands
+    assert 11 not in out                      # novel doc is not flagged
