@@ -41,9 +41,13 @@ def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, d: int):
 
 
 def _assign_codes(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
-    """Nearest centroid per (row, subspace): L2, ties → lowest centroid_id."""
-    from pyspark.sql import Window
+    """Nearest centroid per (row, subspace): L2, ties → lowest centroid_id.
 
+    Argmin as a hash aggregate over min(struct(d2, cid)) — same result as
+    a rank-1 window (struct ordering compares d2 then cid) but the ×ksub
+    fan-out collapses map-side in partial aggregation, so the shuffle
+    carries one row per (vector, subspace) instead of window-sorting
+    N·m·ksub rows."""
     cb = F.broadcast(
         codebooks.select(
             "sub_id", F.col("centroid_id").alias("__cid"),
@@ -51,12 +55,12 @@ def _assign_codes(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
         )
     )
     d2 = _sqdist(F.col("sub"), F.col("__cv"))
-    w = Window.partitionBy("__id", "sub_id").orderBy(d2.asc(), F.col("__cid").asc())
     return (
         subs.join(cb, "sub_id")
-        .withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") == 1)
-        .select("__id", "sub_id", "sub", F.col("__cid").alias("code"))
+        .withColumn("__sc", F.struct(d2.alias("d2"), F.col("__cid").alias("cid")))
+        .groupBy("__id", "sub_id", "sub")
+        .agg(F.min("__sc").alias("__m"))
+        .select("__id", "sub_id", "sub", F.col("__m.cid").alias("code"))
     )
 
 

@@ -206,9 +206,13 @@ def kmeans_assign(
     topn=1 is plain k-means assignment, topn>1 is IVF probing).
 
     Scale shape: centroids broadcast (k rows), so assignment is one
-    streaming pass over the corpus — no shuffle of the data, only the
-    row_number window keyed by the row id (which collapses to a map-side
-    top-n under AQE since each id is unique)."""
+    streaming pass over the corpus. For topn=1 (the Lloyd/encode hot path)
+    the argmin is a hash aggregate over min(struct(d2, cid)) — identical
+    result to the rank-1 window (struct ordering compares d2 then cid),
+    but partial aggregation collapses the ×k fan-out map-side, so the
+    shuffle carries ONE row per input row instead of sorting N×k rows
+    (with their vectors) in a window. topn>1 (IVF probing) keeps the
+    window; nprobe is a small constant."""
     from pyspark.sql import Window
 
     from .dedup import spread_partitions
@@ -220,6 +224,18 @@ def kmeans_assign(
         )
     )
     d2 = _sqdist(F.col(vec_col), F.col("__cv"))
+    if topn == 1:
+        keep = list(df.columns)
+        return (
+            df.crossJoin(cent)
+            .withColumn(
+                "__sc", F.struct(d2.alias("d2"), F.col("__cid").alias("cid"))
+            )
+            .groupBy(*keep)
+            .agg(F.min("__sc").alias("__m"))
+            .withColumn("centroid_id", F.col("__m.cid"))
+            .drop("__m")
+        )
     w = Window.partitionBy(id_col).orderBy(d2.asc(), F.col("__cid").asc())
     return (
         df.crossJoin(cent)
