@@ -1298,16 +1298,19 @@ def q_evt_top_paths(spark, sf_dir):
     """,
 )
 def q_evt_zorder_buckets(spark, sf_dir):
-    """Z-order layout key distribution (operators/zorder.zorder_key): Morton
-    key over (user_id mod 1024, hour) rolled up to coarse 256-key buckets with
+    """Z-order layout key distribution (sources/layout.zorder_key — the
+    module write_zordered/compact_partitions cluster with): Morton key over
+    (user_id mod 1024, hour) rolled up to coarse 256-key buckets with
     per-bucket key ranges — the pruning map a z-clustered write produces.
     The key is pure row-local bit math (JVM built-ins, unrolled at plan
-    build); the only shuffle is the bounded-domain rollup."""
-    from ..operators.zorder import zorder_key
+    build); the only shuffle is the bounded-domain rollup. Value-checks the
+    bit interleave against DuckDB integer bit ops (the layout module's own
+    pytest covers row-group skipping)."""
+    from ..sources.layout import zorder_key
 
     e = load(spark, sf_dir, "events")
-    z = zorder_key([F.pmod(F.col("user_id"), F.lit(1024)),
-                    F.hour("ts").cast("long")], bits=10)
+    z = zorder_key(F.pmod(F.col("user_id"), F.lit(1024)),
+                   F.hour("ts").cast("long"), bits=10)
     return (
         e.select(z.alias("zkey"))
         .groupBy(F.floor(F.col("zkey") / 256).alias("zbucket"))
