@@ -38,6 +38,17 @@ def hash_bucket(col: Column, salt: str = "", buckets: int = 100) -> Column:
             % F.lit(buckets)).cast("int")
 
 
+def hash_bucket32(col: Column, salt: str = "", buckets: int = 10000) -> Column:
+    """Deterministic [0, buckets) bucket from 32 bits (8 hex chars) of the
+    md5 of ``salt|value``. hash_bucket's 16 bits are uniform enough for
+    percentage-level sampling but bias fine-grained rates (65536 % 10000
+    != 0 → up to ~7% relative overshoot); 32 bits push the modulo bias
+    below 1e-4 relative. Engine-portable (DuckDB computes the same hex)."""
+    h = F.md5(F.concat(F.lit(f"{salt}|"), col.cast("string")).cast("binary"))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+            % F.lit(buckets)).cast("long")
+
+
 def hash_sample(
     df: DataFrame, rate_pct: int, key_col: str = "doc_id", salt: str = "s",
 ) -> DataFrame:
@@ -219,7 +230,7 @@ def source_mix(
     before pretraining on a multi-source crawl.
 
     Per-source keep-rate r_s = min(1, frac·N·(√n_s/Σ√n)/n_s); a row is kept
-    iff its md5 hash bucket < floor(buckets·r_s) — selection is a pure
+    iff its 32-bit md5 hash bucket (hash_bucket32) < floor(buckets·r_s) — selection is a pure
     function of (key, per-source threshold): stable across runs, engines,
     and partitionings, and incremental re-runs only change membership where
     the source histogram changed.
@@ -250,5 +261,6 @@ def source_mix(
     )
     return (
         df.join(F.broadcast(thr), source_col)
-        .where(hash_bucket(F.col(key_col), salt, buckets) < F.col("__thr"))
+        .where(hash_bucket32(F.col(key_col), salt, buckets) < F.col("__thr"))
+        .drop("__thr")
     )

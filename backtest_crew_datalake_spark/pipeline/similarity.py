@@ -30,6 +30,52 @@ def _norm(a):
     )
 
 
+def _cosine_ranked(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    round_to: int,
+    extra_q: dict[str, str] | None = None,
+    extra_c: dict[str, str] | None = None,
+    pair_filter=None,
+) -> DataFrame:
+    """Shared top-k cosine core: bounded query side broadcast, corpus
+    streams through the dot-product scan, optional pre-rank pair filter,
+    rank on raw similarity with (sim desc, neighbor_id) tie-break, round
+    only on emit. cosine_topk and hard_negatives are thin wrappers."""
+    from pyspark.sql import Window
+
+    from .dedup import spread_partitions
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
+        *[F.col(c).alias(a) for c, a in (extra_q or {}).items()],
+    )
+    c = spread_partitions(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
+        *[F.col(col).alias(a) for col, a in (extra_c or {}).items()],
+    )
+    sim = _dot(F.col("__qv"), F.col("__cv")) / (
+        _norm(F.col("__qv")) * _norm(F.col("__cv"))
+    )
+    scored = F.broadcast(q).crossJoin(c)
+    if pair_filter is not None:
+        scored = scored.where(pair_filter)
+    keep = ["query_id", *(extra_q or {}).values(), "neighbor_id",
+            *(extra_c or {}).values()]
+    scored = scored.select(*keep, sim.alias("__sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(*keep, F.round("__sim", round_to).alias("cos_sim"), "rank")
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -43,34 +89,7 @@ def cosine_topk(
     Output: (query_id, neighbor_id, cos_sim, rank). Deterministic tie-break:
     (cos_sim desc, neighbor_id asc).
     """
-    from pyspark.sql import Window
-
-    from .dedup import spread_partitions
-
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
-    # the corpus streams through the dot-product scan — make sure a
-    # single-row-group input doesn't pin the whole scan to one task
-    c = spread_partitions(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    )
-    sim = _dot(F.col("__qv"), F.col("__cv")) / (
-        _norm(F.col("__qv")) * _norm(F.col("__cv"))
-    )
-    scored = F.broadcast(q).crossJoin(c).select(
-        "query_id", "neighbor_id", sim.alias("__sim")
-    )
-    # rank on the raw similarity; round only the emitted value
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("__sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id",
-                F.round("__sim", round_to).alias("cos_sim"), "rank")
-    )
+    return _cosine_ranked(queries, corpus, k, id_col, vec_col, round_to)
 
 
 def lsh_sign_buckets(
@@ -225,16 +244,24 @@ def kmeans_assign(
     )
     d2 = _sqdist(F.col(vec_col), F.col("__cv"))
     if topn == 1:
-        keep = list(df.columns)
+        # group by the id alone (ids are unique by contract — same as the
+        # window path, which also collapsed to one row per id): the other
+        # columns ride along via first(), which also keeps non-orderable
+        # types (maps) out of the grouping key
+        others = [c for c in df.columns if c != id_col]
         return (
             df.crossJoin(cent)
             .withColumn(
                 "__sc", F.struct(d2.alias("d2"), F.col("__cid").alias("cid"))
             )
-            .groupBy(*keep)
-            .agg(F.min("__sc").alias("__m"))
+            .groupBy(id_col)
+            .agg(
+                F.min("__sc").alias("__m"),
+                *[F.first(c).alias(c) for c in others],
+            )
             .withColumn("centroid_id", F.col("__m.cid"))
             .drop("__m")
+            .select(*df.columns, "centroid_id")
         )
     w = Window.partitionBy(id_col).orderBy(d2.asc(), F.col("__cid").asc())
     return (
@@ -332,44 +359,18 @@ def hard_negatives(
     cosine-similar corpus vectors carrying a DIFFERENT label (the pairs a
     contrastive trainer wants as in-batch negatives).
 
-    Same execution shape as cosine_topk — bounded query side broadcast, the
-    corpus streams through the dot-product scan — plus the label-inequality
-    filter applied BEFORE the ranking window so excluded same-label rows
-    never reach the shuffle. Deterministic: rank on raw sim, tie-break
-    neighbor_id asc, round only the emitted value.
+    Same execution shape as cosine_topk (both delegate to _cosine_ranked —
+    bounded query side broadcast, corpus streams through the dot-product
+    scan), plus the label-inequality filter applied BEFORE the ranking
+    window so excluded same-label rows never reach the shuffle.
+    Deterministic: rank on raw sim, tie-break neighbor_id asc, round only
+    the emitted value.
     """
-    from pyspark.sql import Window
-
-    from .dedup import spread_partitions
-
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(label_col).alias("query_label"),
-        F.col(vec_col).alias("__qv"),
-    )
-    c = spread_partitions(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(label_col).alias("neighbor_label"),
-        F.col(vec_col).alias("__cv"),
-    )
-    sim = _dot(F.col("__qv"), F.col("__cv")) / (
-        _norm(F.col("__qv")) * _norm(F.col("__cv"))
-    )
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .where(F.col("query_label") != F.col("neighbor_label"))
-        .select("query_id", "query_label", "neighbor_id", "neighbor_label",
-                sim.alias("__sim"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("__sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "query_label", "neighbor_id", "neighbor_label",
-                F.round("__sim", round_to).alias("cos_sim"), "rank")
+    return _cosine_ranked(
+        queries, corpus, k, id_col, vec_col, round_to,
+        extra_q={label_col: "query_label"},
+        extra_c={label_col: "neighbor_label"},
+        pair_filter=F.col("query_label") != F.col("neighbor_label"),
     )
 
 

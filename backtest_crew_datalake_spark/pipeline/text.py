@@ -305,7 +305,14 @@ def length_quantiles(
     """
     from pyspark.sql import Window
 
-    counts = df.groupBy(group_col, value_col).agg(F.count("*").alias("__n"))
+    # quantiles are defined over NON-NULL values: engines disagree on where
+    # NULL sorts in a cumulative window (Spark: first asc; DuckDB: last),
+    # so nulls are excluded up front and n_rows counts surviving rows.
+    counts = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count("*").alias("__n"))
+    )
     cum_w = (
         Window.partitionBy(group_col)
         .orderBy(value_col)
@@ -340,7 +347,8 @@ def unigram_nll(
     scores low).
 
     Two passes over the token stream: one keyed count builds the unigram
-    table, then the stream joins back on token and folds to a per-doc mean.
+    table (whose sum also yields the corpus total — no separate counting
+    pass), then the stream joins back on token and folds to a per-doc mean.
     Per-token log-probs are rounded to 8 decimals before averaging so the
     result is engine-reproducible. The token join key is Zipf-skewed;
     the unigram table is NOT broadcast-hinted (web-scale vocab can exceed
@@ -352,7 +360,9 @@ def unigram_nll(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
     )
     vocab = t.groupBy("token").agg(F.count("*").alias("__cnt"))
-    tot = t.agg(F.count("*").cast("double").alias("__t"))
+    # total token count derives from the aggregated vocab — NOT a third
+    # explode of the corpus (sum over the vocab-bounded table)
+    tot = vocab.agg(F.sum("__cnt").cast("double").alias("__t"))
     logp = F.round(F.log(F.col("__cnt") / F.col("__t")), 8)
     return (
         t.join(vocab, "token")

@@ -446,29 +446,13 @@ def q_doc_minhash_portable(spark, sf_dir):
 
 def _portable_minhash_pairs(d):
     """Engine-portable MinHash+LSH candidate pairs (see
-    q_doc_minhash_portable); shared by the recall scoreboard."""
-    from ..pipeline.dedup import _shingles, spread_partitions
+    q_doc_minhash_portable); shared by the recall scoreboard. Signature +
+    banding come from pipeline/dedup._portable_minhash_bands — ONE home for
+    the portable hash family, so the incremental filter, this pair query,
+    and the DuckDB oracles cannot drift apart."""
+    from ..pipeline.dedup import _portable_minhash_bands
 
-    sh = spread_partitions(d, "doc_id").select(
-        F.col("doc_id"), F.explode(_shingles("text", 3)).alias("sh")
-    )
-    mh = sh.groupBy("doc_id").agg(*[
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")).cast("binary")))
-        .alias(f"h{i}")
-        for i in range(16)
-    ])
-    bands = mh.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).cast("long").alias("band"),
-                F.md5(F.concat_ws(
-                    "|", *[F.col(f"h{b * 2 + r}") for r in range(2)]
-                ).cast("binary")).alias("bucket"),
-            )
-            for b in range(8)
-        ])).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    bands = _portable_minhash_bands(d, "doc_id")
     return (
         bands.alias("a")
         .join(
@@ -1109,6 +1093,16 @@ def q_doc_shared_spans_exact(spark, sf_dir):
 # engine-portable; `_HEX4` parses the first 4 digest hex chars in DuckDB.
 # ---------------------------------------------------------------------------
 
+def _hex8(expr: str) -> str:
+    """DuckDB SQL for the int value of the first 8 hex chars of ``expr``
+    (mirrors pipeline/sampling.hash_bucket32)."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    ) + ")"
+
+
 def _hex4(expr: str) -> str:
     """DuckDB SQL for int value of the first 4 hex chars of ``expr``."""
     return "(" + " + ".join(
@@ -1589,7 +1583,7 @@ def q_doc_len_quantiles(spark, sf_dir):
             FROM counts, tot)
     SELECT d.doc_id, d.source, t.n_source
     FROM documents d JOIN thr t USING (source)
-    WHERE {_hex4("md5('mix|' || d.doc_id::VARCHAR)")} % 10000 < t.thr
+    WHERE {_hex8("md5('mix|' || d.doc_id::VARCHAR)")} % 10000 < t.thr
     """,
 )
 def q_doc_source_mix(spark, sf_dir):
