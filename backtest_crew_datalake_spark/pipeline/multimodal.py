@@ -91,6 +91,18 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     return header + dib + bytes(body)
 
 
+def _bmp_px(content: bytes, data_off: int, w: int, h: int) -> np.ndarray:
+    """Pixel extraction shared by decode_bmp and the perceptual hash:
+    (abs(h), w, 3) uint8 RGB, top-down."""
+    ah = abs(h)
+    row_sz = (w * 3 + 3) & ~3
+    arr = np.frombuffer(content, np.uint8, count=row_sz * ah, offset=data_off)
+    px = arr.reshape(ah, row_sz)[:, : w * 3].reshape(ah, w, 3)[:, :, ::-1]
+    if h > 0:
+        px = px[::-1]                          # bottom-up -> top-down
+    return px
+
+
 def decode_bmp(content: bytes) -> dict:
     """REAL decode of an uncompressed 24-bpp BMP: struct header parse, numpy
     pixel extraction (BGR->RGB, bottom-up flip, row padding stripped), and
@@ -108,11 +120,7 @@ def decode_bmp(content: bytes) -> dict:
             f"only uncompressed 24-bpp BMP is supported (bpp={bpp}, "
             f"compression={comp})")
     ah = abs(h)
-    row_sz = (w * 3 + 3) & ~3
-    arr = np.frombuffer(content, np.uint8, count=row_sz * ah, offset=data_off)
-    px = arr.reshape(ah, row_sz)[:, : w * 3].reshape(ah, w, 3)[:, :, ::-1]
-    if h > 0:
-        px = px[::-1]                          # bottom-up -> top-down
+    px = _bmp_px(content, data_off, w, h)
     means = px.mean(axis=(0, 1)) / 255.0
     stds = px.std(axis=(0, 1)) / 255.0
     brightness = float(px.mean()) / 255.0
@@ -237,12 +245,9 @@ def _png_defilter(raw: bytes, w: int, h: int, nch: int) -> np.ndarray:
     return out.astype(np.uint8).reshape(h, w, nch)
 
 
-def decode_png(content: bytes) -> dict:
-    """REAL decode of 8-bit truecolor PNG (color type 2 RGB / 6 RGBA,
-    non-interlaced): chunk walk, stdlib zlib inflate, per-scanline
-    defilter (incl. Paeth), numpy pixel statistics — the same 8-dim
-    feature family as decode_bmp (stats over the RGB channels; alpha is
-    ignored for statistics)."""
+def _png_px(content: bytes) -> np.ndarray:
+    """Chunk walk + inflate + defilter shared by decode_png and the
+    perceptual hash: (h, w, nch) uint8, nch 3 (RGB) or 4 (RGBA)."""
     if content[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, idat, meta = 8, [], None
@@ -267,7 +272,17 @@ def decode_png(content: bytes) -> dict:
             f"only 8-bit non-interlaced truecolor PNG is supported "
             f"(depth={depth}, color_type={ctype}, interlace={ilace})")
     nch = 3 if ctype == 2 else 4
-    px = _png_defilter(zlib.decompress(b"".join(idat)), w, h, nch)
+    return _png_defilter(zlib.decompress(b"".join(idat)), w, h, nch)
+
+
+def decode_png(content: bytes) -> dict:
+    """REAL decode of 8-bit truecolor PNG (color type 2 RGB / 6 RGBA,
+    non-interlaced): chunk walk, stdlib zlib inflate, per-scanline
+    defilter (incl. Paeth), numpy pixel statistics — the same 8-dim
+    feature family as decode_bmp (stats over the RGB channels; alpha is
+    ignored for statistics)."""
+    px = _png_px(content)
+    h, w = px.shape[0], px.shape[1]
     rgb = px[:, :, :3]
     means = rgb.mean(axis=(0, 1)) / 255.0
     stds = rgb.std(axis=(0, 1)) / 255.0
@@ -412,3 +427,135 @@ def audio_window_features_stub(
             })
 
     return df.mapInPandas(_win, schema=AUDIO_WINDOW_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (image near-dup): dHash over the stdlib decoders.
+
+
+def gray_pixels(content: bytes) -> "np.ndarray | None":
+    """Grayscale 2-D float array for an image payload (BMP/PNG via the REAL
+    decoders), or None for non-image payloads (audio, unknown formats) —
+    the hash stage skips those instead of inventing fake bits."""
+    c = content or b""
+    try:
+        if (len(c) >= 54 and c[:2] == b"BM"
+                and int.from_bytes(c[14:18], "little") in _DIB_SIZES):
+            data_off = int.from_bytes(c[10:14], "little")
+            w = int.from_bytes(c[18:22], "little", signed=True)
+            h = int.from_bytes(c[22:26], "little", signed=True)
+            px = _bmp_px(c, data_off, w, h)
+        elif c[:8] == _PNG_SIG:
+            px = _png_px(c)[:, :, :3]
+        else:
+            return None
+    except (ValueError, NotImplementedError):
+        return None
+    # ITU-R BT.601 luma — the standard grayscale reduction
+    return (px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587
+            + px[:, :, 2] * 0.114).astype(np.float64)
+
+
+def dhash64(gray: "np.ndarray") -> int:
+    """64-bit difference hash (dHash, public algorithm): block-mean resize
+    to 9×8 (no external imaging library — each target cell averages its
+    source block), then bit i*8+j = [cell(i,j) < cell(i,j+1)] over the
+    horizontal gradient. Robust to re-encoding, scaling, and small noise;
+    near-duplicate images land within a few bits of Hamming distance."""
+    h, w = gray.shape
+    th, tw = 8, 9
+    # block-mean resize: split rows/cols into th/tw nearly-equal slices
+    ys = np.linspace(0, h, th + 1).astype(int)
+    xs = np.linspace(0, w, tw + 1).astype(int)
+    cells = np.empty((th, tw), dtype=np.float64)
+    for i in range(th):
+        for j in range(tw):
+            block = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                         xs[j]:max(xs[j + 1], xs[j] + 1)]
+            cells[i, j] = float(block.mean())
+    bits = (cells[:, :-1] < cells[:, 1:]).flatten()
+    out = 0
+    for idx, b in enumerate(bits):
+        if b:
+            out |= 1 << idx
+    return out
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """mapInPandas: (media_id, kind, content) → (media_id, kind, dhash) for
+    image payloads; non-images pass through with dhash NULL. Arrow-batched;
+    compose with with_size_bucket upstream for decode-skew control."""
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("dhash", T.LongType(), True),
+    ])
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for c in pdf["content"]:
+                g = gray_pixels(c)
+                # numpy int64 overflow guard: keep the hash as a python int
+                # and let pandas box it (bit 63 set would overflow int64 —
+                # store as signed via two's complement)
+                hashes.append(
+                    None if g is None
+                    else (lambda v: v - (1 << 64) if v >= (1 << 63) else v)(
+                        dhash64(g))
+                )
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "dhash": pd.array(hashes, dtype="Int64"),
+            })
+
+    return df.mapInPandas(_hash, schema=schema)
+
+
+def dhash_candidate_pairs(
+    df: DataFrame,
+    bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Image near-duplicate pairs by banded Hamming join: split the 64-bit
+    dHash into ``bands`` equal bit-slices; two hashes within Hamming
+    distance ``bands - 1`` MUST share at least one slice (pigeonhole), so
+    the equi-join on (band, slice) finds every such pair without an
+    all-pairs scan, and the exact bit_count(xor) filter then enforces
+    ``max_hamming``. Requires max_hamming < bands for the exactness
+    guarantee (asserted).
+
+    Scale: O(images × bands) rows into a keyed equi-join — the image
+    analogue of the minhash band join; bit ops are JVM built-ins.
+    """
+    assert max_hamming < bands, "pigeonhole guarantee needs max_hamming < bands"
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = df.where(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h")
+    )
+    sliced = h.select(
+        "id", "h",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("h"), b * width)
+                .bitwiseAND(F.lit(mask)).alias("slice"),
+            )
+            for b in range(bands)
+        ])).alias("bs"),
+    ).select("id", "h", "bs.band", "bs.slice")
+    a, b = sliced.alias("a"), sliced.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.slice") == F.col("b.slice"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
+                .alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -247,6 +247,24 @@ def q_multimodal_features(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"), "text"
     )
+    media = _render_media(d)
+    feats = extract_media_features(media)
+    return feats.select("media_id", "kind", "n_bytes", "digest",
+                        "width", "height")
+
+
+def _render_media(d):
+    """Render (media_id, text) rows into REAL media payloads (BMP/WAV/PNG
+    by media_id mod 3, pixels/samples derived from the text sha256) —
+    shared by q_multimodal_features and q_multimodal_phash_dupes."""
+    import hashlib as _hashlib
+
+    import numpy as _np
+    import pandas as _pd
+
+    from ..pipeline.multimodal import (
+        MEDIA_SCHEMA, encode_bmp, encode_png, encode_wav,
+    )
 
     def _render(batches):
         for pdf in batches:
@@ -272,10 +290,7 @@ def q_multimodal_features(spark, sf_dir):
                  "meta": [None] * len(ids)}
             )
 
-    media = d.mapInPandas(_render, schema=MEDIA_SCHEMA)
-    feats = extract_media_features(media)
-    return feats.select("media_id", "kind", "n_bytes", "digest",
-                        "width", "height")
+    return d.mapInPandas(_render, schema=MEDIA_SCHEMA)
 
 
 @register(
@@ -1673,3 +1688,23 @@ def q_doc_incremental_dedup(spark, sf_dir):
     return incremental_neardup_flags(
         d.where(F.col("doc_id") >= 400), d.where(F.col("doc_id") < 400)
     )
+
+
+@register("q_multimodal_phash_dupes")  # rows-only: decode is Python-side
+def q_multimodal_phash_dupes(spark, sf_dir):
+    """Image near-duplicate detection end-to-end (rows-only like
+    q_multimodal_features — the decoders are Python-side): documents render
+    to real BMP/PNG payloads, pipeline/multimodal.image_dhash computes the
+    64-bit perceptual hash (block-mean resize + horizontal gradient) over
+    the REAL decoded pixels, and dhash_candidate_pairs finds pairs within
+    Hamming distance 3 via the banded equi-join (pigeonhole-exact, no
+    all-pairs scan). Exact-duplicate documents render to identical pixels,
+    so the corpus' planted dups surface as hamming-0 pairs. Value-level
+    checks: tests/test_pipeline.py::test_image_dhash_and_near_dup_pairs."""
+    from ..pipeline.multimodal import dhash_candidate_pairs, image_dhash
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), "text"
+    )
+    hashed = image_dhash(_render_media(d))
+    return dhash_candidate_pairs(hashed).orderBy("id_a", "id_b")

@@ -1306,3 +1306,45 @@ def test_incremental_neardup_flags(spark):
     assert 10 in out and out[10].first_match == 0
     assert out[10].n_collisions == 8          # identical text -> all 8 bands
     assert 11 not in out                      # novel doc is not flagged
+
+
+def test_image_dhash_and_near_dup_pairs(spark):
+    import numpy as np
+
+    from backtest_crew_datalake_spark.pipeline.multimodal import (
+        dhash64, dhash_candidate_pairs, encode_bmp, encode_png,
+        gray_pixels, image_dhash,
+    )
+
+    # deterministic 32x32 textured image (a smooth gradient is degenerate
+    # for dHash: every horizontal difference has the same sign)
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    noisy = base.copy()
+    noisy[5, 5] = [255, 255, 255]            # one-pixel speck
+    other = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+
+    rows = [
+        (0, "image", bytearray(encode_bmp(base))),
+        (1, "image", bytearray(encode_png(base))),   # same pixels, other codec
+        (2, "image", bytearray(encode_bmp(noisy))),
+        (3, "image", bytearray(encode_bmp(other))),
+        (4, "audio", bytearray(b"RIFF\x00\x00\x00\x00WAVE")),  # not an image
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary")
+    hashed = image_dhash(df)
+    got = {r.media_id: r.dhash for r in hashed.collect()}
+
+    # spark-side hash == local python reference on the same pixels
+    ref = dhash64(gray_pixels(bytes(encode_bmp(base))))
+    signed_ref = ref - (1 << 64) if ref >= (1 << 63) else ref
+    assert got[0] == signed_ref
+    assert got[1] == got[0]                  # codec-independent (same pixels)
+    assert got[4] is None                    # non-image -> NULL, not fake bits
+
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in dhash_candidate_pairs(hashed).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 3   # speck: near-dup
+    assert not any(3 in p for p in pairs)           # unrelated image is far
