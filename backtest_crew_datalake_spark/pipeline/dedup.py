@@ -454,3 +454,58 @@ def incremental_neardup_flags(
             F.count("*").alias("n_collisions"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    iters: int = 5,
+    damping: float = 0.85,
+    round_to: int = 6,
+) -> DataFrame:
+    """PageRank over an undirected edge list (fixed ``iters`` power
+    iterations — deterministic, oracle-checkable): rank near-dup cluster
+    members by connectivity to pick the canonical document (the
+    highest-rank doc is the best-connected representative, a common
+    alternative to keep-lowest-id).
+
+    r_{t+1}(v) = (1-d)/N + d · Σ_{u∈nbr(v)} r_t(u)/deg(u), r_0 = 1/N over
+    the N nodes that appear in any edge. Every step is a keyed join +
+    keyed agg on node id (same discipline as connected_components: one
+    localCheckpoint per round keeps lineage flat; no driver-side state,
+    no collect). Output: (id, pr) with pr rounded to ``round_to``.
+    """
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    ).localCheckpoint(eager=False)
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    n_nodes = deg.count()  # one scalar action up front, not per round
+    base = (1.0 - damping) / n_nodes
+    ranks = deg.select("src", F.lit(1.0 / n_nodes).alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            sym.join(
+                ranks.join(deg, "src").select(
+                    "src", (F.col("pr") / F.col("deg")).alias("__share")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("src"))
+            .agg(F.sum("__share").alias("__in"))
+        )
+        ranks = (
+            deg.select("src")
+            .join(contrib, "src", "left")
+            .select(
+                "src",
+                (F.lit(base)
+                 + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+                 ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(F.col("src").alias("id"),
+                        F.round("pr", round_to).alias("pr"))

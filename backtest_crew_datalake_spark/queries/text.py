@@ -1708,3 +1708,111 @@ def q_multimodal_phash_dupes(spark, sf_dir):
     )
     hashed = image_dhash(_render_media(d))
     return dhash_candidate_pairs(hashed).orderBy("id_a", "id_b")
+
+
+@register(
+    "q_doc_pagerank_canonical",
+    oracle=r"""
+    WITH docs AS (
+        SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, UNNEST(list_distinct(
+            CASE WHEN LEN(toks) >= 3 THEN
+                list_transform(generate_series(1, LEN(toks) - 2),
+                               i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])
+            ELSE [array_to_string(toks, ' ')] END)) AS sh
+        FROM docs
+    ),
+    seeds AS (SELECT UNNEST(range(0, 16)) AS i),
+    mh AS (
+        SELECT doc_id, i, MIN(md5(i::VARCHAR || '|' || sh)) AS h
+        FROM sh, seeds GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT doc_id, i // 2 AS band,
+               md5(string_agg(h, '|' ORDER BY i)) AS bucket
+        FROM mh GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                                  AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+            UNION ALL SELECT id_b, id_a FROM edges),
+    deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY 1),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    pr0 AS (SELECT d.src, 1.0 / nn.n AS pr FROM deg d, nn),
+    pr1 AS (
+        SELECT d.src,
+               (1 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * COALESCE(c.s, 0) AS pr
+        FROM deg d LEFT JOIN (
+            SELECT s.dst AS src, SUM(p.pr / dg.deg) AS s
+            FROM sym s JOIN pr0 p ON s.src = p.src
+                       JOIN deg dg ON s.src = dg.src
+            GROUP BY 1
+        ) c ON d.src = c.src
+    ),
+    pr2 AS (
+        SELECT d.src,
+               (1 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * COALESCE(c.s, 0) AS pr
+        FROM deg d LEFT JOIN (
+            SELECT s.dst AS src, SUM(p.pr / dg.deg) AS s
+            FROM sym s JOIN pr1 p ON s.src = p.src
+                       JOIN deg dg ON s.src = dg.src
+            GROUP BY 1
+        ) c ON d.src = c.src
+    ),
+    pr3 AS (
+        SELECT d.src,
+               (1 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * COALESCE(c.s, 0) AS pr
+        FROM deg d LEFT JOIN (
+            SELECT s.dst AS src, SUM(p.pr / dg.deg) AS s
+            FROM sym s JOIN pr2 p ON s.src = p.src
+                       JOIN deg dg ON s.src = dg.src
+            GROUP BY 1
+        ) c ON d.src = c.src
+    ),
+    pr4 AS (
+        SELECT d.src,
+               (1 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * COALESCE(c.s, 0) AS pr
+        FROM deg d LEFT JOIN (
+            SELECT s.dst AS src, SUM(p.pr / dg.deg) AS s
+            FROM sym s JOIN pr3 p ON s.src = p.src
+                       JOIN deg dg ON s.src = dg.src
+            GROUP BY 1
+        ) c ON d.src = c.src
+    ),
+    pr5 AS (
+        SELECT d.src,
+               (1 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * COALESCE(c.s, 0) AS pr
+        FROM deg d LEFT JOIN (
+            SELECT s.dst AS src, SUM(p.pr / dg.deg) AS s
+            FROM sym s JOIN pr4 p ON s.src = p.src
+                       JOIN deg dg ON s.src = dg.src
+            GROUP BY 1
+        ) c ON d.src = c.src
+    )
+    SELECT src AS id, ROUND(pr, 6) AS pr FROM pr5
+    """,
+)
+def q_doc_pagerank_canonical(spark, sf_dir):
+    """PageRank over the near-dup graph (pipeline/dedup.pagerank, 5 fixed
+    power iterations) — ranks cluster members by connectivity to pick the
+    canonical doc. Edges are the portable minhash band-collision pairs
+    (same CTEs as q_doc_minhash_portable), so the FULL edge-build + 5
+    iterations is value-checked against DuckDB's unrolled CTE ladder.
+    Each iteration: keyed join + keyed agg on node id, localCheckpoint per
+    round (flat lineage); N and the teleport base are computed once."""
+    from ..pipeline.dedup import pagerank
+
+    pairs = _portable_minhash_pairs(load(spark, sf_dir, "documents"))
+    return pagerank(pairs.select("id_a", "id_b"))

@@ -1348,3 +1348,28 @@ def test_image_dhash_and_near_dup_pairs(spark):
     assert (0, 1) in pairs and pairs[(0, 1)] == 0
     assert (0, 2) in pairs and pairs[(0, 2)] <= 3   # speck: near-dup
     assert not any(3 in p for p in pairs)           # unrelated image is far
+
+
+def test_pagerank_star_graph(spark):
+    from backtest_crew_datalake_spark.pipeline.dedup import pagerank
+
+    # star: hub 0 connected to 1..4 — hub rank must dominate, leaves equal,
+    # and the distribution sums to ~1
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], ["id_a", "id_b"])
+    out = {r.id: r.pr for r in pagerank(edges).collect()}
+    assert len(out) == 5
+    assert abs(sum(out.values()) - 1.0) < 1e-4
+    leaves = [out[i] for i in range(1, 5)]
+    assert len(set(leaves)) == 1
+    assert out[0] > 2 * leaves[0]
+    # closed form for a star with d=0.85, n=5 after convergence:
+    # hub = (0.15/5) + 0.85*4*leaf_share; check against power iteration
+    import numpy as np
+    r = np.full(5, 0.2)
+    for _ in range(5):
+        new = np.full(5, 0.15 / 5)
+        new[0] += 0.85 * r[1:].sum()          # leaves have degree 1
+        new[1:] += 0.85 * r[0] / 4            # hub splits over 4 edges
+        r = new
+    assert abs(out[0] - round(float(r[0]), 6)) < 1e-6
