@@ -45,6 +45,8 @@ HEADLINE = [
     # round-5 additions: full-corpus token-join shapes (tf-idf ranking,
     # unigram-LM scoring) and the heaviest new relational decorrelation
     "q_doc_tfidf_topk", "q_doc_unigram_nll", "q_min_cost_supplier",
+    # iterative + signature-join shapes added late round 5
+    "q_doc_pagerank_canonical", "q_doc_incremental_dedup",
 ]
 
 
