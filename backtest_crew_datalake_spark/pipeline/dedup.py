@@ -476,11 +476,15 @@ def pagerank(
     localCheckpoint per round keeps lineage flat; no driver-side state,
     no collect). Output: (id, pr) with pr rounded to ``round_to``.
     """
-    sym = edges.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).unionByName(
-        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    # checkpoint the DIRECTED edge list first: symmetrization reads it
+    # twice, and an expensive upstream (e.g. the minhash band join) must
+    # materialize once, not once per direction
+    e0 = edges.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
     ).localCheckpoint(eager=False)
+    sym = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
     deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
     n_nodes = deg.count()  # one scalar action up front, not per round
     base = (1.0 - damping) / n_nodes
