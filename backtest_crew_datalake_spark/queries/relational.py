@@ -1302,17 +1302,20 @@ def q_returned_item_losses(spark, sf_dir):
     "q_important_parts",
     oracle="""
     WITH natl AS (
-      SELECT l.l_partkey, SUM(l.l_extendedprice * (1 - l.l_discount)) AS value
+      SELECT l.l_partkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,6)))) AS value
       FROM lineitem l
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
         JOIN nation n   ON s.s_nationkey = n.n_nationkey
         JOIN region r   ON n.n_regionkey = r.r_regionkey
       WHERE r.r_name = 'EUROPE'
       GROUP BY 1
-    )
-    SELECT l_partkey, ROUND(value, 2) AS value
-    FROM natl
-    WHERE value > (SELECT AVG(value) * 1.5 FROM natl)
+    ),
+    tot AS (SELECT SUM(value) AS total, COUNT(*) AS n_parts FROM natl)
+    SELECT n.l_partkey, CAST(ROUND(n.value, 2) AS DOUBLE) AS value
+    FROM natl n, tot t
+    WHERE 2 * n.value * t.n_parts > 3 * t.total
     ORDER BY value DESC, l_partkey
     """,
 )
@@ -1322,26 +1325,40 @@ def q_important_parts(spark, sf_dir):
     1.5x the mean per-part value, so the predicate is SF-invariant).
     Decorrelated by materializing the per-part agg ONCE (localCheckpoint) so
     the scalar total and the filter both read it without recomputing the
-    3-way join, then crossJoin-broadcasting the 1-row total."""
+    3-way join, then crossJoin-broadcasting the 1-row total.
+
+    Money math is DECIMAL, not double: per-part sums land near cent
+    boundaries often enough that double summation order flips ROUND's
+    last cent between engines (observed at sf0.1); decimal aggregation is
+    exact and order-independent, and the threshold compares in
+    multiplicative integer form (2·value·n > 3·total) so no division
+    rounding exists at all. Output cast to DOUBLE after the exact round."""
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     dim = n.join(r, n.n_regionkey == r.r_regionkey)
+    value = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+    ).alias("value")
     natl = (
         li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(dim), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
-        .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value")
-        )
+        .agg(value)
         .localCheckpoint(eager=False)  # one physical pass feeds both consumers
     )
-    total = natl.agg((F.avg("value") * 1.5).alias("threshold"))
+    total = natl.agg(
+        F.sum("value").alias("__total"), F.count("*").alias("__n")
+    )
     return (
         natl.crossJoin(F.broadcast(total))
-        .where(F.col("value") > F.col("threshold"))
-        .select("l_partkey", F.round("value", 2).alias("value"))
+        .where(2 * F.col("value") * F.col("__n") > 3 * F.col("__total"))
+        .select(
+            "l_partkey",
+            F.round("value", 2).cast("double").alias("value"),
+        )
         .orderBy(F.col("value").desc(), "l_partkey")
     )
 
