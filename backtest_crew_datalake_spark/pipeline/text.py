@@ -374,3 +374,73 @@ def unigram_nll(
             F.round(F.avg(-F.col("__logp")), round_to).alias("nll"),
         )
     )
+
+
+def bpe_merges(
+    df: DataFrame,
+    rounds: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train the first ``rounds`` BPE merges on the corpus (tokenizer
+    induction — the standard byte-pair-encoding loop, Sennrich et al. 2016,
+    run on word-internal character symbols weighted by word frequency).
+
+    Per round: count adjacent symbol pairs across the (word, freq) VOCAB
+    table — never the raw corpus — take the most frequent pair
+    (ties → lexicographic), and merge its adjacent occurrences in every
+    word. Words are carried as a '|a||b||c|'-wrapped symbol string so the
+    merge is ONE non-regex replace of '|a||b|' with '|ab|': left-to-right
+    non-overlapping replacement is exactly BPE's merge rule, wrapper pipes
+    make adjacent matches share no characters (both merge in one pass),
+    and a symbol can never false-match inside a neighbor.
+
+    Scale shape: one corpus pass builds the vocab (keyed count); every
+    iteration then runs on the vocab table only — explode to pairs, keyed
+    sum, a 1-row argmax broadcast, and a row-local replace — with a
+    localCheckpoint per round (flat lineage, same discipline as the Lloyd
+    loops). Output: (round, a, b, pair_count) — the learned merge table.
+    """
+    tok = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+    )
+    vocab = tok.groupBy("w").agg(F.count("*").alias("cnt"))
+    words = vocab.select(
+        "cnt",
+        F.concat(
+            F.lit("|"),
+            F.array_join(F.split(F.col("w"), ""), "||"),
+            F.lit("|"),
+        ).alias("sym"),
+    ).localCheckpoint(eager=False)
+
+    merges = None
+    for r in range(1, rounds + 1):
+        arr = F.split(F.expr("trim(BOTH '|' FROM sym)"), r"\|\|")
+        pairs = words.select(
+            "cnt", F.posexplode(arr).alias("__i", "a"), arr.alias("__arr")
+        ).select(
+            "cnt", "a",
+            F.try_element_at(F.col("__arr"), F.col("__i") + 2).alias("b"),
+        ).where(F.col("b").isNotNull())
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "a", "b")
+            .limit(1)
+            .withColumn("round", F.lit(r))
+        )
+        merges = top if merges is None else merges.unionByName(top)
+        words = (
+            words.crossJoin(F.broadcast(top.select("a", "b")))
+            .select(
+                "cnt",
+                F.replace(
+                    F.col("sym"),
+                    F.concat(F.lit("|"), F.col("a"), F.lit("||"),
+                             F.col("b"), F.lit("|")),
+                    F.concat(F.lit("|"), F.col("a"), F.col("b"), F.lit("|")),
+                ).alias("sym"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return merges.select("round", "a", "b", "pair_count")

@@ -1816,3 +1816,85 @@ def q_doc_pagerank_canonical(spark, sf_dir):
 
     pairs = _portable_minhash_pairs(load(spark, sf_dir, "documents"))
     return pagerank(pairs.select("id_a", "id_b"))
+
+
+@register(
+    "q_doc_bpe_merges",
+    oracle=r"""
+    WITH tok AS (
+        SELECT UNNEST(string_split_regex(TRIM(text), '\s+')) AS w
+        FROM documents
+    ),
+    vocab AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY 1),
+    w0 AS (
+        SELECT cnt,
+               '|' || array_to_string(
+                   list_transform(generate_series(1, LEN(w)), i -> w[i]),
+                   '||') || '|' AS sym
+        FROM vocab
+    ),
+    p1 AS (
+        SELECT t.arr[i] AS a, t.arr[i + 1] AS b, SUM(t.cnt) AS pair_count
+        FROM (SELECT cnt, string_split(TRIM(sym, '|'), '||') AS arr
+              FROM w0) t,
+             UNNEST(generate_series(1, LEN(t.arr) - 1)) u(i)
+        GROUP BY 1, 2
+    ),
+    m1 AS (
+        SELECT 1 AS round, a, b, pair_count
+        FROM p1 ORDER BY pair_count DESC, a, b LIMIT 1
+    ),
+    w1 AS (
+        SELECT w.cnt,
+               REPLACE(w.sym, '|' || m.a || '||' || m.b || '|',
+                       '|' || m.a || m.b || '|') AS sym
+        FROM w0 w, m1 m
+    ),
+    p2 AS (
+        SELECT t.arr[i] AS a, t.arr[i + 1] AS b, SUM(t.cnt) AS pair_count
+        FROM (SELECT cnt, string_split(TRIM(sym, '|'), '||') AS arr
+              FROM w1) t,
+             UNNEST(generate_series(1, LEN(t.arr) - 1)) u(i)
+        GROUP BY 1, 2
+    ),
+    m2 AS (
+        SELECT 2 AS round, a, b, pair_count
+        FROM p2 ORDER BY pair_count DESC, a, b LIMIT 1
+    ),
+    w2 AS (
+        SELECT w.cnt,
+               REPLACE(w.sym, '|' || m.a || '||' || m.b || '|',
+                       '|' || m.a || m.b || '|') AS sym
+        FROM w1 w, m2 m
+    ),
+    p3 AS (
+        SELECT t.arr[i] AS a, t.arr[i + 1] AS b, SUM(t.cnt) AS pair_count
+        FROM (SELECT cnt, string_split(TRIM(sym, '|'), '||') AS arr
+              FROM w2) t,
+             UNNEST(generate_series(1, LEN(t.arr) - 1)) u(i)
+        GROUP BY 1, 2
+    ),
+    m3 AS (
+        SELECT 3 AS round, a, b, pair_count
+        FROM p3 ORDER BY pair_count DESC, a, b LIMIT 1
+    ),
+    w3 AS (
+        SELECT w.cnt,
+               REPLACE(w.sym, '|' || m.a || '||' || m.b || '|',
+                       '|' || m.a || m.b || '|') AS sym
+        FROM w2 w, m3 m
+    )
+    SELECT round, a, b, pair_count FROM m1
+    UNION ALL SELECT round, a, b, pair_count FROM m2
+    UNION ALL SELECT round, a, b, pair_count FROM m3
+    """,
+)
+def q_doc_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer induction (pipeline/text.bpe_merges): the
+    first 3 byte-pair merges learned from the corpus, value-checked against
+    DuckDB's unrolled per-round CTE ladder (pair count → argmax with
+    lexicographic tie-break → wrapped-symbol replace). Every iteration
+    runs on the word VOCAB table, never the raw corpus."""
+    from ..pipeline.text import bpe_merges
+
+    return bpe_merges(load(spark, sf_dir, "documents"), rounds=3)

@@ -1373,3 +1373,15 @@ def test_pagerank_star_graph(spark):
         new[1:] += 0.85 * r[0] / 4            # hub splits over 4 edges
         r = new
     assert abs(out[0] - round(float(r[0]), 6)) < 1e-6
+
+
+def test_bpe_merges_hand_computed(spark):
+    from backtest_crew_datalake_spark.pipeline.text import bpe_merges
+
+    # vocab: low x2, lower x1. pairs r1: (l,o)=3, (o,w)=3, (w,e)=1, (e,r)=1
+    # -> tie broken lexicographically: (l,o). r2: (lo,w)=3 -> merge.
+    # r3: (low,e)=1 vs (e,r)=1 -> (e,r).
+    df = spark.createDataFrame([(0, "low low lower")], ["doc_id", "text"])
+    got = [(r.round, r.a, r.b, r.pair_count)
+           for r in bpe_merges(df, rounds=3).orderBy("round").collect()]
+    assert got == [(1, "l", "o", 3), (2, "lo", "w", 3), (3, "e", "r", 1)]
