@@ -47,6 +47,7 @@ HEADLINE = [
     "q_doc_tfidf_topk", "q_doc_unigram_nll", "q_min_cost_supplier",
     # iterative + signature-join shapes added late round 5
     "q_doc_pagerank_canonical", "q_doc_incremental_dedup",
+    "q_doc_bpe_merges",
 ]
 
 

@@ -117,6 +117,26 @@ def main():
         dt = time.perf_counter() - t0
         print(f"stateful_funnel:    {n} rows in {dt:.2f}s = "
               f"{n / dt:,.0f} rows/s")
+
+        # ---- stateful_retention over the same event micro-batches (the
+        # minute-spaced ts span multiple weeks at the default sizes, so
+        # cohort/week-offset state actually exercises)
+        from backtest_crew_datalake_spark.streaming.stateful import (
+            stateful_retention,
+        )
+
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, event_type string"
+        ).option("maxFilesPerTrigger", 4).parquet(src)
+        ret = stateful_retention(stream)
+        t0 = time.perf_counter()
+        n = _drain(
+            ret.writeStream.outputMode("append").format("parquet"),
+            f"{work}/c_ckpt", f"{work}/c_out",
+        )
+        dt = time.perf_counter() - t0
+        print(f"stateful_retention: {n} rows in {dt:.2f}s = "
+              f"{n / dt:,.0f} rows/s")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
