@@ -94,6 +94,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_doc_incremental_dedup",
     "q_doc_pagerank_canonical",
     "q_doc_bpe_merges",
+    "q_doc_corpus_build",
     "q_doc_shared_spans_exact",
     "q_doc_dup_clusters",
     "q_doc_chunks",

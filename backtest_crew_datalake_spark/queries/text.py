@@ -1898,3 +1898,87 @@ def q_doc_bpe_merges(spark, sf_dir):
     from ..pipeline.text import bpe_merges
 
     return bpe_merges(load(spark, sf_dir, "documents"), rounds=3)
+
+
+@register(
+    "q_doc_corpus_build",
+    oracle=""" 
+    WITH t AS (
+        SELECT doc_id, source, n_chars,
+               string_split_regex(TRIM(text), '\s+') AS toks
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, source, n_chars,
+               LEN(toks) AS n_tokens,
+               LEN(list_distinct(toks)) AS n_uniq,
+               CAST(list_aggregate(list_transform(toks, x -> LENGTH(x)),
+                    'sum') AS DOUBLE) / LEN(toks) AS mean_len
+        FROM t
+    ),
+    kept AS (
+        SELECT doc_id, source, n_chars
+        FROM m
+        WHERE ROUND((CAST(n_tokens BETWEEN 10 AND 100000 AS DOUBLE)
+                     + CAST(mean_len BETWEEN 2.0 AND 12.0 AS DOUBLE)
+                     + CAST(n_uniq AS DOUBLE) / n_tokens) / 3.0, 6) >= 0.6
+    ),
+    counts AS (SELECT source, COUNT(*) AS n FROM kept GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn,
+                   SUM(SQRT(CAST(n AS DOUBLE))) AS wsum
+            FROM counts),
+    thr AS (SELECT source,
+                   CAST(FLOOR(10000 * LEAST(1.0,
+                        (0.5 * nn) * (SQRT(CAST(n AS DOUBLE)) / wsum) / n))
+                        AS BIGINT) AS thr
+            FROM counts, tot),
+    mixed AS (
+        SELECT k.doc_id, k.n_chars
+        FROM kept k JOIN thr t USING (source)
+        WHERE ((strpos('0123456789abcdef', substr(md5('mix|' || k.doc_id::VARCHAR), 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('mix|' || k.doc_id::VARCHAR), 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('mix|' || k.doc_id::VARCHAR), 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('mix|' || k.doc_id::VARCHAR), 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('mix|' || k.doc_id::VARCHAR), 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('mix|' || k.doc_id::VARCHAR), 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('mix|' || k.doc_id::VARCHAR), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('mix|' || k.doc_id::VARCHAR), 8, 1)) - 1) * 1) % 10000 < t.thr
+    ),
+    splitted AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN ((strpos('0123456789abcdef', substr(md5('split|' || doc_id::VARCHAR), 1, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('split|' || doc_id::VARCHAR), 2, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('split|' || doc_id::VARCHAR), 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('split|' || doc_id::VARCHAR), 4, 1)) - 1) * 1) % 100 < 80 THEN 'train'
+                    WHEN ((strpos('0123456789abcdef', substr(md5('split|' || doc_id::VARCHAR), 1, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('split|' || doc_id::VARCHAR), 2, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('split|' || doc_id::VARCHAR), 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('split|' || doc_id::VARCHAR), 4, 1)) - 1) * 1) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM mixed
+    ),
+    packed AS (
+        SELECT split, n_chars,
+               CAST(FLOOR(COALESCE(SUM(n_chars) OVER (
+                   PARTITION BY split ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / 8192) AS BIGINT) AS bin
+        FROM splitted
+    )
+    SELECT split, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def q_doc_corpus_build(spark, sf_dir):
+    """END-TO-END corpus assembly in one declarative plan — the composition
+    a pretraining-data user actually runs: quality filter (>= 0.6) →
+    √n-temperature source mixing (frac 0.5) → deterministic train/val/test
+    split → sequential 8192-char shard packing → per-(split, bin) shard
+    stats. Every stage is the already-oracle-gated operator
+    (pipeline/text.quality_score, sampling.source_mix / train_split /
+    pack_bins); this query value-checks their COMPOSITION, where stage-
+    boundary bugs (schema drift, rate interaction, packing order) live.
+    One corpus scan; the only shuffles are the source histogram, one
+    broadcast threshold join, and the split-keyed packing window."""
+    from ..pipeline.sampling import pack_bins, source_mix, train_split
+    from ..pipeline.text import quality_score
+
+    d = load(spark, sf_dir, "documents")
+    kept = quality_score(d).where(F.col("quality") >= 0.6).select(
+        "doc_id", "source", "n_chars"
+    )
+    mixed = source_mix(kept, frac=0.5).select("doc_id", "n_chars")
+    splitted = train_split(mixed)
+    packed = pack_bins(splitted, "n_chars", 8192, by=("split",))
+    return packed.groupBy("split", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
