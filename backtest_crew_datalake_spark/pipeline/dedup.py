@@ -485,8 +485,13 @@ def pagerank(
     sym = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    deg = sym.groupBy("src").agg(
+        F.count("*").alias("deg")
+    ).localCheckpoint(eager=False)  # referenced twice per round — one pass
     n_nodes = deg.count()  # one scalar action up front, not per round
+    if n_nodes == 0:  # empty edge list: no nodes, empty rank table
+        return deg.select(F.col("src").alias("id"),
+                          F.lit(0.0).alias("pr"))
     base = (1.0 - damping) / n_nodes
     ranks = deg.select("src", F.lit(1.0 / n_nodes).alias("pr"))
     for _ in range(iters):

@@ -441,6 +441,13 @@ def gray_pixels(content: bytes) -> "np.ndarray | None":
     try:
         if (len(c) >= 54 and c[:2] == b"BM"
                 and int.from_bytes(c[14:18], "little") in _DIB_SIZES):
+            bpp = int.from_bytes(c[28:30], "little")
+            comp = int.from_bytes(c[30:34], "little")
+            if bpp != 24 or comp != 0:
+                # same variants decode_bmp rejects: hashing a 32-bpp or
+                # RLE payload with a 24-bpp stride would produce garbage
+                # bits that LOOK like a valid hash
+                return None
             data_off = int.from_bytes(c[10:14], "little")
             w = int.from_bytes(c[18:22], "little", signed=True)
             h = int.from_bytes(c[22:26], "little", signed=True)
@@ -556,6 +563,8 @@ def dhash_candidate_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                 F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
                 .alias("hamming"))
-        .distinct()
+        # filter BEFORE the dedup exchange: far pairs sharing one slice and
+        # the up-to-`bands` copies of each true pair are discarded map-side
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -403,7 +403,14 @@ def bpe_merges(
     tok = df.select(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
     )
-    vocab = tok.groupBy("w").agg(F.count("*").alias("cnt"))
+    # '|' is the symbol-wrapper metacharacter — words containing a literal
+    # pipe would corrupt the wrapped encoding (phantom empty symbols), so
+    # they are excluded from training (the standard practice of dropping
+    # tokenizer-reserved characters; the oracle applies the same filter)
+    vocab = (
+        tok.where(~F.col("w").contains("|"))
+        .groupBy("w").agg(F.count("*").alias("cnt"))
+    )
     words = vocab.select(
         "cnt",
         F.concat(
@@ -428,6 +435,8 @@ def bpe_merges(
             .orderBy(F.col("pair_count").desc(), "a", "b")
             .limit(1)
             .withColumn("round", F.lit(r))
+            .localCheckpoint(eager=False)  # consumed by the result union
+            # AND the next round's merge — compute the argmax once
         )
         merges = top if merges is None else merges.unionByName(top)
         words = (

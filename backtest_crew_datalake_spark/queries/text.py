@@ -234,15 +234,7 @@ def q_multimodal_features(spark, sf_dir):
     encode→Arrow→decode→feature path runs on true media bytes with no
     external codec libraries. Value-level checks live in
     tests/test_pipeline.py (encode/decode roundtrips vs numpy)."""
-    import hashlib as _hashlib
-
-    import numpy as _np
-    import pandas as _pd
-
-    from ..pipeline.multimodal import (
-        MEDIA_SCHEMA, encode_bmp, encode_png, encode_wav,
-        extract_media_features,
-    )
+    from ..pipeline.multimodal import extract_media_features
 
     d = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"), "text"
@@ -1825,7 +1817,8 @@ def q_doc_pagerank_canonical(spark, sf_dir):
         SELECT UNNEST(string_split_regex(TRIM(text), '\s+')) AS w
         FROM documents
     ),
-    vocab AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY 1),
+    vocab AS (SELECT w, COUNT(*) AS cnt FROM tok
+              WHERE NOT contains(w, '|') GROUP BY 1),
     w0 AS (
         SELECT cnt,
                '|' || array_to_string(
@@ -1902,7 +1895,7 @@ def q_doc_bpe_merges(spark, sf_dir):
 
 @register(
     "q_doc_corpus_build",
-    oracle=""" 
+    oracle=r"""
     WITH t AS (
         SELECT doc_id, source, n_chars,
                string_split_regex(TRIM(text), '\s+') AS toks

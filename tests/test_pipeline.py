@@ -1385,3 +1385,35 @@ def test_bpe_merges_hand_computed(spark):
     got = [(r.round, r.a, r.b, r.pair_count)
            for r in bpe_merges(df, rounds=3).orderBy("round").collect()]
     assert got == [(1, "l", "o", 3), (2, "lo", "w", 3), (3, "e", "r", 1)]
+
+
+def test_pagerank_empty_edges(spark):
+    from backtest_crew_datalake_spark.pipeline.dedup import pagerank
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = pagerank(empty)
+    assert out.columns == ["id", "pr"] and out.count() == 0
+
+
+def test_gray_pixels_rejects_unsupported_bmp_variants(spark):
+    from backtest_crew_datalake_spark.pipeline.multimodal import (
+        encode_bmp, gray_pixels,
+    )
+    import numpy as np
+
+    good = bytearray(encode_bmp(np.zeros((8, 8, 3), dtype=np.uint8)))
+    assert gray_pixels(bytes(good)) is not None
+    bad = bytearray(good)
+    bad[28] = 32                      # claim 32 bpp: must be skipped, not
+    assert gray_pixels(bytes(bad)) is None   # hashed as garbage pixels
+
+
+def test_bpe_merges_ignores_pipe_words(spark):
+    from backtest_crew_datalake_spark.pipeline.text import bpe_merges
+
+    # the pipe-containing word must not corrupt the symbol encoding —
+    # merges are learned from the clean words only
+    df = spark.createDataFrame([(0, "a|b low low lower")], ["doc_id", "text"])
+    got = [(r.round, r.a, r.b) for r in
+           bpe_merges(df, rounds=2).orderBy("round").collect()]
+    assert got == [(1, "l", "o"), (2, "lo", "w")]
