@@ -65,3 +65,69 @@ def test_tfidf_topk_matches_python_reference(spark, docs):
         )[:2]
         want = [(rk + 1, t, c, s) for rk, (s, t, c) in enumerate(scored)]
         assert sorted(got[i]) == want, (i, toks)
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
+    min_size=1, max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=_edges)
+def test_pagerank_matches_numpy_power_iteration(spark, edges):
+    import numpy as np
+
+    from backtest_crew_datalake_spark.pipeline.dedup import pagerank
+
+    norm = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    df = spark.createDataFrame(norm, ["id_a", "id_b"])
+    got = {r.id: r.pr for r in pagerank(df).collect()}
+
+    nodes = sorted({x for e in norm for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    nbrs = [[] for _ in range(n)]
+    for a, b in norm:
+        deg[idx[a]] += 1; deg[idx[b]] += 1
+        nbrs[idx[a]].append(idx[b]); nbrs[idx[b]].append(idx[a])
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        new = np.full(n, 0.15 / n)
+        for i in range(n):
+            for j in nbrs[i]:
+                new[j] += 0.85 * r[i] / deg[i]
+        r = new
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - round(float(r[idx[v]]), 6)) <= 1e-6, v
+
+
+_docs = st.lists(
+    st.lists(st.sampled_from("abcdefgh"), min_size=5, max_size=12),
+    min_size=1, max_size=5,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_docs)
+def test_incremental_dedup_guarantees(spark, docs):
+    from backtest_crew_datalake_spark.pipeline.dedup import (
+        incremental_neardup_flags,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)], ["doc_id", "text"])
+    # new batch: exact copies of every corpus doc (must ALL be flagged with
+    # all 8 bands) + one doc over a disjoint vocabulary (never flagged)
+    new_rows = [(100 + i, " ".join(t)) for i, t in enumerate(docs)]
+    new_rows.append((999, "zz yy xx ww vv uu tt ss"))
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           incremental_neardup_flags(new, corpus).collect()}
+    for i in range(len(docs)):
+        assert out[100 + i].n_collisions >= 8, i   # >= 8: other matches add
+    assert 999 not in out
