@@ -64,11 +64,13 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # catalog (observed: first 50 entries), so ordering is evidence policy, not
 # cosmetics — ROTATE it every round so no query's driver evidence goes
 # stale. Round-5 window: (a) the 5 late round-4 additions that have NEVER
-# had a driver row (the r4 verdict's #1 item), (b) every query whose plan
-# or semantics changed this round (winnow stage shave, ngram/winnow
-# posting-list pre-filter, exact shared spans), (c) the ~40-query tail
-# whose last driver row was round 3. The 50 queries green in
-# CORRECTNESS_r04 and untouched since sit at the tail;
+# had a driver row (the r4 verdict's #1 item), (b) everything NEW or
+# semantically changed this round — the 6 TPC-H decorrelations, the
+# tfidf/quantiles/hard-negatives/silhouette/mix/nll/zorder/incremental/
+# pagerank/bpe/corpus-build additions, and the round-4 late queries whose
+# plans were reshaped — then (c) as many r3-tail queries as fit. Queries
+# green in CORRECTNESS_r04 and untouched since sit at the tail (the ~22
+# r3-tail queries that no longer fit lead the round-6 rotation);
 # tools/check_oracles.py covers the full catalog locally.
 PRIORITY_ORDER: tuple[str, ...] = (
     # -- (a) never driver-checked (late round-4 additions)
