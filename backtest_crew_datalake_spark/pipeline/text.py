@@ -453,3 +453,41 @@ def bpe_merges(
             .localCheckpoint(eager=False)
         )
     return merges.select("round", "a", "b", "pair_count")
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document n-gram novelty: the share of a doc's distinct word
+    n-grams that NO earlier document (lower id — ingestion order) contains.
+    The corpus-curation redundancy curve: novelty ~1 → fresh content,
+    novelty ~0 → the doc restates what the corpus already has (candidates
+    for down-sampling after the near-dup passes).
+
+    Two keyed stages: min-first-doc per shingle (one hash agg on the
+    shingle key), then the doc's shingle rows join that table and fold to
+    a per-doc mean of [first_doc == doc]. Both shuffles key on shingle /
+    doc — no window over unbounded input, no self-join.
+    """
+    from .dedup import _shingles
+
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_shingles(text_col, n)).alias("sh"),
+    )
+    first = sh.groupBy("sh").agg(F.min("__id").alias("__first"))
+    return (
+        sh.join(first, "sh")
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.round(
+                F.avg((F.col("__first") == F.col("__id")).cast("double")),
+                round_to,
+            ).alias("novelty"),
+        )
+    )

@@ -97,6 +97,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_doc_pagerank_canonical",
     "q_doc_bpe_merges",
     "q_doc_corpus_build",
+    "q_doc_ngram_novelty",
     "q_doc_shared_spans_exact",
     "q_doc_dup_clusters",
     "q_doc_chunks",

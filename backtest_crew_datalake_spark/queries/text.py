@@ -1975,3 +1975,36 @@ def q_doc_corpus_build(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "q_doc_ngram_novelty",
+    oracle=r"""
+    WITH docs AS (
+        SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, UNNEST(list_distinct(
+            CASE WHEN LEN(toks) >= 3 THEN
+                list_transform(generate_series(1, LEN(toks) - 2),
+                               i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])
+            ELSE [array_to_string(toks, ' ')] END)) AS sh
+        FROM docs
+    ),
+    first AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+    SELECT s.doc_id, COUNT(*) AS n_shingles,
+           ROUND(AVG(CAST(f.first_doc = s.doc_id AS DOUBLE)), 6) AS novelty
+    FROM sh s JOIN first f USING (sh)
+    GROUP BY 1
+    """,
+)
+def q_doc_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty (pipeline/text.ngram_novelty): share of a
+    doc's distinct 3-gram shingles first introduced by that doc in id
+    order — the corpus redundancy curve used to down-sample repetitive
+    content after the near-dup passes. Two keyed stages (min-first per
+    shingle, per-doc fold); no self-join, no window."""
+    from ..pipeline.text import ngram_novelty
+
+    return ngram_novelty(load(spark, sf_dir, "documents"))

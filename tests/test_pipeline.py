@@ -1417,3 +1417,18 @@ def test_bpe_merges_ignores_pipe_words(spark):
     got = [(r.round, r.a, r.b) for r in
            bpe_merges(df, rounds=2).orderBy("round").collect()]
     assert got == [(1, "l", "o"), (2, "lo", "w")]
+
+
+def test_ngram_novelty_hand_checked(spark):
+    from backtest_crew_datalake_spark.pipeline.text import ngram_novelty
+
+    rows = [
+        (0, "a b c d"),            # shingles {abc, bcd}: all first -> 1.0
+        (1, "a b c d"),            # exact copy -> 0.0
+        (2, "a b c x"),            # {abc(seen), bcx(new)} -> 0.5
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in ngram_novelty(df).collect()}
+    assert out[0].novelty == 1.0 and out[0].n_shingles == 2
+    assert out[1].novelty == 0.0
+    assert out[2].novelty == 0.5
