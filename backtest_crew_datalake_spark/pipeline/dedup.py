@@ -381,6 +381,28 @@ def neardup_window_pairs(
     return out.groupBy("id_a", "id_b").agg(F.min("hamming").alias("hamming"))
 
 
+def _portable_minhash_sigs(
+    df: DataFrame,
+    id_alias: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Pivoted MinHash signature table (id, h0..h{num_hashes-1}) with the
+    engine-portable md5 hash family — the single home for the signature
+    build; banding (below) and the estimator-error query both consume it."""
+    sh = spread_partitions(df, id_col).select(
+        F.col(id_col).alias(id_alias),
+        F.explode(_shingles(text_col, n)).alias("sh"),
+    )
+    return sh.groupBy(id_alias).agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")).cast("binary")))
+        .alias(f"h{i}")
+        for i in range(num_hashes)
+    ])
+
+
 def _portable_minhash_bands(
     df: DataFrame,
     id_alias: str,
@@ -395,15 +417,7 @@ def _portable_minhash_bands(
     md5 of the band's joined minhashes) — the same family the oracle-gated
     q_doc_minhash_portable uses, so consumers stay value-checkable."""
     rows_per_band = num_hashes // bands
-    sh = spread_partitions(df, id_col).select(
-        F.col(id_col).alias(id_alias),
-        F.explode(_shingles(text_col, n)).alias("sh"),
-    )
-    mh = sh.groupBy(id_alias).agg(*[
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")).cast("binary")))
-        .alias(f"h{i}")
-        for i in range(num_hashes)
-    ])
+    mh = _portable_minhash_sigs(df, id_alias, id_col, text_col, n, num_hashes)
     return mh.select(
         id_alias,
         F.explode(F.array(*[

@@ -74,3 +74,154 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         .groupBy("d", "cell")
         .agg(F.sum("n").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — membership sketch as a DataFrame of bitmap words.
+#
+# m bits stored as m/32 32-bit words (BIGINT-held so shifts never overflow);
+# item x sets bit xxhash64(x, k) mod m for each of k hash seeds. The sketch
+# is m/32 rows — broadcastable at any m a driver would realistically pick
+# (m = 2^27 bits is 4 M rows ≈ 64 MB; m = 2^20 is 32 k rows). Use over an
+# exact distinct-set broadcast when the reference set is huge (benchmark
+# shingles, seen-URL sets at 100 TB): the probe side stays a map-only
+# broadcast join against O(m) state with a bounded false-positive rate
+# (≈ (1 - e^{-kn/m})^k), and never a false negative.
+# ---------------------------------------------------------------------------
+
+_BLOOM_WORD = 32  # bits per bitmap word
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Build the bitmap: one row per word index with its OR-ed 32-bit word."""
+    probes = F.array(*[
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+        for i in range(k)
+    ])
+    return (
+        df.select(F.explode(probes).alias("bit"))
+        .select(
+            (F.col("bit") / _BLOOM_WORD).cast("long").alias("word"),
+            F.expr(f"shiftleft(cast(1 as bigint), cast(bit % {_BLOOM_WORD} as int))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+
+def bloom_might_contain(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Probe: ``keys`` plus a ``might_contain`` boolean (true iff ALL k bits
+    are set). The sketch side broadcasts; the probe is map-only."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(F.array(*[
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+            for i in range(k)
+        ])).alias("bit"),
+    ).select(
+        key_col,
+        (F.col("bit") / _BLOOM_WORD).cast("long").alias("word"),
+        F.expr(f"shiftleft(cast(1 as bigint), cast(bit % {_BLOOM_WORD} as int))").alias("mask"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), "word", "left")
+        .groupBy(key_col)
+        .agg(
+            F.min(
+                (F.coalesce("bits", F.lit(0))
+                 .bitwiseAND(F.col("mask")) != 0).cast("int")
+            ).cast("boolean").alias("might_contain")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — distinct-count sketch as a DataFrame of registers.
+#
+# p register bits: item x routes to register xxhash64(x) mod m (m = 2^p) and
+# contributes rho = 1 + leading-zero-count of the remaining hash bits; the
+# register keeps the MAX rho. Estimate = alpha_m · m² / Σ 2^(-M_j), with the
+# standard linear-counting correction when E ≤ 2.5 m and empty registers
+# remain. The sketch is m rows, mergeable by register-wise MAX — the shape
+# that lets per-day / per-partition sketches roll up without rescanning.
+# (Spark's own approx_count_distinct is the JVM-fast production path; this
+# keeps the sketch itself a first-class, mergeable DataFrame.)
+# ---------------------------------------------------------------------------
+
+
+def _rho_case(w_col: str, w_bits: int) -> str:
+    """SQL CASE computing rho = leading-zero-count(w) + 1 for a ``w_bits``-
+    wide value — pure integer comparisons, so any engine agrees exactly
+    (log2-based formulations can flip at powers of two)."""
+    arms = " ".join(
+        f"WHEN {w_col} >= {1 << (w_bits - 1 - z)} THEN {z + 1}"
+        for z in range(w_bits)
+    )
+    return f"CASE {arms} ELSE {w_bits + 1} END"
+
+
+def hll_build(df: DataFrame, key_col: str, p: int = 6) -> DataFrame:
+    """Build the register table: one row per touched register with max rho.
+
+    Registers no item routed to are absent; ``hll_estimate`` zero-fills the
+    full m = 2^p grid. Merging sketches = union + register-wise MAX.
+    """
+    m = 1 << p
+    w_bits = 32 - p
+    return (
+        # 32 hash bits: low p route to a register, the rest feed rho.
+        df.select(
+            F.pmod(F.xxhash64(F.col(key_col)), F.lit(1 << 32)).alias("__h")
+        )
+        .select(
+            F.pmod(F.col("__h"), F.lit(m)).alias("reg"),
+            F.expr(_rho_case(f"(__h div {m})", w_bits)).alias("rho"),
+        )
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(spark, sketch: DataFrame, p: int = 6) -> DataFrame:
+    """One-row estimate from a register table: raw harmonic-mean estimate
+    with the small-range linear-counting correction."""
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    grid = spark.range(m).select(F.col("id").alias("reg"))
+    regs = grid.join(F.broadcast(sketch), "reg", "left").select(
+        F.coalesce("rho", F.lit(0)).alias("rho")
+    )
+    return regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("__s"),
+        F.sum((F.col("rho") == 0).cast("long")).alias("__v"),
+    ).select(
+        F.when(
+            (F.lit(alpha * m * m) / F.col("__s") <= 2.5 * m)
+            & (F.col("__v") > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("__v")),
+        )
+        .otherwise(F.lit(alpha * m * m) / F.col("__s"))
+        .alias("estimate")
+    )
+
+
+def _hll_alpha(m: int) -> float:
+    """Standard HLL bias constant alpha_m (Flajolet et al. 2007)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)

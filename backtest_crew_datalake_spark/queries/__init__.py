@@ -80,6 +80,11 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_order_priority_checks",
     "q_top_supplier_revenue",
     # -- (b) new or changed this round: need fresh driver rows
+    "q_doc_bloom_scrub",
+    "q_evt_hll_distinct",
+    "q_doc_minhash_error",
+    "q_doc_editsim_verify",
+    "q_evt_salted_join",
     "q_min_cost_supplier",
     "q_market_share",
     "q_product_profit",

@@ -1317,3 +1317,174 @@ def q_evt_zorder_buckets(spark, sf_dir):
         .agg(F.count("*").alias("n_events"),
              F.min("zkey").alias("zmin"), F.max("zkey").alias("zmax"))
     )
+
+
+from ..pipeline.sketch import _rho_case as _hll_rho_case
+
+# The shared integer-only rho CASE over the 26 post-register hash bits,
+# instantiated once per engine's floor-div spelling.
+_HLL_RHO_DUCK = _hll_rho_case("(hv // 64)", 26)
+
+
+@register(
+    "q_evt_hll_distinct",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT event_type,
+               user_id::VARCHAR || '|' || strftime(ts, '%Y-%m-%d') AS key
+        FROM events
+    ),
+    h AS (
+        SELECT event_type,
+               ('0x' || substr(md5(key), 1, 8))::BIGINT AS hv
+        FROM keyed
+    ),
+    touched AS (
+        SELECT event_type, hv % 64 AS reg,
+               MAX({_HLL_RHO_DUCK}) AS rho
+        FROM h GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT t.event_type, g.reg
+        FROM (SELECT DISTINCT event_type FROM events) t,
+             (SELECT UNNEST(range(0, 64)) AS reg) g
+    ),
+    regs AS (
+        SELECT g.event_type, COALESCE(t.rho, 0) AS rho
+        FROM grid g LEFT JOIN touched t
+          ON g.event_type = t.event_type AND g.reg = t.reg
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(ROUND(SUM(POWER(2.0, -rho)) * 134217728) AS BIGINT)
+                   AS s_scaled,
+               CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS v_zero
+        FROM regs GROUP BY 1
+    ),
+    est AS (
+        SELECT event_type, s_scaled, v_zero,
+               CASE WHEN 0.709 * 4096 / (s_scaled / 134217728.0) <= 160.0
+                         AND v_zero > 0
+                    THEN 64.0 * ln(64.0 / v_zero)
+                    ELSE 0.709 * 4096 / (s_scaled / 134217728.0)
+               END AS e
+        FROM agg
+    ),
+    ex AS (
+        SELECT event_type, COUNT(DISTINCT key) AS n_exact FROM keyed GROUP BY 1
+    )
+    SELECT e.event_type, e.s_scaled, e.v_zero,
+           ROUND(e.e, 2) AS hll_estimate, x.n_exact
+    FROM est e JOIN ex x USING (event_type)
+    """,
+)
+def q_evt_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct (user, day) pairs per event type with a portable
+    hash (first-8-hex of md5 → 32 bits: low 6 route to one of 64 registers,
+    the top 26 feed rho via an integer-only leading-zero CASE — log2-based
+    rho can flip across engines at exact powers of two). Emits the register
+    sum as an EXACT scaled integer (every 2^-rho term is a multiple of
+    2^-27, so the sum is order-independent), the empty-register count, the
+    corrected estimate, and the exact distinct count alongside — the full
+    build → merge-grid → estimate pipeline value-checked against DuckDB.
+    (pipeline/sketch.hll_build keeps xxhash64 as the JVM-fast family;
+    structure identical.) Sketch state is 64 rows per group at ANY
+    cardinality — the 100 TB cardinality-estimation shape."""
+    evt = load(spark, sf_dir, "events")
+    keyed = evt.select(
+        "event_type",
+        F.concat_ws(
+            "|",
+            F.col("user_id").cast("string"),
+            F.date_format("ts", "yyyy-MM-dd"),
+        ).alias("key"),
+    )
+    h = keyed.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("key").cast("binary")), 1, 8), 16, 10)
+        .cast("long").alias("hv"),
+    )
+    touched = (
+        h.select(
+            "event_type",
+            (F.col("hv") % 64).alias("reg"),
+            F.expr(_hll_rho_case("(hv div 64)", 26)).alias("rho"),
+        )
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    grid = (
+        evt.select("event_type").distinct()
+        .crossJoin(spark.range(64).select(F.col("id").alias("reg")))
+    )
+    regs = grid.join(touched, ["event_type", "reg"], "left").select(
+        "event_type", F.coalesce("rho", F.lit(0)).alias("rho")
+    )
+    agg = regs.groupBy("event_type").agg(
+        F.round(F.sum(F.pow(F.lit(2.0), -F.col("rho"))) * 134217728)
+        .cast("bigint").alias("s_scaled"),
+        F.sum((F.col("rho") == 0).cast("long")).alias("v_zero"),
+    )
+    raw = F.lit(0.709 * 4096) / (F.col("s_scaled") / F.lit(134217728.0))
+    est = F.when(
+        (raw <= 160.0) & (F.col("v_zero") > 0),
+        F.lit(64.0) * F.log(F.lit(64.0) / F.col("v_zero")),
+    ).otherwise(raw)
+    exact = keyed.groupBy("event_type").agg(
+        F.countDistinct("key").alias("n_exact")
+    )
+    return (
+        agg.join(exact, "event_type")
+        .select(
+            "event_type", "s_scaled", "v_zero",
+            F.round(est, 2).alias("hll_estimate"), "n_exact",
+        )
+    )
+
+
+@register(
+    "q_evt_salted_join",
+    oracle="""
+    WITH cents AS (
+        SELECT event_type, user_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL
+    ),
+    ua AS (
+        SELECT user_id, CAST(SUM(c) AS BIGINT) AS s, COUNT(*) AS n
+        FROM cents GROUP BY 1
+    )
+    SELECT e.event_type, COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN e.c * u.n > u.s THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_above_user_avg
+    FROM cents e JOIN ua u USING (user_id)
+    GROUP BY 1
+    """,
+)
+def q_evt_salted_join(spark, sf_dir):
+    """Hot-key join via explicit salting (operators/skew.salted_join): each
+    event joins its user's aggregate with the user key salted 8 ways, so a
+    user owning half the stream spreads over 8 shuffle partitions instead
+    of pinning one reducer — the explicit fallback when AQE skew-splitting
+    can't rewrite the plan (and when the dim side is per-key-unique but too
+    big to broadcast). The oracle is the PLAIN join: salting must be
+    invisible in the result. Money math in integer cents (value·100) and
+    the above-average test in multiplicative form (c·n > s) — no doubles,
+    so engines can't disagree on ties."""
+    from ..operators.skew import salted_join
+
+    evt = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = evt.select(
+        "event_type", "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    ua = cents.groupBy("user_id").agg(
+        F.sum("c").alias("s"), F.count("*").alias("n")
+    )
+    j = salted_join(cents, ua, on=["user_id"], salt=8)
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("c") * F.col("n") > F.col("s")).cast("long"))
+        .alias("n_above_user_avg"),
+    )

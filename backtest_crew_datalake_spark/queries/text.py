@@ -2008,3 +2008,307 @@ def q_doc_ngram_novelty(spark, sf_dir):
     from ..pipeline.text import ngram_novelty
 
     return ngram_novelty(load(spark, sf_dir, "documents"))
+
+
+_SHINGLE_CTE = r"""
+    docs AS (
+        SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, UNNEST(list_distinct(
+            CASE WHEN LEN(toks) >= 3 THEN
+                list_transform(generate_series(1, LEN(toks) - 2),
+                               i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])
+            ELSE [array_to_string(toks, ' ')] END)) AS sh
+        FROM docs
+    )
+"""
+
+
+@register(
+    "q_doc_bloom_scrub",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20),
+    bloom AS (
+        SELECT bit // 32 AS word, bit_or(1::BIGINT << (bit % 32)) AS bits
+        FROM (
+            SELECT ('0x' || substr(md5(i::VARCHAR || '|' || sh), 1, 8))
+                       ::BIGINT % 65536 AS bit
+            FROM bench, (SELECT UNNEST(range(0, 3)) AS i)
+        ) GROUP BY 1
+    ),
+    corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 20),
+    probes AS (
+        SELECT doc_id, sh,
+               ('0x' || substr(md5(i::VARCHAR || '|' || sh), 1, 8))
+                   ::BIGINT % 65536 AS bit
+        FROM corpus, (SELECT UNNEST(range(0, 3)) AS i)
+    ),
+    sh_hits AS (
+        SELECT p.doc_id, p.sh,
+               MIN(CASE WHEN (COALESCE(b.bits, 0)
+                              & (1::BIGINT << (p.bit % 32))) <> 0
+                        THEN 1 ELSE 0 END) AS hit
+        FROM probes p LEFT JOIN bloom b ON p.bit // 32 = b.word
+        GROUP BY 1, 2
+    ),
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_shingles,
+               CAST(SUM(hit) AS BIGINT) AS n_bloom_hits
+        FROM sh_hits GROUP BY 1
+    ),
+    exact AS (
+        SELECT doc_id, COUNT(*) AS n_exact_shared
+        FROM corpus SEMI JOIN bench USING (sh) GROUP BY 1
+    )
+    SELECT p.doc_id, p.n_shingles, p.n_bloom_hits,
+           CAST(COALESCE(e.n_exact_shared, 0) AS BIGINT) AS n_exact_shared
+    FROM per_doc p LEFT JOIN exact e USING (doc_id)
+    WHERE p.n_bloom_hits * 10 >= p.n_shingles
+    """,
+)
+def q_doc_bloom_scrub(spark, sf_dir):
+    """Bloom-filter benchmark decontamination: the benchmark shingle set
+    (docs 0-19) is compressed into a 65536-bit Bloom bitmap (k=3, portable
+    md5 bit addressing; pipeline/sketch.bloom_build keeps xxhash64 as the
+    JVM-fast family) and training docs whose shingles hit the filter at
+    >= 10% are flagged. vs q_doc_contamination's exact-set broadcast: the
+    broadcast here is O(m_bits/32) ROWS — 2048 — no matter how large the
+    benchmark suite grows, the probe side stays map-only, false positives
+    are bounded (~(1-e^(-kn/m))^k) and false negatives impossible; the
+    exact shared-count is joined alongside so the FP margin is
+    driver-visible. No reference analogue (extension surface)."""
+    from ..pipeline.dedup import _shingles
+
+    d = load(spark, sf_dir, "documents")
+    sh_all = d.select("doc_id", F.explode(_shingles("text", 3)).alias("sh"))
+    bench = sh_all.where(F.col("doc_id") < 20).select("sh").distinct()
+    corpus = sh_all.where(F.col("doc_id") >= 20)
+
+    def bits(col):
+        return F.array(*[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}|"), col).cast("binary")), 1, 8
+                ), 16, 10,
+            ).cast("long") % 65536
+            for i in range(3)
+        ])
+
+    bloom = (
+        bench.select(F.explode(bits(F.col("sh"))).alias("bit"))
+        .select(
+            (F.col("bit") / 32).cast("long").alias("word"),
+            F.expr("shiftleft(cast(1 as bigint), cast(bit % 32 as int))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    probes = corpus.select(
+        "doc_id", "sh", F.explode(bits(F.col("sh"))).alias("bit")
+    ).select(
+        "doc_id", "sh",
+        (F.col("bit") / 32).cast("long").alias("word"),
+        F.expr("shiftleft(cast(1 as bigint), cast(bit % 32 as int))").alias("mask"),
+    )
+    sh_hits = (
+        probes.join(F.broadcast(bloom), "word", "left")
+        .groupBy("doc_id", "sh")
+        .agg(
+            F.min(
+                (F.coalesce("bits", F.lit(0)).bitwiseAND(F.col("mask")) != 0)
+                .cast("int")
+            ).alias("hit")
+        )
+    )
+    per_doc = sh_hits.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum("hit").alias("n_bloom_hits"),
+    )
+    exact = (
+        corpus.join(bench, "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_exact_shared"))
+    )
+    return (
+        per_doc.join(exact, "doc_id", "left")
+        .select(
+            "doc_id", "n_shingles", "n_bloom_hits",
+            F.coalesce("n_exact_shared", F.lit(0)).cast("bigint")
+            .alias("n_exact_shared"),
+        )
+        .where(F.col("n_bloom_hits") * 10 >= F.col("n_shingles"))
+    )
+
+
+@register(
+    "q_doc_minhash_error",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    seeds AS (SELECT UNNEST(range(0, 16)) AS i),
+    mh AS (
+        SELECT doc_id, i, MIN(md5(i::VARCHAR || '|' || sh)) AS h
+        FROM sh, seeds GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT doc_id, i // 2 AS band,
+               md5(string_agg(h, '|' ORDER BY i)) AS bucket
+        FROM mh GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                                  AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT c.id_a, c.id_b,
+               SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) / 16.0 AS est_j
+        FROM cand c
+        JOIN mh a ON a.doc_id = c.id_a
+        JOIN mh b ON b.doc_id = c.id_b AND b.i = a.i
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+        GROUP BY 1, 2
+    )
+    SELECT e.id_a, e.id_b, ROUND(e.est_j, 4) AS est_j,
+           ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                 / (sa.sz + sb.sz - COALESCE(i.n_inter, 0)), 4) AS exact_j,
+           ROUND(ABS(e.est_j - CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                 / (sa.sz + sb.sz - COALESCE(i.n_inter, 0))), 4) AS abs_err
+    FROM est e
+    LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+    JOIN sizes sa ON sa.doc_id = e.id_a
+    JOIN sizes sb ON sb.doc_id = e.id_b
+    """,
+)
+def q_doc_minhash_error(spark, sf_dir):
+    """MinHash estimator-quality scoreboard: for every LSH candidate pair,
+    the signature-match estimate (matching components / 16) next to the
+    EXACT 3-gram Jaccard and the absolute error — the per-pair counterpart
+    of q_doc_dedup_recall's set-level recall number. The exact side is
+    computed only for candidate docs (left-semi before the shingle
+    self-join), so the verify cost is O(candidates), not O(corpus²) — the
+    standard blocked-verify shape at 100 TB."""
+    from ..pipeline.dedup import _portable_minhash_sigs, _shingles
+
+    d = load(spark, sf_dir, "documents")
+    cand = _portable_minhash_pairs(d).select("id_a", "id_b")
+
+    sigs = _portable_minhash_sigs(d, "id")
+    a = sigs.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(16)],
+    )
+    b = sigs.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(16)],
+    )
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(16)
+    )
+    est = (
+        cand.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", (matches / 16.0).alias("est_j"))
+    )
+
+    cand_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select("id_b")).distinct()
+    )
+    sh = (
+        d.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", F.explode(_shingles("text", 3)).alias("sh"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.select(F.col("doc_id").alias("id_a"), "sh")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "sh"), "sh")
+        .join(cand, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    exact_j = F.col("n_inter").cast("double") / (
+        F.col("sa") + F.col("sb") - F.col("n_inter")
+    )
+    return (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("id_a"),
+                           F.col("sz").alias("sa")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"),
+                           F.col("sz").alias("sb")), "id_b")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .select(
+            "id_a", "id_b",
+            F.round("est_j", 4).alias("est_j"),
+            F.round(exact_j, 4).alias("exact_j"),
+            F.round(F.abs(F.col("est_j") - exact_j), 4).alias("abs_err"),
+        )
+    )
+
+
+@register(
+    "q_doc_editsim_verify",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    seeds AS (SELECT UNNEST(range(0, 16)) AS i),
+    mh AS (
+        SELECT doc_id, i, MIN(md5(i::VARCHAR || '|' || sh)) AS h
+        FROM sh, seeds GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT doc_id, i // 2 AS band,
+               md5(string_agg(h, '|' ORDER BY i)) AS bucket
+        FROM mh GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                                  AND a.doc_id < b.doc_id
+    ),
+    pref AS (SELECT doc_id, substr(TRIM(text), 1, 120) AS t FROM documents)
+    SELECT c.id_a, c.id_b,
+           CAST(levenshtein(a.t, b.t) AS BIGINT) AS lev,
+           ROUND(1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+                 / GREATEST(LEN(a.t), LEN(b.t)), 4) AS edit_sim
+    FROM cand c
+    JOIN pref a ON a.doc_id = c.id_a
+    JOIN pref b ON b.doc_id = c.id_b
+    """,
+)
+def q_doc_editsim_verify(spark, sf_dir):
+    """Edit-distance verification of LSH candidates: Levenshtein over a
+    120-char prefix (cost-capped at 120² cell ops per pair — the standard
+    bounded-verify trick; full-text edit distance is quadratic in doc
+    length and never run at scale) for every MinHash candidate pair, as a
+    normalized similarity. Built-in `levenshtein` on both engines — the
+    verify stage stays JVM-side, O(candidates) not O(corpus²)."""
+    d = load(spark, sf_dir, "documents")
+    cand = _portable_minhash_pairs(d).select("id_a", "id_b")
+    pref = d.select(
+        "doc_id", F.substring(F.trim("text"), 1, 120).alias("t")
+    )
+    lev = F.levenshtein("ta", "tb")
+    return (
+        cand.join(pref.select(F.col("doc_id").alias("id_a"),
+                              F.col("t").alias("ta")), "id_a")
+        .join(pref.select(F.col("doc_id").alias("id_b"),
+                          F.col("t").alias("tb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            lev.cast("bigint").alias("lev"),
+            F.round(
+                F.lit(1.0)
+                - lev.cast("double")
+                / F.greatest(F.length("ta"), F.length("tb")),
+                4,
+            ).alias("edit_sim"),
+        )
+    )

@@ -1432,3 +1432,75 @@ def test_ngram_novelty_hand_checked(spark):
     assert out[0].novelty == 1.0 and out[0].n_shingles == 2
     assert out[1].novelty == 0.0
     assert out[2].novelty == 0.5
+
+
+def test_bloom_filter(spark):
+    """Bloom: zero false negatives; FP rate bounded at the sized load;
+    probe result matches a python-set reference for negatives tested."""
+    from backtest_crew_datalake_spark.pipeline.sketch import (
+        bloom_build, bloom_might_contain,
+    )
+
+    members = [(f"in{i}",) for i in range(500)]
+    df = spark.createDataFrame(members, ["k"])
+    sk = bloom_build(df, "k", m_bits=16384, k=3)
+    # every member must hit (no false negatives)
+    hits = bloom_might_contain(sk, df.distinct(), "k", m_bits=16384, k=3)
+    assert hits.where("NOT might_contain").count() == 0
+    # non-members: FP rate must be near the analytic bound
+    probe = spark.createDataFrame([(f"out{i}",) for i in range(2000)], ["k"])
+    fp = (
+        bloom_might_contain(sk, probe, "k", m_bits=16384, k=3)
+        .where("might_contain").count()
+    )
+    # (1 - e^{-kn/m})^k ~ 0.00057 at n=500, m=16384, k=3; allow 10x slack
+    assert fp <= 2000 * 0.006, f"false-positive rate too high: {fp}/2000"
+
+
+def test_hll_estimate(spark):
+    """HLL: estimate within the ~1.04/sqrt(m) relative-error envelope (5x
+    slack) across small (linear-counting) and large (raw) cardinalities;
+    merged register tables equal the sketch of the union."""
+    from pyspark.sql import functions as F
+    from backtest_crew_datalake_spark.pipeline.sketch import (
+        hll_build, hll_estimate,
+    )
+
+    for n in (50, 20000):
+        df = spark.range(n).select(
+            F.concat(F.lit("u"), F.col("id")).alias("k")
+        )
+        est = hll_estimate(
+            spark, hll_build(df, "k", p=8), p=8
+        ).collect()[0].estimate
+        rel = abs(est - n) / n
+        assert rel < 5 * 1.04 / (256 ** 0.5), f"n={n}: est={est} rel={rel}"
+    # mergeability: union of register tables by MAX == sketch of the union
+    a = spark.range(0, 600).select(F.concat(F.lit("u"), F.col("id")).alias("k"))
+    b = spark.range(400, 1000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("k")
+    )
+    merged = (
+        hll_build(a, "k", p=8).unionByName(hll_build(b, "k", p=8))
+        .groupBy("reg").agg(F.max("rho").alias("rho"))
+    )
+    whole = hll_build(a.unionByName(b), "k", p=8)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, whole.collect()))
+
+
+def test_hll_rho_case_matches_bit_length():
+    """The integer-only leading-zero CASE agrees with python's bit_length
+    on boundary values (powers of two, zero, max)."""
+    import duckdb
+    from backtest_crew_datalake_spark.pipeline.sketch import _rho_case
+
+    w_bits = 26
+    case = _rho_case("w", w_bits)
+    vals = [0, 1, 2, 3, 4, (1 << 25) - 1, 1 << 25, (1 << 26) - 1, 5, 1024]
+    got = duckdb.connect().execute(
+        f"SELECT w, {case} FROM (SELECT UNNEST(?::BIGINT[]) AS w)", [vals]
+    ).fetchall()
+    for w, rho in got:
+        expect = w_bits - w.bit_length() + 1
+        assert rho == expect, (w, rho, expect)
