@@ -81,6 +81,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_top_supplier_revenue",
     # -- (b) new or changed this round: need fresh driver rows
     "q_doc_bloom_scrub",
+    "q_doc_weighted_sample",
+    "q_doc_containment_pairs",
     "q_evt_hll_distinct",
     "q_doc_minhash_error",
     "q_doc_editsim_verify",

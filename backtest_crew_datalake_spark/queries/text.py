@@ -2312,3 +2312,142 @@ def q_doc_editsim_verify(spark, sf_dir):
             ).alias("edit_sim"),
         )
     )
+
+
+@register(
+    "q_doc_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               ln((('0x' || substr(md5('ws|' || doc_id::VARCHAR), 1, 8))
+                   ::BIGINT + 1) / 4294967296.0) / n_chars AS es_key
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars, ROUND(es_key * 1000, 6) AS es_key_k
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_doc_weighted_sample(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    each doc draws u from a deterministic md5 in (0, 1] and ranks by
+    ln(u)/weight (weight = n_chars — longer docs proportionally more
+    likely); the global top-k IS an exact weighted sample. One pass, no
+    shuffle of the data itself: orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition top-k, merge at the driver) — the
+    quality-weighted corpus down-select shape at 100 TB. Key emitted
+    ×1000 rounded so the driver value-hash sees stable digits."""
+    d = load(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ws|"),
+                               F.col("doc_id").cast("string"))
+                      .cast("binary")), 1, 8
+            ), 16, 10,
+        ).cast("long") + 1
+    ) / F.lit(4294967296.0)
+    keyed = d.select(
+        "doc_id", "source", "n_chars",
+        (F.log(u) / F.col("n_chars")).alias("es_key"),
+    )
+    return (
+        keyed.orderBy(F.col("es_key").desc(), F.col("doc_id"))
+        .limit(100)
+        .select(
+            "doc_id", "source", "n_chars",
+            F.round(F.col("es_key") * 1000, 6).alias("es_key_k"),
+        )
+    )
+
+
+@register(
+    "q_doc_containment_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    seeds AS (SELECT UNNEST(range(0, 16)) AS i),
+    mh AS (
+        SELECT doc_id, i, MIN(md5(i::VARCHAR || '|' || sh)) AS h
+        FROM sh, seeds GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT doc_id, i // 2 AS band,
+               md5(string_agg(h, '|' ORDER BY i)) AS bucket
+        FROM mh GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                                  AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(CAST(i.n_inter AS DOUBLE) / sa.sz, 4) AS contain_a,
+           ROUND(CAST(i.n_inter AS DOUBLE) / sb.sz, 4) AS contain_b,
+           CASE WHEN i.n_inter * 5 >= sa.sz * 4
+                     AND i.n_inter * 5 < sb.sz * 4 THEN i.id_a
+                WHEN i.n_inter * 5 >= sb.sz * 4
+                     AND i.n_inter * 5 < sa.sz * 4 THEN i.id_b
+           END AS contained_id
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter * 5 >= sa.sz * 4 OR i.n_inter * 5 >= sb.sz * 4
+    """,
+)
+def q_doc_containment_pairs(spark, sf_dir):
+    """Asymmetric containment dedup: for LSH candidate pairs, shingle
+    CONTAINMENT |A∩B|/|A| per side — catches subset-style duplication (a
+    doc pasted inside a larger one) that symmetric Jaccard under-scores
+    (inter/union shrinks as the host grows). Pairs where either side is
+    >= 80% contained survive; `contained_id` names the engulfed doc when
+    exactly one side crosses (integer-multiplicative threshold — no float
+    ties). Same blocked-verify scale shape as q_doc_minhash_error."""
+    from ..pipeline.dedup import _shingles
+
+    d = load(spark, sf_dir, "documents")
+    cand = _portable_minhash_pairs(d).select("id_a", "id_b")
+    cand_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select("id_b")).distinct()
+    )
+    sh = (
+        d.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", F.explode(_shingles("text", 3)).alias("sh"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.select(F.col("doc_id").alias("id_a"), "sh")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "sh"), "sh")
+        .join(cand, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    hits_a = F.col("n_inter") * 5 >= F.col("sa") * 4
+    hits_b = F.col("n_inter") * 5 >= F.col("sb") * 4
+    return (
+        inter
+        .join(sizes.select(F.col("doc_id").alias("id_a"),
+                           F.col("sz").alias("sa")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"),
+                           F.col("sz").alias("sb")), "id_b")
+        .where(hits_a | hits_b)
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("n_inter").cast("double") / F.col("sa"), 4)
+            .alias("contain_a"),
+            F.round(F.col("n_inter").cast("double") / F.col("sb"), 4)
+            .alias("contain_b"),
+            F.when(hits_a & ~hits_b, F.col("id_a"))
+            .when(hits_b & ~hits_a, F.col("id_b"))
+            .alias("contained_id"),
+        )
+    )
