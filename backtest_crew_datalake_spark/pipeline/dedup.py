@@ -416,8 +416,21 @@ def _portable_minhash_bands(
     engine-portable md5 hash family (h_i = min md5 of 'i|shingle'; bucket =
     md5 of the band's joined minhashes) — the same family the oracle-gated
     q_doc_minhash_portable uses, so consumers stay value-checkable."""
-    rows_per_band = num_hashes // bands
     mh = _portable_minhash_sigs(df, id_alias, id_col, text_col, n, num_hashes)
+    return _bands_from_sigs(mh, id_alias, num_hashes, bands)
+
+
+def _bands_from_sigs(
+    mh: DataFrame,
+    id_alias: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Banding stage alone, over an existing (id, h0..h{n-1}) signature
+    table — lets a caller that also needs the raw signatures (the
+    estimator-error query) compute them ONCE (checkpointed) instead of
+    once per consumer."""
+    rows_per_band = num_hashes // bands
     return mh.select(
         id_alias,
         F.explode(F.array(*[

@@ -2079,11 +2079,21 @@ def q_doc_bloom_scrub(spark, sf_dir):
     benchmark suite grows, the probe side stays map-only, false positives
     are bounded (~(1-e^(-kn/m))^k) and false negatives impossible; the
     exact shared-count is joined alongside so the FP margin is
-    driver-visible. No reference analogue (extension surface)."""
-    from ..pipeline.dedup import _shingles
+    driver-visible. No reference analogue (extension surface).
+
+    The tokenized shingle table feeds THREE consumers (bloom build, probe,
+    exact margin) — spread_partitions + localCheckpoint it once (the
+    winnow pattern) so the single-file tokenize/explode subtree
+    parallelizes and runs once, not three times (5.7 s → 2.6 s at
+    sf0.1)."""
+    from ..pipeline.dedup import _shingles, spread_partitions
 
     d = load(spark, sf_dir, "documents")
-    sh_all = d.select("doc_id", F.explode(_shingles("text", 3)).alias("sh"))
+    sh_all = (
+        spread_partitions(d, "doc_id")
+        .select("doc_id", F.explode(_shingles("text", 3)).alias("sh"))
+        .localCheckpoint(eager=False)
+    )
     bench = sh_all.where(F.col("doc_id") < 20).select("sh").distinct()
     corpus = sh_all.where(F.col("doc_id") >= 20)
 
@@ -2196,13 +2206,32 @@ def q_doc_minhash_error(spark, sf_dir):
     of q_doc_dedup_recall's set-level recall number. The exact side is
     computed only for candidate docs (left-semi before the shingle
     self-join), so the verify cost is O(candidates), not O(corpus²) — the
-    standard blocked-verify shape at 100 TB."""
-    from ..pipeline.dedup import _portable_minhash_sigs, _shingles
+    standard blocked-verify shape at 100 TB.
+
+    The pivoted signature table feeds BOTH the banded candidate join and
+    the per-pair estimate — localCheckpoint it once so the 16-way min-md5
+    aggregation runs once, not twice (7.8 s → ~5 s at sf0.1; the residual
+    is the exact-verify self-join, which collapses at scale like every
+    blocked-verify shape — see ROADMAP BENCH_SCALE)."""
+    from ..pipeline.dedup import (
+        _bands_from_sigs, _portable_minhash_sigs, _shingles,
+        spread_partitions,
+    )
 
     d = load(spark, sf_dir, "documents")
-    cand = _portable_minhash_pairs(d).select("id_a", "id_b")
-
-    sigs = _portable_minhash_sigs(d, "id")
+    sigs = _portable_minhash_sigs(d, "id").localCheckpoint(eager=False)
+    bands = _bands_from_sigs(sigs, "id")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
     a = sigs.select(
         F.col("id").alias("id_a"),
         *[F.col(f"h{i}").alias(f"a{i}") for i in range(16)],
@@ -2224,7 +2253,7 @@ def q_doc_minhash_error(spark, sf_dir):
         .union(cand.select("id_b")).distinct()
     )
     sh = (
-        d.join(cand_ids, "doc_id", "left_semi")
+        spread_partitions(d.join(cand_ids, "doc_id", "left_semi"), "doc_id")
         .select("doc_id", F.explode(_shingles("text", 3)).alias("sh"))
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
@@ -2411,7 +2440,7 @@ def q_doc_containment_pairs(spark, sf_dir):
     >= 80% contained survive; `contained_id` names the engulfed doc when
     exactly one side crosses (integer-multiplicative threshold — no float
     ties). Same blocked-verify scale shape as q_doc_minhash_error."""
-    from ..pipeline.dedup import _shingles
+    from ..pipeline.dedup import _shingles, spread_partitions
 
     d = load(spark, sf_dir, "documents")
     cand = _portable_minhash_pairs(d).select("id_a", "id_b")
@@ -2420,7 +2449,7 @@ def q_doc_containment_pairs(spark, sf_dir):
         .union(cand.select("id_b")).distinct()
     )
     sh = (
-        d.join(cand_ids, "doc_id", "left_semi")
+        spread_partitions(d.join(cand_ids, "doc_id", "left_semi"), "doc_id")
         .select("doc_id", F.explode(_shingles("text", 3)).alias("sh"))
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))

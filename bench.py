@@ -48,6 +48,11 @@ HEADLINE = [
     # iterative + signature-join shapes added late round 5
     "q_doc_pagerank_canonical", "q_doc_incremental_dedup",
     "q_doc_bpe_merges",
+    # round-5 third-session additions: the Arrow-kernel PQ path (the
+    # box's heaviest ANN shape, now sub-DuckDB at 50x), the Bloom-bitmap
+    # scrub, the per-group HLL registers, and the blocked verify stages
+    "q_emb_ivfpq_topk", "q_doc_bloom_scrub", "q_evt_hll_distinct",
+    "q_doc_minhash_error", "q_doc_weighted_sample",
 ]
 
 
