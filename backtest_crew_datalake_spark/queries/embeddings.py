@@ -769,3 +769,87 @@ def q_emb_label_silhouette(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     return label_silhouette(emb)
+
+
+@register(
+    "q_emb_matryoshka_recall",
+    oracle="""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qs AS (SELECT vec_id, v FROM emb WHERE vec_id < 10),
+    tr AS (
+        SELECT query_id, true_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS true_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                                c.vec_id) AS rk
+            FROM qs q CROSS JOIN emb c) WHERE rk <= 5
+    ),
+    t16 AS (
+        SELECT query_id, true_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS true_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.v[1:16],
+                                                       c.v[1:16]) DESC,
+                                c.vec_id) AS rk
+            FROM qs q CROSS JOIN emb c) WHERE rk <= 5
+    ),
+    t32 AS (
+        SELECT query_id, true_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS true_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.v[1:32],
+                                                       c.v[1:32]) DESC,
+                                c.vec_id) AS rk
+            FROM qs q CROSS JOIN emb c) WHERE rk <= 5
+    ),
+    stats AS (
+        SELECT 16 AS dims,
+               (SELECT COUNT(*) FROM t16 SEMI JOIN tr
+                USING (query_id, true_id)) AS n_hits
+        UNION ALL
+        SELECT 32, (SELECT COUNT(*) FROM t32 SEMI JOIN tr
+                    USING (query_id, true_id))
+    )
+    SELECT dims, n_hits,
+           ROUND(CAST(n_hits AS DOUBLE)
+                 / (SELECT COUNT(*) FROM tr), 4) AS recall
+    FROM stats
+    """,
+)
+def q_emb_matryoshka_recall(spark, sf_dir):
+    """Matryoshka truncation evaluation: recall@5 of cosine top-k computed
+    on the first 16 / 32 dimensions against the full-64-dim ground truth —
+    the standard check before shipping truncated embeddings to cut ANN
+    index cost (Kusupati et al., 'Matryoshka Representation Learning',
+    NeurIPS 2022). Reuses the cosine_topk core per dim budget: query side
+    broadcast, corpus streams, so each variant is one scan — and the
+    truncated scans read FEWER bytes, exactly the production win being
+    measured. Extension surface (no reference analogue)."""
+    from ..pipeline.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10)
+
+    def top5(dims):
+        sl = lambda df: df.select(  # noqa: E731
+            "vec_id", F.slice(F.col("embedding"), 1, dims).alias("embedding")
+        )
+        return cosine_topk(sl(qs), sl(emb), k=5).select(
+            "query_id", F.col("neighbor_id")
+        )
+
+    truth = top5(64)
+    out = None
+    for dims in (16, 32):
+        hits = (
+            top5(dims).join(truth, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count("*").alias("n_hits"))
+            .select(F.lit(dims).alias("dims"), "n_hits")
+        )
+        out = hits if out is None else out.unionByName(hits)
+    n_truth = truth.agg(F.count("*").alias("__nt"))
+    return out.crossJoin(n_truth).select(
+        "dims", "n_hits",
+        F.round(F.col("n_hits").cast("double") / F.col("__nt"), 4)
+        .alias("recall"),
+    )
