@@ -122,11 +122,11 @@ def pq_codebooks(
     subspaces at once — the grouped analogue of similarity.kmeans_centroids;
     empty cells keep their previous centroid.
 
-    Scale shape per round: assignment is ROW-LOCAL (broadcast codebook
-    array + higher-order fold — see _codebook_array), the per-(vector,
-    subspace) explode is narrow, and the only shuffle is lloyd_means'
-    keyed (sub, cell, dim) partial aggregation — a few KB regardless of
-    corpus size."""
+    Scale shape per round: assignment is ROW-LOCAL (the Arrow-batched
+    _codes_udf kernel against the collected literal codebook), the
+    per-(vector, subspace) explode is narrow, and the only shuffle is
+    lloyd_means' keyed (sub, cell, dim) partial aggregation — a few KB
+    regardless of corpus size."""
     d = dim // m
 
     from pyspark.sql import Window
