@@ -131,3 +131,54 @@ def test_incremental_dedup_guarantees(spark, docs):
     for i in range(len(docs)):
         assert out[100 + i].n_collisions >= 8, i   # >= 8: other matches add
     assert 999 not in out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(members=st.lists(st.text(min_size=1, max_size=12), min_size=1,
+                        max_size=40, unique=True),
+       probes=st.lists(st.text(min_size=1, max_size=12), min_size=1,
+                       max_size=40, unique=True))
+def test_bloom_never_false_negative(spark, members, probes):
+    """Property: every inserted member probes true, for ANY member set —
+    the Bloom guarantee that makes might_contain a safe pre-filter."""
+    from backtest_crew_datalake_spark.pipeline.sketch import (
+        bloom_build, bloom_might_contain,
+    )
+
+    mdf = spark.createDataFrame([(x,) for x in members], ["k"])
+    sk = bloom_build(mdf, "k", m_bits=1024, k=3)
+    hits = {
+        r.k: r.might_contain
+        for r in bloom_might_contain(
+            sk, spark.createDataFrame(
+                [(x,) for x in set(members) | set(probes)], ["k"]
+            ), "k", m_bits=1024, k=3
+        ).collect()
+    }
+    for x in members:
+        assert hits[x] is True
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(split=st.integers(1, 99), n=st.integers(2, 100))
+def test_hll_merge_equals_whole(spark, split, n):
+    """Property: register-wise MAX merge of two arbitrary slices equals the
+    sketch of the union — the law that lets per-partition/per-day sketches
+    roll up without rescanning."""
+    from pyspark.sql import functions as F
+    from backtest_crew_datalake_spark.pipeline.sketch import hll_build
+
+    cut = max(1, (split * n) // 100)
+    a = spark.range(0, cut).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"))
+    b = spark.range(cut, n).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"))
+    merged = (
+        hll_build(a, "k", p=5).unionByName(hll_build(b, "k", p=5))
+        .groupBy("reg").agg(F.max("rho").alias("rho"))
+    )
+    whole = hll_build(a.unionByName(b), "k", p=5)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, whole.collect()))
