@@ -235,3 +235,72 @@ def streaming_contamination(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def streaming_hll_distinct(
+    spark: SparkSession,
+    landing_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    key_expr: str,
+    p: int = 6,
+    available_now: bool = True,
+):
+    """Continuous distinct-count estimation over a landing dir: each
+    micro-batch folds its rows into a persistent HLL register table
+    (pipeline/sketch.hll_build) at ``state_dir`` by register-wise MAX.
+
+    Why this shape survives at-least-once foreachBatch with NO batch_id
+    bookkeeping (unlike streaming_contamination's keyed subdirs): sketch
+    merge is IDEMPOTENT — replaying a batch re-merges the same register
+    maxima and the state is unchanged. The state itself is bounded at
+    2^p rows regardless of stream cardinality, so the per-batch merge
+    runs through the driver (bounded, like the poller cursor) and the
+    overwrite never reads its own input. ``hll_estimate`` over the state
+    gives the running distinct estimate at any point.
+
+    Returns the StreamingQuery handle.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..pipeline.sketch import hll_build
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(landing_dir)
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        regs = hll_build(
+            batch_df.select(F.expr(key_expr).alias("__k")), "__k", p=p
+        ).collect()  # bounded: at most 2^p rows
+        state: dict[int, int] = {}
+        if os.path.exists(state_dir):
+            for r in spark.read.parquet(state_dir).collect():
+                state[r.reg] = r.rho
+        for r in regs:
+            if r.rho > state.get(r.reg, 0):
+                state[r.reg] = r.rho
+        (
+            spark.createDataFrame(
+                sorted(state.items()), "reg long, rho int"
+            )
+            .coalesce(1)
+            .write.mode("overwrite").parquet(state_dir)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

@@ -687,3 +687,57 @@ def test_streaming_contamination_matches_batch(spark, tmp_path):
     want = {r["doc_id"]: (r["n_shared"], r["n_shingles"])
             for r in contamination(all_docs, bench).collect()}
     assert got == want and set(got) == {1, 2}  # only the dirty docs flagged
+
+
+def test_streaming_hll_matches_batch_and_is_idempotent(spark, tmp_path):
+    """Incremental HLL over a landing dir: after N micro-batches the state
+    registers equal hll_build over the union (merge law), the estimate
+    matches the batch estimate, and replaying the stream (same files, fresh
+    checkpoint) leaves the state unchanged — sketch merge is idempotent,
+    so at-least-once foreachBatch needs no batch_id bookkeeping."""
+    from pyspark.sql import functions as F
+    from backtest_crew_datalake_spark.pipeline.sketch import (
+        hll_build, hll_estimate,
+    )
+    from backtest_crew_datalake_spark.streaming.ingest import (
+        streaming_hll_distinct,
+    )
+
+    src = str(tmp_path / "hsrc")
+    state = str(tmp_path / "hstate")
+    ckpt = str(tmp_path / "hckpt")
+    schema = "user_id long, day string"
+
+    def write_batch(rows, mode):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode(mode).parquet(src)
+
+    b1 = [(u, "2024-01-01") for u in range(40)]
+    b2 = [(u, "2024-01-02") for u in range(20, 60)]
+    key = "concat(user_id, '|', day)"
+
+    write_batch(b1, "overwrite")
+    streaming_hll_distinct(spark, src, state, ckpt, schema, key, p=6)
+    write_batch(b2, "append")
+    streaming_hll_distinct(spark, src, state, ckpt, schema, key, p=6)
+
+    got = sorted(map(tuple, spark.read.parquet(state)
+                 .select("reg", "rho").collect()))
+    whole = spark.createDataFrame(b1 + b2, schema).select(
+        F.expr(key).alias("k"))
+    want = sorted(map(tuple, hll_build(whole, "k", p=6)
+                  .select(F.col("reg").cast("long"),
+                          F.col("rho").cast("int")).collect()))
+    assert got == want
+
+    est = hll_estimate(
+        spark, spark.read.parquet(state), p=6).collect()[0].estimate
+    n_true = len(set(b1 + b2))
+    assert abs(est - n_true) / n_true < 0.5  # p=6 coarse envelope
+
+    # replay: same landing files, FRESH checkpoint -> all batches re-run
+    streaming_hll_distinct(spark, src, state, str(tmp_path / "hckpt2"),
+                           schema, key, p=6)
+    again = sorted(map(tuple, spark.read.parquet(state)
+                   .select("reg", "rho").collect()))
+    assert again == got
