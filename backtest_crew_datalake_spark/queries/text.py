@@ -2257,10 +2257,17 @@ def q_doc_minhash_error(spark, sf_dir):
         .select("doc_id", F.explode(_shingles("text", 3)).alias("sh"))
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # pair-first intersection (the oracle's own shape): expand candidate
+    # pairs by side-a shingles, then ONE keyed (id_b, sh) equi-join —
+    # cost Σ_pairs |shingles(a)|, linear in pairs. A shingle-keyed
+    # self-join would emit |posting ∩ candidates|² rows per shingle
+    # BEFORE any pair filter — the posting-list hazard the df-capped
+    # dedup paths exist to avoid.
     inter = (
-        sh.select(F.col("doc_id").alias("id_a"), "sh")
-        .join(sh.select(F.col("doc_id").alias("id_b"), "sh"), "sh")
-        .join(cand, ["id_a", "id_b"], "left_semi")
+        cand
+        .join(sh.select(F.col("doc_id").alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "sh"),
+              ["id_b", "sh"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
@@ -2453,10 +2460,17 @@ def q_doc_containment_pairs(spark, sf_dir):
         .select("doc_id", F.explode(_shingles("text", 3)).alias("sh"))
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # pair-first intersection (the oracle's own shape): expand candidate
+    # pairs by side-a shingles, then ONE keyed (id_b, sh) equi-join —
+    # cost Σ_pairs |shingles(a)|, linear in pairs. A shingle-keyed
+    # self-join would emit |posting ∩ candidates|² rows per shingle
+    # BEFORE any pair filter — the posting-list hazard the df-capped
+    # dedup paths exist to avoid.
     inter = (
-        sh.select(F.col("doc_id").alias("id_a"), "sh")
-        .join(sh.select(F.col("doc_id").alias("id_b"), "sh"), "sh")
-        .join(cand, ["id_a", "id_b"], "left_semi")
+        cand
+        .join(sh.select(F.col("doc_id").alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "sh"),
+              ["id_b", "sh"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
