@@ -294,12 +294,195 @@ def decode_png(content: bytes) -> dict:
     }
 
 
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a GIF89a (stdlib only).
+
+    The palette is the image's unique colors (≤256 — raises otherwise;
+    feature-extraction fixtures are quantized by construction). The LZW
+    stream emits literal root codes with correct code-width growth and a
+    CLEAR before the 12-bit ceiling — valid (if uncompressed-ish) LZW any
+    conforming decoder accepts."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    flat = px.reshape(-1, 3)
+    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("encode_gif: more than 256 unique colors")
+    # color-table size must be a power of two >= 2
+    bits = max(1, int(len(palette) - 1).bit_length())
+    table = np.zeros((1 << bits, 3), np.uint8)
+    table[:len(palette)] = palette
+    mcs = max(2, bits)  # LZW min code size (spec: >= 2)
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+
+    out = bytearray()
+    acc = n_bits = 0
+
+    def put(code: int, width: int):
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    width = mcs + 1
+    put(clear, width)
+    # Mirror the decoder's table growth exactly: it adds NO entry for the
+    # first code after CLEAR, one entry per code after that, and bumps the
+    # code width when its table reaches the current width's ceiling
+    # (capped at 12 bits; beyond that literal codes still fit, so no
+    # mid-stream CLEAR is ever needed for a literal-only stream).
+    table_len = eoi + 1
+    first = True
+    for v in idx:
+        put(int(v), width)
+        if first:
+            first = False
+        else:
+            table_len += 1
+            if table_len == (1 << width) and width < 12:
+                width += 1
+    put(eoi, width)
+    if n_bits:
+        out.append(acc & 0xFF)
+
+    blocks = b"".join(
+        bytes([min(255, len(out) - i)]) + bytes(out[i:i + 255])
+        for i in range(0, len(out), 255)
+    )
+    lsd = struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1),
+                      0, 0)
+    imgd = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    return (b"GIF89a" + lsd + table.tobytes() + imgd + bytes([mcs])
+            + blocks + b"\x00" + b"\x3B")
+
+
+def _gif_lzw_decode(data: bytes, mcs: int) -> list[int]:
+    """GIF-variant LZW: little-endian bit packing, growing code width,
+    CLEAR/EOI codes, 12-bit ceiling."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table: list[list[int]] = [[i] for i in range(1 << mcs)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = n_bits = pos = 0
+    while True:
+        while n_bits < width:
+            if pos >= len(data):
+                return out  # missing EOI: tolerate truncated streams
+            acc |= data[pos] << n_bits
+            pos += 1
+            n_bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        if code == clear:
+            table = [[i] for i in range(1 << mcs)] + [[], []]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + [entry[0]])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + [prev[0]]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        if prev is not None and len(table) == (1 << width) and width < 12:
+            width += 1
+        out.extend(entry)
+        prev = entry
+    return out
+
+
+def _gif_px(content: bytes) -> np.ndarray:
+    """Parse a GIF87a/89a first frame to (H, W, 3) uint8 (global or local
+    color table, non-interlaced and interlaced)."""
+    c = content
+    if c[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", c[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(c, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(c):
+        b0 = c[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while c[pos] != 0:
+                pos += 1 + c[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            _, _, _, iw, ih, iflags = struct.unpack("<BHHHHB", c[pos:pos + 10])
+            pos += 10
+            table = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                table = np.frombuffer(c, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if table is None:
+                raise ValueError("GIF image with no color table")
+            mcs = c[pos]
+            pos += 1
+            chunks = []
+            while c[pos] != 0:
+                ln = c[pos]
+                chunks.append(c[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            idx = np.array(
+                _gif_lzw_decode(b"".join(chunks), mcs), dtype=np.int64
+            )
+            if len(idx) < iw * ih:
+                raise ValueError("GIF pixel data underrun")
+            idx = idx[:iw * ih].reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: 4-pass row shuffle
+                order = [y for y in range(0, ih, 8)] + \
+                        [y for y in range(4, ih, 8)] + \
+                        [y for y in range(2, ih, 4)] + \
+                        [y for y in range(1, ih, 2)]
+                deint = np.empty_like(idx)
+                deint[order] = idx
+                idx = deint
+            return table[idx]
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def decode_gif(content: bytes) -> dict:
+    """REAL decode of a GIF first frame (stdlib LZW: sub-block reassembly,
+    growing code width, KwKwK case, interlace) — same 8-dim feature family
+    as decode_bmp/decode_png."""
+    px = _gif_px(content)
+    h, w = px.shape[0], px.shape[1]
+    means = px.mean(axis=(0, 1)) / 255.0
+    stds = px.std(axis=(0, 1)) / 255.0
+    return {
+        "width": int(w), "height": int(h),
+        "feature": [float(means[0]), float(means[1]), float(means[2]),
+                    float(stds[0]), float(stds[1]), float(stds[2]),
+                    float(px.mean()) / 255.0, float(w) / float(max(h, 1))],
+    }
+
+
 _DIB_SIZES = (12, 40, 52, 56, 108, 124)
 
 
 def decode_media(content: bytes) -> dict:
-    """Sniff the payload format and route: REAL decoders for BMP, WAV and
-    PNG, the deterministic stub for everything else. A payload that passes
+    """Sniff the payload format and route: REAL decoders for BMP, WAV,
+    PNG and GIF, the deterministic stub for everything else. A payload that passes
     the sniff but fails to parse raises (corrupt data must not silently
     become fake features)."""
     c = content or b""
@@ -310,6 +493,8 @@ def decode_media(content: bytes) -> dict:
         return decode_wav(c)
     if c[:8] == _PNG_SIG:
         return decode_png(c)
+    if c[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(c)
     return decode_image_stub(c)
 
 
@@ -434,8 +619,8 @@ def audio_window_features_stub(
 
 
 def gray_pixels(content: bytes) -> "np.ndarray | None":
-    """Grayscale 2-D float array for an image payload (BMP/PNG via the REAL
-    decoders), or None for non-image payloads (audio, unknown formats) —
+    """Grayscale 2-D float array for an image payload (BMP/PNG/GIF via the
+    REAL decoders), or None for non-image payloads (audio, unknown formats) —
     the hash stage skips those instead of inventing fake bits."""
     c = content or b""
     try:
@@ -454,6 +639,8 @@ def gray_pixels(content: bytes) -> "np.ndarray | None":
             px = _bmp_px(c, data_off, w, h)
         elif c[:8] == _PNG_SIG:
             px = _png_px(c)[:, :, :3]
+        elif c[:6] in (b"GIF87a", b"GIF89a"):
+            px = _gif_px(c)
         else:
             return None
     except (ValueError, NotImplementedError):

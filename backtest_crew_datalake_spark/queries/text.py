@@ -226,11 +226,11 @@ def q_doc_simhash(spark, sf_dir):
 @register("q_multimodal_features", oracle=None)
 def q_multimodal_features(spark, sf_dir):
     """Multimodal pipeline end-to-end (rows-only): each document is rendered
-    into a REAL media payload — doc_id % 3 == 0 becomes an uncompressed
-    24-bpp BMP (8x8 RGB pixels derived from the text hash), % 3 == 1 a mono
-    PCM WAV (160 int16 samples), % 3 == 2 an 8-bit truecolor PNG (zlib
-    IDAT) — via mapInPandas, then decoded back by the REAL stdlib decoders
-    (pipeline/multimodal.decode_bmp / decode_wav / decode_png): the whole
+    into a REAL media payload — doc_id % 4 routes to an uncompressed
+    24-bpp BMP (8x8 RGB pixels derived from the text hash), a mono PCM
+    WAV (160 int16 samples), an 8-bit truecolor PNG (zlib IDAT), or a
+    GIF89a (stdlib LZW) — via mapInPandas, then decoded back by the REAL
+    stdlib decoders (pipeline/multimodal.decode_*): the whole
     encode→Arrow→decode→feature path runs on true media bytes with no
     external codec libraries. Value-level checks live in
     tests/test_pipeline.py (encode/decode roundtrips vs numpy)."""
@@ -246,8 +246,9 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def _render_media(d):
-    """Render (media_id, text) rows into REAL media payloads (BMP/WAV/PNG
-    by media_id mod 3, pixels/samples derived from the text sha256) —
+    """Render (media_id, text) rows into REAL media payloads (BMP/WAV/
+    PNG/GIF by media_id mod 4, pixels/samples derived from the text
+    sha256) —
     shared by q_multimodal_features and q_multimodal_phash_dupes."""
     import hashlib as _hashlib
 
@@ -255,7 +256,7 @@ def _render_media(d):
     import pandas as _pd
 
     from ..pipeline.multimodal import (
-        MEDIA_SCHEMA, encode_bmp, encode_png, encode_wav,
+        MEDIA_SCHEMA, encode_bmp, encode_gif, encode_png, encode_wav,
     )
 
     def _render(batches):
@@ -264,18 +265,22 @@ def _render_media(d):
             for mid, text in zip(pdf["media_id"], pdf["text"]):
                 seed = _hashlib.sha256((text or "").encode()).digest()
                 rng = _np.frombuffer(seed * 24, dtype=_np.uint8)
-                if mid % 3 == 0:
+                if mid % 4 == 0:
                     px = rng[: 8 * 8 * 3].reshape(8, 8, 3)
                     kinds.append("image")
                     contents.append(encode_bmp(px))
-                elif mid % 3 == 1:
+                elif mid % 4 == 1:
                     samples = (rng[:160].astype(_np.int16) - 128) * 256
                     kinds.append("audio")
                     contents.append(encode_wav(samples, rate=16000))
-                else:
+                elif mid % 4 == 2:
                     px = rng[: 8 * 8 * 3].reshape(8, 8, 3)
                     kinds.append("image")
                     contents.append(encode_png(px))
+                else:
+                    px = rng[: 8 * 8 * 3].reshape(8, 8, 3)
+                    kinds.append("image")
+                    contents.append(encode_gif(px))
                 ids.append(mid)
             yield _pd.DataFrame(
                 {"media_id": ids, "kind": kinds, "content": contents,

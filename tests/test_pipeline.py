@@ -1504,3 +1504,82 @@ def test_hll_rho_case_matches_bit_length():
     for w, rho in got:
         expect = w_bits - w.bit_length() + 1
         assert rho == expect, (w, rho, expect)
+
+
+def test_gif_roundtrip_and_dispatch():
+    """encode_gif -> decode_gif reproduces pixels exactly (palette +
+    stdlib LZW with width growth); decode_media sniffs GIF; dhash over a
+    GIF equals dhash over a BMP of the same pixels (codec independence)."""
+    import numpy as np
+    from backtest_crew_datalake_spark.pipeline.multimodal import (
+        _gif_px, decode_media, dhash64, encode_bmp, encode_gif, gray_pixels,
+    )
+
+    rng = np.random.default_rng(7)
+    # draw pixels from an explicit 100-color palette (<= 256 unique)
+    palette = rng.integers(0, 256, (100, 3), dtype=np.uint8)
+    px = palette[rng.integers(0, 100, (18, 24))]
+    gif = encode_gif(px)
+    assert np.array_equal(_gif_px(gif), px)
+    feat = decode_media(gif)
+    assert (feat["width"], feat["height"]) == (24, 18)
+    assert dhash64(gray_pixels(gif)) == dhash64(gray_pixels(encode_bmp(px)))
+
+
+def test_gif_interlaced_decode():
+    """Interlaced GIF: rows stored in 4-pass order come back in display
+    order."""
+    import numpy as np
+    from backtest_crew_datalake_spark.pipeline.multimodal import (
+        _gif_px, encode_gif,
+    )
+
+    h, w = 13, 5
+    px = (np.arange(h * w * 3, dtype=np.int64) % 251).astype(
+        np.uint8).reshape(h, w, 3)
+    order = [y for y in range(0, h, 8)] + [y for y in range(4, h, 8)] + \
+            [y for y in range(2, h, 4)] + [y for y in range(1, h, 2)]
+    stored = px[order]              # rows as an interlaced file stores them
+    gif = bytearray(encode_gif(stored))
+    # flip the interlace bit in the image descriptor (after header+lsd+gct)
+    flags = gif[10]
+    gct_len = (2 << (flags & 0x07)) * 3
+    idesc = 13 + gct_len
+    assert gif[idesc] == 0x2C
+    gif[idesc + 9] |= 0x40
+    assert np.array_equal(_gif_px(bytes(gif)), px)
+
+
+def test_gif_lzw_kwkwk_case():
+    """The KwKwK corner (decoder receives the code it is about to define):
+    handcrafted 3-bit stream CLEAR,0,len(table) must yield [0, 0, 0]."""
+    from backtest_crew_datalake_spark.pipeline.multimodal import (
+        _gif_lzw_decode,
+    )
+
+    codes, width = [4, 0, 6, 5], 3  # CLEAR, 0, KwKwK, EOI at mcs=2
+    acc = n = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << n
+        n += width
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        out.append(acc & 0xFF)
+    assert _gif_lzw_decode(bytes(out), 2) == [0, 0, 0]
+
+
+def test_gif_rejects_over_256_colors():
+    import numpy as np
+    import pytest
+    from backtest_crew_datalake_spark.pipeline.multimodal import encode_gif
+
+    px = np.arange(32 * 32 * 3, dtype=np.int64).astype(np.uint8)
+    px = px.reshape(32, 32, 3)
+    px[:, :, 0] = np.arange(32)[:, None]
+    px[:, :, 1] = np.arange(32)[None, :]  # 1024 unique colors
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(px)
