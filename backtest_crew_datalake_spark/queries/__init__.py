@@ -81,6 +81,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_top_supplier_revenue",
     # -- (b) new or changed this round: need fresh driver rows
     "q_doc_bloom_scrub",
+    "q_doc_chunk_dedup",
     "q_emb_matryoshka_recall",
     "q_doc_weighted_sample",
     "q_doc_containment_pairs",

@@ -2499,3 +2499,87 @@ def q_doc_containment_pairs(spark, sf_dir):
             .alias("contained_id"),
         )
     )
+
+
+@register(
+    "q_doc_chunk_dedup",
+    oracle=r"""
+    WITH docs AS (
+        SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, c,
+               array_to_string(toks[c * 16 + 1 : c * 16 + 16], ' ')
+                   AS chunk_txt
+        FROM docs,
+             LATERAL (SELECT UNNEST(range(0,
+                 CAST(CEIL(LEN(toks) / 16.0) AS BIGINT))) AS c)
+    ),
+    firsts AS (
+        SELECT chunk_txt,
+               MIN(doc_id * 1048576 + c) AS first_key
+        FROM chunks GROUP BY 1
+    )
+    SELECT k.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN k.doc_id * 1048576 + k.c = f.first_key
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(SUM(CASE WHEN k.doc_id * 1048576 + k.c = f.first_key
+                          THEN 1.0 ELSE 0.0 END) / COUNT(*), 4)
+               AS kept_frac
+    FROM chunks k JOIN firsts f USING (chunk_txt)
+    GROUP BY 1
+    """,
+)
+def q_doc_chunk_dedup(spark, sf_dir):
+    """Chunk-level corpus dedup (the C4/RefinedWeb 'remove repeated spans'
+    rewrite): each doc splits into non-overlapping 16-token chunks, a
+    chunk survives only at its FIRST corpus occurrence (global order =
+    (doc_id, position), encoded as one integer key so both engines agree
+    without struct comparisons), and each doc reports how much of it
+    survived. Two keyed shuffles (first-occurrence per chunk text, per-doc
+    fold) — the same novelty-scan shape as q_doc_ngram_novelty, applied
+    as a corpus REWRITE rather than a score. DuckDB slicing is 1-based
+    inclusive, Spark's slice(start, length) — both spelled to take
+    exactly tokens [c·16, c·16+15]."""
+    from ..pipeline.dedup import spread_partitions
+    from ..pipeline.text import tokens
+
+    d = spread_partitions(load(spark, sf_dir, "documents"), "doc_id")
+    t = tokens(F.col("text"))
+    chunks = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(t) / 16.0).cast("long") - 1,
+                )
+            ).alias("c"),
+            t.alias("__t"),
+        )
+        .select(
+            "doc_id", "c",
+            F.concat_ws(
+                " ", F.slice("__t", F.col("c") * 16 + 1, 16)
+            ).alias("chunk_txt"),
+            (F.col("doc_id") * 1048576 + F.col("c")).alias("key"),
+        )
+    )
+    firsts = chunks.groupBy("chunk_txt").agg(
+        F.min("key").alias("first_key")
+    )
+    return (
+        chunks.join(firsts, "chunk_txt")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("key") == F.col("first_key")).cast("long"))
+            .alias("n_kept"),
+            F.round(
+                F.sum((F.col("key") == F.col("first_key"))
+                      .cast("double")) / F.count("*"), 4
+            ).alias("kept_frac"),
+        )
+    )

@@ -424,6 +424,8 @@ def compact_partitions(
     dataset: str = "data",
     target_mb: int = 128,
     sort_col: str | None = "ts",
+    zorder_cols: tuple[str, str] | None = None,
+    write_options: dict[str, str] | None = None,
 ) -> dict[str, tuple[int, int]]:
     """Compact small files within each leaf partition of the lake — the
     maintenance pass that keeps scan parallelism healthy after many
@@ -442,8 +444,12 @@ def compact_partitions(
     Per leaf dir: if it holds more parquet files than ceil(bytes/target),
     rewrite to that many files — sorted by ``sort_col`` when the column
     exists (pass None to skip sorting; the default suits the candle
-    datasets) — then swap the directory in: old → dot-prefixed bak, tmp →
-    leaf, drop bak. tmp/bak names are dot-prefixed so Spark's file listing
+    datasets), or Z-order CLUSTERED when ``zorder_cols=(a, b)`` is given
+    (range-partition + sort on the Morton key, the OPTIMIZE ZORDER BY
+    analogue: compaction and multi-column clustering in the same rewrite,
+    so the maintenance pass that already pays the partition rewrite also
+    buys row-group skipping on both columns) — then swap the directory
+    in: old → dot-prefixed bak, tmp → leaf, drop bak. tmp/bak names are dot-prefixed so Spark's file listing
     and partition discovery ignore them mid-swap (hidden-path rule). The
     swap is two renames, not one atomic op: a crash in the gap leaves the
     leaf absent but fully preserved in the bak — the next run restores it
@@ -495,10 +501,24 @@ def compact_partitions(
         n_before = df.count()
         tmp, bak = _tmp_bak(dirpath)
         shutil.rmtree(tmp, ignore_errors=True)
-        w = df.coalesce(want)
-        if sort_col is not None and sort_col in df.columns:
-            w = w.sortWithinPartitions(sort_col)
-        w.write.mode("overwrite").parquet(tmp)
+        if (zorder_cols is not None
+                and all(c in df.columns for c in zorder_cols)):
+            from .layout import zorder_key
+
+            w = (
+                df.withColumn("__z", zorder_key(*zorder_cols))
+                .repartitionByRange(want, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            w = df.coalesce(want)
+            if sort_col is not None and sort_col in df.columns:
+                w = w.sortWithinPartitions(sort_col)
+        writer = w.write.mode("overwrite")
+        for k, v in (write_options or {}).items():
+            writer = writer.option(k, v)
+        writer.parquet(tmp)
         n_after = spark.read.parquet(tmp).count()
         if n_after != n_before:  # never swap in a bad rewrite
             shutil.rmtree(tmp, ignore_errors=True)

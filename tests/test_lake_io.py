@@ -621,3 +621,56 @@ def test_shared_blocks_on_sentinel_until_released(spark, tmp_path):
     assert entered.wait(10.0)
     t.join(10.0)
     assert not errs, errs
+
+
+def test_compact_partitions_zorder_clusters(spark, tmp_path):
+    """compact_partitions(zorder_cols=...) composes compaction with
+    Z-order clustering (the OPTIMIZE ZORDER BY shape): files shrink to
+    the target, rows are preserved, and the rewritten leaf's row groups
+    skip on the SECOND cluster column where a plain sorted compaction
+    cannot."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq_
+    from pyspark.sql import functions as F
+
+    from backtest_crew_datalake_spark.sources.writer import (
+        compact_partitions,
+    )
+
+    lake = str(tmp_path / "lake")
+    leaf = os.path.join(lake, "data", "part=0")
+    os.makedirs(leaf)
+    grid = spark.range(0, 65536).select(
+        (F.col("id") % 256).alias("x"),
+        (F.col("id") / 256).cast("long").alias("y"),
+    )
+    # many small unclustered files in one leaf
+    for i in range(8):
+        grid.where(F.col("x") % 8 == i).coalesce(1).write.mode(
+            "append").parquet(leaf)
+    n_files = len(glob.glob(f"{leaf}/*.parquet"))
+    assert n_files >= 8
+
+    out = compact_partitions(
+        spark, lake, target_mb=1, zorder_cols=("x", "y"),
+        write_options={"parquet.block.size": str(64 * 1024)},
+    )
+    assert leaf in out and out[leaf][0] == n_files
+    assert spark.read.parquet(leaf).count() == 65536
+
+    cand = total = 0
+    for f in glob.glob(f"{leaf}/*.parquet"):
+        md = pq_.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            total += 1
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == "y":
+                    st = c.statistics
+                    if st.min <= 110 and st.max >= 100:
+                        cand += 1
+    assert total >= 2
+    # a thin y-slice must skip at least half the row groups
+    assert cand / total <= 0.5, (cand, total)
