@@ -58,8 +58,18 @@ def test_tfidf_topk_matches_python_reference(spark, docs):
         tf = {}
         for t in toks:
             tf[t] = tf.get(t, 0) + 1
+        def r_half_up(x, nd):
+            # Spark/DuckDB ROUND is half-away-from-zero; python round() is
+            # half-even — they differ on exact .5 boundaries (hypothesis
+            # found one: 2·round(ln(8/3), 8) ends in ...6585)
+            import decimal
+            return float(decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal(1).scaleb(-nd),
+                rounding=decimal.ROUND_HALF_UP))
+
         scored = sorted(
-            ((round(c * round(math.log((n + 1.0) / (dfreq[t] + 1.0)), 8), 6),
+            ((r_half_up(
+                c * r_half_up(math.log((n + 1.0) / (dfreq[t] + 1.0)), 8), 6),
               t, c) for t, c in tf.items()),
             key=lambda x: (-x[0], x[1]),
         )[:2]
