@@ -65,13 +65,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # cosmetics — ROTATE it every round so no query's driver evidence goes
 # stale. Round-5 window: (a) the 5 late round-4 additions that have NEVER
 # had a driver row (the r4 verdict's #1 item), (b) everything NEW or
-# semantically changed this round — the 6 TPC-H decorrelations, the
+# semantically changed this round — the third-session sketch/verify/
+# sampling/matryoshka queries, the Arrow-kernel PQ family and the
+# refactored minhash banding (old driver rows no longer witness the
+# current code), the 6 TPC-H decorrelations, and the second-session
 # tfidf/quantiles/hard-negatives/silhouette/mix/nll/zorder/incremental/
-# pagerank/bpe/corpus-build additions, and the round-4 late queries whose
-# plans were reshaped — then (c) as many r3-tail queries as fit. Queries
-# green in CORRECTNESS_r04 and untouched since sit at the tail (the ~22
-# r3-tail queries that no longer fit lead the round-6 rotation);
-# tools/check_oracles.py covers the full catalog locally.
+# pagerank/bpe/corpus-build additions — then (c) as many r3-tail queries
+# as fit. Queries green in CORRECTNESS_r04 and untouched since sit at the
+# tail (the r3-tail queries that no longer fit lead the round-6
+# rotation); tools/check_oracles.py covers the full catalog locally.
 PRIORITY_ORDER: tuple[str, ...] = (
     # -- (a) never driver-checked (late round-4 additions)
     "q_blame_suppliers",
@@ -82,6 +84,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # -- (b) new or changed this round: need fresh driver rows
     "q_doc_bloom_scrub",
     "q_doc_chunk_dedup",
+    "q_doc_domain_cap",
     "q_emb_matryoshka_recall",
     "q_doc_weighted_sample",
     "q_doc_containment_pairs",
@@ -89,6 +92,13 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_doc_minhash_error",
     "q_doc_editsim_verify",
     "q_evt_salted_join",
+    # PQ family reimplemented on the Arrow kernel this round — old driver
+    # rows no longer witness the current code
+    "q_emb_ann_recall",
+    "q_emb_pq_topk",
+    "q_emb_ivfpq_topk",
+    # minhash banding refactored through _bands_from_sigs this round
+    "q_doc_minhash_portable",
     "q_min_cost_supplier",
     "q_market_share",
     "q_product_profit",
@@ -126,7 +136,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_doc_exact_dedup",
     "q_doc_fingerprint",
     "q_doc_bpe_token_count",
-    "q_doc_minhash_portable",
     "q_doc_simhash_portable",
     "q_doc_distinct_estimate",
     "q_doc_dedup_recall",
@@ -198,9 +207,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_grouping_sets",
     "q_evt_or_levels",
     "q_evt_or_levels_nyc",
-    "q_emb_ann_recall",
-    "q_emb_pq_topk",
-    "q_emb_ivfpq_topk",
     "q_evt_funnel",
     "q_evt_retention",
     "q_doc_repetition",

@@ -2583,3 +2583,57 @@ def q_doc_chunk_dedup(spark, sf_dir):
             ).alias("kept_frac"),
         )
     )
+
+
+@register(
+    "q_doc_domain_cap",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('cap|' || doc_id::VARCHAR), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rk <= 120 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN rk <= 120 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dropped,
+           MIN(CASE WHEN rk <= 120 THEN doc_id END) AS sample_kept_doc
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def q_doc_domain_cap(spark, sf_dir):
+    """Per-source frequency capping (the crawl-pipeline 'domain cap' that
+    stops one site dominating the corpus): each source keeps at most 120
+    docs, chosen by deterministic hash order (md5('cap|'||doc_id) — an
+    unbiased sample that is stable across runs and engines, unlike
+    any timestamp or insertion order). One keyed window per source —
+    state is O(1) per row at any corpus size; sources above the cap spill
+    their tail. Differs from q_doc_stratified_sample (exact per-stratum
+    FRACTION allocation): a cap is min(n, K) — small sources pass
+    untouched."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("cap|"), F.col("doc_id").cast("string"))
+              .cast("binary")),
+        F.col("doc_id"),
+    )
+    kept = F.col("rk") <= 120
+    return (
+        d.select("source", "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum((~kept).cast("long")).alias("n_dropped"),
+            F.min(F.when(kept, F.col("doc_id"))).alias("sample_kept_doc"),
+        )
+    )
