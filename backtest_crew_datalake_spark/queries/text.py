@@ -1832,7 +1832,8 @@ def q_doc_pagerank_canonical(spark, sf_dir):
         FROM vocab
     ),
     p1 AS (
-        SELECT t.arr[i] AS a, t.arr[i + 1] AS b, SUM(t.cnt) AS pair_count
+        SELECT t.arr[i] AS a, t.arr[i + 1] AS b,
+               CAST(SUM(t.cnt) AS BIGINT) AS pair_count
         FROM (SELECT cnt, string_split(TRIM(sym, '|'), '||') AS arr
               FROM w0) t,
              UNNEST(generate_series(1, LEN(t.arr) - 1)) u(i)
@@ -1849,7 +1850,8 @@ def q_doc_pagerank_canonical(spark, sf_dir):
         FROM w0 w, m1 m
     ),
     p2 AS (
-        SELECT t.arr[i] AS a, t.arr[i + 1] AS b, SUM(t.cnt) AS pair_count
+        SELECT t.arr[i] AS a, t.arr[i + 1] AS b,
+               CAST(SUM(t.cnt) AS BIGINT) AS pair_count
         FROM (SELECT cnt, string_split(TRIM(sym, '|'), '||') AS arr
               FROM w1) t,
              UNNEST(generate_series(1, LEN(t.arr) - 1)) u(i)
@@ -1866,7 +1868,8 @@ def q_doc_pagerank_canonical(spark, sf_dir):
         FROM w1 w, m2 m
     ),
     p3 AS (
-        SELECT t.arr[i] AS a, t.arr[i + 1] AS b, SUM(t.cnt) AS pair_count
+        SELECT t.arr[i] AS a, t.arr[i + 1] AS b,
+               CAST(SUM(t.cnt) AS BIGINT) AS pair_count
         FROM (SELECT cnt, string_split(TRIM(sym, '|'), '||') AS arr
               FROM w2) t,
              UNNEST(generate_series(1, LEN(t.arr) - 1)) u(i)
