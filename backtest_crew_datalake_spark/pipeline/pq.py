@@ -56,6 +56,11 @@ def _rows_to_codebook(rows, m: int, d: int):
     """(sub_id, centroid_id, centroid) rows → (m, ksub, d) float64 ndarray."""
     import numpy as np
 
+    if not rows:
+        raise ValueError(
+            "empty PQ codebook: the training corpus produced no centroids "
+            "(no vectors?) — train pq_codebooks on a non-empty corpus"
+        )
     ksub = max(r.centroid_id for r in rows) + 1
     C = np.zeros((m, ksub, d), dtype=np.float64)
     for r in rows:

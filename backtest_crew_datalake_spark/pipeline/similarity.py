@@ -226,13 +226,16 @@ def kmeans_assign(
 
     Scale shape: the centroid table collapses to ONE broadcast row holding
     a cid-sorted array of (cid, vector) structs, and the argmin runs
-    ROW-LOCALLY with higher-order functions (transform + left-fold) — the
-    corpus is never fanned out ×k, never shuffled, and never re-grouped:
-    assignment is a pure map stage appended to whatever scan produced the
-    input. Ties → lowest cid because the fold scans cids in ascending
-    order and only replaces on strictly-smaller d2. topn>1 (IVF probing)
-    sorts the k-length (d2, cid) struct array row-locally and explodes the
-    first ``topn`` — same total order as a rank window, no shuffle."""
+    ROW-LOCALLY with higher-order functions (transform + array_min over
+    (d2, cid) structs) — the corpus is never fanned out ×k, never
+    shuffled, and never re-grouped: assignment is a pure map stage
+    appended to whatever scan produced the input. Ties → lowest cid
+    because struct comparison is lexicographic, so equal d2 resolves by
+    the smaller cid. topn>1 (IVF probing) sorts the k-length (d2, cid)
+    struct array row-locally and explodes the first ``topn`` — same total
+    order as a rank window, no shuffle. An empty centroid table yields an
+    empty result (matching the pre-broadcast crossJoin behavior), not
+    NULL assignments."""
     from .dedup import spread_partitions
 
     df = spread_partitions(df, id_col)  # N×k distance evals: CPU-heavy
@@ -258,10 +261,13 @@ def kmeans_assign(
     if topn == 1:
         # array_min over (d2, cid) structs IS the argmin with ties → lowest
         # cid, and evaluates the distance array exactly once (see
-        # pq._code_expr for why not a fold).
+        # pq._codes_udf's docstring for the measured cost of the
+        # alternatives). The isNotNull filter only fires for an empty
+        # centroid table (array_min([]) is NULL) — empty in, empty out.
         return (
             df.crossJoin(cents)
             .withColumn("centroid_id", F.array_min(dstructs)["cid"])
+            .where(F.col("centroid_id").isNotNull())
             .drop("__cents")
         )
     top = F.slice(F.array_sort(dstructs), 1, topn)

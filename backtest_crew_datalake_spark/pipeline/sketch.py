@@ -121,28 +121,42 @@ def bloom_might_contain(
     m_bits: int = 4096,
     k: int = 3,
 ) -> DataFrame:
-    """Probe: ``keys`` plus a ``might_contain`` boolean (true iff ALL k bits
-    are set). The sketch side broadcasts; the probe is map-only."""
-    probes = keys.select(
-        F.col(key_col),
-        F.explode(F.array(*[
-            F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
-            for i in range(k)
-        ])).alias("bit"),
-    ).select(
-        key_col,
-        (F.col("bit") / _BLOOM_WORD).cast("long").alias("word"),
-        F.expr(f"shiftleft(cast(1 as bigint), cast(bit % {_BLOOM_WORD} as int))").alias("mask"),
-    )
-    return (
-        probes.join(F.broadcast(sketch), "word", "left")
-        .groupBy(key_col)
-        .agg(
-            F.min(
-                (F.coalesce("bits", F.lit(0))
-                 .bitwiseAND(F.col("mask")) != 0).cast("int")
-            ).cast("boolean").alias("might_contain")
+    """Probe: ``keys`` with ALL its columns (duplicates preserved) plus a
+    ``might_contain`` boolean (true iff ALL k bits are set).
+
+    The bitmap aggregates to ONE map row (bounded by construction at
+    m_bits/32 entries, independent of data scale) and broadcasts; each key
+    then tests its k bits row-locally via element_at — a pure map stage
+    appended to whatever scan produced ``keys``, no explode, no shuffle."""
+    bitmap = F.broadcast(
+        sketch.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word", "bits"))
+            ).alias("__bloom")
         )
+    )
+
+    def _bit_set(i: int):
+        bit = F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+        word = (bit / _BLOOM_WORD).cast("long")
+        # F.shiftleft only takes a Python-int shift; call_function passes
+        # the per-row column through to the SQL shiftleft
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"),
+            (bit % _BLOOM_WORD).cast("int"),
+        )
+        return (
+            F.coalesce(F.element_at(F.col("__bloom"), word), F.lit(0))
+            .bitwiseAND(mask) != 0
+        )
+
+    cond = _bit_set(0)
+    for i in range(1, k):
+        cond = cond & _bit_set(i)
+    return (
+        keys.crossJoin(bitmap)
+        .withColumn("might_contain", cond)
+        .drop("__bloom")
     )
 
 

@@ -256,13 +256,23 @@ def streaming_hll_distinct(
     merge is IDEMPOTENT — replaying a batch re-merges the same register
     maxima and the state is unchanged. The state itself is bounded at
     2^p rows regardless of stream cardinality, so the per-batch merge
-    runs through the driver (bounded, like the poller cursor) and the
-    overwrite never reads its own input. ``hll_estimate`` over the state
-    gives the running distinct estimate at any point.
+    runs through the driver (bounded, like the poller cursor).
+    ``hll_estimate`` over the state gives the running distinct estimate
+    at any point.
+
+    State commits via the same dot-prefixed tmp/bak two-rename swap as
+    writer.compact_partitions: the new registers land in a hidden tmp
+    dir, old state renames to bak, tmp renames in, bak drops. A crash in
+    any gap leaves either the old state or a recoverable bak — never a
+    half-written state dir — and the next merge restores the bak before
+    reading (idempotence alone doesn't cover that window: the crashed
+    batch is already committed in the stream checkpoint and is never
+    replayed).
 
     Returns the StreamingQuery handle.
     """
     import os
+    import shutil
 
     from pyspark.sql import functions as F
 
@@ -274,9 +284,17 @@ def streaming_hll_distinct(
         .parquet(landing_dir)
     )
 
+    parent, base = os.path.split(os.path.abspath(state_dir))
+    tmp = os.path.join(parent, f".__hll_tmp_{base}")
+    bak = os.path.join(parent, f".__hll_bak_{base}")
+
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # recovery: a crash between the two renames leaves the state dir
+        # absent but fully preserved in the bak — restore before reading
+        if not os.path.exists(state_dir) and os.path.exists(bak):
+            os.rename(bak, state_dir)
         regs = hll_build(
             batch_df.select(F.expr(key_expr).alias("__k")), "__k", p=p
         ).collect()  # bounded: at most 2^p rows
@@ -287,13 +305,19 @@ def streaming_hll_distinct(
         for r in regs:
             if r.rho > state.get(r.reg, 0):
                 state[r.reg] = r.rho
+        shutil.rmtree(tmp, ignore_errors=True)
         (
             spark.createDataFrame(
                 sorted(state.items()), "reg long, rho int"
             )
             .coalesce(1)
-            .write.mode("overwrite").parquet(state_dir)
+            .write.mode("overwrite").parquet(tmp)
         )
+        shutil.rmtree(bak, ignore_errors=True)
+        if os.path.exists(state_dir):
+            os.rename(state_dir, bak)
+        os.rename(tmp, state_dir)
+        shutil.rmtree(bak, ignore_errors=True)
 
     writer = (
         stream.writeStream.foreachBatch(_merge)

@@ -741,3 +741,25 @@ def test_streaming_hll_matches_batch_and_is_idempotent(spark, tmp_path):
     again = sorted(map(tuple, spark.read.parquet(state)
                    .select("reg", "rho").collect()))
     assert again == got
+
+    # crash-window recovery: simulate a crash between the two commit
+    # renames (state renamed to bak, tmp never swapped in) — the next
+    # merge must restore the bak BEFORE reading, so no registers from
+    # already-checkpointed batches are lost
+    import os
+
+    bak = str(tmp_path / ".__hll_bak_hstate")
+    os.rename(state, bak)
+    assert not os.path.exists(state)
+    b3 = [(u, "2024-01-03") for u in range(5)]
+    write_batch(b3, "append")
+    streaming_hll_distinct(spark, src, state, ckpt, schema, key, p=6)
+    whole3 = spark.createDataFrame(b1 + b2 + b3, schema).select(
+        F.expr(key).alias("k"))
+    want3 = sorted(map(tuple, hll_build(whole3, "k", p=6)
+                   .select(F.col("reg").cast("long"),
+                           F.col("rho").cast("int")).collect()))
+    got3 = sorted(map(tuple, spark.read.parquet(state)
+                  .select("reg", "rho").collect()))
+    assert got3 == want3          # bak restored, old registers kept
+    assert not os.path.exists(bak)
