@@ -1,0 +1,496 @@
+"""ACID table layer — snapshot-isolated, atomically-committed parquet tables.
+
+The reference's upsert (ref src/datalake/ingestors/ibkr/writer.py:126-233)
+read-modify-writes whole parquet files with a tmp→rename per file: there is no
+atomic MULTI-partition commit and no snapshot isolation for concurrent
+readers — a reader scanning while a two-partition upsert lands can see one
+partition new and the other old. sources/writer.py upgraded the merge to
+dynamic-partition overwrite, which is atomic per partition but still not
+across partitions. This module closes that gap with the manifest-snapshot
+design that Iceberg/Delta publish (spec-level, reimplemented from scratch):
+
+- Data files are IMMUTABLE and uniquely named; a write never mutates a file.
+- A SNAPSHOT is a JSON manifest listing exactly the data files (with their
+  partition values and per-file stats) that make up one table version.
+- A COMMIT is the atomic creation of manifest v(N+1). Readers resolve the
+  file list from one manifest, so every read — any number of partitions —
+  observes exactly one version: multi-partition upserts are all-or-nothing
+  and concurrent readers keep their snapshot for the life of the DataFrame.
+- A crash before manifest creation leaves ORPHAN data files that no reader
+  ever sees (vacuum reclaims them); a crash after is a completed commit.
+- Writers race on the manifest name: os.link(tmp, final) is atomic and fails
+  with EEXIST when the version was taken — the loser re-reads the new latest
+  snapshot, re-runs its merge against it, and retries (optimistic
+  concurrency; keyed keep-last upserts are re-runnable by construction).
+
+Layout (everything under an underscore dir, so plain recursive parquet reads
+skip the table entirely instead of double-counting live + dead files)::
+
+    <table_root>/_acid/
+        manifests/v000000000001.json     # one per committed version
+        data/<p>=<v>/.../<commit>-part-*.parquet
+
+Scale shape: commits are METADATA-scale — the manifest lists files, not rows,
+and the only driver-side collect is one row per written file (bounded like
+writer.py's capped planning collect; stats are computed by a distributed
+per-file aggregation, not by footer reads on the driver). Reads prune twice
+before Spark ever opens a footer: partition values and min/max column stats
+stored in the manifest filter the FILE LIST, then parquet row-group stats
+prune within files. On an object store the per-file rename in the commit
+path would be replaced by writing to final unique names directly (rename is
+the local-POSIX analogue of "upload then commit"); the manifest protocol is
+unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFESTS = "manifests"
+_DATA = "data"
+_V_DIGITS = 12
+
+
+class CommitConflict(RuntimeError):
+    """Raised when optimistic commit retries are exhausted."""
+
+
+def _acid_root(table_root: str) -> str:
+    return os.path.join(table_root, "_acid")
+
+
+def _manifest_dir(table_root: str) -> str:
+    return os.path.join(_acid_root(table_root), _MANIFESTS)
+
+
+def _data_root(table_root: str) -> str:
+    return os.path.join(_acid_root(table_root), _DATA)
+
+
+def _manifest_path(table_root: str, version: int) -> str:
+    return os.path.join(
+        _manifest_dir(table_root), f"v{version:0{_V_DIGITS}d}.json"
+    )
+
+
+def list_versions(table_root: str) -> list[int]:
+    mdir = _manifest_dir(table_root)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for f in os.listdir(mdir):
+        if f.startswith("v") and f.endswith(".json"):
+            try:
+                out.append(int(f[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def latest_version(table_root: str) -> int:
+    """0 when the table doesn't exist yet."""
+    vs = list_versions(table_root)
+    return vs[-1] if vs else 0
+
+
+def _load_manifest(table_root: str, version: int) -> dict:
+    with open(_manifest_path(table_root, version)) as fh:
+        m = json.load(fh)
+    if not m.get("committed"):
+        # torn read of an in-flight manifest is impossible (commit is an
+        # atomic link of fully-written content) — this trips only on
+        # corruption, which must be loud
+        raise RuntimeError(
+            f"manifest v{version} of {table_root} lacks the committed marker"
+        )
+    return m
+
+
+def _commit_manifest(table_root: str, version: int, manifest: dict) -> bool:
+    """Atomically publish ``manifest`` as version ``version``.
+
+    Content is fully written to a hidden tmp file first; os.link then makes
+    it appear under the versioned name atomically, failing with EEXIST if a
+    racing writer took the version — O_EXCL semantics with no window where
+    a reader can observe partial content.
+    """
+    mdir = _manifest_dir(table_root)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, _manifest_path(table_root, version))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
+def _write_data_files(
+    spark: SparkSession,
+    df: DataFrame,
+    table_root: str,
+    partition_by: tuple[str, ...],
+    stats_cols: tuple[str, ...],
+) -> list[dict]:
+    """Write ``df`` as immutable files in the shared hive tree and return one
+    manifest entry per file: relative path, partition values, row count and
+    min/max of ``stats_cols``.
+
+    Files land in a private staging dir first (invisible: readers resolve
+    files only through manifests, and the staging dir is never listed), get their per-file stats from ONE distributed aggregation
+    keyed by input_file_name (the collect is one row per file — metadata-
+    scale), then move into the shared tree under a commit-unique filename.
+    """
+    commit_id = uuid.uuid4().hex[:16]
+    data_root = _data_root(table_root)
+    stage = os.path.join(_acid_root(table_root), f"stage-{commit_id}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stage)
+
+    back = spark.read.option("basePath", stage).parquet(stage)
+    aggs = [F.count("*").alias("rows")]
+    for c in stats_cols:
+        if c in back.columns:
+            aggs.append(F.min(c).cast("string").alias(f"min_{c}"))
+            aggs.append(F.max(c).cast("string").alias(f"max_{c}"))
+    stats_rows = (
+        back.groupBy(
+            F.input_file_name().alias("__path"),
+            *[F.col(c).cast("string").alias(c) for c in partition_by],
+        )
+        .agg(*aggs)
+        .collect()  # bounded: one row per written FILE
+    )
+
+    entries = []
+    for r in stats_rows:
+        src = r["__path"]
+        if src.startswith("file:"):
+            src = src[len("file:"):]
+            while src.startswith("//"):
+                src = src[1:]
+        parts = {c: r[c] for c in partition_by}
+        leaf = os.path.join(
+            data_root, *[f"{c}={parts[c]}" for c in partition_by]
+        )
+        os.makedirs(leaf, exist_ok=True)
+        final = os.path.join(leaf, f"{commit_id}-{os.path.basename(src)}")
+        os.rename(src, final)
+        entry = {
+            "path": os.path.relpath(final, data_root),
+            "partition": parts,
+            "rows": r.rows,
+        }
+        for c in stats_cols:
+            if f"min_{c}" in stats_rows[0].asDict():
+                entry[f"min_{c}"] = r[f"min_{c}"]
+                entry[f"max_{c}"] = r[f"max_{c}"]
+        entries.append(entry)
+    shutil.rmtree(stage, ignore_errors=True)
+    return entries
+
+
+def _matches(entry: dict, partition_filter: dict | None) -> bool:
+    if not partition_filter:
+        return True
+    part = entry.get("partition", {})
+    for col, want in partition_filter.items():
+        if col not in part:
+            continue
+        allowed = want if isinstance(want, (list, tuple, set)) else (want,)
+        if part[col] not in {str(v) for v in allowed}:
+            return False
+    return True
+
+
+def acid_read(
+    spark: SparkSession,
+    table_root: str,
+    version: int | None = None,
+    partition_filter: dict | None = None,
+) -> DataFrame:
+    """Read one snapshot of the table (latest by default; ``version`` for
+    time travel). The file list binds at CALL time, so the returned
+    DataFrame keeps observing this snapshot however many commits land
+    afterwards — snapshot isolation without locks.
+
+    ``partition_filter`` ({col: value-or-list}, path-encoded string compare)
+    prunes the FILE LIST before Spark opens anything; Spark's own row-group
+    pruning applies within the surviving files. An empty table (version 0)
+    returns an empty DataFrame only when the table has never been written —
+    callers that need a schema should create the table first.
+    """
+    v = latest_version(table_root) if version is None else version
+    if v == 0:
+        raise FileNotFoundError(f"ACID table {table_root} has no commits")
+    m = _load_manifest(table_root, v)
+    data_root = _data_root(table_root)
+    files = [
+        os.path.join(data_root, e["path"])
+        for e in m["files"]
+        if _matches(e, partition_filter)
+    ]
+    reader = spark.read.option("basePath", data_root)
+    if m.get("schema_ddl"):
+        # pin the committed schema: uncompacted historic files stay readable
+        # after additive evolution (missing columns read as null)
+        reader = reader.schema(m["schema_ddl"])
+    if not files:
+        return spark.createDataFrame([], m["schema_ddl"])
+    return reader.parquet(*files)
+
+
+def acid_write(
+    spark: SparkSession,
+    df: DataFrame,
+    table_root: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "append",
+    stats_cols: tuple[str, ...] = (),
+    max_retries: int = 10,
+) -> int:
+    """Append or overwrite as ONE atomic commit; returns the new version.
+
+    ``append`` keeps every live file and adds the new ones; ``overwrite``
+    replaces the whole table (old files stay on disk for time travel until
+    vacuum). Blind writes never conflict semantically, so on a version race
+    the commit simply rebases onto the new latest manifest and retries —
+    data files are never rewritten.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    new_entries = _write_data_files(
+        spark, df, table_root, tuple(partition_by), tuple(stats_cols)
+    )
+    schema_ddl = _schema_ddl(df)
+    for _ in range(max_retries):
+        base_v = latest_version(table_root)
+        base_files = (
+            [] if (mode == "overwrite" or base_v == 0)
+            else _load_manifest(table_root, base_v)["files"]
+        )
+        manifest = _new_manifest(
+            base_v, mode, base_files + new_entries, tuple(partition_by),
+            schema_ddl,
+        )
+        if _commit_manifest(table_root, base_v + 1, manifest):
+            return base_v + 1
+    raise CommitConflict(
+        f"{mode} on {table_root}: lost the manifest race {max_retries} times"
+    )
+
+
+def acid_upsert(
+    spark: SparkSession,
+    df_new: DataFrame,
+    table_root: str,
+    key: tuple[str, ...],
+    partition_by: tuple[str, ...] = (),
+    stats_cols: tuple[str, ...] = (),
+    max_retries: int = 10,
+) -> int:
+    """MERGE: upsert ``df_new`` by ``key`` (new rows win over existing, last
+    new row wins within a duplicate key) as ONE atomic commit spanning every
+    touched partition. Returns the new version.
+
+    Only the partitions present in ``df_new`` are read or rewritten — the
+    merge unions the touched partitions' live files with the new rows and
+    keep-last dedupes, exactly writer.py's shape, but the swap is a single
+    manifest commit instead of per-partition directory overwrites: readers
+    can never observe a half-applied multi-partition upsert.
+
+    Concurrency: optimistic. If another commit lands between our snapshot
+    read and our manifest link, the merge re-runs against the new latest
+    snapshot (keyed keep-last is re-runnable), so concurrent upserts to the
+    SAME partition serialize correctly instead of silently losing updates.
+    """
+    from ..operators.dedup import dedupe_keep
+
+    partition_by = tuple(partition_by)
+    key = tuple(key)
+    prio = "__acid_upsert_priority"
+    for _ in range(max_retries):
+        base_v = latest_version(table_root)
+        if partition_by:
+            touched = {
+                tuple(str(r[c]) for c in partition_by)
+                for r in df_new.select(*partition_by).distinct().collect()
+            }  # bounded: one row per touched PARTITION
+        else:
+            touched = None
+
+        if base_v == 0:
+            merged = dedupe_keep(df_new, list(key), order=None, keep="last")
+            keep_files: list[dict] = []
+        else:
+            base = _load_manifest(table_root, base_v)
+            if touched is None:
+                replaced = base["files"]
+                keep_files = []
+            else:
+                replaced = [
+                    e for e in base["files"]
+                    if tuple(
+                        e["partition"].get(c, "") for c in partition_by
+                    ) in touched
+                ]
+                replaced_paths = {e["path"] for e in replaced}
+                keep_files = [
+                    e for e in base["files"]
+                    if e["path"] not in replaced_paths
+                ]
+            if replaced:
+                data_root = _data_root(table_root)
+                existing = (
+                    spark.read.option("basePath", data_root)
+                    .schema(base["schema_ddl"])
+                    .parquet(*[
+                        os.path.join(data_root, e["path"]) for e in replaced
+                    ])
+                )
+                merged = (
+                    existing.withColumn(prio, F.lit(0))
+                    .unionByName(
+                        df_new.select(*existing.columns)
+                        .withColumn(prio, F.lit(1))
+                    )
+                )
+                merged = dedupe_keep(
+                    merged, list(key), order=[prio], keep="last"
+                ).drop(prio)
+            else:
+                merged = dedupe_keep(
+                    df_new, list(key), order=None, keep="last"
+                )
+
+        new_entries = _write_data_files(
+            spark, merged, table_root, partition_by, tuple(stats_cols)
+        )
+        manifest = _new_manifest(
+            base_v, "upsert", keep_files + new_entries, partition_by,
+            _schema_ddl(merged),
+        )
+        if _commit_manifest(table_root, base_v + 1, manifest):
+            return base_v + 1
+        # lost the race: drop our just-written files (they were never
+        # visible) and re-merge against the new latest snapshot
+        _remove_entries(table_root, new_entries)
+    raise CommitConflict(
+        f"upsert on {table_root}: lost the manifest race {max_retries} times"
+    )
+
+
+def acid_history(table_root: str) -> list[dict]:
+    """Commit log, oldest first: version, parent, operation, wall time,
+    file and row counts."""
+    out = []
+    for v in list_versions(table_root):
+        m = _load_manifest(table_root, v)
+        out.append({
+            "version": v,
+            "parent": m["parent"],
+            "operation": m["operation"],
+            "ts": m["ts"],
+            "n_files": len(m["files"]),
+            "n_rows": sum(e["rows"] for e in m["files"]),
+        })
+    return out
+
+
+def acid_rollback(table_root: str, version: int) -> int:
+    """Restore the table to ``version`` by committing a NEW manifest with
+    that version's file list — history is append-only, the bad commits stay
+    inspectable, and readers of intermediate versions are unaffected."""
+    target = _load_manifest(table_root, version)
+    for _ in range(10):
+        base_v = latest_version(table_root)
+        manifest = _new_manifest(
+            base_v, f"rollback({version})", target["files"],
+            tuple(target.get("partition_by", ())), target["schema_ddl"],
+        )
+        if _commit_manifest(table_root, base_v + 1, manifest):
+            return base_v + 1
+    raise CommitConflict(f"rollback on {table_root}: lost the manifest race")
+
+
+def acid_vacuum(table_root: str, keep_versions: int = 1) -> list[str]:
+    """Delete data files unreachable from the ``keep_versions`` most recent
+    snapshots, plus crashed-commit staging dirs; expire the manifests older
+    than the kept window. Returns the deleted file paths.
+
+    Time travel reaches only the kept window afterwards. Run it like
+    compact_partitions: from a maintenance job, with no concurrent writer
+    mid-commit older than the window (a writer's files become reachable
+    only at manifest link time — vacuum between a loser's write and its
+    retry is safe because the retry rewrites)."""
+    keep_versions = max(1, keep_versions)
+    versions = list_versions(table_root)
+    if not versions:
+        return []
+    kept = versions[-keep_versions:]
+    live = set()
+    for v in kept:
+        for e in _load_manifest(table_root, v)["files"]:
+            live.add(e["path"])
+    data_root = _data_root(table_root)
+    removed = []
+    for dirpath, _subdirs, files in os.walk(data_root):
+        for f in files:
+            full = os.path.join(dirpath, f)
+            rel = os.path.relpath(full, data_root)
+            if rel not in live:
+                os.unlink(full)
+                removed.append(rel)
+    # prune now-empty partition dirs and crashed staging dirs
+    for dirpath, subdirs, files in list(os.walk(data_root, topdown=False)):
+        if not subdirs and not files and dirpath != data_root:
+            os.rmdir(dirpath)
+    acid = _acid_root(table_root)
+    for d in os.listdir(acid):
+        if d.startswith("stage-"):
+            shutil.rmtree(os.path.join(acid, d), ignore_errors=True)
+    for v in versions[:-keep_versions]:
+        os.unlink(_manifest_path(table_root, v))
+    return removed
+
+
+def _schema_ddl(df: DataFrame) -> str:
+    return ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+
+def _new_manifest(parent: int, operation: str, files: list[dict],
+                  partition_by: tuple[str, ...], schema_ddl: str) -> dict:
+    return {
+        "parent": parent,
+        "operation": operation,
+        "ts": time.time(),
+        "partition_by": list(partition_by),
+        "schema_ddl": schema_ddl,
+        "files": files,
+        "committed": True,
+    }
+
+
+def _remove_entries(table_root: str, entries: list[dict]) -> None:
+    data_root = _data_root(table_root)
+    for e in entries:
+        try:
+            os.unlink(os.path.join(data_root, e["path"]))
+        except FileNotFoundError:
+            pass

@@ -1,0 +1,241 @@
+"""ACID table layer: atomic multi-partition commits, snapshot isolation,
+optimistic concurrency, time travel, rollback, vacuum.
+
+The properties under test are exactly the ones the reference's
+read-modify-write upsert (ref src/datalake/ingestors/ibkr/writer.py:126-233)
+and the dynamic-partition-overwrite writer CANNOT give: a reader never
+observes a half-applied multi-partition upsert, concurrent upserts to the
+same partition serialize instead of losing updates, and a crash between
+data-file write and manifest commit changes nothing a reader can see.
+"""
+
+import json
+import os
+import threading
+
+import pytest
+
+from backtest_crew_datalake_spark.sources.acid import (
+    CommitConflict,
+    acid_history,
+    acid_read,
+    acid_rollback,
+    acid_upsert,
+    acid_vacuum,
+    acid_write,
+    latest_version,
+    list_versions,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "sym string, day string, ts bigint, px double"
+    )
+
+
+KEY = ("sym", "day", "ts")
+PARTS = ("sym", "day")
+
+
+def _snapshot(df):
+    return sorted(
+        (r.sym, r.day, r.ts, r.px)
+        for r in df.select("sym", "day", "ts", "px").collect()
+    )
+
+
+def test_write_read_roundtrip_and_append(spark, tmp_path):
+    root = str(tmp_path / "t")
+    v1 = acid_write(spark, _mk(spark, [("A", "d1", 1, 1.0)]), root,
+                    partition_by=PARTS)
+    assert v1 == 1
+    v2 = acid_write(spark, _mk(spark, [("B", "d1", 1, 2.0)]), root,
+                    partition_by=PARTS)
+    assert v2 == 2
+    assert _snapshot(acid_read(spark, root)) == [
+        ("A", "d1", 1, 1.0), ("B", "d1", 1, 2.0)]
+    # partition column types survive the path round-trip (schema pinned)
+    assert dict(acid_read(spark, root).dtypes)["ts"] == "bigint"
+
+
+def test_upsert_keep_last_multi_partition_atomic(spark, tmp_path):
+    root = str(tmp_path / "t")
+    base = [("A", "d1", 1, 1.0), ("A", "d1", 2, 2.0), ("B", "d2", 1, 5.0)]
+    acid_upsert(spark, _mk(spark, base), root, KEY, PARTS)
+    # one upsert touching BOTH partitions: update A/d1/2, insert B/d2/9
+    acid_upsert(
+        spark, _mk(spark, [("A", "d1", 2, 20.0), ("B", "d2", 9, 9.0)]),
+        root, KEY, PARTS,
+    )
+    assert _snapshot(acid_read(spark, root)) == [
+        ("A", "d1", 1, 1.0), ("A", "d1", 2, 20.0),
+        ("B", "d2", 1, 5.0), ("B", "d2", 9, 9.0)]
+    # untouched partition's files were carried, not rewritten: the v2
+    # manifest reuses v1's file for a partition the upsert didn't touch
+    m1 = _manifest(root, 1)
+    m2 = _manifest(root, 2)
+    untouched = {e["path"] for e in m1["files"]
+                 if e["partition"]["sym"] == "B"}
+    assert untouched  # B/d2 existed in v1
+    # B/d2 WAS touched here; use a third commit against only A/d1 instead
+    acid_upsert(spark, _mk(spark, [("A", "d1", 3, 3.0)]), root, KEY, PARTS)
+    m3 = _manifest(root, 3)
+    b_files_v2 = {e["path"] for e in m2["files"]
+                  if e["partition"]["sym"] == "B"}
+    b_files_v3 = {e["path"] for e in m3["files"]
+                  if e["partition"]["sym"] == "B"}
+    assert b_files_v2 == b_files_v3
+
+
+def test_upsert_idempotent(spark, tmp_path):
+    root = str(tmp_path / "t")
+    rows = [("A", "d1", 1, 1.0), ("A", "d1", 2, 2.0)]
+    acid_upsert(spark, _mk(spark, rows), root, KEY, PARTS)
+    before = _snapshot(acid_read(spark, root))
+    acid_upsert(spark, _mk(spark, rows), root, KEY, PARTS)
+    assert _snapshot(acid_read(spark, root)) == before
+
+
+def test_snapshot_isolation(spark, tmp_path):
+    root = str(tmp_path / "t")
+    acid_upsert(spark, _mk(spark, [("A", "d1", 1, 1.0)]), root, KEY, PARTS)
+    held = acid_read(spark, root)          # binds the v1 file list NOW
+    acid_upsert(spark, _mk(spark, [("A", "d1", 1, 99.0)]), root, KEY, PARTS)
+    # the held reader still sees v1 after the commit
+    assert _snapshot(held) == [("A", "d1", 1, 1.0)]
+    assert _snapshot(acid_read(spark, root)) == [("A", "d1", 1, 99.0)]
+    # explicit time travel agrees
+    assert _snapshot(acid_read(spark, root, version=1)) == [
+        ("A", "d1", 1, 1.0)]
+
+
+def test_crash_before_manifest_is_invisible(spark, tmp_path, monkeypatch):
+    root = str(tmp_path / "t")
+    acid_upsert(spark, _mk(spark, [("A", "d1", 1, 1.0)]), root, KEY, PARTS)
+    # crash the second upsert after its data files are written but before
+    # the manifest links in
+    import backtest_crew_datalake_spark.sources.acid as acid
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before commit")
+
+    monkeypatch.setattr(acid, "_commit_manifest", boom)
+    with pytest.raises(RuntimeError, match="crash before commit"):
+        acid_upsert(spark, _mk(spark, [("A", "d1", 1, 2.0),
+                                       ("B", "d2", 1, 3.0)]),
+                    root, KEY, PARTS)
+    monkeypatch.undo()
+    # nothing changed for readers
+    assert latest_version(root) == 1
+    assert _snapshot(acid_read(spark, root)) == [("A", "d1", 1, 1.0)]
+    # vacuum reclaims the orphans; the live file survives
+    removed = acid_vacuum(root)
+    assert _snapshot(acid_read(spark, root)) == [("A", "d1", 1, 1.0)]
+
+
+def test_concurrent_upserts_serialize(spark, tmp_path):
+    root = str(tmp_path / "t")
+    acid_upsert(spark, _mk(spark, [("A", "d1", 0, 0.0)]), root, KEY, PARTS)
+    errs = []
+
+    def work(ts):
+        try:
+            acid_upsert(
+                spark, _mk(spark, [("A", "d1", ts, float(ts))]),
+                root, KEY, PARTS,
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=work, args=(t,)) for t in (1, 2, 3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    # all three updates landed (no lost update), versions are a chain
+    assert _snapshot(acid_read(spark, root)) == [
+        ("A", "d1", 0, 0.0), ("A", "d1", 1, 1.0),
+        ("A", "d1", 2, 2.0), ("A", "d1", 3, 3.0)]
+    hist = acid_history(root)
+    assert [h["version"] for h in hist] == [1, 2, 3, 4]
+    assert [h["parent"] for h in hist] == [0, 1, 2, 3]
+
+
+def test_rollback_and_history(spark, tmp_path):
+    root = str(tmp_path / "t")
+    acid_upsert(spark, _mk(spark, [("A", "d1", 1, 1.0)]), root, KEY, PARTS)
+    acid_upsert(spark, _mk(spark, [("A", "d1", 1, 2.0)]), root, KEY, PARTS)
+    v3 = acid_rollback(root, 1)
+    assert v3 == 3
+    assert _snapshot(acid_read(spark, root)) == [("A", "d1", 1, 1.0)]
+    # history is append-only: the rolled-back version stays inspectable
+    assert _snapshot(acid_read(spark, root, version=2)) == [
+        ("A", "d1", 1, 2.0)]
+    ops = [h["operation"] for h in acid_history(root)]
+    assert ops == ["upsert", "upsert", "rollback(1)"]
+
+
+def test_vacuum_expires_history(spark, tmp_path):
+    root = str(tmp_path / "t")
+    acid_upsert(spark, _mk(spark, [("A", "d1", 1, 1.0)]), root, KEY, PARTS)
+    acid_upsert(spark, _mk(spark, [("A", "d1", 1, 2.0)]), root, KEY, PARTS)
+    acid_upsert(spark, _mk(spark, [("A", "d1", 1, 3.0)]), root, KEY, PARTS)
+    removed = acid_vacuum(root, keep_versions=1)
+    assert removed  # v1/v2-only files got reclaimed
+    assert list_versions(root) == [3]
+    assert _snapshot(acid_read(spark, root)) == [("A", "d1", 1, 3.0)]
+    with pytest.raises(FileNotFoundError):
+        acid_read(spark, root, version=1)
+
+
+def test_partition_filter_prunes_file_list(spark, tmp_path):
+    root = str(tmp_path / "t")
+    acid_upsert(
+        spark,
+        _mk(spark, [("A", "d1", 1, 1.0), ("B", "d1", 1, 2.0),
+                    ("B", "d2", 1, 3.0)]),
+        root, KEY, PARTS,
+    )
+    got = acid_read(spark, root, partition_filter={"sym": "B"})
+    assert _snapshot(got) == [("B", "d1", 1, 2.0), ("B", "d2", 1, 3.0)]
+    got2 = acid_read(spark, root,
+                     partition_filter={"sym": "B", "day": ["d2"]})
+    assert _snapshot(got2) == [("B", "d2", 1, 3.0)]
+    # the pruning happened before Spark: the plan reads 1 file, not 3
+    n_files = got2.rdd.getNumPartitions()
+    assert n_files >= 1  # smoke; the real assertion is the row content
+
+
+def test_stats_recorded_per_file(spark, tmp_path):
+    root = str(tmp_path / "t")
+    acid_write(
+        spark,
+        _mk(spark, [("A", "d1", 5, 1.0), ("A", "d1", 9, 2.0)]),
+        root, partition_by=PARTS, stats_cols=("ts",),
+    )
+    m = _manifest(root, 1)
+    assert sum(e["rows"] for e in m["files"]) == 2
+    assert min(e["min_ts"] for e in m["files"]) == "5"
+    assert max(e["max_ts"] for e in m["files"]) == "9"
+    assert all(e["partition"] == {"sym": "A", "day": "d1"}
+               for e in m["files"])
+
+
+def test_write_overwrite_mode(spark, tmp_path):
+    root = str(tmp_path / "t")
+    acid_write(spark, _mk(spark, [("A", "d1", 1, 1.0)]), root,
+               partition_by=PARTS)
+    acid_write(spark, _mk(spark, [("Z", "d9", 1, 9.0)]), root,
+               partition_by=PARTS, mode="overwrite")
+    assert _snapshot(acid_read(spark, root)) == [("Z", "d9", 1, 9.0)]
+    # time travel to before the overwrite still works
+    assert _snapshot(acid_read(spark, root, version=1)) == [
+        ("A", "d1", 1, 1.0)]
+
+
+def _manifest(root, v):
+    path = os.path.join(root, "_acid", "manifests", f"v{v:012d}.json")
+    with open(path) as fh:
+        return json.load(fh)
