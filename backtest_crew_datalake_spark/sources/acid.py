@@ -194,6 +194,7 @@ def _write_data_files(
             "path": os.path.relpath(final, data_root),
             "partition": parts,
             "rows": r.rows,
+            "bytes": os.path.getsize(final),
         }
         for c in stats_cols:
             if f"min_{c}" in stats_rows[0].asDict():
@@ -362,11 +363,16 @@ def acid_upsert(
                         os.path.join(data_root, e["path"]) for e in replaced
                     ])
                 )
+                # additive schema evolution: columns only one side has are
+                # null-filled on the other (same-name type conflicts fail
+                # loudly in the union); the commit records the WIDENED
+                # schema, and acid_read pins it so untouched partitions'
+                # old files read the new columns as null
                 merged = (
                     existing.withColumn(prio, F.lit(0))
                     .unionByName(
-                        df_new.select(*existing.columns)
-                        .withColumn(prio, F.lit(1))
+                        df_new.withColumn(prio, F.lit(1)),
+                        allowMissingColumns=True,
                     )
                 )
                 merged = dedupe_keep(
@@ -391,6 +397,77 @@ def acid_upsert(
         _remove_entries(table_root, new_entries)
     raise CommitConflict(
         f"upsert on {table_root}: lost the manifest race {max_retries} times"
+    )
+
+
+def acid_compact(
+    spark: SparkSession,
+    table_root: str,
+    target_mb: int = 128,
+    max_retries: int = 10,
+) -> int | None:
+    """OPTIMIZE: rewrite over-fragmented partitions to ~``target_mb`` files
+    and commit the rewrite as one snapshot. Returns the new version, or
+    None when nothing needed compacting.
+
+    Unlike writer.compact_partitions (which renames directories under live
+    readers and therefore demands exclusive ownership of the lake), this
+    compaction is INVISIBLE to concurrent readers and writers: old files
+    stay until vacuum, readers keep their snapshot, and a concurrent
+    upsert that wins the version race simply makes this compaction retry
+    against the new snapshot. Data content is unchanged — row counts are
+    verified per partition before the manifest commits.
+    """
+    for _ in range(max_retries):
+        base_v = latest_version(table_root)
+        if base_v == 0:
+            return None
+        base = _load_manifest(table_root, base_v)
+        by_part: dict[tuple, list[dict]] = {}
+        for e in base["files"]:
+            pkey = tuple(sorted(e.get("partition", {}).items()))
+            by_part.setdefault(pkey, []).append(e)
+        target = target_mb * 1024 * 1024
+        todo = {
+            pkey: es for pkey, es in by_part.items()
+            if len(es) > 1 and len(es) > max(
+                1, -(-sum(e.get("bytes", 0) for e in es) // target)
+            )
+        }
+        if not todo:
+            return None
+        data_root = _data_root(table_root)
+        keep = [e for pkey, es in by_part.items() if pkey not in todo
+                for e in es]
+        new_entries: list[dict] = []
+        partition_by = tuple(base.get("partition_by", ()))
+        for pkey, es in todo.items():
+            want = max(1, -(-sum(e.get("bytes", 0) for e in es) // target))
+            part_df = (
+                spark.read.option("basePath", data_root)
+                .schema(base["schema_ddl"])
+                .parquet(*[os.path.join(data_root, e["path"]) for e in es])
+                .coalesce(want)
+            )
+            wrote = _write_data_files(
+                spark, part_df, table_root, partition_by, ()
+            )
+            if sum(w["rows"] for w in wrote) != sum(e["rows"] for e in es):
+                _remove_entries(table_root, wrote + new_entries)
+                raise RuntimeError(
+                    f"compaction row-count mismatch in {dict(pkey)} of "
+                    f"{table_root} — aborted, nothing committed"
+                )
+            new_entries.extend(wrote)
+        manifest = _new_manifest(
+            base_v, "compact", keep + new_entries, partition_by,
+            base["schema_ddl"],
+        )
+        if _commit_manifest(table_root, base_v + 1, manifest):
+            return base_v + 1
+        _remove_entries(table_root, new_entries)
+    raise CommitConflict(
+        f"compact on {table_root}: lost the manifest race {max_retries} times"
     )
 
 

@@ -328,3 +328,55 @@ def streaming_hll_distinct(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def streaming_acid_upsert(
+    spark: SparkSession,
+    landing_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    schema: str,
+    key: tuple[str, ...],
+    partition_by: tuple[str, ...] = (),
+    available_now: bool = True,
+):
+    """Continuous MERGE into an ACID table: each micro-batch upserts into
+    ``table_root`` via sources/acid.acid_upsert — the streaming Delta
+    `MERGE INTO` analogue, with no table-format dependency.
+
+    Exactly-once EFFECT from at-least-once foreachBatch, with no batch_id
+    bookkeeping: keyed keep-last upsert is idempotent (replaying a batch
+    re-merges the same keys to the same values — a new version whose CONTENT
+    equals the previous one), and each batch's multi-partition merge is one
+    atomic manifest commit, so a crash mid-batch leaves the table at the
+    previous snapshot and the replay completes it. Readers polling the table
+    between batches always see a complete snapshot, never a half-applied
+    batch. CROSS-batch ordering of updates to the same key is preserved by
+    the stream checkpoint (replays re-run the same batch boundaries in
+    order), not by the merge — within one batch, the last row per key by
+    deterministic tie-break wins, as in every keyed upsert here.
+
+    Returns the StreamingQuery handle.
+    """
+    from ..sources.acid import acid_upsert
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(landing_dir)
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        acid_upsert(spark, batch_df, table_root, key, partition_by)
+
+    writer = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
