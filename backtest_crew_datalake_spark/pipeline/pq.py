@@ -189,7 +189,16 @@ def pq_codebooks(
             "sub_id", "centroid_id",
             F.coalesce(F.col("__nv"), F.col("centroid")).alias("centroid"),
         )
-    return cb
+    # materialize the FINAL codebook literal too: every consumer
+    # (pq_encode's kernel collect, the ADC LUT's broadcast join) then works
+    # from a local relation instead of re-running the last Lloyd round —
+    # one m·ksub-row collect here deletes one corpus-pass job per consumer
+    rows = cb.select("sub_id", "centroid_id", "centroid").collect()
+    return spark.createDataFrame(
+        [(r.sub_id, r.centroid_id, [float(x) for x in r.centroid])
+         for r in rows],
+        "sub_id int, centroid_id int, centroid array<double>",
+    )
 
 
 def pq_encode(
@@ -301,8 +310,18 @@ def ivf_pq_topk(
 
     from .similarity import kmeans_assign, kmeans_centroids
 
+    # The coarse centroids feed THREE consumers (corpus assignment, query
+    # probing, residual centering) and the assigned corpus feeds three more
+    # (codebook seeds, the Lloyd round, encode + final scoring) — without a
+    # checkpoint each consumer's action re-runs the whole upstream Lloyd
+    # pipeline (measured: ~39 Spark jobs per query, ~3× recompute of the
+    # corpus pass). localCheckpoint(eager=False) materializes each subtree
+    # once at first use: cent is nlist rows; enc_corpus is one cached pass
+    # over the corpus — the same working-set cache every iterative ANN
+    # index build holds, and the same discipline as the Lloyd loops.
     cent = kmeans_centroids(corpus, k=nlist, iters=iters,
                             id_col=id_col, vec_col=vec_col)
+    cent = cent.localCheckpoint(eager=False)
     # Row-local assignment (see kmeans_assign) keeps the list id ON the
     # corpus row, and row-local pq_encode passes it through — so the
     # encoded+listed candidate table comes out of ONE map pass over the
@@ -328,6 +347,7 @@ def ivf_pq_topk(
         enc_corpus = assigned.select(
             F.col(id_col), F.col("centroid_id").alias("list_id"), vec_col
         )
+    enc_corpus = enc_corpus.localCheckpoint(eager=False)
 
     cb = pq_codebooks(enc_corpus, m=m, ksub=ksub, iters=iters, dim=dim,
                       id_col=id_col, vec_col=vec_col)
