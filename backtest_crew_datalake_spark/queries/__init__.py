@@ -75,6 +75,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # -- (a) wrong in CORRECTNESS_r05 (HUGEINT oracle widening, fixed this
     #    round): must re-prove under the driver gate first
     "q_doc_bpe_merges",
+    # -- NEW this round: need first driver rows
+    "q_doc_char_entropy",
+    "q_doc_zipf_fit",
     # -- (b) last driver row is round 3 (the oldest evidence in the catalog)
     "q_doc_quality",
     "q_doc_lang_id",

@@ -2239,6 +2239,9 @@ def q_doc_minhash_error(spark, sf_dir):
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+        # three consumers (estimate join, candidate-id semi-join, exact
+        # intersection) — compute the banded self-join once
+        .localCheckpoint(eager=False)
     )
     a = sigs.select(
         F.col("id").alias("id_a"),
@@ -2263,6 +2266,10 @@ def q_doc_minhash_error(spark, sf_dir):
     sh = (
         spread_partitions(d.join(cand_ids, "doc_id", "left_semi"), "doc_id")
         .select("doc_id", F.explode(_shingles("text", 3)).alias("sh"))
+        # three consumers (sizes, both sides of the intersection) — the
+        # candidate-doc shingle explode is the blocked-verify working set;
+        # materialize it once
+        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # pair-first intersection (the oracle's own shape): expand candidate
@@ -2466,6 +2473,10 @@ def q_doc_containment_pairs(spark, sf_dir):
     sh = (
         spread_partitions(d.join(cand_ids, "doc_id", "left_semi"), "doc_id")
         .select("doc_id", F.explode(_shingles("text", 3)).alias("sh"))
+        # three consumers (sizes, both sides of the intersection) — the
+        # candidate-doc shingle explode is the blocked-verify working set;
+        # materialize it once
+        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # pair-first intersection (the oracle's own shape): expand candidate
@@ -2639,4 +2650,118 @@ def q_doc_domain_cap(spark, sf_dir):
             F.sum((~kept).cast("long")).alias("n_dropped"),
             F.min(F.when(kept, F.col("doc_id"))).alias("sample_kept_doc"),
         )
+    )
+
+
+@register(
+    "q_doc_char_entropy",
+    oracle=r"""
+    WITH ch AS (
+        SELECT doc_id, source, substr(text, i, 1) AS ch
+        FROM documents, UNNEST(generate_series(1, LEN(text))) u(i)
+    ),
+    freq AS (
+        SELECT doc_id, source, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2, 3
+    ),
+    ent AS (
+        SELECT doc_id, source,
+               log2(SUM(c)) - SUM(c * log2(c)) / SUM(c) AS h
+        FROM freq GROUP BY 1, 2
+    )
+    SELECT source,
+           ROUND(AVG(h), 4) AS avg_entropy,
+           ROUND(MIN(h), 4) AS min_entropy,
+           ROUND(MAX(h), 4) AS max_entropy,
+           CAST(SUM(CASE WHEN h < 4.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_low
+    FROM ent GROUP BY 1
+    """,
+)
+def q_doc_char_entropy(spark, sf_dir):
+    """Character-entropy quality signal (the C4/Gopher-family 'is this
+    natural text or generator junk' filter): per-doc Shannon entropy of
+    the character distribution via the shuffle-friendly identity
+    H = log2(N) − Σ c·log2(c) / N — ONE keyed aggregation per level, no
+    per-doc normalization join — then per-source stats and a count of
+    low-entropy (< 4.0 bits) documents. English prose sits ~4.1-4.3 bits;
+    boilerplate and repeated-token junk fall well below. Scale shape:
+    explode → two keyed aggs, all map-side-combinable."""
+    d = load(spark, sf_dir, "documents")
+    ch = (
+        d.select("doc_id", "source", F.explode(F.split("text", "")).alias("ch"))
+        .where(F.col("ch") != "")
+    )
+    freq = ch.groupBy("doc_id", "source", "ch").agg(F.count("*").alias("c"))
+    ent = (
+        freq.groupBy("doc_id", "source")
+        .agg(F.sum("c").alias("n"),
+             F.sum(F.col("c") * F.log2("c")).alias("s"))
+        .select("doc_id", "source",
+                (F.log2("n") - F.col("s") / F.col("n")).alias("h"))
+    )
+    return ent.groupBy("source").agg(
+        F.round(F.avg("h"), 4).alias("avg_entropy"),
+        F.round(F.min("h"), 4).alias("min_entropy"),
+        F.round(F.max("h"), 4).alias("max_entropy"),
+        F.sum((F.col("h") < 4.0).cast("long")).alias("n_low"),
+    )
+
+
+@register(
+    "q_doc_zipf_fit",
+    oracle=r"""
+    WITH tok AS (
+        SELECT UNNEST(string_split_regex(TRIM(text), '\s+')) AS w
+        FROM documents
+    ),
+    vocab AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY 1),
+    top AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk
+        FROM vocab ORDER BY c DESC, w LIMIT 200
+    ),
+    pts AS (SELECT log2(rk) AS x, log2(c) AS y FROM top),
+    s AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 4) AS intercept
+    FROM s
+    """,
+)
+def q_doc_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of log2(freq)
+    on log2(rank) for the top-200 terms — the corpus-health diagnostic a
+    pretraining pipeline tracks (natural language sits near slope −1;
+    template-heavy or deduplicated-to-death corpora drift off). Scale
+    shape: one keyed vocab count, TakeOrderedAndProject for the top-k
+    (per-partition top-k, driver merge — no global sort), then the OLS
+    sums over the BOUNDED top-k via one window + one aggregation."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("c"))
+    )
+    top = vocab.orderBy(F.col("c").desc(), "w").limit(200)
+    # unpartitioned window is safe: it runs over the bounded top-k only
+    rk = F.row_number().over(Window.orderBy(F.col("c").desc(), "w"))
+    pts = top.select(F.log2(rk).alias("x"), F.log2("c").alias("y"))
+    s = pts.agg(
+        F.count("*").alias("n"), F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"), F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(slope, 4).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4)
+        .alias("intercept"),
     )
