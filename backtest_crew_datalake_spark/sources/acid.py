@@ -218,11 +218,37 @@ def _matches(entry: dict, partition_filter: dict | None) -> bool:
     return True
 
 
+def _stats_prune(entry: dict, stats_filter: dict | None) -> bool:
+    """True if the file MAY contain rows in the given ranges. ``stats_filter``
+    is {col: (lo, hi)} (either bound None for open); compares against the
+    min_/max_ column stats the writer recorded (string compare for string
+    stats, numeric when both sides parse). Files without stats for the
+    column are kept — skipping is an optimization, never a filter."""
+    if not stats_filter:
+        return True
+    for col, (lo, hi) in stats_filter.items():
+        fmin, fmax = entry.get(f"min_{col}"), entry.get(f"max_{col}")
+        if fmin is None or fmax is None:
+            continue
+        try:
+            fmin, fmax = float(fmin), float(fmax)
+            lo = None if lo is None else float(lo)
+            hi = None if hi is None else float(hi)
+        except (TypeError, ValueError):
+            pass
+        if lo is not None and fmax < lo:
+            return False
+        if hi is not None and fmin > hi:
+            return False
+    return True
+
+
 def acid_read(
     spark: SparkSession,
     table_root: str,
     version: int | None = None,
     partition_filter: dict | None = None,
+    stats_filter: dict | None = None,
 ) -> DataFrame:
     """Read one snapshot of the table (latest by default; ``version`` for
     time travel). The file list binds at CALL time, so the returned
@@ -230,10 +256,12 @@ def acid_read(
     afterwards — snapshot isolation without locks.
 
     ``partition_filter`` ({col: value-or-list}, path-encoded string compare)
-    prunes the FILE LIST before Spark opens anything; Spark's own row-group
-    pruning applies within the surviving files. An empty table (version 0)
-    returns an empty DataFrame only when the table has never been written —
-    callers that need a schema should create the table first.
+    and ``stats_filter`` ({col: (lo, hi)} against the per-file min/max the
+    writer recorded via ``stats_cols``) prune the FILE LIST before Spark
+    opens anything; Spark's own row-group pruning applies within the
+    surviving files. stats_filter is data SKIPPING, not filtering — apply
+    the predicate to the result too. An empty table (version 0) has never
+    been written; callers that need a schema should create the table first.
     """
     v = latest_version(table_root) if version is None else version
     if v == 0:
@@ -243,7 +271,7 @@ def acid_read(
     files = [
         os.path.join(data_root, e["path"])
         for e in m["files"]
-        if _matches(e, partition_filter)
+        if _matches(e, partition_filter) and _stats_prune(e, stats_filter)
     ]
     reader = spark.read.option("basePath", data_root)
     if m.get("schema_ddl"):
@@ -469,6 +497,99 @@ def acid_compact(
     raise CommitConflict(
         f"compact on {table_root}: lost the manifest race {max_retries} times"
     )
+
+
+def acid_changes(
+    spark: SparkSession,
+    table_root: str,
+    from_version: int,
+    to_version: int | None = None,
+    key: tuple[str, ...] = (),
+) -> DataFrame:
+    """Change data feed between two snapshots: every row that was inserted,
+    updated, or deleted going from ``from_version`` to ``to_version``
+    (latest by default), tagged with a ``_change_type`` column
+    ('insert' | 'update_postimage' | 'delete'). ``key`` distinguishes
+    updates from insert+delete pairs; with no key, changes are row-level
+    (any differing row shows as delete + insert).
+
+    Scale shape — the reason this lives at the manifest layer instead of
+    `new EXCEPT old`: data files are immutable, so any file listed in BOTH
+    manifests contributed identical rows to both snapshots and cancels out
+    of the diff BEFORE Spark reads anything. Only files added or removed
+    between the versions are scanned — an incremental pipeline consuming
+    the feed pays for the churn, not the table. The remaining diff is one
+    full-outer keyed join (or a two-sided EXCEPT ALL without a key).
+    """
+    to_version = (
+        latest_version(table_root) if to_version is None else to_version
+    )
+    m_old = _load_manifest(table_root, from_version)
+    m_new = _load_manifest(table_root, to_version)
+    old_paths = {e["path"] for e in m_old["files"]}
+    new_paths = {e["path"] for e in m_new["files"]}
+    data_root = _data_root(table_root)
+
+    def _read(m, paths):
+        if not paths:
+            return spark.createDataFrame([], m["schema_ddl"])
+        return (
+            spark.read.option("basePath", data_root)
+            .schema(m["schema_ddl"])
+            .parquet(*[os.path.join(data_root, p) for p in sorted(paths)])
+        )
+
+    removed = _read(m_old, old_paths - new_paths)
+    added = _read(m_new, new_paths - old_paths)
+    # schema evolution: align on the NEW schema; columns the old snapshot
+    # lacked read as null on the removed side
+    for c in [c for c in added.columns if c not in removed.columns]:
+        removed = removed.withColumn(
+            c, F.lit(None).cast(dict(added.dtypes)[c])
+        )
+    removed = removed.select(*added.columns)
+
+    if not key:
+        ins = added.exceptAll(removed).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        dele = removed.exceptAll(added).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return ins.unionByName(dele)
+
+    key = list(key)
+    vals = [c for c in added.columns if c not in key]
+    o = removed.select(
+        *key, F.struct(*vals).alias("__old") if vals else F.lit(0).alias("__old")
+    )
+    n = added.select(
+        *key, F.struct(*vals).alias("__new") if vals else F.lit(0).alias("__new")
+    )
+    j = o.join(n, key, "full_outer")
+    tag = (
+        F.when(F.col("__old").isNull(), F.lit("insert"))
+        .when(F.col("__new").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update_postimage"))
+    )
+    out = j.select(
+        *key,
+        F.coalesce("__new", "__old").alias("__row"),
+        tag.alias("_change_type"),
+    ).where(
+        # rows rewritten into a new file with IDENTICAL content are not
+        # changes — a partition rewrite carries its untouched rows along
+        (F.col("_change_type") != "update_postimage")
+        | (F.col("__old") != F.col("__new"))
+    )
+    if vals:
+        out = out.select(
+            *key, *[F.col("__row")[c].alias(c) for c in vals],
+            "_change_type",
+        )
+    else:
+        out = out.select(*key, "_change_type")
+    return out
 
 
 def acid_history(table_root: str) -> list[dict]:

@@ -315,3 +315,80 @@ def test_streaming_acid_upsert_exactly_once(spark, tmp_path):
     # rerunning the stream on the SAME checkpoint is a no-op (all committed)
     streaming_acid_upsert(spark, src, root, ckpt, schema, KEY, PARTS)
     assert _snapshot(acid_read(spark, root)) == sorted(want)
+
+
+def test_changes_feed_keyed(spark, tmp_path):
+    from backtest_crew_datalake_spark.sources.acid import acid_changes
+
+    root = str(tmp_path / "t")
+    acid_upsert(spark, _mk(spark, [("A", "d1", 1, 1.0), ("A", "d1", 2, 2.0),
+                                   ("B", "d2", 1, 5.0)]),
+                root, KEY, PARTS)
+    # v2: update A/d1/2, insert A/d1/3; B untouched
+    acid_upsert(spark, _mk(spark, [("A", "d1", 2, 20.0),
+                                   ("A", "d1", 3, 3.0)]),
+                root, KEY, PARTS)
+    ch = acid_changes(spark, root, 1, 2, key=KEY)
+    got = sorted((r.sym, r.ts, r.px, r._change_type) for r in ch.collect())
+    assert got == [
+        ("A", 2, 20.0, "update_postimage"),
+        ("A", 3, 3.0, "insert"),
+    ]
+    # carried-along rows (A/d1/1 rewritten into the new file unchanged)
+    # and untouched partitions (B) are NOT changes
+    # rowlevel (no key): delete-old + insert-new for the changed row
+    ch2 = acid_changes(spark, root, 1, 2)
+    got2 = sorted((r.sym, r.ts, r.px, r._change_type) for r in ch2.collect())
+    assert got2 == [
+        ("A", 2, 2.0, "delete"),
+        ("A", 2, 20.0, "insert"),
+        ("A", 3, 3.0, "insert"),
+    ]
+
+
+def test_changes_skips_shared_files(spark, tmp_path, monkeypatch):
+    """File-level pruning: files present in both manifests are never read."""
+    from backtest_crew_datalake_spark.sources import acid
+
+    root = str(tmp_path / "t")
+    acid_upsert(spark, _mk(spark, [("A", "d1", 1, 1.0)]), root, KEY, PARTS)
+    acid_upsert(spark, _mk(spark, [("B", "d2", 1, 2.0)]), root, KEY, PARTS)
+    m1 = _manifest(root, 1)
+    m2 = _manifest(root, 2)
+    shared = {e["path"] for e in m1["files"]} & {
+        e["path"] for e in m2["files"]}
+    assert shared  # A/d1's file is carried into v2
+    seen = []
+    orig = acid.acid_changes.__globals__["os"].path.join
+
+    real_parquet = spark.read.__class__.parquet
+
+    def spy(reader, *paths):
+        seen.extend(paths)
+        return real_parquet(reader, *paths)
+
+    monkeypatch.setattr(spark.read.__class__, "parquet", spy)
+    acid.acid_changes(spark, root, 1, 2, key=KEY).collect()
+    monkeypatch.undo()
+    for p in seen:
+        for s in shared:
+            assert not p.endswith(s), f"shared file {s} was read"
+
+
+def test_stats_filter_skips_files(spark, tmp_path):
+    root = str(tmp_path / "t")
+    acid_write(spark, _mk(spark, [("A", "d1", t, float(t))
+                                  for t in range(0, 10)]),
+               root, partition_by=PARTS, stats_cols=("ts",))
+    acid_write(spark, _mk(spark, [("A", "d1", t, float(t))
+                                  for t in range(100, 110)]),
+               root, partition_by=PARTS, stats_cols=("ts",))
+    m = _manifest(root, 2)
+    full = acid_read(spark, root)
+    pruned = acid_read(spark, root, stats_filter={"ts": (100, None)})
+    # skipping reduced the file list; the predicate still applies on read
+    got = sorted(r.ts for r in pruned.where("ts >= 100").collect())
+    assert got == list(range(100, 110))
+    n_full = len(full.inputFiles())
+    n_pruned = len(pruned.inputFiles())
+    assert n_pruned < n_full
