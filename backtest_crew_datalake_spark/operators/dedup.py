@@ -56,29 +56,37 @@ def dedupe_keep(
     would pick whichever row a task happened to see first —
     nondeterministic under shuffle, and it can diverge from the DuckDB
     oracle on conflicting duplicates.)
+
+    With ``order`` GIVEN, the same full-row serialization is appended as
+    the FINAL tiebreak: rows that tie on every order column still pick one
+    deterministic winner instead of whichever row the aggregation saw
+    last (found by the ACID model-based property test: an upsert batch
+    carrying the same key twice at equal priority returned an arbitrary
+    survivor).
     """
     if keep not in ("first", "last"):
         raise ValueError("keep must be 'first' or 'last'")
     key = list(key)
     others = [c for c in df.columns if c not in key]
     row = F.struct(*[F.col(c) for c in others])
+    # The ordering struct may hold only ORDERABLE types — a MapType
+    # non-key column in the comparison key would raise AnalysisException
+    # (maps have no ordering). Unorderable columns enter the ordering
+    # as their JSON serialization instead, keeping the winner a
+    # deterministic function of the full row.
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    det_row = [
+        F.col(c) if _orderable(fields[c]) else F.to_json(F.col(c))
+        for c in others
+    ]
     if order is None:
-        # The ordering struct may hold only ORDERABLE types — a MapType
-        # non-key column in the comparison key would raise AnalysisException
-        # (maps have no ordering). Unorderable columns enter the ordering
-        # as their JSON serialization instead, keeping the winner a
-        # deterministic function of the full row.
-        fields = {f.name: f.dataType for f in df.schema.fields}
-        ordk = (
-            F.struct(*[
-                F.col(c) if _orderable(fields[c]) else F.to_json(F.col(c))
-                for c in others
-            ])
-            if others else F.lit(0)
-        )
+        ordk = F.struct(*det_row) if others else F.lit(0)
         pick = F.min_by(row, ordk) if keep == "first" else F.max_by(row, ordk)
     else:
-        ordk = F.struct(*[F.col(c) if isinstance(c, str) else c for c in order])
+        ordk = F.struct(
+            *[F.col(c) if isinstance(c, str) else c for c in order],
+            *det_row,
+        )
         pick = F.max_by(row, ordk) if keep == "last" else F.min_by(row, ordk)
     out = df.groupBy(*key).agg(pick.alias("__row")).select(
         *key, F.col("__row.*")

@@ -755,3 +755,75 @@ def dhash_candidate_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def audio_frame_features(
+    df: DataFrame, frame_ms: int = 25
+) -> DataFrame:
+    """REAL per-frame audio features for PCM WAV payloads: the decoded
+    signal (channel-averaged, [-1, 1]) is cut into ``frame_ms`` frames and
+    each frame emits [rms, peak, zero-crossing rate, mean] — the energy/
+    voicing features an audio-data pipeline filters and segments on (the
+    MFCC predecessors computable with numpy alone; no external audio lib
+    in this container). One output row per frame; the fan-out happens
+    INSIDE the Arrow batch iterator, so a long recording never explodes a
+    binary column Spark-side. Non-WAV payloads yield no rows (decode
+    errors are a data-quality signal, surfaced by comparing input and
+    output media_id sets — same contract as gray_pixels returning None).
+    """
+    frame_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("rate", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ])
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, totals, rates, feats = [], [], [], [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    with wave.open(io.BytesIO(c or b""), "rb") as wf:
+                        nch, sw, rate, nfr = (
+                            wf.getnchannels(), wf.getsampwidth(),
+                            wf.getframerate(), wf.getnframes())
+                        raw = wf.readframes(nfr)
+                except (wave.Error, EOFError):
+                    continue
+                if sw == 1:
+                    x = np.frombuffer(raw, np.uint8).astype(np.float64)
+                    x = (x - 128.0) / 128.0
+                elif sw in (2, 4):
+                    x = np.frombuffer(raw, np.dtype(f"<i{sw}"))
+                    x = x.astype(np.float64) / float(2 ** (8 * sw - 1))
+                else:
+                    continue
+                if nch > 1:
+                    x = x[: (x.size // nch) * nch]
+                    x = x.reshape(-1, nch).mean(axis=1)
+                spf = max(1, int(rate * frame_ms / 1000))
+                n = max(1, (x.size + spf - 1) // spf) if x.size else 0
+                for i in range(n):
+                    fr = x[i * spf:(i + 1) * spf]
+                    if fr.size == 0:
+                        continue
+                    rms = float(np.sqrt(np.mean(fr * fr)))
+                    peak = float(np.max(np.abs(fr)))
+                    zcr = float(
+                        np.mean(np.signbit(fr[1:]) != np.signbit(fr[:-1]))
+                    ) if fr.size > 1 else 0.0
+                    ids.append(mid)
+                    idxs.append(i)
+                    totals.append(n)
+                    rates.append(rate)
+                    feats.append([rms, peak, zcr, float(fr.mean())])
+            if ids:  # an all-undecodable batch yields nothing (an empty
+                # pandas frame would type the list column float64 and
+                # fail Arrow conversion)
+                yield pd.DataFrame({
+                    "media_id": ids, "frame_idx": idxs, "n_frames": totals,
+                    "rate": rates, "feature": feats,
+                })
+
+    return df.mapInPandas(_frames, schema=frame_schema)

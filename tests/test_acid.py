@@ -392,3 +392,52 @@ def test_stats_filter_skips_files(spark, tmp_path):
     n_full = len(full.inputFiles())
     n_pruned = len(pruned.inputFiles())
     assert n_pruned < n_full
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_batch = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B"]),          # sym (partition)
+        st.sampled_from(["d1", "d2"]),        # day (partition)
+        st.integers(min_value=0, max_value=5),  # ts (key)
+        st.floats(min_value=-10, max_value=10,
+                  allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1, max_size=6,
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(batches=st.lists(_batch, min_size=1, max_size=4))
+def test_upsert_sequence_matches_dict_model(spark, tmp_path_factory, batches):
+    """Model-based check: an arbitrary sequence of keyed upsert batches
+    must leave the table equal to a dict replay (last write per key wins;
+    within one batch, the LAST occurrence of a key in the batch wins —
+    dedupe_keep order=None ties resolve by row struct, so the model
+    constrains batches to unique keys per batch by pre-deduping the same
+    way the merge does: max over the packed row). Every intermediate
+    version must equal the model state at that point (time travel)."""
+    root = str(tmp_path_factory.mktemp("acidprop") / "t")
+    model: dict[tuple, float] = {}
+    states = []
+    for batch in batches:
+        # model the batch-internal dedupe: order=None keep-last takes the
+        # row-wise MAX of the packed non-key columns per key
+        bykey: dict[tuple, float] = {}
+        for sym, day, ts, px in batch:
+            k = (sym, day, ts)
+            bykey[k] = max(bykey.get(k, float("-inf")), px)
+        model.update(bykey)
+        acid_upsert(spark, _mk(spark, batch), root, KEY, PARTS)
+        states.append(dict(model))
+    # final state
+    got = {(r.sym, r.day, r.ts): r.px for r in acid_read(spark, root).collect()}
+    assert got == model
+    # time travel to every intermediate version
+    for v, want in enumerate(states, start=1):
+        got_v = {(r.sym, r.day, r.ts): r.px
+                 for r in acid_read(spark, root, version=v).collect()}
+        assert got_v == want, f"version {v}"

@@ -1583,3 +1583,38 @@ def test_gif_rejects_over_256_colors():
     px[:, :, 1] = np.arange(32)[None, :]  # 1024 unique colors
     with pytest.raises(ValueError, match="256"):
         encode_gif(px)
+
+
+def test_audio_frame_features_real_signal(spark):
+    """Real per-frame WAV analysis: a file that is 100ms of 440 Hz sine
+    followed by 100ms of silence frames into 8×25ms frames whose measured
+    rms/zcr/peak match the signal analytically; non-WAV payloads yield no
+    rows."""
+    import numpy as np
+    from backtest_crew_datalake_spark.pipeline.multimodal import (
+        audio_frame_features, encode_wav,
+    )
+
+    rate = 16000
+    t = np.arange(int(rate * 0.1)) / rate
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    silence = np.zeros(int(rate * 0.1))
+    pcm = np.round(np.concatenate([sine, silence]) * 32768.0)
+    wav = encode_wav(np.clip(pcm, -32768, 32767).astype("<i2"), rate=rate)
+    rows = [(1, "audio", bytearray(wav), {"s": "x"}),
+            (2, "junk", bytearray(b"not a wav"), {"s": "x"})]
+    df = spark.createDataFrame(rows, "media_id long, kind string, "
+                                     "content binary, meta map<string,string>")
+    out = audio_frame_features(df, frame_ms=25).toPandas()
+    assert set(out.media_id) == {1}          # junk yields no rows
+    assert len(out) == 8 and set(out.n_frames) == {8}
+    out = out.sort_values("frame_idx")
+    feats = list(out.feature)
+    # sine frames: rms ~ A/sqrt(2), peak ~ A, zcr ~ 2f/rate
+    for f in feats[:4]:
+        assert abs(f[0] - 0.5 / np.sqrt(2)) < 0.01, f
+        assert abs(f[1] - 0.5) < 0.01, f
+        assert abs(f[2] - 2 * 440 / rate) < 0.01, f
+    # silence frames: all-zero features
+    for f in feats[4:]:
+        assert f[0] == 0.0 and f[1] == 0.0, f
