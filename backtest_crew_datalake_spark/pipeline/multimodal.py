@@ -294,16 +294,8 @@ def decode_png(content: bytes) -> dict:
     }
 
 
-def encode_gif(pixels: np.ndarray) -> bytes:
-    """Encode an (H, W, 3) uint8 RGB array as a GIF89a (stdlib only).
-
-    The palette is the image's unique colors (≤256 — raises otherwise;
-    feature-extraction fixtures are quantized by construction). The LZW
-    stream emits literal root codes with correct code-width growth and a
-    CLEAR before the 12-bit ceiling — valid (if uncompressed-ish) LZW any
-    conforming decoder accepts."""
-    px = np.asarray(pixels, dtype=np.uint8)
-    h, w, _ = px.shape
+def _gif_palette(px: np.ndarray):
+    """(palette-table, index-array, table-bits) for one RGB frame."""
     flat = px.reshape(-1, 3)
     palette, idx = np.unique(flat, axis=0, return_inverse=True)
     if len(palette) > 256:
@@ -312,6 +304,18 @@ def encode_gif(pixels: np.ndarray) -> bytes:
     bits = max(1, int(len(palette) - 1).bit_length())
     table = np.zeros((1 << bits, 3), np.uint8)
     table[:len(palette)] = palette
+    return table, idx, bits
+
+
+def _gif_lzw_stream(idx, bits: int) -> bytes:
+    """LZW-encode an index array as <mcs byte><sub-blocks><terminator>.
+
+    Emits literal root codes with correct code-width growth — it mirrors
+    the decoder's table growth exactly: NO entry for the first code after
+    CLEAR, one entry per code after that, width bump when the table
+    reaches the current width's ceiling (capped at 12 bits; beyond that
+    literal codes still fit, so a literal-only stream never needs a
+    mid-stream CLEAR)."""
     mcs = max(2, bits)  # LZW min code size (spec: >= 2)
     clear, eoi = 1 << mcs, (1 << mcs) + 1
 
@@ -329,11 +333,6 @@ def encode_gif(pixels: np.ndarray) -> bytes:
 
     width = mcs + 1
     put(clear, width)
-    # Mirror the decoder's table growth exactly: it adds NO entry for the
-    # first code after CLEAR, one entry per code after that, and bumps the
-    # code width when its table reaches the current width's ceiling
-    # (capped at 12 bits; beyond that literal codes still fit, so no
-    # mid-stream CLEAR is ever needed for a literal-only stream).
     table_len = eoi + 1
     first = True
     for v in idx:
@@ -352,11 +351,45 @@ def encode_gif(pixels: np.ndarray) -> bytes:
         bytes([min(255, len(out) - i)]) + bytes(out[i:i + 255])
         for i in range(0, len(out), 255)
     )
+    return bytes([mcs]) + blocks + b"\x00"
+
+
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a GIF89a (stdlib only).
+
+    The palette is the image's unique colors (≤256 — raises otherwise;
+    feature-extraction fixtures are quantized by construction)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    table, idx, bits = _gif_palette(px)
     lsd = struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1),
                       0, 0)
     imgd = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
-    return (b"GIF89a" + lsd + table.tobytes() + imgd + bytes([mcs])
-            + blocks + b"\x00" + b"\x3B")
+    return (b"GIF89a" + lsd + table.tobytes() + imgd
+            + _gif_lzw_stream(idx, bits) + b"\x3B")
+
+
+def encode_gif_anim(frames: list) -> bytes:
+    """Encode equal-sized RGB frames as an ANIMATED GIF89a: no global
+    color table; each frame carries its own local table + LZW stream —
+    the multi-frame fixture generator for the video frame-sampling path."""
+    if not frames:
+        raise ValueError("encode_gif_anim: no frames")
+    px0 = np.asarray(frames[0], dtype=np.uint8)
+    h, w, _ = px0.shape
+    parts = [b"GIF89a", struct.pack("<HHBBB", w, h, 0, 0, 0)]
+    for fr in frames:
+        px = np.asarray(fr, dtype=np.uint8)
+        if px.shape != px0.shape:
+            raise ValueError("encode_gif_anim: frame size mismatch")
+        table, idx, bits = _gif_palette(px)
+        parts.append(
+            struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x80 | (bits - 1))
+        )
+        parts.append(table.tobytes())
+        parts.append(_gif_lzw_stream(idx, bits))
+    parts.append(b"\x3B")
+    return b"".join(parts)
 
 
 def _gif_lzw_decode(data: bytes, mcs: int) -> list[int]:
@@ -459,6 +492,143 @@ def _gif_px(content: bytes) -> np.ndarray:
         else:
             raise ValueError(f"unexpected GIF block 0x{b0:02x}")
     raise ValueError("GIF contains no image data")
+
+
+def gif_frames(content: bytes):
+    """Yield every frame of a (possibly animated) GIF as an (H, W, 3)
+    uint8 canvas — real video-style frame iteration with the standard
+    animation model: frames composite onto the logical-screen canvas at
+    their (left, top) offset; a transparent index (GCE flag) leaves the
+    underlying canvas pixel; disposal 2 restores the frame region to the
+    background color, disposal 3 restores the pre-frame canvas."""
+    c = content
+    if c[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, flags, bg, _ar = struct.unpack("<HHBBB", c[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(c, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    bg_rgb = (gct[bg] if gct is not None and bg < len(gct)
+              else np.zeros(3, np.uint8))
+    canvas = np.tile(bg_rgb, (h, w, 1)).astype(np.uint8)
+    transparent = None
+    disposal = 0
+    while pos < len(c):
+        b0 = c[pos]
+        if b0 == 0x21:
+            label = c[pos + 1]
+            pos += 2
+            if label == 0xF9 and c[pos] >= 4:  # graphic control extension
+                gflags = c[pos + 1]
+                disposal = (gflags >> 2) & 0x07
+                transparent = c[pos + 4] if gflags & 0x01 else None
+            while c[pos] != 0:
+                pos += 1 + c[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            _, ix, iy, iw, ih, iflags = struct.unpack(
+                "<BHHHHB", c[pos:pos + 10])
+            pos += 10
+            table = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                table = np.frombuffer(c, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if table is None:
+                raise ValueError("GIF image with no color table")
+            mcs = c[pos]
+            pos += 1
+            chunks = []
+            while c[pos] != 0:
+                ln = c[pos]
+                chunks.append(c[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = np.array(
+                _gif_lzw_decode(b"".join(chunks), mcs), dtype=np.int64
+            )
+            if len(idx) < iw * ih:
+                raise ValueError("GIF pixel data underrun")
+            idx = idx[:iw * ih].reshape(ih, iw)
+            if iflags & 0x40:
+                order = [y for y in range(0, ih, 8)] + \
+                        [y for y in range(4, ih, 8)] + \
+                        [y for y in range(2, ih, 4)] + \
+                        [y for y in range(1, ih, 2)]
+                deint = np.empty_like(idx)
+                deint[order] = idx
+                idx = deint
+            before = canvas.copy() if disposal == 3 else None
+            region = canvas[iy:iy + ih, ix:ix + iw]
+            painted = table[idx]
+            if transparent is not None:
+                mask = idx != transparent
+                region[mask] = painted[mask]
+            else:
+                region[:] = painted
+            yield canvas.copy()
+            if disposal == 2:
+                canvas[iy:iy + ih, ix:ix + iw] = bg_rgb
+            elif disposal == 3 and before is not None:
+                canvas = before
+            transparent = None
+            disposal = 0
+        elif b0 == 0x3B:
+            return
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+
+
+def frame_sample_gif(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL video-style frame sampling: decode every frame of each
+    (animated) GIF payload, keep every ``every_n``-th frame, and emit its
+    dimensions + 64-bit perceptual dHash — the per-frame dedup/similarity
+    key a video-data pipeline buckets on. Decoding and sampling happen
+    INSIDE the Arrow batch iterator (a long animation never explodes a
+    binary column Spark-side); non-GIF payloads yield no rows (same
+    contract as audio_frame_features)."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("dhash", T.LongType()),
+    ])
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, totals, ws, hs, hashes = [], [], [], [], [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                c = bytes(c or b"")
+                if c[:6] not in (b"GIF87a", b"GIF89a"):
+                    continue
+                try:
+                    frames = list(gif_frames(c))
+                except (ValueError, IndexError, struct.error):
+                    continue
+                for i in range(0, len(frames), every_n):
+                    fr = frames[i].astype(np.float64)
+                    gray = (fr[:, :, 0] * 0.299 + fr[:, :, 1] * 0.587
+                            + fr[:, :, 2] * 0.114)
+                    ids.append(mid)
+                    idxs.append(i)
+                    totals.append(len(frames))
+                    hs.append(frames[i].shape[0])
+                    ws.append(frames[i].shape[1])
+                    v = dhash64(gray)
+                    # same two's-complement int64 mapping as media_dhash
+                    hashes.append(v - (1 << 64) if v >= (1 << 63) else v)
+            if ids:
+                yield pd.DataFrame({
+                    "media_id": ids, "frame_idx": idxs, "n_frames": totals,
+                    "width": ws, "height": hs, "dhash": hashes,
+                })
+
+    return df.mapInPandas(_sample, schema=out_schema)
 
 
 def decode_gif(content: bytes) -> dict:

@@ -1618,3 +1618,71 @@ def test_audio_frame_features_real_signal(spark):
     # silence frames: all-zero features
     for f in feats[4:]:
         assert f[0] == 0.0 and f[1] == 0.0, f
+
+
+def test_gif_animation_roundtrip_and_frame_sample(spark):
+    """Animated GIF: encode_gif_anim -> gif_frames is frame-exact; the
+    frame sampler emits every Nth frame with the same dHash the still
+    image pipeline computes; non-GIF rows yield nothing."""
+    import numpy as np
+    from backtest_crew_datalake_spark.pipeline.multimodal import (
+        dhash64, encode_gif_anim, frame_sample_gif, gif_frames,
+    )
+
+    rng = np.random.RandomState(7)
+    frames = []
+    for i in range(5):
+        # 16x12, 4-color quantized, varying per frame
+        fr = (rng.randint(0, 4, (12, 16, 3)) * 80 + i * 5).astype(np.uint8)
+        frames.append(fr)
+    payload = encode_gif_anim(frames)
+
+    got = list(gif_frames(payload))
+    assert len(got) == 5
+    for want, have in zip(frames, got):
+        assert np.array_equal(want, have)
+
+    rows = [(1, "video", bytearray(payload), {"s": "x"}),
+            (2, "junk", bytearray(b"nope"), {"s": "x"})]
+    df = spark.createDataFrame(rows, "media_id long, kind string, "
+                                     "content binary, meta map<string,string>")
+    out = frame_sample_gif(df, every_n=2).toPandas()
+    assert set(out.media_id) == {1}
+    assert sorted(out.frame_idx) == [0, 2, 4]
+    assert set(out.n_frames) == {5}
+    assert set(out.width) == {16} and set(out.height) == {12}
+    # sampled-frame hash == the still pipeline's hash of the same frame
+    for _, r in out.iterrows():
+        fr = frames[r.frame_idx].astype(np.float64)
+        g = fr[:, :, 0] * 0.299 + fr[:, :, 1] * 0.587 + fr[:, :, 2] * 0.114
+        v = dhash64(g)
+        assert r.dhash == (v - (1 << 64) if v >= (1 << 63) else v)
+
+
+def test_gif_transparency_and_disposal(spark):
+    """Animation model details: a transparent index leaves the canvas
+    pixel; disposal 2 clears the frame region to background before the
+    next frame composites."""
+    import struct as _s
+    import numpy as np
+    from backtest_crew_datalake_spark.pipeline.multimodal import (
+        _gif_lzw_stream, gif_frames,
+    )
+
+    # hand-build: 2x1 canvas, GCT [red, blue], bg=0 (red)
+    # frame1: both pixels blue; GCE disposal=2
+    # frame2: pixel0 transparent(idx0), pixel1 blue -> canvas shows
+    #         [red (restored bg, transparent), blue]
+    gct = bytes([255, 0, 0, 0, 0, 255])
+    lsd = _s.pack("<HHBBB", 2, 1, 0x80, 0, 0)
+    gce1 = bytes([0x21, 0xF9, 4, 0b00001000, 0, 0, 0, 0])  # disposal 2
+    img1 = _s.pack("<BHHHHB", 0x2C, 0, 0, 2, 1, 0)
+    s1 = _gif_lzw_stream(np.array([1, 1]), 1)
+    gce2 = bytes([0x21, 0xF9, 4, 0b00000001, 0, 0, 0, 0])  # transparent=0
+    img2 = _s.pack("<BHHHHB", 0x2C, 0, 0, 2, 1, 0)
+    s2 = _gif_lzw_stream(np.array([0, 1]), 1)
+    payload = (b"GIF89a" + lsd + gct + gce1 + img1 + s1
+               + gce2 + img2 + s2 + b"\x3B")
+    f1, f2 = list(gif_frames(payload))
+    assert f1.tolist() == [[[0, 0, 255], [0, 0, 255]]]
+    assert f2.tolist() == [[[255, 0, 0], [0, 0, 255]]]
