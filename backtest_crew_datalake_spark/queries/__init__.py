@@ -209,6 +209,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_emb_kmeans_clusters",
     "q_doc_token_stats",
     "q_multimodal_features",
+    "q_multimodal_frames",
 )
 
 

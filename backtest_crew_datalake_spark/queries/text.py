@@ -2765,3 +2765,53 @@ def q_doc_zipf_fit(spark, sf_dir):
         F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4)
         .alias("intercept"),
     )
+
+
+@register("q_multimodal_frames", oracle=None)
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling end-to-end (rows-only): every 8th document is
+    rendered into a REAL animated GIF (4 frames of 8x8 quantized pixels
+    derived from the text sha256, stdlib LZW), then
+    pipeline/multimodal.frame_sample_gif decodes the full animation with
+    the standard composition model and emits every 2nd frame's dimensions
+    + 64-bit perceptual dHash — the per-frame near-dup key a video
+    pipeline buckets on. Deterministic end to end; frame-exactness and
+    the animation model (transparency, disposal) are value-checked in
+    tests/test_pipeline.py."""
+    import hashlib as _hashlib
+
+    import numpy as _np
+    import pandas as _pd
+
+    from ..pipeline.multimodal import (
+        MEDIA_SCHEMA, encode_gif_anim, frame_sample_gif,
+    )
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") % 8 == 0) \
+        .select(F.col("doc_id").alias("media_id"), "text")
+
+    def _render(batches):
+        for pdf in batches:
+            ids, kinds, contents, metas = [], [], [], []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                seed = _hashlib.sha256((text or "").encode()).digest()
+                base = _np.frombuffer(seed * 6, dtype=_np.uint8)
+                frames = []
+                for i in range(4):
+                    px = base[i * 48:i * 48 + 8 * 8 * 3 // 4]
+                    # 8x8, 4-level quantized so the palette stays tiny
+                    fr = (_np.resize(px, (8, 8, 3)) // 64) * 80
+                    frames.append(fr.astype(_np.uint8))
+                ids.append(mid)
+                kinds.append("video")
+                contents.append(encode_gif_anim(frames))
+                metas.append({"codec": "gif"})
+            yield _pd.DataFrame({
+                "media_id": ids, "kind": kinds,
+                "content": [bytearray(c) for c in contents], "meta": metas,
+            })
+
+    media = d.mapInPandas(_render, schema=MEDIA_SCHEMA)
+    return frame_sample_gif(media, every_n=2).orderBy(
+        "media_id", "frame_idx"
+    )
