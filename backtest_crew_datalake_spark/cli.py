@@ -156,6 +156,30 @@ def _cmd_synth_ingest(a):
     print(f"ingested {a.symbols} {a.date_from}..{a.date_to} into {a.lake_root}")
 
 
+def _cmd_acid(a):
+    """ACID table maintenance: history / compact / vacuum / rollback
+    (the OPTIMIZE/VACUUM/RESTORE console surface of sources/acid.py)."""
+    from .sources.acid import (
+        acid_compact, acid_history, acid_rollback, acid_vacuum,
+    )
+
+    if a.op == "history":
+        for h in acid_history(a.table_root):
+            print(f"v{h['version']:>6} parent={h['parent']:>6} "
+                  f"{h['operation']:<14} files={h['n_files']:>5} "
+                  f"rows={h['n_rows']}")
+    elif a.op == "compact":
+        v = acid_compact(_spark(), a.table_root, target_mb=a.target_mb)
+        print(f"compacted -> v{v}" if v else "nothing to compact")
+    elif a.op == "vacuum":
+        removed = acid_vacuum(a.table_root, keep_versions=a.keep_versions)
+        print(f"removed {len(removed)} unreachable files")
+    elif a.op == "rollback":
+        if a.version is None:
+            raise SystemExit("rollback requires --version")
+        print(f"restored as v{acid_rollback(a.table_root, a.version)}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="sparklake")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -222,6 +246,15 @@ def main(argv=None):
     sp.add_argument("--date-to", required=True)
     sp.add_argument("--seed", type=int, default=42)
     sp.set_defaults(fn=_cmd_synth_ingest)
+
+    sp = sub.add_parser("acid")
+    sp.add_argument("op", choices=["history", "compact", "vacuum",
+                                   "rollback"])
+    sp.add_argument("--table-root", required=True)
+    sp.add_argument("--target-mb", type=int, default=128)
+    sp.add_argument("--keep-versions", type=int, default=2)
+    sp.add_argument("--version", type=int)
+    sp.set_defaults(fn=_cmd_acid)
 
     a = p.parse_args(argv)
     a.fn(a)

@@ -441,3 +441,66 @@ def test_upsert_sequence_matches_dict_model(spark, tmp_path_factory, batches):
         got_v = {(r.sym, r.day, r.ts): r.px
                  for r in acid_read(spark, root, version=v).collect()}
         assert got_v == want, f"version {v}"
+
+
+def test_compact_retries_after_losing_commit_race(spark, tmp_path,
+                                                  monkeypatch):
+    """A commit that lands between compaction's snapshot read and its
+    manifest link makes the compaction lose the version race, drop its
+    files, and retry against the new snapshot — no data from the
+    interleaved upsert may be lost."""
+    from backtest_crew_datalake_spark.sources import acid
+
+    root = str(tmp_path / "t")
+    for ts in range(4):
+        acid_write(spark, _mk(spark, [("A", "d1", ts, float(ts))]),
+                   root, partition_by=PARTS)
+
+    real_commit = acid._commit_manifest
+    fired = {"n": 0}
+
+    def race_once(table_root, version, manifest):
+        if fired["n"] == 0 and manifest["operation"] == "compact":
+            fired["n"] += 1
+            # interleave a real upsert that takes this version first
+            acid.acid_upsert(spark, _mk(spark, [("A", "d1", 99, 99.0)]),
+                             root, KEY, PARTS)
+        return real_commit(table_root, version, manifest)
+
+    monkeypatch.setattr(acid, "_commit_manifest", race_once)
+    v = acid.acid_compact(spark, root, target_mb=128)
+    monkeypatch.undo()
+    assert fired["n"] == 1                       # the race actually fired
+    # the retry found the upsert's rewrite had already consolidated the
+    # partition, so there was nothing left to compact — None is the
+    # correct outcome; the interleaved commit must be fully intact
+    assert v is None
+    got = _snapshot(acid_read(spark, root))
+    assert ("A", "d1", 99, 99.0) in got          # interleaved upsert kept
+    assert [r for r in got if r[2] < 4] == [
+        ("A", "d1", t, float(t)) for t in range(4)]
+    assert acid_history(root)[-1]["operation"] == "upsert"
+    # the loser's orphaned compaction files are unreachable; vacuum
+    # reclaims them without touching live data
+    acid_vacuum(root, keep_versions=1)
+    assert _snapshot(acid_read(spark, root)) == got
+
+
+def test_cli_acid_maintenance(spark, tmp_path, capsys):
+    from backtest_crew_datalake_spark.cli import main
+
+    root = str(tmp_path / "t")
+    for ts in range(3):
+        acid_write(spark, _mk(spark, [("A", "d1", ts, float(ts))]),
+                   root, partition_by=PARTS)
+    main(["acid", "history", "--table-root", root])
+    out = capsys.readouterr().out
+    assert out.count("append") == 3
+    main(["acid", "compact", "--table-root", root])
+    assert "compacted -> v4" in capsys.readouterr().out
+    main(["acid", "vacuum", "--table-root", root, "--keep-versions", "1"])
+    assert "removed" in capsys.readouterr().out
+    main(["acid", "rollback", "--table-root", root, "--version", "4"])
+    assert "restored as v5" in capsys.readouterr().out
+    assert _snapshot(acid_read(spark, root)) == [
+        ("A", "d1", t, float(t)) for t in range(3)]
