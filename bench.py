@@ -53,6 +53,9 @@ HEADLINE = [
     # scrub, the per-group HLL registers, and the blocked verify stages
     "q_emb_ivfpq_topk", "q_doc_bloom_scrub", "q_evt_hll_distinct",
     "q_doc_minhash_error", "q_doc_weighted_sample",
+    # round-6 additions: the Arrow byte-histogram entropy kernel and the
+    # bounded-top-k OLS fit
+    "q_doc_char_entropy", "q_doc_zipf_fit",
 ]
 
 
