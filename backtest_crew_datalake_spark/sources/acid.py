@@ -291,8 +291,13 @@ def acid_write(
     mode: str = "append",
     stats_cols: tuple[str, ...] = (),
     max_retries: int = 10,
+    operation: str | None = None,
 ) -> int:
     """Append or overwrite as ONE atomic commit; returns the new version.
+
+    ``operation`` overrides the manifest's operation label (defaults to
+    ``mode``) — incremental consumers ride their cursor on it so "apply"
+    and "advance" are one atomic link (pipeline/incremental.py).
 
     ``append`` keeps every live file and adds the new ones; ``overwrite``
     replaces the whole table (old files stay on disk for time travel until
@@ -313,8 +318,8 @@ def acid_write(
             else _load_manifest(table_root, base_v)["files"]
         )
         manifest = _new_manifest(
-            base_v, mode, base_files + new_entries, tuple(partition_by),
-            schema_ddl,
+            base_v, operation or mode, base_files + new_entries,
+            tuple(partition_by), schema_ddl,
         )
         if _commit_manifest(table_root, base_v + 1, manifest):
             return base_v + 1
@@ -509,9 +514,13 @@ def acid_changes(
     """Change data feed between two snapshots: every row that was inserted,
     updated, or deleted going from ``from_version`` to ``to_version``
     (latest by default), tagged with a ``_change_type`` column
-    ('insert' | 'update_postimage' | 'delete'). ``key`` distinguishes
-    updates from insert+delete pairs; with no key, changes are row-level
-    (any differing row shows as delete + insert).
+    ('insert' | 'update_preimage' | 'update_postimage' | 'delete' — the
+    Delta CDF vocabulary; updates emit BOTH images, which is what lets an
+    incremental aggregate subtract the old contribution and add the new
+    one even when the grouping value itself changed). ``key``
+    distinguishes updates from insert+delete pairs and assumes snapshots
+    are key-unique (what acid_upsert maintains); with no key, changes are
+    row-level (any differing row shows as delete + insert).
 
     Scale shape — the reason this lives at the manifest layer instead of
     `new EXCEPT old`: data files are immutable, so any file listed in BOTH
@@ -567,28 +576,31 @@ def acid_changes(
         *key, F.struct(*vals).alias("__new") if vals else F.lit(0).alias("__new")
     )
     j = o.join(n, key, "full_outer")
-    tag = (
-        F.when(F.col("__old").isNull(), F.lit("insert"))
-        .when(F.col("__new").isNull(), F.lit("delete"))
-        .otherwise(F.lit("update_postimage"))
+    pair = lambda row, typ: F.struct(  # noqa: E731
+        F.col(row).alias("r"), F.lit(typ).alias("t")
     )
-    out = j.select(
-        *key,
-        F.coalesce("__new", "__old").alias("__row"),
-        tag.alias("_change_type"),
-    ).where(
-        # rows rewritten into a new file with IDENTICAL content are not
-        # changes — a partition rewrite carries its untouched rows along
-        (F.col("_change_type") != "update_postimage")
-        | (F.col("__old") != F.col("__new"))
+    # one pass: each joined key explodes to 0 rows (carried along
+    # unchanged by a partition rewrite), 1 row (insert/delete), or 2 rows
+    # (both update images)
+    arr = (
+        F.when(F.col("__old").isNull(), F.array(pair("__new", "insert")))
+        .when(F.col("__new").isNull(), F.array(pair("__old", "delete")))
+        .when(
+            F.col("__old") != F.col("__new"),
+            F.array(pair("__old", "update_preimage"),
+                    pair("__new", "update_postimage")),
+        )
+        # typed empty array: slice a 1-element array to length 0
+        .otherwise(F.slice(F.array(pair("__old", "carried")), 1, 0))
     )
+    out = j.select(*key, F.explode(arr).alias("__c"))
     if vals:
         out = out.select(
-            *key, *[F.col("__row")[c].alias(c) for c in vals],
-            "_change_type",
+            *key, *[F.col("__c.r")[c].alias(c) for c in vals],
+            F.col("__c.t").alias("_change_type"),
         )
     else:
-        out = out.select(*key, "_change_type")
+        out = out.select(*key, F.col("__c.t").alias("_change_type"))
     return out
 
 

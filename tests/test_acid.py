@@ -504,3 +504,72 @@ def test_cli_acid_maintenance(spark, tmp_path, capsys):
     assert "restored as v5" in capsys.readouterr().out
     assert _snapshot(acid_read(spark, root)) == [
         ("A", "d1", t, float(t)) for t in range(3)]
+
+
+def test_changes_update_emits_both_images(spark, tmp_path):
+    from backtest_crew_datalake_spark.sources.acid import acid_changes
+
+    root = str(tmp_path / "t")
+    acid_upsert(spark, _mk(spark, [("A", "d1", 1, 1.0)]), root, KEY, PARTS)
+    acid_upsert(spark, _mk(spark, [("A", "d1", 1, 2.0)]), root, KEY, PARTS)
+    ch = acid_changes(spark, root, 1, 2, key=KEY)
+    got = sorted((r.px, r._change_type) for r in ch.collect())
+    assert got == [(1.0, "update_preimage"), (2.0, "update_postimage")]
+
+
+def test_incremental_agg_matches_full_recompute(spark, tmp_path):
+    from backtest_crew_datalake_spark.pipeline.incremental import (
+        incremental_agg_refresh,
+    )
+
+    src = str(tmp_path / "src")
+    mat = str(tmp_path / "mat")
+
+    def refresh():
+        return incremental_agg_refresh(
+            spark, src, mat, key=KEY, group_by=("sym",), sum_cols=("px",),
+        )
+
+    def full():
+        return sorted(
+            (r.sym, r.n_rows, round(r.sum_px, 6))
+            for r in acid_read(spark, src)
+            .groupBy("sym")
+            .agg(__import__("pyspark").sql.functions.count("*")
+                 .alias("n_rows"),
+                 __import__("pyspark").sql.functions.sum("px")
+                 .alias("sum_px"))
+            .collect()
+        )
+
+    def mat_rows():
+        return sorted(
+            (r.sym, r.n_rows, round(r.sum_px, 6))
+            for r in acid_read(spark, mat).collect()
+        )
+
+    # first refresh: full materialization
+    acid_upsert(spark, _mk(spark, [("A", "d1", 1, 1.0), ("A", "d1", 2, 2.0),
+                                   ("B", "d2", 1, 5.0)]), src, KEY, PARTS)
+    v = refresh()
+    assert v == 1 and mat_rows() == full()
+
+    # inserts + an update that changes the VALUE
+    acid_upsert(spark, _mk(spark, [("A", "d1", 2, 20.0),
+                                   ("B", "d2", 9, 9.0)]), src, KEY, PARTS)
+    assert refresh() == 2 and mat_rows() == full()
+
+    # an update that moves a row BETWEEN GROUPS (sym B -> partition move is
+    # a delete+insert at key level: new key) — and a group emptying out
+    acid_upsert(spark, _mk(spark, [("C", "d1", 1, 7.0)]), src, KEY, PARTS)
+    assert refresh() == 3 and mat_rows() == full()
+
+    # refresh with no new source commits is a no-op (cursor already there)
+    before = acid_history(mat)
+    assert refresh() == 3
+    assert acid_history(mat) == before
+
+    # crash-safety by construction: cursor and aggregate land in ONE
+    # commit — verify the cursor is readable from the mat history
+    ops = [h["operation"] for h in acid_history(mat)]
+    assert ops == ["incremental(1)", "incremental(2)", "incremental(3)"]
