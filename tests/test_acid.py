@@ -331,6 +331,7 @@ def test_changes_feed_keyed(spark, tmp_path):
     ch = acid_changes(spark, root, 1, 2, key=KEY)
     got = sorted((r.sym, r.ts, r.px, r._change_type) for r in ch.collect())
     assert got == [
+        ("A", 2, 2.0, "update_preimage"),
         ("A", 2, 20.0, "update_postimage"),
         ("A", 3, 3.0, "insert"),
     ]
