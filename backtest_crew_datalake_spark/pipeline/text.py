@@ -455,6 +455,82 @@ def bpe_merges(
     return merges.select("round", "a", "b", "pair_count")
 
 
+def bpe_apply(
+    df: DataFrame,
+    rounds: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY the first ``rounds`` learned BPE merges back to the corpus —
+    the other half of tokenizer induction: train on the word-frequency
+    vocab (bpe_merges' loop, re-run here carrying the merged word table)
+    and report what the learned merges bought, as one summary row:
+    total_words, vocab_size, tokens_before (characters per word, the
+    round-0 symbol count), tokens_after (symbols after the merges), and
+    compression = tokens_before / tokens_after.
+
+    Scale shape: identical to bpe_merges — every round runs on the VOCAB
+    table (explode → keyed sum → 1-row broadcast argmax → row-local
+    replace), never the raw corpus; the final stats are one aggregation
+    over the vocab."""
+    tok = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+    )
+    vocab = (
+        tok.where(~F.col("w").contains("|"))
+        .groupBy("w").agg(F.count("*").alias("cnt"))
+    )
+    words = vocab.select(
+        "cnt",
+        F.length("w").alias("n0"),
+        F.concat(
+            F.lit("|"),
+            F.array_join(F.split(F.col("w"), ""), "||"),
+            F.lit("|"),
+        ).alias("sym"),
+    ).localCheckpoint(eager=False)
+
+    for r in range(1, rounds + 1):
+        arr = F.split(F.expr("trim(BOTH '|' FROM sym)"), r"\|\|")
+        pairs = words.select(
+            "cnt", F.posexplode(arr).alias("__i", "a"), arr.alias("__arr")
+        ).select(
+            "cnt", "a",
+            F.try_element_at(F.col("__arr"), F.col("__i") + 2).alias("b"),
+        ).where(F.col("b").isNotNull())
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "a", "b")
+            .limit(1)
+        )
+        words = (
+            words.crossJoin(F.broadcast(top.select("a", "b")))
+            .select(
+                "cnt", "n0",
+                F.replace(
+                    F.col("sym"),
+                    F.concat(F.lit("|"), F.col("a"), F.lit("||"),
+                             F.col("b"), F.lit("|")),
+                    F.concat(F.lit("|"), F.col("a"), F.col("b"), F.lit("|")),
+                ).alias("sym"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    n_after = F.size(F.split(F.expr("trim(BOTH '|' FROM sym)"), r"\|\|"))
+    return words.agg(
+        F.sum("cnt").cast("bigint").alias("total_words"),
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.sum(F.col("cnt") * F.col("n0")).cast("bigint")
+        .alias("tokens_before"),
+        F.sum(F.col("cnt") * n_after).cast("bigint").alias("tokens_after"),
+    ).select(
+        "total_words", "vocab_size", "tokens_before", "tokens_after",
+        F.round(
+            F.col("tokens_before").cast("double") / F.col("tokens_after"), 6
+        ).alias("compression"),
+    )
+
+
 def ngram_novelty(
     df: DataFrame,
     id_col: str = "doc_id",

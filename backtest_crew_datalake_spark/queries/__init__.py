@@ -78,6 +78,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # -- NEW this round: need first driver rows
     "q_doc_char_entropy",
     "q_doc_zipf_fit",
+    "q_doc_bpe_apply",
     # -- (b) last driver row is round 3 (the oldest evidence in the catalog)
     "q_doc_quality",
     "q_doc_lang_id",

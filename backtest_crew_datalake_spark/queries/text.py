@@ -2833,3 +2833,86 @@ def q_multimodal_frames(spark, sf_dir):
     return frame_sample_gif(media, every_n=2).orderBy(
         "media_id", "frame_idx"
     )
+
+
+@register(
+    "q_doc_bpe_apply",
+    oracle=r"""
+    WITH tok AS (
+        SELECT UNNEST(string_split_regex(TRIM(text), '\s+')) AS w
+        FROM documents
+    ),
+    vocab AS (SELECT w, COUNT(*) AS cnt FROM tok
+              WHERE NOT contains(w, '|') GROUP BY 1),
+    w0 AS (
+        SELECT cnt, LEN(w) AS n0,
+               '|' || array_to_string(
+                   list_transform(generate_series(1, LEN(w)), i -> w[i]),
+                   '||') || '|' AS sym
+        FROM vocab
+    ),
+    p1 AS (
+        SELECT t.arr[i] AS a, t.arr[i + 1] AS b,
+               CAST(SUM(t.cnt) AS BIGINT) AS pair_count
+        FROM (SELECT cnt, string_split(TRIM(sym, '|'), '||') AS arr
+              FROM w0) t,
+             UNNEST(generate_series(1, LEN(t.arr) - 1)) u(i)
+        GROUP BY 1, 2
+    ),
+    m1 AS (SELECT a, b FROM p1 ORDER BY pair_count DESC, a, b LIMIT 1),
+    w1 AS (
+        SELECT w.cnt, w.n0,
+               REPLACE(w.sym, '|' || m.a || '||' || m.b || '|',
+                       '|' || m.a || m.b || '|') AS sym
+        FROM w0 w, m1 m
+    ),
+    p2 AS (
+        SELECT t.arr[i] AS a, t.arr[i + 1] AS b,
+               CAST(SUM(t.cnt) AS BIGINT) AS pair_count
+        FROM (SELECT cnt, string_split(TRIM(sym, '|'), '||') AS arr
+              FROM w1) t,
+             UNNEST(generate_series(1, LEN(t.arr) - 1)) u(i)
+        GROUP BY 1, 2
+    ),
+    m2 AS (SELECT a, b FROM p2 ORDER BY pair_count DESC, a, b LIMIT 1),
+    w2 AS (
+        SELECT w.cnt, w.n0,
+               REPLACE(w.sym, '|' || m.a || '||' || m.b || '|',
+                       '|' || m.a || m.b || '|') AS sym
+        FROM w1 w, m2 m
+    ),
+    p3 AS (
+        SELECT t.arr[i] AS a, t.arr[i + 1] AS b,
+               CAST(SUM(t.cnt) AS BIGINT) AS pair_count
+        FROM (SELECT cnt, string_split(TRIM(sym, '|'), '||') AS arr
+              FROM w2) t,
+             UNNEST(generate_series(1, LEN(t.arr) - 1)) u(i)
+        GROUP BY 1, 2
+    ),
+    m3 AS (SELECT a, b FROM p3 ORDER BY pair_count DESC, a, b LIMIT 1),
+    w3 AS (
+        SELECT w.cnt, w.n0,
+               REPLACE(w.sym, '|' || m.a || '||' || m.b || '|',
+                       '|' || m.a || m.b || '|') AS sym
+        FROM w2 w, m3 m
+    )
+    SELECT CAST(SUM(cnt) AS BIGINT) AS total_words,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(cnt * n0) AS BIGINT) AS tokens_before,
+           CAST(SUM(cnt * LEN(string_split(TRIM(sym, '|'), '||')))
+                AS BIGINT) AS tokens_after,
+           ROUND(CAST(SUM(cnt * n0) AS DOUBLE)
+                 / SUM(cnt * LEN(string_split(TRIM(sym, '|'), '||'))), 6)
+               AS compression
+    FROM w3
+    """,
+)
+def q_doc_bpe_apply(spark, sf_dir):
+    """Tokenizer APPLICATION (the other half of q_doc_bpe_merges): train
+    the first 3 BPE merges on the word-frequency vocab and apply them back,
+    reporting corpus token counts before/after and the compression ratio —
+    value-checked against DuckDB's unrolled train+apply CTE ladder. Every
+    round runs on the VOCAB table, never the raw corpus."""
+    from ..pipeline.text import bpe_apply
+
+    return bpe_apply(load(spark, sf_dir, "documents"), rounds=3)
