@@ -35,6 +35,14 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# DataFrame memo for load(): keyed by (application id, ABSOLUTE PATH) —
+# path-keyed, so unlike the removed warm-cache temp-view probe nothing can
+# shadow a table by name; a new SparkSession gets a new application id and
+# fresh entries. Plain spark.read.parquet pays ~110 ms of listing + footer
+# schema reads PER CALL, and a bench pass makes ~70 load() calls.
+_LOAD_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one testdata table, normalizing timestamp physical types:
 
@@ -50,13 +58,20 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Calendar functions (date_trunc/hour/to_date) are session-tz dependent;
     # pin UTC so results match the oracle regardless of the caller's session.
+    # Pinned BEFORE the memo check: the tz governs execution time, not read
+    # time, so a memo hit must still re-pin it for callers that changed it.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (spark.sparkContext.applicationId, sf_dir, table)
+    memo = _LOAD_MEMO.get(key)
+    if memo is not None:
+        return memo
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     for f in df.schema.fields:
         if isinstance(f.dataType, T.TimestampNTZType):
             df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    _LOAD_MEMO[key] = df
     return df
 
 
