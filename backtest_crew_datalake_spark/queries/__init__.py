@@ -94,6 +94,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_doc_char_entropy",
     "q_doc_zipf_fit",
     "q_doc_bpe_apply",
+    "q_doc_bigram_entropy",
+    "q_emb_linear_probe",
     # -- (b) last driver row is round 3 (the oldest evidence in the catalog)
     "q_doc_quality",
     "q_doc_lang_id",

@@ -853,3 +853,58 @@ def q_emb_matryoshka_recall(spark, sf_dir):
         F.round(F.col("n_hits").cast("double") / F.col("__nt"), 4)
         .alias("recall"),
     )
+
+
+@register(
+    "q_emb_linear_probe",
+    oracle="""
+    WITH w AS (
+        SELECT list_transform(range(0, 64),
+                              i -> (((i * 37) % 21) - 10) / 10.0) AS wv
+    ),
+    s AS (
+        SELECT label,
+               ROUND(1.0 / (1.0 + EXP(-(0.1 + list_dot_product(
+                   embedding::DOUBLE[], wv)))), 6) AS prob
+        FROM embeddings CROSS JOIN w
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN prob >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+           ROUND(AVG(prob), 6) AS avg_prob
+    FROM s GROUP BY 1
+    """,
+)
+def q_emb_linear_probe(spark, sf_dir):
+    """Batch model inference over the embedding column: apply a trained
+    linear probe (fixed-weight logistic classifier, the fasttext/quality-
+    classifier deployment shape) to every vector and report per-label
+    positive rates. The weight vector is a LITERAL (broadcast-free: it is
+    inlined into the row-local expression), the dot product runs JVM-side
+    via zip_with/aggregate in double precision, and the whole query is one
+    map stage + one keyed agg — the exact shape batch inference should
+    have at 100 TB (no shuffle before the per-label rollup, no UDF).
+    Per-row probs are rounded BEFORE aggregation so both engines aggregate
+    identical doubles (libm vs Math.exp last-ulp noise cannot reach the
+    output). Extension surface (no reference analogue)."""
+    emb = load(spark, sf_dir, "embeddings")
+    weights = F.expr(
+        "transform(sequence(0, 63), "
+        "i -> (double(((i * 37) % 21) - 10)) / 10.0)"
+    )
+    logit = F.lit(0.1) + F.aggregate(
+        F.zip_with(F.col("embedding"), weights,
+                   lambda x, w: x.cast("double") * w),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return (
+        emb.select("label", prob.alias("__p"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(F.when(F.col("__p") >= 0.5, 1).otherwise(0))
+            .cast("bigint").alias("n_pos"),
+            F.round(F.avg("__p"), 6).alias("avg_prob"),
+        )
+    )

@@ -2916,3 +2916,71 @@ def q_doc_bpe_apply(spark, sf_dir):
     from ..pipeline.text import bpe_apply
 
     return bpe_apply(load(spark, sf_dir, "documents"), rounds=3)
+
+
+@register(
+    "q_doc_bigram_entropy",
+    oracle=r"""
+    WITH t AS (
+        SELECT source,
+               string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT source, toks[i+1] AS prev, toks[i+2] AS nxt
+        FROM (SELECT source, toks, unnest(range(0, len(toks) - 1)) AS i
+              FROM t WHERE len(toks) >= 2)
+    ),
+    c AS (
+        SELECT source, prev, nxt, COUNT(*) AS c
+        FROM bg GROUP BY 1, 2, 3
+    ),
+    p AS (
+        SELECT source, prev, SUM(c) AS cp,
+               SUM(c * LOG2(c)) AS clg
+        FROM c GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(cp) AS BIGINT) AS n_bigrams,
+           ROUND(-(SUM(clg) - SUM(cp * LOG2(cp))) / SUM(cp), 6)
+               AS cond_entropy_bits
+    FROM p GROUP BY 1
+    """,
+)
+def q_doc_bigram_entropy(spark, sf_dir):
+    """Conditional bigram entropy H(next|prev) per source — the sequence-
+    level corpus-health signal char-entropy can't see (natural text sits
+    well below log2(vocab); templated/looping junk collapses toward 0).
+    Uses the algebraic identity
+        H = -(1/N) * sum_{prev,next} c*log2(c/c_prev)
+          = -(1/N) * (sum c*log2 c  -  sum_prev c_prev*log2 c_prev)
+    so the whole query is TWO keyed aggregations (bigram counts, then a
+    per-(source,prev) rollup) — no join back, no window, no per-prev
+    normalization pass; both shuffles are map-side-combinable and keyed by
+    strings that partition evenly at 100 TB. Extension surface (no
+    reference analogue)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    bigrams = F.expr(
+        "transform(sequence(0, size(__toks) - 2), "
+        "i -> struct(element_at(__toks, i + 1) AS prev, "
+        "element_at(__toks, i + 2) AS nxt))"
+    )
+    return (
+        d.select("source", toks.alias("__toks"))
+        .where(F.size("__toks") >= 2)
+        .select("source", F.explode(bigrams).alias("b"))
+        .groupBy("source", "b.prev", "b.nxt")
+        .agg(F.count("*").alias("c"))
+        .groupBy("source", "prev")
+        .agg(F.sum("c").alias("cp"),
+             F.sum(F.col("c") * F.log2("c")).alias("clg"))
+        .groupBy("source")
+        .agg(
+            F.sum("cp").cast("bigint").alias("n_bigrams"),
+            F.round(
+                -(F.sum("clg") - F.sum(F.col("cp") * F.log2("cp")))
+                / F.sum("cp"), 6,
+            ).alias("cond_entropy_bits"),
+        )
+    )

@@ -1686,3 +1686,53 @@ def test_gif_transparency_and_disposal(spark):
     f1, f2 = list(gif_frames(payload))
     assert f1.tolist() == [[[0, 0, 255], [0, 0, 255]]]
     assert f2.tolist() == [[[255, 0, 0], [0, 0, 255]]]
+
+
+def test_bigram_entropy_hand_checked(spark, tmp_path):
+    from backtest_crew_datalake_spark.queries.text import q_doc_bigram_entropy
+
+    # src_det: "a b a b a" -> ab,ba,ab,ba: every prev is deterministic -> H=0
+    # src_mix: "x y x z" -> xy,yx,xz: prev x splits 1/1 (1 bit over cp=2),
+    #   prev y deterministic -> H = 2/3 bits
+    rows = [
+        (0, "a b a b a", "en", "src_det", 9),
+        (1, "x y x z", "en", "src_mix", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.source: (r.n_bigrams, r.cond_entropy_bits)
+           for r in q_doc_bigram_entropy(spark, str(tmp_path)).collect()}
+    assert out["src_det"] == (4, 0.0)
+    assert out["src_mix"][0] == 3
+    assert abs(out["src_mix"][1] - round(2 / 3, 6)) < 1e-9
+
+
+def test_linear_probe_hand_checked(spark, tmp_path):
+    import math
+
+    from pyspark.sql import types as T
+
+    from backtest_crew_datalake_spark.queries.embeddings import (
+        q_emb_linear_probe,
+    )
+
+    # zero vector -> logit = bias = 0.1 -> prob = sigmoid(0.1) ~ 0.524979
+    # w[1] = ((37 % 21) - 10)/10 = 0.6; e1*(-10) -> logit = 0.1 - 6 -> ~0
+    zero = [0.0] * 64
+    e1 = [0.0] * 64
+    e1[1] = -10.0
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    df = spark.createDataFrame([(0, zero, 0), (1, e1, 1)], schema)
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    out = {r.label: r for r in
+           q_emb_linear_probe(spark, str(tmp_path)).collect()}
+    sig = lambda x: 1.0 / (1.0 + math.exp(-x))  # noqa: E731
+    assert out[0].n_vectors == 1 and out[0].n_pos == 1
+    assert abs(out[0].avg_prob - round(sig(0.1), 6)) < 1e-9
+    assert out[1].n_pos == 0
+    assert abs(out[1].avg_prob - round(sig(0.1 - 6.0), 6)) < 1e-9
