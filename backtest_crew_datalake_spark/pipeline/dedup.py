@@ -545,3 +545,134 @@ def pagerank(
         )
     return ranks.select(F.col("src").alias("id"),
                         F.round("pr", round_to).alias("pr"))
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the AllPairs /
+    PPJoin family; Vernica, Carey & Li, "Efficient Parallel Set-Similarity
+    Joins Using MapReduce", SIGMOD 2010): every pair with n-gram-shingle
+    Jaccard >= ``threshold`` is returned, with NO blocking approximation —
+    unlike ``ngram_jaccard_pairs(max_df=...)`` (df-cap candidate
+    generation) and minhash/simhash (probabilistic), this is complete by
+    construction.
+
+    Prefix-filter principle: order each doc's shingle set by a global
+    rarity order (document frequency asc, shingle asc — the order needs no
+    global rank table, the (df, shingle) tuple IS the order) and keep the
+    first p = |S| - ceil(t*|S|) + 1 elements. Two sets with Jaccard >= t
+    must share at least one PREFIX element, so the keyed equi-join on
+    prefix shingles generates a complete candidate set. Candidates are
+    verified exactly (row-local array_intersect on the already-built
+    per-doc sorted arrays).
+
+    Scale shape: one shingle-keyed exchange computes document frequency as
+    a window aggregate (spill-safe on hot shingles), one doc-keyed
+    aggregation builds the per-doc ordered set (buffer bounded by doc
+    length), and the candidate join keys on PREFIX shingles — which the
+    rarity order biases toward rare ones, so posting lists stay short for
+    dissimilar corpora; a corpus where prefixes collide massively is one
+    where the TRUE answer is quadratic (near-identical boilerplate), i.e.
+    fan-out is output-bound, not an artifact. Length filter t*|A| <= |B|
+    prunes before verification. No caps, no collects, no windows over
+    unbounded partitions."""
+    from pyspark.sql import Window
+
+    sh = (
+        # spread first: a single-row-group parquet scan is ONE task and
+        # AQE coalesces the small shuffles, serializing the CPU-heavy
+        # shingle/md5/window chain (no-op at scale — see spread_partitions)
+        spread_partitions(df, id_col)
+        .select(F.col(id_col).alias("id"),
+                F.explode(_shingles(text_col, n)).alias("g"))
+        .select("id", F.md5(F.col("g").cast("binary")).alias("sh"))
+    )
+    wdf = Window.partitionBy("sh")
+    docs = (
+        sh.withColumn("df", F.count("*").over(wdf))
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("os"))
+        .select(
+            "id",
+            F.transform("os", lambda s: s["sh"]).alias("toks"),
+            F.size("os").alias("sz"),
+        )
+        # feeds prefix explode AND both verify joins — one compute
+        .localCheckpoint(eager=False)
+    )
+    plen = (
+        F.col("sz")
+        - F.ceil(F.lit(threshold) * F.col("sz")).cast("int")
+        + F.lit(1)
+    )
+    pref = docs.select(
+        "id", "sz",
+        F.posexplode(F.slice("toks", F.lit(1), plen)).alias("pos", "sh"),
+    )
+    a = pref.select(F.col("id").alias("id_a"), F.col("sz").alias("__sa"),
+                    F.col("pos").alias("__pa"), "sh")
+    b = pref.select(F.col("id").alias("id_b"), F.col("sz").alias("__sb"),
+                    F.col("pos").alias("__pb"), "sh")
+    # positional filter (the "PP" over plain AllPairs): a prefix match at
+    # 0-based positions (pa, pb) witnesses 1 shared element with at most
+    # min(|A|-1-pa, |B|-1-pb) more possible, and Jaccard >= t needs
+    # overlap >= ceil(t/(1+t) * (|A|+|B|)) — candidates whose upper bound
+    # can't reach that die BEFORE the pair ever materializes downstream.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("__sa") + F.col("__sb"))
+    )
+    ubound = (
+        F.lit(1)
+        + F.least(F.col("__sa") - 1 - F.col("__pa"),
+                  F.col("__sb") - 1 - F.col("__pb"))
+    )
+    cand = (
+        a.join(b, "sh")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            # |A| <= |B|/t and |B| <= |A|/t  <=>  t*max <= min
+            & (F.lit(threshold) * F.greatest("__sa", "__sb")
+               <= F.least("__sa", "__sb").cast("double"))
+            & (ubound >= alpha)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # pair-first exact intersection (the repo's standard verify shape):
+    # candidate pairs × side-a shingles, then ONE keyed (id_b, sh)
+    # equi-join — cost Σ_pairs |shingles(a)|, linear in pairs, and only
+    # NARROW (id, sh) rows ever shuffle. Joining the per-doc ARRAYS onto
+    # ~200k candidate pairs was measured 4× slower at sf0.1 (the array
+    # payload rides the pair shuffle); the narrow rows come back out of
+    # the checkpointed docs table, not a parquet rescan.
+    flat = docs.select("id", F.explode("toks").alias("sh"))
+    inter = (
+        cand
+        .join(flat.select(F.col("id").alias("id_a"), "sh"), "id_a")
+        .join(flat.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = docs.select("id", "sz")
+    return (
+        inter
+        .join(sizes.select(F.col("id").alias("id_a"),
+                           F.col("sz").alias("__na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"),
+                           F.col("sz").alias("__nb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -96,6 +96,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_doc_bpe_apply",
     "q_doc_bigram_entropy",
     "q_emb_linear_probe",
+    "q_doc_ppjoin_pairs",
     # -- (b) last driver row is round 3 (the oldest evidence in the catalog)
     "q_doc_quality",
     "q_doc_lang_id",

@@ -2984,3 +2984,51 @@ def q_doc_bigram_entropy(spark, sf_dir):
             ).alias("cond_entropy_bits"),
         )
     )
+
+
+@register(
+    "q_doc_ppjoin_pairs",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks
+        FROM documents
+    ),
+    g3 AS (
+        SELECT doc_id, md5(array_to_string(toks[i+1:i+3], ' ')) AS sh
+        FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS i
+              FROM t WHERE len(toks) >= 3)
+    ),
+    g1 AS (
+        SELECT doc_id, md5(array_to_string(toks, ' ')) AS sh
+        FROM t WHERE len(toks) < 3
+    ),
+    gd AS (SELECT DISTINCT doc_id, sh
+           FROM (SELECT * FROM g3 UNION ALL SELECT * FROM g1)),
+    sz AS (SELECT doc_id, COUNT(*) AS ns FROM gd GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+        FROM gd a JOIN gd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT id_a, id_b, ni,
+               ROUND(ni::DOUBLE / (sa.ns + sb.ns - ni), 6) AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.doc_id = id_a
+        JOIN sz sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b, CAST(ni AS BIGINT) AS n_inter, jaccard
+    FROM j WHERE jaccard >= 0.6
+    """,
+)
+def q_doc_ppjoin_pairs(spark, sf_dir):
+    """EXACT 3-gram-shingle Jaccard >= 0.6 self-join via prefix filtering
+    (pipeline/dedup.ppjoin_pairs). The oracle is deliberately NOT the same
+    algorithm: it is the brute-force ground truth (every pair sharing a
+    shingle, exact intersection counts) — so the driver's value-hash gate
+    proves the prefix filter's COMPLETENESS (no pair above threshold
+    escapes the candidate join), not just self-consistency."""
+    from ..pipeline.dedup import ppjoin_pairs
+
+    return ppjoin_pairs(load(spark, sf_dir, "documents"),
+                        n=3, threshold=0.6)

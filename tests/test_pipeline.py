@@ -1736,3 +1736,41 @@ def test_linear_probe_hand_checked(spark, tmp_path):
     assert abs(out[0].avg_prob - round(sig(0.1), 6)) < 1e-9
     assert out[1].n_pos == 0
     assert abs(out[1].avg_prob - round(sig(0.1 - 6.0), 6)) < 1e-9
+
+
+def test_ppjoin_pairs_complete_vs_bruteforce(spark):
+    import itertools
+    import random
+
+    from backtest_crew_datalake_spark.pipeline.dedup import ppjoin_pairs
+
+    # seeded corpus engineered for near-dup structure: doc 2i+1 is doc 2i
+    # with a small suffix edit, so pairs straddle the 0.6 threshold
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(20):
+        base = [rng.choice(vocab) for _ in range(rng.randint(1, 40))]
+        edit = base[:-3] + [rng.choice(vocab) for _ in range(3)] \
+            if len(base) > 3 else base + ["zz"]
+        rows.append((2 * i, " ".join(base)))
+        rows.append((2 * i + 1, " ".join(edit)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def sh(text, n=3):
+        t = text.strip().split()
+        if len(t) < n:
+            return {" ".join(t)}
+        return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+    sets = {i: sh(t) for i, t in rows}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        ni = len(sets[a] & sets[b])
+        if ni:
+            j = round(ni / (len(sets[a]) + len(sets[b]) - ni), 6)
+            if j >= 0.6:
+                want[(a, b)] = (ni, j)
+    got = {(r.id_a, r.id_b): (r.n_inter, r.jaccard)
+           for r in ppjoin_pairs(df, threshold=0.6).collect()}
+    assert got == want and want  # complete AND exact (and non-trivial)
