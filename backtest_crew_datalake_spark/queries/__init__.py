@@ -97,6 +97,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_doc_bigram_entropy",
     "q_emb_linear_probe",
     "q_doc_ppjoin_pairs",
+    "q_emb_semantic_dedup",
     # -- (b) last driver row is round 3 (the oldest evidence in the catalog)
     "q_doc_quality",
     "q_doc_lang_id",

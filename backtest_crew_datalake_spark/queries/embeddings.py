@@ -908,3 +908,126 @@ def q_emb_linear_probe(spark, sf_dir):
             F.round(F.avg("__p"), 6).alias("avg_prob"),
         )
     )
+
+
+@register(
+    "q_emb_semantic_dedup",
+    oracle="""
+    WITH RECURSIVE
+    emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 8),
+    ka1 AS (SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c.cid,
+                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                        ORDER BY list_distance(e.v, c.cv), c.cid) AS rk
+             FROM emb e CROSS JOIN c0 c) WHERE rk = 1),
+    km1 AS (SELECT cid, dim, AVG(v[dim]) AS mv
+            FROM ka1, range(1, 65) t(dim) GROUP BY 1, 2),
+    kn1 AS (SELECT cid, list(mv ORDER BY dim) AS nv FROM km1 GROUP BY cid),
+    kc1 AS (SELECT c0.cid, COALESCE(kn1.nv, c0.cv) AS cv
+            FROM c0 LEFT JOIN kn1 USING (cid)),
+    ka AS (SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_distance(e.v, c.cv), c.cid) AS rk
+            FROM emb e CROSS JOIN kc1 c) WHERE rk = 1),
+    pairs AS (
+        SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b
+        FROM ka a JOIN ka b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.3
+    ),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM sym),
+    walk(id, comp) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.id
+    ),
+    cc AS (SELECT id, MIN(comp) AS component FROM walk GROUP BY id),
+    mem AS (SELECT cid, COUNT(*) AS n_vectors FROM ka GROUP BY 1),
+    pc AS (SELECT cid, COUNT(*) AS n_dup_pairs FROM pairs GROUP BY 1),
+    gr AS (
+        SELECT ka.cid, COUNT(*) AS n_dup_members,
+               COUNT(DISTINCT cc.component) AS n_groups
+        FROM cc JOIN ka ON ka.vec_id = cc.id GROUP BY 1
+    )
+    SELECT mem.cid AS centroid_id,
+           CAST(mem.n_vectors AS BIGINT) AS n_vectors,
+           CAST(COALESCE(pc.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+           CAST(COALESCE(gr.n_dup_members, 0) AS BIGINT) AS n_dup_members,
+           CAST(COALESCE(gr.n_groups, 0) AS BIGINT) AS n_groups,
+           CAST(COALESCE(gr.n_dup_members, 0)
+                - COALESCE(gr.n_groups, 0) AS BIGINT) AS n_pruned
+    FROM mem
+    LEFT JOIN pc USING (cid)
+    LEFT JOIN gr USING (cid)
+    """,
+)
+def q_emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al., 'SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication',
+    2023): cluster the embedding space (k-means, the oracle-tested coarse
+    quantizer), find near-duplicate pairs ONLY within each cluster (exact
+    cosine >= tau over cluster-local candidates — the blocking that makes
+    semantic dedup tractable at corpus scale), collapse pairs into
+    duplicate groups (connected components, min-id representative), and
+    report the per-cluster pruning ledger: vectors, dup pairs, dup-group
+    members, groups, and how many vectors pruning would remove.
+
+    Scale shape: centroids broadcast (bounded by k); the pair join is
+    keyed by centroid_id so fan-out is cluster-local; components run the
+    iterative min-label loop (per-round checkpoint, scalar convergence
+    witness); every summary agg is keyed by centroid_id. The whole
+    pipeline composes three independently oracle-proven pieces."""
+    from ..pipeline.dedup import connected_components
+    from ..pipeline.similarity import (
+        _dot, _norm, kmeans_assign, kmeans_centroids,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, k=8, iters=1)
+    # assigned feeds the pair join (both sides), the membership rollup,
+    # and the component attribution join — checkpoint: one compute
+    assigned = kmeans_assign(emb, cent).localCheckpoint(eager=False)
+    a = assigned.select("centroid_id", F.col("vec_id").alias("id_a"),
+                        F.col("embedding").alias("__va"))
+    b = assigned.select("centroid_id", F.col("vec_id").alias("id_b"),
+                        F.col("embedding").alias("__vb"))
+    cs = F.round(
+        _dot(F.col("__va"), F.col("__vb"))
+        / (_norm(F.col("__va")) * _norm(F.col("__vb"))), 4,
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("centroid_id", "id_a", "id_b", cs.alias("__cs"))
+        .where(F.col("__cs") >= 0.3)
+        .localCheckpoint(eager=False)  # feeds edge list + pair rollup
+    )
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    members = assigned.groupBy("centroid_id").agg(
+        F.count("*").alias("n_vectors"))
+    pair_counts = pairs.groupBy("centroid_id").agg(
+        F.count("*").alias("n_dup_pairs"))
+    groups = (
+        cc.join(assigned.select(F.col("vec_id").alias("id"), "centroid_id"),
+                "id")
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n_dup_members"),
+             F.countDistinct("component").alias("n_groups"))
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("bigint")  # noqa: E731
+    return (
+        members
+        .join(pair_counts, "centroid_id", "left")
+        .join(groups, "centroid_id", "left")
+        .select(
+            "centroid_id",
+            F.col("n_vectors").cast("bigint").alias("n_vectors"),
+            z("n_dup_pairs").alias("n_dup_pairs"),
+            z("n_dup_members").alias("n_dup_members"),
+            z("n_groups").alias("n_groups"),
+            (z("n_dup_members") - z("n_groups")).alias("n_pruned"),
+        )
+    )

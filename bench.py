@@ -56,6 +56,10 @@ HEADLINE = [
     # round-6 additions: the Arrow byte-histogram entropy kernel and the
     # bounded-top-k OLS fit
     "q_doc_char_entropy", "q_doc_zipf_fit",
+    # round-6 fourth-session additions: the exact prefix-filtered
+    # set-similarity join (complete pair extraction — the heaviest
+    # guarantee in the dedup family) and the two new op classes
+    "q_doc_ppjoin_pairs", "q_doc_bigram_entropy", "q_emb_linear_probe",
 ]
 
 
