@@ -304,3 +304,26 @@ def test_source_mix_no_full_shuffle(spark):
     p = _plan(spark, "q_doc_source_mix")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_ppjoin_plan_keyed_joins_single_scan(spark):
+    p = _plan(spark, "q_doc_ppjoin_pairs")
+    # every join is an equi-join (prefix shingle / pair ids) — a cartesian
+    # or nested-loop here would be the quadratic shape prefix filtering
+    # exists to avoid. At sf0.001 AQE legitimately broadcasts the tiny
+    # sides (no forced hints — the source-level gate covers that); the
+    # keyed pair exchange is still present.
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Exchange hashpartitioning(id_a" in p
+    # the docs subtree (window + ordered-set build) is checkpointed: the
+    # plan reads NO parquet twice — all consumers sit behind the RDD scan
+    assert p.count("FileScan parquet") <= 1
+
+
+def test_semantic_dedup_plan_broadcast_only_centroids(spark):
+    p = _plan(spark, "q_emb_semantic_dedup")
+    assert "CartesianProduct" not in p
+    # the cluster-local pair join must be a keyed equi-join on centroid_id,
+    # never a corpus-side broadcast (assigned corpus is SF-scaled)
+    assert "Exchange hashpartitioning(centroid_id" in p
