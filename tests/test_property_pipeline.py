@@ -192,3 +192,42 @@ def test_hll_merge_equals_whole(spark, split, n):
     whole = hll_build(a.unionByName(b), "k", p=5)
     assert sorted(map(tuple, merged.collect())) == \
         sorted(map(tuple, whole.collect()))
+
+
+_pp_corpus = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=12),
+    min_size=2, max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_pp_corpus, th=st.sampled_from([0.4, 0.6, 0.8]))
+def test_ppjoin_complete_and_exact(spark, docs, th):
+    """Prefix filtering must be COMPLETE: on arbitrary tiny corpora and
+    thresholds, ppjoin_pairs returns exactly the brute-force answer —
+    every Jaccard >= t pair (no candidate escapes the prefix join) with
+    exact intersection counts."""
+    import itertools
+
+    from backtest_crew_datalake_spark.pipeline.dedup import ppjoin_pairs
+
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def sh(toks, n=3):
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {i: sh(d) for i, d in enumerate(docs)}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        ni = len(sets[a] & sets[b])
+        if ni:
+            j = round(ni / (len(sets[a]) + len(sets[b]) - ni), 6)
+            if j >= th:
+                want[(a, b)] = (ni, j)
+    got = {(r.id_a, r.id_b): (r.n_inter, r.jaccard)
+           for r in ppjoin_pairs(df, threshold=th).collect()}
+    assert got == want
