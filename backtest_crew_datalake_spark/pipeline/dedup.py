@@ -605,9 +605,16 @@ def ppjoin_pairs(
         # feeds prefix explode AND both verify joins — one compute
         .localCheckpoint(eager=False)
     )
+    # every ceil/compare below subtracts/adds a 1e-9 epsilon so binary
+    # float error can only WIDEN the candidate set, never prune a
+    # qualifying pair. This is load-bearing for the positional filter:
+    # ceil((0.4/1.4)*7) = ceil(2.0000000000000004) = 3 where the exact
+    # required overlap is 2 — without the guard a qualifying pair whose
+    # only prefix match has ubound 2 is silently lost (pinned by
+    # test_ppjoin_positional_alpha_float_boundary).
     plen = (
         F.col("sz")
-        - F.ceil(F.lit(threshold) * F.col("sz")).cast("int")
+        - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)).cast("int")
         + F.lit(1)
     )
     pref = docs.select(
@@ -626,6 +633,7 @@ def ppjoin_pairs(
     alpha = F.ceil(
         F.lit(threshold / (1.0 + threshold))
         * (F.col("__sa") + F.col("__sb"))
+        - F.lit(1e-9)
     )
     ubound = (
         F.lit(1)
@@ -638,7 +646,7 @@ def ppjoin_pairs(
             (F.col("id_a") < F.col("id_b"))
             # |A| <= |B|/t and |B| <= |A|/t  <=>  t*max <= min
             & (F.lit(threshold) * F.greatest("__sa", "__sb")
-               <= F.least("__sa", "__sb").cast("double"))
+               <= F.least("__sa", "__sb").cast("double") + F.lit(1e-9))
             & (ubound >= alpha)
         )
         .select("id_a", "id_b")

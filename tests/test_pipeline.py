@@ -1774,3 +1774,21 @@ def test_ppjoin_pairs_complete_vs_bruteforce(spark):
     got = {(r.id_a, r.id_b): (r.n_inter, r.jaccard)
            for r in ppjoin_pairs(df, threshold=0.6).collect()}
     assert got == want and want  # complete AND exact (and non-trivial)
+
+
+def test_ppjoin_positional_alpha_float_boundary(spark):
+    """Pin the float-ceil hazard in the positional filter: at t=0.4 with
+    |A|+|B| = 7, the required overlap is exactly 2 (2/7 * 7), but the
+    double product (0.4/1.4)*7 = 2.0000000000000004 ceils to 3 — without
+    the 1e-9 guard the ONLY prefix match of this qualifying pair
+    (ubound = 2) is pruned and the pair is silently lost. Unigram
+    shingles (n=1) give exact control of the sets: A = {ua1, ua2, s1,
+    s2}, B = {ub, s1, s2}, Jaccard = 2/5 = 0.4, and the rarity order
+    puts the shared elements at the LAST prefix slot of both sides."""
+    from backtest_crew_datalake_spark.pipeline.dedup import ppjoin_pairs
+
+    rows = [(0, "ua1 ua2 s1 s2"), (1, "ub s1 s2")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.id_a, r.id_b): (r.n_inter, r.jaccard)
+           for r in ppjoin_pairs(df, n=1, threshold=0.4).collect()}
+    assert got == {(0, 1): (2, 0.4)}
