@@ -989,14 +989,24 @@ def q_emb_semantic_dedup(spark, sf_dir):
     cent = kmeans_centroids(emb, k=8, iters=1)
     # assigned feeds the pair join (both sides), the membership rollup,
     # and the component attribution join — checkpoint: one compute
-    assigned = kmeans_assign(emb, cent).localCheckpoint(eager=False)
+    # the norm is a per-VECTOR quantity: compute it once per row here,
+    # not inside the pair expression where it would be re-folded per PAIR
+    # (measured 107 s -> 51 s median at the 10x corpus — the pair join evaluates
+    # O(cluster^2) cosines and the two norm folds tripled its work)
+    assigned = (
+        kmeans_assign(emb, cent)
+        .withColumn("__nrm", _norm(F.col("embedding")))
+        .localCheckpoint(eager=False)
+    )
     a = assigned.select("centroid_id", F.col("vec_id").alias("id_a"),
-                        F.col("embedding").alias("__va"))
+                        F.col("embedding").alias("__va"),
+                        F.col("__nrm").alias("__na"))
     b = assigned.select("centroid_id", F.col("vec_id").alias("id_b"),
-                        F.col("embedding").alias("__vb"))
+                        F.col("embedding").alias("__vb"),
+                        F.col("__nrm").alias("__nb"))
     cs = F.round(
         _dot(F.col("__va"), F.col("__vb"))
-        / (_norm(F.col("__va")) * _norm(F.col("__vb"))), 4,
+        / (F.col("__na") * F.col("__nb")), 4,
     )
     pairs = (
         a.join(b, "centroid_id")
