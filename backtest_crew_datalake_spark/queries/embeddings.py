@@ -146,13 +146,18 @@ def q_emb_near_dup_pairs(spark, sf_dir):
     from ..pipeline.similarity import _dot, _norm, lsh_sign_buckets
 
     emb = lsh_sign_buckets(load(spark, sf_dir, "embeddings"), bits=4)
+    # norm is per-VECTOR: computed once per row here, not re-folded per
+    # pair inside the bucket join (the semantic-dedup hoist, same shape)
+    emb = emb.withColumn("__nrm", _norm(F.col("embedding")))
     a = emb.select(F.col("vec_id").alias("id_a"),
-                   F.col("embedding").alias("__va"), "bucket")
+                   F.col("embedding").alias("__va"),
+                   F.col("__nrm").alias("__na"), "bucket")
     b = emb.select(F.col("vec_id").alias("id_b"),
-                   F.col("embedding").alias("__vb"), "bucket")
+                   F.col("embedding").alias("__vb"),
+                   F.col("__nrm").alias("__nb"), "bucket")
     sim = F.round(
         _dot(F.col("__va"), F.col("__vb"))
-        / (_norm(F.col("__va")) * _norm(F.col("__vb"))),
+        / (F.col("__na") * F.col("__nb")),
         4,
     )
     return (
