@@ -49,16 +49,20 @@ def _cosine_ranked(
 
     from .dedup import spread_partitions
 
+    # norms are per-VECTOR quantities: fold them once per row on each
+    # side, never inside the pair expression (which evaluates per PAIR)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
         *[F.col(c).alias(a) for c, a in (extra_q or {}).items()],
     )
     c = spread_partitions(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
         *[F.col(col).alias(a) for col, a in (extra_c or {}).items()],
     )
     sim = _dot(F.col("__qv"), F.col("__cv")) / (
-        _norm(F.col("__qv")) * _norm(F.col("__cv"))
+        F.col("__qn") * F.col("__cn")
     )
     scored = F.broadcast(q).crossJoin(c)
     if pair_filter is not None:
@@ -150,15 +154,17 @@ def ivf_topk(
         corpus.select(F.col(id_col).alias("neighbor_id"), vec_col),
         cent, id_col="neighbor_id", vec_col=vec_col,
     ).select("neighbor_id", F.col(vec_col).alias("__cv2"),
+             _norm(F.col(vec_col)).alias("__cn"),
              F.col("centroid_id").alias("__cid"))
     probes = kmeans_assign(
         queries.select(F.col(id_col).alias("query_id"), vec_col),
         cent, id_col="query_id", vec_col=vec_col, topn=nprobe,
     ).select("query_id", F.col(vec_col).alias("__qv"),
+             _norm(F.col(vec_col)).alias("__qn"),
              F.col("centroid_id").alias("__cid"))
 
     sim = _dot(F.col("__qv"), F.col("__cv2")) / (
-        _norm(F.col("__qv")) * _norm(F.col("__cv2"))
+        F.col("__qn") * F.col("__cn")
     )
     scored = probes.join(lists, "__cid").select(
         "query_id", "neighbor_id", sim.alias("__sim")
@@ -190,13 +196,15 @@ def cosine_topk_bucketed(
     from .dedup import spread_partitions
 
     qb = lsh_sign_buckets(queries, vec_col, bits).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "bucket"
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"), "bucket"
     )
     cb = lsh_sign_buckets(spread_partitions(corpus), vec_col, bits).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "bucket"
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"), "bucket"
     )
     sim = _dot(F.col("__qv"), F.col("__cv")) / (
-        _norm(F.col("__qv")) * _norm(F.col("__cv"))
+        F.col("__qn") * F.col("__cn")
     )
     scored = qb.join(cb, "bucket").select(
         "query_id", "neighbor_id", sim.alias("__sim")
