@@ -674,6 +674,16 @@ def ppjoin_pairs(
                            F.col("sz").alias("__na")), "id_a")
         .join(sizes.select(F.col("id").alias("id_b"),
                            F.col("sz").alias("__nb")), "id_b")
+        # threshold the UNROUNDED ratio (epsilon-guarded like every other
+        # bound here, so float error only ever widens) — thresholding the
+        # 6-decimal ROUNDED value would emit pairs up to 5e-7 below t and
+        # could drop qualifying pairs under a >6-decimal t, breaking the
+        # documented exactness contract; rounding is display-only
+        .where(
+            F.col("n_inter").cast("double")
+            / (F.col("__na") + F.col("__nb") - F.col("n_inter"))
+            >= F.lit(threshold) - F.lit(1e-9)
+        )
         .select(
             "id_a", "id_b",
             F.col("n_inter").cast("bigint").alias("n_inter"),
@@ -682,5 +692,4 @@ def ppjoin_pairs(
                 / (F.col("__na") + F.col("__nb") - F.col("n_inter")), 6
             ).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= threshold)
     )

@@ -497,21 +497,27 @@ def bpe_apply(
             "cnt", "a",
             F.try_element_at(F.col("__arr"), F.col("__i") + 2).alias("b"),
         ).where(F.col("b").isNotNull())
+        # 1-row bounded collect: a round with NO remaining adjacent pair
+        # must be a no-op (further rounds can't merge anything either) —
+        # crossJoining an empty argmax would wipe the whole vocab table
+        # and degenerate the summary to NULLs
         top = (
             pairs.groupBy("a", "b")
             .agg(F.sum("cnt").alias("pair_count"))
             .orderBy(F.col("pair_count").desc(), "a", "b")
             .limit(1)
+            .collect()
         )
+        if not top:
+            break
+        a_v, b_v = top[0]["a"], top[0]["b"]
         words = (
-            words.crossJoin(F.broadcast(top.select("a", "b")))
-            .select(
+            words.select(
                 "cnt", "n0",
                 F.replace(
                     F.col("sym"),
-                    F.concat(F.lit("|"), F.col("a"), F.lit("||"),
-                             F.col("b"), F.lit("|")),
-                    F.concat(F.lit("|"), F.col("a"), F.col("b"), F.lit("|")),
+                    F.lit(f"|{a_v}||{b_v}|"),
+                    F.lit(f"|{a_v}{b_v}|"),
                 ).alias("sym"),
             )
             .localCheckpoint(eager=False)

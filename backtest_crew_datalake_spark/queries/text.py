@@ -3012,13 +3012,14 @@ def q_doc_bigram_entropy(spark, sf_dir):
     ),
     j AS (
         SELECT id_a, id_b, ni,
-               ROUND(ni::DOUBLE / (sa.ns + sb.ns - ni), 6) AS jaccard
+               ni::DOUBLE / (sa.ns + sb.ns - ni) AS ratio
         FROM inter
         JOIN sz sa ON sa.doc_id = id_a
         JOIN sz sb ON sb.doc_id = id_b
     )
-    SELECT id_a, id_b, CAST(ni AS BIGINT) AS n_inter, jaccard
-    FROM j WHERE jaccard >= 0.6
+    SELECT id_a, id_b, CAST(ni AS BIGINT) AS n_inter,
+           ROUND(ratio, 6) AS jaccard
+    FROM j WHERE ratio >= 0.6 - 1e-9
     """,
 )
 def q_doc_ppjoin_pairs(spark, sf_dir):

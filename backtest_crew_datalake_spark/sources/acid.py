@@ -48,6 +48,7 @@ import json
 import os
 import shutil
 import time
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -56,6 +57,40 @@ from pyspark.sql import functions as F
 _MANIFESTS = "manifests"
 _DATA = "data"
 _V_DIGITS = 12
+
+# Partition-value encoding. The manifest's canonical form is Spark's
+# cast-to-string of the partition value (null stays None / JSON null);
+# leaf DIRECTORY names additionally hive-escape path metacharacters and
+# spell null as __HIVE_DEFAULT_PARTITION__ — the same convention Spark's
+# own partitionBy writer uses, so acid_read's basePath partition discovery
+# round-trips every value (including '/', '=', '%' and nulls) instead of
+# producing corrupt paths or 'p=None' literals.
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+_PATH_ESCAPE = (
+    {chr(c) for c in range(0x20)}
+    | set('"#%\'*/:=?\\{[]^')
+    | {chr(0x7F)}
+)
+
+
+def _escape_part(value: str | None) -> str:
+    """Canonical partition-value string → hive-escaped path segment."""
+    if value is None:
+        return _HIVE_NULL
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _PATH_ESCAPE else ch for ch in value
+    )
+
+
+def _part_str(v) -> str | None:
+    """Python filter value → the string Spark's cast-to-string produces
+    for it (the manifest's canonical encoding): str(True) is 'True' but
+    Spark stores 'true'; ints / dates / strings agree with str()."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
 
 
 class CommitConflict(RuntimeError):
@@ -161,7 +196,13 @@ def _write_data_files(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(stage)
 
-    back = spark.read.option("basePath", stage).parquet(stage)
+    # pin the incoming schema on the read-back: partition-column TYPE
+    # inference would otherwise re-type e.g. a string '03' directory as
+    # int 3, and its cast-to-string would record '3' in the manifest —
+    # a value the data's own cast-to-string ('03') never matches
+    back = (
+        spark.read.option("basePath", stage).schema(df.schema).parquet(stage)
+    )
     aggs = [F.count("*").alias("rows")]
     for c in stats_cols:
         if c in back.columns:
@@ -178,14 +219,18 @@ def _write_data_files(
 
     entries = []
     for r in stats_rows:
-        src = r["__path"]
+        # input_file_name() is a URI: strip the scheme AND percent-decode —
+        # hive-escaped partition dirs (e.g. '%' → '%25') are re-encoded by
+        # the URI layer ('%2525'), so the raw string is not the disk path
+        src = urllib.parse.unquote(r["__path"])
         if src.startswith("file:"):
             src = src[len("file:"):]
             while src.startswith("//"):
                 src = src[1:]
         parts = {c: r[c] for c in partition_by}
         leaf = os.path.join(
-            data_root, *[f"{c}={parts[c]}" for c in partition_by]
+            data_root,
+            *[f"{c}={_escape_part(parts[c])}" for c in partition_by],
         )
         os.makedirs(leaf, exist_ok=True)
         final = os.path.join(leaf, f"{commit_id}-{os.path.basename(src)}")
@@ -213,7 +258,7 @@ def _matches(entry: dict, partition_filter: dict | None) -> bool:
         if col not in part:
             continue
         allowed = want if isinstance(want, (list, tuple, set)) else (want,)
-        if part[col] not in {str(v) for v in allowed}:
+        if part[col] not in {_part_str(v) for v in allowed}:
             return False
     return True
 
@@ -230,12 +275,23 @@ def _stats_prune(entry: dict, stats_filter: dict | None) -> bool:
         fmin, fmax = entry.get(f"min_{col}"), entry.get(f"max_{col}")
         if fmin is None or fmax is None:
             continue
+        # convert ALL FOUR before rebinding any: a partial conversion
+        # (stats parse, bound doesn't) would leave fmin/fmax float while
+        # lo/hi stay str and the range compare below raises TypeError
         try:
-            fmin, fmax = float(fmin), float(fmax)
-            lo = None if lo is None else float(lo)
-            hi = None if hi is None else float(hi)
+            cand = (
+                float(fmin), float(fmax),
+                None if lo is None else float(lo),
+                None if hi is None else float(hi),
+            )
         except (TypeError, ValueError):
-            pass
+            # all-string comparison: same-type, total order — never mixed
+            cand = (
+                str(fmin), str(fmax),
+                None if lo is None else _part_str(lo),
+                None if hi is None else _part_str(hi),
+            )
+        fmin, fmax, lo, hi = cand
         if lo is not None and fmax < lo:
             return False
         if hi is not None and fmin > hi:
@@ -310,13 +366,18 @@ def acid_write(
     new_entries = _write_data_files(
         spark, df, table_root, tuple(partition_by), tuple(stats_cols)
     )
-    schema_ddl = _schema_ddl(df)
     for _ in range(max_retries):
         base_v = latest_version(table_root)
-        base_files = (
-            [] if (mode == "overwrite" or base_v == 0)
-            else _load_manifest(table_root, base_v)["files"]
-        )
+        if mode == "overwrite" or base_v == 0:
+            base_files: list[dict] = []
+            schema_ddl = _schema_ddl(df)
+        else:
+            base = _load_manifest(table_root, base_v)
+            base_files = base["files"]
+            # append evolves the schema ADDITIVELY (mirrors acid_upsert's
+            # unionByName rules): base columns the frame lacks stay
+            # readable (null in the new files), type conflicts fail loudly
+            schema_ddl = _merge_schema_ddl(base["schema_ddl"], df)
         manifest = _new_manifest(
             base_v, operation or mode, base_files + new_entries,
             tuple(partition_by), schema_ddl,
@@ -360,9 +421,14 @@ def acid_upsert(
     for _ in range(max_retries):
         base_v = latest_version(table_root)
         if partition_by:
+            # Spark cast-to-string — the SAME encoding the manifest stores
+            # (Python str() disagrees on booleans: 'True' vs 'true') —
+            # with null kept as None, the manifest's JSON-null form
             touched = {
-                tuple(str(r[c]) for c in partition_by)
-                for r in df_new.select(*partition_by).distinct().collect()
+                tuple(r[c] for c in partition_by)
+                for r in df_new.select(
+                    *[F.col(c).cast("string").alias(c) for c in partition_by]
+                ).distinct().collect()
             }  # bounded: one row per touched PARTITION
         else:
             touched = None
@@ -379,7 +445,7 @@ def acid_upsert(
                 replaced = [
                     e for e in base["files"]
                     if tuple(
-                        e["partition"].get(c, "") for c in partition_by
+                        e["partition"].get(c) for c in partition_by
                     ) in touched
                 ]
                 replaced_paths = {e["path"] for e in replaced}
@@ -682,6 +748,32 @@ def _schema_ddl(df: DataFrame) -> str:
     return ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
+
+
+def _merge_schema_ddl(base_ddl: str, df: DataFrame) -> str:
+    """Base-manifest schema ∪ incoming schema, additive-only — the SAME
+    evolution rule acid_upsert's unionByName enforces. Columns only the
+    base has stay (the new files simply lack them → read as null under
+    the pinned schema); columns only the incoming frame has are appended;
+    a same-name TYPE conflict fails loudly instead of silently retyping
+    every historic file's column."""
+    from pyspark.sql.types import StructType
+
+    base_fields = StructType.fromDDL(base_ddl).fields
+    base_types = {f.name: f.dataType.simpleString() for f in base_fields}
+    parts = [f"{f.name} {base_types[f.name]}" for f in base_fields]
+    for f in df.schema.fields:
+        new_t = f.dataType.simpleString()
+        have = base_types.get(f.name)
+        if have is None:
+            parts.append(f"{f.name} {new_t}")
+        elif have != new_t:
+            raise TypeError(
+                f"append schema conflict on column {f.name!r}: table has "
+                f"{have}, incoming frame has {new_t} — retyping an ACID "
+                f"table's column requires an explicit overwrite"
+            )
+    return ", ".join(parts)
 
 
 def _new_manifest(parent: int, operation: str, files: list[dict],

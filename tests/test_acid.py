@@ -574,3 +574,92 @@ def test_incremental_agg_matches_full_recompute(spark, tmp_path):
     # commit — verify the cursor is readable from the mat history
     ops = [h["operation"] for h in acid_history(mat)]
     assert ops == ["incremental(1)", "incremental(2)", "incremental(3)"]
+
+
+def test_upsert_boolean_partition_replaces(spark, tmp_path):
+    """Touched-partition matching uses Spark's cast-to-string (manifest
+    encoding: 'true'), not Python str() ('True') — pre-fix a boolean
+    partition column never matched its own files, so the upsert KEPT the
+    old rows alongside the new ones (silent duplicate keys)."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(True, 1, 1.0), (False, 1, 5.0)], "live boolean, ts bigint, px double"
+    )
+    acid_upsert(spark, df, root, key=("live", "ts"), partition_by=("live",))
+    upd = spark.createDataFrame(
+        [(True, 1, 10.0)], "live boolean, ts bigint, px double"
+    )
+    acid_upsert(spark, upd, root, key=("live", "ts"), partition_by=("live",))
+    got = sorted((r.live, r.ts, r.px) for r in acid_read(spark, root).collect())
+    assert got == [(False, 1, 5.0), (True, 1, 10.0)]
+    # and the partition filter speaks Python booleans
+    only_true = acid_read(spark, root, partition_filter={"live": True})
+    assert [(r.live, r.px) for r in only_true.collect()] == [(True, 10.0)]
+
+
+def test_partition_special_chars_and_null_roundtrip(spark, tmp_path):
+    """Partition values containing '/', '=', '%' are hive-escaped in leaf
+    dirs (pre-fix they produced corrupt paths Spark re-parsed as extra
+    partition levels) and null becomes __HIVE_DEFAULT_PARTITION__
+    (pre-fix: a literal 'sym=None' dir read back as the STRING 'None')."""
+    root = str(tmp_path / "t")
+    rows = [("a/b=c", 1, 1.0), ("100%", 2, 2.0), (None, 3, 3.0)]
+    df = spark.createDataFrame(rows, "sym string, ts bigint, px double")
+    acid_write(spark, df, root, partition_by=("sym",))
+    got = sorted(
+        ((r.sym, r.ts, r.px) for r in acid_read(spark, root).collect()),
+        key=lambda t: t[1],
+    )
+    assert got == rows
+    # upsert replaces the weird partition, not duplicates it
+    acid_upsert(
+        spark,
+        spark.createDataFrame([("a/b=c", 1, 9.0)],
+                              "sym string, ts bigint, px double"),
+        root, key=("sym", "ts"), partition_by=("sym",),
+    )
+    got = sorted((r.sym or "", r.ts, r.px)
+                 for r in acid_read(spark, root).collect())
+    assert ("a/b=c", 1, 9.0) in got and ("a/b=c", 1, 1.0) not in got
+    assert ("", 3, 3.0) in got  # null partition row survived
+    # no 'None' directory, nulls use the hive convention
+    data_root = os.path.join(root, "_acid", "data")
+    dirs = set(os.listdir(data_root))
+    assert "sym=None" not in dirs
+    assert "sym=__HIVE_DEFAULT_PARTITION__" in dirs
+
+
+def test_append_schema_merges_additively(spark, tmp_path):
+    """append records base ∪ incoming schema (pre-fix: the INCOMING frame's
+    schema alone became the pinned manifest schema, silently hiding every
+    column it lacked); a same-name type conflict fails loudly."""
+    root = str(tmp_path / "t")
+    acid_write(spark, spark.createDataFrame(
+        [(1, 1.0, "x")], "ts bigint, px double, note string"), root)
+    # append a frame MISSING 'note' and ADDING 'vol'
+    acid_write(spark, spark.createDataFrame(
+        [(2, 2.0, 7.0)], "ts bigint, px double, vol double"), root)
+    df = acid_read(spark, root)
+    assert set(df.columns) == {"ts", "px", "note", "vol"}
+    got = {r.ts: (r.px, r.note, r.vol) for r in df.collect()}
+    assert got == {1: (1.0, "x", None), 2: (2.0, None, 7.0)}
+    # retyping fails loudly instead of silently corrupting readers
+    with pytest.raises(TypeError, match="schema conflict"):
+        acid_write(spark, spark.createDataFrame(
+            [(3, "oops")], "ts bigint, px string"), root)
+
+
+def test_stats_prune_partial_parse_no_crash():
+    """_stats_prune converts all four values before rebinding any — a
+    numeric file stat with a non-numeric bound (or vice versa) falls back
+    to an all-string compare instead of raising TypeError mid-prune."""
+    from backtest_crew_datalake_spark.sources.acid import _stats_prune
+
+    entry = {"min_px": "1.5", "max_px": "9.5"}
+    # bound doesn't parse as float -> string compare, no crash
+    assert _stats_prune(entry, {"px": (None, "zzz")}) is True
+    assert _stats_prune(entry, {"px": ("zzz", None)}) is False  # '9.5'<'zzz'
+    # numeric bounds still prune numerically
+    assert _stats_prune(entry, {"px": (10, None)}) is False
+    assert _stats_prune(entry, {"px": (None, 1.0)}) is False
+    assert _stats_prune(entry, {"px": (2, 3)}) is True

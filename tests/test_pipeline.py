@@ -1419,6 +1419,20 @@ def test_bpe_merges_ignores_pipe_words(spark):
     assert got == [(1, "l", "o"), (2, "lo", "w")]
 
 
+def test_bpe_apply_rounds_beyond_available_merges_noop(spark):
+    """A merge round with NO remaining adjacent pairs must be a no-op,
+    not empty the vocab: single-char words exhaust merges at round 0, so
+    rounds=3 must still report the un-merged totals (pre-fix the empty
+    argmax crossJoin wiped the vocab and the summary went all-NULL)."""
+    from backtest_crew_datalake_spark.pipeline.text import bpe_apply
+
+    df = spark.createDataFrame([(0, "a b a c")], ["doc_id", "text"])
+    row = bpe_apply(df, rounds=3).collect()[0]
+    assert row.total_words == 4 and row.vocab_size == 3
+    assert row.tokens_before == 4 and row.tokens_after == 4
+    assert row.compression == 1.0
+
+
 def test_ngram_novelty_hand_checked(spark):
     from backtest_crew_datalake_spark.pipeline.text import ngram_novelty
 
@@ -1768,9 +1782,9 @@ def test_ppjoin_pairs_complete_vs_bruteforce(spark):
     for a, b in itertools.combinations(sorted(sets), 2):
         ni = len(sets[a] & sets[b])
         if ni:
-            j = round(ni / (len(sets[a]) + len(sets[b]) - ni), 6)
-            if j >= 0.6:
-                want[(a, b)] = (ni, j)
+            ratio = ni / (len(sets[a]) + len(sets[b]) - ni)
+            if ratio >= 0.6 - 1e-9:  # unrounded threshold (display rounds)
+                want[(a, b)] = (ni, round(ratio, 6))
     got = {(r.id_a, r.id_b): (r.n_inter, r.jaccard)
            for r in ppjoin_pairs(df, threshold=0.6).collect()}
     assert got == want and want  # complete AND exact (and non-trivial)

@@ -225,9 +225,9 @@ def test_ppjoin_complete_and_exact(spark, docs, th):
     for a, b in itertools.combinations(sorted(sets), 2):
         ni = len(sets[a] & sets[b])
         if ni:
-            j = round(ni / (len(sets[a]) + len(sets[b]) - ni), 6)
-            if j >= th:
-                want[(a, b)] = (ni, j)
+            ratio = ni / (len(sets[a]) + len(sets[b]) - ni)
+            if ratio >= th - 1e-9:  # unrounded threshold (display rounds)
+                want[(a, b)] = (ni, round(ratio, 6))
     got = {(r.id_a, r.id_b): (r.n_inter, r.jaccard)
            for r in ppjoin_pairs(df, threshold=th).collect()}
     assert got == want
