@@ -76,72 +76,23 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 # Catalog presentation order. The correctness driver samples a prefix of the
-# catalog (observed: first 50 entries), so ordering is evidence policy, not
+# catalog (observed: ~50 entries), so ordering is evidence policy, not
 # cosmetics — ROTATE it every round so no query's driver evidence goes
-# stale. Round-6 window: (a) q_doc_bpe_merges, whose round-5 driver row was
-# the catalog's only-ever value mismatch (DuckDB HUGEINT widening in the
-# oracle, fixed this round) — it must lead so the fix gets a driver row;
-# (b) the 34 value-checked queries whose last driver row is round 3 (the
-# oldest evidence in the catalog); (c) the oldest 15 of the round-4 set.
-# Queries green in CORRECTNESS_r05 and untouched since sit at the tail; any
-# query ADDED or CHANGED this round is promoted into the window when it
-# lands. tools/check_oracles.py covers the full catalog locally.
+# stale. Round-7 window: (a) the NEW ACID-layer queries (first driver rows
+# for sources/acid.py — the r6 verdict's #1 ask); (b) q_doc_ppjoin_pairs /
+# q_doc_bpe_apply, whose semantics were touched by this round's ADVICE
+# fixes (unrounded threshold; exhausted-merge no-op) and must re-prove;
+# (c) the ~40 queries whose last driver row is round 4 (q_evt_cube through
+# q_evt_retention) — the oldest evidence in the catalog — then the oldest
+# round-5 entries to fill the window. Queries green in CORRECTNESS_r06 sit
+# at the tail; the rows-only (no-oracle) entries sit LAST so they never
+# spend a value-check slot. tools/check_oracles.py covers the full catalog.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # -- (a) wrong in CORRECTNESS_r05 (HUGEINT oracle widening, fixed this
-    #    round): must re-prove under the driver gate first
-    "q_doc_bpe_merges",
-    # -- NEW this round: need first driver rows
-    "q_doc_char_entropy",
-    "q_doc_zipf_fit",
-    "q_doc_bpe_apply",
-    "q_doc_bigram_entropy",
-    "q_emb_linear_probe",
+    "q_acid_upsert_read",
+    "q_acid_time_travel",
+    "q_acid_changes_feed",
     "q_doc_ppjoin_pairs",
-    "q_emb_semantic_dedup",
-    # -- (b) last driver row is round 3 (the oldest evidence in the catalog)
-    "q_doc_quality",
-    "q_doc_lang_id",
-    "q_doc_exact_dedup",
-    "q_doc_fingerprint",
-    "q_doc_bpe_token_count",
-    "q_doc_simhash_portable",
-    "q_doc_distinct_estimate",
-    "q_doc_dedup_recall",
-    "q_doc_hash_sample",
-    "q_doc_train_split",
-    "q_doc_vocab_topk",
-    "q_doc_minhash_lsh_pairs",
-    "q_doc_simhash",
-    "q_emb_cosine_topk",
-    "q_emb_lsh_buckets",
-    "q_emb_ivf_topk",
-    "q_emb_near_dup_pairs",
-    "q_emb_dim_stats",
-    "q_emb_label_stats",
-    "q_evt_dedup_keep_last",
-    "q_evt_minmax",
-    "q_evt_cms_user_counts",
-    "q_evt_histogram_quantiles",
-    "q_symbol_map",
-    "q_tf_normalize",
-    "q_conditional_pivot",
-    "q_priority_shipping",
-    "q_evt_sessionize",
-    "q_evt_interval_join",
-    "q_evt_pivot_user_types",
-    "q_evt_resample",
-    "q_evt_asof_join",
-    "q_evt_missing_days",
-    "q_evt_active_runs",
-    # -- (c) oldest of the round-4 set, filling the 50-query window
-    "q_evt_synth_fill",
-    "q_evt_completeness",
-    "q_evt_hour_histogram",
-    "q_evt_daily_ffill",
-    "q_evt_neighbors",
-    "q_evt_rolling_window",
-    "q_evt_value_quantiles",
-    "q_evt_json_props",
+    "q_doc_bpe_apply",
     "q_evt_cube",
     "q_evt_zscore_outliers",
     "q_evt_range_scan",
@@ -149,8 +100,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_pricing_summary",
     "q_top_revenue_orders",
     "q_nation_revenue",
-    # -- tail: round-4 then round-5 evidence (freshest last); rows-only
-    #    q_multimodal_features yields its window slot to value-checked rows
     "q_semi_join_customers",
     "q_anti_join_customers",
     "q_outer_join_counts",
@@ -191,6 +140,52 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_doc_weighted_sample",
     "q_doc_containment_pairs",
     "q_evt_hll_distinct",
+    "q_doc_bpe_merges",
+    "q_doc_char_entropy",
+    "q_doc_zipf_fit",
+    "q_doc_bigram_entropy",
+    "q_emb_linear_probe",
+    "q_emb_semantic_dedup",
+    "q_doc_quality",
+    "q_doc_lang_id",
+    "q_doc_exact_dedup",
+    "q_doc_fingerprint",
+    "q_doc_bpe_token_count",
+    "q_doc_simhash_portable",
+    "q_doc_distinct_estimate",
+    "q_doc_dedup_recall",
+    "q_doc_hash_sample",
+    "q_doc_train_split",
+    "q_doc_vocab_topk",
+    "q_emb_cosine_topk",
+    "q_emb_lsh_buckets",
+    "q_emb_ivf_topk",
+    "q_emb_near_dup_pairs",
+    "q_emb_dim_stats",
+    "q_emb_label_stats",
+    "q_evt_dedup_keep_last",
+    "q_evt_minmax",
+    "q_evt_cms_user_counts",
+    "q_evt_histogram_quantiles",
+    "q_symbol_map",
+    "q_tf_normalize",
+    "q_conditional_pivot",
+    "q_priority_shipping",
+    "q_evt_sessionize",
+    "q_evt_interval_join",
+    "q_evt_pivot_user_types",
+    "q_evt_resample",
+    "q_evt_asof_join",
+    "q_evt_missing_days",
+    "q_evt_active_runs",
+    "q_evt_synth_fill",
+    "q_evt_completeness",
+    "q_evt_hour_histogram",
+    "q_evt_daily_ffill",
+    "q_evt_neighbors",
+    "q_evt_rolling_window",
+    "q_evt_value_quantiles",
+    "q_evt_json_props",
     "q_doc_minhash_error",
     "q_doc_editsim_verify",
     "q_evt_salted_join",
@@ -228,6 +223,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_doc_pack_bins",
     "q_emb_kmeans_clusters",
     "q_doc_token_stats",
+    "q_doc_minhash_lsh_pairs",
+    "q_doc_simhash",
     "q_multimodal_features",
     "q_multimodal_frames",
 )
@@ -235,7 +232,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
 
 def all_queries() -> dict[str, QueryDef]:
     # import for side effect of registration
-    from . import relational, events, text, embeddings, scalars  # noqa: F401
+    from . import relational, events, text, embeddings, scalars, acid  # noqa: F401
 
     missing = [n for n in PRIORITY_ORDER if n not in REGISTRY]
     if missing:  # typo guard: a stale PRIORITY_ORDER entry must fail loudly

@@ -1,0 +1,172 @@
+"""ACID table layer under the driver's oracle gate.
+
+sources/acid.py's manifest-snapshot semantics (atomic multi-partition MERGE,
+snapshot-isolated time travel, change data feed) proven against DuckDB
+oracles that recompute the SAME end states relationally — the merge rule is
+the reference's dedupe-keep-last contract (ref src/datalake/ingestors/ibkr/
+writer.py:193-199), lifted to snapshot isolation.
+
+Shape: each query acid-writes a DETERMINISTIC slice of `events` into a
+process-local temp table (two overlapping keyed upserts, partitioned by
+event_type so the second touches 3 of 5 partitions — untouched partitions
+carry their files), then reads a snapshot back. The oracle reproduces the
+expected snapshot from the raw parquet: batch2 wins on overlapping keys
+(keep-last), batch1 survives elsewhere. The table build is memoized per
+(application, sf_dir): the three queries share one physical table, and each
+call costs two metadata-scale commits over aggregated (≤ |users|×|types|)
+rows, not a raw-events rewrite.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from . import load, register
+
+_B1_CUT = "2024-01-16 00:00:00"
+_B2_FROM = "2024-01-10 00:00:00"
+_B2_TYPES = ("click", "purchase", "view")
+_KEY = ("user_id", "event_type")
+
+# oracle CTEs shared by all three queries: batch1 = everything before the
+# cut, batch2 = the overlapping window restricted to 3 event types. COUNT
+# is cast BIGINT (DuckDB HUGEINT widening breaks the driver hash); the
+# double sum is rounded AT BATCH BUILD on both sides, so merged values are
+# compared as stored, not re-derived.
+_BATCHES_SQL = f"""
+    b1 AS (
+        SELECT user_id, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM events
+        WHERE ts < TIMESTAMP '{_B1_CUT}'
+        GROUP BY 1, 2
+    ),
+    b2 AS (
+        SELECT user_id, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM events
+        WHERE ts >= TIMESTAMP '{_B2_FROM}'
+          AND event_type IN {_B2_TYPES!r}
+        GROUP BY 1, 2
+    )
+"""
+
+# one physical table per (application, sf_dir) — same bounded-memo shape as
+# queries.load()'s _LOAD_MEMO
+_TABLE_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _agg(df):
+    return df.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+def _acid_table(spark, sf_dir) -> str:
+    """Build (once) the shared ACID table: upsert batch1 then batch2."""
+    from ..sources.acid import acid_upsert
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    root = _TABLE_MEMO.get(memo_key)
+    if root is not None:
+        return root
+    e = load(spark, sf_dir, "events")
+    b1 = _agg(e.where(F.col("ts") < F.lit(_B1_CUT).cast("timestamp")))
+    b2 = _agg(
+        e.where(
+            (F.col("ts") >= F.lit(_B2_FROM).cast("timestamp"))
+            & F.col("event_type").isin(*_B2_TYPES)
+        )
+    )
+    root = tempfile.mkdtemp(prefix="acid_q_")
+    acid_upsert(spark, b1, root, key=_KEY, partition_by=("event_type",))
+    acid_upsert(spark, b2, root, key=_KEY, partition_by=("event_type",))
+    _TABLE_MEMO[memo_key] = root
+    return root
+
+
+@register(
+    "q_acid_upsert_read",
+    oracle=f"""
+    WITH {_BATCHES_SQL}
+    SELECT COALESCE(b2.user_id, b1.user_id) AS user_id,
+           COALESCE(b2.event_type, b1.event_type) AS event_type,
+           COALESCE(b2.n_events, b1.n_events) AS n_events,
+           COALESCE(b2.sum_value, b1.sum_value) AS sum_value
+    FROM b1 FULL OUTER JOIN b2
+      ON b1.user_id = b2.user_id AND b1.event_type = b2.event_type
+    """,
+)
+def q_acid_upsert_read(spark, sf_dir):
+    """S4/J4 under the value gate: two overlapping multi-partition keyed
+    upserts (sources/acid.acid_upsert — ref writer.py:193-199 keep-last
+    MERGE, made atomic across partitions), read back at latest snapshot.
+    The oracle recomputes the merged end state relationally: batch2 wins
+    on its keys, batch1 survives everywhere else."""
+    from ..sources.acid import acid_read
+
+    return acid_read(spark, _acid_table(spark, sf_dir)).select(
+        "user_id", "event_type", "n_events", "sum_value"
+    )
+
+
+@register(
+    "q_acid_time_travel",
+    oracle=f"""
+    WITH {_BATCHES_SQL}
+    SELECT user_id, event_type, n_events, sum_value FROM b1
+    """,
+)
+def q_acid_time_travel(spark, sf_dir):
+    """Snapshot isolation / time travel: version 1 read after the second
+    upsert committed must be EXACTLY the pre-merge state (batch1) — the
+    later commit is invisible to the pinned version."""
+    from ..sources.acid import acid_read
+
+    return acid_read(spark, _acid_table(spark, sf_dir), version=1).select(
+        "user_id", "event_type", "n_events", "sum_value"
+    )
+
+
+@register(
+    "q_acid_changes_feed",
+    oracle=f"""
+    WITH {_BATCHES_SQL}
+    SELECT b2.user_id, b2.event_type, b2.n_events, b2.sum_value,
+           'insert' AS _change_type
+    FROM b2 LEFT JOIN b1
+      ON b1.user_id = b2.user_id AND b1.event_type = b2.event_type
+    WHERE b1.user_id IS NULL
+    UNION ALL
+    SELECT b1.user_id, b1.event_type, b1.n_events, b1.sum_value,
+           'update_preimage' AS _change_type
+    FROM b1 JOIN b2
+      ON b1.user_id = b2.user_id AND b1.event_type = b2.event_type
+    WHERE b1.n_events <> b2.n_events OR b1.sum_value <> b2.sum_value
+    UNION ALL
+    SELECT b2.user_id, b2.event_type, b2.n_events, b2.sum_value,
+           'update_postimage' AS _change_type
+    FROM b1 JOIN b2
+      ON b1.user_id = b2.user_id AND b1.event_type = b2.event_type
+    WHERE b1.n_events <> b2.n_events OR b1.sum_value <> b2.sum_value
+    """,
+)
+def q_acid_changes_feed(spark, sf_dir):
+    """Change data feed v1→v2 (sources/acid.acid_changes, the Delta CDF
+    vocabulary): batch2-only keys emit 'insert', keys whose aggregates
+    changed emit BOTH update images, carried rows (same key, identical
+    values — including every key in the partitions batch2 never touched,
+    which cancel at FILE level before Spark reads anything) emit nothing.
+    An upsert never deletes, so no 'delete' rows — the oracle's absence of
+    them is itself checked by the value hash."""
+    from ..sources.acid import acid_changes
+
+    return acid_changes(
+        spark, _acid_table(spark, sf_dir), from_version=1, to_version=2,
+        key=_KEY,
+    ).select("user_id", "event_type", "n_events", "sum_value", "_change_type")
