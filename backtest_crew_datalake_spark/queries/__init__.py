@@ -39,7 +39,10 @@ def register(name: str, oracle: str | None = None):
 # path-keyed, so unlike the removed warm-cache temp-view probe nothing can
 # shadow a table by name; a new SparkSession gets a new application id and
 # fresh entries. Plain spark.read.parquet pays ~110 ms of listing + footer
-# schema reads PER CALL, and a bench pass makes ~70 load() calls.
+# schema reads PER CALL, and a bench pass makes ~70 load() calls. Size is
+# bounded in practice by |sf_dirs visited| × 10 tables per application —
+# entries are lightweight logical plans; a long-lived driver cycling many
+# sf_dirs can clear() it or restart the session.
 _LOAD_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
@@ -91,6 +94,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_acid_upsert_read",
     "q_acid_time_travel",
     "q_acid_changes_feed",
+    "q_acid_pruned_read",
     "q_doc_ppjoin_pairs",
     "q_doc_bpe_apply",
     "q_evt_cube",

@@ -84,8 +84,10 @@ def _acid_table(spark, sf_dir) -> str:
         )
     )
     root = tempfile.mkdtemp(prefix="acid_q_")
-    acid_upsert(spark, b1, root, key=_KEY, partition_by=("event_type",))
-    acid_upsert(spark, b2, root, key=_KEY, partition_by=("event_type",))
+    acid_upsert(spark, b1, root, key=_KEY, partition_by=("event_type",),
+                stats_cols=("n_events",))
+    acid_upsert(spark, b2, root, key=_KEY, partition_by=("event_type",),
+                stats_cols=("n_events",))
     _TABLE_MEMO[memo_key] = root
     return root
 
@@ -170,3 +172,36 @@ def q_acid_changes_feed(spark, sf_dir):
         spark, _acid_table(spark, sf_dir), from_version=1, to_version=2,
         key=_KEY,
     ).select("user_id", "event_type", "n_events", "sum_value", "_change_type")
+
+
+@register(
+    "q_acid_pruned_read",
+    oracle=f"""
+    WITH {_BATCHES_SQL}
+    SELECT COALESCE(b2.user_id, b1.user_id) AS user_id,
+           COALESCE(b2.event_type, b1.event_type) AS event_type,
+           COALESCE(b2.n_events, b1.n_events) AS n_events,
+           COALESCE(b2.sum_value, b1.sum_value) AS sum_value
+    FROM b1 FULL OUTER JOIN b2
+      ON b1.user_id = b2.user_id AND b1.event_type = b2.event_type
+    WHERE COALESCE(b2.event_type, b1.event_type) IN ('click', 'error')
+      AND COALESCE(b2.n_events, b1.n_events) >= 10
+    """,
+)
+def q_acid_pruned_read(spark, sf_dir):
+    """S1/S3 at the manifest layer: partition_filter prunes the FILE LIST
+    by manifest partition values ('error' files carry straight from v1 —
+    the filter must speak the canonical cast-to-string encoding) and
+    stats_filter skips files whose recorded min/max n_events exclude the
+    range — both BEFORE Spark opens a footer. Skipping is not filtering,
+    so the predicate is re-applied; the gate proves no file that still
+    held qualifying rows was skipped."""
+    from ..sources.acid import acid_read
+
+    return acid_read(
+        spark, _acid_table(spark, sf_dir),
+        partition_filter={"event_type": ["click", "error"]},
+        stats_filter={"n_events": (10, None)},
+    ).where(F.col("n_events") >= 10).select(
+        "user_id", "event_type", "n_events", "sum_value"
+    )
