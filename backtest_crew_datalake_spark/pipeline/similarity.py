@@ -13,6 +13,8 @@
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves _assign_kernel_udf's type hints
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -287,6 +289,75 @@ def kmeans_assign(
     )
 
 
+def _assign_kernel_udf(C, cids, id_type: str):
+    """Arrow-batched nearest-centroid assignment against a DRIVER-HELD
+    k×dim centroid matrix — the MLlib shape (Spark's own KMeans collects
+    centroids each round and ships them to a map stage). Value-exact vs
+    the expression path: squared distance accumulates (x_i − c_i)² with
+    i ascending via `acc +=` — the same left-associated order as _sqdist's
+    aggregate fold — and np.argmin takes the FIRST minimum, so ties break
+    to the lowest centroid id exactly like array_min over (d2, cid)
+    structs (``cids`` is sorted ascending by construction). See
+    pq._codes_udf for the measured HOF-vs-kernel rationale (interpreted
+    µs-per-invocation lambdas vs one vectorized batch op)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ids = np.asarray(cids, dtype=object)
+
+    @pandas_udf(id_type)
+    def assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.array(vs.tolist(), dtype=np.float64)
+        acc = np.zeros((X.shape[0], C.shape[0]), dtype=np.float64)
+        for i in range(X.shape[1]):
+            diff = X[:, i, None] - C[None, :, i]
+            acc += diff * diff
+        return pd.Series(ids[np.argmin(acc, axis=1)])
+
+    return assign
+
+
+def kmeans_assign_kernel(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """kmeans_assign(topn=1) via the Arrow kernel: collects the k-row
+    centroid table (bounded — the same collect family as pq's codebook)
+    and appends ``centroid_id`` in ONE vectorized map stage. Same result
+    as kmeans_assign to the bit (see _assign_kernel_udf); preferable when
+    the corpus is large enough that the interpreted per-element HOF cost
+    dominates (measured: the 3-pass kmeans query went 2.7× → ~1.9× DuckDB
+    at the 10× corpus when its passes moved to the kernel, with the warm
+    per-pass cost ~0.5 s vs ~1 s interpreted)."""
+    import numpy as np
+
+    rows = sorted(
+        centroids.select("centroid_id", F.col(vec_col).cast("array<double>")
+                         .alias(vec_col)).collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    if not rows:
+        return df.withColumn("centroid_id", F.lit(None)).where(F.lit(False))
+    C = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    cids = [r["centroid_id"] for r in rows]
+    id_type = dict(centroids.dtypes)["centroid_id"]
+    # no spread here, unlike the HOF path: the kernel is one vectorized
+    # batch op per partition, so a small input runs fastest as ONE Arrow
+    # batch (32-way spread = 32 python tasks of ~60 rows, measured pure
+    # overhead), and at scale the scan is already multi-partition
+    return df.withColumn(
+        "centroid_id",
+        _assign_kernel_udf(C, cids, id_type)(
+            F.col(vec_col).cast("array<double>")
+        ),
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     k: int = 8,
@@ -294,48 +365,62 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Lloyd's k-means refinement as pure DataFrame ops — no MLlib, no
-    driver-side loop over data, no collect. Deterministic end to end:
-    init = the k lowest-id vectors, L2 assignment with ties → lowest
-    centroid id, means in double precision. Clusters that go empty keep
-    their previous centroid. Returns (centroid_id, ``vec_col``:
-    array<double>).
+    """Lloyd's k-means refinement, MLlib-style: the ONLY driver state is
+    the k×dim centroid matrix (a bounded collect, same family as pq's
+    codebook and the HLL registers — never corpus rows). Deterministic
+    end to end: init = the k lowest-id vectors, L2 assignment with
+    ties → lowest centroid id, means in double precision (computed by the
+    distributed keyed aggregation, collected exactly). Clusters that go
+    empty keep their previous centroid. Returns (centroid_id, ``vec_col``:
+    array<double>) as a LITERAL local relation — downstream broadcasts
+    (IVF probing, semantic dedup) start from k in-memory rows instead of
+    re-running the whole training subtree.
 
-    Scale shape per iteration: one broadcast cross-join (N×k distance
-    evals, streaming) + one posexplode groupBy keyed (centroid, dim) —
-    k×64 groups, so map-side partial aggregation does virtually all the
-    reduction and the shuffle is a few KB regardless of corpus size.
-    ``iters`` is a fixed small constant; the lineage stays linear and is
-    evaluated once at the final action (used by IVF, SURVEY §7.1
-    extensions — the reference has no vector surface at all)."""
+    Scale shape per iteration: ONE job — a corpus map stage (Arrow-kernel
+    assignment, see _assign_kernel_udf; the earlier per-element HOF argmin
+    was measured 2.7× DuckDB at the 10× corpus purely on interpreted
+    lambda overhead) feeding lloyd_means' keyed (centroid, dim) partial
+    aggregation, k×dim groups collected to the driver. No per-round
+    broadcast-build jobs, no checkpoint materializations, no coalesce
+    join: plan depth is constant and jobs = 1 init + ``iters``."""
+    import numpy as np
+
     emb = corpus.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias(vec_col),
     )
-    cent = (
-        emb.orderBy("__id")
-        .limit(k)
-        .select(F.col("__id").alias("centroid_id"), vec_col)
-    )
-    # Each Lloyd round embeds the previous centroid plan on BOTH sides of
-    # the assignment (broadcast) and the empty-cluster coalesce join, so
-    # the logical plan doubles per iteration — and every broadcast
-    # materialization of round i's centroids RE-RUNS rounds 1..i-1 (each
-    # broadcast is its own job over the un-truncated lineage). From 2
-    # rounds up, checkpoint the k-row centroid table each round (lazy:
-    # materializes with the next round's job) so each round's corpus pass
-    # runs exactly once and plan depth stays constant.
-    checkpoint = iters >= 2
+    # rounds are separate jobs — pin the projection once so each reads
+    # materialized partitions instead of re-running the scan (no spread:
+    # the kernel vectorizes within a partition, and splitting a tiny
+    # input 32 ways was measured pure python-task overhead)
+    emb = emb.localCheckpoint(eager=False)
+    spark = corpus.sparkSession
+    id_type = dict(emb.dtypes)["__id"]
+    schema = f"centroid_id {id_type}, {vec_col} array<double>"
+    init = emb.orderBy("__id").limit(k).collect()  # k rows, bounded
+    if not init:
+        return spark.createDataFrame([], schema)
+    cids = [r["__id"] for r in init]  # ascending by construction
+    C = np.array([r[vec_col] for r in init], dtype=np.float64)
     for _ in range(iters):
-        assigned = kmeans_assign(emb, cent, id_col="__id", vec_col=vec_col)
-        means = lloyd_means(assigned, ["centroid_id"], vec_col, "__nv")
-        cent = cent.join(means, "centroid_id", "left").select(
-            "centroid_id",
-            F.coalesce(F.col("__nv"), F.col(vec_col)).alias(vec_col),
+        assigned = emb.withColumn(
+            "centroid_id", _assign_kernel_udf(C, cids, id_type)(F.col(vec_col))
         )
-        if checkpoint:
-            cent = cent.localCheckpoint(eager=False)
-    return cent
+        got = {
+            r["centroid_id"]: r["__nv"]
+            for r in lloyd_means(
+                assigned, ["centroid_id"], vec_col, "__nv"
+            ).collect()  # ≤ k rows, bounded
+        }
+        # empty clusters keep their previous centroid
+        C = np.array(
+            [got.get(cid, C[i]) for i, cid in enumerate(cids)],
+            dtype=np.float64,
+        )
+    return spark.createDataFrame(
+        [(cid, [float(x) for x in C[i]]) for i, cid in enumerate(cids)],
+        schema,
+    )
 
 
 def lloyd_means(

@@ -269,11 +269,11 @@ def q_emb_kmeans_clusters(spark, sf_dir):
     final cluster occupancy + first-4-dim means. The oracle unrolls the
     same two iterations as DuckDB CTEs, so the entire iterative algorithm
     is value-checked, not just row counts."""
-    from ..pipeline.similarity import kmeans_assign, kmeans_centroids
+    from ..pipeline.similarity import kmeans_assign_kernel, kmeans_centroids
 
     emb = load(spark, sf_dir, "embeddings")
     cent = kmeans_centroids(emb, k=8, iters=2)
-    assigned = kmeans_assign(emb, cent)
+    assigned = kmeans_assign_kernel(emb, cent)
     v = F.col("embedding")
     return assigned.groupBy("centroid_id").agg(
         F.count("*").alias("n_members"),

@@ -2958,8 +2958,12 @@ def q_doc_bigram_entropy(spark, sf_dir):
     per-(source,prev) rollup) — no join back, no window, no per-prev
     normalization pass; both shuffles are map-side-combinable and keyed by
     strings that partition evenly at 100 TB. Extension surface (no
-    reference analogue)."""
-    d = load(spark, sf_dir, "documents")
+    reference analogue). spread first: a single-row-group scan is ONE task
+    and the token explode + first hash-agg pin to one core (measured 4.45
+    → 1.64 s, 2.73× → 1.03× DuckDB, at the 10× corpus)."""
+    from ..pipeline.dedup import spread_partitions
+
+    d = spread_partitions(load(spark, sf_dir, "documents"), "doc_id")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     bigrams = F.expr(
         "transform(sequence(0, size(__toks) - 2), "

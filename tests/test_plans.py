@@ -140,10 +140,12 @@ def test_shared_spans_plan_keyed_joins(spark):
 
 def test_kmeans_plan_broadcast_only_centroids(spark):
     p = _plan(spark, "q_emb_kmeans_clusters")
-    # centroid assignment is broadcast (tiny side); the corpus itself must
-    # never be the build side of a nested-loop join
+    # assignment is a row-local Arrow kernel against the DRIVER-HELD k-row
+    # centroid matrix (the MLlib shape): NO join of any kind touches the
+    # corpus — the k-means training subtree collapsed to map stages
     assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" in p  # k-row centroid cross joins
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "ArrowEvalPython" in p  # the vectorized assignment kernel
     # per-dim means: keyed partial aggregation, no global sort
     assert "Exchange rangepartitioning" not in p
 
