@@ -594,6 +594,15 @@ def ppjoin_pairs(
     fan-out is output-bound, not an artifact. Length filter t*|A| <= |B|
     prunes before verification. No caps, no collects, no windows over
     unbounded partitions."""
+    docs, cand = _ppjoin_candidates(df, text_col, id_col, n, threshold)
+    return _ppjoin_verify(docs, cand, threshold)
+
+
+def _ppjoin_candidates(df, text_col, id_col, n, threshold):
+    """Shingle → rarity-ordered per-doc sets → prefix-join candidate pairs
+    (the pre-verification half of ppjoin_pairs, exposed so diagnostics —
+    tools/bench_ppjoin.py — can report the candidate/true-pair ratio that
+    demonstrates output-bound growth). Returns (docs, cand)."""
     from pyspark.sql import Window
 
     sh = (
@@ -665,6 +674,10 @@ def ppjoin_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    return docs, cand
+
+
+def _ppjoin_verify(docs, cand, threshold):
     # pair-first exact intersection (the repo's standard verify shape):
     # candidate pairs × side-a shingles, then ONE keyed (id_b, sh)
     # equi-join — cost Σ_pairs |shingles(a)|, linear in pairs, and only
