@@ -74,8 +74,10 @@ _PATH_ESCAPE = (
 
 
 def _escape_part(value: str | None) -> str:
-    """Canonical partition-value string → hive-escaped path segment."""
-    if value is None:
+    """Canonical partition-value string → hive-escaped path segment.
+    '' takes the null dir like Spark's own writer (it can't round-trip:
+    'c=' parses back as null anyway)."""
+    if value is None or value == "":
         return _HIVE_NULL
     return "".join(
         f"%{ord(ch):02X}" if ch in _PATH_ESCAPE else ch for ch in value
@@ -85,8 +87,11 @@ def _escape_part(value: str | None) -> str:
 def _part_str(v) -> str | None:
     """Python filter value → the string Spark's cast-to-string produces
     for it (the manifest's canonical encoding): str(True) is 'True' but
-    Spark stores 'true'; ints / dates / strings agree with str()."""
-    if v is None:
+    Spark stores 'true'; ints / dates / strings agree with str(). An
+    EMPTY string canonicalizes to null — Spark's partitionBy writes '' as
+    __HIVE_DEFAULT_PARTITION__ and partition discovery reads it back as
+    null, so '' and null are the same partition value by construction."""
+    if v is None or v == "":
         return None
     if isinstance(v, bool):
         return str(v).lower()
@@ -423,9 +428,11 @@ def acid_upsert(
         if partition_by:
             # Spark cast-to-string — the SAME encoding the manifest stores
             # (Python str() disagrees on booleans: 'True' vs 'true') —
-            # with null kept as None, the manifest's JSON-null form
+            # with null kept as None, the manifest's JSON-null form;
+            # '' folds to None because Spark's partition writer does
+            # (see _part_str)
             touched = {
-                tuple(r[c] for c in partition_by)
+                tuple(None if r[c] == "" else r[c] for c in partition_by)
                 for r in df_new.select(
                     *[F.col(c).cast("string").alias(c) for c in partition_by]
                 ).distinct().collect()

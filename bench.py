@@ -90,6 +90,18 @@ def main():
         .groupBy("r_name").agg(F.count("*").alias("c"))
         .write.format("noop").mode("overwrite").save()
     )
+    # warm the Python-worker + Arrow machinery too: the FIRST pandas_udf
+    # job in a session pays ~2.5 s of spin-up (measured) that would
+    # otherwise land on whichever kernel query runs first
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def __warm(s: pd.Series) -> pd.Series:
+        return s
+
+    r.select(__warm(F.lit(1.0))).write.format("noop").mode(
+        "overwrite").save()
     load_sec = round(time.perf_counter() - t0, 3)
 
     # median of 3 runs per query — single-shot timings on a shared box are

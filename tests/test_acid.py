@@ -663,3 +663,34 @@ def test_stats_prune_partial_parse_no_crash():
     assert _stats_prune(entry, {"px": (10, None)}) is False
     assert _stats_prune(entry, {"px": (None, 1.0)}) is False
     assert _stats_prune(entry, {"px": (2, 3)}) is True
+
+
+def test_upsert_awkward_partition_values_match_dict_model(spark, tmp_path):
+    """Differential check over the partition-value edge cases as one
+    upsert sequence: boolean-ish strings, hive metacharacters, unicode,
+    empty string (which Spark's partition writer folds to null — '' and
+    null are ONE partition value by construction), and null. Every key
+    must end at its LAST written value — any encoding mismatch between
+    the touched-set, the manifest, and the leaf dirs shows up as a
+    duplicate or lost key."""
+    root = str(tmp_path / "t")
+    schema = "sym string, ts bigint, px double"
+    batches = [
+        [("true", 1, 1.0), ("a/b=c%d", 1, 2.0), ("", 1, 3.0),
+         (None, 1, 4.0), ("naïve 100%", 1, 5.0)],
+        [("true", 1, 10.0), ("", 2, 6.0), (None, 1, 40.0)],
+        [("a/b=c%d", 1, 20.0), ("naïve 100%", 2, 7.0)],
+    ]
+    model = {}
+    for rows in batches:
+        acid_upsert(spark, spark.createDataFrame(rows, schema), root,
+                    key=("sym", "ts"), partition_by=("sym",))
+        for sym, ts, px in rows:
+            model[(sym or None) if sym != "" else None, ts] = px
+    got = {((r.sym if r.sym != "" else None), r.ts): r.px
+           for r in acid_read(spark, root).collect()}
+    # fold '' keys in the model the same way (Spark stores '' as null)
+    want = {}
+    for (sym, ts), px in model.items():
+        want[(sym, ts)] = px
+    assert got == want
