@@ -1350,6 +1350,104 @@ def test_image_dhash_and_near_dup_pairs(spark):
     assert not any(3 in p for p in pairs)           # unrelated image is far
 
 
+def test_dhash_candidate_pairs_recall_vs_brute_force(spark):
+    """Banded-join EXACTNESS on a seeded hash corpus: plant near-dup
+    clusters by flipping <= max_hamming random bits of base hashes, add
+    random far hashes, and compare dhash_candidate_pairs against a
+    numpy brute-force all-pairs popcount. The pigeonhole claim
+    (multimodal.py:880): any pair within Hamming ``bands - 1`` shares at
+    least one of the ``bands`` bit-slices, so the equi-join misses
+    NOTHING inside the radius (recall 1.0), and the exact
+    bit_count(xor) filter admits nothing outside it (precision 1.0) —
+    output must EQUAL brute force, pair for pair, distance for
+    distance."""
+    import numpy as np
+
+    from backtest_crew_datalake_spark.pipeline.multimodal import (
+        dhash_candidate_pairs,
+    )
+
+    for seed, bands, max_hamming in [(0, 4, 3), (1, 4, 2), (2, 8, 7)]:
+        rng = np.random.default_rng(seed)
+        hashes = []
+        # 24 planted clusters of 3: base + two perturbations that flip
+        # 1..max_hamming random bits (intra-cluster distance can exceed
+        # the radius when flips don't overlap — brute force decides)
+        for _ in range(24):
+            base = int(rng.integers(0, 1 << 64, dtype=np.uint64))
+            hashes.append(base)
+            for _ in range(2):
+                v = base
+                for bit in rng.choice(
+                        64, size=int(rng.integers(1, max_hamming + 1)),
+                        replace=False):
+                    v ^= 1 << int(bit)
+                hashes.append(v)
+        # 80 unrelated hashes (random pairs land at ~32 bits apart)
+        hashes += [int(v) for v in rng.integers(
+            0, 1 << 64, size=80, dtype=np.uint64)]
+
+        arr = np.array(hashes, dtype=np.uint64)
+        xor = arr[:, None] ^ arr[None, :]
+        dist = np.vectorize(lambda v: bin(int(v)).count("1"))(xor)
+        iu = np.triu_indices(len(arr), k=1)
+        want = {(int(i), int(j)): int(dist[i, j])
+                for i, j in zip(*iu) if dist[i, j] <= max_hamming}
+        assert want, "seed produced no in-radius pairs; test is vacuous"
+
+        signed = [v - (1 << 64) if v >= (1 << 63) else v for v in hashes]
+        df = spark.createDataFrame(
+            list(enumerate(signed)), "media_id long, dhash long")
+        got = {(r.id_a, r.id_b): r.hamming
+               for r in dhash_candidate_pairs(
+                   df, bands=bands, max_hamming=max_hamming).collect()}
+        assert got == want
+
+
+def test_dhash_image_near_dup_recall(spark):
+    """End-to-end image-level recall: a seeded corpus where each base
+    image gets a lightly-perturbed twin; every twin pair whose TRUE
+    dHash distance (computed locally) is within the radius must come
+    back from image_dhash -> dhash_candidate_pairs."""
+    import numpy as np
+
+    from backtest_crew_datalake_spark.pipeline.multimodal import (
+        dhash64, dhash_candidate_pairs, encode_bmp, gray_pixels,
+        image_dhash,
+    )
+
+    rng = np.random.default_rng(7)
+    rows, local = [], {}
+    mid = 0
+    for _ in range(12):
+        base = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+        twin = base.copy()
+        # small local perturbation: one 2x2 patch brightened
+        y, x = rng.integers(0, 22, size=2)
+        twin[y:y + 2, x:x + 2] = np.minimum(
+            twin[y:y + 2, x:x + 2].astype(np.int32) + 40, 255
+        ).astype(np.uint8)
+        for px in (base, twin):
+            content = bytes(encode_bmp(px))
+            rows.append((mid, "image", bytearray(content)))
+            local[mid] = dhash64(gray_pixels(content))
+            mid += 1
+
+    # local brute force over ALL hash pairs (not just planted twins)
+    want = set()
+    for i in range(mid):
+        for j in range(i + 1, mid):
+            if bin(local[i] ^ local[j]).count("1") <= 3:
+                want.add((i, j))
+    assert want, "no in-radius image pairs; perturbation too strong"
+
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary")
+    got = {(r.id_a, r.id_b)
+           for r in dhash_candidate_pairs(image_dhash(df)).collect()}
+    assert got == want
+
+
 def test_pagerank_star_graph(spark):
     from backtest_crew_datalake_spark.pipeline.dedup import pagerank
 
