@@ -39,10 +39,9 @@ def register(name: str, oracle: str | None = None):
 # path-keyed, so unlike the removed warm-cache temp-view probe nothing can
 # shadow a table by name; a new SparkSession gets a new application id and
 # fresh entries. Plain spark.read.parquet pays ~110 ms of listing + footer
-# schema reads PER CALL, and a bench pass makes ~70 load() calls. Size is
-# bounded in practice by |sf_dirs visited| × 10 tables per application —
-# entries are lightweight logical plans; a long-lived driver cycling many
-# sf_dirs can clear() it or restart the session.
+# schema reads PER CALL, and a bench pass makes ~70 load() calls. Entries
+# are lightweight logical plans; size is HARD-capped at 256 (see load():
+# stale-application entries are evicted first).
 _LOAD_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
@@ -64,10 +63,19 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # Pinned BEFORE the memo check: the tz governs execution time, not read
     # time, so a memo hit must still re-pin it for callers that changed it.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    key = (spark.sparkContext.applicationId, sf_dir, table)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, table)
     memo = _LOAD_MEMO.get(key)
     if memo is not None:
         return memo
+    # hard size bound: plans from OTHER application ids are dead weight
+    # (their session is gone — a plan can't outlive its SparkContext), and
+    # a very long-lived driver cycling many sf_dirs starts over rather
+    # than growing without bound
+    if len(_LOAD_MEMO) >= 256:
+        stale = [k for k in _LOAD_MEMO if k[0] != app]
+        for k in stale or list(_LOAD_MEMO):
+            del _LOAD_MEMO[k]
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

@@ -196,3 +196,30 @@ def test_retention_ground_truth(spark, tmp_path):
         ("2024-01-01", 1): 1,   # user 1 retained one week later
         ("2024-01-08", 0): 1,   # user 3's own cohort week
     }
+
+
+def test_load_memo_hard_cap_evicts_stale_apps(spark):
+    """The load() memo is hard-capped: once it reaches 256 entries,
+    plans recorded under OTHER application ids (dead sessions) are
+    evicted; if none are stale the whole memo resets rather than grow."""
+    from backtest_crew_datalake_spark import queries as Q
+
+    saved = dict(Q._LOAD_MEMO)
+    try:
+        Q._LOAD_MEMO.clear()
+        for i in range(256):
+            Q._LOAD_MEMO[("dead-app", f"/dir{i}", "t")] = object()
+        df = Q.load(spark, "/root/testdata/sf0.001", "region")
+        app = spark.sparkContext.applicationId
+        assert all(k[0] == app for k in Q._LOAD_MEMO)
+        assert Q._LOAD_MEMO[(app, "/root/testdata/sf0.001", "region")] is df
+        assert len(Q._LOAD_MEMO) == 1
+
+        # live-app-only overflow: resets instead of growing unbounded
+        for i in range(256):
+            Q._LOAD_MEMO[(app, f"/dir{i}", "t")] = object()
+        Q.load(spark, "/root/testdata/sf0.001", "nation")
+        assert len(Q._LOAD_MEMO) == 1
+    finally:
+        Q._LOAD_MEMO.clear()
+        Q._LOAD_MEMO.update(saved)
