@@ -174,6 +174,62 @@ def q_acid_changes_feed(spark, sf_dir):
     ).select("user_id", "event_type", "n_events", "sum_value", "_change_type")
 
 
+_SLICE_SQL = """
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM events WHERE user_id % 3 = {k}
+    GROUP BY 1, 2
+"""
+
+# separate memo: the compaction query owns a fragmented table built by
+# APPENDS (the shared upsert table may legitimately end up one-file-per-
+# partition, which OPTIMIZE would rightly skip)
+_COMPACT_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _compacted_table(spark, sf_dir) -> str:
+    from ..sources.acid import acid_compact, acid_write
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    root = _COMPACT_MEMO.get(memo_key)
+    if root is not None:
+        return root
+    e = load(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="acid_qc_")
+    for k in range(3):
+        acid_write(
+            spark, _agg(e.where(F.col("user_id") % 3 == k)), root,
+            partition_by=("event_type",), mode="append",
+        )
+    # every partition now holds >= 3 small files, so OPTIMIZE must fire;
+    # None would mean the fragmentation invariant broke — fail loudly
+    # rather than let the gate silently stop exercising compaction
+    if acid_compact(spark, root, target_mb=128) is None:
+        raise RuntimeError(f"compaction found nothing to rewrite in {root}")
+    _COMPACT_MEMO[memo_key] = root
+    return root
+
+
+@register(
+    "q_acid_compact_read",
+    oracle=" UNION ALL ".join(_SLICE_SQL.format(k=k) for k in range(3)),
+)
+def q_acid_compact_read(spark, sf_dir):
+    """OPTIMIZE under the value gate: three disjoint appends fragment every
+    event_type partition into >=3 files, acid_compact rewrites each
+    partition to its target file count as one snapshot commit, and the
+    read-after-compact must equal the logical table content exactly (the
+    oracle recomputes the three appended slices relationally — compaction
+    changes FILES, never rows). Complements the pytest coverage with a
+    driver-gated value hash over real data."""
+    from ..sources.acid import acid_read
+
+    return acid_read(spark, _compacted_table(spark, sf_dir)).select(
+        "user_id", "event_type", "n_events", "sum_value"
+    )
+
+
 @register(
     "q_acid_pruned_read",
     oracle=f"""
