@@ -9,8 +9,15 @@ corpus is preserved (≈ N× the pairs), while across copies few n-grams
 survive, so document-frequency caps keep their bite instead of every
 fingerprint becoming N× hot. Copy i of an embedding adds a deterministic
 per-copy offset in one dimension — cluster geometry keeps its shape, ids
-stay unique. The other 8 tables are copied verbatim so the dir is a
-drop-in sf_dir for check_oracles.py / time_queries.py / bench.py.
+stay unique.
+
+FACT tables scale N× too (this is how TPC-H itself scales: facts grow,
+dims grow slower — here dims stay fixed so every FK remains valid):
+copy i of `orders`/`lineitem` offsets the orderkey by i·span (PKs stay
+unique, the orders⨝lineitem key relation is preserved per copy); copy i
+of `events` offsets event_id and shifts ts by i·(span+1 day), extending
+history rather than densifying each day. Dimension tables (region,
+nation, customer, supplier, part) are copied verbatim.
 
 Usage: python tools/gen_scale.py [out_dir] [n_copies] [src_sf_dir]
 """
@@ -23,8 +30,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-OTHER = ["region", "nation", "customer", "supplier", "part", "orders",
-         "lineitem", "events"]
+DIMS = ["region", "nation", "customer", "supplier", "part"]
 
 
 def main():
@@ -94,9 +100,54 @@ def main():
     _single_file(spark, f"{out_dir}/_embeddings.tmp",
                  f"{out_dir}/embeddings.parquet")
 
-    for t in OTHER:
+    def _ncopies(df, bump):
+        """Union n_copies of df, applying {col: per-copy-offset-expr(i)}."""
+        parts = []
+        for i in range(n_copies):
+            c = df
+            for col, mk in bump.items():
+                c = c.withColumn(col, mk(i))
+            parts.append(c)
+        out = parts[0]
+        for c in parts[1:]:
+            out = out.unionByName(c)
+        return out
+
+    o = spark.read.parquet(f"{src}/orders.parquet")
+    li = spark.read.parquet(f"{src}/lineitem.parquet")
+    ok_span = o.agg(F.max("o_orderkey")).first()[0] + 1
+    _single(spark, _ncopies(
+        o, {"o_orderkey": lambda i: F.col("o_orderkey") + i * ok_span}
+    ), out_dir, "orders")
+    _single(spark, _ncopies(
+        li, {"l_orderkey": lambda i: F.col("l_orderkey") + i * ok_span}
+    ), out_dir, "lineitem")
+
+    # events via load(): normalizes the TIMESTAMP(NANOS) physical type the
+    # plain vectorized reader rejects; copies extend HISTORY (ts shifted by
+    # whole spans) so per-day density — what the window/session operators
+    # key on — stays realistic instead of 10x-ing each calendar day
+    from backtest_crew_datalake_spark.queries import load
+
+    ev = load(spark, src, "events")
+    eid_span = ev.agg(F.max("event_id")).first()[0] + 1
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span_days = (hi - lo).days + 1
+    _single(spark, _ncopies(ev, {
+        "event_id": lambda i: F.col("event_id") + i * eid_span,
+        "ts": lambda i: F.col("ts") + F.expr(f"INTERVAL {i * span_days} DAYS"),
+    }), out_dir, "events")
+
+    for t in DIMS:
         shutil.copyfile(f"{src}/{t}.parquet", f"{out_dir}/{t}.parquet")
-    print(f"wrote {out_dir}: documents x{n_copies}, embeddings x{n_copies}")
+    print(f"wrote {out_dir}: documents/embeddings/orders/lineitem/events "
+          f"x{n_copies}, dims verbatim")
+
+
+def _single(spark, df, out_dir: str, name: str) -> None:
+    tmp = f"{out_dir}/_{name}.tmp"
+    df.coalesce(8).write.mode("overwrite").parquet(tmp)
+    _single_file(spark, tmp, f"{out_dir}/{name}.parquet")
 
 
 def _single_file(spark, tmp_dir: str, dest: str) -> None:
