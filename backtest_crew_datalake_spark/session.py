@@ -39,6 +39,16 @@ def get_spark(
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
                 os.environ.get("SPARK_GRAFT_ADVISORY_BYTES", "67108864"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Scan-split sizing. Spark's 128 MB default is tuned for many-file
+        # cluster lakes; the local testdata layout is ONE file per table, so
+        # a 100 MB fact table would scan as a single task and serialize the
+        # whole pre-shuffle pipeline (measured: q_min_cost_supplier at the
+        # 10x corpus ran its 6 M-row scan+partial-agg 1-way). 8 MB fans a
+        # single-file scan out across the local cores (split granularity is
+        # still the file's row groups) and is a no-op for files under 8 MB;
+        # cluster deployments should override back up via the env.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8388608"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.parquet.compression.codec", "zstd")

@@ -250,14 +250,17 @@ def test_cms_plan_broadcasts_sketch(spark):
 
 
 def test_min_cost_supplier_no_correlated_rescan(spark):
-    # Q2 decorrelation: one lineitem scan feeds the offers agg; the per-part
-    # minimum comes from a window over the (bounded) agg output, never a
-    # second lineitem scan joined back, and never a cartesian product.
+    # Q2 decorrelation: ONE lineitem scan feeds the (part,supp) hash agg;
+    # the per-part argmin is a struct-min over the reduced offers (never a
+    # second lineitem scan joined back, never a cartesian, never a window
+    # over the fact). region appears only in the bounded driver-collected
+    # nation-key lookup, not in the query plan; supplier feeds the fact
+    # join AND the winner-attribute join (two scans of a dim is fine).
     p = _plan(spark, "q_min_cost_supplier")
-    assert p.count("FileScan parquet") == len(
-        ["lineitem", "supplier", "nation", "region", "part"]
-    )
+    assert p.count("lineitem.parquet") == 1
+    assert p.count("FileScan parquet") == 5  # li + supplier x2 + nation + part
     assert "CartesianProduct" not in p
+    assert "Window" not in p
 
 
 def test_important_parts_single_pass(spark):

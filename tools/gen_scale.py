@@ -153,11 +153,18 @@ def _single(spark, df, out_dir: str, name: str) -> None:
 def _single_file(spark, tmp_dir: str, dest: str) -> None:
     """The testdata layout is one parquet FILE per table (DuckDB views and
     load() read '{t}.parquet' directly), so merge the job output dir into a
-    single file via pyarrow and drop the dir."""
+    single file via pyarrow and drop the dir.
+
+    row_group_size=65536: a single-file table's scan parallelism is capped
+    by its row-group count (Spark assigns a group to the byte-range split
+    holding its midpoint — a 6 M-row file at pyarrow's 1 Mi-row default is
+    at most a 6-way scan no matter the split size). 64 Ki-row groups keep
+    per-group stats useful and let maxPartitionBytes actually fan the scan
+    out; a real lake gets the same property from having many files."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(tmp_dir)
-    pq.write_table(t, dest, compression="zstd")
+    pq.write_table(t, dest, compression="zstd", row_group_size=65536)
     shutil.rmtree(tmp_dir)
 
 
