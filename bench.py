@@ -13,6 +13,11 @@ import os
 import sys
 import time
 
+# module-level: the warm-up pandas_udf's type hints are resolved in THIS
+# namespace (PEP 563 postponed annotations — a main()-local import left
+# 'pd.Series' unresolvable and pandas_udf rejected the signature)
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
@@ -93,7 +98,6 @@ def main():
     # warm the Python-worker + Arrow machinery too: the FIRST pandas_udf
     # job in a session pays ~2.5 s of spin-up (measured) that would
     # otherwise land on whichever kernel query runs first
-    import pandas as pd  # noqa: F401
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
