@@ -3037,3 +3037,106 @@ def q_doc_ppjoin_pairs(spark, sf_dir):
 
     return ppjoin_pairs(load(spark, sf_dir, "documents"),
                         n=3, threshold=0.6)
+
+
+@register(
+    "q_doc_repetition",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS g
+        FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 1)) AS i
+              FROM t WHERE len(toks) >= 2)
+    ),
+    bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    bs AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bg
+           FROM bc GROUP BY 1),
+    fg AS (
+        SELECT doc_id,
+               toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                 || ' ' || toks[i+4] || ' ' || toks[i+5] AS g
+        FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 4)) AS i
+              FROM t WHERE len(toks) >= 5)
+    ),
+    fc AS (SELECT doc_id, g, COUNT(*) AS c FROM fg GROUP BY 1, 2),
+    fs AS (SELECT doc_id,
+                  SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c,
+                  SUM(c) AS n_fg
+           FROM fc GROUP BY 1)
+    SELECT b.doc_id,
+           CAST(b.n_bg AS BIGINT) AS n_bigrams,
+           ROUND(CAST(b.top_c AS DOUBLE) / b.n_bg, 6) AS top_bigram_cov,
+           ROUND(COALESCE(CAST(f.dup_c AS DOUBLE) / f.n_fg, 0.0), 6)
+               AS dup_5gram_frac,
+           CAST(CAST(b.top_c AS DOUBLE) / b.n_bg > 0.18
+                OR COALESCE(CAST(f.dup_c AS DOUBLE) / f.n_fg, 0.0) > 0.30
+                AS INT) AS flag_repetitive
+    FROM bs b LEFT JOIN fs f USING (doc_id)
+    """,
+)
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae+ 2021 §A1.1: the
+    duplicate-n-gram and top-n-gram-coverage filters every large-scale
+    text pipeline applies before training): per doc, the most-frequent
+    bigram's share of all bigrams (templated/boilerplate text saturates
+    one pattern) and the fraction of 5-gram occurrences that are repeats
+    (looping junk repeats long spans verbatim), plus the composite
+    keep/flag decision at the published-style thresholds (0.18 / 0.30 —
+    compared on the UNROUNDED doubles, which both engines derive
+    bit-identically from integer counts; rounding is display-only).
+    Extension surface (no reference analogue).
+
+    Shape: two explode -> per-(doc, gram) count -> per-doc rollup chains,
+    all map-side-combinable keyed HashAggregates joined on doc_id — the
+    wordcount shape that scales; spread first (single-row-group scans pin
+    the explode to one task, the q_doc_bigram_entropy lesson)."""
+    from ..pipeline.dedup import spread_partitions
+
+    d = spread_partitions(load(spark, sf_dir, "documents"), "doc_id")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = d.select("doc_id", toks.alias("__toks"))
+    bg = F.expr(
+        "transform(sequence(0, size(__toks) - 2), i -> concat_ws(' ', "
+        "element_at(__toks, i + 1), element_at(__toks, i + 2)))"
+    )
+    b = (
+        base.where(F.size("__toks") >= 2)
+        .select("doc_id", F.explode(bg).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bg"))
+    )
+    fg = F.expr(
+        "transform(sequence(0, size(__toks) - 5), "
+        "i -> concat_ws(' ', slice(__toks, i + 1, 5)))"
+    )
+    f5 = (
+        base.where(F.size("__toks") >= 5)
+        .select("doc_id", F.explode(fg).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+            .alias("dup_c"),
+            F.sum("c").alias("n_fg"),
+        )
+    )
+    top_cov = F.col("top_c") / F.col("n_bg")
+    dup_frac = F.coalesce(F.col("dup_c") / F.col("n_fg"), F.lit(0.0))
+    return (
+        b.join(f5, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_bg").cast("bigint").alias("n_bigrams"),
+            F.round(top_cov, 6).alias("top_bigram_cov"),
+            F.round(dup_frac, 6).alias("dup_5gram_frac"),
+            ((top_cov > 0.18) | (dup_frac > 0.30)).cast("int")
+            .alias("flag_repetitive"),
+        )
+    )
