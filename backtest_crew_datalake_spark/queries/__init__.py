@@ -30,6 +30,11 @@ REGISTRY: dict[str, QueryDef] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
+        # a duplicate name would silently SHADOW the earlier query (later
+        # registration wins in a dict) and leave its catalog/COVERAGE rows
+        # pointing at the wrong semantics — fail at import time instead
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query registration: {name!r}")
         REGISTRY[name] = QueryDef(name, fn, oracle)
         return fn
     return deco
@@ -104,7 +109,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_acid_changes_feed",
     "q_acid_pruned_read",
     "q_acid_compact_read",
-    "q_doc_repetition",
+    "q_doc_gopher_rep",
     "q_doc_ppjoin_pairs",
     "q_doc_bpe_apply",
     "q_evt_cube",

@@ -3040,7 +3040,7 @@ def q_doc_ppjoin_pairs(spark, sf_dir):
 
 
 @register(
-    "q_doc_repetition",
+    "q_doc_gopher_rep",
     oracle=r"""
     WITH t AS (
         SELECT doc_id,

@@ -65,7 +65,7 @@ HEADLINE = [
     # set-similarity join (complete pair extraction — the heaviest
     # guarantee in the dedup family) and the two new op classes
     "q_doc_ppjoin_pairs", "q_doc_bigram_entropy", "q_emb_linear_probe",
-    "q_doc_repetition",
+    "q_doc_gopher_rep",
 ]
 
 
