@@ -110,6 +110,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_acid_pruned_read",
     "q_acid_compact_read",
     "q_doc_gopher_rep",
+    "q_doc_curation",
     "q_doc_ppjoin_pairs",
     "q_doc_bpe_apply",
     "q_evt_cube",

@@ -3140,3 +3140,153 @@ def q_doc_repetition(spark, sf_dir):
             .alias("flag_repetitive"),
         )
     )
+
+
+@register(
+    "q_doc_curation",
+    oracle=r"""
+    WITH d AS (
+        SELECT doc_id, source, text FROM documents WHERE doc_id >= 20
+    ),
+    t AS (
+        SELECT doc_id, source, text,
+               string_split_regex(TRIM(text), '\s+') AS toks
+        FROM d
+    ),
+    m0 AS (
+        SELECT doc_id, source, text, toks,
+               LEN(toks) AS n_tokens,
+               LEN(list_distinct(toks)) AS n_uniq,
+               CAST(list_aggregate(list_transform(toks, x -> LENGTH(x)),
+                    'sum') AS DOUBLE) / LEN(toks) AS mean_len,
+               CASE WHEN LEN(toks) >= 3 THEN
+                   ROUND(1.0 - CAST(LEN(list_distinct(list_transform(
+                       generate_series(1, LEN(toks) - 2),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                   ))) AS DOUBLE) / (LEN(toks) - 2), 6)
+               ELSE 0.0 END AS dup_frac
+        FROM t
+    ),
+    m AS (
+        SELECT *, ROUND((CAST(n_tokens BETWEEN 10 AND 100000 AS DOUBLE)
+                         + CAST(mean_len BETWEEN 2.0 AND 12.0 AS DOUBLE)
+                         + CAST(n_uniq AS DOUBLE) / n_tokens) / 3.0,
+                        6) AS quality
+        FROM m0
+    ),
+    sh AS (
+        SELECT doc_id, UNNEST(list_distinct(
+            CASE WHEN LEN(toks) >= 3 THEN
+                list_transform(generate_series(1, LEN(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE [array_to_string(toks, ' ')] END)) AS s
+        FROM t
+    ),
+    bsh AS (
+        SELECT DISTINCT UNNEST(list_distinct(
+            CASE WHEN LEN(toks) >= 3 THEN
+                list_transform(generate_series(1, LEN(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE [array_to_string(toks, ' ')] END)) AS s
+        FROM (SELECT string_split_regex(TRIM(text), '\s+') AS toks
+              FROM documents WHERE doc_id < 20)
+    ),
+    cont AS (
+        SELECT doc_id FROM (
+            SELECT h.doc_id,
+                   ROUND(CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0
+                                  END) AS DOUBLE) / COUNT(*), 6) AS ratio
+            FROM sh h LEFT JOIN bsh b ON h.s = b.s
+            GROUP BY 1
+        ) WHERE ratio >= 0.1
+    ),
+    c2 AS (
+        SELECT m.*, md5(text) AS digest,
+               MIN(CASE WHEN quality >= 0.5 AND dup_frac <= 0.2
+                        THEN doc_id END)
+                   OVER (PARTITION BY md5(text)) AS canon
+        FROM m
+    ),
+    st AS (
+        SELECT source, n_tokens,
+               CASE WHEN quality < 0.5 THEN 'low_quality'
+                    WHEN dup_frac > 0.2 THEN 'repetitive'
+                    WHEN doc_id <> canon THEN 'duplicate'
+                    WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+                    ELSE 'kept' END AS status
+        FROM c2 LEFT JOIN cont ct USING (doc_id)
+    )
+    SELECT source, status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM st GROUP BY 1, 2
+    """,
+)
+def q_doc_curation(spark, sf_dir):
+    """END-TO-END corpus curation — the flagship composition every
+    training-data pipeline runs, as ONE DataFrame flow with per-stage
+    drop attribution: quality gate (pipeline.text.quality_score,
+    rounded score >= 0.5) -> repetition gate (dup-trigram fraction
+    <= 0.2, the q_doc_repetition signal) -> exact dedup keep-lowest-id
+    among gate survivors (md5 digest; a doc dropped upstream cannot
+    claim the canonical slot) -> benchmark decontamination
+    (pipeline.sampling.contamination, docs 0-19 as the eval suite).
+    Emits (source, status, n_docs, n_tokens) with status = the FIRST
+    failing stage or 'kept'.
+
+    Scale shape: one corpus pass for the signals; the canonical choice
+    is a keyed window over digest with a conditional min (no second
+    scan, spillable); the contamination scan joins a BROADCAST distinct
+    benchmark shingle set; every agg is keyed and map-side-combinable.
+    All stage thresholds compare the same rounded doubles both engines
+    derive from integer ratios."""
+    from pyspark.sql import Window as W
+
+    from ..pipeline.dedup import spread_partitions
+    from ..pipeline.sampling import contamination
+    from ..pipeline.text import quality_score
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") >= 20)
+    bench = d.where(F.col("doc_id") < 20)
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    tg = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+    )
+    dup_frac = F.when(
+        F.size(toks) >= 3,
+        F.round(
+            1.0 - F.size(F.array_distinct(tg)) / (F.size(toks) - 2), 6
+        ),
+    ).otherwise(F.lit(0.0))
+
+    flagged = contamination(corpus, bench, n=3, min_ratio=0.1).select(
+        "doc_id", F.lit(1).alias("__cont")
+    )
+    base = (
+        quality_score(spread_partitions(corpus, "doc_id"))
+        .withColumn("dup_frac", dup_frac)
+        .withColumn("digest", F.md5("text"))
+        .join(flagged, "doc_id", "left")
+    )
+    s2 = (F.col("quality") >= 0.5) & (F.col("dup_frac") <= 0.2)
+    canon = F.min(F.when(s2, F.col("doc_id"))).over(
+        W.partitionBy("digest")
+    )
+    status = (
+        F.when(F.col("quality") < 0.5, F.lit("low_quality"))
+        .when(F.col("dup_frac") > 0.2, F.lit("repetitive"))
+        .when(F.col("doc_id") != canon, F.lit("duplicate"))
+        .when(F.col("__cont").isNotNull(), F.lit("contaminated"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        base.withColumn("status", status)
+        .groupBy("source", "status")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )

@@ -66,6 +66,10 @@ HEADLINE = [
     # guarantee in the dedup family) and the two new op classes
     "q_doc_ppjoin_pairs", "q_doc_bigram_entropy", "q_emb_linear_probe",
     "q_doc_gopher_rep",
+    # round-7 flagship composition: the 4-stage curation pipeline
+    # (quality -> repetition -> exact-dedup -> decontamination) with
+    # per-stage drop attribution
+    "q_doc_curation",
 ]
 
 

@@ -332,3 +332,16 @@ def test_semantic_dedup_plan_broadcast_only_centroids(spark):
     # the cluster-local pair join must be a keyed equi-join on centroid_id,
     # never a corpus-side broadcast (assigned corpus is SF-scaled)
     assert "Exchange hashpartitioning(centroid_id" in p
+
+
+def test_curation_plan_single_corpus_pass(spark):
+    # the 4-stage pipeline must not rescan the corpus per stage: documents
+    # appears twice only (signals subtree + the benchmark slice feeding the
+    # broadcast shingle set + contamination's own corpus read) — and the
+    # canonical choice is a keyed window, not a self-join, with no
+    # cartesian anywhere
+    p = _plan(spark, "q_doc_curation")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p                       # conditional-min canonical
+    assert p.count("documents.parquet") <= 3   # signals + bench + cont scan
