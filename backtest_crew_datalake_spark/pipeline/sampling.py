@@ -264,3 +264,170 @@ def source_mix(
         .where(hash_bucket32(F.col(key_col), salt, buckets) < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def seq_pack(
+    df: DataFrame,
+    seq_len: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """GPT-style sequence packing layout: concatenate each group's documents
+    (in ``id_col`` order) into one token stream and cut it into fixed
+    ``seq_len``-token training sequences, documents crossing the cut
+    boundary (the "document packing" of pretraining dataloaders — no
+    padding, boundary docs straddle two sequences). Emits the per-group
+    packing summary a shard builder needs: sequence count, boundary-doc
+    count, docs-per-sequence distribution, and the final partial fill.
+
+    Scale shape: token counts are a row-local projection; the only
+    full-data shuffle is the per-group cumulative-offset window. A window
+    keyed ONLY by group is the documented skew hazard when one group is
+    most of the corpus — in production the group key is (group, shard)
+    with shards pre-bucketed to the target shard size (packing is
+    embarrassingly parallel across shards because offsets reset per
+    shard); the per-group layout here IS that per-shard computation. The
+    docs-per-sequence distribution explodes each doc to the sequences it
+    touches — fan-out is total_tokens/seq_len rows, linear in corpus size.
+    """
+    from pyspark.sql import Window
+
+    from .text import tokens
+
+    n_tok = F.size(tokens(F.col(text_col)))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        df.select(group_col, id_col, n_tok.alias("__n"))
+        .withColumn("__end", F.sum("__n").over(w))
+        .withColumn("__start", F.col("__end") - F.col("__n"))
+        .withColumn("__first_seq", F.floor(F.col("__start") / seq_len))
+        .withColumn("__last_seq", F.floor((F.col("__end") - 1) / seq_len))
+    )
+    per_doc = spans.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__n").alias("n_tokens"),
+        F.sum(
+            (F.col("__last_seq") > F.col("__first_seq")).cast("long")
+        ).alias("n_boundary_docs"),
+        F.max("__end").alias("__tot"),
+    )
+    seq_hist = (
+        spans.select(
+            group_col,
+            F.explode(
+                F.sequence(F.col("__first_seq"), F.col("__last_seq"))
+            ).alias("__seq"),
+        )
+        .groupBy(group_col, "__seq")
+        .agg(F.count("*").alias("__docs"))
+        .groupBy(group_col)
+        .agg(
+            F.round(F.avg("__docs"), 4).alias("avg_docs_per_seq"),
+            F.max("__docs").alias("max_docs_per_seq"),
+        )
+    )
+    n_seqs = F.ceil(F.col("__tot") / F.lit(float(seq_len)))
+    return (
+        per_doc.join(seq_hist, group_col)
+        .withColumn("n_seqs", n_seqs)
+        .withColumn(
+            "last_fill", F.col("__tot") - (F.col("n_seqs") - 1) * seq_len
+        )
+        .select(
+            group_col, "n_docs", "n_tokens", "n_seqs", "n_boundary_docs",
+            "avg_docs_per_seq", "max_docs_per_seq", "last_fill",
+        )
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_sources: Sequence[str],
+    buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how much more likely its hashed-bigram features are under the TARGET
+    distribution (docs from ``target_sources`` — the high-quality slice)
+    than under the RAW distribution (the whole corpus). weight =
+    Σ_features log p_target(b) / p_raw(b) with Laplace-smoothed bucket
+    unigram models over ``buckets`` hashed word-bigram buckets. Positive
+    weight ⇒ looks like the target; downstream samplers keep
+    ∝ exp(weight) (importance resampling).
+
+    Scale shape: ONE token-bigram explode feeds both bucket models (the
+    target model is a conditional agg over the same keyed exchange, not a
+    second corpus pass); the ≤``buckets``-row log-ratio table joins back
+    broadcast; the per-doc fold is a keyed agg on ``id_col``. Per-bucket
+    log-ratios are carried as 1e8-SCALED INTEGERS so the per-doc sum is
+    exact (engine- and order-independent — summing 8-decimal doubles and
+    rounding hits half-way ties systematically); the emitted double is
+    one division of that exact integer, never a rounded float sum.
+    """
+    from .text import tokens
+
+    t = tokens(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.size(t) - 1)
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = df.select(
+        F.col(id_col),
+        F.col(source_col).isin(*target_sources).alias("__is_t"),
+        F.explode(bigrams).alias("__bg"),
+    ).withColumn(
+        "__b", hash_bucket32(F.col("__bg"), salt=salt, buckets=buckets)
+    )
+    model = feats.groupBy("__b").agg(
+        F.count("*").alias("__cr"),
+        F.sum(F.col("__is_t").cast("long")).alias("__ct"),
+    )
+    tot = model.agg(
+        F.sum("__cr").alias("__tr"), F.sum("__ct").alias("__tt")
+    )
+    logratio = (
+        model.crossJoin(F.broadcast(tot))
+        .select(
+            "__b",
+            F.round(
+                (F.log((F.col("__ct") + 1) / (F.col("__tt") + buckets))
+                 - F.log((F.col("__cr") + 1) / (F.col("__tr") + buckets)))
+                * F.lit(1e8),
+                0,
+            ).cast("long").alias("__w8"),
+        )
+    )
+    per_doc = (
+        feats.join(F.broadcast(logratio), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("__w8").alias("weight_e8"),
+        )
+    )
+    return (
+        df.select(id_col, source_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            source_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("weight_e8", F.lit(0)).alias("weight_e8"),
+            (F.coalesce("weight_e8", F.lit(0)) / F.lit(1e8)).alias("weight"),
+        )
+    )

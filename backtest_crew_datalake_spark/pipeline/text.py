@@ -573,3 +573,71 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def ppl_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score
+    every document with the unigram-LM NLL (the perplexity proxy — see
+    unigram_nll), then split each language into head / middle / tail
+    TERTILES by score and summarize the buckets. CCNet keeps "head" (most
+    fluent third) for pretraining and drops or downweights "tail".
+
+    Scale shape — deliberately NOT a per-language NTILE window: ranking all
+    docs of one language in a single window partition is the classic skew
+    hazard at corpus scale (one language can be most of the corpus). The
+    tertile CUTOFFS come from the bounded (lang, nll) histogram instead —
+    keyed count (map-side combinable), cumulative window over the
+    histogram's distinct-value rows only — and the bucket assignment joins
+    the ≤|langs|-row threshold table back broadcast, row-local. Same
+    inverse-CDF construction as length_quantiles; deterministic because
+    bucket membership is a pure function of the (rounded) score, never of
+    row order.
+    """
+    from pyspark.sql import Window
+
+    nll = unigram_nll(df, id_col=id_col, text_col=text_col)
+    scored = df.select(id_col, lang_col).join(nll, id_col)
+    hist = scored.groupBy(lang_col, "nll").agg(F.count("*").alias("__n"))
+    cum_w = (
+        Window.partitionBy(lang_col)
+        .orderBy("nll")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy(lang_col)
+    h = hist.withColumn("__cum", F.sum("__n").over(cum_w)).withColumn(
+        "__tot", F.sum("__n").over(tot_w)
+    )
+    thr = h.groupBy(lang_col).agg(
+        F.min(
+            F.when(F.col("__cum") >= F.ceil(F.col("__tot") / F.lit(3.0)),
+                   F.col("nll"))
+        ).alias("__t1"),
+        F.min(
+            F.when(
+                F.col("__cum") >= F.ceil(F.lit(2.0) * F.col("__tot") / F.lit(3.0)),
+                F.col("nll"),
+            )
+        ).alias("__t2"),
+    )
+    bucket = (
+        F.when(F.col("nll") <= F.col("__t1"), F.lit("head"))
+        .when(F.col("nll") <= F.col("__t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(F.broadcast(thr), lang_col)
+        .withColumn("bucket", bucket)
+        .groupBy(lang_col, "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.avg("nll"), 4).alias("avg_nll"),
+            F.min("nll").alias("min_nll"),
+            F.max("nll").alias("max_nll"),
+        )
+    )

@@ -104,6 +104,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # at the tail; the rows-only (no-oracle) entries sit LAST so they never
 # spend a value-check slot. tools/check_oracles.py covers the full catalog.
 PRIORITY_ORDER: tuple[str, ...] = (
+    "q_doc_ppl_buckets",
+    "q_doc_seq_pack",
+    "q_doc_dsir_weights",
     "q_acid_upsert_read",
     "q_acid_time_travel",
     "q_acid_changes_feed",

@@ -3290,3 +3290,184 @@ def q_doc_curation(spark, sf_dir):
             F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "q_doc_ppl_buckets",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS token
+        FROM documents
+    ),
+    vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM tok),
+    scored AS (
+        SELECT tok.doc_id, ROUND(LN(vocab.cnt / tot.t), 8) AS logp
+        FROM tok JOIN vocab USING (token) CROSS JOIN tot
+    ),
+    nll AS (
+        SELECT doc_id, COUNT(*) AS n_tokens, ROUND(AVG(-logp), 6) AS nll
+        FROM scored GROUP BY 1
+    ),
+    hist AS (
+        SELECT d.lang, s.nll, COUNT(*) AS n
+        FROM documents d JOIN nll s USING (doc_id) GROUP BY 1, 2
+    ),
+    h2 AS (
+        SELECT lang, nll,
+               SUM(n) OVER (PARTITION BY lang ORDER BY nll
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                           ) AS cum,
+               SUM(n) OVER (PARTITION BY lang) AS tot
+        FROM hist
+    ),
+    thr AS (
+        SELECT lang,
+               MIN(CASE WHEN cum >= CEIL(tot / 3.0) THEN nll END) AS t1,
+               MIN(CASE WHEN cum >= CEIL(2.0 * tot / 3.0) THEN nll END) AS t2
+        FROM h2 GROUP BY 1
+    ),
+    b AS (
+        SELECT d.lang,
+               CASE WHEN s.nll <= t.t1 THEN 'head'
+                    WHEN s.nll <= t.t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               s.n_tokens, s.nll
+        FROM documents d JOIN nll s USING (doc_id)
+        JOIN thr t ON d.lang = t.lang
+    )
+    SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           ROUND(AVG(nll), 4) AS avg_nll,
+           MIN(nll) AS min_nll, MAX(nll) AS max_nll
+    FROM b GROUP BY 1, 2
+    """,
+)
+def q_doc_ppl_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (pipeline/text.ppl_buckets): score
+    docs with the unigram-LM NLL, split each language into head/middle/
+    tail tertiles, summarize buckets. Tertile cutoffs come from the
+    bounded (lang, nll) histogram (inverse-CDF, same construction as
+    length_quantiles) — NOT a per-language NTILE window, which is the
+    skew hazard at corpus scale. The entire chain (LM fit → score →
+    cutoff → bucket membership) is value-checked."""
+    from ..pipeline.text import ppl_buckets
+
+    d = load(spark, sf_dir, "documents")
+    return ppl_buckets(d)
+
+
+@register(
+    "q_doc_seq_pack",
+    oracle=r"""
+    WITH spans AS (
+        SELECT lang, doc_id,
+               LEN(string_split_regex(TRIM(text), '\s+')) AS n,
+               SUM(LEN(string_split_regex(TRIM(text), '\s+')))
+                   OVER (PARTITION BY lang ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                        ) AS e
+        FROM documents
+    ),
+    d AS (
+        SELECT lang, doc_id, n, e, e - n AS s,
+               CAST(FLOOR((e - n) / 64.0) AS BIGINT) AS first_seq,
+               CAST(FLOOR((e - 1) / 64.0) AS BIGINT) AS last_seq
+        FROM spans
+    ),
+    per_group AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boundary_docs,
+               MAX(e) AS tot
+        FROM d GROUP BY 1
+    ),
+    seq_hist AS (
+        SELECT lang, ROUND(AVG(docs), 4) AS avg_docs_per_seq,
+               CAST(MAX(docs) AS BIGINT) AS max_docs_per_seq
+        FROM (
+            SELECT lang, seq, CAST(COUNT(*) AS BIGINT) AS docs
+            FROM (SELECT lang, UNNEST(generate_series(first_seq, last_seq))
+                         AS seq
+                  FROM d)
+            GROUP BY 1, 2
+        ) GROUP BY 1
+    )
+    SELECT g.lang, g.n_docs, g.n_tokens,
+           CAST(CEIL(g.tot / 64.0) AS BIGINT) AS n_seqs,
+           g.n_boundary_docs, h.avg_docs_per_seq, h.max_docs_per_seq,
+           CAST(g.tot - (CAST(CEIL(g.tot / 64.0) AS BIGINT) - 1) * 64
+                AS BIGINT) AS last_fill
+    FROM per_group g JOIN seq_hist h USING (lang)
+    """,
+)
+def q_doc_seq_pack(spark, sf_dir):
+    """Pretraining sequence packing (pipeline/sampling.seq_pack): each
+    language's docs concatenate in id order and cut into 64-token
+    sequences; emits the shard-builder summary (sequence count,
+    boundary-crossing docs, docs-per-sequence distribution, final fill).
+    The cumulative-offset window is the per-shard computation — packing
+    parallelizes across (group, shard) at scale because offsets reset per
+    shard."""
+    from ..pipeline.sampling import seq_pack
+
+    d = load(spark, sf_dir, "documents")
+    return seq_pack(d, seq_len=64)
+
+
+@register(
+    "q_doc_dsir_weights",
+    oracle=rf"""
+    WITH docs AS (
+        SELECT doc_id, source,
+               string_split_regex(TRIM(text), '\s+') AS toks
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, source IN ('src0', 'src1', 'src2') AS is_t,
+               {_hex8("md5('dsir|' || bg)")} % 1024 AS b
+        FROM (
+            SELECT doc_id, source,
+                   UNNEST(list_transform(
+                       generate_series(1, LEN(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS bg
+            FROM docs WHERE LEN(toks) >= 2
+        )
+    ),
+    model AS (
+        SELECT b, COUNT(*) AS cr,
+               SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+        FROM feats GROUP BY 1
+    ),
+    tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM model),
+    logratio AS (
+        SELECT b, CAST(ROUND((LN((ct + 1) / CAST(tt + 1024 AS DOUBLE))
+                              - LN((cr + 1) / CAST(tr + 1024 AS DOUBLE)))
+                             * 1e8, 0) AS BIGINT) AS w8
+        FROM model CROSS JOIN tot
+    ),
+    per_doc AS (
+        SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(l.w8) AS BIGINT) AS weight_e8
+        FROM feats f JOIN logratio l USING (b) GROUP BY 1
+    )
+    SELECT d.doc_id, d.source,
+           COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           COALESCE(p.weight_e8, 0) AS weight_e8,
+           COALESCE(p.weight_e8, 0) / 1e8 AS weight
+    FROM docs d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def q_doc_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (pipeline/sampling.dsir_weights; Xie et al.
+    2023): hashed word-bigram bucket LMs (1024 buckets, Laplace-smoothed)
+    for the target slice (sources src0-src2) vs the raw corpus; per-doc
+    weight = Σ rounded bucket log-ratios. One bigram explode feeds both
+    models (conditional agg on the same exchange); the ≤1024-row
+    log-ratio table broadcasts back. The importance-resampling scorer for
+    quality-targeted data selection."""
+    from ..pipeline.sampling import dsir_weights
+
+    d = load(spark, sf_dir, "documents")
+    return dsir_weights(d, ["src0", "src1", "src2"])

@@ -1904,3 +1904,92 @@ def test_ppjoin_positional_alpha_float_boundary(spark):
     got = {(r.id_a, r.id_b): (r.n_inter, r.jaccard)
            for r in ppjoin_pairs(df, n=1, threshold=0.4).collect()}
     assert got == {(0, 1): (2, 0.4)}
+
+
+def test_ppl_buckets_tertiles(spark):
+    from backtest_crew_datalake_spark.pipeline.text import ppl_buckets
+
+    # one language, 9 docs with strictly increasing surprise: doc i gets
+    # i distinct singleton tokens appended to a common base, so nll rises
+    # monotonically with doc_id -> tertiles are docs {0-2},{3-5},{6-8}
+    rows = [
+        (i, "base base base " + " ".join(f"rare{i}_{j}" for j in range(i)),
+         "en")
+        for i in range(9)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.bucket: r for r in ppl_buckets(df).collect()}
+    assert set(out) == {"head", "middle", "tail"}
+    assert out["head"].n_docs == 3
+    assert out["middle"].n_docs == 3
+    assert out["tail"].n_docs == 3
+    # buckets are score-ordered and non-overlapping
+    assert out["head"].max_nll <= out["middle"].min_nll
+    assert out["middle"].max_nll <= out["tail"].min_nll
+    # head holds the least-surprising docs (most base tokens)
+    assert out["head"].avg_nll < out["tail"].avg_nll
+
+
+def test_seq_pack_matches_python_simulation(spark):
+    from backtest_crew_datalake_spark.pipeline.sampling import seq_pack
+
+    rows = [
+        (0, "a b c", "en"),          # 3 tokens
+        (1, " ".join(["t"] * 7), "en"),   # 7 -> stream: en = 3+7+2+6 = 18
+        (2, "x y", "en"),
+        (3, "p q r s t u", "en"),
+        (10, " ".join(["z"] * 5), "de"),  # de = 5 tokens exactly one seq + 1
+        (11, "k", "de"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.lang: r for r in seq_pack(df, seq_len=4).collect()}
+
+    # python simulation, seq_len=4, docs in id order per lang
+    def sim(docs):
+        off, boundary, seq_docs = 0, 0, {}
+        for n in docs:
+            first, last = off // 4, (off + n - 1) // 4
+            if last > first:
+                boundary += 1
+            for s in range(first, last + 1):
+                seq_docs[s] = seq_docs.get(s, 0) + 1
+            off += n
+        n_seqs = -(-off // 4)
+        return off, n_seqs, boundary, seq_docs, off - (n_seqs - 1) * 4
+
+    tot, n_seqs, boundary, sd, fill = sim([3, 7, 2, 6])
+    en = out["en"]
+    assert (en.n_docs, en.n_tokens, en.n_seqs) == (4, tot, n_seqs)
+    assert en.n_boundary_docs == boundary
+    assert en.max_docs_per_seq == max(sd.values())
+    assert en.last_fill == fill
+    assert abs(en.avg_docs_per_seq
+               - round(sum(sd.values()) / len(sd), 4)) < 1e-9
+
+    de = out["de"]
+    assert (de.n_docs, de.n_tokens, de.n_seqs) == (2, 6, 2)
+    assert de.n_boundary_docs == 1            # doc 11 starts at offset 5? no:
+    # doc10 spans seq0 wholly + seq1 (5 tokens), doc11 sits inside seq1
+    assert de.last_fill == 2
+
+
+def test_dsir_weights_separate_vocabularies(spark):
+    from backtest_crew_datalake_spark.pipeline.sampling import dsir_weights
+
+    # target docs use one vocabulary, raw-only docs another; a held-out
+    # target-like doc must outscore a raw-like doc
+    rows = (
+        [(i, "alpha beta gamma delta alpha beta", "tgt") for i in range(10)]
+        + [(100 + i, "zig zag zog zum zig zag", "web") for i in range(10)]
+        + [(500, "alpha beta gamma alpha beta gamma", "web"),
+           (501, "zig zag zog zig zag zog", "web2"),
+           (502, "x", "web2")]                # single token: no bigrams
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r.doc_id: r for r in dsir_weights(df, ["tgt"]).collect()}
+    assert out[500].weight > out[501].weight  # target-vocab doc wins
+    assert out[502].n_bigrams == 0 and out[502].weight_e8 == 0
+    assert len(out) == len(rows)              # left join keeps every doc
+    # the double is exactly the scaled integer / 1e8
+    for r in out.values():
+        assert r.weight == r.weight_e8 / 1e8
