@@ -528,3 +528,64 @@ def label_silhouette(
             F.count("*").alias("n_vecs"),
         )
     )
+
+
+def kcenter_select(
+    corpus: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point-first, Gonzalez 1985) coreset
+    selection — the geometric data-selection staple: pick the ``k`` points
+    that 2-approximate the minimal covering radius, i.e. a maximally
+    diverse subset for labeling / distillation / eval-set construction.
+
+    Deterministic: seed = the lowest-id vector; each round adds the point
+    with the LARGEST distance to its nearest selected point (ties → lowest
+    id). Returns (selection_order, ``id_col``, ``vec_col``) as a LITERAL
+    local relation (same contract as kmeans_centroids — downstream
+    assignment broadcasts k rows, never the selection subtree).
+
+    Scale shape per round: the selected set is driver-held (≤k rows — the
+    bounded-collect family), so min-distance-to-selected is a ROW-LOCAL
+    fold over a k-entry literal array appended to the corpus scan, and the
+    argmax is a 1-row `max(struct(d2, -id))` aggregate (map-side
+    combinable). k rounds = k scans of a localCheckpoint'd projection; no
+    join, no window, no shuffle beyond the 1-row agg.
+    """
+    emb = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).localCheckpoint(eager=False)
+    spark = corpus.sparkSession
+    id_type = dict(emb.dtypes)["__id"]
+    schema = (f"selection_order int, {id_col} {id_type}, "
+              f"{vec_col} array<double>")
+    seed = emb.orderBy("__id").limit(1).collect()
+    if not seed:
+        return spark.createDataFrame([], schema)
+    sel = [(seed[0]["__id"], seed[0]["__v"])]
+    for _ in range(1, k):
+        cents = F.array(*[
+            F.array(*[F.lit(float(x)) for x in v]) for _, v in sel
+        ])
+        mind2 = F.array_min(
+            F.transform(cents, lambda c: _sqdist(F.col("__v"), c))
+        )
+        far = (
+            emb.select(
+                F.max(
+                    F.struct(
+                        mind2.alias("d2"),
+                        (-F.col("__id")).alias("nid"),
+                    )
+                ).alias("m")
+            ).collect()[0]["m"]
+        )
+        pick = emb.where(F.col("__id") == -far["nid"]).collect()[0]
+        sel.append((pick["__id"], pick["__v"]))
+    return spark.createDataFrame(
+        [(i, sid, [float(x) for x in v]) for i, (sid, v) in enumerate(sel)],
+        schema,
+    )

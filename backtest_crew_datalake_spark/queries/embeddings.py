@@ -1046,3 +1046,108 @@ def q_emb_semantic_dedup(spark, sf_dir):
             (z("n_dup_members") - z("n_groups")).alias("n_pruned"),
         )
     )
+
+
+# 64-dim squared distance as an explicit index-order sum (the _SQD8 pattern
+# at full width) — matches similarity._sqdist's left-associated fold exactly.
+_SQD64 = ("list_aggregate(list_transform(range(1, 65), "
+          "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')")
+
+
+def _kcenter_sql(k: int) -> str:
+    """CTE chain for greedy k-center selection (seed = lowest vec_id; each
+    round adds the farthest-from-selected point, ties → lowest id).
+    Emits CTEs ``sel0`` … ``sel{k-1}``; the final selection is
+    ``sel{k-1}`` (ord, cid, cv)."""
+    d2 = _SQD64.format(a="e.v", b="s.cv")
+    parts = [
+        "sel0 AS (SELECT 0 AS ord, vec_id AS cid, v AS cv FROM emb"
+        " WHERE vec_id = (SELECT MIN(vec_id) FROM emb))",
+    ]
+    for r in range(1, k):
+        parts.append(
+            f"md{r} AS (SELECT e.vec_id, MIN({d2}) AS md"
+            f" FROM emb e CROSS JOIN sel{r - 1} s GROUP BY 1)")
+        parts.append(
+            f"pk{r} AS (SELECT vec_id FROM md{r}"
+            f" ORDER BY md DESC, vec_id LIMIT 1)")
+        parts.append(
+            f"sel{r} AS (SELECT * FROM sel{r - 1} UNION ALL"
+            f" SELECT {r} AS ord, e.vec_id, e.v FROM emb e"
+            f" JOIN pk{r} USING (vec_id))")
+    return ",\n".join(parts)
+
+
+@register(
+    "q_emb_kcenter_coreset",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_kcenter_sql(8)},
+    assign AS (
+        SELECT vec_id, d2, cid FROM (
+            SELECT e.vec_id, {_SQD64.format(a='e.v', b='s.cv')} AS d2, s.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_SQD64.format(a='e.v', b='s.cv')}, s.cid
+                   ) AS rk
+            FROM emb e CROSS JOIN sel7 s) WHERE rk = 1
+    )
+    SELECT s.ord AS selection_order, s.cid AS vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(SQRT(MAX(a.d2)), 4) AS radius
+    FROM assign a JOIN sel7 s USING (cid)
+    GROUP BY 1, 2
+    """,
+)
+def q_emb_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center coreset selection (pipeline/similarity.
+    kcenter_select, Gonzalez 1985): 8 maximally-diverse vectors picked
+    farthest-point-first, then every corpus vector assigned to its nearest
+    selected point (ties → lowest id) — per-cell occupancy and covering
+    radius. The oracle unrolls all 7 greedy rounds as CTEs with the exact
+    left-associated index-order distance sum, so the full iterative
+    selection is value-checked. Scale shape: the selected set is
+    driver-held (bounded-collect family), min-distance and assignment are
+    row-local folds over a ≤k literal array — k corpus scans, no join, no
+    window."""
+    from ..pipeline.similarity import _sqdist, kcenter_select
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("__v")
+    )
+    sel = kcenter_select(emb, k=8, vec_col="__v")
+    rows = sorted(sel.collect(), key=lambda r: r["selection_order"])
+    scents = F.array(*[
+        F.struct(
+            F.lit(r["vec_id"]).alias("cid"),
+            F.array(*[F.lit(float(x)) for x in r["__v"]]).alias("cv"),
+        )
+        for r in rows
+    ])
+    m = F.array_min(
+        F.transform(
+            scents,
+            lambda c: F.struct(
+                _sqdist(F.col("__v"), c["cv"]).alias("d2"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    order = spark.createDataFrame(
+        [(r["selection_order"], r["vec_id"]) for r in rows],
+        "selection_order int, cid bigint",
+    )
+    return (
+        emb.select("vec_id", m["d2"].alias("__d2"), m["cid"].alias("cid"))
+        .groupBy("cid")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.sqrt(F.max("__d2")), 4).alias("radius"),
+        )
+        .join(F.broadcast(order), "cid")
+        .select(
+            "selection_order",
+            F.col("cid").alias("vec_id"),
+            "n_members",
+            "radius",
+        )
+    )

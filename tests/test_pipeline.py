@@ -1993,3 +1993,32 @@ def test_dsir_weights_separate_vocabularies(spark):
     # the double is exactly the scaled integer / 1e8
     for r in out.values():
         assert r.weight == r.weight_e8 / 1e8
+
+
+def test_kcenter_select_planted_clusters(spark):
+    from backtest_crew_datalake_spark.pipeline.similarity import (
+        kcenter_select,
+    )
+
+    # 4 tight clusters at corners of a square (side 100), 5 points each,
+    # jitter 0.1; k=4 must pick exactly one point per cluster, and the
+    # seed is the lowest id overall
+    corners = [(0.0, 0.0), (100.0, 0.0), (0.0, 100.0), (100.0, 100.0)]
+    rows = []
+    for c, (cx, cy) in enumerate(corners):
+        for j in range(5):
+            rows.append((c * 10 + j, [cx + 0.01 * j, cy - 0.01 * j]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    sel = kcenter_select(df, k=4)
+    got = {r.selection_order: r.vec_id for r in sel.collect()}
+    assert got[0] == 0                         # seed = lowest id
+    assert sorted(v // 10 for v in got.values()) == [0, 1, 2, 3]
+    # determinism
+    sel2 = {r.selection_order: r.vec_id for r in
+            kcenter_select(df, k=4).collect()}
+    assert got == sel2
+    # k > n degenerates gracefully? (k rounds but argmax over a finite set
+    # keeps returning points — standard greedy allows re-picks only if
+    # all distances are 0; with 20 distinct points and k=4 not exercised)
+    empty = kcenter_select(df.where("vec_id < 0"), k=4)
+    assert empty.count() == 0
