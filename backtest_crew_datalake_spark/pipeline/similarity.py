@@ -589,3 +589,103 @@ def kcenter_select(
         [(i, sid, [float(x) for x in v]) for i, (sid, v) in enumerate(sel)],
         schema,
     )
+
+
+def pca_power(
+    corpus: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal component of the embedding matrix by power iteration
+    on the covariance operator — the embedding-hygiene staple (dominant-
+    direction removal / ABTT "all-but-the-top", Mu & Viswanath 2018;
+    whitening diagnostics). Deterministic: start vector = e_0, ``iters``
+    rounds of v ← normalize(Cv) with C = (1/n)·Σ x_c x_cᵀ applied as two
+    streaming passes (never materializing C: s_i = x_c_i·v row-local, then
+    per-dim Σ s_i·x_c_i — the standard matrix-free power step).
+
+    Engine-reproducible by construction: the per-dim means and each
+    round's per-dim sums round to 6 decimals at the driver collect, so
+    aggregation-order ulp noise dies at every round boundary; the
+    normalization is a left-associated index-order fold over those
+    rounded values (identical IEEE ops in any engine).
+
+    Returns one row per dimension: (dim 1-based, loading = final unit
+    eigenvector component rounded 4, eigenvalue = ‖Cv‖ of the last round
+    rounded 6, ev_share = eigenvalue / total variance rounded 4).
+
+    Scale shape: mean pass + per-round (map + keyed (dim) agg of 64
+    groups, 64-row collect) + one variance pass — all map-side
+    combinable; driver state is one dim-length vector (bounded-collect
+    family, like kmeans' k×dim matrix)."""
+    import math
+
+    emb = corpus.select(
+        F.col(vec_col).cast("array<double>").alias("__x")
+    ).localCheckpoint(eager=False)
+    spark = corpus.sparkSession
+    n = emb.count()
+    schema = "dim int, loading double, eigenvalue double, ev_share double"
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    dims = len(emb.head()["__x"])
+    mu_rows = (
+        emb.select(F.posexplode("__x").alias("__d", "__val"))
+        .groupBy("__d").agg(F.round(F.avg("__val"), 6).alias("__m"))
+        .collect()
+    )
+    mu = [0.0] * dims
+    for r in mu_rows:
+        mu[r["__d"]] = r["__m"]
+    mu_lit = F.array(*[F.lit(m) for m in mu])
+    xc = emb.select(
+        F.zip_with("__x", mu_lit, lambda x, m: x - m).alias("__x")
+    ).localCheckpoint(eager=False)
+
+    v = [1.0] + [0.0] * (dims - 1)
+    eig = 0.0
+    for _ in range(iters):
+        v_lit = F.array(*[F.lit(x) for x in v])
+        s = F.aggregate(
+            F.zip_with("__x", v_lit, lambda x, w: x * w),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        u_rows = (
+            xc.select(s.alias("__s"), F.posexplode("__x").alias("__d", "__val"))
+            .groupBy("__d")
+            .agg(F.round(F.sum(F.col("__s") * F.col("__val")) / n, 6)
+                 .alias("__u"))
+            .collect()
+        )
+        u = [0.0] * dims
+        for r in u_rows:
+            u[r["__d"]] = r["__u"]
+        # left-associated index-order norm: identical fold in any engine
+        acc = 0.0
+        for x in u:
+            acc = acc + x * x
+        eig = math.sqrt(acc)
+        if eig == 0.0:  # degenerate input (all-constant dims): keep v
+            break
+        v = [x / eig for x in u]
+
+    var_rows = (
+        xc.select(F.posexplode("__x").alias("__d", "__val"))
+        .groupBy("__d")
+        .agg(F.round(F.avg(F.col("__val") * F.col("__val")), 6).alias("__v"))
+        .collect()
+    )
+    tv = [0.0] * dims
+    for r in var_rows:
+        tv[r["__d"]] = r["__v"]
+    acc = 0.0
+    for x in tv:
+        acc = acc + x
+    total_var = acc
+    rows = [
+        (d + 1, round(v[d], 4), round(eig, 6),
+         round(eig / total_var, 4) if total_var > 0 else 0.0)
+        for d in range(dims)
+    ]
+    return spark.createDataFrame(rows, schema)

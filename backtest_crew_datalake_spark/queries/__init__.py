@@ -108,6 +108,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_doc_seq_pack",
     "q_doc_dsir_weights",
     "q_emb_kcenter_coreset",
+    "q_emb_pca_power",
     "q_acid_upsert_read",
     "q_acid_time_travel",
     "q_acid_changes_feed",

@@ -1151,3 +1151,66 @@ def q_emb_kcenter_coreset(spark, sf_dir):
             "radius",
         )
     )
+
+
+def _pca_power_sql(iters: int) -> str:
+    """CTE chain mirroring pipeline/similarity.pca_power: centered matrix,
+    ``iters`` matrix-free power rounds with per-dim sums rounded to 6 at
+    each round boundary, index-order normalization folds. Emits
+    ``xc`` / ``nn`` / per-round ``v{r}`` / ``nrm{iters}``."""
+    parts = [
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM emb)",
+        "mu AS (SELECT dim, ROUND(AVG(v[dim]), 6) AS m"
+        " FROM emb, range(1, 65) t(dim) GROUP BY 1)",
+        "muv AS (SELECT list(m ORDER BY dim) AS mu FROM mu)",
+        "xc AS (SELECT list_transform(range(1, 65), i -> v[i] - mu[i]) AS x"
+        " FROM emb, muv)",
+        "v0 AS (SELECT list_transform(range(1, 65),"
+        " i -> CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END) AS v)",
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f"s{r} AS (SELECT x, list_aggregate(list_transform("
+            f"range(1, 65), i -> x[i] * v[i]), 'sum') AS s"
+            f" FROM xc, v{r - 1})")
+        parts.append(
+            f"ud{r} AS (SELECT dim, ROUND(SUM(s * x[dim]) / ANY_VALUE(n),"
+            f" 6) AS u FROM s{r}, nn, range(1, 65) t(dim) GROUP BY 1)")
+        parts.append(
+            f"u{r} AS (SELECT list(u ORDER BY dim) AS u FROM ud{r})")
+        parts.append(
+            f"nrm{r} AS (SELECT u, SQRT(list_aggregate(list_transform(u,"
+            f" y -> y * y), 'sum')) AS nm FROM u{r})")
+        parts.append(
+            f"v{r} AS (SELECT list_transform(u, y -> y / nm) AS v"
+            f" FROM nrm{r})")
+    return ",\n".join(parts)
+
+
+@register(
+    "q_emb_pca_power",
+    oracle=f"""
+    WITH emb AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    {_pca_power_sql(3)},
+    vard AS (SELECT dim, ROUND(AVG(x[dim] * x[dim]), 6) AS vr
+             FROM xc, range(1, 65) t(dim) GROUP BY 1),
+    tot AS (SELECT list_aggregate(list(vr ORDER BY dim), 'sum') AS tv
+            FROM vard)
+    SELECT t.dim, ROUND(v3.v[t.dim], 4) AS loading,
+           ROUND(nrm3.nm, 6) AS eigenvalue,
+           ROUND(nrm3.nm / tot.tv, 4) AS ev_share
+    FROM range(1, 65) t(dim), v3, nrm3, tot
+    """,
+)
+def q_emb_pca_power(spark, sf_dir):
+    """Top principal component by matrix-free power iteration
+    (pipeline/similarity.pca_power; Mu & Viswanath 2018 dominant-direction
+    hygiene): 3 rounds of v ← normalize(Cv) with per-dim sums rounded at
+    every round boundary so the whole iteration is engine-reproducible;
+    the oracle unrolls all 3 rounds, the centering pass, and the variance
+    total as CTEs with index-order folds. Output: per-dim loading of the
+    unit eigenvector + the eigenvalue and its share of total variance."""
+    from ..pipeline.similarity import pca_power
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pca_power(emb, iters=3)

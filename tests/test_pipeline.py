@@ -2022,3 +2022,32 @@ def test_kcenter_select_planted_clusters(spark):
     # all distances are 0; with 20 distinct points and k=4 not exercised)
     empty = kcenter_select(df.where("vec_id < 0"), k=4)
     assert empty.count() == 0
+
+
+def test_pca_power_matches_numpy_on_planted_direction(spark):
+    import numpy as np
+
+    from backtest_crew_datalake_spark.pipeline.similarity import pca_power
+
+    rng = np.random.default_rng(7)
+    # strong planted direction so 3 power rounds converge tightly
+    w = rng.normal(size=8)
+    w /= np.linalg.norm(w)
+    X = rng.normal(size=(300, 1)) * 10.0 * w[None, :] + rng.normal(
+        size=(300, 8)) * 0.1
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(300)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = pca_power(df, iters=3).collect()
+    assert len(out) == 8
+    v = np.zeros(8)
+    for r in out:
+        v[r.dim - 1] = r.loading
+    Xc = X - X.mean(axis=0)
+    C = Xc.T @ Xc / len(X)
+    evals, evecs = np.linalg.eigh(C)
+    top = evecs[:, -1]
+    assert abs(abs(float(v @ top)) - 1.0) < 1e-3     # aligned up to sign
+    assert abs(out[0].eigenvalue - evals[-1]) / evals[-1] < 1e-3
+    assert 0.9 < out[0].ev_share <= 1.0               # planted dominance
