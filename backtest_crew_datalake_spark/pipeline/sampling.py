@@ -386,12 +386,24 @@ def dsir_weights(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    feats = df.select(
-        F.col(id_col),
-        F.col(source_col).isin(*target_sources).alias("__is_t"),
-        F.explode(bigrams).alias("__bg"),
-    ).withColumn(
-        "__b", hash_bucket32(F.col("__bg"), salt=salt, buckets=buckets)
+    from .dedup import spread_partitions
+
+    # spread BEFORE the explode: a single-row-group parquet file scans as
+    # ONE task and the md5-per-bigram hash chain is CPU-heavy (docs/
+    # scale.md rule 10); checkpoint because BOTH the model agg and the
+    # per-doc join consume this subtree — without it the explode+hash
+    # runs twice (measured 13.7 s → see ROADMAP round-7 notes)
+    feats = (
+        spread_partitions(df.select(id_col, source_col, text_col), id_col)
+        .select(
+            F.col(id_col),
+            F.col(source_col).isin(*target_sources).alias("__is_t"),
+            F.explode(bigrams).alias("__bg"),
+        )
+        .withColumn(
+            "__b", hash_bucket32(F.col("__bg"), salt=salt, buckets=buckets)
+        )
+        .localCheckpoint(eager=False)
     )
     model = feats.groupBy("__b").agg(
         F.count("*").alias("__cr"),

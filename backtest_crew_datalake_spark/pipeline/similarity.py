@@ -625,16 +625,20 @@ def pca_power(
         F.col(vec_col).cast("array<double>").alias("__x")
     ).localCheckpoint(eager=False)
     spark = corpus.sparkSession
-    n = emb.count()
     schema = "dim int, loading double, eigenvalue double, ev_share double"
-    if n == 0:
-        return spark.createDataFrame([], schema)
-    dims = len(emb.head()["__x"])
+    # ONE pass yields means, n, and the dimensionality (no separate
+    # count()/head() jobs — per-dim COUNT(*) is n by construction)
     mu_rows = (
         emb.select(F.posexplode("__x").alias("__d", "__val"))
-        .groupBy("__d").agg(F.round(F.avg("__val"), 6).alias("__m"))
+        .groupBy("__d")
+        .agg(F.round(F.avg("__val"), 6).alias("__m"),
+             F.count("*").alias("__n"))
         .collect()
     )
+    if not mu_rows:
+        return spark.createDataFrame([], schema)
+    dims = max(r["__d"] for r in mu_rows) + 1
+    n = mu_rows[0]["__n"]
     mu = [0.0] * dims
     for r in mu_rows:
         mu[r["__d"]] = r["__m"]

@@ -601,7 +601,14 @@ def ppl_buckets(
     from pyspark.sql import Window
 
     nll = unigram_nll(df, id_col=id_col, text_col=text_col)
-    scored = df.select(id_col, lang_col).join(nll, id_col)
+    # BOTH the cutoff histogram and the final bucket aggregation consume
+    # the scored table — checkpoint so the two-token-pass NLL chain runs
+    # once, not twice (same shape as dsir_weights' feats)
+    scored = (
+        df.select(id_col, lang_col)
+        .join(nll, id_col)
+        .localCheckpoint(eager=False)
+    )
     hist = scored.groupBy(lang_col, "nll").agg(F.count("*").alias("__n"))
     cum_w = (
         Window.partitionBy(lang_col)
@@ -639,5 +646,96 @@ def ppl_buckets(
             F.round(F.avg("nll"), 4).alias("avg_nll"),
             F.min("nll").alias("min_nll"),
             F.max("nll").alias("max_nll"),
+        )
+    )
+
+
+def bigram_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under an add-1-smoothed
+    corpus BIGRAM LM — the stronger perplexity-proxy quality filter
+    (unigram_nll's sequel: boilerplate with plausible unigrams but odd
+    transitions scores high here).
+
+    p(w2 | w1) = (c(w1 w2) + 1) / (c_prefix(w1) + V), where c_prefix(w1)
+    counts w1's occurrences AS A BIGRAM PREFIX and V = |distinct suffix
+    vocabulary| — with add-1 over V outcomes this normalizes exactly
+    (Σ_w2 p = 1), and every count derives from ONE bigram explode of the
+    corpus (no separate unigram pass).
+
+    Scale shape: the exploded bigram stream is spread (single-row-group
+    scan hazard) and checkpointed (the count aggregation AND the per-doc
+    score join both consume it); log-probs attach at the VOCAB level
+    (c12 ⋈ prefix-sum, both keyed on w1, + a 1-row V broadcast) so the
+    stream pays one keyed join; per-token log-probs round to 8 decimals
+    before the per-doc mean (libm reproducibility), the mean to
+    ``round_to``.
+    """
+    from .dedup import spread_partitions
+
+    t = tokens(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.size(t) - 1)
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = (
+        spread_partitions(df.select(id_col, text_col), id_col)
+        .select(F.col(id_col), F.explode(bigrams).alias("__bg"))
+        .localCheckpoint(eager=False)
+    )
+    c12 = bg.groupBy("__bg").agg(F.count("*").alias("__c12"))
+    c12 = c12.withColumn("__w1", F.substring_index("__bg", " ", 1))
+    cp = c12.groupBy("__w1").agg(F.sum("__c12").alias("__cp"))
+    vocab = c12.agg(
+        F.countDistinct(F.substring_index("__bg", " ", -1)).alias("__v")
+    )
+    lp = (
+        c12.join(cp, "__w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "__bg",
+            F.round(
+                F.log((F.col("__c12") + 1) / (F.col("__cp") + F.col("__v")))
+                * F.lit(1e8),
+                0,
+            ).cast("long").alias("__lp8"),
+        )
+    )
+    # per-token log-probs carried as 1e8-scaled integers: the per-doc sum
+    # is exact (order- and engine-independent), and the emitted mean NLL
+    # is ONE chain of identical IEEE divisions — never a rounded float
+    # sum (averaging rounded doubles hits decimal half-way ties
+    # systematically; same cure as sampling.dsir_weights)
+    per_doc = (
+        bg.join(lp, "__bg")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("__lp8").alias("__s8"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            ((-F.col("__s8")).cast("double") / F.lit(1e8)
+             / F.col("n_bigrams")).alias("nll"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("nll", F.lit(0.0)).alias("nll"),
         )
     )

@@ -109,6 +109,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_doc_dsir_weights",
     "q_emb_kcenter_coreset",
     "q_emb_pca_power",
+    "q_doc_bigram_nll",
     "q_acid_upsert_read",
     "q_acid_time_travel",
     "q_acid_changes_feed",

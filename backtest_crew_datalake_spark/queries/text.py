@@ -3471,3 +3471,51 @@ def q_doc_dsir_weights(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return dsir_weights(d, ["src0", "src1", "src2"])
+
+
+@register(
+    "q_doc_bigram_nll",
+    oracle=r"""
+    WITH docs AS (
+        SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks
+        FROM documents
+    ),
+    bgs AS (
+        SELECT doc_id, UNNEST(list_transform(
+                   generate_series(1, LEN(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        FROM docs WHERE LEN(toks) >= 2
+    ),
+    c12 AS (
+        SELECT bg, split_part(bg, ' ', 1) AS w1, COUNT(*) AS c
+        FROM bgs GROUP BY 1, 2
+    ),
+    cp AS (SELECT w1, SUM(c) AS p FROM c12 GROUP BY 1),
+    vv AS (SELECT COUNT(DISTINCT split_part(bg, ' ', 2)) AS v FROM c12),
+    lp AS (
+        SELECT c12.bg,
+               CAST(ROUND(LN((c12.c + 1) / CAST(cp.p + vv.v AS DOUBLE))
+                          * 1e8, 0) AS BIGINT) AS lp8
+        FROM c12 JOIN cp USING (w1) CROSS JOIN vv
+    ),
+    per_doc AS (
+        SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(-SUM(l.lp8) AS DOUBLE) / 1e8 / COUNT(*) AS nll
+        FROM bgs b JOIN lp l USING (bg) GROUP BY 1
+    )
+    SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           COALESCE(p.nll, 0.0) AS nll
+    FROM docs d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def q_doc_bigram_nll(spark, sf_dir):
+    """Per-document add-1-smoothed BIGRAM-LM negative log-likelihood
+    (pipeline/text.bigram_nll) — the stronger perplexity-proxy quality
+    filter (unigram_nll's sequel). Prefix-count formulation: every count
+    (bigram, prefix, suffix vocab) derives from ONE spread+checkpointed
+    bigram explode; log-probs attach at the vocab level so the stream
+    pays one keyed join; normalizes exactly (Σ_w2 p = 1)."""
+    from ..pipeline.text import bigram_nll
+
+    d = load(spark, sf_dir, "documents")
+    return bigram_nll(d)

@@ -70,6 +70,10 @@ HEADLINE = [
     # (quality -> repetition -> exact-dedup -> decontamination) with
     # per-stage drop attribution
     "q_doc_curation",
+    # round-7 third-session additions: CCNet perplexity buckets (NLL
+    # chain + histogram inverse-CDF) and DSIR hashed-bigram importance
+    # weights — the two heaviest of the five new data-selection ops
+    "q_doc_ppl_buckets", "q_doc_dsir_weights",
 ]
 
 

@@ -2051,3 +2051,26 @@ def test_pca_power_matches_numpy_on_planted_direction(spark):
     assert abs(abs(float(v @ top)) - 1.0) < 1e-3     # aligned up to sign
     assert abs(out[0].eigenvalue - evals[-1]) / evals[-1] < 1e-3
     assert 0.9 < out[0].ev_share <= 1.0               # planted dominance
+
+
+def test_bigram_nll_hand_check(spark):
+    import math
+
+    from backtest_crew_datalake_spark.pipeline.text import bigram_nll
+
+    # corpus: "a b", "a b", "a c" -> bigrams: (a b)x2, (a c)x1
+    # prefix count a = 3, suffix vocab V = {b, c} -> |V| = 2
+    # p(b|a) = (2+1)/(3+2) = 0.6 ; p(c|a) = (1+1)/(3+2) = 0.4
+    rows = [(0, "a b"), (1, "a b"), (2, "a c"), (3, "solo")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in bigram_nll(df).collect()}
+    assert out[0].n_bigrams == 1
+    # log-probs carried as 1e8-scaled ints; nll = -sum/1e8/n exactly
+    lp_b = float(round(math.log(0.6) * 1e8))
+    lp_c = float(round(math.log(0.4) * 1e8))
+    assert out[0].nll == -lp_b / 1e8 / 1
+    assert out[2].nll == -lp_c / 1e8 / 1
+    # single-token doc: zero bigrams, present via the left join
+    assert out[3].n_bigrams == 0 and out[3].nll == 0.0
+    # smoothing normalizes: sum over observed suffixes < 1 (mass reserved)
+    assert 0.6 + 0.4 == 1.0  # exact with prefix-count denominator
