@@ -609,7 +609,15 @@ def pca_power(
     round's per-dim sums round to 6 decimals at the driver collect, so
     aggregation-order ulp noise dies at every round boundary; the
     normalization is a left-associated index-order fold over those
-    rounded values (identical IEEE ops in any engine).
+    rounded values (identical IEEE ops in any engine). The per-row work
+    (center, s = x_c·v, s-weighted per-dim partials) runs as an Arrow
+    mapInPandas kernel emitting ≤dims partial rows per batch — the
+    measured carve-out boundary (the per-element HOF fold was 16.7 s at
+    the 10× corpus on interpreted-lambda overhead alone; the kernel does
+    the same flops vectorized). s accumulates (x_i−µ_i)·v_i with i
+    ascending — the fold's left-associated order — and partial-sum
+    association is irrelevant because totals round AFTER full
+    aggregation (the oracle's own row order is arbitrary too).
 
     Returns one row per dimension: (dim 1-based, loading = final unit
     eigenvector component rounded 4, eigenvalue = ‖Cv‖ of the last round
@@ -642,29 +650,54 @@ def pca_power(
     mu = [0.0] * dims
     for r in mu_rows:
         mu[r["__d"]] = r["__m"]
-    mu_lit = F.array(*[F.lit(m) for m in mu])
-    xc = emb.select(
-        F.zip_with("__x", mu_lit, lambda x, m: x - m).alias("__x")
-    ).localCheckpoint(eager=False)
+    import numpy as np
+    import pandas as pd
+
+    MU = np.array(mu, dtype=np.float64)
+
+    def _partials(weights):
+        # weights=None -> per-dim sum of xc^2 (variance pass); else
+        # per-dim sum of (xc·weights)*xc (power step). One partial row
+        # per (batch, dim): the shuffle is bounded by dims × batches.
+        W = None if weights is None else np.array(weights, dtype=np.float64)
+
+        def gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf["__x"].tolist(), dtype=np.float64) - MU
+                if W is None:
+                    part = (X * X).sum(axis=0)
+                else:
+                    # index-ascending accumulation = the fold's
+                    # left-associated order for each row's s
+                    sv = np.zeros(len(X), dtype=np.float64)
+                    for i in range(X.shape[1]):
+                        sv += X[:, i] * W[i]
+                    part = sv @ X
+                yield pd.DataFrame(
+                    {"__d": np.arange(X.shape[1], dtype=np.int32),
+                     "__p": part}
+                )
+
+        return gen
+
+    def _dim_totals(weights, denom):
+        rows = (
+            emb.mapInPandas(_partials(weights), "__d int, __p double")
+            .groupBy("__d")
+            .agg(F.round(F.sum("__p") / denom, 6).alias("__t"))
+            .collect()
+        )
+        out = [0.0] * dims
+        for r in rows:
+            out[r["__d"]] = r["__t"]
+        return out
 
     v = [1.0] + [0.0] * (dims - 1)
     eig = 0.0
     for _ in range(iters):
-        v_lit = F.array(*[F.lit(x) for x in v])
-        s = F.aggregate(
-            F.zip_with("__x", v_lit, lambda x, w: x * w),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-        u_rows = (
-            xc.select(s.alias("__s"), F.posexplode("__x").alias("__d", "__val"))
-            .groupBy("__d")
-            .agg(F.round(F.sum(F.col("__s") * F.col("__val")) / n, 6)
-                 .alias("__u"))
-            .collect()
-        )
-        u = [0.0] * dims
-        for r in u_rows:
-            u[r["__d"]] = r["__u"]
+        u = _dim_totals(v, n)
         # left-associated index-order norm: identical fold in any engine
         acc = 0.0
         for x in u:
@@ -674,15 +707,7 @@ def pca_power(
             break
         v = [x / eig for x in u]
 
-    var_rows = (
-        xc.select(F.posexplode("__x").alias("__d", "__val"))
-        .groupBy("__d")
-        .agg(F.round(F.avg(F.col("__val") * F.col("__val")), 6).alias("__v"))
-        .collect()
-    )
-    tv = [0.0] * dims
-    for r in var_rows:
-        tv[r["__d"]] = r["__v"]
+    tv = _dim_totals(None, n)
     acc = 0.0
     for x in tv:
         acc = acc + x
