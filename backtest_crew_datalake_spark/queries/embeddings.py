@@ -1214,3 +1214,133 @@ def q_emb_pca_power(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     return pca_power(emb, iters=3)
+
+
+@register(
+    "q_emb_sq8_topk",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    rng AS (SELECT dim, MIN(v[dim]) AS lo, MAX(v[dim]) AS hi
+            FROM emb, range(1, 65) t(dim) GROUP BY 1),
+    rv AS (SELECT list(lo ORDER BY dim) AS lov, list(hi ORDER BY dim) AS hiv
+           FROM rng),
+    rec AS (
+        SELECT vec_id, list_transform(range(1, 65),
+            i -> CASE WHEN hiv[i] = lov[i] THEN lov[i]
+                 ELSE lov[i] + ROUND((v[i] - lov[i]) / (hiv[i] - lov[i])
+                      * 255, 0) * (hiv[i] - lov[i]) / 255 END) AS r
+        FROM emb, rv
+    ),
+    q AS (SELECT vec_id AS query_id, v FROM emb WHERE vec_id < 10),
+    sq AS (
+        SELECT query_id, neighbor_id, d2, rk FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   {_SQD64.format(a='q.v', b='c.r')} AS d2,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY {_SQD64.format(a='q.v', b='c.r')},
+                                c.vec_id) AS rk
+            FROM q CROSS JOIN rec c) WHERE rk <= 5
+    ),
+    ex AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY {_SQD64.format(a='q.v', b='c.v')},
+                                c.vec_id) AS rk
+            FROM q CROSS JOIN emb c) WHERE rk <= 5
+    ),
+    rc AS (
+        SELECT s.query_id, CAST(COUNT(e.neighbor_id) AS BIGINT) AS recall5
+        FROM sq s LEFT JOIN ex e
+          ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
+        GROUP BY 1
+    )
+    SELECT s.query_id, CAST(s.rk AS INT) AS rank, s.neighbor_id,
+           ROUND(s.d2, 4) AS sq_d2, rc.recall5
+    FROM sq s JOIN rc USING (query_id)
+    """,
+)
+def q_emb_sq8_topk(spark, sf_dir):
+    """SQ8 scalar-quantization ANN (the faiss-SQ8 family member, completing
+    LSH/IVF/PQ/IVF-PQ): per-dim [min,max] trained on the corpus (exact —
+    MIN/MAX are order-independent, no rounding anywhere in training),
+    vectors quantized to 256 levels, candidates ranked by asymmetric
+    query-to-reconstruction L2 (ties → lowest id), with in-query recall@5
+    vs the exact scan. Reconstruction is a row-local transform over
+    broadcast-literal range arrays — codes live next to the vectors at
+    scale, the scan shape is cosine_topk's (bounded query side broadcast,
+    corpus streams). Oracle mirrors the quantize→reconstruct→rank chain
+    with index-order distance folds."""
+    from pyspark.sql import Window
+
+    from ..pipeline.dedup import spread_partitions
+    from ..pipeline.similarity import _sqdist
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("__x")
+    )
+    rng_rows = (
+        emb.select(F.posexplode("__x").alias("__d", "__val"))
+        .groupBy("__d")
+        .agg(F.min("__val").alias("lo"), F.max("__val").alias("hi"))
+        .collect()
+    )
+    dims = max(r["__d"] for r in rng_rows) + 1
+    lo = [0.0] * dims
+    hi = [0.0] * dims
+    for r in rng_rows:
+        lo[r["__d"]], hi[r["__d"]] = r["lo"], r["hi"]
+    lo_lit = F.array(*[F.lit(x) for x in lo])
+    hi_lit = F.array(*[F.lit(x) for x in hi])
+
+    def _rec(x, i):
+        l_ = F.element_at(lo_lit, i + 1)
+        h = F.element_at(hi_lit, i + 1)
+        return F.when(h == l_, l_).otherwise(
+            l_ + F.round((x - l_) / (h - l_) * 255, 0) * (h - l_) / 255
+        )
+
+    rec = spread_partitions(emb, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("__x", _rec).alias("__r"),
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("__x").alias("__qv")
+    )
+    w = Window.partitionBy("query_id").orderBy("__d2", "neighbor_id")
+    sq = (
+        F.broadcast(q).crossJoin(rec)
+        .select("query_id", "neighbor_id",
+                _sqdist(F.col("__qv"), F.col("__r")).alias("__d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+    )
+    ex = (
+        F.broadcast(q).crossJoin(
+            spread_partitions(emb, "vec_id").select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("__x").alias("__cv"),
+            )
+        )
+        .select("query_id", "neighbor_id",
+                _sqdist(F.col("__qv"), F.col("__cv")).alias("__d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    rc = (
+        sq.join(ex, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("recall5"))
+    )
+    # a query whose sq8 top-5 shares nothing with exact would drop out of
+    # the semi-join count — restore it at 0 via the query side
+    rc = (
+        q.select("query_id")
+        .join(rc, "query_id", "left")
+        .select("query_id", F.coalesce("recall5", F.lit(0)).alias("recall5"))
+    )
+    return sq.select(
+        "query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id",
+        F.round("__d2", 4).alias("sq_d2"),
+    ).join(rc, "query_id")
