@@ -718,3 +718,92 @@ def pca_power(
         for d in range(dims)
     ]
     return spark.createDataFrame(rows, schema)
+
+
+def abtt_whiten(
+    corpus: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-but-the-top whitening diagnostics (Mu & Viswanath 2018): remove
+    the top principal direction from the centered embeddings and report
+    per-dimension variance BEFORE and AFTER plus the anisotropy ratio
+    (max per-dim variance / mean per-dim variance) both ways — the
+    standard check that dominant-direction removal actually isotropized
+    the space before cosine retrieval.
+
+    Deterministic composition: the direction is pca_power's ROUNDED
+    loading vector (already value-checked), the means are the same
+    rounded-6 per-dim means, and both variance totals come from ONE Arrow
+    kernel pass (per-batch partial sums; totals rounded 6 after full
+    aggregation). The anisotropy ratios are emitted UNROUNDED — they are
+    pure index-order arithmetic over the rounded per-dim variances, so
+    any engine reproduces them bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    schema = ("dim int, var_before double, var_after double, "
+              "anis_before double, anis_after double")
+    pca = pca_power(corpus, iters=iters, id_col=id_col, vec_col=vec_col)
+    prows = pca.collect()
+    if not prows:
+        return spark.createDataFrame([], schema)
+    dims = len(prows)
+    U = np.zeros(dims)
+    for r in prows:
+        U[r["dim"] - 1] = r["loading"]
+    emb = corpus.select(
+        F.col(vec_col).cast("array<double>").alias("__x")
+    ).localCheckpoint(eager=False)
+    mu_rows = (
+        emb.select(F.posexplode("__x").alias("__d", "__val"))
+        .groupBy("__d")
+        .agg(F.round(F.avg("__val"), 6).alias("__m"),
+             F.count("*").alias("__n"))
+        .collect()
+    )
+    n = mu_rows[0]["__n"]
+    MU = np.zeros(dims)
+    for r in mu_rows:
+        MU[r["__d"]] = r["__m"]
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["__x"].tolist(), dtype=np.float64) - MU
+            sv = np.zeros(len(X), dtype=np.float64)
+            for i in range(X.shape[1]):
+                sv += X[:, i] * U[i]
+            R = X - sv[:, None] * U[None, :]
+            yield pd.DataFrame({
+                "__d": np.arange(X.shape[1], dtype=np.int32),
+                "__b": (X * X).sum(axis=0),
+                "__a": (R * R).sum(axis=0),
+            })
+
+    tot = (
+        emb.mapInPandas(gen, "__d int, __b double, __a double")
+        .groupBy("__d")
+        .agg(F.round(F.sum("__b") / n, 6).alias("__vb"),
+             F.round(F.sum("__a") / n, 6).alias("__va"))
+        .collect()
+    )
+    vb = [0.0] * dims
+    va = [0.0] * dims
+    for r in tot:
+        vb[r["__d"]], va[r["__d"]] = r["__vb"], r["__va"]
+
+    def _anis(vs):
+        acc = 0.0
+        for x in vs:       # left-associated index-order sum — matches the
+            acc = acc + x  # oracle's list_aggregate fold exactly
+        return max(vs) / (acc / len(vs)) if acc != 0.0 else 0.0
+
+    ab, aa = _anis(vb), _anis(va)
+    return spark.createDataFrame(
+        [(d + 1, vb[d], va[d], ab, aa) for d in range(dims)], schema
+    )

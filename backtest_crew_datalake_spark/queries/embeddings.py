@@ -1344,3 +1344,48 @@ def q_emb_sq8_topk(spark, sf_dir):
         "query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id",
         F.round("__d2", 4).alias("sq_d2"),
     ).join(rc, "query_id")
+
+
+@register(
+    "q_emb_abtt_whiten",
+    oracle=f"""
+    WITH emb AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    {_pca_power_sql(3)},
+    uvec AS (SELECT list_transform(v, y -> ROUND(y, 4)) AS u FROM v3),
+    sc AS (
+        SELECT x, list_aggregate(list_transform(range(1, 65),
+                   i -> x[i] * u[i]), 'sum') AS s
+        FROM xc, uvec
+    ),
+    vd AS (
+        SELECT dim,
+               ROUND(SUM(x[dim] * x[dim]) / ANY_VALUE(n), 6) AS vb,
+               ROUND(SUM((x[dim] - s * u[dim]) * (x[dim] - s * u[dim]))
+                     / ANY_VALUE(n), 6) AS va
+        FROM sc, uvec, nn, range(1, 65) t(dim) GROUP BY 1
+    ),
+    an AS (
+        SELECT MAX(vb) / (list_aggregate(list(vb ORDER BY dim), 'sum')
+                          / 64) AS ab,
+               MAX(va) / (list_aggregate(list(va ORDER BY dim), 'sum')
+                          / 64) AS aa
+        FROM vd
+    )
+    SELECT vd.dim, vd.vb AS var_before, vd.va AS var_after,
+           an.ab AS anis_before, an.aa AS anis_after
+    FROM vd, an
+    """,
+)
+def q_emb_abtt_whiten(spark, sf_dir):
+    """All-but-the-top whitening diagnostics (pipeline/similarity.
+    abtt_whiten; Mu & Viswanath 2018): project out pca_power's top
+    direction and report per-dim variance before/after plus the
+    anisotropy ratio both ways — the isotropy check before cosine
+    retrieval. Composes the value-checked pca chain; BOTH variance
+    totals come from one Arrow kernel pass; the ratios are unrounded
+    index-order arithmetic over rounded per-dim variances (engine-exact
+    by construction)."""
+    from ..pipeline.similarity import abtt_whiten
+
+    emb = load(spark, sf_dir, "embeddings")
+    return abtt_whiten(emb, iters=3)

@@ -2074,3 +2074,29 @@ def test_bigram_nll_hand_check(spark):
     assert out[3].n_bigrams == 0 and out[3].nll == 0.0
     # smoothing normalizes: sum over observed suffixes < 1 (mass reserved)
     assert 0.6 + 0.4 == 1.0  # exact with prefix-count denominator
+
+
+def test_abtt_whiten_isotropizes_planted_direction(spark):
+    import numpy as np
+
+    from backtest_crew_datalake_spark.pipeline.similarity import abtt_whiten
+
+    rng = np.random.default_rng(11)
+    w = rng.normal(size=8)
+    w /= np.linalg.norm(w)
+    X = rng.normal(size=(400, 1)) * 8.0 * w[None, :] + rng.normal(
+        size=(400, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(400)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = abtt_whiten(df, iters=3).collect()
+    assert len(out) == 8
+    # removing the dominant direction collapses anisotropy toward 1
+    assert out[0].anis_before > 3.0
+    assert out[0].anis_after < out[0].anis_before / 2
+    # total variance strictly drops, per-dim never increases (projection)
+    tot_b = sum(r.var_before for r in out)
+    tot_a = sum(r.var_after for r in out)
+    assert tot_a < tot_b
+    assert all(r.var_after <= r.var_before + 1e-9 for r in out)

@@ -345,3 +345,52 @@ def test_curation_plan_single_corpus_pass(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "Window" in p                       # conditional-min canonical
     assert p.count("documents.parquet") <= 3   # signals + bench + cont scan
+
+
+def test_dsir_plan_single_explode_broadcast_ratios(spark):
+    p = _plan(spark, "q_doc_dsir_weights")
+    # the bigram explode+hash subtree is checkpointed: BOTH consumers
+    # (bucket models and the per-doc score join) read the RDD scan, so at
+    # most the documents scan for the final left join touches parquet
+    assert p.count("FileScan parquet") <= 1
+    # the ≤1024-row log-ratio table joins back broadcast — never a shuffle
+    # of the feature stream against it
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_ppl_buckets_plan_no_per_doc_window(spark):
+    p = _plan(spark, "q_doc_ppl_buckets")
+    # tertile cutoffs come from the (lang, nll) HISTOGRAM window — the
+    # window partitions by lang over histogram rows; there must be no
+    # window keyed by doc and no cartesian; the threshold join broadcasts
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    # the scored (NLL) subtree is checkpointed: histogram + final agg both
+    # consume it without re-running the two token passes
+    assert p.count("Exchange hashpartitioning(token") <= 2
+
+
+def test_seq_pack_single_group_window(spark):
+    p = _plan(spark, "q_doc_seq_pack")
+    # ONE cumulative-offset window keyed by the group column; the
+    # docs-per-seq explode must not re-sort globally
+    assert "Exchange rangepartitioning" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_kcenter_assignment_no_join_over_corpus(spark):
+    p = _plan(spark, "q_emb_kcenter_coreset")
+    # assignment folds over a literal k-entry array: the only joins are
+    # the bounded 8-row order table broadcast; never a corpus-side
+    # shuffle join or cartesian
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_sq8_broadcasts_queries_corpus_streams(spark):
+    p = _plan(spark, "q_emb_sq8_topk")
+    # both scans (quantized + exact) stream the corpus; the 10-query side
+    # is broadcast (BNLJ like cosine_topk); reconstruction is row-local
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
