@@ -719,3 +719,53 @@ def _ppjoin_verify(docs, cand, threshold):
             ).alias("jaccard"),
         )
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix — the data-governance staple
+    "how much of source A also appears in source B": for every source
+    pair, the count of shared distinct word n-gram shingles and the
+    shingle-set Jaccard.
+
+    Scale shape: one explode → DISTINCT (source, shingle) pass (keyed,
+    map-side combinable), checkpointed for its three consumers; the pair
+    join is shingle-keyed with per-shingle fan-out bounded by
+    |sources|² — linear in corpus size, never doc×doc. Jaccard is
+    emitted UNROUNDED: an exact-integer division is bit-identical in
+    any engine, while rounding it can hit decimal half-way ties
+    (docs/scale.md rule 12; 1/128 is already a 6-decimal tie).
+    """
+    sh = (
+        spread_partitions(df.select(source_col, text_col), source_col)
+        .select(F.col(source_col), F.explode(_shingles(text_col, n)).alias("__sh"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    counts = sh.groupBy(source_col).agg(F.count("*").alias("__n"))
+    a = sh.select(F.col(source_col).alias("source_a"), "__sh")
+    b = sh.select(F.col(source_col).alias("source_b"), "__sh")
+    pairs = (
+        a.join(b, "__sh")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_shingles"))
+    )
+    na = F.broadcast(counts.select(F.col(source_col).alias("source_a"),
+                                   F.col("__n").alias("n_a")))
+    nb = F.broadcast(counts.select(F.col(source_col).alias("source_b"),
+                                   F.col("__n").alias("n_b")))
+    return (
+        pairs.join(na, "source_a").join(nb, "source_b")
+        .select(
+            "source_a", "source_b", "shared_shingles", "n_a", "n_b",
+            (F.col("shared_shingles")
+             / (F.col("n_a") + F.col("n_b") - F.col("shared_shingles"))
+             ).alias("jaccard"),
+        )
+    )

@@ -3519,3 +3519,49 @@ def q_doc_bigram_nll(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return bigram_nll(d)
+
+
+@register(
+    "q_doc_source_overlap",
+    oracle=r"""
+    WITH docs AS (
+        SELECT source, string_split_regex(TRIM(text), '\s+') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT source, UNNEST(list_distinct(
+            CASE WHEN LEN(toks) >= 3 THEN
+                list_transform(generate_series(1, LEN(toks) - 2),
+                               i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])
+            ELSE [array_to_string(toks, ' ')] END)) AS s
+        FROM docs
+    ),
+    counts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+               FROM sh GROUP BY 1),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_shingles
+        FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT p.source_a, p.source_b, p.shared_shingles,
+           ca.n AS n_a, cb.n AS n_b,
+           p.shared_shingles
+               / CAST(ca.n + cb.n - p.shared_shingles AS DOUBLE) AS jaccard
+    FROM pairs p
+    JOIN counts ca ON ca.source = p.source_a
+    JOIN counts cb ON cb.source = p.source_b
+    """,
+)
+def q_doc_source_overlap(spark, sf_dir):
+    """Cross-source duplication matrix (pipeline/dedup.source_overlap):
+    per source pair, shared distinct 3-gram shingles and shingle-set
+    Jaccard — the governance view of inter-source duplication that
+    decides which source to canonicalize. One DISTINCT (source, shingle)
+    pass, checkpointed; shingle-keyed pair join with |sources|²-bounded
+    fan-out; Jaccard emitted unrounded (exact-integer division is
+    bit-identical; rounding it hits half-way ties — scale.md rule 12)."""
+    from ..pipeline.dedup import source_overlap
+
+    d = load(spark, sf_dir, "documents")
+    return source_overlap(d)
