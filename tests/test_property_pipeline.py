@@ -231,3 +231,36 @@ def test_ppjoin_complete_and_exact(spark, docs, th):
     got = {(r.id_a, r.id_b): (r.n_inter, r.jaccard)
            for r in ppjoin_pairs(df, threshold=th).collect()}
     assert got == want
+
+
+_doclens = st.lists(st.integers(1, 23), min_size=1, max_size=20)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lens=_doclens)
+def test_seq_pack_matches_simulation_on_arbitrary_lengths(spark, lens):
+    from backtest_crew_datalake_spark.pipeline.sampling import seq_pack
+
+    seq = 7
+    rows = [(i, " ".join(["t"] * n), "xx") for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = seq_pack(df, seq_len=seq).collect()[0]
+
+    off, boundary, seq_docs = 0, 0, {}
+    for n in lens:
+        first, last = off // seq, (off + n - 1) // seq
+        boundary += last > first
+        for s in range(first, last + 1):
+            seq_docs[s] = seq_docs.get(s, 0) + 1
+        off += n
+    n_seqs = -(-off // seq)
+    assert (got.n_docs, got.n_tokens, got.n_seqs) == (
+        len(lens), off, n_seqs)
+    assert got.n_boundary_docs == boundary
+    assert got.max_docs_per_seq == max(seq_docs.values())
+    assert got.last_fill == off - (n_seqs - 1) * seq
+    assert abs(got.avg_docs_per_seq
+               - round(sum(seq_docs.values()) / len(seq_docs), 4)) < 1e-9
+    # conservation: every sequence index 0..n_seqs-1 is touched
+    assert set(seq_docs) == set(range(n_seqs))
