@@ -583,6 +583,10 @@ def kcenter_select(
                 ).alias("m")
             ).collect()[0]["m"]
         )
+        if far["d2"] == 0.0:
+            # max min-distance 0 ⇒ every point coincides with a selected
+            # one (k > #distinct vectors) — stop instead of re-selecting
+            break
         pick = emb.where(F.col("__id") == -far["nid"]).collect()[0]
         sel.append((pick["__id"], pick["__v"]))
     return spark.createDataFrame(

