@@ -750,8 +750,12 @@ def source_overlap(
     counts = sh.groupBy(source_col).agg(F.count("*").alias("__n"))
     a = sh.select(F.col(source_col).alias("source_a"), "__sh")
     b = sh.select(F.col(source_col).alias("source_b"), "__sh")
+    # explicit shuffle-hash: the checkpointed sh scan carries unreliable
+    # LogicalRDD stats and the planner was measured broadcasting the ENTIRE
+    # (source, shingle) table as the build side — driver-OOM at corpus
+    # scale (same hazard as text.bigram_nll's vocab join; scale.md rule 13)
     pairs = (
-        a.join(b, "__sh")
+        a.join(b.hint("shuffle_hash"), "__sh")
         .where(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("shared_shingles"))

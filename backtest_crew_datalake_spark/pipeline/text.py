@@ -716,8 +716,16 @@ def bigram_nll(
     # is ONE chain of identical IEEE divisions — never a rounded float
     # sum (averaging rounded doubles hits decimal half-way ties
     # systematically; same cure as sampling.dsir_weights)
+    # the vocab-side join MUST be an explicit shuffle-hash: localCheckpoint
+    # scans (LogicalRDD) carry unreliable stats, and the planner was
+    # measured BROADCASTING THE 13M-ROW STREAM as the build side
+    # (BuildLeft — a driver-OOM at real scale and 15+ s here); a forced
+    # F.broadcast(lp) is wrong the other way (web-scale bigram vocab
+    # exceeds the broadcast ceiling). shuffle_hash keys both sides on
+    # __bg with no sort and no driver collect: 26 s -> 3.9 s at the 50x
+    # corpus, and the shape stays correct at any vocab size.
     per_doc = (
-        bg.join(lp, "__bg")
+        bg.join(lp.hint("shuffle_hash"), "__bg")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_bigrams"),

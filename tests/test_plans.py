@@ -394,3 +394,21 @@ def test_sq8_broadcasts_queries_corpus_streams(spark):
     # is broadcast (BNLJ like cosine_topk); reconstruction is row-local
     assert "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_bigram_nll_vocab_join_never_broadcasts_stream(spark):
+    p = _plan(spark, "q_doc_bigram_nll")
+    # the vocab (lp) join is a forced shuffle-hash: LogicalRDD stats are
+    # unreliable and the planner was measured broadcasting the 13M-row
+    # bigram STREAM as the build side (scale.md rule 13)
+    assert "ShuffledHashJoin [__bg" in p
+    assert "BroadcastHashJoin [__bg" not in p
+
+
+def test_source_overlap_pair_join_never_broadcasts_shingles(spark):
+    p = _plan(spark, "q_doc_source_overlap")
+    # the shingle self-join must exchange on __sh, never broadcast the
+    # (source, shingle) table (scale.md rule 13); the two bounded
+    # per-source count joins MAY broadcast (forced, ≤|sources| rows)
+    assert "ShuffledHashJoin [__sh" in p
+    assert "BroadcastHashJoin [__sh" not in p
