@@ -747,3 +747,22 @@ def bigram_nll(
             F.coalesce("nll", F.lit(0.0)).alias("nll"),
         )
     )
+
+
+def dup_ngram_frac(text_col: str = "text", n: int = 3) -> Column:
+    """Duplicate word n-gram fraction of one document (the q_doc_repetition
+    / Gopher-style repetition signal): 1 − distinct/total n-grams, rounded
+    6, 0.0 for docs shorter than ``n`` tokens. Row-local; shared by the
+    batch curation query and the streaming curation gate so both compare
+    the exact same rounded integer-ratio double."""
+    toks = tokens(F.col(text_col))
+    tg = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(
+        F.size(toks) >= n,
+        F.round(
+            1.0 - F.size(F.array_distinct(tg)) / (F.size(toks) - (n - 1)), 6
+        ),
+    ).otherwise(F.lit(0.0))

@@ -3244,23 +3244,13 @@ def q_doc_curation(spark, sf_dir):
 
     from ..pipeline.dedup import spread_partitions
     from ..pipeline.sampling import contamination
-    from ..pipeline.text import quality_score
+    from ..pipeline.text import dup_ngram_frac, quality_score
 
     d = load(spark, sf_dir, "documents")
     corpus = d.where(F.col("doc_id") >= 20)
     bench = d.where(F.col("doc_id") < 20)
 
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    tg = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 3),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
-    )
-    dup_frac = F.when(
-        F.size(toks) >= 3,
-        F.round(
-            1.0 - F.size(F.array_distinct(tg)) / (F.size(toks) - 2), 6
-        ),
-    ).otherwise(F.lit(0.0))
+    dup_frac = dup_ngram_frac("text", 3)
 
     flagged = contamination(corpus, bench, n=3, min_ratio=0.1).select(
         "doc_id", F.lit(1).alias("__cont")

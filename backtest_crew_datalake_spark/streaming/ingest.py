@@ -380,3 +380,115 @@ def streaming_acid_upsert(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def streaming_curation(
+    spark: SparkSession,
+    landing_dir: str,
+    benchmark: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string, source string",
+    quality_min: float = 0.5,
+    dup_frac_max: float = 0.2,
+    available_now: bool = True,
+):
+    """Continuous corpus curation over documents landing as parquet — the
+    streaming form of q_doc_curation's 4-stage gate: per micro-batch,
+    quality gate → repetition gate (pipeline.text.dup_ngram_frac — the
+    same rounded signal as the batch query) → exact dedup (keep-lowest-id
+    within the batch AND drop any digest already ACCEPTED by an earlier
+    batch — the cross-crawl semantics of incremental_neardup_flags,
+    exact-hash grade) → benchmark decontamination (broadcast shingles).
+
+    Sinks: accepted docs under ``{out}/accepted/batch_id=N``, the full
+    per-doc ledger (doc_id, source, status) under ``{out}/ledger/
+    batch_id=N`` with status = the first failing stage or 'kept'.
+
+    Exactly-once under foreachBatch's at-least-once contract: each batch
+    OVERWRITES its own batch_id-keyed subdirectories, and the
+    prior-digest read is restricted to ``batch_id < current`` — a
+    replayed batch can never see its own earlier (possibly partial)
+    write, so its decisions are bit-identical on replay. State is the
+    accepted sink itself (digest column) — no second bookkeeping store
+    to drift; at corpus scale swap the digest read for the ACID table's
+    snapshot read (sources/acid.py) or a Bloom probe (pipeline/sketch).
+    """
+    import os
+
+    from pyspark.sql import Window as W
+
+    from ..pipeline.sampling import contamination
+    from ..pipeline.text import dup_ngram_frac, quality_score
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(landing_dir)
+    )
+
+    def _curate(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        flagged = contamination(batch_df, benchmark).select(
+            "doc_id", F.lit(1).alias("__cont")
+        )
+        base = (
+            quality_score(batch_df)
+            .withColumn("dup_frac", dup_ngram_frac())
+            .withColumn("digest", F.md5("text"))
+            .join(flagged, "doc_id", "left")
+        )
+        acc_dir = f"{out_dir}/accepted"
+        if os.path.isdir(acc_dir) and any(
+            e.startswith("batch_id=") for e in os.listdir(acc_dir)
+        ):
+            prior = (
+                spark.read.parquet(acc_dir)
+                .where(F.col("batch_id") < batch_id)
+                .select("digest").distinct()
+                .withColumn("__seen", F.lit(1))
+            )
+            base = base.join(prior, "digest", "left")
+        else:
+            base = base.withColumn("__seen", F.lit(None).cast("int"))
+        gates = (F.col("quality") >= quality_min) & (
+            F.col("dup_frac") <= dup_frac_max
+        )
+        canon = F.min(F.when(gates, F.col("doc_id"))).over(
+            W.partitionBy("digest")
+        )
+        status = (
+            F.when(F.col("quality") < quality_min, F.lit("low_quality"))
+            .when(F.col("dup_frac") > dup_frac_max, F.lit("repetitive"))
+            .when(
+                F.col("__seen").isNotNull() | (F.col("doc_id") != canon),
+                F.lit("duplicate"),
+            )
+            .when(F.col("__cont").isNotNull(), F.lit("contaminated"))
+            .otherwise(F.lit("kept"))
+        )
+        ledger = base.withColumn("status", status).localCheckpoint(
+            eager=False
+        )
+        (
+            ledger.select("doc_id", "source", "status")
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/ledger/batch_id={batch_id}")
+        )
+        (
+            ledger.where(F.col("status") == "kept")
+            .select("doc_id", "text", "source", "digest")
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/accepted/batch_id={batch_id}")
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_curate)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

@@ -763,3 +763,59 @@ def test_streaming_hll_matches_batch_and_is_idempotent(spark, tmp_path):
                   .select("reg", "rho").collect()))
     assert got3 == want3          # bak restored, old registers kept
     assert not os.path.exists(bak)
+
+
+def test_streaming_curation_gates_and_cross_batch_dedup(spark, tmp_path):
+    """The streaming curation gate applies the same 4 stages as
+    q_doc_curation per micro-batch, and exact dedup is CROSS-BATCH: a
+    digest accepted by an earlier run is a duplicate in every later one,
+    while the first batch's own dups dedupe within the batch
+    (keep-lowest-id)."""
+    src = str(tmp_path / "qsrc")
+    out = str(tmp_path / "qout")
+    ckpt = str(tmp_path / "qckpt")
+
+    from backtest_crew_datalake_spark.streaming.ingest import (
+        streaming_curation,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "leak one two three four five six seven eight nine")],
+        ["doc_id", "text"],
+    )
+    good = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu")
+    good2 = ("omicron pi rho sigma tau upsilon phi chi psi omega north "
+             "south")
+    repet = " ".join(["loop loop loop"] * 6)
+    contaminated = ("leak one two three four five six seven eight nine "
+                    "and then some tail words follow")
+
+    def land(rows, mode):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).coalesce(1).write.mode(mode).parquet(src)
+
+    # batch 0: good doc, its exact in-batch dup (higher id), a repetitive
+    # doc, a contaminated doc, a too-short (low-quality) doc
+    land(
+        [(10, good, "a"), (11, good, "a"), (12, repet, "b"),
+         (13, contaminated, "b"), (14, "x x x x", "c")],
+        "overwrite",
+    )
+    streaming_curation(spark, src, bench, out, ckpt)
+    led0 = {r.doc_id: r.status
+            for r in spark.read.parquet(f"{out}/ledger").collect()}
+    assert led0 == {10: "kept", 11: "duplicate", 12: "repetitive",
+                    13: "contaminated", 14: "low_quality"}
+
+    # batch 1: a cross-batch dup of the accepted doc 10 and a fresh doc
+    land([(20, good, "d"), (21, good2, "d")], "append")
+    streaming_curation(spark, src, bench, out, ckpt)
+    led = {r.doc_id: r.status
+           for r in spark.read.parquet(f"{out}/ledger").collect()}
+    assert led[20] == "duplicate"       # digest accepted in batch 0
+    assert led[21] == "kept"
+    acc = {r.doc_id for r in
+           spark.read.parquet(f"{out}/accepted").collect()}
+    assert acc == {10, 21}
