@@ -1389,3 +1389,64 @@ def q_emb_abtt_whiten(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     return abtt_whiten(emb, iters=3)
+
+
+def _logreg_sql(iters: int, lr: float = 0.5) -> str:
+    """CTE chain mirroring pipeline/similarity.logreg_train: augmented
+    (x ‖ [1.0]) vectors, zero-init weights, per-step σ rounded to 8 and
+    per-row per-dim gradient contributions as 1e8-scaled BIGINTs (exact
+    sums), weight updates with the same IEEE op order the driver applies.
+    Emits ``aug`` / ``nn`` / per-step ``w{r}`` CTEs."""
+    z = "list_aggregate(list_transform(range(1, 66), i -> x[i] * w[i])," \
+        " 'sum')"
+    parts = [
+        "aug AS (SELECT list_concat(embedding::DOUBLE[], [1.0]) AS x,"
+        " CAST(label % 2 AS DOUBLE) AS y FROM embeddings)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM aug)",
+        "w0 AS (SELECT list_transform(range(1, 66), i -> 0.0) AS w)",
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f"p{r} AS (SELECT x, y,"
+            f" ROUND(1 / (1 + EXP(-({z}))), 8) AS p"
+            f" FROM aug, w{r - 1})")
+        parts.append(
+            f"g{r} AS (SELECT dim, SUM(CAST(ROUND(x[dim] * (p - y) * 1e8,"
+            f" 0) AS BIGINT)) AS g8"
+            f" FROM p{r}, range(1, 66) t(dim) GROUP BY 1)")
+        parts.append(
+            f"w{r} AS (SELECT list(wv ORDER BY dim) AS w FROM"
+            f" (SELECT g.dim, w[g.dim] - {lr} *"
+            f" (CAST(g.g8 AS DOUBLE) / 1e8 / n) AS wv"
+            f" FROM g{r} g, w{r - 1}, nn))")
+    return ",\n".join(parts)
+
+
+@register(
+    "q_emb_logreg_train",
+    oracle=f"""
+    WITH {_logreg_sql(3)},
+    pf AS (SELECT y, ROUND(1 / (1 + EXP(-(list_aggregate(
+               list_transform(range(1, 66), i -> x[i] * w[i]), 'sum')))),
+               8) AS p
+           FROM aug, w3),
+    acc AS (SELECT SUM(CASE WHEN CAST(p >= 0.5 AS INT) = CAST(y AS INT)
+                            THEN 1 ELSE 0 END) / ANY_VALUE(nn.n) AS a
+            FROM pf, nn)
+    SELECT t.dim, w3.w[t.dim] AS weight, acc.a AS accuracy
+    FROM range(1, 66) t(dim), w3, acc
+    """,
+)
+def q_emb_logreg_train(spark, sf_dir):
+    """In-engine quality-classifier TRAINING (pipeline/similarity.
+    logreg_train): 3 full-batch gradient-descent steps of binary logistic
+    regression over the embedding column (y = label % 2, bias as an
+    augmented constant dim). Per step: one corpus fold + one keyed (dim)
+    agg collected to the driver — the MLlib shape; σ rounded to 8 (libm),
+    gradient contributions carried as 1e8-scaled BIGINTs (rule 12), so
+    the oracle's 3 unrolled CTE steps reproduce the weights BIT-FOR-BIT
+    (emitted unrounded, like the accuracy ratio)."""
+    from ..pipeline.similarity import logreg_train
+
+    emb = load(spark, sf_dir, "embeddings")
+    return logreg_train(emb, iters=3)

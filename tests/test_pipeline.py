@@ -2104,3 +2104,39 @@ def test_abtt_whiten_isotropizes_planted_direction(spark):
     tot_a = sum(r.var_after for r in out)
     assert tot_a < tot_b
     assert all(r.var_after <= r.var_before + 1e-9 for r in out)
+
+
+def test_logreg_train_matches_numpy_replica(spark):
+    import numpy as np
+
+    from backtest_crew_datalake_spark.pipeline.similarity import logreg_train
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(200, 4))
+    y = (X[:, 0] + 0.1 * rng.normal(size=200) > 0).astype(int)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]], int(y[i])) for i in range(200)],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    out = logreg_train(df, iters=3).collect()
+    assert len(out) == 5                      # 4 dims + bias
+
+    # numpy replica of the exact recipe: σ rounded 8, per-contribution
+    # 1e8-scaled ints, identical update op order
+    Xa = np.hstack([X, np.ones((200, 1))])
+    yy = (y % 2).astype(float)
+    w = np.zeros(5)
+    n = 200
+    for _ in range(3):
+        z = Xa @ w
+        p = np.round(1.0 / (1.0 + np.exp(-z)), 8)
+        g8 = np.round(Xa * (p - yy)[:, None] * 1e8).sum(axis=0)
+        w = np.array([w[d] - 0.5 * (float(g8[d]) / 1e8 / n)
+                      for d in range(5)])
+    got_w = np.zeros(5)
+    for r in out:
+        got_w[r.dim - 1] = r.weight
+    assert np.allclose(got_w, w, rtol=0, atol=1e-12)
+    # the separating feature dominates and training accuracy is real
+    assert got_w[0] > 0 and abs(got_w[0]) > abs(got_w[1])
+    assert out[0].accuracy > 0.8
