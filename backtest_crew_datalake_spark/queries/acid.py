@@ -261,3 +261,67 @@ def q_acid_pruned_read(spark, sf_dir):
     ).where(F.col("n_events") >= 10).select(
         "user_id", "event_type", "n_events", "sum_value"
     )
+
+
+_DEL_PRED = "event_type = 'click' AND user_id % 7 = 3"
+_DEL_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _acid_delete_table(spark, sf_dir) -> str:
+    """Build (once) a SEPARATE table for the DELETE query — the shared
+    upsert table must stay unmutated for the other acid queries — then
+    run the row-level delete on it."""
+    from ..sources.acid import acid_delete, acid_upsert
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    root = _DEL_MEMO.get(memo_key)
+    if root is not None:
+        return root
+    e = load(spark, sf_dir, "events")
+    b1 = _agg(e.where(F.col("ts") < F.lit(_B1_CUT).cast("timestamp")))
+    b2 = _agg(
+        e.where(
+            (F.col("ts") >= F.lit(_B2_FROM).cast("timestamp"))
+            & F.col("event_type").isin(*_B2_TYPES)
+        )
+    )
+    root = tempfile.mkdtemp(prefix="acid_qd_")
+    acid_upsert(spark, b1, root, key=_KEY, partition_by=("event_type",),
+                stats_cols=("n_events",))
+    acid_upsert(spark, b2, root, key=_KEY, partition_by=("event_type",),
+                stats_cols=("n_events",))
+    acid_delete(spark, root, _DEL_PRED)
+    _DEL_MEMO[memo_key] = root
+    return root
+
+
+@register(
+    "q_acid_delete_read",
+    oracle=f"""
+    WITH {_BATCHES_SQL},
+    merged AS (
+        SELECT COALESCE(b2.user_id, b1.user_id) AS user_id,
+               COALESCE(b2.event_type, b1.event_type) AS event_type,
+               COALESCE(b2.n_events, b1.n_events) AS n_events,
+               COALESCE(b2.sum_value, b1.sum_value) AS sum_value
+        FROM b1 FULL OUTER JOIN b2
+          ON b1.user_id = b2.user_id AND b1.event_type = b2.event_type
+    )
+    SELECT * FROM merged
+    WHERE NOT (event_type = 'click' AND user_id % 7 = 3)
+    """,
+)
+def q_acid_delete_read(spark, sf_dir):
+    """Row-level DELETE under the value gate (sources/acid.acid_delete —
+    the Delta `DELETE FROM` semantics the r6 verdict's S4 row claims):
+    keyed upsert ×2, then delete every 'click' row of user_id ≡ 3 (mod 7)
+    as one copy-on-write snapshot commit; only files containing matches
+    are rewritten, untouched partitions carry their files verbatim. The
+    oracle recomputes merge-then-filter relationally. Time travel to the
+    pre-delete snapshot and CDF 'delete' rows are pinned by
+    tests/test_acid.py::test_delete_rows_copy_on_write."""
+    from ..sources.acid import acid_read
+
+    return acid_read(spark, _acid_delete_table(spark, sf_dir)).select(
+        "user_id", "event_type", "n_events", "sum_value"
+    )

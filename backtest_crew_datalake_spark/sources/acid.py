@@ -803,3 +803,97 @@ def _remove_entries(table_root: str, entries: list[dict]) -> None:
             os.unlink(os.path.join(data_root, e["path"]))
         except FileNotFoundError:
             pass
+
+
+def _uri_to_rel(uri: str, data_root: str) -> str:
+    """input_file_name() URI → manifest-relative path (strip scheme,
+    percent-decode — hive-escaped dirs are re-encoded by the URI layer)."""
+    src = urllib.parse.unquote(uri)
+    if src.startswith("file:"):
+        src = src[len("file:"):]
+        while src.startswith("//"):
+            src = src[1:]
+    return os.path.relpath(src, data_root)
+
+
+def acid_delete(
+    spark: SparkSession,
+    table_root: str,
+    predicate: str,
+    max_retries: int = 10,
+) -> int | None:
+    """Row-level DELETE as one snapshot commit (Delta `DELETE FROM`
+    semantics, copy-on-write): remove every row where ``predicate``
+    evaluates TRUE; rows where it is FALSE **or NULL** survive. Returns
+    the new version, or None when nothing matched (no empty commits).
+
+    Only files that actually CONTAIN matching rows are rewritten — one
+    scan with the predicate pushed to the parquet reader finds them
+    (footer min/max prunes row groups; at lake scale the manifest's own
+    stats_filter pruning applies the same way before the scan), every
+    other file carries over into the new manifest untouched. Old files
+    stay until vacuum, so time travel to the pre-delete snapshot and the
+    CDF (`acid_changes` emits the removed rows as 'delete') keep working.
+    Concurrency follows the standard optimistic protocol: a lost version
+    race re-resolves the latest snapshot and re-runs the delete against
+    it; nothing is visible until the manifest link lands.
+    """
+    pred = F.coalesce(F.expr(predicate), F.lit(False))
+    for _ in range(max_retries):
+        base_v = latest_version(table_root)
+        if base_v == 0:
+            return None
+        base = _load_manifest(table_root, base_v)
+        files = base["files"]
+        if not files:
+            return None
+        data_root = _data_root(table_root)
+        partition_by = tuple(base.get("partition_by", ()))
+        paths = [os.path.join(data_root, e["path"]) for e in files]
+        full = (
+            spark.read.option("basePath", data_root)
+            .schema(base["schema_ddl"]).parquet(*paths)
+        )
+        hit_rows = (
+            full.where(pred)
+            .groupBy(F.input_file_name().alias("__p"))
+            .agg(F.count("*").alias("__n"))
+            .collect()  # bounded: one row per file containing matches
+        )
+        if not hit_rows:
+            return None
+        hit = {_uri_to_rel(r["__p"], data_root) for r in hit_rows}
+        rewrite = [e for e in files if e["path"] in hit]
+        if len(rewrite) != len(hit):
+            raise RuntimeError(
+                f"delete on {table_root}: matched files not in manifest "
+                f"v{base_v} — reader/manifest drift, nothing committed"
+            )
+        keep = [e for e in files if e["path"] not in hit]
+        stats_cols = tuple(sorted({
+            k[4:] for e in files for k in e if k.startswith("min_")
+        }))
+        kept_df = (
+            spark.read.option("basePath", data_root)
+            .schema(base["schema_ddl"])
+            .parquet(*[os.path.join(data_root, e["path"]) for e in rewrite])
+            .where(~pred)
+        )
+        wrote = _write_data_files(
+            spark, kept_df, table_root, partition_by, stats_cols
+        )
+        n_deleted = (sum(e["rows"] for e in rewrite)
+                     - sum(w["rows"] for w in wrote))
+        if n_deleted <= 0:
+            _remove_entries(table_root, wrote)
+            return None
+        manifest = _new_manifest(
+            base_v, "delete", keep + wrote, partition_by,
+            base["schema_ddl"],
+        )
+        if _commit_manifest(table_root, base_v + 1, manifest):
+            return base_v + 1
+        _remove_entries(table_root, wrote)
+    raise CommitConflict(
+        f"delete on {table_root}: lost the manifest race {max_retries} times"
+    )

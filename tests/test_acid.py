@@ -694,3 +694,86 @@ def test_upsert_awkward_partition_values_match_dict_model(spark, tmp_path):
     for (sym, ts), px in model.items():
         want[(sym, ts)] = px
     assert got == want
+
+
+def test_delete_rows_copy_on_write(spark, tmp_path):
+    from backtest_crew_datalake_spark.sources.acid import (
+        _load_manifest,
+        acid_changes,
+        acid_delete,
+    )
+
+    root = str(tmp_path / "t")
+    rows = [("A", "d1", 1, 1.0), ("A", "d1", 2, 2.0),
+            ("A", "d2", 1, 3.0), ("B", "d1", 1, 10.0),
+            ("B", "d2", 5, 50.0)]
+    acid_write(spark, _mk(spark, rows), root, partition_by=PARTS)
+
+    # delete every A row with px >= 2 (touches A/d1 and A/d2, not B)
+    v = acid_delete(spark, root, "sym = 'A' AND px >= 2.0")
+    assert v == 2
+    assert _snapshot(acid_read(spark, root)) == [
+        ("A", "d1", 1, 1.0), ("B", "d1", 1, 10.0), ("B", "d2", 5, 50.0)]
+
+    # copy-on-write: files of untouched partitions carry over VERBATIM
+    before = {e["path"] for e in _load_manifest(root, 1)["files"]}
+    after = {e["path"] for e in _load_manifest(root, 2)["files"]}
+    b_files = {p for p in before if "sym=B" in p}
+    assert b_files and b_files <= after          # B files not rewritten
+    # every file that contained a matching row is GONE from the new
+    # manifest; carried-over A files (if any) are exactly the ones the
+    # hit scan cleared — verified by the read-back above. At least one
+    # v1 file must have been dropped (the deleted rows lived somewhere).
+    assert before - after
+
+    # time travel: pre-delete snapshot intact
+    assert len(_snapshot(acid_read(spark, root, version=1))) == 5
+    # CDF: exactly the removed rows, tagged delete
+    ch = acid_changes(spark, root, 1, 2, key=KEY)
+    got = sorted((r.sym, r.day, r.ts, r._change_type) for r in ch.collect())
+    assert got == [("A", "d1", 2, "delete"), ("A", "d2", 1, "delete")]
+
+    # no-match predicate: no commit, version unchanged
+    assert acid_delete(spark, root, "px > 999") is None
+    assert latest_version(root) == 2
+
+    # NULL predicate semantics: rows where the predicate is NULL survive
+    root2 = str(tmp_path / "t2")
+    acid_write(
+        spark,
+        spark.createDataFrame(
+            [("A", "d1", 1, None), ("A", "d1", 2, 2.0)],
+            "sym string, day string, ts bigint, px double",
+        ),
+        root2, partition_by=PARTS,
+    )
+    assert acid_delete(spark, root2, "px < 10") == 2
+    left = acid_read(spark, root2).collect()
+    assert [(r.ts, r.px) for r in left] == [(1, None)]
+
+
+def test_delete_whole_file_and_stats_preserved(spark, tmp_path):
+    from backtest_crew_datalake_spark.sources.acid import (
+        _load_manifest,
+        acid_delete,
+    )
+
+    root = str(tmp_path / "t")
+    acid_write(spark, _mk(spark, [("A", "d1", 1, 1.0),
+                                  ("A", "d1", 2, 2.0)]),
+               root, partition_by=PARTS, stats_cols=("ts",))
+    # everything in the only file matches -> file drops, no replacement
+    v = acid_delete(spark, root, "sym = 'A'")
+    assert v == 2
+    m = _load_manifest(root, 2)
+    assert m["files"] == []
+    assert acid_read(spark, root).count() == 0
+
+    # partial delete preserves the recorded stats columns on rewrite
+    root3 = str(tmp_path / "t3")
+    acid_write(spark, _mk(spark, [("A", "d1", 1, 1.0),
+                                  ("A", "d1", 9, 9.0)]),
+               root3, partition_by=PARTS, stats_cols=("ts",))
+    acid_delete(spark, root3, "ts = 9")
+    m3 = _load_manifest(root3, 2)
+    assert [ (e["min_ts"], e["max_ts"]) for e in m3["files"] ] == [("1", "1")]
