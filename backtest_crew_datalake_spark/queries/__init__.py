@@ -115,6 +115,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_doc_source_overlap",
     "q_emb_logreg_train",
     "q_acid_delete_read",
+    "q_doc_soft_dedup",
     "q_acid_upsert_read",
     "q_acid_time_travel",
     "q_acid_changes_feed",

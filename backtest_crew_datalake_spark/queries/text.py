@@ -3555,3 +3555,91 @@ def q_doc_source_overlap(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return source_overlap(d)
+
+
+@register(
+    "q_doc_soft_dedup",
+    oracle=r"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ),
+    gp AS (
+        SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS pos
+        FROM t WHERE len(toks) >= 3
+    ),
+    g AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(toks[pos+1:pos+3], ' ')) AS h
+        FROM gp
+    ),
+    wm AS (
+        SELECT doc_id, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+        FROM g
+    ),
+    f AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= n_grams - 4),
+    rare AS (
+        SELECT fp FROM f GROUP BY fp HAVING COUNT(DISTINCT doc_id) <= 10
+    ),
+    fk AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp)),
+    edges AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    sym AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION ALL
+        SELECT id_b, id_a FROM edges
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM sym),
+    walk(id, comp) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(comp) AS cluster_id
+             FROM walk GROUP BY id),
+    sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM comp GROUP BY 1)
+    SELECT d.doc_id, d.source,
+           COALESCE(z.n, 1) AS cluster_size,
+           1.0 / COALESCE(z.n, 1) AS weight
+    FROM documents d
+    LEFT JOIN comp c USING (doc_id)
+    LEFT JOIN sizes z USING (cluster_id)
+    """,
+)
+def q_doc_soft_dedup(spark, sf_dir):
+    """SoftDeDup — duplicate SUPPRESSION instead of removal (He+ 2024;
+    the SlimPajama-style alternative when dups carry signal): every doc
+    keeps a training weight 1/|near-dup cluster| (singletons weight 1),
+    so each duplicated content unit contributes one unit of gradient
+    mass in expectation. Composes the proven chain: winnow-fingerprint
+    pair edges → iterative min-label connected components → cluster
+    sizes joined back (bounded #clusters — broadcastable). Weight is an
+    exact-integer reciprocal, emitted UNROUNDED (bit-identical in any
+    engine; rule 12)."""
+    from ..pipeline.dedup import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    edges = q_doc_winnow_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(edges).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("__n")
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(comp, "doc_id", "left")
+        .join(F.broadcast(sizes), "cluster_id", "left")
+        .select(
+            "doc_id", "source",
+            F.coalesce("__n", F.lit(1)).alias("cluster_size"),
+            (F.lit(1.0) / F.coalesce("__n", F.lit(1))).alias("weight"),
+        )
+    )
