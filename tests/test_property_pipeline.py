@@ -264,3 +264,32 @@ def test_seq_pack_matches_simulation_on_arbitrary_lengths(spark, lens):
                - round(sum(seq_docs.values()) / len(seq_docs), 4)) < 1e-9
     # conservation: every sequence index 0..n_seqs-1 is touched
     assert set(seq_docs) == set(range(n_seqs))
+
+
+_dsir_corpus = st.lists(
+    st.tuples(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                 min_size=1, max_size=6),
+        st.sampled_from(["t", "w"]),
+    ),
+    min_size=2, max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_dsir_corpus)
+def test_dsir_weights_invariant_to_partitioning(spark, docs):
+    """The scaled-integer design promise: per-doc DSIR weights are EXACT,
+    so repartitioning (different aggregation order) changes nothing —
+    not even the last bit of the emitted double."""
+    from backtest_crew_datalake_spark.pipeline.sampling import dsir_weights
+
+    rows = [(i, " ".join(toks), src) for i, (toks, src) in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    a = {r.doc_id: (r.n_bigrams, r.weight_e8, r.weight)
+         for r in dsir_weights(df, ["t"]).collect()}
+    b = {r.doc_id: (r.n_bigrams, r.weight_e8, r.weight)
+         for r in dsir_weights(df.repartition(7), ["t"]).collect()}
+    assert a == b
+    assert len(a) == len(rows)
