@@ -12,7 +12,7 @@ Decode support is tiered by what a dependency-free container can honestly do:
   ``encode_png``) exist so tests and queries can run the real
   encode→decode path end to end with no media libraries at all.
 - A deterministic STUB (``decode_image_stub``) for formats that genuinely
-  need external codecs (JPEG/MP3/H.264): fake features derived from the
+  need external codecs (MP3/H.264 — JPEG now has a real from-scratch codec): fake features derived from the
   payload hash. ``decode_media`` sniffs the format and routes — real
   decoders for BMP/WAV/PNG, stub otherwise; a payload that *claims* a
   real format but is malformed raises rather than silently degrading to
@@ -60,7 +60,7 @@ FEATURE_SCHEMA = T.StructType([
 def decode_image_stub(content: bytes) -> dict:
     """Deterministic fake decode: derives (width, height, 8-dim feature) from
     the sha256 of the payload. Used for formats that need external codecs
-    (JPEG/PNG/...); self-describing BMP/WAV route to the REAL decoders via
+    (MP3/...); self-describing BMP/WAV/PNG/GIF/JPEG route to the REAL decoders via
     ``decode_media``.
 
     raise NotImplementedError here if you need the pipeline to fail loudly
@@ -652,9 +652,9 @@ _DIB_SIZES = (12, 40, 52, 56, 108, 124)
 
 def decode_media(content: bytes) -> dict:
     """Sniff the payload format and route: REAL decoders for BMP, WAV,
-    PNG and GIF, the deterministic stub for everything else. A payload that passes
-    the sniff but fails to parse raises (corrupt data must not silently
-    become fake features)."""
+    PNG, GIF and baseline JPEG, the deterministic stub for everything
+    else. A payload that passes the sniff but fails to parse raises
+    (corrupt data must not silently become fake features)."""
     c = content or b""
     if (len(c) >= 54 and c[:2] == b"BM"
             and int.from_bytes(c[14:18], "little") in _DIB_SIZES):
@@ -665,6 +665,8 @@ def decode_media(content: bytes) -> dict:
         return decode_png(c)
     if c[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(c)
+    if c[:2] == b"\xff\xd8":
+        return decode_jpeg(c)
     return decode_image_stub(c)
 
 
@@ -789,8 +791,8 @@ def audio_window_features_stub(
 
 
 def gray_pixels(content: bytes) -> "np.ndarray | None":
-    """Grayscale 2-D float array for an image payload (BMP/PNG/GIF via the
-    REAL decoders), or None for non-image payloads (audio, unknown formats) —
+    """Grayscale 2-D float array for an image payload (BMP/PNG/GIF/JPEG via
+    the REAL decoders), or None for non-image payloads (audio, unknown formats) —
     the hash stage skips those instead of inventing fake bits."""
     c = content or b""
     try:
@@ -811,6 +813,8 @@ def gray_pixels(content: bytes) -> "np.ndarray | None":
             px = _png_px(c)[:, :, :3]
         elif c[:6] in (b"GIF87a", b"GIF89a"):
             px = _gif_px(c)
+        elif c[:2] == b"\xff\xd8":
+            px = _jpeg_px(c).astype(np.float64)
         else:
             return None
     except (ValueError, NotImplementedError):
@@ -997,3 +1001,397 @@ def audio_frame_features(
                 })
 
     return df.mapInPandas(_frames, schema=frame_schema)
+
+
+# --------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 sequential DCT, 4:4:4) — real codec, no PIL.
+#
+# The encoder writes spec-valid JFIF: SOI, APP0, DQT (IJG quality-scaled
+# K.1/K.2 tables), SOF0, DHT, SOS, entropy-coded MCUs with byte stuffing,
+# EOI. Huffman tables are OUR OWN flat canonical tables (every DC symbol
+# 8 bits, every AC symbol 9 bits) — DHT carries them, so any conforming
+# decoder reads the file; flat tables keep the coder simple without
+# changing the format. The decoder reads whatever tables the file
+# declares (not just ours), supports multi-table DQT/DHT segments, and
+# LOUD-FAILS on progressive SOF2, chroma subsampling, and restart
+# intervals rather than producing garbage pixels.
+
+_JPEG_QL = np.array([  # Annex K.1 luminance quantization
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.float64)
+_JPEG_QC = np.array([  # Annex K.2 chrominance quantization
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.float64)
+
+_ZZ = np.array([  # zigzag scan order: index i -> (row, col)
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+
+def _dct_mat() -> np.ndarray:
+    n = np.arange(8)
+    T = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    T *= np.sqrt(2.0 / 8.0)
+    T[0, :] = np.sqrt(1.0 / 8.0)
+    return T
+
+
+_DCTM = _dct_mat()
+
+
+def _jpeg_qtabs(quality: int):
+    q = min(100, max(1, int(quality)))
+    scale = 5000 / q if q < 50 else 200 - 2 * q
+    ql = np.clip(np.floor((_JPEG_QL * scale + 50) / 100), 1, 255)
+    qc = np.clip(np.floor((_JPEG_QC * scale + 50) / 100), 1, 255)
+    return ql, qc
+
+
+# flat canonical huffman: DC symbols 0..11 all length 8; AC symbols (EOB,
+# ZRL, RRRRSSSS for run 0-15 × size 1-10) all length 9. Canonical code
+# assignment in HUFFVAL order — 12 < 2^8 and 162 < 2^9, so the reserved
+# all-ones code is never assigned.
+_DC_SYMS = list(range(12))
+_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _canonical_codes(syms: list[int], length: int) -> dict[int, tuple[int, int]]:
+    return {s: (i, length) for i, s in enumerate(syms)}
+
+
+_DC_CODES = _canonical_codes(_DC_SYMS, 8)
+_AC_CODES = _canonical_codes(_AC_SYMS, 9)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, width: int) -> None:
+        self.acc = (self.acc << width) | (code & ((1 << width) - 1))
+        self.nbits += width
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:          # byte stuffing inside entropy data
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1s per spec
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """JPEG magnitude category: (size, value-bits)."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def _dht_segment(tclass: int, tid: int, syms: list[int], length: int) -> bytes:
+    bits = [0] * 16
+    bits[length - 1] = len(syms)
+    body = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(syms)
+    return b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as baseline sequential JFIF
+    (4:4:4, no subsampling). Pure numpy/stdlib — matrix DCT-II per 8×8
+    block, IJG-scaled Annex-K quantization, flat canonical huffman."""
+    px = np.asarray(pixels, dtype=np.float64)
+    h, w = px.shape[0], px.shape[1]
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    Y = 0.299 * r + 0.587 * g + 0.114 * b
+    Cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    Cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    ql, qc = _jpeg_qtabs(quality)
+
+    def blocks(chan, q):
+        ph = -(-h // 8) * 8
+        pw = -(-w // 8) * 8
+        c = np.pad(chan, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+        out = []
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                d = _DCTM @ c[by:by + 8, bx:bx + 8] @ _DCTM.T
+                qd = np.round(d / q).astype(np.int64)
+                out.append(qd.reshape(-1)[_ZZ])
+        return out
+
+    comps = [blocks(Y, ql), blocks(Cb, qc), blocks(Cr, qc)]
+    bw = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for m in range(len(comps[0])):           # MCU = one block per comp
+        for ci in range(3):
+            zz = comps[ci][m]
+            diff = int(zz[0]) - prev_dc[ci]
+            prev_dc[ci] = int(zz[0])
+            s, vb = _mag_bits(diff)
+            code, width = _DC_CODES[s]
+            bw.put(code, width)
+            if s:
+                bw.put(vb, s)
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c16, w16 = _AC_CODES[0xF0]
+                    bw.put(c16, w16)
+                    run -= 16
+                s, vb = _mag_bits(v)
+                code, width = _AC_CODES[(run << 4) | s]
+                bw.put(code, width)
+                bw.put(vb, s)
+                run = 0
+            if last_nz < 63:
+                code, width = _AC_CODES[0x00]
+                bw.put(code, width)
+    bw.flush()
+
+    def seg(marker, body):
+        return marker + (len(body) + 2).to_bytes(2, "big") + body
+
+    def dqt(tid, q):
+        return seg(b"\xff\xdb",
+                   bytes([tid]) + bytes(int(q.reshape(-1)[z]) for z in _ZZ))
+
+    sof = seg(b"\xff\xc0", bytes([8]) + h.to_bytes(2, "big")
+              + w.to_bytes(2, "big") + bytes([3])
+              + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1])
+              + bytes([3, 0x11, 1]))
+    sos = seg(b"\xff\xda", bytes([3]) + bytes([1, 0x00])
+              + bytes([2, 0x11]) + bytes([3, 0x11])
+              + bytes([0, 63, 0]))
+    app0 = seg(b"\xff\xe0", b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01"
+               + b"\x00\x00")
+    return (b"\xff\xd8" + app0 + dqt(0, ql) + dqt(1, qc)
+            + _dht_segment(0, 0, _DC_SYMS, 8)
+            + _dht_segment(1, 0, _AC_SYMS, 9)
+            + _dht_segment(0, 1, _DC_SYMS, 8)
+            + _dht_segment(1, 1, _AC_SYMS, 9)
+            + sof + sos + bytes(bw.out) + b"\xff\xd9")
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.d = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.d):
+                raise ValueError("jpeg: entropy data exhausted")
+            b = self.d[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.d) or self.d[self.pos] != 0x00:
+                    raise ValueError("jpeg: marker inside entropy data")
+                self.pos += 1          # skip stuffed 0x00
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_table(bits16: bytes, vals: bytes) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, canonical assignment per T.81 C.2."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits16[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(content: bytes) -> dict:
+    """REAL decode of baseline sequential JFIF (SOF0, 4:4:4, no restart
+    intervals): marker walk, huffman tables from the file's own DHT
+    segments, dequant + matrix IDCT per block, YCbCr→RGB. Same 8-dim
+    feature family as decode_bmp. LOUD-FAILS on progressive (SOF2),
+    subsampled chroma, and restart intervals."""
+    px = _jpeg_px(content)
+    h, w = px.shape[0], px.shape[1]
+    rgb = px.astype(np.float64)
+    means = rgb.mean(axis=(0, 1)) / 255.0
+    stds = rgb.std(axis=(0, 1)) / 255.0
+    return {
+        "width": int(w), "height": int(h),
+        "feature": [float(means[0]), float(means[1]), float(means[2]),
+                    float(stds[0]), float(stds[1]), float(stds[2]),
+                    float(rgb.mean()) / 255.0, float(w) / float(max(h, 1))],
+    }
+
+
+def _jpeg_px(content: bytes) -> np.ndarray:
+    c = content or b""
+    if c[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    sof = None
+    scan_comps = None
+    data_start = None
+    while pos < len(c):
+        if c[pos] != 0xFF:
+            raise ValueError("jpeg: marker sync lost")
+        m = c[pos + 1]
+        if m == 0xD9:                 # EOI
+            break
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        ln = int.from_bytes(c[pos + 2:pos + 4], "big")
+        body = c[pos + 4:pos + 2 + ln]
+        if m == 0xDB:                 # DQT (possibly several tables)
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0xF
+                if prec != 0:
+                    raise NotImplementedError("jpeg: 16-bit quant tables")
+                q = np.zeros(64)
+                q[_ZZ] = np.frombuffer(body[i + 1:i + 65], dtype=np.uint8)
+                qtabs[tid] = q.reshape(8, 8)
+                i += 65
+        elif m == 0xC4:               # DHT (possibly several tables)
+            i = 0
+            while i < len(body):
+                tclass, tid = body[i] >> 4, body[i] & 0xF
+                bits16 = body[i + 1:i + 17]
+                n = sum(bits16)
+                vals = body[i + 17:i + 17 + n]
+                htabs[(tclass, tid)] = _huff_table(bits16, vals)
+                i += 17 + n
+        elif m == 0xC0:               # SOF0 baseline
+            hh = int.from_bytes(body[1:3], "big")
+            ww = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            comps = []
+            for k in range(ncomp):
+                cid, samp, qid = body[6 + 3 * k:9 + 3 * k]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "jpeg: chroma subsampling not supported (4:4:4 only)")
+                comps.append((cid, qid))
+            sof = (hh, ww, comps)
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"jpeg: SOF{m - 0xC0} not baseline")
+        elif m == 0xDD:
+            raise NotImplementedError("jpeg: restart intervals")
+        elif m == 0xDA:               # SOS
+            ns = body[0]
+            scan_comps = [
+                (body[1 + 2 * k], body[2 + 2 * k] >> 4, body[2 + 2 * k] & 0xF)
+                for k in range(ns)
+            ]
+            data_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if sof is None or scan_comps is None:
+        raise ValueError("jpeg: missing SOF0/SOS")
+    h, w, comps = sof
+    if len(comps) != 3 or len(scan_comps) != 3:
+        raise NotImplementedError("jpeg: only 3-component YCbCr supported")
+    end = c.rfind(b"\xff\xd9")
+    br = _BitReader(c[data_start:end if end > data_start else len(c)])
+    bh, bw_ = -(-h // 8), -(-w // 8)
+    planes = [np.zeros((bh * 8, bw_ * 8)) for _ in range(3)]
+    prev_dc = [0, 0, 0]
+    qmap = {cid: qid for cid, qid in comps}
+    for by in range(bh):
+        for bx in range(bw_):
+            for ci, (cid, dcid, acid) in enumerate(scan_comps):
+                dct = htabs.get((0, dcid))
+                act = htabs.get((1, acid))
+                q = qtabs.get(qmap[cid])
+                if dct is None or act is None or q is None:
+                    raise ValueError("jpeg: missing table for component")
+                zz = np.zeros(64, dtype=np.int64)
+                s = _huff_decode(br, dct)
+                diff = _extend(br.bits(s), s) if s else 0
+                prev_dc[ci] += diff
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = _huff_decode(br, act)
+                    if sym == 0x00:
+                        break
+                    if sym == 0xF0:
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0xF
+                    k += run
+                    if k > 63:
+                        raise ValueError("jpeg: AC index out of range")
+                    zz[k] = _extend(br.bits(size), size)
+                    k += 1
+                blk = np.zeros(64)
+                blk[_ZZ] = zz
+                d = blk.reshape(8, 8) * q
+                p = _DCTM.T @ d @ _DCTM + 128.0
+                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = p
+    Y = planes[0][:h, :w]
+    Cb = planes[1][:h, :w] - 128.0
+    Cr = planes[2][:h, :w] - 128.0
+    r = Y + 1.402 * Cr
+    g = Y - 0.344136 * Cb - 0.714136 * Cr
+    b = Y + 1.772 * Cb
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)

@@ -248,16 +248,19 @@ def q_multimodal_features(spark, sf_dir):
 
 def _render_media(d):
     """Render (media_id, text) rows into REAL media payloads (BMP/WAV/
-    PNG/GIF by media_id mod 4, pixels/samples derived from the text
-    sha256) —
-    shared by q_multimodal_features and q_multimodal_phash_dupes."""
+    PNG/GIF/JPEG chosen by the text sha256's first byte mod 5, pixels/
+    samples derived from the same digest — so EXACT-DUPLICATE documents
+    render to byte-identical payloads regardless of their ids, and the
+    planted dups keep surfacing as hamming-0 dHash pairs) — shared by
+    q_multimodal_features and q_multimodal_phash_dupes."""
     import hashlib as _hashlib
 
     import numpy as _np
     import pandas as _pd
 
     from ..pipeline.multimodal import (
-        MEDIA_SCHEMA, encode_bmp, encode_gif, encode_png, encode_wav,
+        MEDIA_SCHEMA, encode_bmp, encode_gif, encode_jpeg, encode_png,
+        encode_wav,
     )
 
     def _render(batches):
@@ -266,22 +269,27 @@ def _render_media(d):
             for mid, text in zip(pdf["media_id"], pdf["text"]):
                 seed = _hashlib.sha256((text or "").encode()).digest()
                 rng = _np.frombuffer(seed * 24, dtype=_np.uint8)
-                if mid % 4 == 0:
+                fmt = seed[0] % 5
+                if fmt == 0:
                     px = rng[: 8 * 8 * 3].reshape(8, 8, 3)
                     kinds.append("image")
                     contents.append(encode_bmp(px))
-                elif mid % 4 == 1:
+                elif fmt == 1:
                     samples = (rng[:160].astype(_np.int16) - 128) * 256
                     kinds.append("audio")
                     contents.append(encode_wav(samples, rate=16000))
-                elif mid % 4 == 2:
+                elif fmt == 2:
                     px = rng[: 8 * 8 * 3].reshape(8, 8, 3)
                     kinds.append("image")
                     contents.append(encode_png(px))
-                else:
+                elif fmt == 3:
                     px = rng[: 8 * 8 * 3].reshape(8, 8, 3)
                     kinds.append("image")
                     contents.append(encode_gif(px))
+                else:
+                    px = rng[: 8 * 8 * 3].reshape(8, 8, 3)
+                    kinds.append("image")
+                    contents.append(encode_jpeg(px))
                 ids.append(mid)
             yield _pd.DataFrame(
                 {"media_id": ids, "kind": kinds, "content": contents,

@@ -2140,3 +2140,84 @@ def test_logreg_train_matches_numpy_replica(spark):
     # the separating feature dominates and training accuracy is real
     assert got_w[0] > 0 and abs(got_w[0]) > abs(got_w[1])
     assert out[0].accuracy > 0.8
+
+
+def _gradient_img(h=40, w=56, seed=5):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [(yy * 255 / h), (xx * 255 / w), ((yy + xx) * 255 / (h + w))],
+        axis=2)
+    return np.clip(img + rng.normal(0, 4, img.shape), 0, 255).astype("uint8")
+
+
+def test_jpeg_roundtrip_and_dispatch():
+    import numpy as np
+
+    from backtest_crew_datalake_spark.pipeline.multimodal import (
+        _jpeg_px,
+        decode_media,
+        dhash64,
+        encode_bmp,
+        encode_jpeg,
+        gray_pixels,
+    )
+
+    # near-flat color: within ±1 of the original at q90 (DC-only blocks)
+    flat = np.full((16, 24, 3), 137, dtype=np.uint8)
+    flat[:, :, 1] = 64
+    out = _jpeg_px(encode_jpeg(flat, 90))
+    assert out.shape == flat.shape
+    assert int(np.abs(out.astype(int) - flat.astype(int)).max()) <= 1
+
+    # smooth natural-ish image: PSNR > 30 dB at q90, dims exact,
+    # non-multiple-of-8 edges handled (40×56 → padded 4:4:4 blocks)
+    img = _gradient_img()
+    enc = encode_jpeg(img, 90)
+    dec = _jpeg_px(enc)
+    assert dec.shape == img.shape
+    mse = float(np.mean((dec.astype(float) - img.astype(float)) ** 2))
+    assert 10 * np.log10(255 ** 2 / mse) > 30.0
+
+    # dispatcher routes by magic; features are real pixel stats
+    d = decode_media(enc)
+    assert (d["width"], d["height"]) == (56, 40)
+    ref = decode_media(encode_bmp(img))
+    assert abs(d["feature"][6] - ref["feature"][6]) < 0.02  # brightness
+
+    # dHash is stable across the lossy re-encode (near-dup detection
+    # works on JPEG payloads)
+    hj = dhash64(gray_pixels(enc))
+    hb = dhash64(gray_pixels(encode_bmp(img)))
+    assert bin(hj ^ hb).count("1") <= 3
+
+    # corrupt/unsupported payloads fail loudly, not silently
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _jpeg_px(b"\xff\xd8" + b"\x00" * 10)
+    # progressive SOF2 is rejected, not mis-decoded
+    prog = enc.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(NotImplementedError):
+        _jpeg_px(prog)
+
+
+def test_jpeg_quality_ladder_monotone():
+    import numpy as np
+
+    from backtest_crew_datalake_spark.pipeline.multimodal import (
+        _jpeg_px,
+        encode_jpeg,
+    )
+
+    img = _gradient_img(seed=9)
+    errs, sizes = [], []
+    for q in (30, 60, 90):
+        enc = encode_jpeg(img, q)
+        dec = _jpeg_px(enc)
+        errs.append(float(np.mean((dec.astype(float) - img) ** 2)))
+        sizes.append(len(enc))
+    assert errs[0] > errs[1] > errs[2]      # more quality, less error
+    assert sizes[0] < sizes[2]              # and bigger files
