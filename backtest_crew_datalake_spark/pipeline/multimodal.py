@@ -1395,3 +1395,82 @@ def _jpeg_px(content: bytes) -> np.ndarray:
     g = Y - 0.344136 * Cb - 0.714136 * Cr
     b = Y + 1.772 * Cb
     return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+def _media_px(content: bytes) -> "np.ndarray | None":
+    """RGB (h, w, 3) uint8 array for a decodable image payload, None for
+    audio/unknown — the color twin of gray_pixels, same routing."""
+    c = content or b""
+    try:
+        if (len(c) >= 54 and c[:2] == b"BM"
+                and int.from_bytes(c[14:18], "little") in _DIB_SIZES):
+            bpp = int.from_bytes(c[28:30], "little")
+            comp = int.from_bytes(c[30:34], "little")
+            if bpp != 24 or comp != 0:
+                return None
+            data_off = int.from_bytes(c[10:14], "little")
+            w = int.from_bytes(c[18:22], "little", signed=True)
+            h = int.from_bytes(c[22:26], "little", signed=True)
+            return _bmp_px(c, data_off, w, h).astype(np.uint8)
+        if c[:8] == _PNG_SIG:
+            return _png_px(c)[:, :, :3].astype(np.uint8)
+        if c[:6] in (b"GIF87a", b"GIF89a"):
+            return _gif_px(c).astype(np.uint8)
+        if c[:2] == b"\xff\xd8":
+            return _jpeg_px(c)
+    except (ValueError, NotImplementedError):
+        return None
+    return None
+
+
+def bilinear_resize(px: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Deterministic bilinear resample (align-centers convention, the
+    standard INTER_LINEAR geometry) — pure numpy, used by resize_images."""
+    h, w = px.shape[0], px.shape[1]
+    y = (np.arange(height) + 0.5) * h / height - 0.5
+    x = (np.arange(width) + 0.5) * w / width - 0.5
+    fy = (y - np.floor(y))[:, None, None]
+    fx = (x - np.floor(x))[None, :, None]
+    y0 = np.clip(np.floor(y).astype(int), 0, h - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x0 = np.clip(np.floor(x).astype(int), 0, w - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] * (1 - fx) + p[y0][:, x1] * fx
+    bot = p[y1][:, x0] * (1 - fx) + p[y1][:, x1] * fx
+    return np.clip(np.round(top * (1 - fy) + bot * fy), 0, 255).astype(
+        np.uint8)
+
+
+def resize_images(
+    df: DataFrame, width: int = 224, height: int = 224
+) -> DataFrame:
+    """REAL image resize over binary media columns (supersedes
+    resize_stub for decodable payloads): decode via the real
+    BMP/PNG/GIF/JPEG codecs, bilinear-resample to (height, width),
+    re-encode as lossless BMP. Non-image payloads (audio, unknown
+    formats) keep resize_stub's deterministic placeholder so the batch
+    shape (binary in → fixed-dim binary out) never branches by kind
+    downstream. Same mapInPandas boundary as every codec op."""
+    n_out = max(1, width * height // 64)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for c in pdf["content"]:
+                px = _media_px(c)
+                if px is None:
+                    seed = hashlib.sha256(c or b"").digest()
+                    reps = (n_out + len(seed) - 1) // len(seed)
+                    out.append((seed * reps)[:n_out])
+                else:
+                    out.append(encode_bmp(bilinear_resize(px, height, width)))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "content": out,
+                "width": width,
+                "height": height,
+            })
+
+    return df.mapInPandas(_resize, schema=RESIZED_SCHEMA)

@@ -2221,3 +2221,43 @@ def test_jpeg_quality_ladder_monotone():
         sizes.append(len(enc))
     assert errs[0] > errs[1] > errs[2]      # more quality, less error
     assert sizes[0] < sizes[2]              # and bigger files
+
+
+def test_resize_images_real_bilinear(spark):
+    import numpy as np
+
+    from backtest_crew_datalake_spark.pipeline.multimodal import (
+        _media_px,
+        bilinear_resize,
+        encode_bmp,
+        encode_png,
+        encode_wav,
+        resize_images,
+    )
+
+    img = _gradient_img(h=32, w=48, seed=2)
+    rows = [
+        (0, "image", encode_bmp(img), None),
+        (1, "image", encode_png(img), None),
+        (2, "audio", encode_wav((np.arange(64) * 100).astype(np.int16)),
+         None),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary, meta string")
+    out = {r.media_id: r for r in
+           resize_images(df, width=16, height=12).collect()}
+    assert all(r.width == 16 and r.height == 12 for r in out.values())
+    # decodable images come back as real BMP payloads of the target size
+    for mid in (0, 1):
+        px = _media_px(bytes(out[mid].content))
+        assert px is not None and px.shape == (12, 16, 3)
+        # both encodings of the SAME pixels resize to identical results
+    a = _media_px(bytes(out[0].content))
+    b = _media_px(bytes(out[1].content))
+    assert (a == b).all()
+    want = bilinear_resize(img, 12, 16)
+    assert (a == want).all()
+    # mean brightness is preserved by the resample
+    assert abs(float(a.mean()) - float(img.mean())) < 4
+    # the audio payload keeps the deterministic placeholder shape
+    assert len(bytes(out[2].content)) == 16 * 12 // 64
