@@ -118,6 +118,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_emb_logreg_train",
     "q_acid_delete_read",
     "q_doc_soft_dedup",
+    "q_evt_ewma",
     "q_acid_upsert_read",
     "q_acid_time_travel",
     "q_acid_changes_feed",

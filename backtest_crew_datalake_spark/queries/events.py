@@ -1488,3 +1488,57 @@ def q_evt_salted_join(spark, sf_dir):
         F.sum((F.col("c") * F.col("n") > F.col("s")).cast("long"))
         .alias("n_above_user_avg"),
     )
+
+
+_EWMA_W = [0.75 ** j for j in range(16)]
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        (f"(CASE WHEN LAG(value, {j}) OVER w IS NOT NULL THEN "
+         f"LAG(value, {j}) OVER w * {w!r} ELSE 0.0 END)") if j else
+        f"(value * {w!r})"
+        for j, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        (f"(CASE WHEN LAG(value, {j}) OVER w IS NOT NULL THEN {w!r} "
+         f"ELSE 0.0 END)") if j else f"({_EWMA_W[0]!r})"
+        for j, w in enumerate(_EWMA_W)
+    )
+    return f"""
+    SELECT event_id, user_id, ({num}) / ({den}) AS ewma
+    FROM events
+    WHERE user_id < 40 AND value IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    """
+
+
+@register("q_evt_ewma", oracle=_ewma_oracle())
+def q_evt_ewma(spark, sf_dir):
+    """Truncated exponential moving average (α=0.25, 16-lag window) per
+    user over the event stream — the EMA indicator every backtest
+    context feature set carries, in the form that is EXACTLY
+    reproducible: a fixed-depth lag chain (no unbounded recursion, no
+    pow-overflow trick), weights renormalized over the lags that exist
+    at the stream head. Both engines build the SAME left-associated
+    sum, so the emitted double is bit-identical and needs no rounding.
+    Scale shape: one keyed window (user, time, event_id total order) —
+    the q_evt_rolling_window exchange; 16 lags are one window frame
+    pass, no self-joins."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").where(
+        (F.col("user_id") < 40) & F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    num = F.col("value") * F.lit(_EWMA_W[0])
+    den = F.lit(_EWMA_W[0])
+    for j in range(1, 16):
+        lagv = F.lag("value", j).over(w)
+        num = num + F.when(lagv.isNotNull(), lagv * F.lit(_EWMA_W[j])) \
+                     .otherwise(F.lit(0.0))
+        den = den + F.when(lagv.isNotNull(), F.lit(_EWMA_W[j])) \
+                     .otherwise(F.lit(0.0))
+    return e.select("event_id", "user_id", (num / den).alias("ewma"))
