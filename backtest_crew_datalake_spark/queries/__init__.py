@@ -119,6 +119,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_acid_delete_read",
     "q_doc_soft_dedup",
     "q_evt_ewma",
+    "q_doc_cluster_split",
     "q_acid_upsert_read",
     "q_acid_time_travel",
     "q_acid_changes_feed",

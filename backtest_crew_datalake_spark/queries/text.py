@@ -3651,3 +3651,112 @@ def q_doc_soft_dedup(spark, sf_dir):
             (F.lit(1.0) / F.coalesce("__n", F.lit(1))).alias("weight"),
         )
     )
+
+
+@register(
+    "q_doc_cluster_split",
+    oracle=rf"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ),
+    gp AS (
+        SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS pos
+        FROM t WHERE len(toks) >= 3
+    ),
+    g AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(toks[pos+1:pos+3], ' ')) AS h
+        FROM gp
+    ),
+    wm AS (
+        SELECT doc_id, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+        FROM g
+    ),
+    f AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= n_grams - 4),
+    rare AS (
+        SELECT fp FROM f GROUP BY fp HAVING COUNT(DISTINCT doc_id) <= 10
+    ),
+    fk AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp)),
+    edges AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    sym AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION ALL
+        SELECT id_b, id_a FROM edges
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM sym),
+    walk(id, comp) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT s.dst, w.comp FROM walk w JOIN sym s ON s.src = w.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(comp) AS cluster_id
+             FROM walk GROUP BY id),
+    tagged AS (
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS gkey,
+               CASE
+                 WHEN {_hex4("md5('csplit|' || COALESCE(c.cluster_id, d.doc_id)::VARCHAR)")} % 100 < 80
+                   THEN 'train'
+                 WHEN {_hex4("md5('csplit|' || COALESCE(c.cluster_id, d.doc_id)::VARCHAR)")} % 100 < 90
+                   THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    straddle AS (
+        SELECT CAST(MAX(ns) AS BIGINT) AS max_splits_per_cluster
+        FROM (SELECT gkey, COUNT(DISTINCT split) AS ns
+              FROM tagged GROUP BY 1)
+    )
+    SELECT t.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT t.gkey) AS BIGINT) AS n_clusters,
+           s.max_splits_per_cluster
+    FROM tagged t CROSS JOIN straddle s
+    GROUP BY 1, s.max_splits_per_cluster
+    """,
+)
+def q_doc_cluster_split(spark, sf_dir):
+    """Near-dup-aware train/val/test split — the leakage guard an IID
+    id-hash split lacks: split membership hashes the near-dup CLUSTER id
+    (winnow edges → connected components; singletons use their own id),
+    so near-duplicate documents can never straddle train and test. The
+    emitted max_splits_per_cluster column PROVES the invariant (= 1) in
+    the value-checked output itself. Same deterministic hash-bucket rule
+    as q_doc_train_split, keyed one level up."""
+    from ..pipeline.dedup import connected_components
+    from ..pipeline.sampling import hash_bucket
+
+    d = load(spark, sf_dir, "documents")
+    edges = q_doc_winnow_pairs(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(edges).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    b = hash_bucket(F.col("gkey"), "csplit")
+    tagged = (
+        d.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("gkey", F.coalesce("cluster_id", "doc_id"))
+        .withColumn(
+            "split",
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test"),
+        )
+    )
+    straddle = tagged.groupBy("gkey").agg(
+        F.countDistinct("split").alias("__ns")
+    ).agg(F.max("__ns").cast("bigint").alias("max_splits_per_cluster"))
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("gkey").cast("bigint").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(straddle))
+    )
