@@ -180,6 +180,60 @@ def _cmd_acid(a):
         print(f"restored as v{acid_rollback(a.table_root, a.version)}")
 
 
+def _cmd_curate(a):
+    """Batch corpus curation over a documents parquet dir: the
+    q_doc_curation 4-stage gate (quality -> repetition -> exact dedup
+    keep-lowest-id -> benchmark decontamination) applied to every doc,
+    accepted docs written to --out/accepted, the per-doc ledger to
+    --out/ledger (parquet), stage totals printed."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from .pipeline.dedup import spread_partitions
+    from .pipeline.sampling import contamination
+    from .pipeline.text import dup_ngram_frac, quality_score
+
+    spark = _spark()
+    d = spark.read.parquet(a.docs)
+    bench = spark.read.parquet(a.benchmark) if a.benchmark else d.limit(0)
+    flagged = (
+        contamination(d, bench).select("doc_id", F.lit(1).alias("__c"))
+        if a.benchmark else
+        d.select("doc_id", F.lit(None).cast("int").alias("__c")).limit(0)
+    )
+    base = (
+        quality_score(spread_partitions(d, "doc_id"))
+        .withColumn("dup_frac", dup_ngram_frac())
+        .withColumn("digest", F.md5("text"))
+        .join(flagged, "doc_id", "left")
+    )
+    gates = (F.col("quality") >= a.quality_min) & (
+        F.col("dup_frac") <= a.dup_frac_max
+    )
+    canon = F.min(F.when(gates, F.col("doc_id"))).over(
+        W.partitionBy("digest")
+    )
+    status = (
+        F.when(F.col("quality") < a.quality_min, F.lit("low_quality"))
+        .when(F.col("dup_frac") > a.dup_frac_max, F.lit("repetitive"))
+        .when(F.col("doc_id") != canon, F.lit("duplicate"))
+        .when(F.col("__c").isNotNull(), F.lit("contaminated"))
+        .otherwise(F.lit("kept"))
+    )
+    ledger = base.withColumn("status", status).localCheckpoint(eager=False)
+    ledger.drop("__c").write.mode("overwrite").parquet(f"{a.out}/ledger")
+    (
+        ledger.where(F.col("status") == "kept")
+        .select(*d.columns)
+        .write.mode("overwrite")
+        .parquet(f"{a.out}/accepted")
+    )
+    for r in sorted(
+        ledger.groupBy("status").count().collect(), key=lambda r: r.status
+    ):
+        print(f"{r['status']:<13} {r['count']}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="sparklake")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -246,6 +300,14 @@ def main(argv=None):
     sp.add_argument("--date-to", required=True)
     sp.add_argument("--seed", type=int, default=42)
     sp.set_defaults(fn=_cmd_synth_ingest)
+
+    sp = sub.add_parser("curate")
+    sp.add_argument("--docs", required=True)
+    sp.add_argument("--benchmark")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--quality-min", type=float, default=0.5)
+    sp.add_argument("--dup-frac-max", type=float, default=0.2)
+    sp.set_defaults(fn=_cmd_curate)
 
     sp = sub.add_parser("acid")
     sp.add_argument("op", choices=["history", "compact", "vacuum",

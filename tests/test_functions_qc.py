@@ -223,3 +223,37 @@ def test_load_memo_hard_cap_evicts_stale_apps(spark):
     finally:
         Q._LOAD_MEMO.clear()
         Q._LOAD_MEMO.update(saved)
+
+
+def test_cli_curate_e2e(spark, tmp_path):
+    from backtest_crew_datalake_spark import cli
+
+    docs = str(tmp_path / "docs")
+    bench = str(tmp_path / "bench")
+    out = str(tmp_path / "curated")
+    good = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu")
+    rows = [
+        (0, good, "a"),
+        (1, good, "a"),                      # exact dup of 0
+        (2, " ".join(["x"] * 12), "b"),      # repetitive + low quality
+        (3, "leak one two three four five six seven eight nine ten more "
+            "tail words", "b"),              # contaminated
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(docs)
+    spark.createDataFrame(
+        [(9, "leak one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    ).write.parquet(bench)
+    cli.main(["curate", "--docs", docs, "--benchmark", bench,
+              "--out", out])
+    led = {r.doc_id: r.status
+           for r in spark.read.parquet(f"{out}/ledger").collect()}
+    assert led[0] == "kept" and led[1] == "duplicate"
+    assert led[2] in ("low_quality", "repetitive")
+    assert led[3] == "contaminated"
+    acc = spark.read.parquet(f"{out}/accepted").collect()
+    assert [r.doc_id for r in acc] == [0]
+    assert set(acc[0].asDict()) == {"doc_id", "text", "source"}
