@@ -741,8 +741,11 @@ def source_overlap(
     any engine, while rounding it can hit decimal half-way ties
     (docs/scale.md rule 12; 1/128 is already a 6-decimal tie).
     """
+    # round-robin spread — keying the spread by source would cap the
+    # explode at |sources| partitions (20 here), and the DISTINCT
+    # re-shuffles on (source, shingle) anyway
     sh = (
-        spread_partitions(df.select(source_col, text_col), source_col)
+        spread_partitions(df.select(source_col, text_col))
         .select(F.col(source_col), F.explode(_shingles(text_col, n)).alias("__sh"))
         .distinct()
         .localCheckpoint(eager=False)
