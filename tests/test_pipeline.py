@@ -1963,8 +1963,11 @@ def test_seq_pack_matches_python_simulation(spark):
     assert en.n_boundary_docs == boundary
     assert en.max_docs_per_seq == max(sd.values())
     assert en.last_fill == fill
-    assert abs(en.avg_docs_per_seq
-               - round(sum(sd.values()) / len(sd), 4)) < 1e-9
+    from decimal import ROUND_HALF_UP, Decimal
+
+    want = float(Decimal(sum(sd.values()) / len(sd)).quantize(
+        Decimal("0.0001"), rounding=ROUND_HALF_UP))
+    assert abs(en.avg_docs_per_seq - want) < 1e-9
 
     de = out["de"]
     assert (de.n_docs, de.n_tokens, de.n_seqs) == (2, 6, 2)
