@@ -301,3 +301,51 @@ def test_dsir_weights_invariant_to_partitioning(spark, docs):
          for r in dsir_weights(df.repartition(7), ["t"]).collect()}
     assert a == b
     assert len(a) == len(rows)
+
+
+_ppl_corpus = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+             min_size=1, max_size=8),
+    min_size=3, max_size=15,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_ppl_corpus)
+def test_ppl_buckets_matches_python_cutoff_rule(spark, docs):
+    """ppl_buckets' histogram inverse-CDF tertiles equal a python replica
+    driven by unigram_nll's own per-doc scores (one language)."""
+    import math
+
+    from backtest_crew_datalake_spark.pipeline.text import (
+        ppl_buckets,
+        unigram_nll,
+    )
+
+    rows = [(i, " ".join(toks), "xx") for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    nll = {r.doc_id: (r.nll, r.n_tokens)
+           for r in unigram_nll(df).collect()}
+
+    vals = sorted(v for v, _ in nll.values())
+    n = len(vals)
+    cum, t1, t2 = 0, None, None
+    for v in sorted(set(vals)):
+        cum += vals.count(v)
+        if t1 is None and cum >= math.ceil(n / 3.0):
+            t1 = v
+        if t2 is None and cum >= math.ceil(2.0 * n / 3.0):
+            t2 = v
+    want: dict[str, list[int]] = {}
+    for d, (v, _) in nll.items():
+        b = "head" if v <= t1 else ("middle" if v <= t2 else "tail")
+        want.setdefault(b, []).append(d)
+
+    got = {r.bucket: r for r in ppl_buckets(df).collect()}
+    assert set(got) == set(want)
+    for b, ids in want.items():
+        assert got[b].n_docs == len(ids)
+        assert got[b].n_tokens == sum(nll[d][1] for d in ids)
+        assert got[b].min_nll == min(nll[d][0] for d in ids)
+        assert got[b].max_nll == max(nll[d][0] for d in ids)

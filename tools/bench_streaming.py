@@ -137,6 +137,44 @@ def main():
         dt = time.perf_counter() - t0
         print(f"stateful_retention: {n} rows in {dt:.2f}s = "
               f"{n / dt:,.0f} rows/s")
+
+        # ---- streaming_curation over synthetic document micro-batches
+        # (text derived from id: ~1/8 exact dups, 1/16 repetitive)
+        from pyspark.sql import functions as F
+
+        from backtest_crew_datalake_spark.streaming.ingest import (
+            streaming_curation,
+        )
+
+        src = f"{work}/docs_src"
+        words = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                 "kappa lam mu nu xi omicron pi")
+        for b in range(n_batches):
+            (spark.range(rows)
+             .select(
+                 (F.lit(b * rows) + F.col("id")).alias("doc_id"),
+                 F.when(F.col("id") % 16 == 0,
+                        F.lit("loop loop loop loop loop loop loop loop "
+                              "loop loop loop loop"))
+                 .otherwise(F.concat(
+                     F.lit(words + " tok"),
+                     ((F.col("id") + F.lit(b * rows)) % 8000)
+                     .cast("string")))
+                 .alias("text"),
+                 F.concat(F.lit("src"), (F.col("id") % 4).cast("string"))
+                 .alias("source"))
+             .coalesce(4).write.mode("append").parquet(src))
+        bench_docs = spark.createDataFrame(
+            [(0, "holdout eval suite words nothing in the corpus shares")],
+            "doc_id long, text string")
+        t0 = time.perf_counter()
+        streaming_curation(
+            spark, src, bench_docs, f"{work}/cur_out", f"{work}/cur_ckpt")
+        dt = time.perf_counter() - t0
+        n = n_batches * rows
+        kept = spark.read.parquet(f"{work}/cur_out/accepted").count()
+        print(f"streaming_curation: {n} rows in {dt:.2f}s = "
+              f"{n / dt:,.0f} rows/s (accepted {kept})")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
