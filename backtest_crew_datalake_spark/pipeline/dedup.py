@@ -44,19 +44,6 @@ def spread_partitions(df: DataFrame, *cols: str) -> DataFrame:
     return df
 
 
-def spread_checkpoint(df: DataFrame, *cols: str) -> DataFrame:
-    """spread_partitions + localCheckpoint(lazy) — for inputs consumed by
-    SEVERAL jobs (iterative loops, multi-branch plans), where each job
-    would otherwise re-run the scan AND the spread shuffle. Checkpoints
-    only when a spread actually happened: at scale the scan already yields
-    >= parallelism partitions, spread is a no-op, and no checkpoint copy
-    is made — small-input-only, like the spread itself."""
-    out = spread_partitions(df, *cols)
-    if out is not df:
-        out = out.localCheckpoint(eager=False)
-    return out
-
-
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     keep: str = "min",

@@ -1108,7 +1108,15 @@ def q_emb_kcenter_coreset(spark, sf_dir):
     selection is value-checked. Scale shape: the selected set is
     driver-held (bounded-collect family), min-distance and assignment are
     row-local folds over a ≤k literal array — k corpus scans, no join, no
-    window."""
+    window.
+
+    Precondition: the corpus must hold >= 8 DISTINCT vectors. The engine
+    guards the degenerate case (kcenter_select stops early when the max
+    min-distance hits 0 rather than re-selecting a duplicate), but the
+    oracle's 7 unrolled CTE rounds do not — on a corpus with < 8 distinct
+    vectors the two sides would legitimately disagree. All shipped
+    testdata SFs satisfy it (the driver corpus has thousands of distinct
+    embeddings)."""
     from ..pipeline.similarity import _sqdist, kcenter_select
 
     emb = load(spark, sf_dir, "embeddings").select(

@@ -3086,7 +3086,7 @@ def q_doc_ppjoin_pairs(spark, sf_dir):
     FROM bs b LEFT JOIN fs f USING (doc_id)
     """,
 )
-def q_doc_repetition(spark, sf_dir):
+def q_doc_gopher_rep(spark, sf_dir):
     """Gopher-style repetition quality signals (Rae+ 2021 §A1.1: the
     duplicate-n-gram and top-n-gram-coverage filters every large-scale
     text pipeline applies before training): per doc, the most-frequent
