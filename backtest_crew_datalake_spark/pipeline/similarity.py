@@ -595,6 +595,170 @@ def kcenter_select(
     )
 
 
+def _round_half_up(x: float, scale: int) -> float:
+    """Driver-side replica of Spark SQL ``round()`` on DOUBLE:
+    BigDecimal.valueOf(d) (= shortest decimal repr, exactly python's
+    ``repr``) then setScale(scale, HALF_UP). Used when a rounding that
+    the oracle expresses as ROUND(…, n) happens at the driver instead of
+    inside a Spark expression — python's builtin ``round`` is banker's
+    and disagrees on exact decimal ties (the hypothesis-found 49/32
+    case, tests/test_property_pipeline.py)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-scale)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _pca_core(
+    corpus: DataFrame,
+    iters: int,
+    vec_col: str,
+):
+    """Shared power-iteration core for pca_power / abtt_whiten: ``iters``
+    corpus passes TOTAL (one Arrow kernel pass per power round — the mean
+    pass, the variance pass, and the dimensionality probe of the previous
+    shape are all folded into round 1's kernel).
+
+    The fold trick: every centered statistic the iteration needs is a
+    linear combination of RAW moments (Σx_d, Σx_d², Σ x_d·(x·v)) plus
+    driver-held constants, so round 1's kernel emits the raw first/second
+    moments alongside its power-step partials and the driver applies the
+    exact centering algebra:
+
+        Σ (x_d−µ̂_d)·((x−µ̂)·v) = Σ x_d·t − c·Σx_d − µ̂_d·T + n·c·µ̂_d
+        with t = x·v (row-local), c = µ̂·v, T = Σ_i v_i·Σx_i
+        Σ (x_d−µ̂_d)²          = Σx_d² − 2µ̂_d·Σx_d + n·µ̂_d²
+
+    Values are identical to the two-pass centered formulation after the
+    round-to-6 boundary each total passes through (fp association noise
+    is ~1e-15 relative vs the 5e-7 rounding quantum; the round-boundary
+    contract already declares aggregation order irrelevant), so the
+    unrolled DuckDB oracles — which keep the centered formulation —
+    are unchanged. Verified value-identical to the previous 5-pass
+    implementation at sf0.001/0.01/0.1 and the 10×/50× corpora.
+
+    Returns None on empty input, else a dict with the checkpointed
+    ``emb``, per-dim lists ``mu`` (rounded 6) / ``sx`` (raw Σx) /
+    ``var6`` (rounded per-dim variance), scalars ``n``/``dims``/
+    ``total_var``/``eig``, and the final unit vector ``v``."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    emb = corpus.select(
+        F.col(vec_col).cast("array<double>").alias("__x")
+    ).localCheckpoint(eager=False)
+
+    def gen1(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["__x"].tolist(), dtype=np.float64)
+            yield pd.DataFrame({
+                "__d": np.arange(X.shape[1], dtype=np.int32),
+                "__sx": X.sum(axis=0),
+                "__sxx": (X * X).sum(axis=0),
+                # round-1 power step: v = e_0, so t = x·v = x_0
+                "__sxv": (X * X[:, 0][:, None]).sum(axis=0),
+                "__n": np.full(X.shape[1], len(X), dtype=np.int64),
+            })
+
+    rows = (
+        emb.mapInPandas(
+            gen1, "__d int, __sx double, __sxx double, __sxv double, __n long"
+        )
+        .groupBy("__d")
+        .agg(F.sum("__sx").alias("__sx"), F.sum("__sxx").alias("__sxx"),
+             F.sum("__sxv").alias("__sxv"), F.sum("__n").alias("__n"))
+        .collect()
+    )
+    if not rows:
+        return None
+    dims = max(r["__d"] for r in rows) + 1
+    n = rows[0]["__n"]
+    sx = [0.0] * dims
+    sxx = [0.0] * dims
+    sxv = [0.0] * dims
+    for r in rows:
+        sx[r["__d"]], sxx[r["__d"]], sxv[r["__d"]] = (
+            r["__sx"], r["__sxx"], r["__sxv"])
+    mu = [_round_half_up(sx[d] / n, 6) for d in range(dims)]
+    var6 = [
+        _round_half_up(
+            (sxx[d] - 2.0 * mu[d] * sx[d] + n * mu[d] * mu[d]) / n, 6)
+        for d in range(dims)
+    ]
+    acc = 0.0
+    for x in var6:  # left-associated index-order fold (oracle parity)
+        acc = acc + x
+    total_var = acc
+
+    def _power_kernel(weights):
+        W = np.array(weights, dtype=np.float64)
+
+        def gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf["__x"].tolist(), dtype=np.float64)
+                t = np.zeros(len(X), dtype=np.float64)
+                for i in range(X.shape[1]):
+                    t += X[:, i] * W[i]
+                yield pd.DataFrame({
+                    "__d": np.arange(X.shape[1], dtype=np.int32),
+                    "__a": t @ X,
+                })
+
+        return gen
+
+    def _centered_round(raw, weights):
+        # c = µ̂·v and T = Σ_rows t = Σ_i v_i·Σx_i, both index-order folds
+        c = 0.0
+        t_tot = 0.0
+        for i in range(dims):
+            c = c + mu[i] * weights[i]
+            t_tot = t_tot + weights[i] * sx[i]
+        return [
+            _round_half_up(
+                (raw[d] - c * sx[d] - mu[d] * t_tot + n * c * mu[d]) / n, 6)
+            for d in range(dims)
+        ]
+
+    def _norm(u):
+        acc = 0.0
+        for x in u:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    # round 1 came free with the moment pass (v = e_0 → raw = Σ x_d·x_0)
+    v = [1.0] + [0.0] * (dims - 1)
+    eig = 0.0
+    u = _centered_round(sxv, v)
+    eig = _norm(u)
+    if eig != 0.0:
+        v = [x / eig for x in u]
+        for _ in range(iters - 1):
+            raw_rows = (
+                emb.mapInPandas(_power_kernel(v), "__d int, __a double")
+                .groupBy("__d").agg(F.sum("__a").alias("__a"))
+                .collect()
+            )
+            raw = [0.0] * dims
+            for r in raw_rows:
+                raw[r["__d"]] = r["__a"]
+            u = _centered_round(raw, v)
+            eig = _norm(u)
+            if eig == 0.0:  # degenerate (all-constant dims): keep v
+                break
+            v = [x / eig for x in u]
+
+    return {
+        "emb": emb, "mu": mu, "sx": sx, "sxx": sxx, "var6": var6, "n": n,
+        "dims": dims, "total_var": total_var, "eig": eig, "v": v,
+    }
+
+
 def pca_power(
     corpus: DataFrame,
     iters: int = 3,
@@ -605,121 +769,32 @@ def pca_power(
     on the covariance operator — the embedding-hygiene staple (dominant-
     direction removal / ABTT "all-but-the-top", Mu & Viswanath 2018;
     whitening diagnostics). Deterministic: start vector = e_0, ``iters``
-    rounds of v ← normalize(Cv) with C = (1/n)·Σ x_c x_cᵀ applied as two
-    streaming passes (never materializing C: s_i = x_c_i·v row-local, then
-    per-dim Σ s_i·x_c_i — the standard matrix-free power step).
-
-    Engine-reproducible by construction: the per-dim means and each
-    round's per-dim sums round to 6 decimals at the driver collect, so
-    aggregation-order ulp noise dies at every round boundary; the
-    normalization is a left-associated index-order fold over those
-    rounded values (identical IEEE ops in any engine). The per-row work
-    (center, s = x_c·v, s-weighted per-dim partials) runs as an Arrow
-    mapInPandas kernel emitting ≤dims partial rows per batch — the
-    measured carve-out boundary (the per-element HOF fold was 16.7 s at
-    the 10× corpus on interpreted-lambda overhead alone; the kernel does
-    the same flops vectorized). s accumulates (x_i−µ_i)·v_i with i
-    ascending — the fold's left-associated order — and partial-sum
-    association is irrelevant because totals round AFTER full
-    aggregation (the oracle's own row order is arbitrary too).
+    rounds of v ← normalize(Cv) with C = (1/n)·Σ x_c x_cᵀ applied
+    matrix-free; per-round per-dim totals round to 6 decimals at the
+    driver so aggregation-order ulp noise dies at every round boundary,
+    and the normalization is a left-associated index-order fold over
+    those rounded values (identical IEEE ops in any engine).
 
     Returns one row per dimension: (dim 1-based, loading = final unit
     eigenvector component rounded 4, eigenvalue = ‖Cv‖ of the last round
     rounded 6, ev_share = eigenvalue / total variance rounded 4).
 
-    Scale shape: mean pass + per-round (map + keyed (dim) agg of 64
-    groups, 64-row collect) + one variance pass — all map-side
-    combinable; driver state is one dim-length vector (bounded-collect
-    family, like kmeans' k×dim matrix)."""
-    import math
-
-    emb = corpus.select(
-        F.col(vec_col).cast("array<double>").alias("__x")
-    ).localCheckpoint(eager=False)
+    Scale shape (r7 verdict #4): ``iters`` corpus passes TOTAL — the
+    mean pass, the variance pass, and round 1 are ONE fused Arrow-kernel
+    moment pass (see _pca_core; was mean + iters + variance = 5 passes).
+    Each pass is a map + keyed (dim) agg of ≤dims groups; driver state
+    is one dim-length vector (bounded-collect family, like kmeans'
+    k×dim matrix)."""
     spark = corpus.sparkSession
     schema = "dim int, loading double, eigenvalue double, ev_share double"
-    # ONE pass yields means, n, and the dimensionality (no separate
-    # count()/head() jobs — per-dim COUNT(*) is n by construction)
-    mu_rows = (
-        emb.select(F.posexplode("__x").alias("__d", "__val"))
-        .groupBy("__d")
-        .agg(F.round(F.avg("__val"), 6).alias("__m"),
-             F.count("*").alias("__n"))
-        .collect()
-    )
-    if not mu_rows:
+    core = _pca_core(corpus, iters, vec_col)
+    if core is None:
         return spark.createDataFrame([], schema)
-    dims = max(r["__d"] for r in mu_rows) + 1
-    n = mu_rows[0]["__n"]
-    mu = [0.0] * dims
-    for r in mu_rows:
-        mu[r["__d"]] = r["__m"]
-    import numpy as np
-    import pandas as pd
-
-    MU = np.array(mu, dtype=np.float64)
-
-    def _partials(weights):
-        # weights=None -> per-dim sum of xc^2 (variance pass); else
-        # per-dim sum of (xc·weights)*xc (power step). One partial row
-        # per (batch, dim): the shuffle is bounded by dims × batches.
-        W = None if weights is None else np.array(weights, dtype=np.float64)
-
-        def gen(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                X = np.array(pdf["__x"].tolist(), dtype=np.float64) - MU
-                if W is None:
-                    part = (X * X).sum(axis=0)
-                else:
-                    # index-ascending accumulation = the fold's
-                    # left-associated order for each row's s
-                    sv = np.zeros(len(X), dtype=np.float64)
-                    for i in range(X.shape[1]):
-                        sv += X[:, i] * W[i]
-                    part = sv @ X
-                yield pd.DataFrame(
-                    {"__d": np.arange(X.shape[1], dtype=np.int32),
-                     "__p": part}
-                )
-
-        return gen
-
-    def _dim_totals(weights, denom):
-        rows = (
-            emb.mapInPandas(_partials(weights), "__d int, __p double")
-            .groupBy("__d")
-            .agg(F.round(F.sum("__p") / denom, 6).alias("__t"))
-            .collect()
-        )
-        out = [0.0] * dims
-        for r in rows:
-            out[r["__d"]] = r["__t"]
-        return out
-
-    v = [1.0] + [0.0] * (dims - 1)
-    eig = 0.0
-    for _ in range(iters):
-        u = _dim_totals(v, n)
-        # left-associated index-order norm: identical fold in any engine
-        acc = 0.0
-        for x in u:
-            acc = acc + x * x
-        eig = math.sqrt(acc)
-        if eig == 0.0:  # degenerate input (all-constant dims): keep v
-            break
-        v = [x / eig for x in u]
-
-    tv = _dim_totals(None, n)
-    acc = 0.0
-    for x in tv:
-        acc = acc + x
-    total_var = acc
+    v, eig, total_var = core["v"], core["eig"], core["total_var"]
     rows = [
         (d + 1, round(v[d], 4), round(eig, 6),
          round(eig / total_var, 4) if total_var > 0 else 0.0)
-        for d in range(dims)
+        for d in range(core["dims"])
     ]
     return spark.createDataFrame(rows, schema)
 
@@ -739,11 +814,19 @@ def abtt_whiten(
 
     Deterministic composition: the direction is pca_power's ROUNDED
     loading vector (already value-checked), the means are the same
-    rounded-6 per-dim means, and both variance totals come from ONE Arrow
-    kernel pass (per-batch partial sums; totals rounded 6 after full
-    aggregation). The anisotropy ratios are emitted UNROUNDED — they are
-    pure index-order arithmetic over the rounded per-dim variances, so
-    any engine reproduces them bit-for-bit.
+    rounded-6 per-dim means, and both variance totals derive from raw
+    moments rounded 6 after full aggregation (the _pca_core algebra).
+    The anisotropy ratios are emitted UNROUNDED — they are pure
+    index-order arithmetic over the rounded per-dim variances, so any
+    engine reproduces them bit-for-bit.
+
+    Scale shape (r7 verdict #4): iters+1 corpus passes TOTAL — the pca
+    chain's fused ``iters`` passes plus ONE residual-moment kernel pass
+    (was pca's 5 + a redundant mean pass + the variance pass = 7):
+    var_before comes free from the core's moment pass, and var_after
+    expands to  Σx_cd² − 2·U_d·Σx_cd·s + U_d²·Σs²  whose two new terms
+    (per-dim Σ x_d·t and the scalar Σt², t = x·U row-local) are this
+    pass's partials; the driver applies the exact centering algebra.
     """
     import numpy as np
     import pandas as pd
@@ -751,55 +834,55 @@ def abtt_whiten(
     spark = corpus.sparkSession
     schema = ("dim int, var_before double, var_after double, "
               "anis_before double, anis_after double")
-    pca = pca_power(corpus, iters=iters, id_col=id_col, vec_col=vec_col)
-    prows = pca.collect()
-    if not prows:
+    core = _pca_core(corpus, iters, vec_col)
+    if core is None:
         return spark.createDataFrame([], schema)
-    dims = len(prows)
-    U = np.zeros(dims)
-    for r in prows:
-        U[r["dim"] - 1] = r["loading"]
-    emb = corpus.select(
-        F.col(vec_col).cast("array<double>").alias("__x")
-    ).localCheckpoint(eager=False)
-    mu_rows = (
-        emb.select(F.posexplode("__x").alias("__d", "__val"))
-        .groupBy("__d")
-        .agg(F.round(F.avg("__val"), 6).alias("__m"),
-             F.count("*").alias("__n"))
-        .collect()
-    )
-    n = mu_rows[0]["__n"]
-    MU = np.zeros(dims)
-    for r in mu_rows:
-        MU[r["__d"]] = r["__m"]
+    emb, dims, n = core["emb"], core["dims"], core["n"]
+    mu, sx, vb = core["mu"], core["sx"], core["var6"]
+    U = [round(x, 4) for x in core["v"]]
+    UV = np.array(U, dtype=np.float64)
 
     def gen(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.array(pdf["__x"].tolist(), dtype=np.float64) - MU
-            sv = np.zeros(len(X), dtype=np.float64)
+            X = np.array(pdf["__x"].tolist(), dtype=np.float64)
+            t = np.zeros(len(X), dtype=np.float64)
             for i in range(X.shape[1]):
-                sv += X[:, i] * U[i]
-            R = X - sv[:, None] * U[None, :]
+                t += X[:, i] * UV[i]
             yield pd.DataFrame({
-                "__d": np.arange(X.shape[1], dtype=np.int32),
-                "__b": (X * X).sum(axis=0),
-                "__a": (R * R).sum(axis=0),
+                "__d": np.arange(X.shape[1] + 1, dtype=np.int32) - 1,
+                "__a": np.concatenate(([float(t @ t)], t @ X)),
             })
 
     tot = (
-        emb.mapInPandas(gen, "__d int, __b double, __a double")
-        .groupBy("__d")
-        .agg(F.round(F.sum("__b") / n, 6).alias("__vb"),
-             F.round(F.sum("__a") / n, 6).alias("__va"))
+        emb.mapInPandas(gen, "__d int, __a double")
+        .groupBy("__d").agg(F.sum("__a").alias("__a"))
         .collect()
     )
-    vb = [0.0] * dims
-    va = [0.0] * dims
+    a = [0.0] * dims
+    st2 = 0.0  # Σ t² (sentinel row __d = -1)
     for r in tot:
-        vb[r["__d"]], va[r["__d"]] = r["__vb"], r["__va"]
+        if r["__d"] < 0:
+            st2 = r["__a"]
+        else:
+            a[r["__d"]] = r["__a"]
+    # c = µ̂·U, T = Σ_rows t = Σ_i U_i·Σx_i (index-order folds);
+    # Σs² = Σt² − 2cT + nc², M_d = Σ x_cd·s = a_d − c·sx_d − µ̂_d·T + ncµ̂_d
+    c = 0.0
+    t_tot = 0.0
+    for i in range(dims):
+        c = c + mu[i] * U[i]
+        t_tot = t_tot + U[i] * sx[i]
+    ss2 = st2 - 2.0 * c * t_tot + n * c * c
+    sxx = core["sxx"]
+    va = [0.0] * dims
+    for d in range(dims):
+        # Σ x_cd·s  and  Σ x_cd² from raw moments (exact centering algebra)
+        m_d = a[d] - c * sx[d] - mu[d] * t_tot + n * c * mu[d]
+        xc2 = sxx[d] - 2.0 * mu[d] * sx[d] + n * mu[d] * mu[d]
+        va[d] = _round_half_up(
+            (xc2 - 2.0 * U[d] * m_d + U[d] * U[d] * ss2) / n, 6)
 
     def _anis(vs):
         acc = 0.0
@@ -840,7 +923,11 @@ def logreg_train(
 
     Scale shape per step: one corpus map (fold) + one keyed (dim) agg of
     ≤dims+1 groups collected to the driver — the MLlib shape; driver
-    state is one weight vector (bounded-collect family).
+    state is one weight vector (bounded-collect family). iters+1 corpus
+    passes TOTAL (r7 verdict #4): the former dims/n head job is fused
+    into step 1's kernel — with w₀ = 0, z = 0 and σ(z) = 0.5 exactly, so
+    the kernel needs no weight vector, and it emits the row count
+    alongside the gradient partials (dims fall out of the collect).
     """
     spark = corpus.sparkSession
     schema = "dim int, weight double, accuracy double"
@@ -850,13 +937,6 @@ def logreg_train(
         ).alias("__x"),
         (F.col(label_col) % 2).cast("double").alias("__y"),
     ).localCheckpoint(eager=False)
-    head = emb.select(
-        F.size("__x").alias("d"), F.lit(1).alias("__one")
-    ).groupBy("__one").agg(F.max("d").alias("d"), F.count("*").alias("n")) \
-     .collect()
-    if not head:
-        return spark.createDataFrame([], schema)
-    dims, n = head[0]["d"], head[0]["n"]
     import numpy as np
     import pandas as pd
 
@@ -867,33 +947,47 @@ def logreg_train(
     # differs from HALF_UP only at exact decimal ties (measure-zero for
     # sigmoid outputs / float products — the pq._codes_udf precedent).
     def _grad_partials(wv):
-        W = np.array(wv, dtype=np.float64)
+        W = None if wv is None else np.array(wv, dtype=np.float64)
 
         def gen(batches):
             for pdf in batches:
                 if not len(pdf):
                     continue
                 X = np.array(pdf["__x"].tolist(), dtype=np.float64)
-                z = np.zeros(len(X), dtype=np.float64)
-                for i in range(X.shape[1]):
-                    z += X[:, i] * W[i]
-                pr = np.round(1.0 / (1.0 + np.exp(-z)), 8)
+                if W is None:  # step 1: w = 0 ⇒ σ(z) = 0.5 exactly
+                    pr = np.full(len(X), 0.5, dtype=np.float64)
+                else:
+                    z = np.zeros(len(X), dtype=np.float64)
+                    for i in range(X.shape[1]):
+                        z += X[:, i] * W[i]
+                    pr = np.round(1.0 / (1.0 + np.exp(-z)), 8)
                 e = pr - pdf["__y"].to_numpy(dtype=np.float64)
                 g8 = np.round(X * e[:, None] * 1e8).astype(np.int64)
                 yield pd.DataFrame({
                     "__d": np.arange(X.shape[1], dtype=np.int32),
                     "__g8": g8.sum(axis=0),
+                    "__n": np.full(X.shape[1], len(X), dtype=np.int64),
                 })
 
         return gen
 
-    w = [0.0] * dims
+    if iters < 1:
+        raise ValueError("logreg_train needs iters >= 1")
+    w = None  # step-1 sentinel: implicit zero vector of unknown dims
+    dims = n = 0
     for _ in range(iters):
         g_rows = (
-            emb.mapInPandas(_grad_partials(w), "__d int, __g8 long")
-            .groupBy("__d").agg(F.sum("__g8").alias("__g8"))
+            emb.mapInPandas(_grad_partials(w), "__d int, __g8 long, __n long")
+            .groupBy("__d").agg(F.sum("__g8").alias("__g8"),
+                                F.sum("__n").alias("__n"))
             .collect()
         )
+        if not g_rows:
+            return spark.createDataFrame([], schema)
+        if w is None:  # dims and n fall out of the fused first pass
+            dims = max(r["__d"] for r in g_rows) + 1
+            n = g_rows[0]["__n"]
+            w = [0.0] * dims
         g8 = [0] * dims
         for r in g_rows:
             g8[r["__d"]] = r["__g8"]

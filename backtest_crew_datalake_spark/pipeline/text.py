@@ -667,13 +667,25 @@ def bigram_nll(
     (Σ_w2 p = 1), and every count derives from ONE bigram explode of the
     corpus (no separate unigram pass).
 
-    Scale shape: the exploded bigram stream is spread (single-row-group
-    scan hazard) and checkpointed (the count aggregation AND the per-doc
-    score join both consume it); log-probs attach at the VOCAB level
-    (c12 ⋈ prefix-sum, both keyed on w1, + a 1-row V broadcast) so the
-    stream pays one keyed join; per-token log-probs round to 8 decimals
-    before the per-doc mean (libm reproducibility), the mean to
-    ``round_to``.
+    Scale shape (r7 verdict #3 — the 50× localCheckpoint cost): the
+    exploded bigram stream is spread (single-row-group scan hazard) and
+    immediately reduced to per-(doc, bigram) COUNTS ``dbg`` — what gets
+    checkpointed is this AGGREGATED table, not the raw occurrence stream
+    (r7's checkpoint of the 13M-row stream was the measured 50× cost):
+    map-side combine shrinks repeated in-doc bigrams before the shuffle,
+    the materialized footprint drops to |distinct (doc, bigram)|, and
+    every later stage — the vocab-count chain and the per-doc score
+    join — works on the aggregated table. (A checkpoint, not exchange
+    reuse, because Catalyst column-prunes each consumer's copy of the
+    subtree differently — e.g. the V count-distinct collapses straight
+    onto the explode — so the post-optimization subtrees are no longer
+    identical and ReuseExchange never fires; verified on the executed
+    plan.) Values are exactly the occurrence-stream semantics: per-doc
+    totals are Σ __k·lp8 over exact integer counts × 1e8-scaled integer
+    log-probs. Log-probs attach at the VOCAB level (c12 ⋈ prefix-sum,
+    both keyed on w1, + a 1-row V broadcast); per-token log-probs round
+    to 8 decimals before the per-doc mean (libm reproducibility), the
+    mean to ``round_to``.
     """
     from .dedup import spread_partitions
 
@@ -688,12 +700,14 @@ def bigram_nll(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bg = (
+    dbg = (
         spread_partitions(df.select(id_col, text_col), id_col)
         .select(F.col(id_col), F.explode(bigrams).alias("__bg"))
+        .groupBy(id_col, "__bg")
+        .agg(F.count("*").alias("__k"))
         .localCheckpoint(eager=False)
     )
-    c12 = bg.groupBy("__bg").agg(F.count("*").alias("__c12"))
+    c12 = dbg.groupBy("__bg").agg(F.sum("__k").alias("__c12"))
     c12 = c12.withColumn("__w1", F.substring_index("__bg", " ", 1))
     cp = c12.groupBy("__w1").agg(F.sum("__c12").alias("__cp"))
     vocab = c12.agg(
@@ -725,11 +739,11 @@ def bigram_nll(
     # __bg with no sort and no driver collect: 26 s -> 3.9 s at the 50x
     # corpus, and the shape stays correct at any vocab size.
     per_doc = (
-        bg.join(lp.hint("shuffle_hash"), "__bg")
+        dbg.join(lp.hint("shuffle_hash"), "__bg")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.sum("__lp8").alias("__s8"),
+            F.sum("__k").alias("n_bigrams"),
+            F.sum(F.col("__k") * F.col("__lp8")).alias("__s8"),
         )
         .select(
             id_col,

@@ -121,16 +121,33 @@ def main():
         "overwrite").save()
     load_sec = round(time.perf_counter() - t0, 3)
 
-    # median of 3 runs per query — single-shot timings on a shared box are
-    # ±50% noise; the median is what the plan actually costs
+    # engine-floor microbench (r7 verdict #2c): the cheapest possible
+    # action (5-row scan + agg + noop write), median of 5 — ONE trivial
+    # job's scheduling/analysis floor on this box. ~20 headline queries
+    # sit on sub-100 ms oracles, so n_queries x this floor is the
+    # irreducible part of the spark total; emitting it makes the bench
+    # composition quantitative (floor x marginal) instead of argued.
+    floors = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        r.groupBy().count().write.format("noop").mode("overwrite").save()
+        floors.append(time.perf_counter() - t0)
+    floor_sec = round(sorted(floors)[2], 3)
+
+    # 4 runs per query: drop the FIRST (JIT/codegen compile of this
+    # query's operators — measured 4x inflation on a cold JVM: asof_join
+    # 4.97 s first-encounter vs 1.23 s steady-state on the same box),
+    # median of the remaining 3 (single-shot timings on a shared box are
+    # +/-50% noise). DuckDB gets the identical protocol below, so the
+    # emitted ratio compares steady state to steady state.
     for name in HEADLINE:
         build = registry[name].build
         runs = []
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.perf_counter()
             build(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[1], 3)
+        timings[name] = round(sorted(runs[1:])[1], 3)
 
     total = round(sum(timings.values()), 3)
 
@@ -154,6 +171,7 @@ def main():
         "queries": timings,
         "sf": float(sf),
         "load_sec": load_sec,
+        "floor_sec_per_action": floor_sec,
         "duck_total_sec": duck_total,
         "duck_queries": duck_timings,
         "spark_over_duck_ratio": ratio,
@@ -184,11 +202,11 @@ def _duck_pass(sf_dir: str):
         if sql is None:
             continue
         runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
+        for _ in range(4):  # same protocol as the Spark pass:
+            t0 = time.perf_counter()  # drop first, median of 3
             con.execute(sql).fetchall()
             runs.append(time.perf_counter() - t0)
-        duck_timings[name] = round(sorted(runs)[1], 3)
+        duck_timings[name] = round(sorted(runs[1:])[1], 3)
     duck_total = round(sum(duck_timings.values()), 3) if duck_timings else None
     return duck_timings, duck_total
 
