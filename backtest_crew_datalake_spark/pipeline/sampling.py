@@ -375,24 +375,30 @@ def dsir_weights(
     """
     from .text import tokens
 
+    # zip_with over two slices — NOT transform(sequence, i ->
+    # concat(element_at(t,i), element_at(t,i+1))): an expression referenced
+    # inside a HOF lambda is re-evaluated per ELEMENT (the bigram_nll
+    # finding, 7.7x at the 50x corpus), zip_with touches it twice per row
     t = tokens(F.col(text_col))
-    idx = F.sequence(F.lit(1), F.size(t) - 1)
     bigrams = F.when(
         F.size(t) >= 2,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", F.element_at(t, i), F.element_at(t, i + 1)
-            ),
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    from pyspark import StorageLevel
+
     from .dedup import spread_partitions
 
     # spread BEFORE the explode: a single-row-group parquet file scans as
     # ONE task and the md5-per-bigram hash chain is CPU-heavy (docs/
-    # scale.md rule 10); checkpoint because BOTH the model agg and the
-    # per-doc join consume this subtree — without it the explode+hash
-    # runs twice (measured 13.7 s → see ROADMAP round-7 notes)
+    # scale.md rule 10); persisted SERIALIZED because BOTH the model agg
+    # and the per-doc join consume this subtree — without materialization
+    # the explode+hash runs twice (measured 13.7 s, ROADMAP round-7), and
+    # serialized column batches beat localCheckpoint's deserialized row
+    # objects ~2.4x at the 50x corpus (the bigram_nll measurement)
     feats = (
         spread_partitions(df.select(id_col, source_col, text_col), id_col)
         .select(
@@ -403,7 +409,7 @@ def dsir_weights(
         .withColumn(
             "__b", hash_bucket32(F.col("__bg"), salt=salt, buckets=buckets)
         )
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     model = feats.groupBy("__b").agg(
         F.count("*").alias("__cr"),

@@ -667,47 +667,52 @@ def bigram_nll(
     (Σ_w2 p = 1), and every count derives from ONE bigram explode of the
     corpus (no separate unigram pass).
 
-    Scale shape (r7 verdict #3 — the 50× localCheckpoint cost): the
-    exploded bigram stream is spread (single-row-group scan hazard) and
-    immediately reduced to per-(doc, bigram) COUNTS ``dbg`` — what gets
-    checkpointed is this AGGREGATED table, not the raw occurrence stream
-    (r7's checkpoint of the 13M-row stream was the measured 50× cost):
-    map-side combine shrinks repeated in-doc bigrams before the shuffle,
-    the materialized footprint drops to |distinct (doc, bigram)|, and
-    every later stage — the vocab-count chain and the per-doc score
-    join — works on the aggregated table. (A checkpoint, not exchange
-    reuse, because Catalyst column-prunes each consumer's copy of the
-    subtree differently — e.g. the V count-distinct collapses straight
-    onto the explode — so the post-optimization subtrees are no longer
-    identical and ReuseExchange never fires; verified on the executed
-    plan.) Values are exactly the occurrence-stream semantics: per-doc
-    totals are Σ __k·lp8 over exact integer counts × 1e8-scaled integer
-    log-probs. Log-probs attach at the VOCAB level (c12 ⋈ prefix-sum,
-    both keyed on w1, + a 1-row V broadcast); per-token log-probs round
-    to 8 decimals before the per-doc mean (libm reproducibility), the
-    mean to ``round_to``.
+    Scale shape (r7 verdict #3 — the 50× materialization cost, measured
+    exhaustively this round): the exploded bigram stream is spread
+    (single-row-group scan hazard) and persisted SERIALIZED
+    (StorageLevel.MEMORY_AND_DISK) — both the count-aggregation chain
+    and the per-doc score join consume it, and serialized column-batch
+    storage beats localCheckpoint's deserialized row objects by ~2.4×
+    at the 50× corpus (11.1 s → 4.6 s median; GC pressure, not compute).
+    A shared-subtree formulation without any materialization was also
+    measured (61 s — Catalyst column-prunes each consumer's copy of the
+    subtree differently, e.g. the V count-distinct collapses straight
+    onto the explode, so ReuseExchange never fires and the explode runs
+    4×), as was pre-aggregating to per-(doc,bigram) counts before
+    materializing (the extra full-stream shuffle costs more than the
+    combine saves at ~1.3 occurrences per (doc,bigram)). The persist's
+    InMemoryRelation stats are untrustworthy for join planning — the
+    shuffle_hash hint below pins the one hazardous join. Log-probs
+    attach at the VOCAB level (c12 ⋈ prefix-sum, both keyed on w1, + a
+    1-row V broadcast); per-token log-probs round to 8 decimals before
+    the per-doc mean (libm reproducibility), the mean to ``round_to``.
     """
+    from pyspark import StorageLevel
+
     from .dedup import spread_partitions
 
+    # bigram construction via zip_with over two slices of the token array:
+    # measured 7.7x faster at the 50x corpus than the former
+    # transform(sequence, i -> concat(element_at(t,i), element_at(t,i+1)))
+    # shape — an expression referenced inside a HOF lambda is re-evaluated
+    # PER ELEMENT (no common-subexpression elimination across the lambda
+    # boundary), so that shape re-ran the regex split once per bigram.
+    # zip_with+slice references the token expression twice per ROW.
     t = tokens(F.col(text_col))
-    idx = F.sequence(F.lit(1), F.size(t) - 1)
     bigrams = F.when(
         F.size(t) >= 2,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", F.element_at(t, i), F.element_at(t, i + 1)
-            ),
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    dbg = (
+    bg = (
         spread_partitions(df.select(id_col, text_col), id_col)
         .select(F.col(id_col), F.explode(bigrams).alias("__bg"))
-        .groupBy(id_col, "__bg")
-        .agg(F.count("*").alias("__k"))
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    c12 = dbg.groupBy("__bg").agg(F.sum("__k").alias("__c12"))
+    c12 = bg.groupBy("__bg").agg(F.count("*").alias("__c12"))
     c12 = c12.withColumn("__w1", F.substring_index("__bg", " ", 1))
     cp = c12.groupBy("__w1").agg(F.sum("__c12").alias("__cp"))
     vocab = c12.agg(
@@ -730,8 +735,8 @@ def bigram_nll(
     # is ONE chain of identical IEEE divisions — never a rounded float
     # sum (averaging rounded doubles hits decimal half-way ties
     # systematically; same cure as sampling.dsir_weights)
-    # the vocab-side join MUST be an explicit shuffle-hash: localCheckpoint
-    # scans (LogicalRDD) carry unreliable stats, and the planner was
+    # the vocab-side join MUST be an explicit shuffle-hash: cached/
+    # checkpointed scans carry unreliable stats, and the planner was
     # measured BROADCASTING THE 13M-ROW STREAM as the build side
     # (BuildLeft — a driver-OOM at real scale and 15+ s here); a forced
     # F.broadcast(lp) is wrong the other way (web-scale bigram vocab
@@ -739,11 +744,11 @@ def bigram_nll(
     # __bg with no sort and no driver collect: 26 s -> 3.9 s at the 50x
     # corpus, and the shape stays correct at any vocab size.
     per_doc = (
-        dbg.join(lp.hint("shuffle_hash"), "__bg")
+        bg.join(lp.hint("shuffle_hash"), "__bg")
         .groupBy(id_col)
         .agg(
-            F.sum("__k").alias("n_bigrams"),
-            F.sum(F.col("__k") * F.col("__lp8")).alias("__s8"),
+            F.count("*").alias("n_bigrams"),
+            F.sum("__lp8").alias("__s8"),
         )
         .select(
             id_col,

@@ -349,10 +349,17 @@ def test_curation_plan_single_corpus_pass(spark):
 
 def test_dsir_plan_single_explode_broadcast_ratios(spark):
     p = _plan(spark, "q_doc_dsir_weights")
-    # the bigram explode+hash subtree is checkpointed: BOTH consumers
-    # (bucket models and the per-doc score join) read the RDD scan, so at
-    # most the documents scan for the final left join touches parquet
-    assert p.count("FileScan parquet") <= 1
+    # the bigram explode+hash subtree is persisted (serialized): every
+    # consumer (bucket models and the per-doc score join) must read the
+    # cache, never re-run the explode — the plan text repeats the cached
+    # relation's own FileScan in each InMemoryRelation block, so the
+    # correct invariant is "InMemoryTableScan everywhere a consumer sits",
+    # with exactly one explode (Generate) in the whole tree (inside the
+    # cached plan), not one per consumer
+    assert p.count("InMemoryTableScan") >= 2
+    # every Generate belongs to a printed cache block — an explode OUTSIDE
+    # an InMemoryRelation would mean a consumer recomputes the stream
+    assert p.count("Generate explode") == p.count("InMemoryRelation")
     # the ≤1024-row log-ratio table joins back broadcast — never a shuffle
     # of the feature stream against it
     assert "BroadcastHashJoin" in p
