@@ -94,175 +94,174 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # Catalog presentation order. The correctness driver samples a prefix of the
 # catalog (observed: ~50 entries), so ordering is evidence policy, not
 # cosmetics — ROTATE it every round so no query's driver evidence goes
-# stale. Round-7 window: (a) the 13 queries NEW this round (the
-# third-session data-selection/embedding/ACID additions — first driver
-# rows); (b) the NEW ACID-layer queries (first driver rows for
-# sources/acid.py — the r6 verdict's #1 ask); (c) q_doc_ppjoin_pairs /
-# q_doc_bpe_apply, whose semantics were touched by this round's ADVICE
-# fixes (unrounded threshold; exhausted-merge no-op) and must re-prove;
-# (d) the queries whose last driver row is round 4 (q_evt_cube through
-# q_evt_retention) — the oldest evidence in the catalog — then the oldest
-# round-5 entries to fill the window. Queries green in CORRECTNESS_r06 sit
-# at the tail; the rows-only (no-oracle) entries sit LAST so they never
-# spend a value-check slot. tools/check_oracles.py covers the full catalog.
+# stale. Round-8 window (88% rotated vs round 7, per the r7 verdict #7):
+# (a) the six ACID-layer queries stay in (the newest value-gated layer —
+# sources/acid.py keeps its driver evidence fresh); (b) the 44 stalest
+# oracle-bearing queries — everything whose last driver row is round 4/5
+# (q_bilateral_volume, the OR-levels/funnel/retention block, the round-5
+# corpus/embedding tail through q_top_supplier_revenue). Everything green
+# in CORRECTNESS_r06/r07 sits behind the window, ordered stalest-first;
+# the rows-only (no-oracle) entries sit LAST so they never spend a
+# value-check slot. tools/check_oracles.py covers the full catalog.
 PRIORITY_ORDER: tuple[str, ...] = (
-    "q_doc_ppl_buckets",
-    "q_doc_seq_pack",
-    "q_doc_dsir_weights",
-    "q_emb_kcenter_coreset",
-    "q_emb_pca_power",
-    "q_doc_bigram_nll",
-    "q_emb_sq8_topk",
-    "q_emb_abtt_whiten",
-    "q_doc_source_overlap",
-    "q_emb_logreg_train",
-    "q_acid_delete_read",
-    "q_doc_soft_dedup",
-    "q_evt_ewma",
-    "q_doc_cluster_split",
     "q_acid_upsert_read",
     "q_acid_time_travel",
     "q_acid_changes_feed",
     "q_acid_pruned_read",
     "q_acid_compact_read",
-    "q_doc_gopher_rep",
-    "q_doc_curation",
-    "q_doc_ppjoin_pairs",
-    "q_doc_bpe_apply",
-    "q_evt_cube",
-    "q_evt_zscore_outliers",
-    "q_evt_range_scan",
-    "q_evt_mtf_asof",
-    "q_pricing_summary",
-    "q_top_revenue_orders",
-    "q_nation_revenue",
-    "q_semi_join_customers",
-    "q_anti_join_customers",
-    "q_outer_join_counts",
-    "q_window_topk_orders",
-    "q_running_totals",
-    "q_distinct_aggs",
-    "q_set_ops",
-    "q_rollup_pricing",
-    "q_orders_per_month",
-    "q_above_customer_avg",
-    "q_string_funcs_part",
-    "q_order_size_distribution",
-    "q_large_volume_customers",
-    "q_brand_supplier_counts",
-    "q_customer_recency",
-    "q_month_over_month",
-    "q_supplier_balance_band",
-    "q_promo_revenue",
-    "q_small_qty_revenue",
-    "q_disjunctive_pred",
-    "q_idle_rich_customers",
+    "q_acid_delete_read",
     "q_bilateral_volume",
-    "q_grouping_sets",
+    "q_doc_repetition",
+    "q_evt_funnel",
     "q_evt_or_levels",
     "q_evt_or_levels_nyc",
-    "q_evt_funnel",
     "q_evt_retention",
-    "q_doc_repetition",
+    "q_grouping_sets",
+    "q_idle_rich_customers",
     "q_blame_suppliers",
-    "q_evt_top_paths",
-    "q_forecast_revenue",
-    "q_order_priority_checks",
-    "q_top_supplier_revenue",
+    "q_doc_aligned_span_pairs",
+    "q_doc_blocklist_scrub",
     "q_doc_bloom_scrub",
     "q_doc_chunk_dedup",
-    "q_doc_domain_cap",
-    "q_emb_matryoshka_recall",
-    "q_doc_weighted_sample",
+    "q_doc_chunks",
     "q_doc_containment_pairs",
+    "q_doc_contamination",
+    "q_doc_corpus_build",
+    "q_doc_domain_cap",
+    "q_doc_dup_clusters",
+    "q_doc_editsim_verify",
+    "q_doc_incremental_dedup",
+    "q_doc_len_quantiles",
+    "q_doc_minhash_error",
+    "q_doc_minhash_portable",
+    "q_doc_ngram_jaccard",
+    "q_doc_ngram_novelty",
+    "q_doc_pack_bins",
+    "q_doc_pagerank_canonical",
+    "q_doc_shared_spans",
+    "q_doc_shared_spans_exact",
+    "q_doc_source_mix",
+    "q_doc_stratified_sample",
+    "q_doc_tfidf_topk",
+    "q_doc_token_stats",
+    "q_doc_unigram_nll",
+    "q_doc_weighted_sample",
+    "q_doc_winnow_pairs",
+    "q_emb_ann_recall",
+    "q_emb_hard_negatives",
+    "q_emb_ivfpq_topk",
+    "q_emb_kmeans_clusters",
+    "q_emb_label_silhouette",
+    "q_emb_matryoshka_recall",
+    "q_emb_pq_topk",
     "q_evt_hll_distinct",
-    "q_doc_bpe_merges",
-    "q_doc_char_entropy",
-    "q_doc_zipf_fit",
+    "q_evt_salted_join",
+    "q_evt_top_paths",
+    "q_evt_zorder_buckets",
+    "q_forecast_revenue",
+    "q_important_parts",
+    "q_market_share",
+    "q_min_cost_supplier",
+    "q_order_priority_checks",
+    "q_product_profit",
+    "q_promo_candidate_suppliers",
+    "q_returned_item_losses",
+    "q_top_supplier_revenue",
+    "q_conditional_pivot",
     "q_doc_bigram_entropy",
-    "q_emb_linear_probe",
-    "q_emb_semantic_dedup",
-    "q_doc_quality",
-    "q_doc_lang_id",
+    "q_doc_bpe_merges",
+    "q_doc_bpe_token_count",
+    "q_doc_char_entropy",
+    "q_doc_dedup_recall",
+    "q_doc_distinct_estimate",
     "q_doc_exact_dedup",
     "q_doc_fingerprint",
-    "q_doc_bpe_token_count",
-    "q_doc_simhash_portable",
-    "q_doc_distinct_estimate",
-    "q_doc_dedup_recall",
     "q_doc_hash_sample",
+    "q_doc_lang_id",
+    "q_doc_quality",
+    "q_doc_simhash_portable",
     "q_doc_train_split",
     "q_doc_vocab_topk",
+    "q_doc_zipf_fit",
     "q_emb_cosine_topk",
-    "q_emb_lsh_buckets",
-    "q_emb_ivf_topk",
-    "q_emb_near_dup_pairs",
     "q_emb_dim_stats",
+    "q_emb_ivf_topk",
     "q_emb_label_stats",
-    "q_evt_dedup_keep_last",
-    "q_evt_minmax",
+    "q_emb_linear_probe",
+    "q_emb_lsh_buckets",
+    "q_emb_near_dup_pairs",
+    "q_emb_semantic_dedup",
+    "q_evt_active_runs",
+    "q_evt_asof_join",
     "q_evt_cms_user_counts",
+    "q_evt_completeness",
+    "q_evt_daily_ffill",
+    "q_evt_dedup_keep_last",
     "q_evt_histogram_quantiles",
-    "q_symbol_map",
-    "q_tf_normalize",
-    "q_conditional_pivot",
-    "q_priority_shipping",
-    "q_evt_sessionize",
+    "q_evt_hour_histogram",
     "q_evt_interval_join",
+    "q_evt_json_props",
+    "q_evt_minmax",
+    "q_evt_missing_days",
+    "q_evt_neighbors",
     "q_evt_pivot_user_types",
     "q_evt_resample",
-    "q_evt_asof_join",
-    "q_evt_missing_days",
-    "q_evt_active_runs",
-    "q_evt_synth_fill",
-    "q_evt_completeness",
-    "q_evt_hour_histogram",
-    "q_evt_daily_ffill",
-    "q_evt_neighbors",
     "q_evt_rolling_window",
+    "q_evt_sessionize",
+    "q_evt_synth_fill",
     "q_evt_value_quantiles",
-    "q_evt_json_props",
-    "q_doc_minhash_error",
-    "q_doc_editsim_verify",
-    "q_evt_salted_join",
-    "q_emb_ann_recall",
-    "q_emb_pq_topk",
-    "q_emb_ivfpq_topk",
-    "q_doc_minhash_portable",
-    "q_min_cost_supplier",
-    "q_market_share",
-    "q_product_profit",
-    "q_returned_item_losses",
-    "q_important_parts",
-    "q_promo_candidate_suppliers",
-    "q_doc_tfidf_topk",
-    "q_doc_len_quantiles",
-    "q_emb_hard_negatives",
-    "q_emb_label_silhouette",
-    "q_doc_source_mix",
-    "q_doc_unigram_nll",
-    "q_evt_zorder_buckets",
-    "q_doc_incremental_dedup",
-    "q_doc_pagerank_canonical",
-    "q_doc_corpus_build",
-    "q_doc_ngram_novelty",
-    "q_doc_shared_spans_exact",
-    "q_doc_dup_clusters",
-    "q_doc_chunks",
-    "q_doc_blocklist_scrub",
-    "q_doc_stratified_sample",
-    "q_doc_winnow_pairs",
-    "q_doc_ngram_jaccard",
-    "q_doc_shared_spans",
-    "q_doc_aligned_span_pairs",
-    "q_doc_contamination",
-    "q_doc_pack_bins",
-    "q_emb_kmeans_clusters",
-    "q_doc_token_stats",
+    "q_priority_shipping",
+    "q_symbol_map",
+    "q_tf_normalize",
+    "q_above_customer_avg",
+    "q_anti_join_customers",
+    "q_brand_supplier_counts",
+    "q_customer_recency",
+    "q_disjunctive_pred",
+    "q_distinct_aggs",
+    "q_doc_bigram_nll",
+    "q_doc_bpe_apply",
+    "q_doc_cluster_split",
+    "q_doc_curation",
+    "q_doc_dsir_weights",
+    "q_doc_gopher_rep",
+    "q_doc_ppjoin_pairs",
+    "q_doc_ppl_buckets",
+    "q_doc_seq_pack",
+    "q_doc_soft_dedup",
+    "q_doc_source_overlap",
+    "q_emb_abtt_whiten",
+    "q_emb_kcenter_coreset",
+    "q_emb_logreg_train",
+    "q_emb_pca_power",
+    "q_emb_sq8_topk",
+    "q_evt_cube",
+    "q_evt_ewma",
+    "q_evt_mtf_asof",
+    "q_evt_range_scan",
+    "q_evt_zscore_outliers",
+    "q_large_volume_customers",
+    "q_month_over_month",
+    "q_nation_revenue",
+    "q_order_size_distribution",
+    "q_orders_per_month",
+    "q_outer_join_counts",
+    "q_pricing_summary",
+    "q_promo_revenue",
+    "q_rollup_pricing",
+    "q_running_totals",
+    "q_semi_join_customers",
+    "q_set_ops",
+    "q_small_qty_revenue",
+    "q_string_funcs_part",
+    "q_supplier_balance_band",
+    "q_top_revenue_orders",
+    "q_window_topk_orders",
     "q_doc_minhash_lsh_pairs",
     "q_doc_simhash",
     "q_multimodal_features",
     "q_multimodal_frames",
+    "q_multimodal_phash_dupes",
 )
 
 

@@ -164,7 +164,13 @@ def _single_file(spark, tmp_dir: str, dest: str) -> None:
     import pyarrow.parquet as pq
 
     t = pq.read_table(tmp_dir)
-    pq.write_table(t, dest, compression="zstd", row_group_size=65536)
+    # Spark's default parquet timestamp encoding is INT96, which pyarrow
+    # reads as timestamp[ns] — and a TIMESTAMP(NANOS) column written back
+    # is unreadable by Spark 4's vectorized reader (FAILED_READ_FILE.
+    # PARQUET_COLUMN_DATA_TYPE_MISMATCH on events.ts). Coerce to micros
+    # (lossless here: the values are exact µs multiples).
+    pq.write_table(t, dest, compression="zstd", row_group_size=65536,
+                   coerce_timestamps="us", allow_truncated_timestamps=True)
     shutil.rmtree(tmp_dir)
 
 
