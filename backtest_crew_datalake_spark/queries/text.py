@@ -470,14 +470,26 @@ def _portable_minhash_pairs(d):
     q_doc_minhash_portable); shared by the recall scoreboard. Signature +
     banding come from pipeline/dedup._portable_minhash_bands — ONE home for
     the portable hash family, so the incremental filter, this pair query,
-    and the DuckDB oracles cannot drift apart."""
+    and the DuckDB oracles cannot drift apart.
+
+    The bands table is persisted SERIALIZED before the self-join: both
+    join sides consume it, and without materialization the whole
+    shingle + 16×md5 signature pipeline runs twice (measured 2.17 s →
+    0.91 s at sf0.1; localCheckpoint's deserialized rows were 1.05 s —
+    scale.md rule 14's storage note). The self-join is pinned
+    shuffle_hash: a cached corpus-derived table's InMemoryRelation stats
+    must never pick a broadcast build side (rule 13 — bands is
+    corpus-sized at 100 TB)."""
+    from pyspark import StorageLevel
+
     from ..pipeline.dedup import _portable_minhash_bands
 
-    bands = _portable_minhash_bands(d, "doc_id")
+    bands = _portable_minhash_bands(d, "doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK)
     return (
         bands.alias("a")
         .join(
-            bands.alias("b"),
+            bands.alias("b").hint("shuffle_hash"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -2226,8 +2238,8 @@ def q_doc_minhash_error(spark, sf_dir):
     standard blocked-verify shape at 100 TB.
 
     The pivoted signature table feeds BOTH the banded candidate join and
-    the per-pair estimate — localCheckpoint it once so the 16-way min-md5
-    aggregation runs once, not twice (7.8 s → ~5 s at sf0.1; the residual
+    the per-pair estimate — persist it (serialized) once so the 16-way
+    min-md5 aggregation runs once, not twice (7.8 s → ~5 s at sf0.1; the residual
     is the exact-verify self-join, which collapses at scale like every
     blocked-verify shape — see ROADMAP BENCH_SCALE)."""
     from ..pipeline.dedup import (
@@ -2235,8 +2247,11 @@ def q_doc_minhash_error(spark, sf_dir):
         spread_partitions,
     )
 
+    from pyspark import StorageLevel
+
     d = load(spark, sf_dir, "documents")
-    sigs = _portable_minhash_sigs(d, "id").localCheckpoint(eager=False)
+    sigs = _portable_minhash_sigs(d, "id").persist(
+        StorageLevel.MEMORY_AND_DISK)
     bands = _bands_from_sigs(sigs, "id")
     cand = (
         bands.alias("a")
@@ -2249,8 +2264,9 @@ def q_doc_minhash_error(spark, sf_dir):
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
         # three consumers (estimate join, candidate-id semi-join, exact
-        # intersection) — compute the banded self-join once
-        .localCheckpoint(eager=False)
+        # intersection) — compute the banded self-join once; serialized
+        # persist per scale.md rule 14's storage note
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = sigs.select(
         F.col("id").alias("id_a"),
@@ -2277,8 +2293,8 @@ def q_doc_minhash_error(spark, sf_dir):
         .select("doc_id", F.explode(_shingles("text", 3)).alias("sh"))
         # three consumers (sizes, both sides of the intersection) — the
         # candidate-doc shingle explode is the blocked-verify working set;
-        # materialize it once
-        .localCheckpoint(eager=False)
+        # materialize it once (serialized)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # pair-first intersection (the oracle's own shape): expand candidate
@@ -2484,8 +2500,8 @@ def q_doc_containment_pairs(spark, sf_dir):
         .select("doc_id", F.explode(_shingles("text", 3)).alias("sh"))
         # three consumers (sizes, both sides of the intersection) — the
         # candidate-doc shingle explode is the blocked-verify working set;
-        # materialize it once
-        .localCheckpoint(eager=False)
+        # materialize it once (serialized)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # pair-first intersection (the oracle's own shape): expand candidate
