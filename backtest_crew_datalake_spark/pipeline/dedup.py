@@ -17,6 +17,7 @@ Scale design:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
 from .text import tokens
@@ -612,7 +613,8 @@ def _ppjoin_candidates(df, text_col, id_col, n, threshold):
             F.size("os").alias("sz"),
         )
         # feeds prefix explode AND both verify joins — one compute
-        .localCheckpoint(eager=False)
+        # (serialized persist: scale.md rule 14 storage note)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # every ceil/compare below subtracts/adds a 1e-9 epsilon so binary
     # float error can only WIDEN the candidate set, never prune a
@@ -735,7 +737,7 @@ def source_overlap(
         spread_partitions(df.select(source_col, text_col))
         .select(F.col(source_col), F.explode(_shingles(text_col, n)).alias("__sh"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = sh.groupBy(source_col).agg(F.count("*").alias("__n"))
     a = sh.select(F.col(source_col).alias("source_a"), "__sh")

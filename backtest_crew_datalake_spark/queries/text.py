@@ -915,6 +915,7 @@ def q_doc_shared_spans(spark, sf_dir):
     (at 100 TB, near-dup candidates are a sliver of the corpus — the
     gram explode over non-candidates would dominate the query). Every
     join and window is keyed by (pair, position)."""
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     # tiny (the df cap bounds pairs); checkpointed because it feeds the
@@ -936,14 +937,15 @@ def q_doc_shared_spans(spark, sf_dir):
     g = (
         # candidate restriction FIRST (broadcast semi against the tiny id
         # set), then the CPU-heavy gram md5 explode over survivors only;
-        # checkpoint because both match-join sides read it
+        # persisted serialized because both match-join sides read it
+        # (scale.md rule 14 storage note)
         spread_partitions(d.join(cand, "doc_id", "left_semi"), "doc_id")
         .select("doc_id", toks.alias("__toks"))
         .where(F.size("__toks") >= 3)
         .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
         .select("doc_id", "pos",
                 F.md5(F.col("gram").cast("binary")).alias("h"))
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ga = g.join(ap.select(F.col("id_a").alias("doc_id")).distinct(),
                 "doc_id", "left_semi").select(
@@ -2115,13 +2117,15 @@ def q_doc_bloom_scrub(spark, sf_dir):
     winnow pattern) so the single-file tokenize/explode subtree
     parallelizes and runs once, not three times (5.7 s → 2.6 s at
     sf0.1)."""
+    from pyspark import StorageLevel
+
     from ..pipeline.dedup import _shingles, spread_partitions
 
     d = load(spark, sf_dir, "documents")
     sh_all = (
         spread_partitions(d, "doc_id")
         .select("doc_id", F.explode(_shingles("text", 3)).alias("sh"))
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bench = sh_all.where(F.col("doc_id") < 20).select("sh").distinct()
     corpus = sh_all.where(F.col("doc_id") >= 20)
@@ -2487,6 +2491,8 @@ def q_doc_containment_pairs(spark, sf_dir):
     >= 80% contained survive; `contained_id` names the engulfed doc when
     exactly one side crosses (integer-multiplicative threshold — no float
     ties). Same blocked-verify scale shape as q_doc_minhash_error."""
+    from pyspark import StorageLevel
+
     from ..pipeline.dedup import _shingles, spread_partitions
 
     d = load(spark, sf_dir, "documents")
