@@ -104,6 +104,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # the rows-only (no-oracle) entries sit LAST so they never spend a
 # value-check slot. tools/check_oracles.py covers the full catalog.
 PRIORITY_ORDER: tuple[str, ...] = (
+    # new this round — first driver evidence
+    "q_doc_weighted_jaccard",
+    "q_acid_vacuum_read",
     "q_acid_upsert_read",
     "q_acid_time_travel",
     "q_acid_changes_feed",

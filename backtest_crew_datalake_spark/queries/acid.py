@@ -325,3 +325,69 @@ def q_acid_delete_read(spark, sf_dir):
     return acid_read(spark, _acid_delete_table(spark, sf_dir)).select(
         "user_id", "event_type", "n_events", "sum_value"
     )
+
+
+_VAC_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _acid_vacuum_table(spark, sf_dir) -> str:
+    """Own table (not the shared memo: vacuuming that one would break
+    q_acid_time_travel's version-1 read): upsert b1, upsert b2, compact,
+    then VACUUM down to the latest snapshot only — old manifests and every
+    data file unreachable from it are physically deleted."""
+    from ..sources.acid import acid_compact, acid_upsert, acid_vacuum
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    root = _VAC_MEMO.get(memo_key)
+    if root is not None:
+        return root
+    e = load(spark, sf_dir, "events")
+    b1 = _agg(e.where(F.col("ts") < F.lit(_B1_CUT).cast("timestamp")))
+    b2 = _agg(
+        e.where(
+            (F.col("ts") >= F.lit(_B2_FROM).cast("timestamp"))
+            & F.col("event_type").isin(*_B2_TYPES)
+        )
+    )
+    root = tempfile.mkdtemp(prefix="acid_qv_")
+    acid_upsert(spark, b1, root, key=_KEY, partition_by=("event_type",),
+                stats_cols=("n_events",))
+    acid_upsert(spark, b2, root, key=_KEY, partition_by=("event_type",),
+                stats_cols=("n_events",))
+    acid_compact(spark, root)
+    removed = acid_vacuum(root, keep_versions=1)
+    if not removed:  # the 2-upsert + compact history MUST leave dead files
+        raise RuntimeError("acid_vacuum removed nothing — table build or "
+                           "vacuum reachability is broken")
+    _VAC_MEMO[memo_key] = root
+    return root
+
+
+@register(
+    "q_acid_vacuum_read",
+    oracle=f"""
+    WITH {_BATCHES_SQL}
+    SELECT COALESCE(b2.user_id, b1.user_id) AS user_id,
+           COALESCE(b2.event_type, b1.event_type) AS event_type,
+           COALESCE(b2.n_events, b1.n_events) AS n_events,
+           COALESCE(b2.sum_value, b1.sum_value) AS sum_value
+    FROM b1 FULL OUTER JOIN b2
+      ON b1.user_id = b2.user_id AND b1.event_type = b2.event_type
+    """,
+)
+def q_acid_vacuum_read(spark, sf_dir):
+    """VACUUM under the value gate (sources/acid.acid_vacuum — Delta
+    VACUUM / Iceberg expire_snapshots semantics): after upsert ×2 +
+    compaction, vacuum physically deletes every data file unreachable
+    from the latest snapshot and expires the older manifests; the build
+    asserts files WERE removed, and the latest-snapshot read must still
+    be exactly the merged end state (a vacuum that touches a referenced
+    file breaks this value check; one that removes nothing fails the
+    build). Retention-window behavior (keep_versions > 1, time travel
+    inside the kept window, crashed-staging cleanup) is pinned by
+    tests/test_acid.py."""
+    from ..sources.acid import acid_read
+
+    return acid_read(spark, _acid_vacuum_table(spark, sf_dir)).select(
+        "user_id", "event_type", "n_events", "sum_value"
+    )

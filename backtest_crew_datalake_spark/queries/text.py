@@ -2546,6 +2546,145 @@ def q_doc_containment_pairs(spark, sf_dir):
     )
 
 
+
+@register(
+    "q_doc_weighted_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    seeds AS (SELECT UNNEST(range(0, 16)) AS i),
+    mh AS (
+        SELECT doc_id, i, MIN(md5(i::VARCHAR || '|' || sh)) AS h
+        FROM sh, seeds GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT doc_id, i // 2 AS band,
+               md5(string_agg(h, '|' ORDER BY i)) AS bucket
+        FROM mh GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                                  AND a.doc_id < b.doc_id
+    ),
+    dfreq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    w AS (SELECT sh, CAST(ROUND(LN(n / df) * 1e6, 0) AS BIGINT) AS w6
+          FROM dfreq, nn),
+    swd AS (SELECT s.doc_id, SUM(w.w6) AS sw, COUNT(*) AS sz
+            FROM sh s JOIN w USING (sh) GROUP BY 1),
+    inter AS (
+        SELECT c.id_a, c.id_b, SUM(w.w6) AS wi, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+        JOIN w ON w.sh = a.sh
+        GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(CAST(i.wi AS DOUBLE) / (sa.sw + sb.sw - i.wi), 4)
+               AS w_jaccard,
+           ROUND(CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter), 4)
+               AS jaccard
+    FROM inter i
+    JOIN swd sa ON sa.doc_id = i.id_a
+    JOIN swd sb ON sb.doc_id = i.id_b
+    WHERE i.wi * 2 >= (sa.sw + sb.sw - i.wi)
+       OR i.n_inter * 2 >= (sa.sz + sb.sz - i.n_inter)
+    """,
+)
+def q_doc_weighted_jaccard(spark, sf_dir):
+    """IDF-weighted Jaccard verification over LSH candidate pairs — the
+    weighted-set-similarity member of the dedup family (unweighted Jaccard
+    treats 'the quick brown' and a rare technical trigram as equally
+    strong evidence; IDF weighting is the standard fix, e.g. the weighted
+    resemblance of Broder's shingling line). For every candidate pair:
+    J_w = Σ_{{A∩B}} idf(s) / Σ_{{A∪B}} idf(s) next to the plain Jaccard,
+    keeping pairs where EITHER crosses 0.5 — the interesting disagreement
+    rows are boilerplate-inflated plain-Jaccard pairs that weighted
+    scoring demotes, and rare-content pairs it promotes.
+
+    Engine-exact by the house recipe: idf(s) = ln(N/df(s)) is carried as
+    a 1e6-SCALED BIGINT per shingle (rounded once, after the only libm
+    op), so all per-doc and per-pair sums are exact integer arithmetic;
+    both thresholds are integer-multiplicative (w·2 ≥ union — no float
+    ties); the two emitted ratios are one division of exact integers,
+    rounded 4 identically in both engines.
+
+    Scale shape: document frequency is ONE map-side-combinable keyed agg
+    over the corpus shingle stream; N joins in as a broadcast 1-row agg
+    (no driver action); the verify stage is pair-first blocked (cost
+    Σ_pairs |shingles(a)|, linear in candidates — q_doc_minhash_error's
+    shape), and the candidate-doc shingle table is persisted serialized
+    for its three consumers."""
+    from pyspark import StorageLevel
+
+    from ..pipeline.dedup import _shingles, spread_partitions
+
+    d = load(spark, sf_dir, "documents")
+    cand = _portable_minhash_pairs(d).select("id_a", "id_b")
+    sh_all = (
+        spread_partitions(d, "doc_id")
+        .select("doc_id", F.explode(_shingles("text", 3)).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nn = d.agg(F.count("*").cast("double").alias("__n"))
+    w = (
+        sh_all.groupBy("sh").agg(F.count("*").alias("__df"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "sh",
+            F.round(F.log(F.col("__n") / F.col("__df")) * F.lit(1e6), 0)
+            .cast("long").alias("__w6"),
+        )
+    )
+    cand_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select("id_b")).distinct()
+    )
+    # weighted shingle rows restricted to candidate docs; the idf join is
+    # keyed on the shingle (shuffle_hash — a corpus-derived weight table
+    # must never be a broadcast build side, rule 13)
+    shw = (
+        sh_all.join(cand_ids, "doc_id", "left_semi")
+        .join(w.hint("shuffle_hash"), "sh")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    swd = shw.groupBy("doc_id").agg(
+        F.sum("__w6").alias("sw"), F.count("*").alias("sz"))
+    inter = (
+        cand
+        .join(shw.select(F.col("doc_id").alias("id_a"), "sh", "__w6"),
+              "id_a")
+        .join(shw.select(F.col("doc_id").alias("id_b"), "sh"),
+              ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("__w6").alias("wi"), F.count("*").alias("n_inter"))
+    )
+    return (
+        inter
+        .join(swd.select(F.col("doc_id").alias("id_a"),
+                         F.col("sw").alias("swa"),
+                         F.col("sz").alias("sza")), "id_a")
+        .join(swd.select(F.col("doc_id").alias("id_b"),
+                         F.col("sw").alias("swb"),
+                         F.col("sz").alias("szb")), "id_b")
+        .where(
+            (F.col("wi") * 2 >= F.col("swa") + F.col("swb") - F.col("wi"))
+            | (F.col("n_inter") * 2
+               >= F.col("sza") + F.col("szb") - F.col("n_inter"))
+        )
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("wi").cast("double")
+                    / (F.col("swa") + F.col("swb") - F.col("wi")), 4)
+            .alias("w_jaccard"),
+            F.round(F.col("n_inter").cast("double")
+                    / (F.col("sza") + F.col("szb") - F.col("n_inter")), 4)
+            .alias("jaccard"),
+        )
+    )
+
+
 @register(
     "q_doc_chunk_dedup",
     oracle=r"""

@@ -2264,3 +2264,54 @@ def test_resize_images_real_bilinear(spark):
     assert abs(float(a.mean()) - float(img.mean())) < 4
     # the audio payload keeps the deterministic placeholder shape
     assert len(bytes(out[2].content)) == 16 * 12 // 64
+
+
+def test_weighted_jaccard_matches_bruteforce_replica(spark):
+    """q_doc_weighted_jaccard differential: recompute both metrics in
+    python (exact integer idf-weight arithmetic, the query's own recipe)
+    for every emitted pair at sf0.001 and compare bit-for-bit; also check
+    the threshold rule (either metric >= 0.5, integer-multiplicative)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from backtest_crew_datalake_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    out = {(r["id_a"], r["id_b"]): (r["w_jaccard"], r["jaccard"])
+           for r in all_queries()["q_doc_weighted_jaccard"]
+           .build(spark, sf).collect()}
+    assert out, "expected at least one candidate pair at sf0.001"
+
+    docs = {r["doc_id"]: r["text"]
+            for r in spark.read.parquet(f"{sf}/documents.parquet").collect()}
+
+    def shingles(text):
+        toks = text.strip().split()
+        if len(toks) >= 3:
+            return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)}
+
+    sh = {i: shingles(t) for i, t in docs.items()}
+    n = float(len(docs))
+    df = {}
+    for s_set in sh.values():
+        for s in s_set:
+            df[s] = df.get(s, 0) + 1
+
+    def w6(s):
+        # ROUND(ln(n/df)*1e6, 0) as the engines compute it (HALF_UP on the
+        # shortest decimal repr — ties are measure-zero for ln outputs)
+        return int(Decimal(repr(math.log(n / df[s]) * 1e6)).quantize(
+            Decimal("1"), rounding=ROUND_HALF_UP))
+
+    for (ia, ib), (wj, pj) in out.items():
+        inter = sh[ia] & sh[ib]
+        wi = sum(w6(s) for s in inter)
+        swa = sum(w6(s) for s in sh[ia])
+        swb = sum(w6(s) for s in sh[ib])
+        ni, sza, szb = len(inter), len(sh[ia]), len(sh[ib])
+        assert wi * 2 >= (swa + swb - wi) or ni * 2 >= (sza + szb - ni)
+        exp_wj = round(wi / (swa + swb - wi), 4)
+        exp_pj = round(ni / (sza + szb - ni), 4)
+        assert abs(wj - exp_wj) < 5e-5, (ia, ib, wj, exp_wj)
+        assert abs(pj - exp_pj) < 5e-5, (ia, ib, pj, exp_pj)
