@@ -107,6 +107,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # new this round — first driver evidence
     "q_doc_weighted_jaccard",
     "q_acid_vacuum_read",
+    "q_emb_knn_eval",
+    "q_emb_mmr_topk",
     "q_acid_upsert_read",
     "q_acid_time_travel",
     "q_acid_changes_feed",

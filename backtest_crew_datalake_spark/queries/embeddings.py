@@ -1458,3 +1458,230 @@ def q_emb_logreg_train(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     return logreg_train(emb, iters=3)
+
+
+@register(
+    "q_emb_knn_eval",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, label AS true_label,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 50),
+    c AS (SELECT vec_id AS neighbor_id, label AS neighbor_label,
+                 embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id >= 50),
+    r AS (SELECT query_id, true_label, neighbor_label,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY query_id
+                     ORDER BY list_cosine_similarity(qv, cv) DESC,
+                              neighbor_id) AS rank
+          FROM q CROSS JOIN c),
+    v AS (SELECT query_id, true_label, neighbor_label, COUNT(*) AS cnt
+          FROM r WHERE rank <= 5 GROUP BY 1, 2, 3),
+    p AS (SELECT query_id, true_label, neighbor_label AS pred FROM (
+            SELECT v.*, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY cnt DESC, neighbor_label) AS rn
+            FROM v) WHERE rn = 1)
+    SELECT true_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN pred = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           ROUND(CAST(SUM(CASE WHEN pred = true_label THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 4) AS accuracy
+    FROM p GROUP BY 1
+    """,
+)
+def q_emb_knn_eval(spark, sf_dir):
+    """Leave-out kNN label-accuracy evaluation — the standard embedding-
+    quality probe (kNN eval in retrieval/representation-learning papers;
+    the classifier-free twin of q_emb_logreg_train): each held-out query
+    vector (vec_id < 50) is classified by the majority label of its 5
+    cosine-nearest corpus vectors, and the per-label accuracy is the
+    value-checked output. Deterministic end to end: neighbor rank breaks
+    ties (sim desc, neighbor_id asc), the vote breaks ties
+    (count desc, label asc) — no randomness, no float thresholds.
+
+    Scale shape: the bounded query side broadcasts through the shared
+    _cosine_ranked core (corpus streams, no corpus shuffle — the
+    q_emb_cosine_topk scan); the vote and the accuracy rollup are keyed
+    aggs over ≤ |queries|·5 rows."""
+    from pyspark.sql import Window
+
+    from ..pipeline.similarity import _cosine_ranked
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 50)
+    c = emb.where(F.col("vec_id") >= 50)
+    nn = _cosine_ranked(
+        q, c, 5, "vec_id", "embedding", 4,
+        extra_q={"label": "true_label"},
+        extra_c={"label": "neighbor_label"},
+    )
+    votes = nn.groupBy("query_id", "true_label", "neighbor_label").agg(
+        F.count("*").alias("cnt"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cnt").desc(), F.col("neighbor_label").asc())
+    pred = votes.withColumn("rn", F.row_number().over(w)) \
+                .where(F.col("rn") == 1)
+    correct = F.when(F.col("neighbor_label") == F.col("true_label"), 1) \
+               .otherwise(0)
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.sum(correct).cast("bigint").alias("n_correct"),
+        F.round(F.sum(correct).cast("double") / F.count("*"), 4)
+        .alias("accuracy"),
+    )
+
+
+def _mmr_sql(rounds: int = 5, lam: float = 0.5) -> str:
+    """CTE chain mirroring q_emb_mmr_topk's greedy: cand (top-10 cosine,
+    simq rounded 4), pair (candidate-candidate sims rounded 4), then
+    ``rounds`` unrolled picks — round 1 maximizes simq, round t maximizes
+    lam*simq - (1-lam)*max(sim to selected), ties -> lowest nid. All
+    greedy arithmetic runs over the ROUNDED sims, so both engines compute
+    bit-identical scores (0.5*a - 0.5*b of identical doubles)."""
+    parts = [
+        """q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5)""",
+        """c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv
+               FROM embeddings WHERE vec_id >= 5)""",
+        """cand AS (SELECT query_id, nid, simq FROM (
+            SELECT q.query_id, c.nid,
+                   ROUND(list_cosine_similarity(q.qv, c.cv), 4) AS simq,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, c.cv) DESC,
+                                c.nid) AS rk
+            FROM q CROSS JOIN c) WHERE rk <= 10)""",
+        """pair AS (SELECT a.query_id, a.nid AS ida, b.nid AS idb,
+                   ROUND(list_cosine_similarity(ea.cv, eb.cv), 4) AS sab
+            FROM cand a
+            JOIN cand b ON a.query_id = b.query_id AND a.nid <> b.nid
+            JOIN c ea ON ea.nid = a.nid
+            JOIN c eb ON eb.nid = b.nid)""",
+        f"""pick1 AS (SELECT query_id, nid, simq,
+                   {lam} * simq AS mmr_score, 1 AS pick_rank FROM (
+            SELECT cand.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY simq DESC, nid) AS rn FROM cand) WHERE rn = 1)""",
+        "acc1 AS (SELECT * FROM pick1)",
+    ]
+    for t in range(2, rounds + 1):
+        parts.append(f"""sc{t} AS (
+            SELECT c.query_id, c.nid, c.simq,
+                   {lam} * c.simq - {1 - lam} * MAX(pr.sab) AS mmr_score
+            FROM cand c
+            ANTI JOIN acc{t - 1} s
+              ON s.query_id = c.query_id AND s.nid = c.nid
+            JOIN acc{t - 1} sel ON sel.query_id = c.query_id
+            JOIN pair pr ON pr.query_id = c.query_id
+                        AND pr.ida = c.nid AND pr.idb = sel.nid
+            GROUP BY 1, 2, 3)""")
+        parts.append(f"""pick{t} AS (
+            SELECT query_id, nid, simq, mmr_score, {t} AS pick_rank FROM (
+                SELECT sc{t}.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY mmr_score DESC, nid) AS rn
+                FROM sc{t}) WHERE rn = 1)""")
+        parts.append(f"""acc{t} AS (
+            SELECT * FROM acc{t - 1} UNION ALL SELECT * FROM pick{t})""")
+    return ",\n".join(parts)
+
+
+@register(
+    "q_emb_mmr_topk",
+    oracle=f"""
+    WITH {_mmr_sql(5)}
+    SELECT query_id, CAST(pick_rank AS INT) AS pick_rank,
+           nid AS neighbor_id, ROUND(mmr_score, 5) AS mmr_score, simq
+    FROM acc5
+    """,
+)
+def q_emb_mmr_topk(spark, sf_dir):
+    """Maximal-marginal-relevance diversified retrieval (Carbonell &
+    Goldstein 1998) — the re-rank step between ANN candidate generation
+    and serving: 5 query vectors take their top-10 cosine candidates,
+    then greedily pick 5 with score = λ·sim(q,d) − (1−λ)·max_{{s∈S}}
+    sim(d,s), λ=0.5 — relevance minus redundancy. Deterministic: both
+    sims round to 4 BEFORE the greedy (the arithmetic over identical
+    rounded doubles is bit-identical in any engine), ties → lowest
+    neighbor id; the oracle unrolls all 5 picks as CTEs. The emitted
+    score rounds at FIVE decimals: 0.5·(4dp value) is a multiple of
+    5e-5 — a 5-decimal grid point — whereas rounding it back to 4
+    decimals sits exactly ON the half-way tie whenever simq's last
+    digit is odd (hit at sf0.1: 0.5·0.4065, HALF_UP vs binary
+    round-half-away disagreed).
+
+    Scale shape: candidate generation is the cosine_topk scan (bounded
+    query side broadcast, corpus streams); everything after operates on
+    ≤ |queries|·10 rows (candidate-pair sims are 10×10 per query,
+    computed once), so the greedy rounds are keyed ops over a
+    bounded-by-construction working set — the shape of any production
+    re-ranker."""
+    from pyspark.sql import Window
+
+    from ..pipeline.similarity import _cosine_ranked, _dot, _norm
+
+    lam = 0.5
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    c = emb.where(F.col("vec_id") >= 5)
+    cand = (
+        _cosine_ranked(q, c, 10, "vec_id", "embedding", 4)
+        .select("query_id", F.col("neighbor_id").alias("nid"),
+                F.col("cos_sim").alias("simq"))
+        .localCheckpoint(eager=False)  # tiny; feeds pairs + 5 greedy rounds
+    )
+    cv = c.select(F.col("vec_id").alias("__id"),
+                  F.col("embedding").cast("array<double>").alias("__v"),
+                  _norm(F.col("embedding")).alias("__n"))
+    a = cand.join(cv.select(F.col("__id").alias("nid"),
+                            F.col("__v").alias("__va"),
+                            F.col("__n").alias("__na")), "nid")
+    b = cand.select("query_id", F.col("nid").alias("idb")).join(
+        cv.select(F.col("__id").alias("idb"), F.col("__v").alias("__vb"),
+                  F.col("__n").alias("__nb")), "idb")
+    pair = (
+        a.select("query_id", F.col("nid").alias("ida"), "__va", "__na")
+        .join(b, "query_id")
+        .where(F.col("ida") != F.col("idb"))
+        .select(
+            "query_id", "ida", "idb",
+            F.round(_dot(F.col("__va"), F.col("__vb"))
+                    / (F.col("__na") * F.col("__nb")), 4).alias("sab"),
+        )
+        .localCheckpoint(eager=False)  # 10x10 per query; read every round
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("simq").desc(), F.col("nid").asc())
+    pick = (
+        cand.withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") == 1)
+        .select("query_id", "nid", "simq",
+                (F.lit(lam) * F.col("simq")).alias("mmr_score"),
+                F.lit(1).alias("pick_rank"))
+    )
+    acc = pick
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("mmr_score").desc(), F.col("nid").asc())
+    for t in range(2, 6):
+        sel = acc.select("query_id", F.col("nid").alias("idb"))
+        remaining = cand.join(acc.select("query_id", "nid"),
+                              ["query_id", "nid"], "left_anti")
+        scored = (
+            remaining
+            .join(pair.withColumnRenamed("ida", "nid"), ["query_id", "nid"])
+            .join(sel, ["query_id", "idb"], "left_semi")
+            .groupBy("query_id", "nid", "simq")
+            .agg((F.lit(lam) * F.col("simq")
+                  - F.lit(1 - lam) * F.max("sab")).alias("mmr_score"))
+        )
+        pick_t = (
+            scored.withColumn("__rn", F.row_number().over(wt))
+            .where(F.col("__rn") == 1)
+            .select("query_id", "nid", "simq", "mmr_score",
+                    F.lit(t).alias("pick_rank"))
+        )
+        acc = acc.unionByName(pick_t)
+    return acc.select(
+        "query_id", F.col("pick_rank").cast("int").alias("pick_rank"),
+        F.col("nid").alias("neighbor_id"),
+        F.round("mmr_score", 5).alias("mmr_score"), "simq",
+    )
