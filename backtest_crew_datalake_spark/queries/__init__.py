@@ -109,6 +109,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_acid_vacuum_read",
     "q_emb_knn_eval",
     "q_emb_mmr_topk",
+    "q_acid_schema_evolution",
     "q_acid_upsert_read",
     "q_acid_time_travel",
     "q_acid_changes_feed",

@@ -391,3 +391,80 @@ def q_acid_vacuum_read(spark, sf_dir):
     return acid_read(spark, _acid_vacuum_table(spark, sf_dir)).select(
         "user_id", "event_type", "n_events", "sum_value"
     )
+
+
+_EVO_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _acid_evo_table(spark, sf_dir) -> str:
+    """Schema-evolution table: upsert batch1 (4 columns), then upsert
+    batch2 carrying an EXTRA ``max_value`` column — the additive-only
+    evolution rule (_merge_schema_ddl): the committed schema becomes the
+    union, historic files simply lack the new column and read as NULL
+    under the pinned schema."""
+    from ..sources.acid import acid_upsert
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    root = _EVO_MEMO.get(memo_key)
+    if root is not None:
+        return root
+    e = load(spark, sf_dir, "events")
+    b1 = _agg(e.where(F.col("ts") < F.lit(_B1_CUT).cast("timestamp")))
+    b2f = e.where(
+        (F.col("ts") >= F.lit(_B2_FROM).cast("timestamp"))
+        & F.col("event_type").isin(*_B2_TYPES)
+    )
+    b2 = b2f.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+    root = tempfile.mkdtemp(prefix="acid_qe_")
+    acid_upsert(spark, b1, root, key=_KEY, partition_by=("event_type",),
+                stats_cols=("n_events",))
+    acid_upsert(spark, b2, root, key=_KEY, partition_by=("event_type",),
+                stats_cols=("n_events",))
+    _EVO_MEMO[memo_key] = root
+    return root
+
+
+@register(
+    "q_acid_schema_evolution",
+    oracle=f"""
+    WITH {_BATCHES_SQL},
+    b2x AS (
+        SELECT user_id, event_type,
+               ROUND(MAX(value), 6) AS max_value
+        FROM events
+        WHERE ts >= TIMESTAMP '{_B2_FROM}'
+          AND event_type IN {_B2_TYPES!r}
+        GROUP BY 1, 2
+    )
+    SELECT COALESCE(b2.user_id, b1.user_id) AS user_id,
+           COALESCE(b2.event_type, b1.event_type) AS event_type,
+           COALESCE(b2.n_events, b1.n_events) AS n_events,
+           COALESCE(b2.sum_value, b1.sum_value) AS sum_value,
+           b2x.max_value AS max_value
+    FROM b1 FULL OUTER JOIN b2
+      ON b1.user_id = b2.user_id AND b1.event_type = b2.event_type
+    LEFT JOIN b2x ON b2x.user_id = COALESCE(b2.user_id, b1.user_id)
+               AND b2x.event_type = COALESCE(b2.event_type, b1.event_type)
+               AND b2.user_id IS NOT NULL
+    """,
+)
+def q_acid_schema_evolution(spark, sf_dir):
+    """Additive schema evolution under the value gate (Delta
+    mergeSchema / Iceberg add-column semantics — sources/acid.
+    _merge_schema_ddl): the second upsert carries a NEW ``max_value``
+    column; the committed schema evolves to the union, batch2's rows
+    carry the new column's values, and every surviving batch1-only row
+    reads it as NULL from the historic files (which are NOT rewritten —
+    the pinned manifest schema fills the gap). A type-conflicting
+    evolution fails loudly (pytest). The oracle recomputes the merged
+    end state with the new column NULL exactly where only batch1
+    survives."""
+    from ..sources.acid import acid_read
+
+    return acid_read(spark, _acid_evo_table(spark, sf_dir)).select(
+        "user_id", "event_type", "n_events", "sum_value", "max_value"
+    )
