@@ -70,6 +70,12 @@ HEADLINE = [
     # (quality -> repetition -> exact-dedup -> decontamination) with
     # per-stage drop attribution
     "q_doc_curation",
+    # round-8 flagship ops: IDF-weighted Jaccard verify (full-corpus df
+    # pass + blocked verify; 0.23x DuckDB at 10x) and the MMR diversified
+    # re-rank (unrolled greedy; 0.09x at 10x). q_emb_knn_eval is
+    # deliberately NOT headline (floor-bound vs a 0.18 s oracle at
+    # sf0.1); its evidence is the 10x row + the driver window head.
+    "q_doc_weighted_jaccard", "q_emb_mmr_topk",
     # round-7 third-session ops (ppl_buckets, dsir_weights, bigram_nll,
     # seq_pack, kcenter, pca_power, sq8, abtt, source_overlap) are
     # deliberately NOT headline: at sf0.1 they are per-job-floor-bound

@@ -423,3 +423,33 @@ def test_source_overlap_pair_join_never_broadcasts_shingles(spark):
     # per-source count joins MAY broadcast (forced, ≤|sources| rows)
     assert "ShuffledHashJoin [__sh" in p
     assert "BroadcastHashJoin [__sh" not in p
+
+
+def test_weighted_jaccard_plan_gates(spark):
+    p = _plan(spark, "q_doc_weighted_jaccard")
+    # the idf join is pinned shuffle_hash (rule 13 — a corpus-derived
+    # weight table must never be a broadcast build side); the only
+    # nested-loop is the forced broadcast of the 1-row N aggregate
+    assert "ShuffledHashJoin [sh" in p
+    assert "BroadcastHashJoin [sh#" not in p
+    assert "CartesianProduct" not in p
+    # bands table persisted + both verify sides read the candidate cache
+    assert p.count("InMemoryTableScan") >= 2
+
+
+def test_mmr_topk_plan_bounded_working_set(spark):
+    p = _plan(spark, "q_emb_mmr_topk")
+    # candidate generation is the cosine_topk scan (bounded query side
+    # broadcast-nested-loop); after that every greedy round is a keyed
+    # op over the checkpointed <=10-rows-per-query candidate/pair tables
+    # — no cartesian, no corpus-side shuffle in the rounds
+    assert "CartesianProduct" not in p
+    assert p.count("Scan ExistingRDD") >= 2  # cand + pair checkpoints
+
+
+def test_knn_eval_plan_is_cosine_scan(spark):
+    p = _plan(spark, "q_emb_knn_eval")
+    # the corpus must stream through the broadcast-query scan — a corpus
+    # exchange before ranking would be the wrong shape at 100 TB
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # broadcast(q) x corpus scan
