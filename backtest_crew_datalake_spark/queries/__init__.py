@@ -105,6 +105,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # value-check slot. tools/check_oracles.py covers the full catalog.
 PRIORITY_ORDER: tuple[str, ...] = (
     # new this round — first driver evidence
+    "q_doc_doremi_weights",
+    "q_emb_bq_topk",
+    "q_evt_rollup_cascade",
     "q_doc_weighted_jaccard",
     "q_acid_vacuum_read",
     "q_emb_knn_eval",

@@ -1685,3 +1685,144 @@ def q_emb_mmr_topk(spark, sf_dir):
         F.col("nid").alias("neighbor_id"),
         F.round("mmr_score", 5).alias("mmr_score"), "simq",
     )
+
+
+_BQ_PACK = ("CAST(list_aggregate(list_transform(range(1, 33), "
+            "i -> CASE WHEN {v}[i + {off}] > 0 THEN (1::BIGINT << (i - 1)) "
+            "ELSE 0::BIGINT END), 'sum') AS BIGINT)")
+
+
+@register(
+    "q_emb_bq_topk",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pk AS (
+        SELECT vec_id, v,
+               COALESCE({_BQ_PACK.format(v='v', off=0)}, 0) AS w0,
+               COALESCE({_BQ_PACK.format(v='v', off=32)}, 0) AS w1
+        FROM emb
+    ),
+    q AS (SELECT vec_id AS query_id, v, w0, w1 FROM pk WHERE vec_id < 10),
+    cand AS (
+        SELECT query_id, neighbor_id, hamming, cv FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id, c.v AS cv,
+                   CAST(bit_count(xor(q.w0, c.w0))
+                        + bit_count(xor(q.w1, c.w1)) AS INT) AS hamming,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY bit_count(xor(q.w0, c.w0))
+                                + bit_count(xor(q.w1, c.w1)),
+                                c.vec_id) AS rk
+            FROM q CROSS JOIN pk c) WHERE rk <= 20
+    ),
+    rr AS (
+        SELECT query_id, neighbor_id, hamming, d2, rk FROM (
+            SELECT cand.query_id, cand.neighbor_id, cand.hamming,
+                   {_SQD64.format(a='q.v', b='cand.cv')} AS d2,
+                   ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                       ORDER BY {_SQD64.format(a='q.v', b='cand.cv')},
+                                cand.neighbor_id) AS rk
+            FROM cand JOIN q USING (query_id)) WHERE rk <= 5
+    ),
+    ex AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY {_SQD64.format(a='q.v', b='c.v')},
+                                c.vec_id) AS rk
+            FROM q CROSS JOIN emb c) WHERE rk <= 5
+    ),
+    rc AS (
+        SELECT r.query_id, CAST(COUNT(e.neighbor_id) AS BIGINT) AS recall5
+        FROM rr r LEFT JOIN ex e
+          ON r.query_id = e.query_id AND r.neighbor_id = e.neighbor_id
+        GROUP BY 1
+    )
+    SELECT r.query_id, CAST(r.rk AS INT) AS rank, r.neighbor_id, r.hamming,
+           ROUND(r.d2, 4) AS bq_d2, rc.recall5
+    FROM rr r JOIN rc USING (query_id)
+    """,
+)
+def q_emb_bq_topk(spark, sf_dir):
+    """Binary-quantization ANN (the modern vector-DB BQ trick: 1 bit/dim):
+    sign bits packed into two 32-bit words per vector, candidates ranked by
+    Hamming distance (JVM-side xor + bit_count — 64 dims compare in two
+    integer ops), top-20 Hamming candidates re-ranked by exact L2, top-5
+    emitted with in-query recall@5 vs the exact scan. 64x compression and
+    the cheapest possible distance kernel; the rerank stage restores most
+    of the recall the 1-bit code loses.
+
+    Scale shape: packing is a row-local map (codes live next to vectors);
+    the scan is cosine_topk's (bounded query side broadcast, corpus
+    streams, never materialized per-query beyond the top-k windows). The
+    sign-bit packs sum 32 disjoint powers of two — exact integer math in
+    both engines, no float anywhere before the rerank."""
+    from pyspark.sql import Window
+
+    from ..pipeline.dedup import spread_partitions
+    from ..pipeline.similarity import _sqdist
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("__x")
+    )
+
+    def _pack(off):
+        return F.coalesce(F.expr(
+            "aggregate(transform(sequence(0, 31), "
+            f"i -> IF(__x[i + {off}] > 0D, shiftleft(1L, i), 0L)), "
+            "0L, (a, b) -> a + b)"
+        ), F.lit(0).cast("long"))
+
+    pk = spread_partitions(emb, "vec_id").select(
+        "vec_id", "__x", _pack(0).alias("__w0"), _pack(32).alias("__w1")
+    )
+    q = pk.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("__x").alias("__qv"),
+        F.col("__w0").alias("__q0"), F.col("__w1").alias("__q1"),
+    )
+    ham = (
+        F.bit_count(F.col("__q0").bitwiseXOR(F.col("__w0")))
+        + F.bit_count(F.col("__q1").bitwiseXOR(F.col("__w1")))
+    )
+    wh = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    cand = (
+        F.broadcast(q).crossJoin(pk.withColumnRenamed("vec_id",
+                                                      "neighbor_id"))
+        .select("query_id", "neighbor_id", "__qv",
+                F.col("__x").alias("__cv"), ham.cast("int").alias("hamming"))
+        .withColumn("__rk", F.row_number().over(wh))
+        .where(F.col("__rk") <= 20)
+    )
+    wd = Window.partitionBy("query_id").orderBy("__d2", "neighbor_id")
+    rr = (
+        cand.select("query_id", "neighbor_id", "hamming",
+                    _sqdist(F.col("__qv"), F.col("__cv")).alias("__d2"))
+        .withColumn("rank", F.row_number().over(wd))
+        .where(F.col("rank") <= 5)
+    )
+    ex = (
+        F.broadcast(q).crossJoin(
+            spread_partitions(emb, "vec_id").select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("__x").alias("__cv"),
+            )
+        )
+        .select("query_id", "neighbor_id",
+                _sqdist(F.col("__qv"), F.col("__cv")).alias("__d2"))
+        .withColumn("rank", F.row_number().over(wd))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    rc = (
+        rr.join(ex, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("recall5"))
+    )
+    rc = (
+        q.select("query_id")
+        .join(rc, "query_id", "left")
+        .select("query_id", F.coalesce("recall5", F.lit(0)).alias("recall5"))
+    )
+    return rr.select(
+        "query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id",
+        "hamming", F.round("__d2", 4).alias("bq_d2"),
+    ).join(rc, "query_id")

@@ -1542,3 +1542,102 @@ def q_evt_ewma(spark, sf_dir):
         den = den + F.when(lagv.isNotNull(), F.lit(_EWMA_W[j])) \
                      .otherwise(F.lit(0.0))
     return e.select("event_id", "user_id", (num / den).alias("ewma"))
+
+
+@register(
+    "q_evt_rollup_cascade",
+    oracle="""
+    SELECT event_type,
+           (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+           ROUND(FIRST(value ORDER BY ts, event_id), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(LAST(value ORDER BY ts, event_id), 6) AS close,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS volume_cents,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT (epoch_ms(ts) // 60000)) AS BIGINT)
+               AS n_minutes
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_evt_rollup_cascade(spark, sf_dir):
+    """Hypertable-style continuous-aggregate CASCADE (the TimescaleDB /
+    materialized-rollup shape): minute OHLCV rollups re-aggregate to
+    5-minute, 5-minute to hourly — each coarser level reads ONLY the next
+    finer level, never the raw events. The oracle computes the hourly
+    result DIRECTLY from raw, so the value gate proves the re-aggregation
+    invariant (rollup(rollup(x)) == rollup(x)) that makes incremental
+    materialized tiers sound at scale:
+
+    - open/close carried UNROUNDED through the cascade, re-selected by
+      min_by/max_by on the finer bucket's timestamp (the finest level
+      orders by (ts, event_id)) — first-of-firsts == first;
+    - volume as exact integer cents (scale.md rule 12: scaled-int sums
+      are associative; a double sum would drift per re-aggregation tier);
+    - n_minutes carried as a countable (each minute row contributes 1),
+      which the direct oracle needs a COUNT(DISTINCT) for — the cascade
+      turns a distinct-count into a sum.
+
+    Scale shape: three keyed aggregations with strictly shrinking
+    cardinality (events -> minutes -> 5-min -> hours), all map-side
+    combinable; at 100 TB each tier would be an ACID table refreshed
+    incrementally from the tier below (cf. sources/acid.py), and this
+    query is the invariant check that refresh relies on."""
+    e = load(spark, sf_dir, "events")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    minute = (
+        e.groupBy(
+            "event_type",
+            ((F.unix_millis("ts") / 60000).cast("long") * 60000)
+            .alias("m_ms"),
+        )
+        .agg(
+            F.min_by("value", ordk).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordk).alias("close"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .alias("volume_cents"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    five = (
+        minute.groupBy(
+            "event_type",
+            ((F.col("m_ms") / 300000).cast("long") * 300000).alias("f_ms"),
+        )
+        .agg(
+            F.min_by("open", F.col("m_ms")).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", F.col("m_ms")).alias("close"),
+            F.sum("volume_cents").alias("volume_cents"),
+            F.sum("n_events").alias("n_events"),
+            F.count("*").alias("n_minutes"),
+        )
+    )
+    hour = (
+        five.groupBy(
+            "event_type",
+            ((F.col("f_ms") / 3600000).cast("long") * 3600000)
+            .alias("bucket_ms"),
+        )
+        .agg(
+            F.min_by("open", F.col("f_ms")).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", F.col("f_ms")).alias("close"),
+            F.sum("volume_cents").alias("volume_cents"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("n_minutes").alias("n_minutes"),
+        )
+    )
+    return hour.select(
+        "event_type", "bucket_ms",
+        F.round("open", 6).alias("open"),
+        F.round("high", 6).alias("high"),
+        F.round("low", 6).alias("low"),
+        F.round("close", 6).alias("close"),
+        "volume_cents", "n_events", "n_minutes",
+    )

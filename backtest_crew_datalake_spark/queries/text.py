@@ -3921,3 +3921,152 @@ def q_doc_cluster_split(spark, sf_dir):
         )
         .crossJoin(F.broadcast(straddle))
     )
+
+
+@register(
+    "q_doc_doremi_weights",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               UNNEST(string_split_regex(TRIM(text), '\\s+')) AS token
+        FROM documents
+    ),
+    vocab AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tt FROM vocab),
+    tok AS (
+        SELECT t.doc_id, t.source,
+               CAST(ROUND(-ROUND(LN(v.cnt / tot.tt), 8) * 100000000)
+                    AS BIGINT) AS nll8
+        FROM t JOIN vocab v USING (token), tot
+    ),
+    src AS (
+        SELECT source,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(nll8) AS BIGINT) AS s8
+        FROM tok GROUP BY 1
+    ),
+    m AS (
+        SELECT source, n_docs, n_tokens,
+               ROUND(s8 / 100000000.0 / n_tokens, 6) AS mean_nll,
+               CAST(ROUND(ROUND(s8 / 100000000.0 / n_tokens, 6) * 1000000)
+                    AS BIGINT) AS m6
+        FROM src
+    ),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS ng,
+                 CAST(SUM(m6) AS BIGINT) AS sm FROM m),
+    e AS (
+        SELECT m.*, g.ng,
+               CAST(ROUND(
+                   EXP(ROUND((m.m6 * g.ng - g.sm) / (g.ng * 1000000.0), 6))
+                   * 100000000) AS BIGINT) AS e8
+        FROM m, g
+    ),
+    s1 AS (SELECT CAST(SUM(e8) AS BIGINT) AS t1 FROM e),
+    a1 AS (
+        SELECT e.*, CAST(ROUND(
+                   (0.99 * (e.e8 / CAST(s1.t1 AS DOUBLE)) + 0.01 / e.ng)
+                   * 100000000) AS BIGINT) AS a18
+        FROM e, s1
+    ),
+    w2 AS (SELECT a1.*, a18 * e8 AS w28 FROM a1),
+    s2 AS (SELECT CAST(SUM(w28) AS BIGINT) AS t2 FROM w2)
+    SELECT w2.source, w2.n_docs, w2.n_tokens, w2.mean_nll,
+           a18 / 100000000.0 AS alpha1,
+           ROUND(0.99 * (w2.w28 / CAST(s2.t2 AS DOUBLE)) + 0.01 / w2.ng, 8)
+               AS alpha2
+    FROM w2, s2
+    """,
+)
+def q_doc_doremi_weights(spark, sf_dir):
+    """DoReMi-style domain reweighting (Xie et al. 2023, Algorithm 1's
+    multiplicative-weights update with uniform smoothing): per-source mean
+    token NLL under the corpus unigram LM is the domain loss; two update
+    rounds alpha <- normalize(alpha * exp(eta * excess_loss)) mixed with
+    the uniform distribution (c=0.01) produce the sampling weights a
+    pretraining mixture would use. The loss signal is static here (no
+    proxy-model retraining in-engine), so the unrolled rounds gate the
+    UPDATE ALGEBRA: normalization, smoothing, and the multiplicative
+    carry from round 1 into round 2.
+
+    Exactness discipline (docs/scale.md rule 12): per-token NLLs become
+    1e8-scaled BIGINTs summed exactly; the domain-centering term is pure
+    integer algebra (m6*G - sum(m6)); exp() results are re-scaled to
+    BIGINT before the cross-domain normalization sums, and the round-2
+    multiplicative weight is an exact BIGINT product (a18 * e8) — no
+    float sum anywhere, so both engines normalize identical integers.
+
+    Scale shape: one token explode -> keyed vocab count -> token join
+    (AQE-managed, vocab never force-broadcast) -> per-source agg; the
+    iteration then runs on the |sources|-row table (three bounded 1-row
+    aggregates broadcast back). At 100 TB only the first two passes touch
+    the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    )
+    vocab = t.groupBy("token").agg(F.count("*").alias("__cnt"))
+    tot = vocab.agg(F.sum("__cnt").cast("double").alias("__tt"))
+    logp8 = F.round(F.log(F.col("__cnt") / F.col("__tt")), 8)
+    nll8 = F.round(-logp8 * 100000000, 0).cast("long")
+    src = (
+        t.join(vocab, "token")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "source", nll8.alias("__nll8"))
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_tokens"),
+            F.sum("__nll8").alias("__s8"),
+        )
+    )
+    mean_nll = F.round(
+        F.col("__s8") / F.lit(100000000.0) / F.col("n_tokens"), 6
+    )
+    m = src.select(
+        "source", "n_docs", "n_tokens", mean_nll.alias("mean_nll"),
+        F.round(mean_nll * 1000000, 0).cast("long").alias("__m6"),
+    )
+    # the per-source table is BOUNDED (|sources| rows) but feeds five
+    # downstream consumers (g, e, s1, a1, s2) — without materialization
+    # each one re-plans the whole corpus subtree (measured: 24 FileScans,
+    # 80 aggregates in the executed plan). One localCheckpoint makes every
+    # round a trivial recompute over |sources| rows.
+    m = m.localCheckpoint()
+    g = m.agg(F.count("*").alias("__ng"), F.sum("__m6").alias("__sm"))
+    excess = (
+        (F.col("__m6") * F.col("__ng") - F.col("__sm"))
+        / (F.col("__ng") * F.lit(1000000.0))
+    )
+    e = (
+        m.crossJoin(F.broadcast(g))
+        .withColumn(
+            "__e8",
+            F.round(F.exp(F.round(excess, 6)) * 100000000, 0).cast("long"),
+        )
+    )
+    s1 = e.agg(F.sum("__e8").alias("__t1"))
+    a1 = (
+        e.crossJoin(F.broadcast(s1))
+        .withColumn(
+            "__a18",
+            F.round(
+                (F.lit(0.99) * (F.col("__e8") / F.col("__t1").cast("double"))
+                 + F.lit(0.01) / F.col("__ng")) * 100000000, 0
+            ).cast("long"),
+        )
+        .withColumn("__w28", F.col("__a18") * F.col("__e8"))
+    )
+    s2 = a1.agg(F.sum("__w28").alias("__t2"))
+    return (
+        a1.crossJoin(F.broadcast(s2))
+        .select(
+            "source", "n_docs", "n_tokens", "mean_nll",
+            (F.col("__a18") / F.lit(100000000.0)).alias("alpha1"),
+            F.round(
+                F.lit(0.99) * (F.col("__w28") / F.col("__t2").cast("double"))
+                + F.lit(0.01) / F.col("__ng"), 8
+            ).alias("alpha2"),
+        )
+    )

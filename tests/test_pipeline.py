@@ -2315,3 +2315,124 @@ def test_weighted_jaccard_matches_bruteforce_replica(spark):
         exp_pj = round(ni / (sza + szb - ni), 4)
         assert abs(wj - exp_wj) < 5e-5, (ia, ib, wj, exp_wj)
         assert abs(pj - exp_pj) < 5e-5, (ia, ib, pj, exp_pj)
+
+
+def test_rollup_cascade_matches_direct(spark, tmp_path):
+    """Re-aggregation invariant hand-check: hourly-from-5min-from-minute
+    equals direct-from-raw, including the (ts, event_id) tie-break on
+    open and the distinct-minute count the cascade carries as a sum."""
+    from datetime import datetime as DT
+
+    from pyspark.sql import types as T
+
+    from backtest_crew_datalake_spark.queries.events import (
+        q_evt_rollup_cascade,
+    )
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    rows = [
+        # two events at the SAME timestamp — open must take event_id 0
+        (0, DT(2024, 1, 1, 10, 0, 30), 1, "a", 9.25, ""),
+        (1, DT(2024, 1, 1, 10, 0, 30), 1, "a", 1.00, ""),
+        (2, DT(2024, 1, 1, 10, 0, 45), 1, "a", 2.00, ""),
+        (3, DT(2024, 1, 1, 10, 4, 10), 1, "a", 3.50, ""),
+        (4, DT(2024, 1, 1, 10, 59, 59), 1, "a", 0.25, ""),
+        (5, DT(2024, 1, 1, 11, 0, 0), 1, "a", 7.00, ""),
+        (6, DT(2024, 1, 1, 10, 30, 0), 1, "b", 4.75, ""),
+    ]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet"))
+    out = {(r.event_type, r.bucket_ms): r
+           for r in q_evt_rollup_cascade(spark, str(tmp_path)).collect()}
+    h10 = out[("a", int(DT(2024, 1, 1, 10, 0).timestamp() * 1000))]
+    assert h10.open == 9.25          # tie at 10:00:30 -> event_id 0
+    assert h10.close == 0.25         # last event in hour
+    assert h10.high == 9.25 and h10.low == 0.25
+    assert h10.volume_cents == 925 + 100 + 200 + 350 + 25
+    assert h10.n_events == 5
+    assert h10.n_minutes == 3        # 10:00, 10:04, 10:59
+    h11 = out[("a", int(DT(2024, 1, 1, 11, 0).timestamp() * 1000))]
+    assert (h11.open, h11.close, h11.n_events, h11.n_minutes) == \
+        (7.0, 7.0, 1, 1)
+    assert out[("b", int(DT(2024, 1, 1, 10, 0).timestamp() * 1000))] \
+        .volume_cents == 475
+
+
+def test_bq_topk_packing_and_recall(spark, tmp_path):
+    """Sign-bit packing hand-check: planted all-positive / all-negative /
+    half-split vectors give known Hamming distances; identical sign
+    patterns collapse to Hamming 0 and the exact rerank separates them."""
+    from pyspark.sql import types as T
+
+    from backtest_crew_datalake_spark.queries.embeddings import q_emb_bq_topk
+
+    pos = [1.0] * 64
+    neg = [-1.0] * 64
+    half = [1.0] * 32 + [-1.0] * 32
+    zero = [0.0] * 64                  # packs like all-negative (> 0 strict)
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    df = spark.createDataFrame(
+        [(0, pos, 0), (1, neg, 0), (2, half, 0), (3, zero, 0)], schema)
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    rows = q_emb_bq_topk(spark, str(tmp_path)).collect()
+    ham = {(r.query_id, r.neighbor_id): r.hamming for r in rows}
+    assert ham[(0, 0)] == 0
+    assert ham[(0, 1)] == 64 and ham[(0, 3)] == 64
+    assert ham[(0, 2)] == 32 and ham[(2, 1)] == 32
+    assert ham[(1, 3)] == 0            # same sign pattern, different vector
+    rk = {(r.query_id, r.rank): r.neighbor_id for r in rows}
+    for q in (0, 1, 2, 3):
+        assert rk[(q, 1)] == q         # exact rerank puts self first
+    # 4 vectors -> top-5 is everything -> recall5 == 4 for every query
+    assert all(r.recall5 == 4 for r in rows)
+
+
+def test_doremi_weights_update_properties(spark, tmp_path):
+    """DoReMi update algebra on a planted two-regime corpus: the
+    rare-token (high-NLL) domain must gain weight, the boilerplate
+    domain must lose it, weights stay a smoothed distribution (sum 1),
+    and the round-2 multiplicative carry amplifies round 1's tilt."""
+    from pyspark.sql import types as T
+
+    from backtest_crew_datalake_spark.queries.text import (
+        q_doc_doremi_weights,
+    )
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    rows = [
+        (0, "the the the the the the", "en", "boilerplate", 0),
+        (1, "the the the the", "en", "boilerplate", 0),
+        (2, "quasar ontology manifold", "en", "rare", 0),
+        (3, "synecdoche palimpsest", "en", "rare", 0),
+    ]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    out = {r.source: r for r in
+           q_doc_doremi_weights(spark, str(tmp_path)).collect()}
+    b, r = out["boilerplate"], out["rare"]
+    assert (b.n_docs, b.n_tokens) == (2, 10)
+    assert (r.n_docs, r.n_tokens) == (2, 5)
+    assert r.mean_nll > b.mean_nll
+    for a1, a2 in ((b.alpha1, b.alpha2), (r.alpha1, r.alpha2)):
+        assert 0.0 < a1 < 1.0 and 0.0 < a2 < 1.0
+    assert abs(b.alpha1 + r.alpha1 - 1.0) < 1e-6
+    assert abs(b.alpha2 + r.alpha2 - 1.0) < 1e-6
+    assert r.alpha1 > 0.5 > b.alpha1   # tilt toward the high-loss domain
+    assert r.alpha2 > r.alpha1         # multiplicative carry amplifies

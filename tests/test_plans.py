@@ -453,3 +453,35 @@ def test_knn_eval_plan_is_cosine_scan(spark):
     # exchange before ranking would be the wrong shape at 100 TB
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p  # broadcast(q) x corpus scan
+
+
+def test_rollup_cascade_single_scan_no_joins(spark):
+    p = _plan(spark, "q_evt_rollup_cascade")
+    # the cascade reads raw events ONCE; every coarser tier re-aggregates
+    # the tier below (three keyed agg levels), with no join anywhere —
+    # a second events scan would mean a tier cheated back to raw
+    assert p.count("FileScan parquet") == 1
+    for op in ("Join", "CartesianProduct"):
+        assert op not in p
+    # minute -> 5min -> hour: at least three aggregate levels survive
+    # (the finest tier is a SortAggregate — min_by over a struct order key;
+    # the re-agg tiers order by the finer bucket's LONG and stay hash)
+    assert p.count("HashAggregate") + p.count("SortAggregate") >= 6
+
+
+def test_bq_topk_broadcasts_queries_corpus_streams(spark):
+    p = _plan(spark, "q_emb_bq_topk")
+    # sign-bit packing is row-local; both the Hamming scan and the exact
+    # scan stream the corpus against the broadcast 10-query side
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_doremi_iteration_stays_bounded(spark):
+    p = _plan(spark, "q_doc_doremi_weights")
+    # the corpus is touched by the token explode + vocab join only; the
+    # multiplicative-weight rounds run on the |sources|-row table with
+    # forced 1-row broadcasts (BNLJ) — no cartesian, no corpus rescan
+    # beyond the two token passes
+    assert "CartesianProduct" not in p
+    assert p.count("FileScan parquet") <= 3
