@@ -492,3 +492,200 @@ def streaming_curation(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def _rollup_minute_partial(batch_df: DataFrame) -> DataFrame:
+    """One micro-batch's minute-grain rollup, carrying the GLOBAL order keys
+    (ts_ms, event_id) inside the open/close extremum structs so any later
+    combine — across partials of the same minute, or up-tier — re-selects
+    the true first/last by plain struct min/max (associative)."""
+    ok = F.struct(
+        F.unix_millis("ts").alias("k_ms"),
+        F.col("event_id").alias("k_eid"),
+        F.col("value").alias("v"),
+    )
+    return (
+        batch_df.groupBy(
+            "event_type",
+            ((F.unix_millis("ts") / 60_000).cast("long") * 60_000)
+            .alias("bucket_ms"),
+        )
+        .agg(
+            F.min(ok).alias("o"),
+            F.max(ok).alias("c"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .alias("volume_cents"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type", "bucket_ms",
+            F.col("o.k_ms").alias("open_ms"),
+            F.col("o.k_eid").alias("open_eid"),
+            F.col("o.v").alias("open"),
+            F.col("c.k_ms").alias("close_ms"),
+            F.col("c.k_eid").alias("close_eid"),
+            F.col("c.v").alias("close"),
+            "high", "low", "volume_cents", "n_events",
+        )
+    )
+
+
+def _combine_tier(df: DataFrame, factor_ms: int,
+                  count_minutes: str | None) -> DataFrame:
+    """Re-aggregate tier rows (or same-grain partials when
+    ``factor_ms`` equals the input grain) to coarser ``factor_ms`` buckets.
+    Associative at every tier because open/close carry the global
+    (ts_ms, event_id) order key. ``count_minutes``: None (minute tier —
+    combining partials of the SAME minute must not count), "count" (five
+    tier: one input row per minute), or "sum" (hour tier re-aggregates the
+    five tier's counts)."""
+    o = F.struct("open_ms", "open_eid", "open")
+    c = F.struct("close_ms", "close_eid", "close")
+    aggs = [
+        F.min(o).alias("o"), F.max(c).alias("c"),
+        F.max("high").alias("high"), F.min("low").alias("low"),
+        F.sum("volume_cents").alias("volume_cents"),
+        F.sum("n_events").alias("n_events"),
+    ]
+    if count_minutes == "count":
+        aggs.append(F.count("*").alias("n_minutes"))
+    elif count_minutes == "sum":
+        aggs.append(F.sum("n_minutes").alias("n_minutes"))
+    out = (
+        df.groupBy(
+            "event_type",
+            ((F.col("bucket_ms") / factor_ms).cast("long") * factor_ms)
+            .alias("bucket_ms"),
+        )
+        .agg(*aggs)
+    )
+    cols = [
+        "event_type", "bucket_ms",
+        F.col("o.open_ms").alias("open_ms"),
+        F.col("o.open_eid").alias("open_eid"),
+        F.col("o.open").alias("open"),
+        F.col("c.close_ms").alias("close_ms"),
+        F.col("c.close_eid").alias("close_eid"),
+        F.col("c.close").alias("close"),
+        "high", "low", "volume_cents", "n_events",
+    ]
+    if count_minutes is not None:
+        cols.append("n_minutes")
+    return out.select(*cols)
+
+
+def _apply_rollup_batch(spark: SparkSession, batch_df: DataFrame,
+                        batch_id: int, out_root: str) -> None:
+    """One micro-batch of the continuous-aggregate cascade. Replay-safe by
+    construction: step 1 is an idempotent overwrite, steps 2-4 recompute
+    their touched buckets from the layer below (same inputs ⇒ same rows),
+    and each tier upsert is one atomic ACID commit."""
+    from ..sources.acid import acid_read, acid_upsert
+
+    partial = _rollup_minute_partial(batch_df)
+    # 1. the batch's partial IS the durable log record — batch_id-keyed
+    #    overwrite makes at-least-once foreachBatch delivery idempotent
+    pdir = f"{out_root}/partials/batch_id={int(batch_id)}"
+    partial.write.mode("overwrite").parquet(pdir)
+
+    # 2. recompute touched MINUTES from the full partial log (filtered to
+    #    the touched keys — parquet min/max stats on bucket_ms make this a
+    #    skipping scan as the log grows; a production deployment also
+    #    compacts the log periodically, it is append-only by batch_id)
+    touched = (
+        spark.read.parquet(pdir)
+        .select("event_type", "bucket_ms").distinct().localCheckpoint()
+    )
+    all_partials = spark.read.option("basePath", f"{out_root}/partials") \
+        .parquet(f"{out_root}/partials")
+    minute_rows = _combine_tier(
+        all_partials.join(F.broadcast(touched),
+                          ["event_type", "bucket_ms"], "left_semi"),
+        60_000, None,
+    )
+    acid_upsert(spark, minute_rows, f"{out_root}/minute",
+                key=("event_type", "bucket_ms"))
+
+    # 3./4. refresh each coarser tier from the tier BELOW, only for
+    #    buckets the batch touched
+    prev_touched = touched
+    for src, dst, factor, cm in (
+        ("minute", "five", 300_000, "count"),
+        ("five", "hour", 3_600_000, "sum"),
+    ):
+        t = (
+            prev_touched.select(
+                "event_type",
+                ((F.col("bucket_ms") / factor).cast("long") * factor)
+                .alias("bucket_ms"),
+            ).distinct().localCheckpoint()
+        )
+        below = acid_read(spark, f"{out_root}/{src}")
+        rows = _combine_tier(
+            below.withColumn(
+                "__coarse",
+                ((F.col("bucket_ms") / factor).cast("long") * factor),
+            ).join(
+                F.broadcast(t.withColumnRenamed("bucket_ms", "__coarse")),
+                ["event_type", "__coarse"], "left_semi",
+            ).drop("__coarse"),
+            factor, cm,
+        )
+        acid_upsert(spark, rows, f"{out_root}/{dst}",
+                    key=("event_type", "bucket_ms"))
+        prev_touched = t
+
+
+def streaming_rollup_cascade(
+    spark: SparkSession,
+    landing_dir: str,
+    out_root: str,
+    checkpoint_dir: str,
+    schema,
+    available_now: bool = True,
+):
+    """Continuous hypertable-style aggregate cascade (the deployment shape
+    of q_evt_rollup_cascade): raw event micro-batches maintain three ACID
+    rollup tiers — minute, 5-minute, hourly — where each coarser tier is
+    refreshed FROM THE TIER BELOW for exactly the buckets the batch
+    touched. Late/out-of-order events are handled by recomputation, not
+    watermark-dropping: an event landing in an old minute re-derives that
+    minute, its 5-minute bucket, and its hour from durable state.
+
+    Exactly-once effect from at-least-once foreachBatch with no external
+    coordinator: the per-batch minute partial is written to a
+    batch_id-keyed dir with overwrite (replay rewrites the same bytes),
+    tier refreshes are deterministic recomputations over that log and the
+    tier below, and every tier update is one atomic manifest commit
+    (sources/acid.py) — a reader polling any tier sees complete snapshots
+    only. Tiers commit independently (minute before hour), which is the
+    standard eventual-consistency contract of continuous aggregates.
+
+    Scale: the partial log is bucket_ms-ordered parquet (stats-skipped on
+    recompute, compactable); per-batch work is O(touched buckets), not
+    O(history); the cascade invariant (hourly == direct-from-raw) is
+    value-gated by the batch twin q_evt_rollup_cascade's oracle.
+
+    Returns the StreamingQuery handle."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(landing_dir)
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _apply_rollup_batch(spark, batch_df, batch_id, out_root)
+
+    writer = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

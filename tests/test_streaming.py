@@ -819,3 +819,93 @@ def test_streaming_curation_gates_and_cross_batch_dedup(spark, tmp_path):
     acc = {r.doc_id for r in
            spark.read.parquet(f"{out}/accepted").collect()}
     assert acc == {10, 21}
+
+
+def test_streaming_rollup_cascade_incremental_and_late(spark, tmp_path):
+    """The continuous-aggregate cascade equals the batch rollup of the
+    union after every run — including a LATE event landing in an
+    already-rolled-up minute — and replaying a batch is a no-op."""
+    from datetime import datetime as DT
+
+    from pyspark.sql import functions as F
+
+    from backtest_crew_datalake_spark.sources.acid import acid_read
+    from backtest_crew_datalake_spark.streaming.ingest import (
+        _apply_rollup_batch,
+        streaming_rollup_cascade,
+    )
+
+    src = str(tmp_path / "land")
+    out = str(tmp_path / "tiers")
+    ckpt = str(tmp_path / "ckpt")
+    sch = ("event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+
+    def land(rows, mode):
+        spark.createDataFrame(rows, sch).coalesce(1) \
+            .write.mode(mode).parquet(src)
+
+    b0 = [
+        (0, DT(2024, 1, 1, 10, 0, 30), 1, "a", 9.25, ""),
+        (1, DT(2024, 1, 1, 10, 0, 45), 1, "a", 1.00, ""),
+        (2, DT(2024, 1, 1, 10, 4, 10), 1, "a", 3.50, ""),
+        (3, DT(2024, 1, 1, 11, 0, 0), 1, "a", 7.00, ""),
+        (4, DT(2024, 1, 1, 10, 30, 0), 1, "b", 4.75, ""),
+    ]
+    land(b0, "overwrite")
+    streaming_rollup_cascade(spark, src, out, ckpt, sch)
+
+    def hour_rows():
+        return {
+            (r.event_type, r.bucket_ms):
+                (r.open, r.high, r.low, r.close, r.volume_cents,
+                 r.n_events, r.n_minutes)
+            for r in acid_read(spark, f"{out}/hour").collect()
+        }
+
+    def batch_expect(rows):
+        df = spark.createDataFrame(rows, sch)
+        ordk = F.struct("ts", "event_id")
+        got = (
+            df.groupBy(
+                "event_type",
+                ((F.unix_millis("ts") / 3_600_000).cast("long") * 3_600_000)
+                .alias("bucket_ms"))
+            .agg(F.min_by("value", ordk).alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max_by("value", ordk).alias("close"),
+                 F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                 .alias("volume_cents"),
+                 F.count("*").alias("n_events"),
+                 F.countDistinct(
+                     ((F.unix_millis("ts") / 60_000).cast("long")))
+                 .alias("n_minutes"))
+            .collect()
+        )
+        return {(r.event_type, r.bucket_ms):
+                (r.open, r.high, r.low, r.close, r.volume_cents,
+                 r.n_events, r.n_minutes) for r in got}
+
+    assert hour_rows() == batch_expect(b0)
+
+    # batch 1: a LATE event into the already-materialized 10:00 minute of
+    # "a" (forces recompute of an old minute + its 5-min + hour), plus a
+    # new hour
+    b1 = [
+        (5, DT(2024, 1, 1, 10, 0, 10), 1, "a", 0.50, ""),   # new open
+        (6, DT(2024, 1, 1, 12, 15, 0), 1, "a", 2.25, ""),
+    ]
+    land(b1, "append")
+    streaming_rollup_cascade(spark, src, out, ckpt, sch)
+    assert hour_rows() == batch_expect(b0 + b1)
+    h10 = hour_rows()[("a", int(DT(2024, 1, 1, 10, 0).timestamp() * 1000))]
+    assert h10[0] == 0.50            # late event wins open by earlier ts
+
+    # replay batch 0 verbatim (at-least-once delivery): tiers unchanged
+    before = hour_rows()
+    _apply_rollup_batch(spark, spark.createDataFrame(b0, sch), 0, out)
+    assert hour_rows() == before
+    assert acid_read(spark, f"{out}/minute").count() == \
+        spark.read.parquet(f"{out}/partials").select(
+            "event_type", "bucket_ms").distinct().count()
