@@ -349,3 +349,61 @@ def test_ppl_buckets_matches_python_cutoff_rule(spark, docs):
         assert got[b].n_tokens == sum(nll[d][1] for d in ids)
         assert got[b].min_nll == min(nll[d][0] for d in ids)
         assert got[b].max_nll == max(nll[d][0] for d in ids)
+
+
+_events = st.lists(
+    st.tuples(
+        st.integers(0, 86_399),            # second offset within one day
+        st.sampled_from(["a", "b"]),       # event_type
+        st.integers(1, 50_000),            # value in cents
+    ),
+    min_size=1, max_size=80,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(evs=_events)
+def test_rollup_cascade_equals_python_direct(spark, evs):
+    """Re-aggregation invariant on arbitrary event streams (including
+    same-timestamp ties, single-event minutes, and hour boundaries):
+    the minute→5min→hour cascade must equal a direct python rollup."""
+    from datetime import datetime as DT
+    from datetime import timedelta, timezone
+
+    from backtest_crew_datalake_spark.queries.events import (
+        q_evt_rollup_cascade,
+    )
+
+    base = DT(2024, 3, 1, tzinfo=timezone.utc)
+    rows = [
+        (i, (base + timedelta(seconds=sec)).replace(tzinfo=None),
+         1, et, cents / 100.0, "")
+        for i, (sec, et, cents) in enumerate(evs)
+    ]
+    sch = ("event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, sch).write.mode("overwrite") \
+            .parquet(f"{d}/events.parquet")
+        got = {(r.event_type, r.bucket_ms):
+               (r.open, r.high, r.low, r.close, r.volume_cents,
+                r.n_events, r.n_minutes)
+               for r in q_evt_rollup_cascade(spark, d).collect()}
+
+    want = {}
+    groups = {}
+    for i, (sec, et, cents) in enumerate(evs):
+        ms = int((base + timedelta(seconds=sec)).timestamp() * 1000)
+        groups.setdefault((et, ms // 3_600_000 * 3_600_000), []) \
+            .append((ms, i, cents / 100.0))
+    for k, g in groups.items():
+        g.sort()
+        want[k] = (
+            round(g[0][2], 6), round(max(v for _, _, v in g), 6),
+            round(min(v for _, _, v in g), 6), round(g[-1][2], 6),
+            sum(round(v * 100) for _, _, v in g), len(g),
+            len({ms // 60_000 for ms, _, _ in g}),
+        )
+    assert got == want
