@@ -106,6 +106,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 PRIORITY_ORDER: tuple[str, ...] = (
     # new this round — first driver evidence
     "q_doc_doremi_weights",
+    "q_doc_minhash_tuning",
     "q_emb_bq_topk",
     "q_evt_rollup_cascade",
     "q_doc_weighted_jaccard",

@@ -4070,3 +4070,140 @@ def q_doc_doremi_weights(spark, sf_dir):
             ).alias("alpha2"),
         )
     )
+
+
+def _minhash_tuning_sql() -> str:
+    """Parameterized CTE generator for the banding sweep: per bands config
+    b in {4, 8, 16} (16 hashes -> rows/band = 16/b), candidates + hits vs
+    the shared exact-Jaccard truth."""
+    parts = [r"""
+    docs AS (
+        SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, UNNEST(list_distinct(
+            CASE WHEN LEN(toks) >= 3 THEN
+                list_transform(generate_series(1, LEN(toks) - 2),
+                               i -> toks[i]||' '||toks[i+1]||' '||toks[i+2])
+            ELSE [array_to_string(toks, ' ')] END)) AS sh
+        FROM docs
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5
+    ),
+    nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+    seeds AS (SELECT UNNEST(range(0, 16)) AS i),
+    mh AS (
+        SELECT doc_id, i, MIN(md5(i::VARCHAR || '|' || sh)) AS h
+        FROM sh, seeds GROUP BY 1, 2
+    )"""]
+    rows = []
+    for b in (4, 8, 16):
+        r = 16 // b
+        parts.append(f"""
+    bands{b} AS (
+        SELECT doc_id, i // {r} AS band,
+               md5(string_agg(h, '|' ORDER BY i)) AS bucket
+        FROM mh GROUP BY 1, 2
+    ),
+    cand{b} AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands{b} a JOIN bands{b} b
+          ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+    ),
+    stat{b} AS (
+        SELECT CAST({b} AS INT) AS bands, CAST({r} AS INT) AS rows_per_band,
+               (SELECT COUNT(*) FROM cand{b}) AS n_candidates,
+               (SELECT COUNT(*) FROM truth t SEMI JOIN cand{b} c
+                  ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_hits
+    )""")
+        rows.append(
+            f"SELECT bands, rows_per_band, nt.n_truth, n_candidates, n_hits,"
+            f" ROUND(CAST(n_hits AS DOUBLE) / NULLIF(nt.n_truth, 0), 4)"
+            f" AS recall,"
+            f" ROUND(CAST(n_hits AS DOUBLE) / NULLIF(n_candidates, 0), 4)"
+            f" AS precision FROM stat{b}, nt")
+    return "WITH " + ",".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+@register("q_doc_minhash_tuning", oracle=_minhash_tuning_sql())
+def q_doc_minhash_tuning(spark, sf_dir):
+    """LSH banding-tuning scoreboard (the dedup twin of q_emb_ann_recall):
+    ONE 16-hash portable MinHash signature table swept over the three
+    banding configs — (bands, rows/band) in {(4,4), (8,2), (16,1)} — with
+    candidate count, hit count, recall AND precision vs the shared exact
+    3-gram-Jaccard >= 0.5 truth. This is the value-gated version of the
+    S-curve trade-off (more bands -> higher recall, lower precision) that
+    picks the banding for a 100 TB dedup run.
+
+    Scale shape: signatures computed ONCE (persisted serialized — three
+    band stages consume them); each config's candidate join is the banded
+    equi-join (never all-pairs), pinned shuffle_hash per rule 13; the
+    truth pair table is computed once and semi-joined three times."""
+    from pyspark import StorageLevel
+
+    from ..pipeline.dedup import _bands_from_sigs, _portable_minhash_sigs
+    from ..pipeline.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    truth = (
+        ngram_jaccard_pairs(d, n=3, threshold=0.5)
+        .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nt = truth.agg(F.count("*").alias("n_truth"))
+    sigs = _portable_minhash_sigs(d, "doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK)
+    out = None
+    for b in (4, 8, 16):
+        bands = _bands_from_sigs(sigs, "doc_id", bands=b)
+        cand = (
+            bands.alias("a")
+            .join(
+                bands.alias("b").hint("shuffle_hash"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+            )
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        hits = truth.join(cand, ["id_a", "id_b"], "left_semi")
+        row = (
+            F.broadcast(nt)
+            .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+            .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+            .select(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(16 // b).cast("int").alias("rows_per_band"),
+                "n_truth", "n_candidates", "n_hits",
+                F.round(
+                    F.col("n_hits").cast("double")
+                    / F.when(F.col("n_truth") > 0, F.col("n_truth")),
+                    4,
+                ).alias("recall"),
+                F.round(
+                    F.col("n_hits").cast("double")
+                    / F.when(F.col("n_candidates") > 0,
+                             F.col("n_candidates")),
+                    4,
+                ).alias("precision"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -485,3 +485,13 @@ def test_doremi_iteration_stays_bounded(spark):
     # beyond the two token passes
     assert "CartesianProduct" not in p
     assert p.count("FileScan parquet") <= 3
+
+
+def test_minhash_tuning_banded_joins_never_broadcast(spark):
+    p = _plan(spark, "q_doc_minhash_tuning")
+    # three banding configs, each a banded equi-join over the SHARED
+    # persisted signature table — pinned shuffle_hash (rule 13: cached
+    # corpus-derived tables must never become a broadcast build side)
+    assert p.count("ShuffledHashJoin [band") >= 3
+    assert "BroadcastHashJoin [band" not in p
+    assert "CartesianProduct" not in p
