@@ -108,6 +108,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_doc_doremi_weights",
     "q_doc_minhash_tuning",
     "q_emb_bq_topk",
+    "q_emb_ivf_probe_sweep",
     "q_evt_rollup_cascade",
     "q_doc_weighted_jaccard",
     "q_acid_vacuum_read",

@@ -1826,3 +1826,109 @@ def q_emb_bq_topk(spark, sf_dir):
         "query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id",
         "hamming", F.round("__d2", 4).alias("bq_d2"),
     ).join(rc, "query_id")
+
+
+def _ivf_probe_sweep_sql() -> str:
+    """Parameterized CTE generator for the nprobe sweep: shared centroid
+    assignment + exact truth, one (nprobe, recall) row per config."""
+    head = """
+    cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 16),
+    corpus AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nv
+               FROM embeddings WHERE vec_id >= 16),
+    qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id >= 16 AND vec_id < 26),
+    nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM qs),
+    assign AS (
+        SELECT nid, nv, cid FROM (
+            SELECT c.nid, c.nv, t.cid,
+                   ROW_NUMBER() OVER (PARTITION BY c.nid
+                       ORDER BY list_distance(c.nv, t.cv), t.cid) AS rk
+            FROM corpus c CROSS JOIN cent t
+        ) WHERE rk = 1
+    ),
+    pr AS (
+        SELECT qid, qv, cid, rk FROM (
+            SELECT q.qid, q.qv, t.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid
+                       ORDER BY list_distance(q.qv, t.cv), t.cid) AS rk
+            FROM qs q CROSS JOIN cent t
+        ) WHERE rk <= 4
+    ),
+    exact AS (
+        SELECT qid, nid FROM (
+            SELECT q.qid, c.nid,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid
+                       ORDER BY list_cosine_similarity(q.qv, c.nv) DESC,
+                                c.nid) AS rk
+            FROM qs q CROSS JOIN corpus c
+        ) WHERE rk <= 5
+    )"""
+    parts, rows = [head], []
+    for np_ in (1, 2, 4):
+        parts.append(f"""
+    ivf{np_} AS (
+        SELECT qid, nid FROM (
+            SELECT p.qid, a.nid,
+                   ROW_NUMBER() OVER (PARTITION BY p.qid
+                       ORDER BY list_cosine_similarity(p.qv, a.nv) DESC,
+                                a.nid) AS rk
+            FROM pr p JOIN assign a USING (cid) WHERE p.rk <= {np_}
+        ) WHERE rk <= 5
+    ),
+    hit{np_} AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM ivf{np_} i SEMI JOIN exact e
+          ON i.qid = e.qid AND i.nid = e.nid
+    )""")
+        rows.append(
+            f"SELECT CAST({np_} AS INT) AS nprobe, nq.n_queries,"
+            f" hit{np_}.n_hits,"
+            f" ROUND(CAST(hit{np_}.n_hits AS DOUBLE)"
+            f" / (5 * nq.n_queries), 4) AS recall5"
+            f" FROM hit{np_}, nq")
+    return "WITH " + ",".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+@register("q_emb_ivf_probe_sweep", oracle=_ivf_probe_sweep_sql())
+def q_emb_ivf_probe_sweep(spark, sf_dir):
+    """IVF probe-budget tuning sweep (the ANN twin of q_doc_minhash_tuning):
+    recall@5 vs the exact scan for nprobe in {1, 2, 4} over the same 16
+    fixed coarse lists — the latency/recall trade-off curve that picks a
+    probe budget before an index rollout. Monotone by construction
+    (nprobe=4 candidates ⊇ nprobe=2 ⊇ nprobe=1), which the value gate
+    re-proves numerically.
+
+    Scale shape: each config is ivf_topk's plan (centroids broadcast,
+    candidate join keyed on centroid id); the exact-truth scan is
+    cosine_topk's (bounded query side broadcast, corpus streams). At
+    100 TB the corpus assignment materializes once next to the vectors
+    and only the probe joins vary."""
+    from ..pipeline.similarity import cosine_topk, ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 16)
+    corpus = emb.where(F.col("vec_id") >= 16)
+    qs = emb.where((F.col("vec_id") >= 16) & (F.col("vec_id") < 26))
+    exact = cosine_topk(qs, corpus, k=5).select("query_id", "neighbor_id")
+    exact = exact.localCheckpoint()
+    nq = qs.agg(F.count("*").alias("n_queries"))
+    out = None
+    for np_ in (1, 2, 4):
+        ivf = ivf_topk(qs, corpus, cent, k=5, nprobe=np_).select(
+            "query_id", "neighbor_id")
+        hits = ivf.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        row = (
+            F.broadcast(nq)
+            .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+            .select(
+                F.lit(np_).cast("int").alias("nprobe"),
+                "n_queries", "n_hits",
+                F.round(
+                    F.col("n_hits").cast("double")
+                    / (F.lit(5) * F.col("n_queries")), 4,
+                ).alias("recall5"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

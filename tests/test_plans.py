@@ -495,3 +495,14 @@ def test_minhash_tuning_banded_joins_never_broadcast(spark):
     assert p.count("ShuffledHashJoin [band") >= 3
     assert "BroadcastHashJoin [band" not in p
     assert "CartesianProduct" not in p
+
+
+def test_ivf_probe_sweep_keyed_candidate_joins(spark):
+    p = _plan(spark, "q_emb_ivf_probe_sweep")
+    # three probe configs share the plan family: candidate joins are keyed
+    # equi-joins on the centroid id — the corpus is never cross-joined
+    # (the only BNLJ is the bounded query/centroid broadcast side)
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange hashpartitioning(__cid") >= 1 or \
+        p.count("BroadcastHashJoin [__cid") >= 3 or \
+        p.count("ShuffledHashJoin [__cid") >= 1
