@@ -110,6 +110,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_emb_bq_topk",
     "q_emb_ivf_probe_sweep",
     "q_evt_rollup_cascade",
+    "q_evt_winsorize",
     "q_doc_weighted_jaccard",
     "q_acid_vacuum_read",
     "q_emb_knn_eval",

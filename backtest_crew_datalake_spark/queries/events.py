@@ -1641,3 +1641,102 @@ def q_evt_rollup_cascade(spark, sf_dir):
         F.round("close", 6).alias("close"),
         "volume_cents", "n_events", "n_minutes",
     )
+
+
+@register(
+    "q_evt_winsorize",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    counts AS (
+        SELECT event_type, cents, COUNT(*) AS n FROM v GROUP BY 1, 2
+    ),
+    hist AS (
+        SELECT event_type, cents, n,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(n) OVER (PARTITION BY event_type) AS tot
+        FROM counts
+    ),
+    cuts AS (
+        SELECT event_type,
+               MIN(CASE WHEN cum >= CEIL(0.05 * tot) THEN cents END) AS lo,
+               MIN(CASE WHEN cum >= CEIL(0.95 * tot) THEN cents END) AS hi
+        FROM hist GROUP BY 1
+    )
+    SELECT v.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           c.lo AS p05_cents, c.hi AS p95_cents,
+           CAST(SUM(CASE WHEN v.cents < c.lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clamped_low,
+           CAST(SUM(CASE WHEN v.cents > c.hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clamped_high,
+           ROUND(CAST(SUM(v.cents) AS BIGINT) / 100.0 / COUNT(*), 6)
+               AS mean_before,
+           ROUND(CAST(SUM(LEAST(GREATEST(v.cents, c.lo), c.hi)) AS BIGINT)
+                 / 100.0 / COUNT(*), 6) AS mean_after
+    FROM v JOIN cuts c USING (event_type)
+    GROUP BY 1, 3, 4
+    """,
+)
+def q_evt_winsorize(spark, sf_dir):
+    """Winsorization / outlier clamping per event type (the standard
+    feature-cleaning step before model training): EXACT type-1 p05/p95
+    cutoffs via the bounded-domain histogram method (values as integer
+    cents — no sort of the raw data, no percentile_approx sketch), then a
+    clamp pass reporting clamp counts and the before/after means.
+
+    Exactness: all sums are integer-cents BIGINTs (rule 12); means emitted
+    through one identical division chain. The cutoff table is
+    |event_types| rows, broadcast back onto the scan.
+
+    Scale shape: two full-data passes (histogram count + clamp agg), both
+    keyed and map-side combinable; the cumulative window runs over the
+    DISTINCT-cents histogram (domain-bounded), never the raw rows — the
+    same shape as length_quantiles/ppl_buckets, chosen over a per-type
+    NTILE window for the same skew reason."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v = e.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    counts = v.groupBy("event_type", "cents").agg(F.count("*").alias("__n"))
+    cum_w = (
+        Window.partitionBy("event_type").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("event_type")
+    hist = (
+        counts.withColumn("__cum", F.sum("__n").over(cum_w))
+        .withColumn("__tot", F.sum("__n").over(tot_w))
+    )
+    cuts = hist.groupBy("event_type").agg(
+        F.min(F.when(F.col("__cum") >= F.ceil(F.lit(0.05) * F.col("__tot")),
+                     F.col("cents"))).alias("lo"),
+        F.min(F.when(F.col("__cum") >= F.ceil(F.lit(0.95) * F.col("__tot")),
+                     F.col("cents"))).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    return (
+        v.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type", F.col("lo").alias("p05_cents"),
+                 F.col("hi").alias("p95_cents"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("cents") < F.col("lo"), 1).otherwise(0))
+            .alias("n_clamped_low"),
+            F.sum(F.when(F.col("cents") > F.col("hi"), 1).otherwise(0))
+            .alias("n_clamped_high"),
+            F.round(F.sum("cents") / F.lit(100.0) / F.count("*"), 6)
+            .alias("mean_before"),
+            F.round(F.sum(clamped) / F.lit(100.0) / F.count("*"), 6)
+            .alias("mean_after"),
+        )
+        .select("event_type", "n_events", "p05_cents", "p95_cents",
+                "n_clamped_low", "n_clamped_high", "mean_before",
+                "mean_after")
+    )
