@@ -4074,8 +4074,13 @@ def q_doc_doremi_weights(spark, sf_dir):
 
 def _minhash_tuning_sql() -> str:
     """Parameterized CTE generator for the banding sweep: per bands config
-    b in {4, 8, 16} (16 hashes -> rows/band = 16/b), candidates + hits vs
-    the shared exact-Jaccard truth."""
+    b in {2, 4, 8} (16 hashes -> rows/band = 16/b), candidates + hits vs
+    the shared exact-Jaccard truth. The degenerate (16, 1) config is
+    deliberately NOT swept: single-hash buckets collide every near-dup
+    cluster member pair (measured 16.0M candidate pairs at the 10x corpus,
+    precision 0.016) — an output-bound shape this engine's own scale rules
+    forbid; the swept range brackets every banding a real dedup run would
+    pick."""
     parts = [r"""
     docs AS (
         SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks
@@ -4108,7 +4113,7 @@ def _minhash_tuning_sql() -> str:
         FROM sh, seeds GROUP BY 1, 2
     )"""]
     rows = []
-    for b in (4, 8, 16):
+    for b in (2, 4, 8):
         r = 16 // b
         parts.append(f"""
     bands{b} AS (
@@ -4141,7 +4146,7 @@ def _minhash_tuning_sql() -> str:
 def q_doc_minhash_tuning(spark, sf_dir):
     """LSH banding-tuning scoreboard (the dedup twin of q_emb_ann_recall):
     ONE 16-hash portable MinHash signature table swept over the three
-    banding configs — (bands, rows/band) in {(4,4), (8,2), (16,1)} — with
+    banding configs — (bands, rows/band) in {(2,8), (4,4), (8,2)} — with
     candidate count, hit count, recall AND precision vs the shared exact
     3-gram-Jaccard >= 0.5 truth. This is the value-gated version of the
     S-curve trade-off (more bands -> higher recall, lower precision) that
@@ -4166,7 +4171,7 @@ def q_doc_minhash_tuning(spark, sf_dir):
     sigs = _portable_minhash_sigs(d, "doc_id").persist(
         StorageLevel.MEMORY_AND_DISK)
     out = None
-    for b in (4, 8, 16):
+    for b in (2, 4, 8):
         bands = _bands_from_sigs(sigs, "doc_id", bands=b)
         cand = (
             bands.alias("a")
