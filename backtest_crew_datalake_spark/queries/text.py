@@ -4155,15 +4155,24 @@ def q_doc_minhash_tuning(spark, sf_dir):
     Scale shape: signatures computed ONCE (persisted serialized — three
     band stages consume them); each config's candidate join is the banded
     equi-join (never all-pairs), pinned shuffle_hash per rule 13; the
-    truth pair table is computed once and semi-joined three times."""
+    truth pair table (PPJoin exact join — prefix-filtered, never the
+    unfiltered posting-list pairing) is computed once and semi-joined
+    three times."""
     from pyspark import StorageLevel
 
     from ..pipeline.dedup import _bands_from_sigs, _portable_minhash_sigs
-    from ..pipeline.dedup import ngram_jaccard_pairs
+    from ..pipeline.dedup import ppjoin_pairs
 
     d = load(spark, sf_dir, "documents")
+    # truth via the PPJoin prefix-filtered exact join, NOT the unfiltered
+    # posting-list join: both emit exactly the jaccard >= 0.5 pair set,
+    # but the unfiltered join re-derives every hot shingle's full posting
+    # pairs (measured 644 s of a 741 s total at the 10x corpus — the
+    # posting-list hazard); prefix+positional filtering bounds candidate
+    # generation and is value-proven complete by q_doc_ppjoin_pairs'
+    # brute-force oracle
     truth = (
-        ngram_jaccard_pairs(d, n=3, threshold=0.5)
+        ppjoin_pairs(d, n=3, threshold=0.5)
         .select("id_a", "id_b")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
