@@ -310,11 +310,16 @@ def acid_read(
     version: int | None = None,
     partition_filter: dict | None = None,
     stats_filter: dict | None = None,
+    tag: str | None = None,
+    as_of_ts: float | None = None,
 ) -> DataFrame:
     """Read one snapshot of the table (latest by default; ``version`` for
-    time travel). The file list binds at CALL time, so the returned
-    DataFrame keeps observing this snapshot however many commits land
-    afterwards — snapshot isolation without locks.
+    time travel, ``tag`` for a named ref, ``as_of_ts`` for the Delta
+    `timestampAsOf` / Iceberg `FOR SYSTEM_TIME AS OF` form — the newest
+    snapshot whose commit time is <= the given unix timestamp). The file
+    list binds at CALL time, so the returned DataFrame keeps observing
+    this snapshot however many commits land afterwards — snapshot
+    isolation without locks.
 
     ``partition_filter`` ({col: value-or-list}, path-encoded string compare)
     and ``stats_filter`` ({col: (lo, hi)} against the per-file min/max the
@@ -324,6 +329,12 @@ def acid_read(
     the predicate to the result too. An empty table (version 0) has never
     been written; callers that need a schema should create the table first.
     """
+    if sum(x is not None for x in (version, tag, as_of_ts)) > 1:
+        raise ValueError("version, tag and as_of_ts are mutually exclusive")
+    if tag is not None:
+        version = resolve_tag(table_root, tag)
+    elif as_of_ts is not None:
+        version = version_as_of(table_root, as_of_ts)
     v = latest_version(table_root) if version is None else version
     if v == 0:
         raise FileNotFoundError(f"ACID table {table_root} has no commits")
@@ -710,6 +721,96 @@ def acid_rollback(table_root: str, version: int) -> int:
     raise CommitConflict(f"rollback on {table_root}: lost the manifest race")
 
 
+def _refs_dir(table_root: str) -> str:
+    return os.path.join(_acid_root(table_root), "refs")
+
+
+def _ref_path(table_root: str, name: str) -> str:
+    if not name or any(c in name for c in "/\\. \t\n"):
+        raise ValueError(f"invalid ref name {name!r}")
+    return os.path.join(_refs_dir(table_root), f"{name}.json")
+
+
+def acid_tag(
+    table_root: str, name: str, version: int | None = None,
+    replace: bool = False,
+) -> int:
+    """Create a named immutable ref to a snapshot (Iceberg tag / Delta
+    named-version semantics). Defaults to the latest version. Tags are
+    published with the manifest's own atomic-link pattern: a second
+    ``acid_tag`` of the same name fails loudly unless ``replace=True``
+    (which swaps the ref via os.replace — atomic, never torn).
+    ``acid_vacuum`` keeps every tagged snapshot's manifest and files
+    regardless of its retention window, so a tag is a retention pin."""
+    v = latest_version(table_root) if version is None else version
+    if not os.path.exists(_manifest_path(table_root, v)):
+        raise FileNotFoundError(f"no manifest v{v} in {table_root}")
+    rdir = _refs_dir(table_root)
+    os.makedirs(rdir, exist_ok=True)
+    tmp = os.path.join(rdir, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump({"name": name, "version": v, "ts": time.time()}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        if replace:
+            os.replace(tmp, _ref_path(table_root, name))
+            return v
+        try:
+            os.link(tmp, _ref_path(table_root, name))
+        except FileExistsError:
+            raise FileExistsError(
+                f"tag {name!r} already exists on {table_root} "
+                "(pass replace=True to move it)"
+            ) from None
+        return v
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def acid_tags(table_root: str) -> dict[str, int]:
+    """All named refs as {name: version}."""
+    rdir = _refs_dir(table_root)
+    if not os.path.isdir(rdir):
+        return {}
+    out = {}
+    for f in sorted(os.listdir(rdir)):
+        if f.endswith(".json") and not f.startswith("."):
+            with open(os.path.join(rdir, f)) as fh:
+                r = json.load(fh)
+            out[r["name"]] = r["version"]
+    return out
+
+
+def resolve_tag(table_root: str, name: str) -> int:
+    p = _ref_path(table_root, name)
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"no tag {name!r} on {table_root}")
+    with open(p) as fh:
+        return json.load(fh)["version"]
+
+
+def acid_untag(table_root: str, name: str) -> None:
+    os.unlink(_ref_path(table_root, name))
+
+
+def version_as_of(table_root: str, ts: float) -> int:
+    """The newest version whose manifest commit time is <= ``ts`` (the
+    Delta `timestampAsOf` resolution rule). Raises if the table's first
+    commit is later than ``ts``. Commit times are the writer's clock at
+    manifest build — monotone per table under the linear version chain."""
+    best = None
+    for v in list_versions(table_root):
+        if _load_manifest(table_root, v)["ts"] <= ts:
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"{table_root} has no snapshot at or before ts={ts}"
+        )
+    return best
+
+
 def acid_vacuum(table_root: str, keep_versions: int = 1) -> list[str]:
     """Delete data files unreachable from the ``keep_versions`` most recent
     snapshots, plus crashed-commit staging dirs; expire the manifests older
@@ -724,7 +825,11 @@ def acid_vacuum(table_root: str, keep_versions: int = 1) -> list[str]:
     versions = list_versions(table_root)
     if not versions:
         return []
-    kept = versions[-keep_versions:]
+    window = set(versions[-keep_versions:])
+    # tagged snapshots are retention pins (Iceberg expire_snapshots keeps
+    # refs): their manifests and files survive any window
+    window |= {v for v in acid_tags(table_root).values() if v in versions}
+    kept = sorted(window)
     live = set()
     for v in kept:
         for e in _load_manifest(table_root, v)["files"]:
@@ -746,8 +851,9 @@ def acid_vacuum(table_root: str, keep_versions: int = 1) -> list[str]:
     for d in os.listdir(acid):
         if d.startswith("stage-"):
             shutil.rmtree(os.path.join(acid, d), ignore_errors=True)
-    for v in versions[:-keep_versions]:
-        os.unlink(_manifest_path(table_root, v))
+    for v in versions:
+        if v not in window:
+            os.unlink(_manifest_path(table_root, v))
     return removed
 
 

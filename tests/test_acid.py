@@ -777,3 +777,74 @@ def test_delete_whole_file_and_stats_preserved(spark, tmp_path):
     acid_delete(spark, root3, "ts = 9")
     m3 = _load_manifest(root3, 2)
     assert [ (e["min_ts"], e["max_ts"]) for e in m3["files"] ] == [("1", "1")]
+
+
+def test_tags_and_timestamp_time_travel(spark, tmp_path):
+    """Named refs resolve to their pinned snapshot; as_of_ts resolves the
+    Delta timestampAsOf rule; tags are immutable unless replaced."""
+    import pytest as _pytest
+
+    from backtest_crew_datalake_spark.sources.acid import (
+        acid_read, acid_tag, acid_tags, acid_untag, acid_upsert,
+        version_as_of, _load_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    acid_upsert(spark, _mk(spark, [("A", "d1", 1, 1.0)]), root, KEY, PARTS)
+    v1_ts = _load_manifest(root, 1)["ts"]
+    acid_tag(root, "baseline")                 # pins v1
+    acid_upsert(spark, _mk(spark, [("A", "d1", 1, 2.0)]), root, KEY, PARTS)
+
+    assert acid_tags(root) == {"baseline": 1}
+    assert _snapshot(acid_read(spark, root, tag="baseline")) == \
+        [("A", "d1", 1, 1.0)]
+    assert _snapshot(acid_read(spark, root)) == [("A", "d1", 1, 2.0)]
+
+    # timestampAsOf: at v1's commit time -> v1; far future -> latest;
+    # before the first commit -> loud error
+    assert version_as_of(root, v1_ts) == 1
+    assert _snapshot(acid_read(spark, root, as_of_ts=v1_ts)) == \
+        [("A", "d1", 1, 1.0)]
+    assert version_as_of(root, v1_ts + 1e9) == 2
+    with _pytest.raises(FileNotFoundError):
+        version_as_of(root, v1_ts - 10)
+
+    # tags are immutable; replace moves them; mutually-exclusive args
+    with _pytest.raises(FileExistsError):
+        acid_tag(root, "baseline")
+    assert acid_tag(root, "baseline", replace=True) == 2
+    with _pytest.raises(ValueError):
+        acid_read(spark, root, version=1, tag="baseline")
+    acid_untag(root, "baseline")
+    assert acid_tags(root) == {}
+
+
+def test_vacuum_keeps_tagged_snapshots(spark, tmp_path):
+    """A tag is a retention pin: vacuum to the latest snapshot must keep a
+    tagged older snapshot's manifest AND data files; untagging releases
+    them to the next vacuum."""
+    from backtest_crew_datalake_spark.sources.acid import (
+        acid_read, acid_tag, acid_untag, acid_upsert, acid_vacuum,
+        list_versions,
+    )
+
+    root = str(tmp_path / "t")
+    acid_upsert(spark, _mk(spark, [("A", "d1", 1, 1.0)]), root, KEY, PARTS)
+    acid_tag(root, "keepme")                   # pins v1
+    acid_upsert(spark, _mk(spark, [("A", "d1", 1, 2.0)]), root, KEY, PARTS)
+    acid_upsert(spark, _mk(spark, [("B", "d1", 2, 3.0)]), root, KEY, PARTS)
+
+    removed = acid_vacuum(root, keep_versions=1)
+    # v1 survives via the tag; v2's exclusive files are reclaimable
+    assert list_versions(root) == [1, 3]
+    assert _snapshot(acid_read(spark, root, tag="keepme")) == \
+        [("A", "d1", 1, 1.0)]
+    assert _snapshot(acid_read(spark, root)) == \
+        [("A", "d1", 1, 2.0), ("B", "d1", 2, 3.0)]
+
+    acid_untag(root, "keepme")
+    removed2 = acid_vacuum(root, keep_versions=1)
+    assert list_versions(root) == [3]
+    assert removed2                             # v1's files now reclaimed
+    assert _snapshot(acid_read(spark, root)) == \
+        [("A", "d1", 1, 2.0), ("B", "d1", 2, 3.0)]
