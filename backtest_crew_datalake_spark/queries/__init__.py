@@ -112,6 +112,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_evt_rollup_cascade",
     "q_evt_winsorize",
     "q_doc_weighted_jaccard",
+    "q_acid_tag_read",
     "q_acid_vacuum_read",
     "q_emb_knn_eval",
     "q_emb_mmr_topk",

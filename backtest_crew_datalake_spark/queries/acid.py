@@ -468,3 +468,28 @@ def q_acid_schema_evolution(spark, sf_dir):
     return acid_read(spark, _acid_evo_table(spark, sf_dir)).select(
         "user_id", "event_type", "n_events", "sum_value", "max_value"
     )
+
+
+@register(
+    "q_acid_tag_read",
+    oracle=f"""
+    WITH {_BATCHES_SQL}
+    SELECT user_id, event_type, n_events, sum_value FROM b1
+    """,
+)
+def q_acid_tag_read(spark, sf_dir):
+    """Named snapshot refs under the value gate (Iceberg tag / Delta named
+    version): version 1 is tagged 'baseline' AFTER the second upsert has
+    already committed, and the tag read must be EXACTLY the pre-merge
+    state (batch1) — same invariant as q_acid_time_travel, addressed by
+    NAME instead of number, which is what a reproducible-training-run
+    pipeline actually records. Tagging is idempotent here (replace=True):
+    re-running the query re-pins the same version. Tags also pin
+    retention — acid_vacuum keeps tagged snapshots (pytest-proven)."""
+    from ..sources.acid import acid_read, acid_tag
+
+    root = _acid_table(spark, sf_dir)
+    acid_tag(root, "baseline", version=1, replace=True)
+    return acid_read(spark, root, tag="baseline").select(
+        "user_id", "event_type", "n_events", "sum_value"
+    )
