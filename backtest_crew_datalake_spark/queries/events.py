@@ -1589,7 +1589,7 @@ def q_evt_rollup_cascade(spark, sf_dir):
     minute = (
         e.groupBy(
             "event_type",
-            ((F.unix_millis("ts") / 60000).cast("long") * 60000)
+            (F.floor(F.unix_millis("ts") / F.lit(60000)).cast("long") * 60000)
             .alias("m_ms"),
         )
         .agg(
@@ -1605,7 +1605,7 @@ def q_evt_rollup_cascade(spark, sf_dir):
     five = (
         minute.groupBy(
             "event_type",
-            ((F.col("m_ms") / 300000).cast("long") * 300000).alias("f_ms"),
+            (F.floor(F.col("m_ms") / F.lit(300000)).cast("long") * 300000).alias("f_ms"),
         )
         .agg(
             F.min_by("open", F.col("m_ms")).alias("open"),
@@ -1620,7 +1620,7 @@ def q_evt_rollup_cascade(spark, sf_dir):
     hour = (
         five.groupBy(
             "event_type",
-            ((F.col("f_ms") / 3600000).cast("long") * 3600000)
+            (F.floor(F.col("f_ms") / F.lit(3600000)).cast("long") * 3600000)
             .alias("bucket_ms"),
         )
         .agg(
@@ -1685,18 +1685,24 @@ def q_evt_winsorize(spark, sf_dir):
     """Winsorization / outlier clamping per event type (the standard
     feature-cleaning step before model training): EXACT type-1 p05/p95
     cutoffs via the bounded-domain histogram method (values as integer
-    cents — no sort of the raw data, no percentile_approx sketch), then a
-    clamp pass reporting clamp counts and the before/after means.
+    cents — no sort of the raw data, no percentile_approx sketch), with
+    clamp counts and before/after means derived FROM the histogram.
 
     Exactness: all sums are integer-cents BIGINTs (rule 12); means emitted
     through one identical division chain. The cutoff table is
-    |event_types| rows, broadcast back onto the scan.
+    |event_types| rows, broadcast back onto the HISTOGRAM (never the raw
+    rows — every output column is a __n-weighted sum over the
+    domain-bounded (event_type, cents) histogram).
 
-    Scale shape: two full-data passes (histogram count + clamp agg), both
-    keyed and map-side combinable; the cumulative window runs over the
-    DISTINCT-cents histogram (domain-bounded), never the raw rows — the
-    same shape as length_quantiles/ppl_buckets, chosen over a per-type
-    NTILE window for the same skew reason."""
+    Scale shape: ONE full-data pass (the keyed histogram count, map-side
+    combinable), persisted serialized for its two consumers (the
+    cumulative-window cut finder and the weighted clamp aggregation);
+    the cumulative window runs over the DISTINCT-cents histogram
+    (domain-bounded), never the raw rows — the same shape as
+    length_quantiles/ppl_buckets, chosen over a per-type NTILE window for
+    the same skew reason. At 100 TB this halves the I/O vs the two-pass
+    variant (raw scan + clamp re-scan) this replaced."""
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
@@ -1704,7 +1710,10 @@ def q_evt_winsorize(spark, sf_dir):
         "event_type",
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
     )
-    counts = v.groupBy("event_type", "cents").agg(F.count("*").alias("__n"))
+    counts = (
+        v.groupBy("event_type", "cents").agg(F.count("*").alias("__n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cum_w = (
         Window.partitionBy("event_type").orderBy("cents")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1721,19 +1730,20 @@ def q_evt_winsorize(spark, sf_dir):
                      F.col("cents"))).alias("hi"),
     )
     clamped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    n = F.col("__n")
     return (
-        v.join(F.broadcast(cuts), "event_type")
+        counts.join(F.broadcast(cuts), "event_type")
         .groupBy("event_type", F.col("lo").alias("p05_cents"),
                  F.col("hi").alias("p95_cents"))
         .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.when(F.col("cents") < F.col("lo"), 1).otherwise(0))
+            F.sum(n).alias("n_events"),
+            F.sum(F.when(F.col("cents") < F.col("lo"), n).otherwise(F.lit(0)))
             .alias("n_clamped_low"),
-            F.sum(F.when(F.col("cents") > F.col("hi"), 1).otherwise(0))
+            F.sum(F.when(F.col("cents") > F.col("hi"), n).otherwise(F.lit(0)))
             .alias("n_clamped_high"),
-            F.round(F.sum("cents") / F.lit(100.0) / F.count("*"), 6)
+            F.round(F.sum(F.col("cents") * n) / F.lit(100.0) / F.sum(n), 6)
             .alias("mean_before"),
-            F.round(F.sum(clamped) / F.lit(100.0) / F.count("*"), 6)
+            F.round(F.sum(clamped * n) / F.lit(100.0) / F.sum(n), 6)
             .alias("mean_after"),
         )
         .select("event_type", "n_events", "p05_cents", "p95_cents",

@@ -3969,8 +3969,8 @@ def q_doc_cluster_split(spark, sf_dir):
                    * 100000000) AS BIGINT) AS a18
         FROM e, s1
     ),
-    w2 AS (SELECT a1.*, a18 * e8 AS w28 FROM a1),
-    s2 AS (SELECT CAST(SUM(w28) AS BIGINT) AS t2 FROM w2)
+    w2 AS (SELECT a1.*, CAST(a18 AS HUGEINT) * e8 AS w28 FROM a1),
+    s2 AS (SELECT SUM(w28) AS t2 FROM w2)
     SELECT w2.source, w2.n_docs, w2.n_tokens, w2.mean_nll,
            a18 / 100000000.0 AS alpha1,
            ROUND(0.99 * (w2.w28 / CAST(s2.t2 AS DOUBLE)) + 0.01 / w2.ng, 8)
@@ -3993,8 +3993,10 @@ def q_doc_doremi_weights(spark, sf_dir):
     1e8-scaled BIGINTs summed exactly; the domain-centering term is pure
     integer algebra (m6*G - sum(m6)); exp() results are re-scaled to
     BIGINT before the cross-domain normalization sums, and the round-2
-    multiplicative weight is an exact BIGINT product (a18 * e8) — no
-    float sum anywhere, so both engines normalize identical integers.
+    multiplicative weight is an exact WIDE-integer product (a18 * e8 as
+    decimal(38,0) / HUGEINT — an int64 product would wrap silently past
+    ~6.8 nats of excess loss) — no float sum anywhere, so both engines
+    normalize identical integers.
 
     Scale shape: one token explode -> keyed vocab count -> token join
     (AQE-managed, vocab never force-broadcast) -> per-source agg; the
@@ -4056,7 +4058,15 @@ def q_doc_doremi_weights(spark, sf_dir):
                  + F.lit(0.01) / F.col("__ng")) * 100000000, 0
             ).cast("long"),
         )
-        .withColumn("__w28", F.col("__a18") * F.col("__e8"))
+        # exact WIDE-integer product: a18 and e8 are both 1e8-scaled
+        # BIGINTs, so an int64 product overflows once a domain's excess
+        # loss passes ~6.8 nats (e8 > ~9e10) — Spark (non-ANSI) would wrap
+        # silently. decimal(38,0) here / HUGEINT in the oracle keep the
+        # carry exact at any realistic loss spread.
+        .withColumn(
+            "__w28",
+            F.col("__a18").cast("decimal(38,0)") * F.col("__e8"),
+        )
     )
     s2 = a1.agg(F.sum("__w28").alias("__t2"))
     return (
@@ -4065,7 +4075,9 @@ def q_doc_doremi_weights(spark, sf_dir):
             "source", "n_docs", "n_tokens", "mean_nll",
             (F.col("__a18") / F.lit(100000000.0)).alias("alpha1"),
             F.round(
-                F.lit(0.99) * (F.col("__w28") / F.col("__t2").cast("double"))
+                F.lit(0.99)
+                * (F.col("__w28").cast("double")
+                   / F.col("__t2").cast("double"))
                 + F.lit(0.01) / F.col("__ng"), 8
             ).alias("alpha2"),
         )

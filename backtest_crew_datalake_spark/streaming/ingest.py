@@ -507,7 +507,7 @@ def _rollup_minute_partial(batch_df: DataFrame) -> DataFrame:
     return (
         batch_df.groupBy(
             "event_type",
-            ((F.unix_millis("ts") / 60_000).cast("long") * 60_000)
+            (F.floor(F.unix_millis("ts") / F.lit(60_000)).cast("long") * 60_000)
             .alias("bucket_ms"),
         )
         .agg(
@@ -556,7 +556,7 @@ def _combine_tier(df: DataFrame, factor_ms: int,
     out = (
         df.groupBy(
             "event_type",
-            ((F.col("bucket_ms") / factor_ms).cast("long") * factor_ms)
+            (F.floor(F.col("bucket_ms") / F.lit(factor_ms)).cast("long") * factor_ms)
             .alias("bucket_ms"),
         )
         .agg(*aggs)
@@ -618,7 +618,7 @@ def _apply_rollup_batch(spark: SparkSession, batch_df: DataFrame,
         t = (
             prev_touched.select(
                 "event_type",
-                ((F.col("bucket_ms") / factor).cast("long") * factor)
+                (F.floor(F.col("bucket_ms") / F.lit(factor)).cast("long") * factor)
                 .alias("bucket_ms"),
             ).distinct().localCheckpoint()
         )
@@ -626,7 +626,7 @@ def _apply_rollup_batch(spark: SparkSession, batch_df: DataFrame,
         rows = _combine_tier(
             below.withColumn(
                 "__coarse",
-                ((F.col("bucket_ms") / factor).cast("long") * factor),
+                (F.floor(F.col("bucket_ms") / F.lit(factor)).cast("long") * factor),
             ).join(
                 F.broadcast(t.withColumnRenamed("bucket_ms", "__coarse")),
                 ["event_type", "__coarse"], "left_semi",

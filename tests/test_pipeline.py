@@ -2436,3 +2436,97 @@ def test_doremi_weights_update_properties(spark, tmp_path):
     assert abs(b.alpha2 + r.alpha2 - 1.0) < 1e-6
     assert r.alpha1 > 0.5 > b.alpha1   # tilt toward the high-loss domain
     assert r.alpha2 > r.alpha1         # multiplicative carry amplifies
+
+
+def test_frame_sampler_count_formula_and_edge_frames(spark):
+    """Golden invariants over varying animation length and stride: the
+    sampler emits exactly ceil(n/every_n) rows per media with indices
+    range(0, n, every_n); the first and last SAMPLED frames decode
+    byte-exact (their dHash equals the brute-force hash of the original
+    frame array) — the completeness proof the dHash dedup test gives the
+    still pipeline, extended to the video path."""
+    import numpy as np
+    from backtest_crew_datalake_spark.pipeline.multimodal import (
+        dhash64, encode_gif_anim, frame_sample_gif, gif_frames,
+    )
+
+    rng = np.random.RandomState(23)
+    cases = [(n, k) for n in (1, 2, 3, 5, 8) for k in (1, 2, 3, 4)]
+    all_frames, rows = {}, []
+    for mid, (n, _k) in enumerate(cases):
+        frames = [
+            ((rng.randint(0, 4, (8, 10, 3)) * 80 + j * 3) % 256)
+            .astype(np.uint8)
+            for j in range(n)
+        ]
+        all_frames[mid] = frames
+        rows.append((mid, "video", bytearray(encode_gif_anim(frames)),
+                     {"n": str(n)}))
+        # the payload itself is frame-exact (decode completeness)
+        got = list(gif_frames(bytes(rows[-1][2])))
+        assert len(got) == n
+        assert np.array_equal(got[0], frames[0])
+        assert np.array_equal(got[-1], frames[-1])
+
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, content binary, meta map<string,string>",
+    )
+    for k in (1, 2, 3, 4):
+        out = frame_sample_gif(df, every_n=k).toPandas()
+        for mid, (n, _) in enumerate(cases):
+            sub = out[out.media_id == mid].sort_values("frame_idx")
+            want_idx = list(range(0, n, k))
+            assert len(sub) == -(-n // k), (mid, n, k)  # ceil(n/k)
+            assert list(sub.frame_idx) == want_idx
+            assert set(sub.n_frames) == {n}
+            for which in (0, -1):  # first and last sampled frame
+                r = sub.iloc[which]
+                fr = all_frames[mid][r.frame_idx].astype(np.float64)
+                g = (fr[:, :, 0] * 0.299 + fr[:, :, 1] * 0.587
+                     + fr[:, :, 2] * 0.114)
+                v = dhash64(g)
+                assert r.dhash == (v - (1 << 64) if v >= (1 << 63) else v)
+
+
+def test_q_multimodal_frames_end_to_end(spark):
+    """The catalog query renders every 8th document into a 4-frame GIF and
+    samples every 2nd frame: per-media row count is exactly ceil(4/2)=2
+    with indices {0, 2}, media set == the doc_id%8==0 slice, and the
+    emitted dHashes match an independent re-render + brute-force hash of
+    the same frames (driver-side, no Spark in the re-derivation)."""
+    import hashlib
+    import numpy as np
+    from backtest_crew_datalake_spark.pipeline.multimodal import (
+        dhash64, gif_frames, encode_gif_anim,
+    )
+    from backtest_crew_datalake_spark.queries import all_queries, load
+
+    sf = "/root/testdata/sf0.001"
+    out = all_queries()["q_multimodal_frames"].build(spark, sf).toPandas()
+    docs = load(spark, sf, "documents").where("doc_id % 8 = 0") \
+        .select("doc_id", "text").toPandas()
+    assert set(out.media_id) == set(docs.doc_id)
+    for mid, grp in out.groupby("media_id"):
+        assert list(grp.sort_values("frame_idx").frame_idx) == [0, 2]
+        assert set(grp.n_frames) == {4}
+        assert set(grp.width) == {8} and set(grp.height) == {8}
+    # brute-force re-derivation for 5 media ids
+    by_id = dict(zip(docs.doc_id, docs.text))
+    for mid in sorted(out.media_id.unique())[:5]:
+        seed = hashlib.sha256((by_id[mid] or "").encode()).digest()
+        base = np.frombuffer(seed * 6, dtype=np.uint8)
+        frames = []
+        for i in range(4):
+            px = base[i * 48:i * 48 + 8 * 8 * 3 // 4]
+            frames.append(((np.resize(px, (8, 8, 3)) // 64) * 80)
+                          .astype(np.uint8))
+        decoded = list(gif_frames(encode_gif_anim(frames)))
+        assert all(np.array_equal(a, b) for a, b in zip(frames, decoded))
+        sub = out[out.media_id == mid].sort_values("frame_idx")
+        for _, r in sub.iterrows():
+            fr = frames[r.frame_idx].astype(np.float64)
+            g = (fr[:, :, 0] * 0.299 + fr[:, :, 1] * 0.587
+                 + fr[:, :, 2] * 0.114)
+            v = dhash64(g)
+            assert r.dhash == (v - (1 << 64) if v >= (1 << 63) else v)

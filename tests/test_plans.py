@@ -506,3 +506,17 @@ def test_ivf_probe_sweep_keyed_candidate_joins(spark):
     assert p.count("Exchange hashpartitioning(__cid") >= 1 or \
         p.count("BroadcastHashJoin [__cid") >= 3 or \
         p.count("ShuffledHashJoin [__cid") >= 1
+
+
+def test_winsorize_single_events_scan(spark):
+    p = _plan(spark, "q_evt_winsorize")
+    # the (event_type, cents) histogram is persisted serialized and feeds
+    # BOTH consumers (the cumulative-window cut finder and the __n-weighted
+    # clamp aggregation); the raw events are scanned exactly once, inside
+    # the cached subtree — a second FileScan would mean the clamp pass
+    # re-reads the raw rows (the two-pass shape this query replaced)
+    assert p.count("InMemoryTableScan") >= 2
+    assert p.count("FileScan parquet") == p.count("InMemoryRelation")
+    # cuts table joins back broadcast; never a shuffle of the histogram
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
