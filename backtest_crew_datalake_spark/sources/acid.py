@@ -820,15 +820,39 @@ def acid_vacuum(table_root: str, keep_versions: int = 1) -> list[str]:
     compact_partitions: from a maintenance job, with no concurrent writer
     mid-commit older than the window (a writer's files become reachable
     only at manifest link time — vacuum between a loser's write and its
-    retry is safe because the retry rewrites)."""
+    retry is safe because the retry rewrites).
+
+    Tag pins are re-checked AFTER the delete set is computed (the same
+    optimistic pattern the commit paths use): a tag created concurrently
+    while the live set was being built would otherwise end up dangling —
+    resolve_tag pointing at a deleted manifest. The recompute loop retries
+    until two consecutive tag listings agree; taggers that race past the
+    final listing are outside any local-FS vacuum's atomicity and are the
+    documented single-maintainer boundary."""
     keep_versions = max(1, keep_versions)
     versions = list_versions(table_root)
     if not versions:
         return []
-    window = set(versions[-keep_versions:])
+    base = set(versions[-keep_versions:])
     # tagged snapshots are retention pins (Iceberg expire_snapshots keeps
     # refs): their manifests and files survive any window
-    window |= {v for v in acid_tags(table_root).values() if v in versions}
+    pinned = {v for v in acid_tags(table_root).values() if v in versions}
+    for _ in range(10):
+        window = base | pinned
+        # optimistic re-list: if a NEW pin appeared on a version we were
+        # about to expire, fold it in and recompute rather than delete
+        now_pinned = {
+            v for v in acid_tags(table_root).values() if v in versions
+        }
+        if now_pinned <= window:
+            pinned |= now_pinned
+            window = base | pinned
+            break
+        pinned |= now_pinned
+    else:
+        raise CommitConflict(
+            f"vacuum on {table_root}: tag listings kept changing"
+        )
     kept = sorted(window)
     live = set()
     for v in kept:

@@ -22,6 +22,11 @@ watermark horizon × symbols.
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -576,8 +581,107 @@ def _combine_tier(df: DataFrame, factor_ms: int,
     return out.select(*cols)
 
 
+# columns of a minute-grain partial row (what the compacted prefix stores;
+# the batch_id partition column is metadata, not data)
+_PARTIAL_COLS = (
+    "event_type", "bucket_ms", "open_ms", "open_eid", "open",
+    "close_ms", "close_eid", "close", "high", "low",
+    "volume_cents", "n_events",
+)
+
+
+def _compact_meta_load(out_root: str) -> dict | None:
+    p = os.path.join(out_root, "partials_compacted", "_latest.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _read_partial_log(spark: SparkSession, out_root: str) -> DataFrame:
+    """The complete minute-partial history: the compacted prefix (all
+    batches with batch_id <= meta['through'], pre-combined per bucket)
+    unioned with the still-live batch dirs. Correctness never depends on
+    GC having run — a consumed-but-undeleted batch dir is excluded by the
+    batch_id > through filter (partition-pruned, so its files are never
+    read)."""
+    base = f"{out_root}/partials"
+    live = spark.read.option("basePath", base).parquet(base)
+    meta = _compact_meta_load(out_root)
+    if meta is None:
+        return live.select(*_PARTIAL_COLS)
+    return (
+        spark.read.parquet(meta["path"])
+        .unionByName(
+            live.where(F.col("batch_id") > meta["through"])
+            .select(*_PARTIAL_COLS)
+        )
+    )
+
+
+def _maybe_compact_partials(spark: SparkSession, out_root: str,
+                            batch_id: int, every: int = 16) -> None:
+    """Periodic partial-log compaction: once ``every`` consumable batch
+    dirs accumulate, fold them into ONE per-bucket pre-combined segment so
+    per-batch recompute stops paying O(total batches) file listing and
+    footer reads (the log would otherwise grow O(n²) over the stream's
+    lifetime).
+
+    Only batches with id STRICTLY below the in-flight ``batch_id`` are
+    consumed: Structured Streaming replays at most the last uncommitted
+    batch, so older batch dirs are final. Publish order makes every crash
+    point consistent — the new segment is written to a fresh uuid dir,
+    then ``_latest.json`` flips to it via atomic os.replace, and only then
+    are consumed inputs deleted (readers filter on the published
+    ``through``, so a crash between publish and GC merely leaves dead
+    dirs for the next compaction's sweep)."""
+    base = f"{out_root}/partials"
+    meta = _compact_meta_load(out_root)
+    through = meta["through"] if meta else -1
+    try:
+        pending = sorted(
+            int(d.split("=", 1)[1]) for d in os.listdir(base)
+            if d.startswith("batch_id=")
+        )
+    except (FileNotFoundError, ValueError):
+        return
+    stale = [b for b in pending if b <= through]
+    consumable = [b for b in pending if through < b < batch_id]
+    if len(consumable) < every:
+        for b in stale:  # sweep dirs a pre-crash compaction already folded
+            shutil.rmtree(os.path.join(base, f"batch_id={b}"),
+                          ignore_errors=True)
+        return
+    new_through = max(consumable)
+    live = (
+        spark.read.option("basePath", base).parquet(base)
+        .where((F.col("batch_id") > through)
+               & (F.col("batch_id") <= new_through))
+        .select(*_PARTIAL_COLS)
+    )
+    if meta is not None:
+        live = spark.read.parquet(meta["path"]).unionByName(live)
+    merged = _combine_tier(live, 60_000, None)
+    cdir = os.path.join(out_root, "partials_compacted")
+    os.makedirs(cdir, exist_ok=True)
+    seg = os.path.join(cdir, f"seg-{uuid.uuid4().hex}")
+    merged.write.mode("overwrite").parquet(seg)
+    tmp = os.path.join(cdir, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump({"through": new_through, "path": seg}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(cdir, "_latest.json"))
+    for b in consumable + stale:
+        shutil.rmtree(os.path.join(base, f"batch_id={b}"),
+                      ignore_errors=True)
+    if meta is not None:
+        shutil.rmtree(meta["path"], ignore_errors=True)
+
+
 def _apply_rollup_batch(spark: SparkSession, batch_df: DataFrame,
-                        batch_id: int, out_root: str) -> None:
+                        batch_id: int, out_root: str,
+                        compact_every: int = 16) -> None:
     """One micro-batch of the continuous-aggregate cascade. Replay-safe by
     construction: step 1 is an idempotent overwrite, steps 2-4 recompute
     their touched buckets from the layer below (same inputs ⇒ same rows),
@@ -589,17 +693,19 @@ def _apply_rollup_batch(spark: SparkSession, batch_df: DataFrame,
     #    overwrite makes at-least-once foreachBatch delivery idempotent
     pdir = f"{out_root}/partials/batch_id={int(batch_id)}"
     partial.write.mode("overwrite").parquet(pdir)
+    # 1b. fold old batch dirs into the compacted prefix so the log read
+    #     below stays O(buckets + recent batches), not O(stream lifetime)
+    _maybe_compact_partials(spark, out_root, int(batch_id),
+                            every=compact_every)
 
-    # 2. recompute touched MINUTES from the full partial log (filtered to
-    #    the touched keys — parquet min/max stats on bucket_ms make this a
-    #    skipping scan as the log grows; a production deployment also
-    #    compacts the log periodically, it is append-only by batch_id)
+    # 2. recompute touched MINUTES from the full partial log (compacted
+    #    prefix + live batch dirs; parquet min/max stats on bucket_ms make
+    #    this a skipping scan within each segment)
     touched = (
         spark.read.parquet(pdir)
         .select("event_type", "bucket_ms").distinct().localCheckpoint()
     )
-    all_partials = spark.read.option("basePath", f"{out_root}/partials") \
-        .parquet(f"{out_root}/partials")
+    all_partials = _read_partial_log(spark, out_root)
     minute_rows = _combine_tier(
         all_partials.join(F.broadcast(touched),
                           ["event_type", "bucket_ms"], "left_semi"),
@@ -664,9 +770,12 @@ def streaming_rollup_cascade(
     standard eventual-consistency contract of continuous aggregates.
 
     Scale: the partial log is bucket_ms-ordered parquet (stats-skipped on
-    recompute, compactable); per-batch work is O(touched buckets), not
-    O(history); the cascade invariant (hourly == direct-from-raw) is
-    value-gated by the batch twin q_evt_rollup_cascade's oracle.
+    recompute) and FOLDS into a per-bucket compacted prefix every 16
+    batches (_maybe_compact_partials — without it, listing + footer reads
+    grow O(n²) over the stream's lifetime); per-batch work is O(touched
+    buckets + recent batches), not O(history); the cascade invariant
+    (hourly == direct-from-raw) is value-gated by the batch twin
+    q_evt_rollup_cascade's oracle.
 
     Returns the StreamingQuery handle."""
     stream = (

@@ -848,3 +848,39 @@ def test_vacuum_keeps_tagged_snapshots(spark, tmp_path):
     assert removed2                             # v1's files now reclaimed
     assert _snapshot(acid_read(spark, root)) == \
         [("A", "d1", 1, 2.0), ("B", "d1", 2, 3.0)]
+
+
+def test_vacuum_sees_tag_created_during_delete_set_build(spark, tmp_path,
+                                                         monkeypatch):
+    """The concurrent-tagger race: a tag created AFTER vacuum's first tag
+    listing (while the live set is being built) must still pin its
+    snapshot — the re-list before deletion folds the new pin in instead of
+    leaving a dangling ref. Simulated by making the first acid_tags call
+    return the pre-tag state."""
+    import backtest_crew_datalake_spark.sources.acid as acid
+
+    root = str(tmp_path / "t")
+    acid.acid_upsert(spark, _mk(spark, [("A", "d1", 1, 1.0)]), root,
+                     KEY, PARTS)
+    acid.acid_upsert(spark, _mk(spark, [("A", "d1", 1, 2.0)]), root,
+                     KEY, PARTS)
+    # the "concurrent" tagger pins v1 — but vacuum's FIRST listing is
+    # patched to miss it, as if the tag landed mid-build
+    acid.acid_tag(root, "latecomer", version=1)
+    real_tags = acid.acid_tags
+    calls = {"n": 0}
+
+    def flaky_tags(table_root):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return {}          # pre-tag snapshot of the refs dir
+        return real_tags(table_root)
+
+    monkeypatch.setattr(acid, "acid_tags", flaky_tags)
+    acid.acid_vacuum(root, keep_versions=1)
+    monkeypatch.undo()
+    assert calls["n"] >= 2      # the re-list actually ran
+    # v1 survived: the tag resolves and reads the pre-update state
+    assert acid.list_versions(root) == [1, 2]
+    assert _snapshot(acid.acid_read(spark, root, tag="latecomer")) == \
+        [("A", "d1", 1, 1.0)]

@@ -909,3 +909,107 @@ def test_streaming_rollup_cascade_incremental_and_late(spark, tmp_path):
     assert acid_read(spark, f"{out}/minute").count() == \
         spark.read.parquet(f"{out}/partials").select(
             "event_type", "bucket_ms").distinct().count()
+
+
+def test_rollup_partial_log_compaction(spark, tmp_path):
+    """The partial log folds into a compacted per-bucket prefix every
+    ``compact_every`` batches: consumed batch dirs disappear, the tier
+    results stay equal to the batch rollup of the full union (late events
+    recompute from compacted history), and replaying the in-flight batch
+    after a compaction is still a no-op."""
+    from datetime import datetime as DT
+
+    from pyspark.sql import functions as F
+
+    from backtest_crew_datalake_spark.sources.acid import acid_read
+    from backtest_crew_datalake_spark.streaming.ingest import (
+        _apply_rollup_batch, _compact_meta_load, _read_partial_log,
+    )
+
+    out = str(tmp_path / "tiers")
+    sch = ("event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    batches = [
+        [(10 * b + i, DT(2024, 1, 1, 9 + b % 3, 5 * i, 30), 1,
+          "ab"[b % 2], float(b + i) + 0.25, "") for i in range(3)]
+        for b in range(7)
+    ]
+    for b, rows in enumerate(batches):
+        _apply_rollup_batch(spark, spark.createDataFrame(rows, sch), b, out,
+                            compact_every=3)
+
+    meta = _compact_meta_load(out)
+    assert meta is not None and meta["through"] >= 2
+    import os
+    live_dirs = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(f"{out}/partials") if d.startswith("batch_id=")
+    )
+    assert all(b > meta["through"] for b in live_dirs)  # consumed dirs GC'd
+
+    allrows = [r for rows in batches for r in rows]
+    df = spark.createDataFrame(allrows, sch)
+    ordk = F.struct("ts", "event_id")
+    want = {
+        (r.event_type, r.bucket_ms):
+            (r.open, r.high, r.low, r.close, r.volume_cents, r.n_events,
+             r.n_minutes)
+        for r in df.groupBy(
+            "event_type",
+            ((F.unix_millis("ts") / 3_600_000).cast("long") * 3_600_000)
+            .alias("bucket_ms"))
+        .agg(F.min_by("value", ordk).alias("open"),
+             F.max("value").alias("high"),
+             F.min("value").alias("low"),
+             F.max_by("value", ordk).alias("close"),
+             F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+             .alias("volume_cents"),
+             F.count("*").alias("n_events"),
+             F.countDistinct(((F.unix_millis("ts") / 60_000).cast("long")))
+             .alias("n_minutes"))
+        .collect()
+    }
+
+    def hour_rows():
+        return {
+            (r.event_type, r.bucket_ms):
+                (r.open, r.high, r.low, r.close, r.volume_cents,
+                 r.n_events, r.n_minutes)
+            for r in acid_read(spark, f"{out}/hour").collect()
+        }
+
+    assert hour_rows() == want
+    # the log read (compacted prefix + live dirs) covers every event once
+    assert _read_partial_log(spark, out).agg(
+        F.sum("n_events")).first()[0] == len(allrows)
+
+    # late event into batch 0's (already-compacted) hour: recompute pulls
+    # the compacted history, not the deleted batch dirs
+    late = [(999, DT(2024, 1, 1, 9, 0, 5), 1, "a", 0.01, "")]
+    _apply_rollup_batch(spark, spark.createDataFrame(late, sch), 7, out,
+                        compact_every=3)
+    assert hour_rows() == {
+        (r.event_type, r.bucket_ms):
+            (r.open, r.high, r.low, r.close, r.volume_cents, r.n_events,
+             r.n_minutes)
+        for r in spark.createDataFrame(allrows + late, sch).groupBy(
+            "event_type",
+            ((F.unix_millis("ts") / 3_600_000).cast("long") * 3_600_000)
+            .alias("bucket_ms"))
+        .agg(F.min_by("value", ordk).alias("open"),
+             F.max("value").alias("high"),
+             F.min("value").alias("low"),
+             F.max_by("value", ordk).alias("close"),
+             F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+             .alias("volume_cents"),
+             F.count("*").alias("n_events"),
+             F.countDistinct(((F.unix_millis("ts") / 60_000).cast("long")))
+             .alias("n_minutes"))
+        .collect()
+    }
+
+    # replay the in-flight batch (at-least-once): tiers unchanged
+    before = hour_rows()
+    _apply_rollup_batch(spark, spark.createDataFrame(late, sch), 7, out,
+                        compact_every=3)
+    assert hour_rows() == before
