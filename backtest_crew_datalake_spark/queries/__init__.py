@@ -105,6 +105,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # value-check slot. tools/check_oracles.py covers the full catalog.
 PRIORITY_ORDER: tuple[str, ...] = (
     # new this round — first driver evidence
+    "q_acid_branch_merge",
     "q_doc_doremi_weights",
     "q_doc_minhash_tuning",
     "q_emb_bq_topk",

@@ -493,3 +493,88 @@ def q_acid_tag_read(spark, sf_dir):
     return acid_read(spark, root, tag="baseline").select(
         "user_id", "event_type", "n_events", "sum_value"
     )
+
+
+_BRANCH_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _acid_branch_table(spark, sf_dir) -> str:
+    """Build (once) the branch-workflow table: main gets batch1, branch
+    'exp' forks from it and receives batch2, then the branch fast-forwards
+    into main. End state: main v1 = b1, main v2 (latest) = merged, branch
+    head = merged."""
+    from ..sources.acid import acid_branch, acid_merge_branch, acid_upsert
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    root = _BRANCH_MEMO.get(memo_key)
+    if root is not None:
+        return root
+    e = load(spark, sf_dir, "events")
+    b1 = _agg(e.where(F.col("ts") < F.lit(_B1_CUT).cast("timestamp")))
+    b2 = _agg(
+        e.where(
+            (F.col("ts") >= F.lit(_B2_FROM).cast("timestamp"))
+            & F.col("event_type").isin(*_B2_TYPES)
+        )
+    )
+    root = tempfile.mkdtemp(prefix="acid_qb_")
+    acid_upsert(spark, b1, root, key=_KEY, partition_by=("event_type",))
+    acid_branch(root, "exp")
+    acid_upsert(spark, b2, root, key=_KEY, partition_by=("event_type",),
+                branch="exp")
+    acid_merge_branch(root, "exp")
+    _BRANCH_MEMO[memo_key] = root
+    return root
+
+
+@register(
+    "q_acid_branch_merge",
+    oracle=f"""
+    WITH {_BATCHES_SQL},
+    merged AS (
+        SELECT COALESCE(b2.user_id, b1.user_id) AS user_id,
+               COALESCE(b2.event_type, b1.event_type) AS event_type,
+               COALESCE(b2.n_events, b1.n_events) AS n_events,
+               COALESCE(b2.sum_value, b1.sum_value) AS sum_value
+        FROM b1 FULL OUTER JOIN b2
+          ON b1.user_id = b2.user_id AND b1.event_type = b2.event_type
+    )
+    SELECT 'main_before' AS stage, user_id, event_type, n_events, sum_value
+    FROM b1
+    UNION ALL
+    SELECT 'branch_head' AS stage, user_id, event_type, n_events, sum_value
+    FROM merged
+    UNION ALL
+    SELECT 'main_after' AS stage, user_id, event_type, n_events, sum_value
+    FROM merged
+    """,
+)
+def q_acid_branch_merge(spark, sf_dir):
+    """Writable branches under the value gate (Iceberg branch refs /
+    Nessie-style isolation, re-derived on the manifest-snapshot layer —
+    sources/acid.py acid_branch/acid_merge_branch): batch2 is upserted on
+    branch 'exp' forked from main@1, so main-before-merge must be EXACTLY
+    batch1 (branch commits invisible — write isolation), the branch head
+    must be the keep-last merge of both batches (fork snapshot + branch
+    commit), and after the atomic fast-forward merge, main must equal the
+    branch head. All three staged reads in one result, labeled, each
+    recomputed relationally by the oracle. Branch creation and merge are
+    METADATA-scale (one manifest link each; data files shared across
+    chains), so the workflow costs the same two aggregated-row commits as
+    q_acid_upsert_read at any corpus size; branches pin their files
+    against vacuum (pytest-proven)."""
+    from ..sources.acid import acid_read
+
+    root = _acid_branch_table(spark, sf_dir)
+    cols = ("user_id", "event_type", "n_events", "sum_value")
+
+    def staged(df, stage):
+        return df.select(F.lit(stage).alias("stage"), *cols)
+
+    return (
+        staged(acid_read(spark, root, version=1), "main_before")
+        .unionByName(
+            staged(acid_read(spark, root, branch="exp"), "branch_head")
+        )
+        .unionByName(staged(acid_read(spark, root), "main_after"))
+    )

@@ -106,22 +106,42 @@ def _acid_root(table_root: str) -> str:
     return os.path.join(table_root, "_acid")
 
 
-def _manifest_dir(table_root: str) -> str:
-    return os.path.join(_acid_root(table_root), _MANIFESTS)
+MAIN_BRANCH = "main"
+
+
+def _check_branch_name(name: str) -> str:
+    if not name or any(c in name for c in "/\\. \t\n"):
+        raise ValueError(f"invalid branch name {name!r}")
+    return name
+
+
+def _manifest_dir(table_root: str, branch: str = MAIN_BRANCH) -> str:
+    """One manifest CHAIN per branch (Iceberg writable refs, re-derived
+    for the manifest-snapshot layout): main keeps the original location,
+    a branch gets its own chain under branches/<name>/ — all chains share
+    ONE data root, so branch commits add immutable files beside main's
+    and fork manifests can reference main's files verbatim."""
+    if branch == MAIN_BRANCH:
+        return os.path.join(_acid_root(table_root), _MANIFESTS)
+    return os.path.join(
+        _acid_root(table_root), "branches", _check_branch_name(branch),
+        _MANIFESTS,
+    )
 
 
 def _data_root(table_root: str) -> str:
     return os.path.join(_acid_root(table_root), _DATA)
 
 
-def _manifest_path(table_root: str, version: int) -> str:
+def _manifest_path(table_root: str, version: int,
+                   branch: str = MAIN_BRANCH) -> str:
     return os.path.join(
-        _manifest_dir(table_root), f"v{version:0{_V_DIGITS}d}.json"
+        _manifest_dir(table_root, branch), f"v{version:0{_V_DIGITS}d}.json"
     )
 
 
-def list_versions(table_root: str) -> list[int]:
-    mdir = _manifest_dir(table_root)
+def list_versions(table_root: str, branch: str = MAIN_BRANCH) -> list[int]:
+    mdir = _manifest_dir(table_root, branch)
     if not os.path.isdir(mdir):
         return []
     out = []
@@ -134,14 +154,15 @@ def list_versions(table_root: str) -> list[int]:
     return sorted(out)
 
 
-def latest_version(table_root: str) -> int:
-    """0 when the table doesn't exist yet."""
-    vs = list_versions(table_root)
+def latest_version(table_root: str, branch: str = MAIN_BRANCH) -> int:
+    """0 when the table (or branch) doesn't exist yet."""
+    vs = list_versions(table_root, branch)
     return vs[-1] if vs else 0
 
 
-def _load_manifest(table_root: str, version: int) -> dict:
-    with open(_manifest_path(table_root, version)) as fh:
+def _load_manifest(table_root: str, version: int,
+                   branch: str = MAIN_BRANCH) -> dict:
+    with open(_manifest_path(table_root, version, branch)) as fh:
         m = json.load(fh)
     if not m.get("committed"):
         # torn read of an in-flight manifest is impossible (commit is an
@@ -153,7 +174,8 @@ def _load_manifest(table_root: str, version: int) -> dict:
     return m
 
 
-def _commit_manifest(table_root: str, version: int, manifest: dict) -> bool:
+def _commit_manifest(table_root: str, version: int, manifest: dict,
+                     branch: str = MAIN_BRANCH) -> bool:
     """Atomically publish ``manifest`` as version ``version``.
 
     Content is fully written to a hidden tmp file first; os.link then makes
@@ -161,7 +183,7 @@ def _commit_manifest(table_root: str, version: int, manifest: dict) -> bool:
     racing writer took the version — O_EXCL semantics with no window where
     a reader can observe partial content.
     """
-    mdir = _manifest_dir(table_root)
+    mdir = _manifest_dir(table_root, branch)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
@@ -169,7 +191,7 @@ def _commit_manifest(table_root: str, version: int, manifest: dict) -> bool:
         fh.flush()
         os.fsync(fh.fileno())
     try:
-        os.link(tmp, _manifest_path(table_root, version))
+        os.link(tmp, _manifest_path(table_root, version, branch))
         return True
     except FileExistsError:
         return False
@@ -312,6 +334,7 @@ def acid_read(
     stats_filter: dict | None = None,
     tag: str | None = None,
     as_of_ts: float | None = None,
+    branch: str = MAIN_BRANCH,
 ) -> DataFrame:
     """Read one snapshot of the table (latest by default; ``version`` for
     time travel, ``tag`` for a named ref, ``as_of_ts`` for the Delta
@@ -331,14 +354,18 @@ def acid_read(
     """
     if sum(x is not None for x in (version, tag, as_of_ts)) > 1:
         raise ValueError("version, tag and as_of_ts are mutually exclusive")
+    if branch != MAIN_BRANCH and (tag is not None or as_of_ts is not None):
+        raise ValueError("tag/as_of_ts resolve on the main chain only")
     if tag is not None:
         version = resolve_tag(table_root, tag)
     elif as_of_ts is not None:
         version = version_as_of(table_root, as_of_ts)
-    v = latest_version(table_root) if version is None else version
+    v = latest_version(table_root, branch) if version is None else version
     if v == 0:
-        raise FileNotFoundError(f"ACID table {table_root} has no commits")
-    m = _load_manifest(table_root, v)
+        raise FileNotFoundError(
+            f"ACID table {table_root} (branch {branch!r}) has no commits"
+        )
+    m = _load_manifest(table_root, v, branch)
     data_root = _data_root(table_root)
     files = [
         os.path.join(data_root, e["path"])
@@ -364,6 +391,7 @@ def acid_write(
     stats_cols: tuple[str, ...] = (),
     max_retries: int = 10,
     operation: str | None = None,
+    branch: str = MAIN_BRANCH,
 ) -> int:
     """Append or overwrite as ONE atomic commit; returns the new version.
 
@@ -383,12 +411,12 @@ def acid_write(
         spark, df, table_root, tuple(partition_by), tuple(stats_cols)
     )
     for _ in range(max_retries):
-        base_v = latest_version(table_root)
+        base_v = latest_version(table_root, branch)
         if mode == "overwrite" or base_v == 0:
             base_files: list[dict] = []
             schema_ddl = _schema_ddl(df)
         else:
-            base = _load_manifest(table_root, base_v)
+            base = _load_manifest(table_root, base_v, branch)
             base_files = base["files"]
             # append evolves the schema ADDITIVELY (mirrors acid_upsert's
             # unionByName rules): base columns the frame lacks stay
@@ -398,7 +426,7 @@ def acid_write(
             base_v, operation or mode, base_files + new_entries,
             tuple(partition_by), schema_ddl,
         )
-        if _commit_manifest(table_root, base_v + 1, manifest):
+        if _commit_manifest(table_root, base_v + 1, manifest, branch):
             return base_v + 1
     raise CommitConflict(
         f"{mode} on {table_root}: lost the manifest race {max_retries} times"
@@ -413,6 +441,7 @@ def acid_upsert(
     partition_by: tuple[str, ...] = (),
     stats_cols: tuple[str, ...] = (),
     max_retries: int = 10,
+    branch: str = MAIN_BRANCH,
 ) -> int:
     """MERGE: upsert ``df_new`` by ``key`` (new rows win over existing, last
     new row wins within a duplicate key) as ONE atomic commit spanning every
@@ -435,7 +464,7 @@ def acid_upsert(
     key = tuple(key)
     prio = "__acid_upsert_priority"
     for _ in range(max_retries):
-        base_v = latest_version(table_root)
+        base_v = latest_version(table_root, branch)
         if partition_by:
             # Spark cast-to-string — the SAME encoding the manifest stores
             # (Python str() disagrees on booleans: 'True' vs 'true') —
@@ -455,7 +484,7 @@ def acid_upsert(
             merged = dedupe_keep(df_new, list(key), order=None, keep="last")
             keep_files: list[dict] = []
         else:
-            base = _load_manifest(table_root, base_v)
+            base = _load_manifest(table_root, base_v, branch)
             if touched is None:
                 replaced = base["files"]
                 keep_files = []
@@ -507,7 +536,7 @@ def acid_upsert(
             base_v, "upsert", keep_files + new_entries, partition_by,
             _schema_ddl(merged),
         )
-        if _commit_manifest(table_root, base_v + 1, manifest):
+        if _commit_manifest(table_root, base_v + 1, manifest, branch):
             return base_v + 1
         # lost the race: drop our just-written files (they were never
         # visible) and re-merge against the new latest snapshot
@@ -688,12 +717,12 @@ def acid_changes(
     return out
 
 
-def acid_history(table_root: str) -> list[dict]:
+def acid_history(table_root: str, branch: str = MAIN_BRANCH) -> list[dict]:
     """Commit log, oldest first: version, parent, operation, wall time,
     file and row counts."""
     out = []
-    for v in list_versions(table_root):
-        m = _load_manifest(table_root, v)
+    for v in list_versions(table_root, branch):
+        m = _load_manifest(table_root, v, branch)
         out.append({
             "version": v,
             "parent": m["parent"],
@@ -811,6 +840,90 @@ def version_as_of(table_root: str, ts: float) -> int:
     return best
 
 
+def acid_branch(
+    table_root: str, name: str, version: int | None = None,
+) -> int:
+    """Create WRITABLE branch ``name`` forked from main at ``version``
+    (latest by default) — Iceberg branch semantics re-derived for the
+    manifest-snapshot layout. The fork commits the forked snapshot's file
+    list as the branch chain's v1 (op ``fork(main@v)``): data files are
+    immutable and shared across chains, so creation is metadata-only
+    (zero data copied), and subsequent ``acid_write/upsert/delete(...,
+    branch=name)`` extend the branch without main ever observing them.
+    Creation is atomic (the v1 manifest link) and fails loudly if the
+    branch already exists. Returns the branch's first version (1)."""
+    _check_branch_name(name)
+    if name == MAIN_BRANCH:
+        raise ValueError("'main' is the implicit trunk — fork another name")
+    v = latest_version(table_root) if version is None else version
+    src = _load_manifest(table_root, v)  # raises if main@v doesn't exist
+    if latest_version(table_root, name) > 0:
+        raise FileExistsError(f"branch {name!r} already exists on {table_root}")
+    manifest = _new_manifest(
+        0, f"fork(main@{v})", src["files"],
+        tuple(src.get("partition_by", ())), src["schema_ddl"],
+    )
+    manifest["forked_from"] = v
+    if not _commit_manifest(table_root, 1, manifest, branch=name):
+        raise FileExistsError(f"branch {name!r} already exists on {table_root}")
+    return 1
+
+
+def acid_branches(table_root: str) -> list[str]:
+    """All branch names with at least one committed manifest."""
+    bdir = os.path.join(_acid_root(table_root), "branches")
+    if not os.path.isdir(bdir):
+        return []
+    return sorted(
+        d for d in os.listdir(bdir)
+        if not d.startswith(".") and latest_version(table_root, d) > 0
+    )
+
+
+def acid_drop_branch(table_root: str, name: str) -> None:
+    """Delete a branch's manifest chain (its exclusive data files become
+    unreachable and the next vacuum reclaims them; shared files stay live
+    through main's manifests)."""
+    _check_branch_name(name)
+    if name == MAIN_BRANCH:
+        raise ValueError("cannot drop the main trunk")
+    chain = os.path.dirname(_manifest_dir(table_root, name))
+    if not os.path.isdir(chain):
+        raise FileNotFoundError(f"no branch {name!r} on {table_root}")
+    shutil.rmtree(chain)
+
+
+def acid_merge_branch(
+    table_root: str, name: str, max_retries: int = 10,
+) -> int:
+    """Fast-forward main to the branch head: commit the branch's latest
+    file list + schema as a new MAIN manifest (op ``merge(<name>)``) —
+    the same publish-a-file-list shape as acid_rollback, so the merge is
+    one atomic link and every main reader flips from old to new in one
+    step. The branch itself is untouched (drop it separately once
+    merged). Returns the new main version.
+
+    This is snapshot-level fast-forward (Iceberg's fastForwardBranch),
+    not a row-level three-way merge: if main advanced past the fork
+    point, its interim commits are superseded by the branch's snapshot —
+    callers that need conflict detection compare acid_history first."""
+    head = latest_version(table_root, name)
+    if head == 0:
+        raise FileNotFoundError(f"no branch {name!r} on {table_root}")
+    m = _load_manifest(table_root, head, name)
+    for _ in range(max_retries):
+        base_v = latest_version(table_root)
+        manifest = _new_manifest(
+            base_v, f"merge({name})", m["files"],
+            tuple(m.get("partition_by", ())), m["schema_ddl"],
+        )
+        if _commit_manifest(table_root, base_v + 1, manifest):
+            return base_v + 1
+    raise CommitConflict(
+        f"merge of {name!r} on {table_root}: lost the manifest race"
+    )
+
+
 def acid_vacuum(table_root: str, keep_versions: int = 1) -> list[str]:
     """Delete data files unreachable from the ``keep_versions`` most recent
     snapshots, plus crashed-commit staging dirs; expire the manifests older
@@ -858,6 +971,13 @@ def acid_vacuum(table_root: str, keep_versions: int = 1) -> list[str]:
     for v in kept:
         for e in _load_manifest(table_root, v)["files"]:
             live.add(e["path"])
+    # every BRANCH chain is a retention pin too: all of a live branch's
+    # manifests stay resolvable (branch time travel), so all their files
+    # are live — dropping the branch is what releases them
+    for b in acid_branches(table_root):
+        for bv in list_versions(table_root, b):
+            for e in _load_manifest(table_root, bv, b)["files"]:
+                live.add(e["path"])
     data_root = _data_root(table_root)
     removed = []
     for dirpath, _subdirs, files in os.walk(data_root):
@@ -951,6 +1071,7 @@ def acid_delete(
     table_root: str,
     predicate: str,
     max_retries: int = 10,
+    branch: str = MAIN_BRANCH,
 ) -> int | None:
     """Row-level DELETE as one snapshot commit (Delta `DELETE FROM`
     semantics, copy-on-write): remove every row where ``predicate``
@@ -970,10 +1091,10 @@ def acid_delete(
     """
     pred = F.coalesce(F.expr(predicate), F.lit(False))
     for _ in range(max_retries):
-        base_v = latest_version(table_root)
+        base_v = latest_version(table_root, branch)
         if base_v == 0:
             return None
-        base = _load_manifest(table_root, base_v)
+        base = _load_manifest(table_root, base_v, branch)
         files = base["files"]
         if not files:
             return None
@@ -1021,7 +1142,7 @@ def acid_delete(
             base_v, "delete", keep + wrote, partition_by,
             base["schema_ddl"],
         )
-        if _commit_manifest(table_root, base_v + 1, manifest):
+        if _commit_manifest(table_root, base_v + 1, manifest, branch):
             return base_v + 1
         _remove_entries(table_root, wrote)
     raise CommitConflict(

@@ -884,3 +884,105 @@ def test_vacuum_sees_tag_created_during_delete_set_build(spark, tmp_path,
     assert acid.list_versions(root) == [1, 2]
     assert _snapshot(acid.acid_read(spark, root, tag="latecomer")) == \
         [("A", "d1", 1, 1.0)]
+
+
+def test_branch_fork_write_isolation_and_merge(spark, tmp_path):
+    """Writable branches: fork is metadata-only, branch commits are
+    invisible to main, branch reads see fork-point data plus branch
+    commits, and merge fast-forwards main to the branch head in one
+    atomic commit."""
+    from backtest_crew_datalake_spark.sources.acid import (
+        acid_branch, acid_branches, acid_merge_branch,
+    )
+
+    root = str(tmp_path / "t")
+    acid_upsert(spark, _mk(spark, [("A", "d1", 1, 1.0)]), root, KEY, PARTS)
+    acid_upsert(spark, _mk(spark, [("B", "d1", 2, 2.0)]), root, KEY, PARTS)
+
+    assert acid_branch(root, "exp") == 1
+    assert acid_branches(root) == ["exp"]
+    # fork sees main@2; no data was copied (fork manifest lists main's files)
+    assert _snapshot(acid_read(spark, root, branch="exp")) == \
+        [("A", "d1", 1, 1.0), ("B", "d1", 2, 2.0)]
+
+    # branch commit: update A, add C — main must not observe it
+    acid_upsert(spark, _mk(spark, [("A", "d1", 1, 9.0),
+                                   ("C", "d2", 3, 3.0)]),
+                root, KEY, PARTS, branch="exp")
+    assert _snapshot(acid_read(spark, root, branch="exp")) == \
+        [("A", "d1", 1, 9.0), ("B", "d1", 2, 2.0), ("C", "d2", 3, 3.0)]
+    assert _snapshot(acid_read(spark, root)) == \
+        [("A", "d1", 1, 1.0), ("B", "d1", 2, 2.0)]
+    assert latest_version(root) == 2
+    # branch time travel: v1 is the fork snapshot
+    assert _snapshot(acid_read(spark, root, version=1, branch="exp")) == \
+        [("A", "d1", 1, 1.0), ("B", "d1", 2, 2.0)]
+
+    # fast-forward merge: main flips to the branch head atomically
+    v = acid_merge_branch(root, "exp")
+    assert v == 3
+    assert _snapshot(acid_read(spark, root)) == \
+        [("A", "d1", 1, 9.0), ("B", "d1", 2, 2.0), ("C", "d2", 3, 3.0)]
+    ops = [h["operation"] for h in acid_history(root)]
+    assert ops[-1] == "merge(exp)"
+    bops = [h["operation"]
+            for h in acid_history(root, branch="exp")]
+    assert bops[0] == "fork(main@2)"
+
+
+def test_branch_errors_and_drop(spark, tmp_path):
+    from backtest_crew_datalake_spark.sources.acid import (
+        acid_branch, acid_branches, acid_drop_branch,
+    )
+
+    root = str(tmp_path / "t")
+    acid_write(spark, _mk(spark, [("A", "d1", 1, 1.0)]), root,
+               partition_by=PARTS)
+    acid_branch(root, "b1")
+    with pytest.raises(FileExistsError):
+        acid_branch(root, "b1")
+    with pytest.raises(ValueError):
+        acid_branch(root, "main")
+    with pytest.raises(ValueError):
+        acid_branch(root, "../evil")
+    with pytest.raises(FileNotFoundError):
+        acid_read(spark, root, branch="nope")
+    with pytest.raises(ValueError):
+        acid_read(spark, root, branch="b1", tag="x")
+    acid_drop_branch(root, "b1")
+    assert acid_branches(root) == []
+    with pytest.raises(FileNotFoundError):
+        acid_drop_branch(root, "b1")
+
+
+def test_vacuum_keeps_branch_files_until_drop(spark, tmp_path):
+    """A branch pins every file its chain references — vacuum of main to
+    the latest snapshot must not break branch reads (including the fork
+    point, whose main version may be expired); dropping the branch
+    releases its exclusive files to the next vacuum."""
+    from backtest_crew_datalake_spark.sources.acid import (
+        acid_branch, acid_drop_branch, acid_merge_branch,
+    )
+
+    root = str(tmp_path / "t")
+    acid_upsert(spark, _mk(spark, [("A", "d1", 1, 1.0)]), root, KEY, PARTS)
+    acid_branch(root, "exp")                      # forks at main@1
+    acid_upsert(spark, _mk(spark, [("A", "d1", 1, 5.0)]), root, KEY, PARTS,
+                branch="exp")                     # branch-exclusive file
+    # main advances twice so vacuum can expire the fork-point version
+    acid_upsert(spark, _mk(spark, [("B", "d2", 2, 2.0)]), root, KEY, PARTS)
+    acid_upsert(spark, _mk(spark, [("B", "d2", 2, 2.5)]), root, KEY, PARTS)
+
+    acid_vacuum(root, keep_versions=1)
+    assert list_versions(root) == [3]             # main history expired
+    # branch still fully readable: fork snapshot AND branch head
+    assert _snapshot(acid_read(spark, root, version=1, branch="exp")) == \
+        [("A", "d1", 1, 1.0)]
+    assert _snapshot(acid_read(spark, root, branch="exp")) == \
+        [("A", "d1", 1, 5.0)]
+
+    acid_drop_branch(root, "exp")
+    removed = acid_vacuum(root, keep_versions=1)
+    assert removed                                # branch files reclaimed
+    assert _snapshot(acid_read(spark, root)) == \
+        [("A", "d1", 1, 1.0), ("B", "d2", 2, 2.5)]

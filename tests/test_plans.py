@@ -520,3 +520,13 @@ def test_winsorize_single_events_scan(spark):
     # cuts table joins back broadcast; never a shuffle of the histogram
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_ewma_single_exchange_few_partitions(spark):
+    p = _plan(spark, "q_evt_ewma")
+    # the repartition(8, user_id) IS the window's exchange (its
+    # ClusteredDistribution is satisfied by any hash partitioning on
+    # user_id) — a second exchange would mean the hint stacked a shuffle
+    # on top of the window's own instead of replacing it
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "REPARTITION_BY_NUM" in p
