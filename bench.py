@@ -76,6 +76,15 @@ HEADLINE = [
     # deliberately NOT headline (floor-bound vs a 0.18 s oracle at
     # sf0.1); its evidence is the 10x row + the driver window head.
     "q_doc_weighted_jaccard", "q_emb_mmr_topk",
+    # round-9 additions (r8 verdict #7 — keep the composition honest):
+    # the remaining round-8 headline candidates. Composition note: at
+    # sf0.1 rollup_cascade/winsorize/bq_topk are floor-class vs
+    # sub-0.2 s oracles (their scale evidence is the 50x/200x rows);
+    # ivf_probe_sweep is strongly Spark-favored (0.11x at 50x). The
+    # emitted JSON now carries per-query ratios + favored lists so
+    # round-over-round aggregate-ratio deltas decompose by composition.
+    "q_evt_rollup_cascade", "q_evt_winsorize", "q_emb_bq_topk",
+    "q_emb_ivf_probe_sweep", "q_doc_doremi_weights",
     # round-7 third-session ops (ppl_buckets, dsir_weights, bigram_nll,
     # seq_pack, kcenter, pca_power, sq8, abtt, source_overlap) are
     # deliberately NOT headline: at sf0.1 they are per-job-floor-bound
@@ -169,6 +178,19 @@ def main():
     spark_shared = sum(timings[n] for n in duck_timings)
     ratio = (round(spark_shared / duck_total, 3)
              if duck_total else None)
+    # composition decomposition (r8 verdict #7): which side each shared
+    # query favors, so a round-over-round aggregate-ratio delta can be
+    # split into "plans changed" vs "the mix changed"
+    per_query_ratio = {
+        n: round(timings[n] / d, 3) if d > 0 else None
+        for n, d in duck_timings.items()
+    }
+    spark_favored = sorted(
+        n for n, r2 in per_query_ratio.items() if r2 is not None and r2 < 1
+    )
+    duck_favored = sorted(
+        n for n, r2 in per_query_ratio.items() if r2 is not None and r2 >= 1
+    )
 
     print(json.dumps({
         "metric": "headline_queries_total_sec",
@@ -181,6 +203,9 @@ def main():
         "duck_total_sec": duck_total,
         "duck_queries": duck_timings,
         "spark_over_duck_ratio": ratio,
+        "per_query_ratio": per_query_ratio,
+        "spark_favored": spark_favored,
+        "duck_favored": duck_favored,
     }))
 
 
