@@ -578,3 +578,64 @@ def q_acid_branch_merge(spark, sf_dir):
         )
         .unionByName(staged(acid_read(spark, root), "main_after"))
     )
+
+
+@register(
+    "q_acid_changes_schema_evo",
+    oracle=f"""
+    WITH {_BATCHES_SQL},
+    b2e AS (
+        SELECT user_id, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value,
+               ROUND(MAX(value), 6) AS max_value
+        FROM events
+        WHERE ts >= TIMESTAMP '{_B2_FROM}'
+          AND event_type IN {_B2_TYPES!r}
+        GROUP BY 1, 2
+    )
+    SELECT b2e.user_id, b2e.event_type, b2e.n_events, b2e.sum_value,
+           b2e.max_value, 'insert' AS _change_type
+    FROM b2e LEFT JOIN b1
+      ON b1.user_id = b2e.user_id AND b1.event_type = b2e.event_type
+    WHERE b1.user_id IS NULL
+    UNION ALL
+    SELECT b1.user_id, b1.event_type, b1.n_events, b1.sum_value,
+           CAST(NULL AS DOUBLE) AS max_value,
+           'update_preimage' AS _change_type
+    FROM b1 JOIN b2e
+      ON b1.user_id = b2e.user_id AND b1.event_type = b2e.event_type
+    WHERE b1.n_events <> b2e.n_events OR b1.sum_value <> b2e.sum_value
+       OR b2e.max_value IS NOT NULL
+    UNION ALL
+    SELECT b2e.user_id, b2e.event_type, b2e.n_events, b2e.sum_value,
+           b2e.max_value, 'update_postimage' AS _change_type
+    FROM b1 JOIN b2e
+      ON b1.user_id = b2e.user_id AND b1.event_type = b2e.event_type
+    WHERE b1.n_events <> b2e.n_events OR b1.sum_value <> b2e.sum_value
+       OR b2e.max_value IS NOT NULL
+    """,
+)
+def q_acid_changes_schema_evo(spark, sf_dir):
+    """Change data feed ACROSS a schema-evolution boundary (r8 verdict #6's
+    second form): v1 -> v2 of the evolution table adds the ``max_value``
+    column mid-stream, and the CDF must align both sides on the NEW
+    schema — every pre-evolution image (the update_preimage rows, read
+    from files that physically lack the column) carries max_value as
+    NULL, every post-evolution image carries the real value. The oracle
+    recomputes all three change classes relationally with the NULL
+    placement made explicit. Because pre-images have max_value NULL and
+    post-images don't, a key whose n_events/sum_value happen to be
+    unchanged STILL emits an update pair when b2 rewrote it — the keyed
+    struct comparison is null-safe on both engines, so the oracle adds
+    the same `max_value IS NOT NULL` arm. Scale shape: manifest-level
+    file diff first (files shared by both snapshots cancel unread), then
+    one keyed full-outer join — identical to q_acid_changes_feed."""
+    from ..sources.acid import acid_changes
+
+    return acid_changes(
+        spark, _acid_evo_table(spark, sf_dir), from_version=1, key=_KEY
+    ).select(
+        "user_id", "event_type", "n_events", "sum_value", "max_value",
+        "_change_type",
+    )
