@@ -107,6 +107,8 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 PRIORITY_ORDER: tuple[str, ...] = (
     "q_acid_branch_merge",
     "q_acid_changes_schema_evo",
+    "q_doc_bm25_topk",
+    "q_evt_cusum",
     "q_multimodal_frames",
     "q_multimodal_phash_dupes",
     "q_evt_winsorize",

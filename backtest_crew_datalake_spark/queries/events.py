@@ -1755,3 +1755,111 @@ def q_evt_winsorize(spark, sf_dir):
                 "n_clamped_low", "n_clamped_high", "mean_before",
                 "mean_after")
     )
+
+
+@register(
+    "q_evt_cusum",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, epoch_ms(ts) AS ts_ms, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    k AS (
+        SELECT event_type,
+               CAST(ROUND(SUM(cents) * 10000.0 / COUNT(*)) AS BIGINT) AS k6,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(cents) / 100.0 / COUNT(*), 6) AS mean_value
+        FROM v GROUP BY 1
+    ),
+    walk AS (
+        SELECT v.event_type, v.ts_ms, k.n_events, k.mean_value,
+               SUM(v.cents * 10000 - k.k6) OVER w AS p
+        FROM v JOIN k USING (event_type)
+        WINDOW w AS (PARTITION BY v.event_type ORDER BY v.ts_ms, v.event_id
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    cu AS (
+        SELECT event_type, ts_ms, n_events, mean_value,
+               p - MIN(p) OVER (PARTITION BY event_type ORDER BY ts_ms, p
+                                ROWS UNBOUNDED PRECEDING) AS cusum
+        FROM walk
+    ),
+    mx AS (
+        SELECT cu.*, MAX(cusum) OVER (PARTITION BY event_type) AS mxc
+        FROM cu
+    )
+    SELECT event_type, n_events, mean_value,
+           ROUND(MAX(cusum) / 1000000.0, 6) AS max_cusum,
+           MIN(CASE WHEN cusum = mxc THEN ts_ms END) AS argmax_ts_ms,
+           CAST(SUM(CASE WHEN cusum >= 5000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_over
+    FROM mx GROUP BY 1, 2, 3
+    """,
+)
+def q_evt_cusum(spark, sf_dir):
+    """CUSUM changepoint statistic per event type (Page 1954's cumulative
+    sum chart — the standard drift detector a data-quality monitor runs
+    over a metric stream): the recursive s_i = max(0, s_{i-1} + (x_i - k))
+    is NOT window-expressible directly, but its closed form IS —
+    s_i = p_i - min_{j<=i} p_j where p is the prefix sum of centered
+    increments — so the whole detector is two stacked window passes over
+    ONE (event_type, time) sort, no recursion, no UDF.
+
+    Exactness (scale.md rule 12): increments are exact integers
+    (cents*1e4 minus the 1e6-scaled per-type mean), so prefix sums, the
+    running min, and the argmax/threshold comparisons are all integer
+    algebra — identical on both engines; only the final report divides
+    back to value units. Ties in the walk ordering are broken by
+    event_id (and the running-min's ORDER BY adds p itself so equal-ts
+    rows order identically in both engines).
+
+    Scale shape: one events scan, one 1-row-per-type centering table
+    broadcast back, then window passes that all share the single
+    (event_type hash-partition, ts sort) exchange — the
+    q_evt_rolling_window shape; the final report is a keyed agg. At
+    100 TB the walk's integer magnitude is bounded by the mean-zero
+    random-walk envelope (~sqrt(n) x spread x 1e6), far under int64."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    v = e.select(
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    k = v.groupBy("event_type").agg(
+        F.round(F.sum("cents") * 10000.0 / F.count("*"), 0)
+        .cast("long").alias("k6"),
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.sum("cents") / 100.0 / F.count("*"), 6)
+        .alias("mean_value"),
+    )
+    w = (
+        Window.partitionBy("event_type").orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walk = (
+        v.join(F.broadcast(k), "event_type")
+        .withColumn(
+            "p",
+            F.sum(F.col("cents") * F.lit(10000) - F.col("k6")).over(w),
+        )
+    )
+    wmin = (
+        Window.partitionBy("event_type").orderBy("ts_ms", "p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cu = walk.withColumn("cusum", F.col("p") - F.min("p").over(wmin))
+    mx = cu.withColumn(
+        "mxc", F.max("cusum").over(Window.partitionBy("event_type"))
+    )
+    return mx.groupBy("event_type", "n_events", "mean_value").agg(
+        F.round(F.max("cusum") / F.lit(1000000.0), 6).alias("max_cusum"),
+        F.min(F.when(F.col("cusum") == F.col("mxc"), F.col("ts_ms")))
+        .alias("argmax_ts_ms"),
+        F.sum(F.when(F.col("cusum") >= 5000000, 1).otherwise(0))
+        .cast("bigint").alias("n_over"),
+    ).select("event_type", "n_events", "mean_value", "max_cusum",
+             "argmax_ts_ms", "n_over")

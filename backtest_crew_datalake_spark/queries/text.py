@@ -4233,3 +4233,123 @@ def q_doc_minhash_tuning(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "q_doc_bm25_topk",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS token
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+    dfreq AS (SELECT token, COUNT(*) AS df_t FROM tf GROUP BY 1),
+    stats AS (
+        SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
+               (SELECT CAST(COUNT(*) AS DOUBLE) FROM tok)
+               / (SELECT COUNT(*) FROM documents) AS avgdl
+    ),
+    qterms AS (
+        SELECT token, df_t FROM (
+            SELECT token, df_t,
+                   ROW_NUMBER() OVER (ORDER BY df_t DESC, token) AS r
+            FROM dfreq
+        ) WHERE r BETWEEN 8 AND 15
+    ),
+    w AS (
+        SELECT tf.doc_id,
+               CAST(ROUND(
+                   ROUND(LN(1.0 + (s.n_docs - q.df_t + 0.5)
+                                  / (q.df_t + 0.5)), 8)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+                   * 1000000.0) AS BIGINT) AS w6
+        FROM tf JOIN qterms q USING (token)
+                JOIN dl USING (doc_id)
+                CROSS JOIN stats s
+    ),
+    scored AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+               CAST(SUM(w6) AS BIGINT) AS s6
+        FROM w GROUP BY 1
+    )
+    SELECT doc_id, n_terms_matched, ROUND(s6 / 1000000.0, 6) AS bm25, rank
+    FROM (
+        SELECT scored.*, ROW_NUMBER() OVER (
+                   ORDER BY s6 DESC, doc_id) AS rank
+        FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_doc_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval (Robertson-Sparck Jones Okapi BM25, k1=1.2,
+    b=0.75) — the lexical-retrieval baseline every RAG / contamination
+    pipeline runs beside the ANN family. The query is DERIVED from the
+    corpus itself (df ranks 50-57 — common enough to hit many docs,
+    rare enough to discriminate), so both engines resolve the identical
+    term set with a deterministic (df DESC, token) tiebreak.
+
+    Exactness discipline (docs/scale.md rule 12): idf is log-rounded to
+    8 dp, each term-document weight becomes a 1e6-scaled BIGINT, and the
+    per-document score is an exact INTEGER sum — double addition order
+    can never flip a rank; the final ranking orders by the integer s6
+    with doc_id tiebreak.
+
+    Scale shape: one token explode feeds tf/dl/df (all keyed,
+    map-side-combinable); the 8-term query table and the 1-row
+    (n_docs, avgdl) stats broadcast back onto the tf stream, so the
+    scoring join touches only rows whose token IS a query term —
+    posting-list sized, not corpus sized. The ranking window is a
+    single global top-k over |matched docs| candidates."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+"))
+        .alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df_t"))
+    n_docs = d.count()  # bounded driver-side: one scalar, reused twice
+    total_tok = tok.count()
+    avgdl = total_tok / n_docs
+    qterms = (
+        dfreq.withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.col("df_t").desc(), "token")
+            ),
+        )
+        .where(F.col("r").between(8, 15))
+        .select("token", "df_t")
+    )
+    idf8 = F.round(
+        F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df_t") + 0.5)
+              / (F.col("df_t") + 0.5)), 8
+    )
+    w6 = F.round(
+        idf8 * (F.col("tf") * F.lit(2.2))
+        / (F.col("tf") + F.lit(1.2)
+           * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
+        * F.lit(1000000.0), 0
+    ).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(dl, "doc_id")
+        .select("doc_id", w6.alias("w6"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms_matched"),
+            F.sum("w6").alias("s6"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("s6").desc(), "doc_id")),
+    ).where(F.col("rank") <= 10)
+    return ranked.select(
+        "doc_id", "n_terms_matched",
+        F.round(F.col("s6") / F.lit(1000000.0), 6).alias("bm25"), "rank",
+    )
