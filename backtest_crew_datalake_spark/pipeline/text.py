@@ -768,6 +768,103 @@ def bigram_nll(
     )
 
 
+def kn_bigram_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document mean NLL under an interpolated KNESER-NEY bigram LM
+    (Kneser & Ney 1995; the smoothing KenLM uses, i.e. what CCNet's
+    quality-perplexity filter actually runs — add-1's sequel the same way
+    bigram_nll is unigram_nll's):
+
+        p(w2|w1) = (c(w1 w2) - D)/c(w1·)
+                   + D · N1+(w1 ·)/c(w1·) · N1+(· w2)/N1+(· ·)
+
+    with discount D=0.75. The continuation probability N1+(· w2)/B scores
+    how many CONTEXTS a word follows rather than how often it occurs —
+    the distributional signal plain counts miss.
+
+    Every model quantity is an exact integer derived from ONE bigram
+    explode (the bigram_nll persist shape): c(w1 w2) = the keyed count,
+    c(w1·) and N1+(w1 ·) = one groupBy over it (sum + count of types),
+    N1+(· w2) = one groupBy on the suffix, B = a 1-row type count.
+    Scored bigrams all have c >= 1 > D, so max(c-D, 0) never truncates.
+    Log-probs round to 8 dp and ride as 1e8-scaled integers into the
+    per-doc sum (exact; the emitted mean is one IEEE division chain).
+
+    Scale shape: identical to bigram_nll — serialized persist of the
+    spread explode (two consumers), all model joins keyed on w1/w2,
+    the 1-row B broadcast, shuffle_hash pinned on the vocab-side join
+    (cached-scan stats are untrustworthy for build-side choice)."""
+    from pyspark import StorageLevel
+
+    from .dedup import spread_partitions
+
+    t = tokens(F.col(text_col))
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = (
+        spread_partitions(df.select(id_col, text_col), id_col)
+        .select(F.col(id_col), F.explode(bigrams).alias("__bg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c12 = bg.groupBy("__bg").agg(F.count("*").alias("__c12"))
+    c12 = c12.withColumn("__w1", F.substring_index("__bg", " ", 1)) \
+             .withColumn("__w2", F.substring_index("__bg", " ", -1))
+    fw = c12.groupBy("__w1").agg(
+        F.sum("__c12").alias("__cp"),          # c(w1 ·)
+        F.count("*").alias("__n1fw"),          # N1+(w1 ·): distinct types
+    )
+    bw = c12.groupBy("__w2").agg(F.count("*").alias("__n1bw"))  # N1+(· w2)
+    btot = c12.agg(F.count("*").alias("__b"))  # N1+(· ·): total types
+    d = F.lit(discount)
+    prob = (
+        (F.col("__c12") - d) / F.col("__cp")
+        + d * F.col("__n1fw") / F.col("__cp")
+        * F.col("__n1bw") / F.col("__b")
+    )
+    lp = (
+        c12.join(fw, "__w1")
+        .join(bw, "__w2")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "__bg",
+            F.round(F.log(prob) * F.lit(1e8), 0).cast("long").alias("__lp8"),
+        )
+    )
+    per_doc = (
+        bg.join(lp.hint("shuffle_hash"), "__bg")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("__lp8").alias("__s8"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            ((-F.col("__s8")).cast("double") / F.lit(1e8)
+             / F.col("n_bigrams")).alias("nll"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("nll", F.lit(0.0)).alias("nll"),
+        )
+    )
+
+
 def dup_ngram_frac(text_col: str = "text", n: int = 3) -> Column:
     """Duplicate word n-gram fraction of one document (the q_doc_repetition
     / Gopher-style repetition signal): 1 − distinct/total n-grams, rounded

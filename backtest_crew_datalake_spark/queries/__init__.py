@@ -109,6 +109,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_acid_changes_schema_evo",
     "q_doc_bm25_topk",
     "q_evt_cusum",
+    "q_doc_kn_bigram_nll",
     "q_multimodal_frames",
     "q_multimodal_phash_dupes",
     "q_evt_winsorize",
@@ -279,6 +280,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_doc_stratified_sample",
     "q_doc_minhash_lsh_pairs",
     "q_doc_simhash",
+    "q_multimodal_scene_cuts",
 )
 
 

@@ -4353,3 +4353,129 @@ def q_doc_bm25_topk(spark, sf_dir):
         "doc_id", "n_terms_matched",
         F.round(F.col("s6") / F.lit(1000000.0), 6).alias("bm25"), "rank",
     )
+
+
+@register(
+    "q_doc_kn_bigram_nll",
+    oracle=r"""
+    WITH docs AS (
+        SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks
+        FROM documents
+    ),
+    bgs AS (
+        SELECT doc_id, UNNEST(list_transform(
+                   generate_series(1, LEN(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        FROM docs WHERE LEN(toks) >= 2
+    ),
+    c12 AS (
+        SELECT bg, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+               COUNT(*) AS c
+        FROM bgs GROUP BY 1, 2, 3
+    ),
+    fw AS (SELECT w1, SUM(c) AS cp, COUNT(*) AS n1fw FROM c12 GROUP BY 1),
+    bw AS (SELECT w2, COUNT(*) AS n1bw FROM c12 GROUP BY 1),
+    btot AS (SELECT COUNT(*) AS b FROM c12),
+    lp AS (
+        SELECT c12.bg,
+               CAST(ROUND(LN(
+                   (c12.c - 0.75) / fw.cp
+                   + 0.75 * fw.n1fw / fw.cp * bw.n1bw / btot.b
+               ) * 1e8, 0) AS BIGINT) AS lp8
+        FROM c12 JOIN fw USING (w1) JOIN bw USING (w2) CROSS JOIN btot
+    ),
+    per_doc AS (
+        SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(-SUM(l.lp8) AS DOUBLE) / 1e8 / COUNT(*) AS nll
+        FROM bgs b JOIN lp l USING (bg) GROUP BY 1
+    )
+    SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           COALESCE(p.nll, 0.0) AS nll
+    FROM docs d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def q_doc_kn_bigram_nll(spark, sf_dir):
+    """Interpolated KNESER-NEY bigram NLL (pipeline/text.kn_bigram_nll) —
+    the smoothing family KenLM implements, i.e. what CCNet's perplexity
+    filter actually runs in production: absolute discounting D=0.75 with
+    the continuation-probability backoff N1+(.w2)/N1+(..), which scores
+    how many CONTEXTS a word follows instead of raw frequency. Same
+    one-explode/persisted-stream scale shape as q_doc_bigram_nll; all
+    model counts exact integers, log-probs 1e8-scaled before the per-doc
+    sum."""
+    from ..pipeline.text import kn_bigram_nll
+
+    d = load(spark, sf_dir, "documents")
+    return kn_bigram_nll(d)
+
+
+@register("q_multimodal_scene_cuts", oracle=None)
+def q_multimodal_scene_cuts(spark, sf_dir):
+    """Video scene-change detection (rows-only: the GIF decode is
+    Python-side): every 8th document renders to the same deterministic
+    4-frame animated GIF as q_multimodal_frames, EVERY frame is decoded
+    (every_n=1), and a cut is declared where consecutive frames' 64-bit
+    perceptual dHashes differ by more than 10 bits — the shot-boundary
+    heuristic a video curation pipeline buckets on before sampling
+    keyframes. The Hamming distance runs JVM-SIDE (bit_count(a ^ b) over
+    the lag window); Python touches only the decode kernel. Output: one
+    row per media with frame count, cut count, and the first cut index.
+    Value-gated in pytest against a driver-side brute-force re-render
+    (frame-exact codec + NumPy popcount)."""
+    from pyspark.sql import Window
+
+    # the same deterministic media stream as q_multimodal_frames,
+    # but sampled at EVERY frame (a cut needs consecutive frames)
+    import hashlib as _hashlib
+
+    import numpy as _np
+    import pandas as _pd
+
+    from ..pipeline.multimodal import (
+        MEDIA_SCHEMA, encode_gif_anim, frame_sample_gif,
+    )
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") % 8 == 0) \
+        .select(F.col("doc_id").alias("media_id"), "text")
+
+    def _render(batches):
+        for pdf in batches:
+            ids, kinds, contents, metas = [], [], [], []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                seed = _hashlib.sha256((text or "").encode()).digest()
+                base = _np.frombuffer(seed * 6, dtype=_np.uint8)
+                frs = []
+                for i in range(4):
+                    px = base[i * 48:i * 48 + 8 * 8 * 3 // 4]
+                    frs.append(((_np.resize(px, (8, 8, 3)) // 64) * 80)
+                               .astype(_np.uint8))
+                ids.append(mid)
+                kinds.append("video")
+                contents.append(encode_gif_anim(frs))
+                metas.append({"codec": "gif"})
+            yield _pd.DataFrame({
+                "media_id": ids, "kind": kinds,
+                "content": [bytearray(c) for c in contents], "meta": metas,
+            })
+
+    media = d.mapInPandas(_render, schema=MEDIA_SCHEMA)
+    fr = frame_sample_gif(media, every_n=1)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    ham = F.expr("bit_count(dhash ^ __prev)")
+    cuts = (
+        fr.withColumn("__prev", F.lag("dhash").over(w))
+        .withColumn(
+            "__cut",
+            F.when(F.col("__prev").isNotNull() & (ham > 10), 1).otherwise(0),
+        )
+    )
+    return (
+        cuts.groupBy("media_id")
+        .agg(
+            F.max("n_frames").alias("n_frames"),
+            F.sum("__cut").cast("bigint").alias("n_cuts"),
+            F.min(F.when(F.col("__cut") == 1, F.col("frame_idx")))
+            .alias("first_cut_idx"),
+        )
+        .orderBy("media_id")
+    )

@@ -2530,3 +2530,41 @@ def test_q_multimodal_frames_end_to_end(spark):
                  + fr[:, :, 2] * 0.114)
             v = dhash64(g)
             assert r.dhash == (v - (1 << 64) if v >= (1 << 63) else v)
+
+
+def test_q_multimodal_scene_cuts_matches_bruteforce(spark):
+    """Scene-cut detection equals the driver-side brute force: re-render
+    each GIF, decode frame-exact, popcount consecutive dHash xors in
+    NumPy, cut where distance > 10. Proves both the JVM-side
+    bit_count(a ^ b) Hamming and the lag-window composition."""
+    import hashlib
+    import numpy as np
+    from backtest_crew_datalake_spark.pipeline.multimodal import dhash64
+    from backtest_crew_datalake_spark.queries import all_queries, load
+
+    sf = "/root/testdata/sf0.001"
+    out = all_queries()["q_multimodal_scene_cuts"].build(spark, sf) \
+        .toPandas().set_index("media_id")
+    docs = load(spark, sf, "documents").where("doc_id % 8 = 0") \
+        .select("doc_id", "text").toPandas()
+    assert set(out.index) == set(docs.doc_id)
+    for _, row in docs.iterrows():
+        seed = hashlib.sha256((row.text or "").encode()).digest()
+        base = np.frombuffer(seed * 6, dtype=np.uint8)
+        hashes = []
+        for i in range(4):
+            px = base[i * 48:i * 48 + 8 * 8 * 3 // 4]
+            fr = (((np.resize(px, (8, 8, 3)) // 64) * 80)
+                  .astype(np.uint8).astype(np.float64))
+            g = (fr[:, :, 0] * 0.299 + fr[:, :, 1] * 0.587
+                 + fr[:, :, 2] * 0.114)
+            hashes.append(dhash64(g))  # unsigned; xor unaffected by sign
+        cuts = [i for i in range(1, 4)
+                if bin(hashes[i] ^ hashes[i - 1]).count("1") > 10]
+        got = out.loc[row.doc_id]
+        assert got.n_frames == 4
+        assert got.n_cuts == len(cuts), (row.doc_id, cuts)
+        if cuts:
+            assert got.first_cut_idx == cuts[0]
+        else:
+            assert got.first_cut_idx is None or np.isnan(got.first_cut_idx)
