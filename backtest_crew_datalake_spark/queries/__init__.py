@@ -110,6 +110,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_doc_bm25_topk",
     "q_evt_cusum",
     "q_doc_kn_bigram_nll",
+    "q_evt_attribution",
     "q_multimodal_frames",
     "q_multimodal_phash_dupes",
     "q_evt_winsorize",

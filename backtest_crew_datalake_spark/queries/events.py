@@ -1863,3 +1863,86 @@ def q_evt_cusum(spark, sf_dir):
         .cast("bigint").alias("n_over"),
     ).select("event_type", "n_events", "mean_value", "max_cusum",
              "argmax_ts_ms", "n_over")
+
+
+@register(
+    "q_evt_attribution",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms,
+               CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT) AS cents
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ),
+    carried AS (
+        SELECT s.*,
+               MAX(CASE WHEN event_type = 'click' THEN ts_ms END) OVER (
+                   PARTITION BY user_id ORDER BY ts_ms, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_click_ms
+        FROM s
+    ),
+    conv AS (
+        SELECT CASE
+                 WHEN last_click_ms IS NULL
+                      OR ts_ms - last_click_ms > 7 * 86400000 THEN -1
+                 ELSE CAST((ts_ms - last_click_ms) // 86400000 AS BIGINT)
+               END AS lag_days,
+               cents
+        FROM carried WHERE event_type = 'purchase'
+    )
+    SELECT lag_days, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(cents) AS BIGINT) AS value_cents
+    FROM conv GROUP BY 1
+    """,
+)
+def q_evt_attribution(spark, sf_dir):
+    """Last-touch conversion attribution (the marketing-analytics op every
+    event warehouse runs): each purchase is attributed to the SAME user's
+    most recent click STRICTLY before it (the 1-PRECEDING window frame —
+    a purchase and click in the same millisecond never self-attribute),
+    bucketed by click-to-conversion lag in days with a 7-day attribution
+    window; conversions with no qualifying touch land in the -1 bucket.
+
+    Exactness: the carried timestamp is an integer max over epoch-ms; lag
+    bucketing is integer floor-division; purchase values ride as exact
+    cents (rule 12). Ties inside one millisecond order by event_id on
+    both engines.
+
+    Scale shape: one events scan filtered to the two relevant types
+    (pushed to parquet), ONE keyed window over (user, time) — the as-of
+    join J1 expressed as LOCF carry, which is exactly how operators/
+    asof.py implements the engine's signature operator (union + carry,
+    one shuffle) — then a tiny keyed agg over <=9 lag buckets."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = e.select(
+        "user_id", "event_type", "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0)
+        .cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = s.withColumn(
+        "last_click_ms",
+        F.max(F.when(F.col("event_type") == "click", F.col("ts_ms"))).over(w),
+    )
+    lag = F.col("ts_ms") - F.col("last_click_ms")
+    conv = carried.where(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("last_click_ms").isNull() | (lag > 7 * 86400000),
+            F.lit(-1).cast("bigint"),
+        ).otherwise(F.floor(lag / F.lit(86400000)).cast("bigint"))
+        .alias("lag_days"),
+        "cents",
+    )
+    return conv.groupBy("lag_days").agg(
+        F.count("*").cast("bigint").alias("n_conversions"),
+        F.sum("cents").cast("bigint").alias("value_cents"),
+    )

@@ -460,13 +460,13 @@ def test_compact_retries_after_losing_commit_race(spark, tmp_path,
     real_commit = acid._commit_manifest
     fired = {"n": 0}
 
-    def race_once(table_root, version, manifest):
+    def race_once(table_root, version, manifest, branch=acid.MAIN_BRANCH):
         if fired["n"] == 0 and manifest["operation"] == "compact":
             fired["n"] += 1
             # interleave a real upsert that takes this version first
             acid.acid_upsert(spark, _mk(spark, [("A", "d1", 99, 99.0)]),
                              root, KEY, PARTS)
-        return real_commit(table_root, version, manifest)
+        return real_commit(table_root, version, manifest, branch)
 
     monkeypatch.setattr(acid, "_commit_manifest", race_once)
     v = acid.acid_compact(spark, root, target_mb=128)
