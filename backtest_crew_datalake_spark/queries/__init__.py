@@ -111,6 +111,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_evt_cusum",
     "q_doc_kn_bigram_nll",
     "q_evt_attribution",
+    "q_evt_concurrency",
     "q_multimodal_frames",
     "q_multimodal_phash_dupes",
     "q_evt_winsorize",

@@ -1946,3 +1946,101 @@ def q_evt_attribution(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_conversions"),
         F.sum("cents").cast("bigint").alias("value_cents"),
     )
+
+
+@register(
+    "q_evt_concurrency",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                            - CAST(FLOOR(EPOCH(LAG(ts) OVER w)) AS BIGINT)
+                            >= 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS session_id
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT user_id, session_id,
+               epoch_ms(MIN(ts)) AS s_ms, epoch_ms(MAX(ts)) AS e_ms
+        FROM numbered GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT s_ms AS t, 1 AS d FROM sessions
+        UNION ALL
+        SELECT e_ms + 1 AS t, -1 AS d FROM sessions
+    ),
+    run AS (
+        SELECT t, d,
+               SUM(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS c
+        FROM edges
+    )
+    SELECT CAST(t // 86400000 AS BIGINT) AS day_idx,
+           CAST(MAX(c) AS BIGINT) AS max_concurrent,
+           CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sessions_started
+    FROM run GROUP BY 1
+    """,
+)
+def q_evt_concurrency(spark, sf_dir):
+    """Peak concurrent sessions per day (the capacity-planning sweep-line
+    op): sessions (30-min timeout, reusing operator sessionize) become
+    +1/-1 edges (end-exclusive at e+1 ms), and the sweep's running count
+    is computed SEGMENTED — a per-day running sum plus a cross-day carry
+    from the bounded per-day-totals table — instead of the oracle's
+    single global window. The two formulations are algebraically
+    identical (prefix sums decompose), so the value gate proves the
+    SCALABLE formulation against the naive one: at 100 TB the global
+    window is a single-partition bottleneck, the segmented sweep is a
+    keyed window over days plus a |days|-row carry broadcast.
+
+    Tie determinism: edges order by (t, d) — all session-ends at a
+    millisecond fire before the starts, and within an equal (t, d) group
+    the partial-sum MULTISET is permutation-invariant, so per-day MAX is
+    engine-independent without needing a total order."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    s = sessionize(e, by=["user_id"], timeout_seconds=1800)
+    edges = (
+        s.select(F.unix_millis("session_start").alias("t"),
+                 F.lit(1).alias("d"))
+        .unionByName(
+            s.select((F.unix_millis("session_end") + 1).alias("t"),
+                     F.lit(-1).alias("d"))
+        )
+        .withColumn("day_idx",
+                    F.floor(F.col("t") / F.lit(86400000)).cast("long"))
+    )
+    wday = (
+        Window.partitionBy("day_idx").orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = edges.withColumn("r", F.sum("d").over(wday))
+    daytot = edges.groupBy("day_idx").agg(
+        F.sum("d").alias("__tot"),
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).cast("bigint")
+        .alias("n_sessions_started"),
+    )
+    wcarry = (
+        Window.orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = daytot.withColumn(
+        "__carry", F.coalesce(F.sum("__tot").over(wcarry), F.lit(0))
+    ).select("day_idx", "__carry", "n_sessions_started")
+    return (
+        run.join(F.broadcast(carry), "day_idx")
+        .groupBy("day_idx", "n_sessions_started")
+        .agg(F.max(F.col("__carry") + F.col("r")).cast("bigint")
+             .alias("max_concurrent"))
+        .select("day_idx", "max_concurrent", "n_sessions_started")
+    )
