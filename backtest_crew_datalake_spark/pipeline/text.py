@@ -816,9 +816,15 @@ def kn_bigram_nll(
         .select(F.col(id_col), F.explode(bigrams).alias("__bg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    c12 = bg.groupBy("__bg").agg(F.count("*").alias("__c12"))
-    c12 = c12.withColumn("__w1", F.substring_index("__bg", " ", 1)) \
-             .withColumn("__w2", F.substring_index("__bg", " ", -1))
+    # c12 is VOCAB-bounded and has four consumers (fw, bw, btot, lp) —
+    # persist it serialized so each consumer re-aggregates the bounded
+    # type table, not the cached full bigram stream
+    c12 = (
+        bg.groupBy("__bg").agg(F.count("*").alias("__c12"))
+        .withColumn("__w1", F.substring_index("__bg", " ", 1))
+        .withColumn("__w2", F.substring_index("__bg", " ", -1))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     fw = c12.groupBy("__w1").agg(
         F.sum("__c12").alias("__cp"),          # c(w1 ·)
         F.count("*").alias("__n1fw"),          # N1+(w1 ·): distinct types

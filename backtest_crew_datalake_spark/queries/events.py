@@ -2008,8 +2008,15 @@ def q_evt_concurrency(spark, sf_dir):
     engine-independent without needing a total order."""
     from pyspark.sql import Window
 
+    from pyspark import StorageLevel
+
     e = load(spark, sf_dir, "events")
-    s = sessionize(e, by=["user_id"], timeout_seconds=1800)
+    # sessions are persisted serialized: the edge UNION consumes them
+    # twice and two downstream consumers (the day-window run and the
+    # per-day totals) read the edges — without the persist the whole
+    # sessionize subtree replays FOUR times (measured 4 events FileScans)
+    s = sessionize(e, by=["user_id"], timeout_seconds=1800) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     edges = (
         s.select(F.unix_millis("session_start").alias("t"),
                  F.lit(1).alias("d"))

@@ -4243,12 +4243,12 @@ def q_doc_minhash_tuning(spark, sf_dir):
         FROM documents
     ),
     tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
     dfreq AS (SELECT token, COUNT(*) AS df_t FROM tf GROUP BY 1),
     stats AS (
-        SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n_docs,
-               (SELECT CAST(COUNT(*) AS DOUBLE) FROM tok)
-               / (SELECT COUNT(*) FROM documents) AS avgdl
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
     ),
     qterms AS (
         SELECT token, df_t FROM (
@@ -4296,12 +4296,16 @@ def q_doc_bm25_topk(spark, sf_dir):
     can never flip a rank; the final ranking orders by the integer s6
     with doc_id tiebreak.
 
-    Scale shape: one token explode feeds tf/dl/df (all keyed,
-    map-side-combinable); the 8-term query table and the 1-row
-    (n_docs, avgdl) stats broadcast back onto the tf stream, so the
-    scoring join touches only rows whose token IS a query term —
-    posting-list sized, not corpus sized. The ranking window is a
-    single global top-k over |matched docs| candidates."""
+    Scale shape: ONE token explode builds tf, which is persisted
+    serialized (three consumers: df, dl, the scoring join — the
+    multi-consumer rule); dl derives from tf (sum of tf per doc), never
+    a second explode; n_docs/avgdl ride as a 1-row broadcast computed
+    from dl (no driver-side count jobs). The scoring join touches only
+    rows whose token IS a query term — posting-list sized, not corpus
+    sized; the ranking window is a single global top-k over
+    |matched docs| candidates and the rank window over the df table is
+    vocabulary-bounded."""
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
@@ -4309,12 +4313,14 @@ def q_doc_bm25_topk(spark, sf_dir):
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+"))
         .alias("token"),
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df_t"))
-    n_docs = d.count()  # bounded driver-side: one scalar, reused twice
-    total_tok = tok.count()
-    avgdl = total_tok / n_docs
+    stats = dl.agg(
+        F.count("*").cast("double").alias("__nd"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("__avgdl"),
+    )
     qterms = (
         dfreq.withColumn(
             "r",
@@ -4326,18 +4332,19 @@ def q_doc_bm25_topk(spark, sf_dir):
         .select("token", "df_t")
     )
     idf8 = F.round(
-        F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df_t") + 0.5)
+        F.log(F.lit(1.0) + (F.col("__nd") - F.col("df_t") + 0.5)
               / (F.col("df_t") + 0.5)), 8
     )
     w6 = F.round(
         idf8 * (F.col("tf") * F.lit(2.2))
         / (F.col("tf") + F.lit(1.2)
-           * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
+           * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("__avgdl")))
         * F.lit(1000000.0), 0
     ).cast("bigint")
     scored = (
         tf.join(F.broadcast(qterms), "token")
         .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
         .select("doc_id", w6.alias("w6"))
         .groupBy("doc_id")
         .agg(

@@ -530,3 +530,51 @@ def test_ewma_single_exchange_few_partitions(spark):
     # on top of the window's own instead of replacing it
     assert p.count("Exchange hashpartitioning") == 1
     assert "REPARTITION_BY_NUM" in p
+
+
+def test_bm25_single_explode_all_consumers_cached(spark):
+    p = _plan(spark, "q_doc_bm25_topk")
+    # ONE token explode: tf is persisted serialized and df/dl/the scoring
+    # join all read the cache — a Generate outside a cache block would
+    # mean a consumer re-runs the explode
+    assert p.count("Generate explode") == p.count("InMemoryRelation") or \
+        p.count("Generate explode") <= p.count("InMemoryRelation")
+    assert p.count("FileScan parquet") <= p.count("InMemoryRelation")
+    # the 8-term query table and 1-row stats broadcast; no cartesian on
+    # the corpus-sized stream
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 1
+
+
+def test_cusum_windows_share_one_exchange(spark):
+    p = _plan(spark, "q_evt_cusum")
+    # centering agg + walk join-back = 2 keyed exchanges max; all three
+    # window passes (prefix sum, running min, per-type max) share the
+    # (event_type) partitioning — a third exchange would mean a window
+    # re-shuffled
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert "Exchange SinglePartition" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p   # the |types|-row centering table
+
+
+def test_attribution_single_scan_single_window_exchange(spark):
+    p = _plan(spark, "q_evt_attribution")
+    assert p.count("FileScan parquet") == 1
+    # the click/purchase filter reaches the scan
+    assert "PushedFilters" in p
+    scan = next(l for l in p.splitlines() if "FileScan parquet" in l)
+    assert "event_type" in scan
+    # one keyed window (user) + the final lag-bucket agg
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "CartesianProduct" not in p
+
+
+def test_concurrency_sessionize_runs_once(spark):
+    p = _plan(spark, "q_evt_concurrency")
+    # sessions persisted: every events scan sits inside a cache block;
+    # the cross-day carry is a broadcast of the bounded day table, and
+    # the only single-partition exchange is that bounded carry window
+    assert p.count("FileScan parquet") <= p.count("InMemoryRelation")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
