@@ -639,3 +639,97 @@ def q_acid_changes_schema_evo(spark, sf_dir):
         "user_id", "event_type", "n_events", "sum_value", "max_value",
         "_change_type",
     )
+
+
+@register(
+    "q_acid_incremental_mv",
+    oracle=f"""
+    WITH {_BATCHES_SQL},
+    merged AS (
+        SELECT COALESCE(b2.user_id, b1.user_id) AS user_id,
+               COALESCE(b2.event_type, b1.event_type) AS event_type,
+               COALESCE(b2.n_events, b1.n_events) AS n_events,
+               COALESCE(b2.sum_value, b1.sum_value) AS sum_value
+        FROM b1 FULL OUTER JOIN b2
+          ON b1.user_id = b2.user_id AND b1.event_type = b2.event_type
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n_events) AS BIGINT) AS total_events,
+           ROUND(CAST(SUM(CAST(ROUND(sum_value * 1000000) AS BIGINT))
+                      AS BIGINT) / 1000000.0, 6) AS total_value
+    FROM merged GROUP BY 1
+    """,
+)
+def q_acid_incremental_mv(spark, sf_dir):
+    """Incremental MATERIALIZED-VIEW maintenance driven by the change data
+    feed — the lakehouse pattern that makes a 100 TB aggregate refresh
+    cost the churn, not the table: the per-event_type MV is computed ONCE
+    at snapshot v1, then advanced to v2 by folding acid_changes(1, 2)
+    deltas (insert adds, delete subtracts, update pre/post images cancel
+    key counts and net out value sums) — the v2 snapshot itself is NEVER
+    re-aggregated. The oracle recomputes the same MV by FULL recompute
+    over the merged end state, so the value hash proves
+    incremental(v1, cdf) == full(v2) exactly.
+
+    Exactness: stored sum_value is rounded to 6 dp at batch build, so each
+    row's contribution is lifted to a 1e6-scaled BIGINT on both sides —
+    integer addition commutes, and the incremental +/- arithmetic can
+    never drift from the full recompute by summation order.
+
+    Scale shape: the MV@v1 aggregation reads snapshot v1 once (shared,
+    memoized table — metadata-scale); the delta aggregation reads ONLY
+    the files the v1->v2 commit churned (manifest-level file diff inside
+    acid_changes cancels unchanged files before Spark touches them); the
+    final merge is a |event_type|-row full-outer join."""
+    from ..sources.acid import acid_changes, acid_read
+
+    root = _acid_table(spark, sf_dir)
+    sv6 = F.round(F.col("sum_value") * 1000000).cast("bigint")
+
+    mv1 = (
+        acid_read(spark, root, version=1)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("n_events").cast("bigint").alias("total_events"),
+            F.sum(sv6).alias("sv6"),
+        )
+    )
+
+    sign = (
+        F.when(F.col("_change_type").isin("insert", "update_postimage"), 1)
+        .otherwise(-1)
+        .cast("bigint")
+    )
+    key_delta = (
+        F.when(F.col("_change_type") == "insert", 1)
+        .when(F.col("_change_type") == "delete", -1)
+        .otherwise(0)
+        .cast("bigint")
+    )
+    delta = (
+        acid_changes(spark, root, from_version=1, to_version=2, key=_KEY)
+        .groupBy("event_type")
+        .agg(
+            F.sum(key_delta).alias("d_keys"),
+            F.sum(sign * F.col("n_events")).alias("d_events"),
+            F.sum(sign * sv6).alias("d_sv6"),
+        )
+    )
+
+    zero = F.lit(0).cast("bigint")
+    return (
+        mv1.join(delta, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (F.coalesce("n_keys", zero) + F.coalesce("d_keys", zero))
+            .alias("n_keys"),
+            (F.coalesce("total_events", zero) + F.coalesce("d_events", zero))
+            .alias("total_events"),
+            F.round(
+                (F.coalesce("sv6", zero) + F.coalesce("d_sv6", zero))
+                / F.lit(1000000.0), 6,
+            ).alias("total_value"),
+        )
+    )

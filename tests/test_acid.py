@@ -986,3 +986,63 @@ def test_vacuum_keeps_branch_files_until_drop(spark, tmp_path):
     assert removed                                # branch files reclaimed
     assert _snapshot(acid_read(spark, root)) == \
         [("A", "d1", 1, 1.0), ("B", "d2", 2, 2.5)]
+
+
+def test_incremental_mv_matches_full_recompute(spark, tmp_path):
+    """CDF-driven MV maintenance: MV@v1 + fold(acid_changes(1, latest))
+    == full re-aggregation of the latest snapshot, including a DELETE in
+    the history (the query-catalog gate only sees insert/update; the
+    delete arm is proven here)."""
+    from pyspark.sql import functions as F
+
+    from backtest_crew_datalake_spark.sources.acid import (
+        acid_changes, acid_delete,
+    )
+
+    root = str(tmp_path / "mv")
+    acid_write(spark, _mk(spark, [
+        ("A", "d1", 1, 1.0), ("A", "d1", 2, 2.0),
+        ("B", "d1", 1, 5.0), ("B", "d2", 1, 7.0),
+    ]), root, partition_by=PARTS)
+    acid_upsert(spark, _mk(spark, [
+        ("A", "d1", 2, 4.0),          # update
+        ("C", "d1", 1, 9.0),          # insert
+    ]), root, key=KEY, partition_by=PARTS)
+    acid_delete(spark, root, "sym = 'B' AND day = 'd2'")  # delete
+
+    px6 = F.round(F.col("px") * 1000000).cast("bigint")
+
+    def mv(df):
+        return df.groupBy("sym").agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(px6).alias("px6"),
+        )
+
+    mv1 = mv(acid_read(spark, root, version=1))
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), 1
+    ).otherwise(-1).cast("bigint")
+    kd = (F.when(F.col("_change_type") == "insert", 1)
+          .when(F.col("_change_type") == "delete", -1)
+          .otherwise(0).cast("bigint"))
+    delta = (
+        acid_changes(spark, root, from_version=1, key=KEY)
+        .groupBy("sym")
+        .agg(F.sum(kd).alias("dn"), F.sum(sign * px6).alias("dpx6"))
+    )
+    z = F.lit(0).cast("bigint")
+    inc = (
+        mv1.join(delta, "sym", "full_outer")
+        .select(
+            "sym",
+            (F.coalesce("n_rows", z) + F.coalesce("dn", z)).alias("n_rows"),
+            (F.coalesce("px6", z) + F.coalesce("dpx6", z)).alias("px6"),
+        )
+        .where(F.col("n_rows") > 0)
+    )
+    full = mv(acid_read(spark, root))
+    got = sorted((r.sym, r.n_rows, r.px6) for r in inc.collect())
+    want = sorted((r.sym, r.n_rows, r.px6) for r in full.collect())
+    assert got == want
+    assert ("B", 1, 5000000) in got            # d2 delete netted out
+    assert ("C", 1, 9000000) in got
