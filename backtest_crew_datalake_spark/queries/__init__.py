@@ -106,6 +106,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # rows-only entries last. tools/check_oracles.py covers the full catalog.
 PRIORITY_ORDER: tuple[str, ...] = (
     "q_acid_incremental_mv",
+    "q_evt_scd2_pit",
     "q_acid_branch_merge",
     "q_acid_changes_schema_evo",
     "q_doc_bm25_topk",

@@ -2051,3 +2051,124 @@ def q_evt_concurrency(spark, sf_dir):
              .alias("max_concurrent"))
         .select("day_idx", "max_concurrent", "n_sessions_started")
     )
+
+
+@register(
+    "q_evt_scd2_pit",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN value < 50.0 THEN 'low'
+                    WHEN value < 200.0 THEN 'mid'
+                    ELSE 'high' END AS tier
+        FROM events WHERE event_type = 'purchase'
+    ),
+    latest AS (
+        SELECT user_id, ts, tier FROM (
+            SELECT p.*, ROW_NUMBER() OVER (
+                PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+            FROM p
+        ) WHERE rn = 1
+    ),
+    ver AS (
+        SELECT user_id, ts AS eff_from, tier FROM (
+            SELECT latest.*, LAG(tier) OVER (
+                PARTITION BY user_id ORDER BY ts) AS prev_tier
+            FROM latest
+        ) WHERE prev_tier IS NULL OR prev_tier <> tier
+    ),
+    dim AS (
+        SELECT user_id, tier, eff_from,
+               LEAD(eff_from) OVER (
+                   PARTITION BY user_id ORDER BY eff_from) AS eff_to
+        FROM ver
+    ),
+    dstats AS (
+        SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_versions,
+               CAST(SUM(CASE WHEN eff_to IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_current
+        FROM dim GROUP BY 1
+    ),
+    c AS (
+        SELECT user_id, ts,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'click'
+    ),
+    pit AS (
+        SELECT c.cents, COALESCE(d.tier, 'none') AS tier
+        FROM c LEFT JOIN dim d
+          ON c.user_id = d.user_id AND d.eff_from <= c.ts
+         AND (d.eff_to IS NULL OR c.ts < d.eff_to)
+    ),
+    cstats AS (
+        SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_clicks,
+               CAST(SUM(cents) AS BIGINT) AS click_cents
+        FROM pit GROUP BY 1
+    )
+    SELECT COALESCE(d.tier, c.tier) AS tier,
+           COALESCE(d.n_versions, 0) AS n_versions,
+           COALESCE(d.n_current, 0) AS n_current,
+           COALESCE(c.n_clicks, 0) AS n_clicks,
+           COALESCE(c.click_cents, 0) AS click_cents
+    FROM dstats d FULL OUTER JOIN cstats c ON d.tier = c.tier
+    """,
+)
+def q_evt_scd2_pit(spark, sf_dir):
+    """SCD Type-2 dimension build + point-in-time join (operators/scd.py):
+    each user's purchase stream defines a slowly-changing 'spend tier'
+    (value bucket); scd2_build collapses it into versioned history
+    (keep-last per timestamp, NEW VERSION ONLY ON CHANGE — consecutive
+    same-tier purchases merge, the realism that separates SCD2 from a
+    naive snapshot log), then every click is PIT-joined to the tier that
+    was current AT CLICK TIME (clicks before the first purchase, or by
+    never-purchasing users, attribute to 'none'). The oracle rebuilds the
+    history with window CTEs and does the containment join explicitly —
+    proving the as-of LOCF kernel equals interval semantics.
+
+    Output: one row per tier with version counts (how much history), open
+    versions (current state), and PIT-attributed click stats (cents-exact
+    BIGINT).
+
+    Scale shape: scd2_build is one shuffle on user_id (3 chained windows,
+    same partitioning); pit_join is the union+LOCF as-of — one more
+    shuffle on user_id, no range join, no broadcast of the fact side; the
+    final stats are two |tiers|-row aggregates full-outer-merged. At
+    100 TB the dimension history is churn-sized, facts stream through
+    one window."""
+    from ..operators.scd import pit_join, scd2_build
+
+    evt = load(spark, sf_dir, "events")
+    tier = (
+        F.when(F.col("value") < 50.0, "low")
+        .when(F.col("value") < 200.0, "mid")
+        .otherwise("high")
+    )
+    purchases = evt.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", tier.alias("tier")
+    )
+    dim = scd2_build(
+        purchases, key=["user_id"], attrs=["tier"], order_col="event_id"
+    )
+    dstats = dim.groupBy("tier").agg(
+        F.count("*").cast("bigint").alias("n_versions"),
+        F.sum(F.col("is_current").cast("bigint")).alias("n_current"),
+    )
+    clicks = evt.where(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    attributed = pit_join(clicks, dim, key=["user_id"]).select(
+        F.coalesce("tier", F.lit("none")).alias("tier"), "cents"
+    )
+    cstats = attributed.groupBy("tier").agg(
+        F.count("*").cast("bigint").alias("n_clicks"),
+        F.sum("cents").alias("click_cents"),
+    )
+    z = F.lit(0).cast("bigint")
+    return dstats.join(cstats, "tier", "full_outer").select(
+        "tier",
+        F.coalesce("n_versions", z).alias("n_versions"),
+        F.coalesce("n_current", z).alias("n_current"),
+        F.coalesce("n_clicks", z).alias("n_clicks"),
+        F.coalesce("click_cents", z).alias("click_cents"),
+    )
