@@ -207,6 +207,18 @@ def hll_build(df: DataFrame, key_col: str, p: int = 6) -> DataFrame:
     )
 
 
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge register tables (any number) by register-wise MAX — the law
+    that makes HLL state re-aggregable at any grain without re-scanning
+    raw data: max is idempotent, associative, and commutative, so a user
+    counted in many partial sketches dedups exactly. Inputs and output
+    share hll_build's (reg, rho) schema; estimate with hll_estimate."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("reg").agg(F.max("rho").alias("rho"))
+
+
 def hll_estimate(spark, sketch: DataFrame, p: int = 6) -> DataFrame:
     """One-row estimate from a register table: raw harmonic-mean estimate
     with the small-range linear-counting correction."""

@@ -107,6 +107,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 PRIORITY_ORDER: tuple[str, ...] = (
     "q_acid_incremental_mv",
     "q_evt_scd2_pit",
+    "q_evt_hll_rollup",
     "q_acid_branch_merge",
     "q_acid_changes_schema_evo",
     "q_doc_bm25_topk",

@@ -2172,3 +2172,160 @@ def q_evt_scd2_pit(spark, sf_dir):
         F.coalesce("n_clicks", z).alias("n_clicks"),
         F.coalesce("click_cents", z).alias("click_cents"),
     )
+
+
+@register(
+    "q_evt_hll_rollup",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT AS hv
+        FROM events
+    ),
+    day_regs AS (
+        SELECT event_type, day, hv % 64 AS reg,
+               MAX({_HLL_RHO_DUCK}) AS rho
+        FROM h GROUP BY 1, 2, 3
+    ),
+    type_regs AS (
+        SELECT event_type, reg, MAX(rho) AS rho,
+               CAST(COUNT(DISTINCT day) AS BIGINT) AS nd
+        FROM day_regs GROUP BY 1, 2
+    ),
+    type_width AS (
+        SELECT event_type,
+               CAST(COUNT(DISTINCT day) AS BIGINT) AS n_sketches_merged
+        FROM day_regs GROUP BY 1
+    ),
+    all_regs AS (
+        SELECT '__all__' AS event_type, reg, MAX(rho) AS rho
+        FROM type_regs GROUP BY 2
+    ),
+    widths AS (
+        SELECT event_type, n_sketches_merged FROM type_width
+        UNION ALL
+        SELECT '__all__',
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM type_regs
+    ),
+    lv AS (
+        SELECT event_type, reg, rho FROM type_regs
+        UNION ALL
+        SELECT event_type, reg, rho FROM all_regs
+    ),
+    grid AS (
+        SELECT w.event_type, g.reg
+        FROM widths w, (SELECT UNNEST(range(0, 64)) AS reg) g
+    ),
+    regs AS (
+        SELECT g.event_type, COALESCE(l.rho, 0) AS rho
+        FROM grid g LEFT JOIN lv l
+          ON g.event_type = l.event_type AND g.reg = l.reg
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(ROUND(SUM(POWER(2.0, -rho)) * 134217728) AS BIGINT)
+                   AS s_scaled,
+               CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS v_zero
+        FROM regs GROUP BY 1
+    ),
+    ex AS (
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events GROUP BY 1
+        UNION ALL
+        SELECT '__all__', CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        FROM events
+    )
+    SELECT e.event_type, w.n_sketches_merged, e.s_scaled, e.v_zero,
+           ROUND(e.e, 2) AS hll_estimate, x.n_exact
+    FROM (SELECT event_type, s_scaled, v_zero,
+                 CASE WHEN 0.709 * 4096 / (s_scaled / 134217728.0) <= 160.0
+                           AND v_zero > 0
+                      THEN 64.0 * ln(64.0 / v_zero)
+                      ELSE 0.709 * 4096 / (s_scaled / 134217728.0)
+                 END AS e
+          FROM agg) e
+    JOIN widths w USING (event_type)
+    JOIN ex x USING (event_type)
+    """,
+)
+def q_evt_hll_rollup(spark, sf_dir):
+    """HLL sketch RE-AGGREGATION — the mergeability law value-gated, which
+    is the whole reason sketches work at 100 TB: distinct-user registers
+    are built once at (event_type, day) grain (what an ingest pipeline
+    would persist as 64 rows/sketch of state), then rolled UP twice by
+    register-wise MAX — day sketches -> per-type sketches -> one global
+    sketch — with NO re-scan of raw data above the finest grain; the same
+    user active on many days dedups exactly because max-merge is
+    idempotent/associative/commutative. Both merge hops, the estimates
+    they produce, and the merge WIDTH (how many finer sketches fed each
+    row) are hash-compared against DuckDB running the identical portable
+    pipeline, alongside exact distinct counts. Register sums stay exact
+    scaled integers (every 2^-rho term is a multiple of 2^-27), so the
+    value hash is summation-order-proof. (pipeline/sketch.hll_merge is
+    the same union+MAX in library form; q_evt_hll_distinct gates the
+    single-level build.)"""
+    evt = load(spark, sf_dir, "events")
+    h = evt.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")
+                              .cast("binary")), 1, 8), 16, 10,
+        ).cast("long").alias("hv"),
+    )
+    day_regs = (
+        h.select(
+            "event_type", "day",
+            (F.col("hv") % 64).alias("reg"),
+            F.expr(_hll_rho_case("(hv div 64)", 26)).alias("rho"),
+        )
+        .groupBy("event_type", "day", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    type_regs = day_regs.groupBy("event_type", "reg").agg(
+        F.max("rho").alias("rho")
+    )
+    type_width = day_regs.groupBy("event_type").agg(
+        F.countDistinct("day").alias("n_sketches_merged")
+    )
+    all_regs = type_regs.groupBy("reg").agg(F.max("rho").alias("rho")) \
+        .select(F.lit("__all__").alias("event_type"), "reg", "rho")
+    widths = type_width.unionByName(
+        type_regs.agg(
+            F.countDistinct("event_type").alias("n_sketches_merged")
+        ).select(
+            F.lit("__all__").alias("event_type"), "n_sketches_merged"
+        )
+    )
+    lv = type_regs.unionByName(all_regs)
+    grid = widths.select("event_type").crossJoin(
+        spark.range(64).select(F.col("id").alias("reg"))
+    )
+    regs = grid.join(lv, ["event_type", "reg"], "left").select(
+        "event_type", F.coalesce("rho", F.lit(0)).alias("rho")
+    )
+    agg = regs.groupBy("event_type").agg(
+        F.round(F.sum(F.pow(F.lit(2.0), -F.col("rho"))) * 134217728)
+        .cast("bigint").alias("s_scaled"),
+        F.sum((F.col("rho") == 0).cast("long")).alias("v_zero"),
+    )
+    raw = F.lit(0.709 * 4096) / (F.col("s_scaled") / F.lit(134217728.0))
+    est = F.when(
+        (raw <= 160.0) & (F.col("v_zero") > 0),
+        F.lit(64.0) * F.log(F.lit(64.0) / F.col("v_zero")),
+    ).otherwise(raw)
+    exact = evt.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    ).unionByName(
+        evt.agg(F.countDistinct("user_id").alias("n_exact"))
+        .select(F.lit("__all__").alias("event_type"), "n_exact")
+    )
+    return (
+        agg.join(F.broadcast(widths), "event_type")
+        .join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type", "n_sketches_merged", "s_scaled", "v_zero",
+            F.round(est, 2).alias("hll_estimate"), "n_exact",
+        )
+    )

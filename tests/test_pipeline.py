@@ -1592,10 +1592,9 @@ def test_hll_estimate(spark):
     b = spark.range(400, 1000).select(
         F.concat(F.lit("u"), F.col("id")).alias("k")
     )
-    merged = (
-        hll_build(a, "k", p=8).unionByName(hll_build(b, "k", p=8))
-        .groupBy("reg").agg(F.max("rho").alias("rho"))
-    )
+    from backtest_crew_datalake_spark.pipeline.sketch import hll_merge
+
+    merged = hll_merge(hll_build(a, "k", p=8), hll_build(b, "k", p=8))
     whole = hll_build(a.unionByName(b), "k", p=8)
     assert sorted(map(tuple, merged.collect())) == \
         sorted(map(tuple, whole.collect()))
