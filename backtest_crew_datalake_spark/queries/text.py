@@ -4235,10 +4235,11 @@ def q_doc_minhash_tuning(spark, sf_dir):
     return out
 
 
-@register(
-    "q_doc_bm25_topk",
-    oracle=r"""
-    WITH tok AS (
+# BM25 oracle CTE chain up to the exact-integer per-doc score — shared by
+# the BM25 ranking gate and the RRF hybrid-fusion gate (same term
+# derivation, same 1e6-scaled integer discipline).
+_BM25_CTES_SQL = r"""
+    tok AS (
         SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS token
         FROM documents
     ),
@@ -4274,6 +4275,13 @@ def q_doc_minhash_tuning(spark, sf_dir):
                CAST(SUM(w6) AS BIGINT) AS s6
         FROM w GROUP BY 1
     )
+"""
+
+
+@register(
+    "q_doc_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_CTES_SQL}
     SELECT doc_id, n_terms_matched, ROUND(s6 / 1000000.0, 6) AS bm25, rank
     FROM (
         SELECT scored.*, ROW_NUMBER() OVER (
@@ -4305,6 +4313,23 @@ def q_doc_bm25_topk(spark, sf_dir):
     sized; the ranking window is a single global top-k over
     |matched docs| candidates and the rank window over the df table is
     vocabulary-bounded."""
+    from pyspark.sql import Window
+
+    scored = _bm25_scored(spark, sf_dir)
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("s6").desc(), "doc_id")),
+    ).where(F.col("rank") <= 10)
+    return ranked.select(
+        "doc_id", "n_terms_matched",
+        F.round(F.col("s6") / F.lit(1000000.0), 6).alias("bm25"), "rank",
+    )
+
+
+def _bm25_scored(spark, sf_dir):
+    """Shared BM25 scorer (q_doc_bm25_topk's docstring documents the design):
+    per-matched-document exact integer score s6 + n_terms_matched, before
+    any ranking cut — reused by the RRF fusion query."""
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
@@ -4352,14 +4377,7 @@ def q_doc_bm25_topk(spark, sf_dir):
             F.sum("w6").alias("s6"),
         )
     )
-    ranked = scored.withColumn(
-        "rank",
-        F.row_number().over(Window.orderBy(F.col("s6").desc(), "doc_id")),
-    ).where(F.col("rank") <= 10)
-    return ranked.select(
-        "doc_id", "n_terms_matched",
-        F.round(F.col("s6") / F.lit(1000000.0), 6).alias("bm25"), "rank",
-    )
+    return scored
 
 
 @register(
@@ -4485,4 +4503,118 @@ def q_multimodal_scene_cuts(spark, sf_dir):
             .alias("first_cut_idx"),
         )
         .orderBy("media_id")
+    )
+
+
+@register(
+    "q_doc_rrf_fusion",
+    oracle=f"""
+    WITH {_BM25_CTES_SQL},
+    lexr AS (
+        SELECT doc_id, CAST(rank AS BIGINT) AS lex_rank FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY s6 DESC, doc_id) AS rank
+            FROM scored
+        ) WHERE rank <= 25
+    ),
+    dq AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    dc AS (
+        SELECT vec_id AS doc_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id >= 1
+    ),
+    ds AS (
+        SELECT doc_id, list_cosine_similarity(qv, cv) AS sim
+        FROM dc CROSS JOIN dq
+    ),
+    denser AS (
+        SELECT doc_id, CAST(rank AS BIGINT) AS dense_rank FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rank
+            FROM ds
+        ) WHERE rank <= 25
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+               l.lex_rank, d.dense_rank,
+               COALESCE(CAST(ROUND(100000000.0 / (60 + l.lex_rank))
+                             AS BIGINT), 0)
+             + COALESCE(CAST(ROUND(100000000.0 / (60 + d.dense_rank))
+                             AS BIGINT), 0) AS rrf_s8
+        FROM lexr l FULL OUTER JOIN denser d ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id, lex_rank, dense_rank, rrf_s8, rrf_rank FROM (
+        SELECT fused.*, ROW_NUMBER() OVER (
+                   ORDER BY rrf_s8 DESC, doc_id) AS rrf_rank
+        FROM fused
+    ) WHERE rrf_rank <= 10
+    """,
+)
+def q_doc_rrf_fusion(spark, sf_dir):
+    """HYBRID retrieval via Reciprocal Rank Fusion (Cormack et al. 2009,
+    k=60) — the fusion every production RAG stack runs between a lexical
+    ranker and a dense ranker: BM25 top-25 (the shared _bm25_scored exact
+    integer scorer) fused with dense cosine top-25 (query = vector 0,
+    candidates = the embedded corpus, doc_id == vec_id where an embedding
+    exists — at sf0.1 only 2 of 5 k docs are embedded, so the fusion
+    genuinely handles one-sided candidates on BOTH sides rather than
+    degenerating to a rerank). RRF depends only on the two INTEGER rank
+    lists once each side's ranking is fixed, and each 1/(60+r) term is
+    rounded to a 1e8-scaled BIGINT identically in both engines, so the
+    fused ordering is summation-order- and float-drift-proof; final
+    tiebreak doc_id.
+
+    Scale shape: the lexical side is the posting-list-bounded BM25 plan;
+    the dense side broadcasts the 1-row query against a corpus scan (no
+    corpus shuffle); the fusion itself is a full-outer join of two
+    25-row lists — driver-free, broadcast-trivial at any corpus size."""
+    from pyspark.sql import Window
+
+    from ..pipeline.similarity import cosine_topk
+
+    lex = (
+        _bm25_scored(spark, sf_dir)
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("s6").desc(), "doc_id")
+            ).cast("bigint"),
+        )
+        .where(F.col("lex_rank") <= 25)
+        .select("doc_id", "lex_rank")
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    dense = (
+        cosine_topk(
+            emb.where(F.col("vec_id") == 0),
+            emb.where(F.col("vec_id") >= 1),
+            k=25,
+        )
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").cast("bigint").alias("dense_rank"),
+        )
+    )
+    rr = lambda c: F.coalesce(  # noqa: E731
+        F.round(F.lit(100000000.0) / (F.lit(60) + F.col(c)), 0)
+        .cast("bigint"),
+        F.lit(0).cast("bigint"),
+    )
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id", "lex_rank", "dense_rank",
+            (rr("lex_rank") + rr("dense_rank")).alias("rrf_s8"),
+        )
+    )
+    return (
+        fused.withColumn(
+            "rrf_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("rrf_s8").desc(), "doc_id")
+            ),
+        )
+        .where(F.col("rrf_rank") <= 10)
+        .select("doc_id", "lex_rank", "dense_rank", "rrf_s8", "rrf_rank")
     )
