@@ -1932,3 +1932,113 @@ def q_emb_ivf_probe_sweep(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "q_emb_prototypicality",
+    oracle="""
+    WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                  FROM embeddings WHERE vec_id < 16),
+    corpus AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nv
+               FROM embeddings WHERE vec_id >= 16),
+    assign AS (
+        SELECT nid, nv, cid FROM (
+            SELECT c.nid, c.nv, t.cid,
+                   ROW_NUMBER() OVER (PARTITION BY c.nid
+                       ORDER BY list_distance(c.nv, t.cv), t.cid) AS rk
+            FROM corpus c CROSS JOIN cent t
+        ) WHERE rk = 1
+    ),
+    scored AS (
+        SELECT a.cid, a.nid,
+               list_cosine_similarity(a.nv, t.cv) AS sim
+        FROM assign a JOIN cent t USING (cid)
+    ),
+    ranked AS (
+        SELECT cid, nid, sim,
+               ROW_NUMBER() OVER (PARTITION BY cid
+                   ORDER BY sim DESC, nid) AS rnk,
+               COUNT(*) OVER (PARTITION BY cid) AS n_members
+        FROM scored
+    ),
+    kept AS (
+        SELECT * FROM ranked
+        WHERE rnk <= CAST(CEIL(0.75 * n_members) AS BIGINT)
+    )
+    SELECT cid,
+           CAST(MAX(n_members) AS BIGINT) AS n_members,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           ROUND(MIN(sim), 4) AS cut_sim,
+           CAST(SUM(CAST(ROUND(sim * 1000000) AS BIGINT)) AS BIGINT)
+               AS kept_sim_sum6
+    FROM kept GROUP BY 1
+    """,
+)
+def q_emb_prototypicality(spark, sf_dir):
+    """Prototypicality curation (SSL-Prototypes, Sorscher et al. 2022 —
+    the data-pruning family SemDeDup cites as its complement): every
+    corpus vector is assigned to its nearest coarse centroid (the fixed
+    vec_id<16 convention shared with the IVF family; L2 assignment, ties
+    to lowest cid), scored by cosine to that centroid, and each cluster
+    keeps its top ceil(75%) most prototypical members — dropping the
+    outlier tail that hurts training more than it helps. Emits per
+    cluster: size, kept count, the similarity at the cut, and the kept
+    similarity mass (per-element 1e6-scaled integers summed, so the
+    value hash is addition-order-proof).
+
+    Scale shape: centroids broadcast (16 rows), the corpus is scanned
+    once and never shuffled until the per-cluster window (one Exchange on
+    cid); the keep rule is a window rank against a window count — no
+    second pass, no driver collect. At 100 TB this is exactly the
+    SemDeDup/prototypes pruning plan: broadcast codebook, one keyed
+    window."""
+    from pyspark.sql import Window
+
+    from ..pipeline.similarity import kmeans_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 16).select(
+        F.col("vec_id").alias("nid"), "embedding"
+    )
+    # row-local argmin assignment (broadcast codebook, no corpus fan-out)
+    assigned = kmeans_assign(corpus, cent, id_col="nid").select(
+        "nid", F.col("embedding").cast("array<double>").alias("nv"),
+        F.col("centroid_id").alias("cid"),
+    )
+    cv = F.broadcast(cent.select(
+        F.col("centroid_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    ))
+    dot = F.aggregate(
+        F.zip_with("nv", "cv", lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    scored = assigned.join(cv, "cid").select(
+        "cid", "nid",
+        (dot / (norm(F.col("nv")) * norm(F.col("cv")))).alias("sim"),
+    )
+    w_rank = Window.partitionBy("cid").orderBy(
+        F.col("sim").desc(), F.col("nid").asc()
+    )
+    w_all = Window.partitionBy("cid")
+    kept = (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .withColumn("n_members", F.count("*").over(w_all))
+        .where(
+            F.col("rnk")
+            <= F.ceil(F.lit(0.75) * F.col("n_members")).cast("bigint")
+        )
+    )
+    return kept.groupBy("cid").agg(
+        F.max("n_members").cast("bigint").alias("n_members"),
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.round(F.min("sim"), 4).alias("cut_sim"),
+        F.sum(F.round(F.col("sim") * 1000000).cast("bigint"))
+        .alias("kept_sim_sum6"),
+    )
