@@ -85,6 +85,14 @@ HEADLINE = [
     # round-over-round aggregate-ratio deltas decompose by composition.
     "q_evt_rollup_cascade", "q_evt_winsorize", "q_emb_bq_topk",
     "q_emb_ivf_probe_sweep", "q_doc_doremi_weights",
+    # round-9 second-session ops: CDF-driven incremental MV maintenance
+    # (ACID churn-cost refresh), SCD2 build + PIT join (two keyed
+    # shuffles), HLL re-aggregation (two merge hops over register
+    # state), RRF hybrid fusion (BM25 posting-list plan + broadcast
+    # dense query), prototypicality pruning (broadcast codebook + one
+    # cid window)
+    "q_acid_incremental_mv", "q_evt_scd2_pit", "q_evt_hll_rollup",
+    "q_doc_rrf_fusion", "q_emb_prototypicality",
     # round-7 third-session ops (ppl_buckets, dsir_weights, bigram_nll,
     # seq_pack, kcenter, pca_power, sq8, abtt, source_overlap) are
     # deliberately NOT headline: at sf0.1 they are per-job-floor-bound
