@@ -733,3 +733,77 @@ def q_acid_incremental_mv(spark, sf_dir):
             ).alias("total_value"),
         )
     )
+
+
+# separate memo: the partition-evolution table mixes specs deliberately
+_EVOSPEC_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _evospec_table(spark, sf_dir) -> str:
+    """v1: users%3==0 partitioned by event_type; v2: users%3==1 appended
+    UNPARTITIONED; v3: users%3==2 appended partitioned by (event_type,
+    user_id%4 bucket via... no derived cols — partitioned by event_type
+    again, proving a spec can also evolve BACK). Three specs' files share
+    one data root."""
+    from ..sources.acid import acid_write
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    root = _EVOSPEC_MEMO.get(memo_key)
+    if root is not None:
+        return root
+    e = load(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="acid_qs_")
+    acid_write(spark, _agg(e.where(F.col("user_id") % 3 == 0)), root,
+               partition_by=("event_type",))
+    acid_write(spark, _agg(e.where(F.col("user_id") % 3 == 1)), root,
+               partition_by=())
+    acid_write(spark, _agg(e.where(F.col("user_id") % 3 == 2)), root,
+               partition_by=("event_type",))
+    _EVOSPEC_MEMO[memo_key] = root
+    return root
+
+
+@register(
+    "q_acid_partition_evolution",
+    oracle=f"""
+    WITH allrows AS ({_SLICE_SQL.format(k=0)}
+        UNION ALL {_SLICE_SQL.format(k=1)}
+        UNION ALL {_SLICE_SQL.format(k=2)})
+    SELECT 'full' AS stage, user_id, event_type, n_events, sum_value
+    FROM allrows
+    UNION ALL
+    SELECT 'clicks' AS stage, user_id, event_type, n_events, sum_value
+    FROM allrows WHERE event_type = 'click'
+    """,
+)
+def q_acid_partition_evolution(spark, sf_dir):
+    """PARTITION-SPEC EVOLUTION under the value gate (Iceberg v2 spec
+    evolution semantics): three commits under three specs — hive-
+    partitioned by event_type, unpartitioned, partitioned again — share
+    one immutable data root, and both a full read and a partition-
+    filtered read return exactly the logical table. acid_read groups the
+    manifest's file list per spec (Spark refuses mixed hive layouts under
+    one basePath scan) and unions the per-spec scans; the 'clicks' stage
+    additionally proves the skipping contract across the boundary:
+    old-spec files prune by manifest partition values, the unpartitioned
+    commit's files are KEPT (their spec lacks the key — skipping may
+    never drop data) and the residual predicate finishes the job.
+
+    Scale shape: pruning happens on the manifest BEFORE Spark opens any
+    file; the per-spec union adds one scan node per spec ever used (a
+    handful), not per file; at 100 TB a spec change never forces a
+    rewrite — old files stay readable forever, and compaction naturally
+    migrates them to the current spec."""
+    from ..sources.acid import acid_read
+
+    root = _evospec_table(spark, sf_dir)
+    cols = ("user_id", "event_type", "n_events", "sum_value")
+    full = acid_read(spark, root).select(
+        F.lit("full").alias("stage"), *cols
+    )
+    clicks = (
+        acid_read(spark, root, partition_filter={"event_type": "click"})
+        .where(F.col("event_type") == "click")   # skipping != filtering
+        .select(F.lit("clicks").alias("stage"), *cols)
+    )
+    return full.unionByName(clicks)

@@ -367,19 +367,40 @@ def acid_read(
         )
     m = _load_manifest(table_root, v, branch)
     data_root = _data_root(table_root)
-    files = [
-        os.path.join(data_root, e["path"])
-        for e in m["files"]
+    entries = [
+        e for e in m["files"]
         if _matches(e, partition_filter) and _stats_prune(e, stats_filter)
     ]
-    reader = spark.read.option("basePath", data_root)
-    if m.get("schema_ddl"):
-        # pin the committed schema: uncompacted historic files stay readable
-        # after additive evolution (missing columns read as null)
-        reader = reader.schema(m["schema_ddl"])
-    if not files:
+    if not entries:
         return spark.createDataFrame([], m["schema_ddl"])
-    return reader.parquet(*files)
+    return _read_entries(spark, data_root, entries, m.get("schema_ddl"))
+
+
+def _read_entries(spark, data_root, entries, schema_ddl):
+    """Read manifest entries, grouped by PARTITION SPEC: spec evolution
+    (Iceberg-style — e.g. (event_type) -> (event_type, bucket)) legally
+    mixes hive layouts in one data root, and Spark refuses conflicting
+    directory structures under a single basePath scan. Each spec group is
+    internally consistent, so read one scan per LIVE SPEC (bounded by the
+    number of specs ever used, not by files) and unionByName; the pinned
+    schema resolves every column per group — from file content where the
+    spec didn't pull it into the path, from the directory name where it
+    did, null where the file predates additive evolution."""
+    by_spec: dict[tuple, list] = {}
+    for e in entries:
+        by_spec.setdefault(
+            tuple(e.get("partition", {}).keys()), []
+        ).append(os.path.join(data_root, e["path"]))
+    out = None
+    for paths in by_spec.values():
+        reader = spark.read.option("basePath", data_root)
+        if schema_ddl:
+            # pin the committed schema: uncompacted historic files stay
+            # readable after additive evolution (missing columns -> null)
+            reader = reader.schema(schema_ddl)
+        part = reader.parquet(*sorted(paths))
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def acid_write(
@@ -491,7 +512,13 @@ def acid_upsert(
             else:
                 replaced = [
                     e for e in base["files"]
-                    if tuple(
+                    # a file from an OLDER partition spec (missing any of
+                    # the upsert's partition columns) can't be proven
+                    # untouched by partition values — include it (it gets
+                    # merged and rewritten under the current spec, which
+                    # is also how old-spec files migrate forward)
+                    if any(c not in e["partition"] for c in partition_by)
+                    or tuple(
                         e["partition"].get(c) for c in partition_by
                     ) in touched
                 ]
@@ -502,12 +529,8 @@ def acid_upsert(
                 ]
             if replaced:
                 data_root = _data_root(table_root)
-                existing = (
-                    spark.read.option("basePath", data_root)
-                    .schema(base["schema_ddl"])
-                    .parquet(*[
-                        os.path.join(data_root, e["path"]) for e in replaced
-                    ])
+                existing = _read_entries(
+                    spark, data_root, replaced, base["schema_ddl"]
                 )
                 # additive schema evolution: columns only one side has are
                 # null-filled on the other (same-name type conflicts fail
@@ -655,11 +678,10 @@ def acid_changes(
     def _read(m, paths):
         if not paths:
             return spark.createDataFrame([], m["schema_ddl"])
-        return (
-            spark.read.option("basePath", data_root)
-            .schema(m["schema_ddl"])
-            .parquet(*[os.path.join(data_root, p) for p in sorted(paths)])
-        )
+        entries = [e for e in m["files"] if e["path"] in paths]
+        # per-spec grouping: the churn may straddle a partition-spec
+        # evolution boundary (same reason as acid_read)
+        return _read_entries(spark, data_root, entries, m["schema_ddl"])
 
     removed = _read(m_old, old_paths - new_paths)
     added = _read(m_new, new_paths - old_paths)
@@ -1100,11 +1122,7 @@ def acid_delete(
             return None
         data_root = _data_root(table_root)
         partition_by = tuple(base.get("partition_by", ()))
-        paths = [os.path.join(data_root, e["path"]) for e in files]
-        full = (
-            spark.read.option("basePath", data_root)
-            .schema(base["schema_ddl"]).parquet(*paths)
-        )
+        full = _read_entries(spark, data_root, files, base["schema_ddl"])
         hit_rows = (
             full.where(pred)
             .groupBy(F.input_file_name().alias("__p"))
@@ -1124,12 +1142,9 @@ def acid_delete(
         stats_cols = tuple(sorted({
             k[4:] for e in files for k in e if k.startswith("min_")
         }))
-        kept_df = (
-            spark.read.option("basePath", data_root)
-            .schema(base["schema_ddl"])
-            .parquet(*[os.path.join(data_root, e["path"]) for e in rewrite])
-            .where(~pred)
-        )
+        kept_df = _read_entries(
+            spark, data_root, rewrite, base["schema_ddl"]
+        ).where(~pred)
         wrote = _write_data_files(
             spark, kept_df, table_root, partition_by, stats_cols
         )

@@ -1046,3 +1046,56 @@ def test_incremental_mv_matches_full_recompute(spark, tmp_path):
     assert got == want
     assert ("B", 1, 5000000) in got            # d2 delete netted out
     assert ("C", 1, 9000000) in got
+
+
+def test_partition_spec_evolution(spark, tmp_path):
+    """Iceberg-style partition-spec evolution: commits under different
+    partition_by specs coexist in one data root; reads group per spec
+    (Spark refuses mixed hive layouts under one basePath), partition
+    pruning still skips old-spec files by manifest values and keeps
+    files whose spec lacks the key (skipping may never drop data)."""
+    from pyspark.sql import functions as F
+
+    from backtest_crew_datalake_spark.sources.acid import acid_changes
+
+    root = str(tmp_path / "t")
+    acid_write(spark, _mk(spark, [
+        ("A", "d1", 1, 1.0), ("B", "d1", 2, 2.0),
+    ]), root, partition_by=("sym",))
+    acid_write(spark, _mk(spark, [
+        ("A", "d2", 3, 3.0), ("C", "d2", 4, 4.0),
+    ]), root, partition_by=())                      # spec drops partitioning
+    acid_write(spark, _mk(spark, [
+        ("B", "d3", 5, 5.0),
+    ]), root, partition_by=("sym", "day"))          # spec adds a dimension
+
+    assert _snapshot(acid_read(spark, root)) == [
+        ("A", "d1", 1, 1.0), ("A", "d2", 3, 3.0), ("B", "d1", 2, 2.0),
+        ("B", "d3", 5, 5.0), ("C", "d2", 4, 4.0),
+    ]
+    # pruning on sym: v1/v3 files skip by manifest value, v2 flat files
+    # are KEPT (missing key — skipping, not filtering) so the post-read
+    # predicate still sees every A row
+    pruned = acid_read(spark, root, partition_filter={"sym": "A"})
+    assert _snapshot(pruned.where(F.col("sym") == "A")) == [
+        ("A", "d1", 1, 1.0), ("A", "d2", 3, 3.0),
+    ]
+    # the skipped file list must exclude the B/d* old-spec files
+    from backtest_crew_datalake_spark.sources.acid import _load_manifest
+    m = _load_manifest(root, 3)
+    kept = [e["path"] for e in m["files"]
+            if not (e["partition"].get("sym") not in (None, "A"))]
+    assert not any("sym=B" in p for p in kept)
+    # CDF across the spec boundary: v2 -> v3 added exactly the B/d3 row
+    ch = acid_changes(spark, root, from_version=2, to_version=3,
+                      key=("sym", "day", "ts"))
+    assert [(r.sym, r.day, r.ts, r.px, r._change_type)
+            for r in ch.collect()] == [("B", "d3", 5, 5.0, "insert")]
+    # upsert still merges across specs (old-spec files rewritten under
+    # the spec the upsert declares)
+    acid_upsert(spark, _mk(spark, [("A", "d1", 1, 9.0)]), root,
+                key=KEY, partition_by=("day",))
+    assert _snapshot(acid_read(spark, root)) == [
+        ("A", "d1", 1, 9.0), ("A", "d2", 3, 3.0), ("B", "d1", 2, 2.0),
+        ("B", "d3", 5, 5.0), ("C", "d2", 4, 4.0),
+    ]
