@@ -387,6 +387,103 @@ def streaming_acid_upsert(
     return writer.start()
 
 
+def streaming_scd2(
+    spark: SparkSession,
+    landing_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    schema: str,
+    key: tuple[str, ...],
+    attrs: tuple[str, ...],
+    ts_col: str = "ts",
+    order_col: str = "seq",
+    available_now: bool = True,
+):
+    """Continuously maintain an SCD TYPE-2 dimension ACID table from a
+    stream of attribute updates — the streaming twin of
+    operators/scd.scd2_build, so a PIT join (scd.pit_join) over the table
+    is correct BETWEEN micro-batches, not only at end-of-stream.
+
+    Per micro-batch: the batch's keys' OPEN versions are read back from
+    the table and re-seeded into the change stream at their eff_from
+    (with a null ``order_col``, so any batch row at the same timestamp
+    wins the keep-last tiebreak), scd2_build rebuilds just the open
+    region, and the rebuilt versions merge in via acid_upsert keyed on
+    (key..., eff_from): a version that stayed open updates idempotently,
+    a version that got superseded closes (eff_to set, is_current false),
+    new versions insert. Closed history is never rewritten — per batch
+    the table churn is O(batch keys), not O(history).
+
+    Out-of-order policy (documented contract, enforced): a batch row
+    OLDER than its key's open version is dropped — accepting it would
+    require rewriting closed history; same drop-stale stance as the
+    resample/or-levels streams take for late prior-day bars. Rows at the
+    open version's exact eff_from re-decide that version (keep-last).
+
+    Exactly-once effect from at-least-once foreachBatch, same argument as
+    streaming_acid_upsert: the rebuild is a pure function of (open
+    versions, batch) and the keyed upsert is idempotent, so replaying the
+    last batch after a crash between table-commit and checkpoint-commit
+    re-merges identical rows. ``order_col`` must be non-null on stream
+    rows (it breaks equal-timestamp ties deterministically).
+    """
+    from ..operators.scd import scd2_build
+    from ..sources.acid import acid_read, acid_upsert, latest_version
+
+    key = list(key)
+    attrs = list(attrs)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.select(*key, ts_col, order_col, *attrs)
+        if latest_version(table_root) > 0:
+            open_v = (
+                acid_read(spark, table_root)
+                .where(F.col("is_current"))
+                .join(batch.select(*key).distinct(), key, "left_semi")
+                .select(
+                    *key,
+                    F.col("eff_from").alias(ts_col),
+                    F.lit(None).cast(dict(batch.dtypes)[order_col])
+                    .alias(order_col),
+                    *attrs,
+                )
+            )
+            fresh = batch.join(
+                open_v.select(*key, F.col(ts_col).alias("__open_from")),
+                key, "left",
+            ).where(
+                F.col("__open_from").isNull()
+                | (F.col(ts_col) >= F.col("__open_from"))
+            ).drop("__open_from")
+            stream = open_v.unionByName(fresh)
+        else:
+            stream = batch
+        rebuilt = scd2_build(
+            stream, key=key, attrs=attrs, ts_col=ts_col, order_col=order_col
+        )
+        acid_upsert(
+            spark, rebuilt, table_root, key=(*key, "eff_from"),
+        )
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(landing_dir)
+    )
+    writer = (
+        src.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+
 def streaming_curation(
     spark: SparkSession,
     landing_dir: str,

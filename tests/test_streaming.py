@@ -1013,3 +1013,53 @@ def test_rollup_partial_log_compaction(spark, tmp_path):
     _apply_rollup_batch(spark, spark.createDataFrame(late, sch), 7, out,
                         compact_every=3)
     assert hour_rows() == before
+
+
+def test_streaming_scd2_matches_batch_and_replay(spark, tmp_path):
+    """streaming_scd2 over N micro-batches == scd2_build over the whole
+    in-order input; replaying the last batch is a content no-op; a stale
+    update (older than its key's open version) is dropped."""
+    from backtest_crew_datalake_spark.operators.scd import scd2_build
+    from backtest_crew_datalake_spark.sources.acid import acid_read
+    from backtest_crew_datalake_spark.streaming.ingest import streaming_scd2
+
+    src = str(tmp_path / "land")
+    root = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ck")
+    schema = "user_id int, ts bigint, seq bigint, tier string"
+    b1 = [(1, 100, 1, "silver"), (2, 100, 2, "bronze"),
+          (1, 200, 3, "silver")]                   # unchanged -> collapses
+    b2 = [(1, 300, 4, "gold"), (2, 300, 5, "bronze"),  # u2 unchanged
+          (3, 300, 6, "silver")]
+    b3 = [(1, 300, 7, "platinum"),                 # same-ts re-decide
+          (2, 50, 8, "gold")]                      # STALE -> dropped
+
+    def snap(df):
+        return sorted(
+            (r.user_id, r.tier, r.eff_from, r.eff_to, bool(r.is_current))
+            for r in df.collect()
+        )
+
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    streaming_scd2(spark, src, root, ckpt, schema,
+                   key=("user_id",), attrs=("tier",))
+    for b in (b2, b3):
+        spark.createDataFrame(b, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        streaming_scd2(spark, src, root, ckpt, schema,
+                       key=("user_id",), attrs=("tier",))
+
+    # batch truth: the same events in order, stale row EXCLUDED by contract
+    whole = spark.createDataFrame(b1 + b2 + [b3[0]], schema)
+    want = snap(scd2_build(whole, key=["user_id"], attrs=["tier"],
+                           order_col="seq"))
+    got = snap(acid_read(spark, root))
+    assert got == want
+    assert (1, "platinum", 300, None, True) in got     # same-ts re-decided
+    assert all(not (u == 2 and f == 50) for u, _, f, *_ in got)  # stale gone
+    # full replay on a FRESH checkpoint (all three batches re-delivered as
+    # one): content no-op — the rebuild+keyed-upsert is idempotent
+    streaming_scd2(spark, src, root, str(tmp_path / "ck2"), schema,
+                   key=("user_id",), attrs=("tier",))
+    assert snap(acid_read(spark, root)) == want
