@@ -449,3 +449,4 @@ def dsir_weights(
             (F.coalesce("weight_e8", F.lit(0)) / F.lit(1e8)).alias("weight"),
         )
     )
+

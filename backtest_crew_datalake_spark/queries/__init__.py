@@ -107,6 +107,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 PRIORITY_ORDER: tuple[str, ...] = (
     "q_acid_incremental_mv",
     "q_acid_partition_evolution",
+    "q_acid_snapshots",
     "q_evt_scd2_pit",
     "q_evt_hll_rollup",
     "q_doc_rrf_fusion",

@@ -807,3 +807,36 @@ def q_acid_partition_evolution(spark, sf_dir):
         .select(F.lit("clicks").alias("stage"), *cols)
     )
     return full.unionByName(clicks)
+
+
+@register(
+    "q_acid_snapshots",
+    oracle=f"""
+    WITH {_BATCHES_SQL},
+    merged AS (
+        SELECT COALESCE(b2.user_id, b1.user_id) AS user_id
+        FROM b1 FULL OUTER JOIN b2
+          ON b1.user_id = b2.user_id AND b1.event_type = b2.event_type
+    )
+    SELECT 1 AS version, 'upsert' AS operation,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM b1) AS n_rows
+    UNION ALL
+    SELECT 2 AS version, 'upsert' AS operation,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM merged) AS n_rows
+    """,
+)
+def q_acid_snapshots(spark, sf_dir):
+    """Metadata TABLES under the value gate (Iceberg `table$snapshots` /
+    Delta DESCRIBE HISTORY): the commit log of the shared upsert table is
+    itself a queryable DataFrame, and its per-version row counts must
+    equal the relational recomputation of each snapshot's size — batch1
+    at v1, the keep-last merge at v2, both labeled 'upsert'. File counts
+    and wall times are real columns too but excluded from the gate
+    (parallelism- and clock-dependent); the companion `acid_file_metadata`
+    frame (per-file partition values, sizes, stats) is pytest-covered for
+    the same reason. Manifest-only: the gate opens no data file."""
+    from ..sources.acid import acid_snapshots
+
+    return acid_snapshots(spark, _acid_table(spark, sf_dir)).select(
+        "version", "operation", "n_rows"
+    )

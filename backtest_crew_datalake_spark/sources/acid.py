@@ -756,6 +756,55 @@ def acid_history(table_root: str, branch: str = MAIN_BRANCH) -> list[dict]:
     return out
 
 
+def acid_snapshots(
+    spark: SparkSession, table_root: str, branch: str = MAIN_BRANCH,
+) -> DataFrame:
+    """The commit log as a queryable DataFrame — the Iceberg
+    `table$snapshots` / Delta `DESCRIBE HISTORY` metadata-table analogue,
+    so lineage questions (which commit added the rows? how fast is the
+    table growing?) are answered with the same query surface as data.
+    Columns: version, parent, operation, ts (unix seconds), n_files,
+    n_rows. Manifest-only: no data file is opened; the frame is
+    |versions| rows."""
+    rows = acid_history(table_root, branch)
+    schema = ("version int, parent int, operation string, ts double, "
+              "n_files int, n_rows bigint")
+    return spark.createDataFrame(
+        [(r["version"], r["parent"], r["operation"], float(r["ts"]),
+          r["n_files"], r["n_rows"]) for r in rows],
+        schema,
+    )
+
+
+def acid_file_metadata(
+    spark: SparkSession,
+    table_root: str,
+    version: int | None = None,
+    branch: str = MAIN_BRANCH,
+) -> DataFrame:
+    """One snapshot's manifest entries as a DataFrame — the `table$files`
+    analogue: per data file its relative path, partition values (as a
+    map), row count, byte size, and recorded column stats (min_/max_ as
+    a map of strings). Manifest-only; |files| rows. The inspection
+    surface for OPTIMIZE policy (small-file histograms), skew analysis,
+    and skipping-efficiency audits."""
+    v = latest_version(table_root, branch) if version is None else version
+    m = _load_manifest(table_root, v, branch)
+    rows = []
+    for e in m["files"]:
+        stats = {k: v2 for k, v2 in e.items()
+                 if k.startswith(("min_", "max_")) and v2 is not None}
+        rows.append((
+            e["path"],
+            {k: v2 for k, v2 in e.get("partition", {}).items()},
+            e["rows"], e.get("bytes", 0), stats,
+        ))
+    schema = ("path string, partition map<string,string>, rows bigint, "
+              "bytes bigint, stats map<string,string>")
+    return spark.createDataFrame(rows, schema)
+
+
+
 def acid_rollback(table_root: str, version: int) -> int:
     """Restore the table to ``version`` by committing a NEW manifest with
     that version's file list — history is append-only, the bad commits stay

@@ -1099,3 +1099,35 @@ def test_partition_spec_evolution(spark, tmp_path):
         ("A", "d1", 1, 9.0), ("A", "d2", 3, 3.0), ("B", "d1", 2, 2.0),
         ("B", "d3", 5, 5.0), ("C", "d2", 4, 4.0),
     ]
+
+
+def test_metadata_tables(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from backtest_crew_datalake_spark.sources.acid import (
+        acid_file_metadata, acid_snapshots,
+    )
+
+    root = str(tmp_path / "t")
+    acid_write(spark, _mk(spark, [("A", "d1", 1, 1.0), ("B", "d2", 2, 2.0)]),
+               root, partition_by=PARTS, stats_cols=("ts",))
+    acid_upsert(spark, _mk(spark, [("A", "d1", 1, 9.0)]), root,
+                key=KEY, partition_by=PARTS)
+    snaps = {r.version: (r.operation, r.n_rows)
+             for r in acid_snapshots(spark, root).collect()}
+    assert snaps == {1: ("append", 2), 2: ("upsert", 2)}
+    files = acid_file_metadata(spark, root).collect()
+    assert sum(r.rows for r in files) == 2
+    assert all(r.bytes > 0 for r in files)
+    parts = {tuple(sorted(r.partition.items())) for r in files}
+    assert (("day", "d1"), ("sym", "A")) in parts
+    # v1's files carry the recorded ts stats
+    f1 = acid_file_metadata(spark, root, version=1).collect()
+    assert any("min_ts" in r.stats for r in f1)
+    # snapshots frame is queryable like any data
+    growth = (
+        acid_snapshots(spark, root)
+        .agg(F.max("version").alias("v"), F.sum("n_files").alias("nf"))
+        .collect()[0]
+    )
+    assert growth.v == 2 and growth.nf >= 2
