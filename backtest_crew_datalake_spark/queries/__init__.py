@@ -112,6 +112,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_evt_hll_rollup",
     "q_doc_rrf_fusion",
     "q_emb_prototypicality",
+    "q_evt_attribution_linear",
     "q_acid_branch_merge",
     "q_acid_changes_schema_evo",
     "q_doc_bm25_topk",

@@ -2329,3 +2329,87 @@ def q_evt_hll_rollup(spark, sf_dir):
             F.round(est, 2).alias("hll_estimate"), "n_exact",
         )
     )
+
+
+@register(
+    "q_evt_attribution_linear",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+               CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+        SELECT p.event_id AS pid, p.cents,
+               CAST((p.ts_ms - c.ts_ms) // 86400000 AS BIGINT) AS lag_days
+        FROM p JOIN c
+          ON p.user_id = c.user_id
+         AND c.ts_ms < p.ts_ms
+         AND p.ts_ms - c.ts_ms <= 7 * 86400000
+    ),
+    credited AS (
+        SELECT lag_days,
+               (cents * 10000) // COUNT(*) OVER (PARTITION BY pid)
+                   AS credit_c4
+        FROM pairs
+    )
+    SELECT lag_days, CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(credit_c4) AS BIGINT) AS credited_c4
+    FROM credited GROUP BY 1
+    """,
+)
+def q_evt_attribution_linear(spark, sf_dir):
+    """MULTI-touch (linear) conversion attribution — the companion to
+    q_evt_attribution's last-touch: every click by the same user in the
+    strictly-preceding 7-day window shares the purchase value EQUALLY
+    (credit = value / n_touches), bucketed by click-to-conversion lag.
+    Last-touch answers 'what closed'; linear answers 'what contributed' —
+    warehouses run both and compare.
+
+    Exactness: per-touch credit is integer floor-division of 1e4-scaled
+    cents by the purchase's touch count (both engines integer-div), so
+    credit sums are exact integers; the deliberate sub-credit remainder
+    (< n_touches/1e4 cents per purchase) is the documented rounding
+    policy, identical on both sides.
+
+    Scale shape: an equi-join on user_id with a residual time-window
+    predicate — pairs are bounded by touches-per-user × window, the same
+    shape as q_evt_interval_join; the per-purchase touch count is one
+    window over the pair stream (partitioned by purchase id), then a
+    |lag_days|-row aggregate. No window explode, no driver loop; at
+    100 TB the join shuffles once on user_id and AQE handles hot users."""
+    from pyspark.sql import Window
+
+    evt = load(spark, sf_dir, "events")
+    ms = F.unix_millis("ts")
+    c = evt.where(F.col("event_type") == "click").select(
+        "user_id", ms.alias("c_ms")
+    )
+    p = evt.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), ms.alias("p_ms"),
+        F.round(F.coalesce(F.col("value"), F.lit(0)) * 100)
+        .cast("bigint").alias("cents"),
+    )
+    pairs = p.join(
+        c,
+        (p["user_id"] == c["user_id"])
+        & (F.col("c_ms") < F.col("p_ms"))
+        & (F.col("p_ms") - F.col("c_ms") <= 7 * 86400000),
+    ).select(
+        "pid", "cents",
+        F.floor((F.col("p_ms") - F.col("c_ms")) / 86400000)
+        .cast("bigint").alias("lag_days"),
+    )
+    credited = pairs.select(
+        "lag_days",
+        F.expr("cents * 10000 div count(*) over (partition by pid)")
+        .alias("credit_c4"),
+    )
+    return credited.groupBy("lag_days").agg(
+        F.count("*").cast("bigint").alias("n_touches"),
+        F.sum("credit_c4").cast("bigint").alias("credited_c4"),
+    )
