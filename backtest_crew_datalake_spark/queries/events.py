@@ -1391,7 +1391,15 @@ def q_evt_hll_distinct(spark, sf_dir):
     (pipeline/sketch.hll_build keeps xxhash64 as the JVM-fast family;
     structure identical.) Sketch state is 64 rows per group at ANY
     cardinality — the 100 TB cardinality-estimation shape."""
+    from pyspark import StorageLevel
+
     evt = load(spark, sf_dir, "events")
+    # distinct BEFORE hashing, and persist the distinct set: md5(key) is
+    # the same for every duplicate of a key (max over the distinct set ==
+    # max over the multiset), and both the sketch and the exact count
+    # consume the same distinct pairs — one fact scan + one distinct
+    # shuffle instead of a per-row digest pass AND a countDistinct pass
+    # (measured 3.50x -> the dossier row at the 50x corpus)
     keyed = evt.select(
         "event_type",
         F.concat_ws(
@@ -1399,7 +1407,7 @@ def q_evt_hll_distinct(spark, sf_dir):
             F.col("user_id").cast("string"),
             F.date_format("ts", "yyyy-MM-dd"),
         ).alias("key"),
-    )
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
     h = keyed.select(
         "event_type",
         F.conv(F.substring(F.md5(F.col("key").cast("binary")), 1, 8), 16, 10)
@@ -1432,7 +1440,7 @@ def q_evt_hll_distinct(spark, sf_dir):
         F.lit(64.0) * F.log(F.lit(64.0) / F.col("v_zero")),
     ).otherwise(raw)
     exact = keyed.groupBy("event_type").agg(
-        F.countDistinct("key").alias("n_exact")
+        F.count("*").alias("n_exact")   # keyed is already distinct
     )
     return (
         agg.join(exact, "event_type")
@@ -2265,27 +2273,46 @@ def q_evt_hll_rollup(spark, sf_dir):
     value hash is summation-order-proof. (pipeline/sketch.hll_merge is
     the same union+MAX in library form; q_evt_hll_distinct gates the
     single-level build.)"""
+    from pyspark import StorageLevel
+
     evt = load(spark, sf_dir, "events")
-    h = evt.select(
-        "event_type",
-        F.date_format("ts", "yyyy-MM-dd").alias("day"),
-        F.conv(
-            F.substring(F.md5(F.col("user_id").cast("string")
-                              .cast("binary")), 1, 8), 16, 10,
-        ).cast("long").alias("hv"),
-    )
-    day_regs = (
-        h.select(
-            "event_type", "day",
+    # hash the DIMENSION, not the fact: hv is a pure function of user_id
+    # (|users| rows), so md5 runs once per user and broadcast-joins back —
+    # the fact stream pays an equi-join, not 5M digest evaluations
+    # (measured: per-row md5 was 0.5 s of the 50x scan)
+    uhash = F.broadcast(
+        evt.select("user_id").distinct().select(
+            "user_id",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")
+                                  .cast("binary")), 1, 8), 16, 10,
+            ).cast("long").alias("hv"),
+        ).select(
+            "user_id",
             (F.col("hv") % 64).alias("reg"),
             F.expr(_hll_rho_case("(hv div 64)", 26)).alias("rho"),
         )
+    )
+    # integer day bucket == the oracle's calendar-string grouping (both
+    # UTC; the day value never leaves the query — only merge widths do)
+    h = evt.select(
+        "event_type",
+        F.floor(F.unix_millis("ts") / 86400000).alias("day"),
+        "user_id",
+    )
+    # multi-consumer rule (docs/scale.md rule 14's storage corollary):
+    # day_regs feeds type_regs AND type_width, type_regs feeds all_regs,
+    # lv, and widths — without the persists the full-fact pipeline
+    # re-runs per consumer (measured 4.23x DuckDB at the 50x corpus)
+    day_regs = (
+        h.join(uhash, "user_id")
         .groupBy("event_type", "day", "reg")
         .agg(F.max("rho").alias("rho"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     type_regs = day_regs.groupBy("event_type", "reg").agg(
         F.max("rho").alias("rho")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     type_width = day_regs.groupBy("event_type").agg(
         F.countDistinct("day").alias("n_sketches_merged")
     )
@@ -2315,10 +2342,16 @@ def q_evt_hll_rollup(spark, sf_dir):
         (raw <= 160.0) & (F.col("v_zero") > 0),
         F.lit(64.0) * F.log(F.lit(64.0) / F.col("v_zero")),
     ).otherwise(raw)
-    exact = evt.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact")
+    # one fact scan feeds BOTH exact tiers: distinct (type, user) pairs
+    # are |types|x|users|-bounded, so the global re-distinct is metadata-
+    # scale instead of a second 5M-row countDistinct pass
+    du = evt.select("event_type", "user_id").distinct() \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    exact = du.groupBy("event_type").agg(
+        F.count("*").alias("n_exact")
     ).unionByName(
-        evt.agg(F.countDistinct("user_id").alias("n_exact"))
+        du.select("user_id").distinct()
+        .agg(F.count("*").alias("n_exact"))
         .select(F.lit("__all__").alias("event_type"), "n_exact")
     )
     return (
