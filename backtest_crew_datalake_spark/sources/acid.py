@@ -574,10 +574,21 @@ def acid_compact(
     table_root: str,
     target_mb: int = 128,
     max_retries: int = 10,
+    zorder_cols: tuple[str, str] | None = None,
+    sort_col: str | None = None,
 ) -> int | None:
     """OPTIMIZE: rewrite over-fragmented partitions to ~``target_mb`` files
     and commit the rewrite as one snapshot. Returns the new version, or
     None when nothing needed compacting.
+
+    ``zorder_cols=(a, b)`` additionally CLUSTERS each rewritten partition
+    on the Morton key of the two columns (OPTIMIZE ZORDER BY — range-
+    partition + sort, same kernel as writer.compact_partitions), and
+    ``sort_col`` single-column clusters; both record min/max stats for
+    every previously-stats'd column PLUS the clustering columns on the new
+    entries, so the rewrite that fixes the file-count problem also buys
+    manifest-level stats skipping on the clustered columns. Clustering
+    applies only to partitions the fragmentation trigger rewrites.
 
     Unlike writer.compact_partitions (which renames directories under live
     readers and therefore demands exclusive ownership of the lake), this
@@ -585,8 +596,11 @@ def acid_compact(
     stay until vacuum, readers keep their snapshot, and a concurrent
     upsert that wins the version race simply makes this compaction retry
     against the new snapshot. Data content is unchanged — row counts are
-    verified per partition before the manifest commits.
+    verified per partition before the manifest commits. A compaction
+    rewrite also MIGRATES old-partition-spec files to the current spec
+    (per-spec read groups make the mixed input readable).
     """
+    cluster = tuple(zorder_cols or ((sort_col,) if sort_col else ()))
     for _ in range(max_retries):
         base_v = latest_version(table_root)
         if base_v == 0:
@@ -610,16 +624,30 @@ def acid_compact(
                 for e in es]
         new_entries: list[dict] = []
         partition_by = tuple(base.get("partition_by", ()))
+        stats_cols = tuple(sorted(
+            {k[4:] for e in base["files"] for k in e if k.startswith("min_")}
+            | set(cluster)
+        ))
         for pkey, es in todo.items():
             want = max(1, -(-sum(e.get("bytes", 0) for e in es) // target))
-            part_df = (
-                spark.read.option("basePath", data_root)
-                .schema(base["schema_ddl"])
-                .parquet(*[os.path.join(data_root, e["path"]) for e in es])
-                .coalesce(want)
-            )
+            part_df = _read_entries(spark, data_root, es, base["schema_ddl"])
+            if cluster and all(c in part_df.columns for c in cluster):
+                if zorder_cols:
+                    from .layout import zorder_key
+
+                    key = zorder_key(*zorder_cols)
+                else:
+                    key = F.col(sort_col)
+                part_df = (
+                    part_df.withColumn("__cluster", key)
+                    .repartitionByRange(want, "__cluster")
+                    .sortWithinPartitions("__cluster")
+                    .drop("__cluster")
+                )
+            else:
+                part_df = part_df.coalesce(want)
             wrote = _write_data_files(
-                spark, part_df, table_root, partition_by, ()
+                spark, part_df, table_root, partition_by, stats_cols
             )
             if sum(w["rows"] for w in wrote) != sum(e["rows"] for e in es):
                 _remove_entries(table_root, wrote + new_entries)

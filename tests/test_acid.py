@@ -1131,3 +1131,30 @@ def test_metadata_tables(spark, tmp_path):
         .collect()[0]
     )
     assert growth.v == 2 and growth.nf >= 2
+
+
+def test_compact_zorder_clusters_and_records_stats(spark, tmp_path):
+    """OPTIMIZE ZORDER on the ACID table: fragmented appends rewrite into
+    Z-clustered files whose manifest entries carry min/max stats on BOTH
+    clustering columns, so stats_filter skips files on either column;
+    content is unchanged."""
+    from backtest_crew_datalake_spark.sources.acid import (
+        _load_manifest, acid_compact,
+    )
+
+    root = str(tmp_path / "t")
+    rows = [("A", "d1", t, float(t % 7)) for t in range(64)]
+    for k in range(4):  # 4 small files in one partition
+        acid_write(spark, _mk(spark, rows[k::4]), root,
+                   partition_by=("sym",), stats_cols=("ts",))
+    before = _snapshot(acid_read(spark, root))
+    v = acid_compact(spark, root, target_mb=128,
+                     zorder_cols=("ts", "px"))
+    assert v is not None
+    assert _snapshot(acid_read(spark, root)) == before
+    m = _load_manifest(root, v)
+    assert all("min_ts" in e and "min_px" in e for e in m["files"])
+    # stats skipping works on the SECOND column now: a px range touching
+    # nothing prunes every file
+    assert acid_read(spark, root, stats_filter={"px": (99.0, 100.0)}) \
+        .count() == 0
