@@ -2446,3 +2446,150 @@ def q_evt_attribution_linear(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_touches"),
         F.sum("credit_c4").cast("bigint").alias("credited_c4"),
     )
+
+
+@register(
+    "q_evt_mad_outliers",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    counts AS (
+        SELECT event_type, cents, COUNT(*) AS n FROM v GROUP BY 1, 2
+    ),
+    hist AS (
+        SELECT event_type, cents, n,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(n) OVER (PARTITION BY event_type) AS tot
+        FROM counts
+    ),
+    med AS (
+        SELECT event_type, tot,
+               MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN cents END) AS med
+        FROM hist GROUP BY 1, 2
+    ),
+    dev AS (
+        SELECT c.event_type, ABS(c.cents - m.med) AS d, SUM(c.n) AS n
+        FROM counts c JOIN med m USING (event_type)
+        GROUP BY 1, 2
+    ),
+    dhist AS (
+        SELECT event_type, d, n,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(n) OVER (PARTITION BY event_type) AS tot
+        FROM dev
+    ),
+    mad AS (
+        SELECT event_type,
+               MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN d END) AS mad
+        FROM dhist GROUP BY 1
+    )
+    SELECT m.event_type,
+           CAST(m.tot AS BIGINT) AS n_events,
+           m.med AS median_cents,
+           a.mad AS mad_cents,
+           CAST(COALESCE(SUM(CASE WHEN ABS(c.cents - m.med) > 5 * a.mad
+                                  THEN c.n END), 0) AS BIGINT)
+               AS n_outliers,
+           ROUND(COALESCE(SUM(CASE WHEN ABS(c.cents - m.med) > 5 * a.mad
+                                   THEN c.n END), 0) * 1.0 / m.tot, 6)
+               AS outlier_share
+    FROM counts c
+    JOIN med m USING (event_type) JOIN mad a USING (event_type)
+    GROUP BY m.event_type, m.tot, m.med, a.mad
+    """,
+)
+def q_evt_mad_outliers(spark, sf_dir):
+    """Robust outlier detection via MEDIAN / MAD (the robust twin of
+    q_evt_zscore_outliers — mean/std move with the outliers they're
+    meant to find; median/MAD have a 50% breakdown point): per event
+    type, the exact type-1 median and the exact median absolute
+    deviation, then the count of events beyond 5·MAD.
+
+    Built entirely on the bounded-domain integer-cents histogram method
+    (q_evt_winsorize's discipline, applied from the start): ONE raw
+    pass builds the (event_type, cents) histogram (persisted — three
+    consumers: the median finder, the deviation histogram, the flag
+    count); the MEDIAN comes from a cumulative window over distinct
+    cents, the deviation histogram is a |domain|-bounded re-agg of the
+    histogram itself (never the raw rows), and MAD is the same
+    cumulative-window selection over deviations. Exact answers, no
+    percentile sketch, no sort of raw data, no second scan.
+
+    Scale shape: one map-side-combinable keyed count over the fact
+    stream; everything after is windows and re-aggs over
+    domain-bounded histograms (≤ |distinct cents| rows per type). The
+    same plan at 100 TB: histogram state is value-domain-sized,
+    independent of row count."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    evt = load(spark, sf_dir, "events")
+    v = evt.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    counts = v.groupBy("event_type", "cents").agg(
+        F.count("*").alias("n")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _type1_median(df, val_col):
+        wc = (
+            Window.partitionBy("event_type").orderBy(val_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wt = Window.partitionBy("event_type")
+        h = df.withColumn("cum", F.sum("n").over(wc)) \
+              .withColumn("tot", F.sum("n").over(wt))
+        return h.groupBy("event_type", "tot").agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(0.5) * F.col("tot")),
+                    F.col(val_col),
+                )
+            ).alias("__m")
+        )
+
+    med = _type1_median(counts, "cents").select(
+        "event_type", F.col("tot").alias("n_events"),
+        F.col("__m").alias("med"),
+    )
+    dev = (
+        counts.join(F.broadcast(med.select("event_type", "med")),
+                    "event_type")
+        .groupBy("event_type", F.abs(F.col("cents") - F.col("med"))
+                 .alias("d"))
+        .agg(F.sum("n").alias("n"))
+    )
+    mad = _type1_median(dev, "d").select(
+        "event_type", F.col("__m").alias("mad")
+    )
+    flag = (
+        counts
+        .join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n_events", "med", "mad")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.abs(F.col("cents") - F.col("med"))
+                        > 5 * F.col("mad"),
+                        F.col("n"),
+                    )
+                ), F.lit(0),
+            ).cast("bigint").alias("n_outliers")
+        )
+    )
+    return flag.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("med").alias("median_cents"),
+        F.col("mad").alias("mad_cents"),
+        "n_outliers",
+        F.round(F.col("n_outliers") / F.col("n_events"), 6)
+        .alias("outlier_share"),
+    )
