@@ -407,3 +407,48 @@ def test_rollup_cascade_equals_python_direct(spark, evs):
             len({ms // 60_000 for ms, _, _ in g}),
         )
     assert got == want
+
+
+_scd_events = st.lists(
+    st.tuples(
+        st.integers(1, 3),                      # key
+        st.integers(0, 20),                     # ts (collisions likely)
+        st.sampled_from(["x", "y", "z"]),       # attr
+    ),
+    min_size=1, max_size=25,
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=_scd_events)
+def test_scd2_build_matches_python_model(spark, events):
+    """scd2_build == a direct python model: per key keep the highest-seq
+    row per ts, collapse consecutive equal attrs, chain validity."""
+    from backtest_crew_datalake_spark.operators.scd import scd2_build
+
+    rows = [(k, ts, i, a) for i, (k, ts, a) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "k int, ts int, seq int, attr string"
+    )
+    got = sorted(
+        (r.k, r.eff_from, r.attr, r.eff_to, bool(r.is_current))
+        for r in scd2_build(
+            df, key=["k"], attrs=["attr"], order_col="seq"
+        ).collect()
+    )
+
+    want = []
+    for k in sorted({r[0] for r in rows}):
+        mine = [r for r in rows if r[0] == k]
+        latest = {}
+        for _, ts, seq, attr in sorted(mine, key=lambda r: (r[1], r[2])):
+            latest[ts] = attr                     # highest seq per ts wins
+        versions = []
+        for ts in sorted(latest):
+            if not versions or versions[-1][1] != latest[ts]:
+                versions.append((ts, latest[ts]))
+        for i, (ts, attr) in enumerate(versions):
+            nxt = versions[i + 1][0] if i + 1 < len(versions) else None
+            want.append((k, ts, attr, nxt, nxt is None))
+    assert got == sorted(want)
