@@ -2042,3 +2042,95 @@ def q_emb_prototypicality(spark, sf_dir):
         F.sum(F.round(F.col("sim") * 1000000).cast("bigint"))
         .alias("kept_sim_sum6"),
     )
+
+
+@register(
+    "q_emb_contamination",
+    oracle="""
+    WITH bench AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS bv
+                   FROM embeddings WHERE vec_id < 20),
+    corpus AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id >= 20),
+    best AS (
+        SELECT c.vec_id, c.label,
+               MAX(ROUND(list_cosine_similarity(c.v, b.bv), 4)) AS max_sim
+        FROM corpus c CROSS JOIN bench b
+        GROUP BY 1, 2
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_corpus,
+           CAST(SUM(CASE WHEN max_sim >= 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           ROUND(SUM(CASE WHEN max_sim >= 0.35 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS contaminated_share
+    FROM best GROUP BY 1
+    """,
+)
+def q_emb_contamination(spark, sf_dir):
+    """SEMANTIC benchmark decontamination — the embedding-space
+    counterpart of q_doc_contamination's n-gram overlap (the two are run
+    together in practice: n-grams catch verbatim leaks, embeddings catch
+    paraphrased ones): every corpus vector's max cosine against a held-out
+    benchmark set (vec_id < 20), flagged past 0.35, aggregated per label.
+    Sims are rounded to 4 dp BEFORE the max/threshold on both engines so
+    the flag can never flip on float drift.
+
+    Scale shape: the benchmark collapses to ONE broadcast row holding an
+    array of (bid, vector) structs and the max-sim evaluates ROW-LOCALLY
+    with higher-order functions (the kmeans_assign shape) — the corpus is
+    never fanned out x|benchmark|, never shuffled until the |labels|-row
+    aggregate. At 100 TB: one map stage over the corpus scan."""
+    emb = load(spark, sf_dir, "embeddings")
+    _n = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    # benchmark norms precomputed INTO the broadcast struct: recomputing
+    # them inside the per-row lambda would cost |benchmark| norms per
+    # corpus row (rule 14)
+    bench = F.broadcast(
+        emb.where(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("bid"),
+            F.col("embedding").cast("array<double>").alias("bv"),
+        )
+        .withColumn("bn", _n(F.col("bv")))
+        .agg(
+            F.collect_list(
+                F.struct("bid", "bv", "bn")
+            ).alias("__bench")
+        )
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    # rule 14: the row's own norm is hoisted to a named column — an
+    # expression referenced inside the per-benchmark lambda re-evaluates
+    # per element (|benchmark| times per row)
+    corpus = emb.where(F.col("vec_id") >= 20).select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("vn", norm(F.col("v")))
+    max_sim = F.array_max(
+        F.transform(
+            F.col("__bench"),
+            lambda b: F.round(
+                dot(F.col("v"), b["bv"]) / (F.col("vn") * b["bn"]), 4,
+            ),
+        )
+    )
+    best = corpus.crossJoin(bench).select(
+        "label", max_sim.alias("max_sim")
+    )
+    return best.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_corpus"),
+        F.sum((F.col("max_sim") >= 0.35).cast("bigint"))
+        .alias("n_contaminated"),
+        F.round(
+            F.sum((F.col("max_sim") >= 0.35).cast("int"))
+            / F.count("*"), 6,
+        ).alias("contaminated_share"),
+    )
