@@ -105,6 +105,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # Everything else sits behind the window stalest-first; remaining
 # rows-only entries last. tools/check_oracles.py covers the full catalog.
 PRIORITY_ORDER: tuple[str, ...] = (
+    "q_acid_catalog_txn",
     "q_acid_incremental_mv",
     "q_acid_partition_evolution",
     "q_acid_snapshots",

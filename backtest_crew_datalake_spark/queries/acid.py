@@ -840,3 +840,132 @@ def q_acid_snapshots(spark, sf_dir):
     return acid_snapshots(spark, _acid_table(spark, sf_dir)).select(
         "version", "operation", "n_rows"
     )
+
+
+# separate memo: the multi-table transaction pair (fact + rollup MV)
+_CATALOG_MEMO: dict[tuple[str, str], tuple[str, str, str]] = {}
+
+_B3_TYPES = ("error", "signup")
+
+
+def _catalog_tables(spark, sf_dir) -> tuple[str, str, str]:
+    """fact + MV advanced through TWO complete transactions, then a third
+    fact-only upsert deliberately left DANGLING (committed to the fact
+    table, never referenced by a catalog commit) — the crash window every
+    multi-table pipeline has."""
+    from ..sources.acid import acid_upsert, acid_write
+    from ..sources.catalog import catalog_commit
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    roots = _CATALOG_MEMO.get(memo_key)
+    if roots is not None:
+        return roots
+    e = load(spark, sf_dir, "events")
+    fact = tempfile.mkdtemp(prefix="acid_qf_")
+    mv = tempfile.mkdtemp(prefix="acid_qm_")
+    cat = tempfile.mkdtemp(prefix="acid_qcat_")
+
+    def _mv_df(version):
+        from ..sources.acid import acid_read
+
+        sv6 = F.round(F.col("sum_value") * 1000000).cast("bigint")
+        return (
+            acid_read(spark, fact, version=version)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n_keys"),
+                F.sum("n_events").cast("bigint").alias("total_events"),
+                F.round(F.sum(sv6) / F.lit(1000000.0), 6)
+                .alias("total_value"),
+            )
+        )
+
+    b1 = _agg(e.where(F.col("ts") < F.lit(_B1_CUT).cast("timestamp")))
+    fv = acid_upsert(spark, b1, fact, key=_KEY,
+                     partition_by=("event_type",))
+    mvv = acid_write(spark, _mv_df(fv), mv, mode="overwrite")
+    catalog_commit(cat, {"fact": (fact, fv), "mv": (mv, mvv)})
+
+    b2 = _agg(
+        e.where(
+            (F.col("ts") >= F.lit(_B2_FROM).cast("timestamp"))
+            & F.col("event_type").isin(*_B2_TYPES)
+        )
+    )
+    fv2 = acid_upsert(spark, b2, fact, key=_KEY,
+                      partition_by=("event_type",))
+    mvv2 = acid_write(spark, _mv_df(fv2), mv, mode="overwrite")
+    catalog_commit(cat, {"fact": (fact, fv2), "mv": (mv, mvv2)})
+
+    # the dangling member-only commit: fact advances, the transaction
+    # never completes — catalog readers must not see it
+    b3 = _agg(e.where(F.col("event_type").isin(*_B3_TYPES)))
+    acid_upsert(spark, b3, fact, key=_KEY, partition_by=("event_type",))
+
+    _CATALOG_MEMO[memo_key] = (fact, mv, cat)
+    return fact, mv, cat
+
+
+@register(
+    "q_acid_catalog_txn",
+    oracle=f"""
+    WITH {_BATCHES_SQL},
+    merged AS (
+        SELECT COALESCE(b2.user_id, b1.user_id) AS user_id,
+               COALESCE(b2.event_type, b1.event_type) AS event_type,
+               COALESCE(b2.n_events, b1.n_events) AS n_events,
+               COALESCE(b2.sum_value, b1.sum_value) AS sum_value
+        FROM b1 FULL OUTER JOIN b2
+          ON b1.user_id = b2.user_id AND b1.event_type = b2.event_type
+    ),
+    rollup AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(n_events) AS BIGINT) AS total_events,
+               ROUND(CAST(SUM(CAST(ROUND(sum_value * 1000000) AS BIGINT))
+                          AS BIGINT) / 1000000.0, 6) AS total_value
+        FROM merged GROUP BY 1
+    )
+    SELECT 'fact_by_type' AS stage, * FROM rollup
+    UNION ALL
+    SELECT 'mv' AS stage, * FROM rollup
+    """,
+)
+def q_acid_catalog_txn(spark, sf_dir):
+    """MULTI-TABLE TRANSACTIONS under the value gate (the consistency
+    layer single-table formats don't give — Nessie/lakeFS-style catalog
+    commits, reimplemented on the manifest-link protocol): a fact table
+    and its rollup MV advance through two complete transactions, then a
+    third fact upsert COMMITS TO THE FACT TABLE but its transaction never
+    completes (no catalog commit — the crash window). Both stages read
+    through the catalog: 'fact_by_type' re-aggregates the catalog-pinned
+    fact, 'mv' reads the catalog-pinned MV — and the oracle computes ONE
+    relational rollup of batches 1+2 for BOTH stages, so the hash proves
+    (a) the two tables are mutually consistent and (b) the dangling
+    batch-3 commit is invisible even though the fact table durably holds
+    it (any leakage of b3's error/signup rows breaks both the row count
+    and the hash).
+
+    Scale shape: catalog commits are one JSON link + one retention-pin
+    tag per member (metadata-scale at any table size); catalog reads add
+    one manifest resolution to acid_read's pinned-version path."""
+    from ..sources.catalog import catalog_read
+
+    _fact, _mv, cat = _catalog_tables(spark, sf_dir)
+    sv6 = F.round(F.col("sum_value") * 1000000).cast("bigint")
+    fact_rollup = (
+        catalog_read(spark, cat, "fact")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("n_events").cast("bigint").alias("total_events"),
+            F.round(F.sum(sv6) / F.lit(1000000.0), 6).alias("total_value"),
+        )
+        .select(F.lit("fact_by_type").alias("stage"), "event_type",
+                "n_keys", "total_events", "total_value")
+    )
+    mv_read = catalog_read(spark, cat, "mv").select(
+        F.lit("mv").alias("stage"), "event_type",
+        "n_keys", "total_events", "total_value",
+    )
+    return fact_rollup.unionByName(mv_read)
