@@ -484,6 +484,113 @@ def streaming_scd2(
 
 
 
+def streaming_txn(
+    spark: SparkSession,
+    landing_dir: str,
+    fact_root: str,
+    mv_root: str,
+    catalog_root: str,
+    checkpoint_dir: str,
+    schema: str,
+    key: tuple[str, ...],
+    mv_key: str,
+    agg_col: str,
+    partition_by: tuple[str, ...] = (),
+    available_now: bool = True,
+):
+    """Exactly-once MULTI-TABLE streaming pipeline: per micro-batch, (1)
+    keyed-upsert the batch into the fact table, (2) advance the fact's
+    per-``mv_key`` rollup MV incrementally from the change data feed of
+    that very commit (never re-aggregating the fact — the
+    q_acid_incremental_mv fold), (3) publish BOTH as one consistent
+    catalog version. Readers going through the catalog can never observe
+    the fact without its rollup or vice versa — the torn-pair hazard a
+    two-table foreachBatch normally has between its two writes.
+
+    Exactly-once effect under at-least-once foreachBatch, compositionally:
+    the upsert is idempotent (content-equal replay), the MV advance folds
+    the CDF of (previous fact version -> this batch's version) so a
+    replayed batch re-derives a content-equal MV, and a replayed catalog
+    commit publishes a new version pinning content-equal tables. The MV
+    carries its sums as 1e6-scaled BIGINTs (rule 12) so incremental
+    arithmetic can never drift from a full recompute.
+    """
+    from ..operators.dedup import dedupe_keep
+    from ..sources.acid import (
+        acid_changes, acid_read, acid_upsert, acid_write, latest_version,
+    )
+    from ..sources.catalog import catalog_commit
+
+    key = list(key)
+    a6 = F.round(F.col(agg_col) * 1000000).cast("bigint")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # within-batch keep-last so the CDF's post-images are key-unique
+        batch = dedupe_keep(batch_df, key, order=None, keep="last")
+        prev_v = latest_version(fact_root)
+        fv = acid_upsert(spark, batch, fact_root, key=tuple(key),
+                         partition_by=partition_by)
+        sign = (
+            F.when(F.col("_change_type")
+                   .isin("insert", "update_postimage"), 1)
+            .otherwise(-1).cast("bigint")
+        )
+        kd = (F.when(F.col("_change_type") == "insert", 1)
+              .when(F.col("_change_type") == "delete", -1)
+              .otherwise(0).cast("bigint"))
+        delta = (
+            acid_changes(spark, fact_root, from_version=max(prev_v, 1),
+                         to_version=fv, key=tuple(key))
+            .groupBy(mv_key)
+            .agg(F.sum(kd).alias("d_n"), F.sum(sign * a6).alias("d_a6"))
+        ) if prev_v > 0 else (
+            batch.groupBy(mv_key)
+            .agg(F.count("*").cast("bigint").alias("d_n"),
+                 F.sum(a6).alias("d_a6"))
+        )
+        z = F.lit(0).cast("bigint")
+        if latest_version(mv_root) > 0:
+            mv_prev = acid_read(spark, mv_root)
+        else:
+            mv_prev = spark.createDataFrame(
+                [],
+                f"{mv_key} {dict(batch.dtypes)[mv_key]}, "
+                "n_rows bigint, a6 bigint",
+            )
+        mv_new = (
+            mv_prev.join(delta, mv_key, "full_outer")
+            .select(
+                mv_key,
+                (F.coalesce("n_rows", z) + F.coalesce("d_n", z))
+                .alias("n_rows"),
+                (F.coalesce("a6", z) + F.coalesce("d_a6", z)).alias("a6"),
+            )
+            .where(F.col("n_rows") > 0)
+        )
+        mvv = acid_write(spark, mv_new, mv_root, mode="overwrite")
+        catalog_commit(catalog_root, {
+            "fact": (fact_root, fv), "mv": (mv_root, mvv),
+        })
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(landing_dir)
+    )
+    writer = (
+        src.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+
 def streaming_curation(
     spark: SparkSession,
     landing_dir: str,

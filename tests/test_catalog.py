@@ -146,3 +146,61 @@ def test_catalog_errors(spark, tmp_path):
     with pytest.raises(KeyError):
         catalog_read(spark, cat, "nope")
     assert catalog_latest(cat) == 1
+
+
+def test_streaming_txn_consistent_and_replay_safe(spark, tmp_path):
+    """streaming_txn: per batch the fact upsert, the CDF-driven MV
+    advance, and the catalog commit land as one consistent unit; the MV
+    equals a full recompute after every batch; full replay on a fresh
+    checkpoint is a content no-op."""
+    from pyspark.sql import functions as F
+
+    from backtest_crew_datalake_spark.streaming.ingest import streaming_txn
+
+    src = str(tmp_path / "land")
+    fact = str(tmp_path / "fact")
+    mv = str(tmp_path / "mv")
+    cat = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ck")
+    schema = "sym string, ts bigint, px double"
+    args = (spark, src, fact, mv, cat, ckpt, schema)
+    kw = dict(key=("sym", "ts"), mv_key="sym", agg_col="px")
+
+    b1 = [("A", 1, 1.0), ("A", 2, 2.0), ("B", 1, 5.0)]
+    b2 = [("A", 2, 9.0),            # update
+          ("C", 1, 4.0),            # new key
+          ("C", 2, 1.0), ("C", 2, 3.0)]  # within-batch dup: last wins
+
+    def mv_full():
+        return sorted(
+            (r.sym, r.n_rows, r.a6)
+            for r in catalog_read(spark, cat, "fact")
+            .groupBy("sym")
+            .agg(F.count("*").cast("bigint").alias("n_rows"),
+                 F.sum(F.round(F.col("px") * 1000000).cast("bigint"))
+                 .alias("a6"))
+            .collect()
+        )
+
+    def mv_read():
+        return sorted(
+            (r.sym, r.n_rows, r.a6)
+            for r in catalog_read(spark, cat, "mv").collect()
+        )
+
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    streaming_txn(*args, **kw)
+    assert mv_read() == mv_full()
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    streaming_txn(*args, **kw)
+    want = [("A", 2, 10000000), ("B", 1, 5000000), ("C", 2, 7000000)]
+    assert mv_read() == mv_full() == want
+
+    # full replay, fresh checkpoint: new catalog version, same content
+    v_before = catalog_latest(cat)
+    streaming_txn(spark, src, fact, mv, cat, str(tmp_path / "ck2"),
+                  schema, **kw)
+    assert catalog_latest(cat) > v_before
+    assert mv_read() == mv_full() == want
