@@ -2593,3 +2593,71 @@ def q_evt_mad_outliers(spark, sf_dir):
         F.round(F.col("n_outliers") / F.col("n_events"), 6)
         .alias("outlier_share"),
     )
+
+
+@register(
+    "q_evt_rank_zoo",
+    oracle="""
+    WITH spend AS (
+        SELECT event_type, user_id,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT event_type, user_id, cents,
+               CAST(RANK() OVER w AS BIGINT) AS rnk,
+               CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+               ROUND(PERCENT_RANK() OVER w, 6) AS prank,
+               ROUND(CUME_DIST() OVER w, 6) AS cdist,
+               CAST(NTILE(4) OVER w2 AS BIGINT) AS quartile,
+               ROW_NUMBER() OVER w2 AS rn
+        FROM spend
+        WINDOW w AS (PARTITION BY event_type ORDER BY cents DESC),
+               w2 AS (PARTITION BY event_type
+                      ORDER BY cents DESC, user_id)
+    )
+    SELECT event_type, user_id, cents, rnk, drnk, prank, cdist, quartile
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def q_evt_rank_zoo(spark, sf_dir):
+    """The ranking-window surface in one gate: RANK / DENSE_RANK /
+    PERCENT_RANK / CUME_DIST over a ties-possible order key (per-user
+    exact-cents spend — tie semantics exercised for real: tied spends
+    share rank and cume_dist mass), plus NTILE(4) and the bounding
+    ROW_NUMBER over the fully-deterministic compound ordering (NTILE's
+    neighbor assignment is order-dependent, so it never runs on a
+    tie-ambiguous key). percent_rank/cume_dist are exact rationals of
+    BIGINT counts, rounded once identically on both engines.
+
+    Scale shape: one keyed aggregation (map-side combinable) then two
+    window specs sharing ONE (event_type) Exchange; output bounded to 5
+    rows per type."""
+    from pyspark.sql import Window
+
+    evt = load(spark, sf_dir, "events")
+    spend = (
+        evt.where(F.col("value").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+             .cast("bigint").alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("cents").desc())
+    w2 = Window.partitionBy("event_type").orderBy(
+        F.col("cents").desc(), F.col("user_id").asc()
+    )
+    return (
+        spend.select(
+            "event_type", "user_id", "cents",
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("prank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+            F.ntile(4).over(w2).cast("bigint").alias("quartile"),
+            F.row_number().over(w2).alias("rn"),
+        )
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )
