@@ -106,6 +106,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # rows-only entries last. tools/check_oracles.py covers the full catalog.
 PRIORITY_ORDER: tuple[str, ...] = (
     "q_acid_catalog_txn",
+    "q_acid_mor_delete",
     "q_acid_incremental_mv",
     "q_acid_partition_evolution",
     "q_acid_snapshots",

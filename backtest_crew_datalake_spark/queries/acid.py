@@ -969,3 +969,95 @@ def q_acid_catalog_txn(spark, sf_dir):
         "n_keys", "total_events", "total_value",
     )
     return fact_rollup.unionByName(mv_read)
+
+
+# separate memo: the merge-on-read delete table
+_MOR_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _mor_table(spark, sf_dir) -> str:
+    """v1: full keyed aggregate; v2: EQUALITY-DELETE (merge-on-read) of
+    the (user%5==0, view|error) keys — zero data files rewritten; v3: an
+    upsert re-inserting the (user%10==0, view) subset of the deleted keys
+    at a later sequence."""
+    from ..sources.acid import acid_delete_mor, acid_upsert
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    root = _MOR_MEMO.get(memo_key)
+    if root is not None:
+        return root
+    e = load(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="acid_qmor_")
+    base = _agg(e)
+    acid_upsert(spark, base, root, key=_KEY, partition_by=("event_type",))
+    keys = base.where(
+        (F.col("user_id") % 5 == 0)
+        & F.col("event_type").isin("view", "error")
+    ).select("user_id", "event_type")
+    acid_delete_mor(spark, root, keys, key=_KEY)
+    b2 = _agg(
+        e.where((F.col("user_id") % 10 == 0)
+                & (F.col("event_type") == "view"))
+    )
+    acid_upsert(spark, b2, root, key=_KEY, partition_by=("event_type",))
+    _MOR_MEMO[memo_key] = root
+    return root
+
+
+@register(
+    "q_acid_mor_delete",
+    oracle="""
+    WITH b AS (
+        SELECT user_id, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2
+    ),
+    del AS (
+        SELECT user_id, event_type FROM b
+        WHERE user_id % 5 = 0 AND event_type IN ('view', 'error')
+    ),
+    after_del AS (
+        SELECT b.* FROM b ANTI JOIN del USING (user_id, event_type)
+    ),
+    reins AS (
+        SELECT b.* FROM b
+        WHERE user_id % 10 = 0 AND event_type = 'view'
+    )
+    SELECT 'after_delete' AS stage, * FROM after_del
+    UNION ALL
+    SELECT 'final' AS stage, * FROM after_del
+    UNION ALL
+    SELECT 'final' AS stage, * FROM reins
+    """,
+)
+def q_acid_mor_delete(spark, sf_dir):
+    """MERGE-ON-READ equality deletes under the value gate (Iceberg v2
+    delete files, reimplemented on the manifest layer): stage
+    'after_delete' reads the snapshot where a key set was deleted by
+    COMMITTING ONLY A SMALL KEY FILE — no data file rewritten
+    (pytest-proven byte-identical data paths) — so the scan-time
+    anti-join must subtract exactly those keys; stage 'final' reads after
+    a LATER upsert re-inserts a subset of the deleted keys, proving the
+    SEQUENCE rule (a delete suppresses keys only in files committed
+    at-or-before it — the re-inserted rows are visible, the
+    still-deleted rest stay gone). The oracle recomputes both states
+    relationally with an anti-join + a disjoint re-insert union.
+
+    Scale shape: the delete costs O(|keys|) regardless of table size;
+    reads pay one keyed anti-join against the (churn-sized) delete set
+    until a rewrite purges it; compaction drops spent delete entries
+    (pytest). This is the mechanism that makes high-frequency row-level
+    deletes viable at 100 TB — copy-on-write would rewrite terabytes per
+    delete batch."""
+    from ..sources.acid import acid_read
+
+    root = _mor_table(spark, sf_dir)
+    cols = ("user_id", "event_type", "n_events", "sum_value")
+    after_del = acid_read(spark, root, version=2).select(
+        F.lit("after_delete").alias("stage"), *cols
+    )
+    final = acid_read(spark, root).select(
+        F.lit("final").alias("stage"), *cols
+    )
+    return after_del.unionByName(final)

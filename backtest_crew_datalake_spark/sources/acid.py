@@ -368,12 +368,15 @@ def acid_read(
     m = _load_manifest(table_root, v, branch)
     data_root = _data_root(table_root)
     entries = [
-        e for e in m["files"]
+        e for e in _data_entries(m["files"])
         if _matches(e, partition_filter) and _stats_prune(e, stats_filter)
     ]
     if not entries:
         return spark.createDataFrame([], m["schema_ddl"])
-    return _read_entries(spark, data_root, entries, m.get("schema_ddl"))
+    # pruning applies to DATA files; merge-on-read delete files (if any)
+    # always load — they only remove rows, so skipping data files stays
+    # sound and skipping delete files never is
+    return _snapshot_df(spark, data_root, m, entries=entries)
 
 
 def _read_entries(spark, data_root, entries, schema_ddl):
@@ -401,6 +404,80 @@ def _read_entries(spark, data_root, entries, schema_ddl):
         part = reader.parquet(*sorted(paths))
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def _data_entries(files: list[dict]) -> list[dict]:
+    return [e for e in files if e.get("kind", "data") == "data"]
+
+
+def _delete_entries(files: list[dict]) -> list[dict]:
+    return [e for e in files if e.get("kind") == "eq_delete"]
+
+
+def _live_deletes(kept_data: list[dict], dels: list[dict]) -> list[dict]:
+    """Delete entries still REACHING something: an equality delete
+    suppresses keys only in data files committed at-or-before it
+    (seq <= delete seq); once every such file has been rewritten (new
+    seq) or removed, the delete entry is spent and drops from the
+    manifest."""
+    return [
+        d for d in dels
+        if any(int(e.get("seq", 0)) <= int(d["seq"]) for e in kept_data)
+    ]
+
+
+def _snapshot_df(spark, data_root, manifest, entries=None):
+    """Assemble one snapshot's rows: data entries (optionally a pruned
+    subset) read per (spec, seq) group, MINUS merge-on-read equality
+    deletes with SEQUENCE semantics — a delete file written at seq S
+    suppresses its keys only in data files with seq <= S, so a later
+    upsert legitimately re-inserts a deleted key (the Iceberg v2
+    equality-delete rule). With no delete entries this is exactly
+    _read_entries (the fast path — no extra joins)."""
+    files = manifest["files"]
+    data = _data_entries(files if entries is None else entries)
+    dels = _delete_entries(files)
+    if not data:
+        return spark.createDataFrame([], manifest["schema_ddl"])
+    if not dels:
+        return _read_entries(spark, data_root, data, manifest["schema_ddl"])
+    key = list(dels[0]["key"])
+    for d in dels:
+        if list(d["key"]) != key:
+            raise ValueError(
+                "mixed equality-delete keys in one table are unsupported: "
+                f"{d['key']} vs {key}"
+            )
+    by_seq: dict[int, list[dict]] = {}
+    for e in data:
+        by_seq.setdefault(int(e.get("seq", 0)), []).append(e)
+    out = None
+    for seq in sorted(by_seq):
+        part = _read_entries(
+            spark, data_root, by_seq[seq], manifest["schema_ddl"]
+        ).withColumn("__seq", F.lit(seq))
+        out = part if out is None else out.unionByName(part)
+    ddf = None
+    for d in dels:
+        one = (
+            spark.read.parquet(os.path.join(data_root, d["path"]))
+            .select(*key)
+            .withColumn("__dseq", F.lit(int(d["seq"])))
+        )
+        ddf = one if ddf is None else ddf.unionByName(one)
+    dmax = ddf.groupBy(*key).agg(F.max("__dseq").alias("__dseq"))
+    return (
+        out.join(dmax, key, "left")
+        .where(F.col("__dseq").isNull() | (F.col("__dseq") < F.col("__seq")))
+        .drop("__dseq", "__seq")
+    )
+
+
+def _stamp_seq(entries: list[dict], version: int) -> None:
+    """Record the commit version on new entries (re-stamped per optimistic
+    retry — the seq that matters is the one that actually commits)."""
+    for e in entries:
+        e["seq"] = version
 
 
 def acid_write(
@@ -443,6 +520,7 @@ def acid_write(
             # unionByName rules): base columns the frame lacks stay
             # readable (null in the new files), type conflicts fail loudly
             schema_ddl = _merge_schema_ddl(base["schema_ddl"], df)
+        _stamp_seq(new_entries, base_v + 1)
         manifest = _new_manifest(
             base_v, operation or mode, base_files + new_entries,
             tuple(partition_by), schema_ddl,
@@ -506,12 +584,14 @@ def acid_upsert(
             keep_files: list[dict] = []
         else:
             base = _load_manifest(table_root, base_v, branch)
+            base_data = _data_entries(base["files"])
+            base_dels = _delete_entries(base["files"])
             if touched is None:
-                replaced = base["files"]
+                replaced = base_data
                 keep_files = []
             else:
                 replaced = [
-                    e for e in base["files"]
+                    e for e in base_data
                     # a file from an OLDER partition spec (missing any of
                     # the upsert's partition columns) can't be proven
                     # untouched by partition values — include it (it gets
@@ -524,13 +604,16 @@ def acid_upsert(
                 ]
                 replaced_paths = {e["path"] for e in replaced}
                 keep_files = [
-                    e for e in base["files"]
+                    e for e in base_data
                     if e["path"] not in replaced_paths
                 ]
             if replaced:
                 data_root = _data_root(table_root)
-                existing = _read_entries(
-                    spark, data_root, replaced, base["schema_ddl"]
+                # snapshot read (not raw): merge-on-read-deleted keys in
+                # the replaced files must not resurrect through the
+                # rewrite at the new seq
+                existing = _snapshot_df(
+                    spark, data_root, base, entries=replaced
                 )
                 # additive schema evolution: columns only one side has are
                 # null-filled on the other (same-name type conflicts fail
@@ -555,8 +638,10 @@ def acid_upsert(
         new_entries = _write_data_files(
             spark, merged, table_root, partition_by, tuple(stats_cols)
         )
+        _stamp_seq(new_entries, base_v + 1)
+        dels = _live_deletes(keep_files, base_dels) if base_v else []
         manifest = _new_manifest(
-            base_v, "upsert", keep_files + new_entries, partition_by,
+            base_v, "upsert", keep_files + dels + new_entries, partition_by,
             _schema_ddl(merged),
         )
         if _commit_manifest(table_root, base_v + 1, manifest, branch):
@@ -606,8 +691,9 @@ def acid_compact(
         if base_v == 0:
             return None
         base = _load_manifest(table_root, base_v)
+        base_dels = _delete_entries(base["files"])
         by_part: dict[tuple, list[dict]] = {}
-        for e in base["files"]:
+        for e in _data_entries(base["files"]):
             pkey = tuple(sorted(e.get("partition", {}).items()))
             by_part.setdefault(pkey, []).append(e)
         target = target_mb * 1024 * 1024
@@ -630,7 +716,12 @@ def acid_compact(
         ))
         for pkey, es in todo.items():
             want = max(1, -(-sum(e.get("bytes", 0) for e in es) // target))
-            part_df = _read_entries(spark, data_root, es, base["schema_ddl"])
+            # snapshot read: a compaction rewrite PURGES merge-on-read
+            # deletes for the rows it rewrites (they re-land at the new
+            # seq, above every delete) — so the read must apply them
+            part_df = _snapshot_df(spark, data_root, base, entries=es)
+            expected = (part_df.count() if base_dels
+                        else sum(e["rows"] for e in es))
             if cluster and all(c in part_df.columns for c in cluster):
                 if zorder_cols:
                     from .layout import zorder_key
@@ -649,16 +740,18 @@ def acid_compact(
             wrote = _write_data_files(
                 spark, part_df, table_root, partition_by, stats_cols
             )
-            if sum(w["rows"] for w in wrote) != sum(e["rows"] for e in es):
+            if sum(w["rows"] for w in wrote) != expected:
                 _remove_entries(table_root, wrote + new_entries)
                 raise RuntimeError(
                     f"compaction row-count mismatch in {dict(pkey)} of "
                     f"{table_root} — aborted, nothing committed"
                 )
             new_entries.extend(wrote)
+        _stamp_seq(new_entries, base_v + 1)
         manifest = _new_manifest(
-            base_v, "compact", keep + new_entries, partition_by,
-            base["schema_ddl"],
+            base_v, "compact",
+            keep + _live_deletes(keep, base_dels) + new_entries,
+            partition_by, base["schema_ddl"],
         )
         if _commit_manifest(table_root, base_v + 1, manifest):
             return base_v + 1
@@ -711,8 +804,17 @@ def acid_changes(
         # evolution boundary (same reason as acid_read)
         return _read_entries(spark, data_root, entries, m["schema_ddl"])
 
-    removed = _read(m_old, old_paths - new_paths)
-    added = _read(m_new, new_paths - old_paths)
+    if _delete_entries(m_old["files"]) or _delete_entries(m_new["files"]):
+        # merge-on-read deletes change ROW SETS without touching data
+        # files, so file-level cancellation is unsound while any are
+        # pending: diff the full snapshots instead (MoR trades CDF
+        # incrementality until a compaction purges the delete files —
+        # the same trade Iceberg v2 makes)
+        removed = _snapshot_df(spark, data_root, m_old)
+        added = _snapshot_df(spark, data_root, m_new)
+    else:
+        removed = _read(m_old, old_paths - new_paths)
+        added = _read(m_new, new_paths - old_paths)
     # schema evolution: align on the NEW schema; columns the old snapshot
     # lacked read as null on the removed side
     for c in [c for c in added.columns if c not in removed.columns]:
@@ -1199,7 +1301,13 @@ def acid_delete(
             return None
         data_root = _data_root(table_root)
         partition_by = tuple(base.get("partition_by", ()))
-        full = _read_entries(spark, data_root, files, base["schema_ddl"])
+        data = _data_entries(files)
+        dels = _delete_entries(files)
+        # hit detection on the RAW data read (input_file_name must bind to
+        # the data scan, not a join): rows already merge-on-read-deleted
+        # can over-select a file for rewrite — harmless, the rewrite's
+        # CONTENT comes from the snapshot read below
+        full = _read_entries(spark, data_root, data, base["schema_ddl"])
         hit_rows = (
             full.where(pred)
             .groupBy(F.input_file_name().alias("__p"))
@@ -1209,29 +1317,35 @@ def acid_delete(
         if not hit_rows:
             return None
         hit = {_uri_to_rel(r["__p"], data_root) for r in hit_rows}
-        rewrite = [e for e in files if e["path"] in hit]
+        rewrite = [e for e in data if e["path"] in hit]
         if len(rewrite) != len(hit):
             raise RuntimeError(
                 f"delete on {table_root}: matched files not in manifest "
                 f"v{base_v} — reader/manifest drift, nothing committed"
             )
-        keep = [e for e in files if e["path"] not in hit]
+        keep = [e for e in data if e["path"] not in hit]
         stats_cols = tuple(sorted({
-            k[4:] for e in files for k in e if k.startswith("min_")
+            k[4:] for e in data for k in e if k.startswith("min_")
         }))
-        kept_df = _read_entries(
-            spark, data_root, rewrite, base["schema_ddl"]
+        # snapshot read: pending merge-on-read deletes in the rewritten
+        # files purge here (they must not resurrect at the new seq)
+        kept_df = _snapshot_df(
+            spark, data_root, base, entries=rewrite
         ).where(~pred)
         wrote = _write_data_files(
             spark, kept_df, table_root, partition_by, stats_cols
         )
+        # with pending MoR deletes this also counts their purged rows —
+        # committing such a "delete" is semantically a no-op plus purge
         n_deleted = (sum(e["rows"] for e in rewrite)
                      - sum(w["rows"] for w in wrote))
         if n_deleted <= 0:
             _remove_entries(table_root, wrote)
             return None
+        _stamp_seq(wrote, base_v + 1)
         manifest = _new_manifest(
-            base_v, "delete", keep + wrote, partition_by,
+            base_v, "delete",
+            keep + _live_deletes(keep, dels) + wrote, partition_by,
             base["schema_ddl"],
         )
         if _commit_manifest(table_root, base_v + 1, manifest, branch):
@@ -1239,4 +1353,67 @@ def acid_delete(
         _remove_entries(table_root, wrote)
     raise CommitConflict(
         f"delete on {table_root}: lost the manifest race {max_retries} times"
+    )
+
+
+def acid_delete_mor(
+    spark: SparkSession,
+    table_root: str,
+    keys_df: DataFrame,
+    key: tuple[str, ...],
+    max_retries: int = 10,
+    branch: str = MAIN_BRANCH,
+) -> int | None:
+    """Row-level DELETE as MERGE-ON-READ (Iceberg v2 equality-delete
+    semantics): instead of rewriting the files that hold matching rows
+    (acid_delete's copy-on-write), commit a small EQUALITY-DELETE file of
+    the key tuples to remove; readers subtract it at scan time. The
+    trade: deletes become O(|keys|) writes regardless of how many
+    terabytes the keys live in, reads pay one small anti-join until a
+    compaction or upsert rewrite PURGES the deleted rows physically (at
+    which point the spent delete entry drops from the manifest).
+
+    SEQUENCE semantics: the delete suppresses its keys only in data files
+    committed at-or-before it — a later upsert re-inserts a deleted key
+    and it stays visible. All delete files on one table must share one
+    key tuple (enforced). Returns the new version, or None on an empty
+    key set or an uncommitted table.
+
+    The CDF (`acid_changes`) stays CORRECT across MoR deletes but loses
+    file-level cancellation while any delete entry is pending (full
+    snapshot diff — documented inside acid_changes).
+    """
+    key = list(key)
+    kdf = keys_df.select(*key).distinct()
+    new_entries = _write_data_files(spark, kdf, table_root, (), ())
+    if not new_entries or sum(e["rows"] for e in new_entries) == 0:
+        _remove_entries(table_root, new_entries)
+        return None
+    for e in new_entries:
+        e["kind"] = "eq_delete"
+        e["key"] = key
+    for _ in range(max_retries):
+        base_v = latest_version(table_root, branch)
+        if base_v == 0:
+            _remove_entries(table_root, new_entries)
+            return None
+        base = _load_manifest(table_root, base_v, branch)
+        for d in _delete_entries(base["files"]):
+            if list(d["key"]) != key:
+                _remove_entries(table_root, new_entries)
+                raise ValueError(
+                    f"equality-delete key {key} conflicts with existing "
+                    f"delete files keyed {d['key']}"
+                )
+        _stamp_seq(new_entries, base_v + 1)
+        manifest = _new_manifest(
+            base_v, "delete-mor", base["files"] + new_entries,
+            tuple(base.get("partition_by", ())), base["schema_ddl"],
+        )
+        if _commit_manifest(table_root, base_v + 1, manifest, branch):
+            return base_v + 1
+    _remove_entries(table_root, new_entries)
+    raise CommitConflict(
+        f"delete-mor on {table_root}: lost the manifest race "
+        f"{max_retries} times"
     )

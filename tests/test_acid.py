@@ -1158,3 +1158,120 @@ def test_compact_zorder_clusters_and_records_stats(spark, tmp_path):
     # nothing prunes every file
     assert acid_read(spark, root, stats_filter={"px": (99.0, 100.0)}) \
         .count() == 0
+
+
+def test_mor_delete_read_time_travel_and_no_rewrite(spark, tmp_path):
+    """Equality-delete basics: no data file rewritten, reads subtract at
+    scan time, pre-delete time travel intact, pruned reads stay sound."""
+    from backtest_crew_datalake_spark.sources.acid import (
+        _load_manifest, acid_delete_mor,
+    )
+
+    root = str(tmp_path / "t")
+    acid_write(spark, _mk(spark, [
+        ("A", "d1", 1, 1.0), ("A", "d1", 2, 2.0),
+        ("B", "d1", 1, 5.0), ("B", "d2", 1, 7.0),
+    ]), root, partition_by=PARTS)
+    files_before = sorted(
+        e["path"] for e in _load_manifest(root, 1)["files"])
+    keys = spark.createDataFrame(
+        [("A", "d1", 2), ("B", "d2", 1)], "sym string, day string, ts bigint"
+    )
+    v = acid_delete_mor(spark, root, keys, key=KEY)
+    assert v == 2
+    m = _load_manifest(root, 2)
+    data_paths = sorted(e["path"] for e in m["files"]
+                        if e.get("kind", "data") == "data")
+    assert data_paths == files_before          # zero data rewrite
+    assert [e for e in m["files"] if e.get("kind") == "eq_delete"]
+    assert _snapshot(acid_read(spark, root)) == [
+        ("A", "d1", 1, 1.0), ("B", "d1", 1, 5.0)]
+    assert len(_snapshot(acid_read(spark, root, version=1))) == 4
+    # pruned read: delete files still apply inside the surviving files
+    pr = acid_read(spark, root, partition_filter={"sym": "A"})
+    assert _snapshot(pr) == [("A", "d1", 1, 1.0)]
+
+
+def test_mor_delete_sequence_semantics_reinsert(spark, tmp_path):
+    """A key deleted at seq S and upserted at seq > S is VISIBLE (the
+    delete applies only to files at-or-before it)."""
+    from backtest_crew_datalake_spark.sources.acid import acid_delete_mor
+
+    root = str(tmp_path / "t")
+    acid_write(spark, _mk(spark, [("A", "d1", 1, 1.0), ("B", "d1", 1, 2.0)]),
+               root, partition_by=PARTS)
+    acid_delete_mor(spark, root, spark.createDataFrame(
+        [("A", "d1", 1)], "sym string, day string, ts bigint"), key=KEY)
+    assert _snapshot(acid_read(spark, root)) == [("B", "d1", 1, 2.0)]
+    # re-insert the deleted key at a later seq
+    acid_upsert(spark, _mk(spark, [("A", "d1", 1, 9.0)]), root,
+                key=KEY, partition_by=PARTS)
+    assert _snapshot(acid_read(spark, root)) == [
+        ("A", "d1", 1, 9.0), ("B", "d1", 1, 2.0)]
+
+
+def test_mor_delete_purged_by_compact_and_upsert(spark, tmp_path):
+    """Rewrites PURGE merge-on-read deletes: compaction (and upserts of
+    the touched partitions) re-land surviving rows at a new seq and the
+    spent delete entry drops from the manifest."""
+    from backtest_crew_datalake_spark.sources.acid import (
+        _load_manifest, acid_compact, acid_delete_mor, latest_version,
+    )
+
+    root = str(tmp_path / "t")
+    rows = [("A", "d1", t, float(t)) for t in range(8)]
+    for k in range(3):   # fragment so compaction has work
+        acid_write(spark, _mk(spark, rows[k::3]), root,
+                   partition_by=("sym",))
+    acid_delete_mor(spark, root, spark.createDataFrame(
+        [("A", "d1", 0), ("A", "d1", 7)],
+        "sym string, day string, ts bigint"), key=KEY)
+    want = sorted(r for r in rows if r[2] not in (0, 7))
+    assert _snapshot(acid_read(spark, root)) == want
+    v = acid_compact(spark, root, target_mb=128)
+    assert v is not None
+    m = _load_manifest(root, v)
+    assert not [e for e in m["files"] if e.get("kind") == "eq_delete"]
+    assert _snapshot(acid_read(spark, root)) == want
+    # CDF across the delete version: full-snapshot fallback emits exactly
+    # the two deletions
+    from backtest_crew_datalake_spark.sources.acid import acid_changes
+    ch = acid_changes(spark, root, from_version=3, to_version=4, key=KEY)
+    got = sorted((r.sym, r.day, r.ts, r._change_type) for r in ch.collect())
+    assert got == [("A", "d1", 0, "delete"), ("A", "d1", 7, "delete")]
+    assert latest_version(root) == v
+
+
+def test_mor_delete_then_cow_delete_no_resurrection(spark, tmp_path):
+    """A copy-on-write delete rewriting a file with PENDING MoR deletes
+    must not resurrect the MoR-deleted rows."""
+    from backtest_crew_datalake_spark.sources.acid import (
+        acid_delete, acid_delete_mor,
+    )
+
+    root = str(tmp_path / "t")
+    acid_write(spark, _mk(spark, [
+        ("A", "d1", 1, 1.0), ("A", "d1", 2, 2.0), ("A", "d1", 3, 3.0),
+    ]), root, partition_by=PARTS)
+    acid_delete_mor(spark, root, spark.createDataFrame(
+        [("A", "d1", 1)], "sym string, day string, ts bigint"), key=KEY)
+    acid_delete(spark, root, "ts = 3")
+    assert _snapshot(acid_read(spark, root)) == [("A", "d1", 2, 2.0)]
+
+
+def test_mor_delete_guards(spark, tmp_path):
+    from backtest_crew_datalake_spark.sources.acid import acid_delete_mor
+
+    root = str(tmp_path / "t")
+    keys = spark.createDataFrame([("A", "d1", 1)],
+                                 "sym string, day string, ts bigint")
+    assert acid_delete_mor(spark, root, keys, key=KEY) is None  # no table
+    acid_write(spark, _mk(spark, [("A", "d1", 1, 1.0)]), root,
+               partition_by=PARTS)
+    assert acid_delete_mor(
+        spark, root, keys.where("ts > 99"), key=KEY) is None   # empty keys
+    acid_delete_mor(spark, root, keys, key=KEY)
+    import pytest as _pt
+    with _pt.raises(ValueError):   # mixed delete keys
+        acid_delete_mor(spark, root, keys.select("sym", "day"),
+                        key=("sym", "day"))
