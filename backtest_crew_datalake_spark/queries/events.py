@@ -2661,3 +2661,95 @@ def q_evt_rank_zoo(spark, sf_dir):
         .where(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+@register(
+    "q_evt_bot_users",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               epoch_ms(ts) // 1000 - LAG(epoch_ms(ts) // 1000) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS gap_s
+        FROM events
+    ),
+    stats AS (
+        SELECT user_id,
+               CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap_s) AS BIGINT) AS sum_s,
+               CAST(SUM(gap_s * gap_s) AS BIGINT) AS sum_sq
+        FROM g GROUP BY 1
+    ),
+    scored AS (
+        SELECT user_id, n_gaps, sum_s, sum_sq,
+               CAST(ROUND(sum_s * 1000000.0 / n_gaps) AS BIGINT) AS mg6
+        FROM stats WHERE n_gaps >= 20
+    )
+    SELECT CASE WHEN 4 * (sum_sq * n_gaps - sum_s * sum_s)
+                     < sum_s * sum_s
+                THEN 'suspect' ELSE 'organic' END AS cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_gaps) AS BIGINT) AS n_gaps,
+           ROUND(CAST(SUM(mg6) AS BIGINT) * 1.0 / COUNT(*) / 1000000.0, 6)
+               AS avg_mean_gap_s
+    FROM scored GROUP BY 1
+    """,
+)
+def q_evt_bot_users(spark, sf_dir):
+    """Automation / bot-traffic detection by inter-event REGULARITY — the
+    abuse filter every training-data event pipeline runs (organic users
+    have bursty gaps; schedulers tick): per user, integer-seconds gaps
+    via one LAG over (user, time), then the coefficient-of-variation test
+    var < (0.25)·mean² (CV < 0.5) over users with ≥20 gaps, aggregated
+    into suspect/organic cohorts.
+
+    Exactness: gaps are exact integer seconds (floor-div of epoch-ms,
+    identical both engines, event_id tiebreak at equal ts); sum and
+    sum-of-squares are exact BIGINTs (max gap ~2.6e6 s → squares ~7e12,
+    far under overflow), so mean/variance come from ONE identical
+    division each and the CV flag can never drift.
+
+    Scale shape: one keyed window (single shuffle on user_id) feeding a
+    map-side-combinable per-user aggregate; the cohort rollup is
+    2 rows."""
+    from pyspark.sql import Window
+
+    evt = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.floor(F.unix_millis("ts") / 1000)
+    g = evt.select(
+        "user_id", (sec - F.lag(sec).over(w)).alias("gap_s")
+    )
+    stats = (
+        g.where(F.col("gap_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_gaps"),
+            F.sum("gap_s").cast("bigint").alias("sum_s"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint")
+            .alias("sum_sq"),
+        )
+        .where(F.col("n_gaps") >= 20)
+    )
+    # the CV < 0.5 test in EXACT integers: var < mean^2/4  <=>
+    # 4*(n*sum_sq - sum_s^2) < sum_s^2 — computed in decimal(38,0) so the
+    # products can't silently wrap in non-ANSI mode (the DoReMi lesson)
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    lhs = F.lit(4).cast("decimal(38,0)") * (
+        d("sum_sq") * d("n_gaps") - d("sum_s") * d("sum_s")
+    )
+    cohort = F.when(
+        lhs < d("sum_s") * d("sum_s"), "suspect"
+    ).otherwise("organic")
+    mg6 = F.round(F.col("sum_s") * 1000000.0 / F.col("n_gaps"))         .cast("bigint")
+    return (
+        stats.select("n_gaps", mg6.alias("mg6"), cohort.alias("cohort"))
+        .groupBy("cohort")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("n_gaps").cast("bigint").alias("n_gaps"),
+            F.round(
+                F.sum("mg6") * 1.0 / F.count("*") / 1000000.0, 6
+            ).alias("avg_mean_gap_s"),
+        )
+    )
