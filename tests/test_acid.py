@@ -1275,3 +1275,29 @@ def test_mor_delete_guards(spark, tmp_path):
     with _pt.raises(ValueError):   # mixed delete keys
         acid_delete_mor(spark, root, keys.select("sym", "day"),
                         key=("sym", "day"))
+
+
+def test_mor_delete_across_spec_evolution(spark, tmp_path):
+    """MoR deletes and partition-spec evolution compose: the delete
+    applies across files written under DIFFERENT specs (per-seq groups
+    each split per spec internally), and a later upsert under a third
+    spec re-inserts one deleted key."""
+    from backtest_crew_datalake_spark.sources.acid import acid_delete_mor
+
+    root = str(tmp_path / "t")
+    acid_write(spark, _mk(spark, [("A", "d1", 1, 1.0), ("B", "d1", 2, 2.0)]),
+               root, partition_by=("sym",))
+    acid_write(spark, _mk(spark, [("A", "d2", 3, 3.0), ("C", "d2", 4, 4.0)]),
+               root, partition_by=())
+    acid_delete_mor(spark, root, spark.createDataFrame(
+        [("A", "d1", 1), ("C", "d2", 4)],
+        "sym string, day string, ts bigint"), key=KEY)
+    assert _snapshot(acid_read(spark, root)) == [
+        ("A", "d2", 3, 3.0), ("B", "d1", 2, 2.0)]
+    acid_upsert(spark, _mk(spark, [("C", "d2", 4, 9.0)]), root,
+                key=KEY, partition_by=("sym", "day"))
+    assert _snapshot(acid_read(spark, root)) == [
+        ("A", "d2", 3, 3.0), ("B", "d1", 2, 2.0), ("C", "d2", 4, 9.0)]
+    # pruned read under mixed specs still subtracts the pending delete
+    pr = acid_read(spark, root, partition_filter={"sym": "A"})
+    assert _snapshot(pr.where("sym = 'A'")) == [("A", "d2", 3, 3.0)]
