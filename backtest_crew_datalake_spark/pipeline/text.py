@@ -871,6 +871,126 @@ def kn_bigram_nll(
     )
 
 
+def kn_trigram_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document mean NLL under an interpolated KNESER-NEY TRIGRAM LM —
+    kn_bigram_nll's order-3 sequel, the full recursion KenLM's production
+    filters run:
+
+        p(w3|w1 w2) = (c(w1w2w3) - D)/c(w1w2·)
+                      + D·N1+(w1w2·)/c(w1w2·) · p_cont(w3|w2)
+        p_cont(w3|w2) = (N1+(·w2w3) - D)/N1+(·w2·)
+                        + D·N1+(w2·)/N1+(·w2·) · N1+(··w3)/N1+(···)
+
+    where every lower-order quantity is a CONTINUATION count (how many
+    distinct left contexts), estimated within the trigram event space
+    (boundary bigrams of <3-token docs contribute no events — documented
+    estimator choice, identical on both engines). All model quantities
+    are exact integers off ONE trigram explode: the trigram type table
+    feeds the order-3 context stats, its (w2,w3) projection IS the
+    continuation bigram table, and that table's per-w2/per-w3 rollups
+    give every lower-order term. Scored events have c >= 1 > D on both
+    levels, so the discount never truncates. Log-probs round to 8 dp and
+    ride as 1e8-scaled integers (rule 12).
+
+    Scale shape: kn_bigram_nll's exactly — serialized persist of the
+    spread explode (two consumers) and of the vocab-bounded type table
+    (four consumers), keyed joins only, 1-row total broadcast,
+    shuffle_hash pinned on the vocab-side join."""
+    from pyspark import StorageLevel
+
+    from .dedup import spread_partitions
+
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    t12 = F.zip_with(
+        F.slice(t, 1, n - 2), F.slice(t, 2, n - 2),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    trigrams = F.when(
+        n >= 3,
+        F.zip_with(t12, F.slice(t, 3, n - 2),
+                   lambda ab, c: F.concat_ws(" ", ab, c)),
+    ).otherwise(F.array().cast("array<string>"))
+    tg = (
+        spread_partitions(df.select(id_col, text_col), id_col)
+        .select(F.col(id_col), F.explode(trigrams).alias("__tg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c123 = (
+        tg.groupBy("__tg").agg(F.count("*").alias("__c"))
+        .withColumn("__w1", F.substring_index("__tg", " ", 1))
+        .withColumn(
+            "__w2",
+            F.substring_index(F.substring_index("__tg", " ", 2), " ", -1),
+        )
+        .withColumn("__w3", F.substring_index("__tg", " ", -1))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    fw = c123.groupBy("__w1", "__w2").agg(
+        F.sum("__c").alias("__cp"),            # c(w1 w2 ·)
+        F.count("*").alias("__n1fw"),          # N1+(w1 w2 ·)
+    )
+    # continuation bigram table: one row per (w2, w3) trigram-type pair;
+    # its row count per pair = N1+(· w2 w3)
+    cont = c123.groupBy("__w2", "__w3").agg(F.count("*").alias("__c23"))         .persist(StorageLevel.MEMORY_AND_DISK)
+    cmid = cont.groupBy("__w2").agg(
+        F.sum("__c23").alias("__cm"),          # N1+(· w2 ·)
+        F.count("*").alias("__t2"),            # N1+(w2 ·) in cont space
+    )
+    low = cont.groupBy("__w3").agg(F.count("*").alias("__n1l"))
+    btot = cont.agg(F.count("*").alias("__b"))
+    d = F.lit(discount)
+    p_low = F.col("__n1l") / F.col("__b")
+    p_mid = (
+        (F.col("__c23") - d) / F.col("__cm")
+        + d * F.col("__t2") / F.col("__cm") * p_low
+    )
+    prob = (
+        (F.col("__c") - d) / F.col("__cp")
+        + d * F.col("__n1fw") / F.col("__cp") * p_mid
+    )
+    lp = (
+        c123.join(fw, ["__w1", "__w2"])
+        .join(cont, ["__w2", "__w3"])
+        .join(cmid, "__w2")
+        .join(low, "__w3")
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "__tg",
+            F.round(F.log(prob) * F.lit(1e8), 0).cast("long").alias("__lp8"),
+        )
+    )
+    per_doc = (
+        tg.join(lp.hint("shuffle_hash"), "__tg")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.sum("__lp8").alias("__s8"),
+        )
+        .select(
+            id_col,
+            "n_trigrams",
+            ((-F.col("__s8")).cast("double") / F.lit(1e8)
+             / F.col("n_trigrams")).alias("nll"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+            F.coalesce("nll", F.lit(0.0)).alias("nll"),
+        )
+    )
+
+
+
 def dup_ngram_frac(text_col: str = "text", n: int = 3) -> Column:
     """Duplicate word n-gram fraction of one document (the q_doc_repetition
     / Gopher-style repetition signal): 1 − distinct/total n-grams, rounded

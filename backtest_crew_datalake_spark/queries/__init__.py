@@ -118,6 +118,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_emb_contamination",
     "q_evt_rank_zoo",
     "q_evt_bot_users",
+    "q_doc_kn_trigram_nll",
     "q_acid_branch_merge",
     "q_acid_changes_schema_evo",
     "q_doc_bm25_topk",

@@ -4618,3 +4618,66 @@ def q_doc_rrf_fusion(spark, sf_dir):
         .where(F.col("rrf_rank") <= 10)
         .select("doc_id", "lex_rank", "dense_rank", "rrf_s8", "rrf_rank")
     )
+
+
+@register(
+    "q_doc_kn_trigram_nll",
+    oracle=r"""
+    WITH docs AS (
+        SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks
+        FROM documents
+    ),
+    tgs AS (
+        SELECT doc_id, UNNEST(list_transform(
+                   generate_series(1, LEN(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+               )) AS tg
+        FROM docs WHERE LEN(toks) >= 3
+    ),
+    c123 AS (
+        SELECT tg, split_part(tg, ' ', 1) AS w1,
+               split_part(tg, ' ', 2) AS w2,
+               split_part(tg, ' ', 3) AS w3, COUNT(*) AS c
+        FROM tgs GROUP BY 1, 2, 3, 4
+    ),
+    fw AS (SELECT w1, w2, SUM(c) AS cp, COUNT(*) AS n1fw
+           FROM c123 GROUP BY 1, 2),
+    cont AS (SELECT w2, w3, COUNT(*) AS c23 FROM c123 GROUP BY 1, 2),
+    cmid AS (SELECT w2, SUM(c23) AS cm, COUNT(*) AS t2
+             FROM cont GROUP BY 1),
+    low AS (SELECT w3, COUNT(*) AS n1l FROM cont GROUP BY 1),
+    btot AS (SELECT COUNT(*) AS b FROM cont),
+    lp AS (
+        SELECT c123.tg, CAST(ROUND(LN(
+                   (c123.c - 0.75) / fw.cp
+                   + 0.75 * fw.n1fw / fw.cp * (
+                       (cont.c23 - 0.75) / cmid.cm
+                       + 0.75 * cmid.t2 / cmid.cm
+                         * low.n1l / btot.b
+                   )) * 1e8, 0) AS BIGINT) AS lp8
+        FROM c123 JOIN fw USING (w1, w2) JOIN cont USING (w2, w3)
+                  JOIN cmid USING (w2) JOIN low USING (w3)
+                  CROSS JOIN btot
+    ),
+    per_doc AS (
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+               CAST(-SUM(l.lp8) AS DOUBLE) / 1e8 / COUNT(*) AS nll
+        FROM tgs t JOIN lp l USING (tg) GROUP BY 1
+    )
+    SELECT d.doc_id, COALESCE(p.n_trigrams, 0) AS n_trigrams,
+           COALESCE(p.nll, 0.0) AS nll
+    FROM docs d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def q_doc_kn_trigram_nll(spark, sf_dir):
+    """Interpolated Kneser-Ney TRIGRAM NLL (pipeline/text.kn_trigram_nll)
+    — the full order-3 recursion (trigram -> continuation bigram ->
+    continuation unigram) KenLM's production perplexity filters run,
+    completing the n-gram LM family (unigram, add-1 bigram, KN bigram).
+    One trigram explode feeds every model quantity; the continuation
+    hierarchy is three rollups of the trigram TYPE table; all counts
+    exact integers, log-probs 1e8-scaled before the per-doc sum."""
+    from ..pipeline.text import kn_trigram_nll
+
+    d = load(spark, sf_dir, "documents")
+    return kn_trigram_nll(d)
