@@ -2277,10 +2277,12 @@ def q_evt_hll_rollup(spark, sf_dir):
 
     evt = load(spark, sf_dir, "events")
     # hash the DIMENSION, not the fact: hv is a pure function of user_id
-    # (|users| rows), so md5 runs once per user and broadcast-joins back —
-    # the fact stream pays an equi-join, not 5M digest evaluations
-    # (measured: per-row md5 was 0.5 s of the 50x scan)
-    uhash = F.broadcast(
+    # (|users| rows), so md5 runs once per user and joins back — the fact
+    # stream pays an equi-join, not 5M digest evaluations (measured:
+    # per-row md5 was 0.5 s of the 50x scan). NO broadcast hint: the user
+    # dimension is SF-scaled (rule 1) — AQE broadcasts while small and
+    # shuffle-joins at the scale where a billion-user dim wouldn't fit
+    uhash = (
         evt.select("user_id").distinct().select(
             "user_id",
             F.conv(
