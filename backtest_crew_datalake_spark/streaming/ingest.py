@@ -591,6 +591,54 @@ def streaming_txn(
 
 
 
+def streaming_delete_feed(
+    spark: SparkSession,
+    landing_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    schema: str,
+    key: tuple[str, ...],
+    available_now: bool = True,
+):
+    """Continuous right-to-be-forgotten processing: each micro-batch of
+    deletion requests (key tuples) commits as ONE merge-on-read equality
+    delete (sources/acid.acid_delete_mor) — O(|requests|) per batch at
+    any table size, no data rewrite on the hot path; the next compaction
+    purges physically. The streaming twin of the MoR delete, and the
+    shape a GDPR/erasure pipeline actually needs: the request stream is
+    tiny, the table is not.
+
+    Exactly-once EFFECT from at-least-once foreachBatch: replaying a
+    batch commits a delete file with the SAME keys — suppression is
+    idempotent (max-merge over delete seqs), so table CONTENT is
+    unchanged; the duplicate delete entry is spent-and-dropped by the
+    next rewrite like any other. Requests for keys later re-inserted by
+    upserts follow sequence semantics: the re-insert wins (erasure
+    applies to data as of the request, not to the future)."""
+    from ..sources.acid import acid_delete_mor
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        acid_delete_mor(spark, table_root, batch_df, key=tuple(key))
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(landing_dir)
+    )
+    writer = (
+        src.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+
 def streaming_curation(
     spark: SparkSession,
     landing_dir: str,

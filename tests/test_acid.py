@@ -1301,3 +1301,43 @@ def test_mor_delete_across_spec_evolution(spark, tmp_path):
     # pruned read under mixed specs still subtracts the pending delete
     pr = acid_read(spark, root, partition_filter={"sym": "A"})
     assert _snapshot(pr.where("sym = 'A'")) == [("A", "d2", 3, 3.0)]
+
+
+def test_streaming_delete_feed_exactly_once(spark, tmp_path):
+    """MoR delete stream: batches of erasure requests apply as equality
+    deletes; full replay on a fresh checkpoint is a content no-op; a key
+    re-inserted after its erasure stays (sequence semantics)."""
+    from backtest_crew_datalake_spark.streaming.ingest import (
+        streaming_delete_feed,
+    )
+
+    src = str(tmp_path / "req")
+    root = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ck")
+    kschema = "sym string, day string, ts bigint"
+    acid_write(spark, _mk(spark, [
+        ("A", "d1", 1, 1.0), ("A", "d1", 2, 2.0), ("B", "d1", 3, 3.0),
+    ]), root, partition_by=PARTS)
+
+    spark.createDataFrame([("A", "d1", 1)], kschema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    streaming_delete_feed(spark, src, root, ckpt, kschema, KEY)
+    assert _snapshot(acid_read(spark, root)) == [
+        ("A", "d1", 2, 2.0), ("B", "d1", 3, 3.0)]
+
+    spark.createDataFrame([("B", "d1", 3)], kschema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    streaming_delete_feed(spark, src, root, ckpt, kschema, KEY)
+    want = [("A", "d1", 2, 2.0)]
+    assert _snapshot(acid_read(spark, root)) == want
+
+    # full replay, fresh checkpoint: content no-op
+    streaming_delete_feed(spark, src, root, str(tmp_path / "ck2"),
+                          kschema, KEY)
+    assert _snapshot(acid_read(spark, root)) == want
+
+    # re-insert after erasure: the newer seq wins
+    acid_upsert(spark, _mk(spark, [("A", "d1", 1, 9.0)]), root,
+                key=KEY, partition_by=PARTS)
+    assert _snapshot(acid_read(spark, root)) == [
+        ("A", "d1", 1, 9.0), ("A", "d1", 2, 2.0)]
