@@ -2134,3 +2134,144 @@ def q_emb_contamination(spark, sf_dir):
             / F.count("*"), 6,
         ).alias("contaminated_share"),
     )
+
+
+# NDCG@10 gain constants: w6[r] = round(1e6 / log2(r+1)) for rank r=1..10,
+# and prefix sums for the ideal DCG — INLINED AS LITERALS in both engines
+# (libm log2 is not contractually bit-identical across engines; integers
+# are)
+_NDCG_W6 = (1000000, 630930, 500000, 430677, 386853,
+            356207, 333333, 315465, 301030, 289065)
+_NDCG_P6 = (0, 1000000, 1630930, 2130930, 2561607, 2948460,
+            3304667, 3638000, 3953465, 4254495, 4543560)
+
+
+@register(
+    "q_emb_ndcg_eval",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                  FROM embeddings WHERE vec_id < 16),
+    corpus AS (SELECT vec_id AS nid, label AS nlabel,
+                      embedding::DOUBLE[] AS nv
+               FROM embeddings WHERE vec_id >= 16),
+    qs AS (SELECT vec_id AS qid, label AS qlabel, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id >= 16 AND vec_id < 26),
+    assign AS (
+        SELECT nid, nlabel, nv, cid FROM (
+            SELECT c.nid, c.nlabel, c.nv, t.cid,
+                   ROW_NUMBER() OVER (PARTITION BY c.nid
+                       ORDER BY list_distance(c.nv, t.cv), t.cid) AS rk
+            FROM corpus c CROSS JOIN cent t
+        ) WHERE rk = 1
+    ),
+    probes AS (
+        SELECT qid, qlabel, qv, cid FROM (
+            SELECT q.qid, q.qlabel, q.qv, t.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid
+                       ORDER BY list_distance(q.qv, t.cv), t.cid) AS rk
+            FROM qs q CROSS JOIN cent t
+        ) WHERE rk <= 2
+    ),
+    ranked AS (
+        SELECT qid, qlabel, nid, nlabel, rank FROM (
+            SELECT p.qid, p.qlabel, a.nid, a.nlabel,
+                   ROW_NUMBER() OVER (PARTITION BY p.qid
+                       ORDER BY list_cosine_similarity(p.qv, a.nv) DESC,
+                                a.nid) AS rank
+            FROM probes p JOIN assign a USING (cid)
+            WHERE a.nid <> p.qid
+        ) WHERE rank <= 10
+    ),
+    w AS (SELECT UNNEST(range(1, 11)) AS rank,
+                 UNNEST({list(_NDCG_W6)}) AS w6),
+    dcg AS (
+        SELECT qid,
+               CAST(SUM(CASE WHEN nlabel = qlabel THEN w.w6
+                             ELSE 0 END) AS BIGINT) AS dcg6
+        FROM ranked JOIN w USING (rank) GROUP BY 1
+    ),
+    nrel AS (
+        SELECT q.qid,
+               CAST(COUNT(*) AS BIGINT) AS n_relevant
+        FROM qs q JOIN corpus c ON c.nlabel = q.qlabel AND c.nid <> q.qid
+        GROUP BY 1
+    ),
+    pfx AS (SELECT UNNEST(range(0, 11)) AS k,
+                   UNNEST({list(_NDCG_P6)}) AS p6)
+    SELECT d.qid AS query_id, n.n_relevant, d.dcg6,
+           CAST(p.p6 AS BIGINT) AS idcg6,
+           ROUND(d.dcg6 * 1.0 / p.p6, 6) AS ndcg10
+    FROM dcg d JOIN nrel n USING (qid)
+    JOIN pfx p ON p.k = LEAST(n.n_relevant, 10)
+    """,
+)
+def q_emb_ndcg_eval(spark, sf_dir):
+    """Retrieval-quality EVAL metric: NDCG@10 of the IVF ANN ranking
+    (16 fixed coarse lists, nprobe=2 — the q_emb_ivf_topk system) against
+    label relevance — the graded companion to q_emb_ann_recall's recall@k
+    and q_emb_knn_eval's accuracy (what an index rollout actually reports
+    on its eval set). Gains 1/log2(rank+1) are INLINED as 1e6-scaled
+    integer literals in BOTH engines (libm log2 is not contractually
+    bit-identical; integers are), so DCG/IDCG are exact integer sums and
+    NDCG is one identical division. The ideal DCG uses the prefix-sum
+    literal at min(n_relevant, 10). Self-hits excluded (queries are drawn
+    from the corpus).
+
+    Scale shape: the ranking is the IVF plan (broadcast centroids,
+    candidate equi-join on list id); relevance counting is one keyed
+    label join; the metric itself touches 10 x k rows."""
+    from pyspark.sql import Window
+
+    from ..pipeline.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 16)
+    corpus = emb.where(F.col("vec_id") >= 16)
+    qs = emb.where((F.col("vec_id") >= 16) & (F.col("vec_id") < 26))
+    ranked = ivf_topk(qs, corpus, cent, k=11, nprobe=2).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    # re-rank after the self-hit drop so ranks stay 1..10 dense
+    w_q = Window.partitionBy("query_id").orderBy("rank")
+    ranked = (
+        ranked.withColumn("rank", F.row_number().over(w_q))
+        .where(F.col("rank") <= 10)
+    )
+    labels = emb.select("vec_id", "label")
+    ranked = (
+        ranked.join(
+            labels.select(F.col("vec_id").alias("neighbor_id"),
+                          F.col("label").alias("nlabel")), "neighbor_id")
+        .join(
+            F.broadcast(
+                qs.select(F.col("vec_id").alias("query_id"),
+                          F.col("label").alias("qlabel"))), "query_id")
+    )
+    w6 = F.element_at(
+        F.array(*[F.lit(x) for x in _NDCG_W6]), F.col("rank")
+    ).cast("bigint")
+    dcg = ranked.groupBy("query_id").agg(
+        F.sum(F.when(F.col("nlabel") == F.col("qlabel"), w6)
+              .otherwise(F.lit(0).cast("bigint"))).alias("dcg6")
+    )
+    nrel = (
+        qs.select(F.col("vec_id").alias("query_id"),
+                  F.col("label").alias("qlabel"))
+        .join(corpus.select(F.col("vec_id").alias("nid"),
+                            F.col("label").alias("nlabel")),
+              F.col("nlabel") == F.col("qlabel"))
+        .where(F.col("nid") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("n_relevant"))
+    )
+    p6 = F.element_at(
+        F.array(*[F.lit(x) for x in _NDCG_P6]),
+        (F.least(F.col("n_relevant"), F.lit(10)) + 1).cast("int"),
+    ).cast("bigint")
+    return (
+        dcg.join(nrel, "query_id")
+        .select(
+            "query_id", "n_relevant", "dcg6", p6.alias("idcg6"),
+            F.round(F.col("dcg6") * 1.0 / p6, 6).alias("ndcg10"),
+        )
+    )
