@@ -94,7 +94,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # Catalog presentation order. The correctness driver samples a prefix of the
 # catalog (observed: ~50 entries), so ordering is evidence policy, not
 # cosmetics — ROTATE it every round so no query's driver evidence goes
-# stale. Round-9 window: (a) the 16 second-session queries lead (first
+# stale. Round-9 window: (a) the 17 second-session queries lead (first
 # driver evidence — catalog txn, MoR delete, incremental MV, spec
 # evolution, snapshots, SCD2 PIT, HLL rollup, RRF, prototypicality,
 # linear attribution, MAD, semantic contamination, rank zoo, bot
@@ -120,6 +120,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_evt_bot_users",
     "q_doc_kn_trigram_nll",
     "q_emb_ndcg_eval",
+    "q_evt_rfm",
     "q_acid_branch_merge",
     "q_acid_changes_schema_evo",
     "q_doc_bm25_topk",

@@ -2755,3 +2755,92 @@ def q_evt_bot_users(spark, sf_dir):
             ).alias("avg_mean_gap_s"),
         )
     )
+
+
+@register(
+    "q_evt_rfm",
+    oracle="""
+    WITH mx AS (SELECT MAX(epoch_ms(ts)) AS mts FROM events),
+    u AS (
+        SELECT user_id,
+               CAST((mx.mts - MAX(epoch_ms(ts))) // 86400000 AS BIGINT)
+                   AS recency_d,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT))
+                    AS BIGINT) AS monetary_c
+        FROM events CROSS JOIN mx GROUP BY user_id, mx.mts
+    ),
+    scored AS (
+        SELECT user_id, recency_d, frequency, monetary_c,
+               CAST(NTILE(5) OVER (ORDER BY recency_d ASC, user_id)
+                    AS BIGINT) AS r_score,
+               CAST(NTILE(5) OVER (ORDER BY frequency DESC, user_id)
+                    AS BIGINT) AS f_score,
+               CAST(NTILE(5) OVER (ORDER BY monetary_c DESC, user_id)
+                    AS BIGINT) AS m_score
+        FROM u
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(frequency) AS BIGINT) AS n_events,
+           CAST(SUM(monetary_c) AS BIGINT) AS monetary_c
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def q_evt_rfm(spark, sf_dir):
+    """RFM SEGMENTATION (recency / frequency / monetary quintiles — the
+    classic customer-value grid every event warehouse maintains): one
+    keyed pass builds per-user exact-integer R (days since last event,
+    floor-div of epoch-ms against the corpus max), F (event count), M
+    (cents); three NTILE(5) windows score them 1-5 — each over a
+    COMPOUND deterministic ordering (metric, user_id), the q_evt_rank_zoo
+    rule, since NTILE's neighbor assignment is order-dependent — and the
+    segment grid rolls up to at most 125 rows.
+
+    Scale shape: one map-side-combinable per-user aggregate (the 1-row
+    corpus max broadcast), then three windows over the |users|-row
+    table sharing one global sort domain each. At true scale the
+    quintile CUTS would come from the bounded-domain histogram method
+    (winsorize's) instead of global NTILE windows; at |users| scale the
+    window is the honest, simpler plan."""
+    from pyspark.sql import Window
+
+    evt = load(spark, sf_dir, "events")
+    ms = F.unix_millis("ts")
+    mx = evt.agg(F.max(ms).alias("__mts"))
+    u = (
+        evt.crossJoin(F.broadcast(mx))
+        .groupBy("user_id", "__mts")
+        .agg(
+            F.floor((F.col("__mts") - F.max(ms)) / 86400000)
+            .cast("bigint").alias("recency_d"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.sum(F.round(F.coalesce(F.col("value"), F.lit(0)) * 100)
+                  .cast("bigint")).cast("bigint").alias("monetary_c"),
+        )
+        .drop("__mts")
+    )
+    scored = (
+        u.withColumn(
+            "r_score",
+            F.ntile(5).over(Window.orderBy("recency_d", "user_id"))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(5).over(
+                Window.orderBy(F.col("frequency").desc(), "user_id")
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(5).over(
+                Window.orderBy(F.col("monetary_c").desc(), "user_id")
+            ).cast("bigint"),
+        )
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("frequency").cast("bigint").alias("n_events"),
+        F.sum("monetary_c").cast("bigint").alias("monetary_c"),
+    )
