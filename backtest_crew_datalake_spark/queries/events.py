@@ -2678,8 +2678,11 @@ def q_evt_rank_zoo(spark, sf_dir):
     stats AS (
         SELECT user_id,
                CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
-               CAST(SUM(gap_s) AS BIGINT) AS sum_s,
-               CAST(SUM(gap_s * gap_s) AS BIGINT) AS sum_sq
+               -- HUGEINT sums: sum_s*sum_s below would overflow BIGINT for
+               -- a user whose gap-sum exceeds ~3e9 s; Spark's side carries
+               -- the same products in decimal(38,0) (r9 verdict nit #4)
+               CAST(SUM(gap_s) AS HUGEINT) AS sum_s,
+               CAST(SUM(gap_s * gap_s) AS HUGEINT) AS sum_sq
         FROM g GROUP BY 1
     ),
     scored AS (

@@ -215,6 +215,21 @@ def main():
         "spark_favored": spark_favored,
         "duck_favored": duck_favored,
     }))
+    # Compact duplicate of the headline fields as the LAST stdout line:
+    # the driver keeps only a ~2000-char tail of stdout, and the full
+    # per-query JSON above is ~10 KB, which truncates away the headline
+    # `value`/`spark_over_duck_ratio` (BENCH_r09 recorded parsed: null).
+    # Any tail capture now always ends with a parseable one-liner.
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf),
+        "n_queries": len(timings),
+        "floor_sec_per_action": floor_sec,
+        "duck_total_sec": duck_total,
+        "spark_over_duck_ratio": ratio,
+    }))
 
 
 def _duck_pass(sf_dir: str):
