@@ -457,11 +457,21 @@ def _snapshot_df(spark, data_root, manifest, entries=None):
             spark, data_root, by_seq[seq], manifest["schema_ddl"]
         ).withColumn("__seq", F.lit(seq))
         out = part if out is None else out.unionByName(part)
+    # pin the key columns to the COMMITTED schema's types: a delete file
+    # written before an additive type widening would otherwise anti-join
+    # under its historic type and silently fail to suppress (or error)
+    key_types = dict(
+        spark.createDataFrame([], manifest["schema_ddl"]).dtypes
+    ) if manifest.get("schema_ddl") else {}
     ddf = None
     for d in dels:
         one = (
             spark.read.parquet(os.path.join(data_root, d["path"]))
-            .select(*key)
+            .select(*[
+                F.col(k).cast(key_types[k]).alias(k)
+                if k in key_types else F.col(k)
+                for k in key
+            ])
             .withColumn("__dseq", F.lit(int(d["seq"])))
         )
         ddf = one if ddf is None else ddf.unionByName(one)
@@ -661,10 +671,19 @@ def acid_compact(
     max_retries: int = 10,
     zorder_cols: tuple[str, str] | None = None,
     sort_col: str | None = None,
+    purge_deletes: bool = False,
 ) -> int | None:
     """OPTIMIZE: rewrite over-fragmented partitions to ~``target_mb`` files
     and commit the rewrite as one snapshot. Returns the new version, or
     None when nothing needed compacting.
+
+    ``purge_deletes=True`` additionally rewrites every partition holding a
+    file still reachable by a live equality-delete entry (seq <= delete
+    seq), even when its file sizes wouldn't trigger compaction — the mode
+    an erasure pipeline needs: suppressed rows are PHYSICALLY gone from
+    the new snapshot's data files, and the spent delete entries drop from
+    the manifest. Historic snapshots still reach the rows until
+    ``acid_vacuum`` removes their files.
 
     ``zorder_cols=(a, b)`` additionally CLUSTERS each rewritten partition
     on the Morton key of the two columns (OPTIMIZE ZORDER BY — range-
@@ -703,7 +722,52 @@ def acid_compact(
                 1, -(-sum(e.get("bytes", 0) for e in es) // target)
             )
         }
+        if purge_deletes and base_dels:
+            pby = tuple(base.get("partition_by", ()))
+            dkey = list(base_dels[0]["key"])
+            hit_parts = None
+            if pby and all(c in dkey for c in pby):
+                # delete files are O(|requests|)-small by contract: read
+                # their key tuples once and target only the partitions
+                # that can hold a suppressed row (same string encoding as
+                # acid_upsert's touched-partition set)
+                droot = _data_root(table_root)
+                ddf = None
+                for d in base_dels:
+                    one = spark.read.parquet(
+                        os.path.join(droot, d["path"])
+                    )
+                    ddf = one if ddf is None else ddf.unionByName(one)
+                hit_parts = {
+                    tuple(None if r[c] == "" else r[c] for c in pby)
+                    for r in ddf.select(
+                        *[F.col(c).cast("string").alias(c) for c in pby]
+                    ).distinct().collect()
+                }
+            reach = max(int(d["seq"]) for d in base_dels)
+            for pkey, es in by_part.items():
+                if pkey in todo:
+                    continue
+                if hit_parts is not None:
+                    pdict = dict(pkey)
+                    if tuple(pdict.get(c) for c in pby) not in hit_parts:
+                        continue
+                if any(int(e.get("seq", 0)) <= reach for e in es):
+                    todo[pkey] = es
         if not todo:
+            if purge_deletes and base_dels:
+                # nothing to rewrite, but the delete entries reach no
+                # file (all superseded by later re-inserts): they're
+                # spent — commit a manifest that drops them so readers
+                # stop paying the anti-join
+                manifest = _new_manifest(
+                    base_v, "compact", _data_entries(base["files"]),
+                    tuple(base.get("partition_by", ())),
+                    base["schema_ddl"],
+                )
+                if _commit_manifest(table_root, base_v + 1, manifest):
+                    return base_v + 1
+                continue
             return None
         data_root = _data_root(table_root)
         keep = [e for pkey, es in by_part.items() if pkey not in todo
@@ -748,9 +812,17 @@ def acid_compact(
                 )
             new_entries.extend(wrote)
         _stamp_seq(new_entries, base_v + 1)
+        # purge mode spends EVERY delete entry by construction: each
+        # partition a delete could still suppress rows in was rewritten
+        # above (key-targeted when the partition columns are part of the
+        # delete key; seq-reachable otherwise), so kept files are either
+        # newer than every delete or provably key-disjoint from them —
+        # the seq-only _live_deletes test can't see the second case
+        dels_after = [] if (purge_deletes and base_dels) \
+            else _live_deletes(keep, base_dels)
         manifest = _new_manifest(
             base_v, "compact",
-            keep + _live_deletes(keep, base_dels) + new_entries,
+            keep + dels_after + new_entries,
             partition_by, base["schema_ddl"],
         )
         if _commit_manifest(table_root, base_v + 1, manifest):

@@ -397,6 +397,7 @@ def streaming_scd2(
     attrs: tuple[str, ...],
     ts_col: str = "ts",
     order_col: str = "seq",
+    buckets: int = 16,
     available_now: bool = True,
 ):
     """Continuously maintain an SCD TYPE-2 dimension ACID table from a
@@ -411,8 +412,18 @@ def streaming_scd2(
     region, and the rebuilt versions merge in via acid_upsert keyed on
     (key..., eff_from): a version that stayed open updates idempotently,
     a version that got superseded closes (eff_to set, is_current false),
-    new versions insert. Closed history is never rewritten — per batch
-    the table churn is O(batch keys), not O(history).
+    new versions insert. Closed history is never rewritten.
+
+    Churn contract: the table is hash-partitioned on ``pmod(xxhash64(
+    key), buckets)`` (column ``__bucket``), the open-version read-back
+    prunes to the batch's buckets at the MANIFEST level, and the upsert
+    passes ``partition_by`` so only touched buckets' files are read or
+    rewritten — per batch both the read and the write are
+    O(table/buckets x touched buckets), never O(table). ``buckets=0``
+    opts out (unpartitioned table, full-table read+rewrite per batch —
+    only sane for tiny dimensions). An existing unpartitioned table
+    migrates forward automatically: acid_upsert rewrites old-spec files
+    under the current spec on first touch.
 
     Out-of-order policy (documented contract, enforced): a batch row
     OLDER than its key's open version is dropped — accepting it would
@@ -433,13 +444,24 @@ def streaming_scd2(
     key = list(key)
     attrs = list(attrs)
 
+    bucket_col = F.pmod(F.xxhash64(*key), F.lit(buckets)).cast("int")
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         batch = batch_df.select(*key, ts_col, order_col, *attrs)
+        if buckets:
+            # bounded collect: <= `buckets` small ints, never data-sized
+            hit = sorted(
+                str(r[0]) for r in
+                batch.select(bucket_col.alias("b")).distinct().collect()
+            )
+            pfilter = {"__bucket": hit}
+        else:
+            pfilter = None
         if latest_version(table_root) > 0:
             open_v = (
-                acid_read(spark, table_root)
+                acid_read(spark, table_root, partition_filter=pfilter)
                 .where(F.col("is_current"))
                 .join(batch.select(*key).distinct(), key, "left_semi")
                 .select(
@@ -463,9 +485,16 @@ def streaming_scd2(
         rebuilt = scd2_build(
             stream, key=key, attrs=attrs, ts_col=ts_col, order_col=order_col
         )
-        acid_upsert(
-            spark, rebuilt, table_root, key=(*key, "eff_from"),
-        )
+        if buckets:
+            acid_upsert(
+                spark, rebuilt.withColumn("__bucket", bucket_col),
+                table_root, key=(*key, "eff_from"),
+                partition_by=("__bucket",),
+            )
+        else:
+            acid_upsert(
+                spark, rebuilt, table_root, key=(*key, "eff_from"),
+            )
 
     src = (
         spark.readStream.schema(schema)
@@ -508,18 +537,26 @@ def streaming_txn(
     two-table foreachBatch normally has between its two writes.
 
     Exactly-once effect under at-least-once foreachBatch, compositionally:
-    the upsert is idempotent (content-equal replay), the MV advance folds
-    the CDF of (previous fact version -> this batch's version) so a
-    replayed batch re-derives a content-equal MV, and a replayed catalog
-    commit publishes a new version pinning content-equal tables. The MV
-    carries its sums as 1e6-scaled BIGINTs (rule 12) so incremental
-    arithmetic can never drift from a full recompute.
+    the upsert is idempotent (content-equal replay), and the MV advance is
+    anchored to a DURABLE applied-watermark — the (fact, mv) versions the
+    last catalog commit published — never to ``latest_version`` at replay
+    time. Every read in the fold (the CDF's from-version AND the MV
+    snapshot being advanced) binds to the watermark, so a crash ANYWHERE
+    between the fact upsert and the catalog commit replays as: re-upsert
+    (content-equal), re-fold CDF(watermark -> new fact version) over
+    MV@watermark (applies the batch exactly once; an orphaned MV version
+    written before the crash is simply never referenced), re-publish. A
+    replay-time ``latest_version`` anchor would instead see the crashed
+    attempt's own fact commit, fold an empty CDF, and silently lose the
+    batch from the MV forever. The MV carries its sums as 1e6-scaled
+    BIGINTs (rule 12) so incremental arithmetic can never drift from a
+    full recompute.
     """
     from ..operators.dedup import dedupe_keep
     from ..sources.acid import (
-        acid_changes, acid_read, acid_upsert, acid_write, latest_version,
+        acid_changes, acid_read, acid_upsert, acid_write,
     )
-    from ..sources.catalog import catalog_commit
+    from ..sources.catalog import catalog_commit, catalog_tables
 
     key = list(key)
     a6 = F.round(F.col(agg_col) * 1000000).cast("bigint")
@@ -529,7 +566,14 @@ def streaming_txn(
             return
         # within-batch keep-last so the CDF's post-images are key-unique
         batch = dedupe_keep(batch_df, key, order=None, keep="last")
-        prev_v = latest_version(fact_root)
+        # durable applied-watermark (see docstring): versions from the
+        # last PUBLISHED catalog snapshot, 0 before the first commit
+        try:
+            tabs = catalog_tables(catalog_root)
+            wm_fact = tabs["fact"][1]
+            wm_mv = tabs["mv"][1]
+        except FileNotFoundError:
+            wm_fact, wm_mv = 0, 0
         fv = acid_upsert(spark, batch, fact_root, key=tuple(key),
                          partition_by=partition_by)
         sign = (
@@ -541,18 +585,24 @@ def streaming_txn(
               .when(F.col("_change_type") == "delete", -1)
               .otherwise(0).cast("bigint"))
         delta = (
-            acid_changes(spark, fact_root, from_version=max(prev_v, 1),
+            acid_changes(spark, fact_root, from_version=wm_fact,
                          to_version=fv, key=tuple(key))
             .groupBy(mv_key)
             .agg(F.sum(kd).alias("d_n"), F.sum(sign * a6).alias("d_a6"))
-        ) if prev_v > 0 else (
-            batch.groupBy(mv_key)
+        ) if wm_fact > 0 else (
+            # bootstrap: no catalog commit yet, so the MV reflects
+            # nothing — fold the WHOLE fact snapshot at fv as inserts.
+            # Reading the table (not the batch) also covers a replay
+            # that crashed between the very first upsert and the first
+            # catalog commit, where fact@fv may exceed this batch.
+            acid_read(spark, fact_root, version=fv)
+            .groupBy(mv_key)
             .agg(F.count("*").cast("bigint").alias("d_n"),
                  F.sum(a6).alias("d_a6"))
         )
         z = F.lit(0).cast("bigint")
-        if latest_version(mv_root) > 0:
-            mv_prev = acid_read(spark, mv_root)
+        if wm_mv > 0:
+            mv_prev = acid_read(spark, mv_root, version=wm_mv)
         else:
             mv_prev = spark.createDataFrame(
                 [],
@@ -603,10 +653,17 @@ def streaming_delete_feed(
     """Continuous right-to-be-forgotten processing: each micro-batch of
     deletion requests (key tuples) commits as ONE merge-on-read equality
     delete (sources/acid.acid_delete_mor) — O(|requests|) per batch at
-    any table size, no data rewrite on the hot path; the next compaction
-    purges physically. The streaming twin of the MoR delete, and the
-    shape a GDPR/erasure pipeline actually needs: the request stream is
-    tiny, the table is not.
+    any table size, no data rewrite on the hot path. The streaming twin
+    of the MoR delete, and the shape a GDPR/erasure pipeline actually
+    needs: the request stream is tiny, the table is not.
+
+    Suppression is immediate; PHYSICAL erasure is a separate maintenance
+    pass the operator must schedule: ``acid_compact(...,
+    purge_deletes=True)`` force-rewrites every partition a live delete
+    entry still reaches (fragmentation-triggered compaction alone may
+    never touch a well-sized partition), and the rows stay reachable via
+    time travel until ``acid_vacuum`` drops the pre-purge snapshots'
+    files. Erasure SLA = purge-compact interval + vacuum retention.
 
     Exactly-once EFFECT from at-least-once foreachBatch: replaying a
     batch commits a delete file with the SAME keys — suppression is

@@ -1341,3 +1341,52 @@ def test_streaming_delete_feed_exactly_once(spark, tmp_path):
                 key=KEY, partition_by=PARTS)
     assert _snapshot(acid_read(spark, root)) == [
         ("A", "d1", 1, 9.0), ("A", "d1", 2, 2.0)]
+
+
+def test_compact_purge_deletes_forces_erasure(spark, tmp_path):
+    """purge_deletes=True: a partition whose files are well-sized (so the
+    fragmentation trigger never fires) but still reachable by a live
+    equality-delete entry is force-rewritten — suppressed rows leave the
+    data files physically, the spent delete entry drops, and partitions
+    no delete reaches are left alone (their file entries are untouched)."""
+    from backtest_crew_datalake_spark.sources.acid import (
+        _load_manifest, acid_compact, acid_delete_mor,
+    )
+
+    root = str(tmp_path / "t")
+    acid_write(spark, _mk(spark, [
+        ("A", "d1", 1, 1.0), ("A", "d1", 2, 2.0),
+        ("B", "d1", 1, 5.0),
+    ]).coalesce(1), root, partition_by=PARTS)  # ONE file per partition
+    acid_delete_mor(spark, root, spark.createDataFrame(
+        [("A", "d1", 1)], "sym string, day string, ts bigint"), key=KEY)
+    untouched_before = {
+        e["path"] for e in _load_manifest(root, latest_version(root))["files"]
+        if e.get("kind", "data") == "data" and e["partition"]["sym"] == "B"
+    }
+    # fragmentation-triggered compaction finds nothing to do
+    assert acid_compact(spark, root, target_mb=128) is None
+    # ... so the delete entry (and the row, in the files) lives forever
+    m = _load_manifest(root, latest_version(root))
+    assert [e for e in m["files"] if e.get("kind") == "eq_delete"]
+
+    v = acid_compact(spark, root, target_mb=128, purge_deletes=True)
+    assert v is not None
+    m = _load_manifest(root, v)
+    assert not [e for e in m["files"] if e.get("kind") == "eq_delete"]
+    assert _snapshot(acid_read(spark, root)) == [
+        ("A", "d1", 2, 2.0), ("B", "d1", 1, 5.0),
+    ]
+    # the unreachable partition's files were NOT rewritten
+    untouched_after = {
+        e["path"] for e in m["files"]
+        if e.get("kind", "data") == "data" and e["partition"]["sym"] == "B"
+    }
+    assert untouched_after == untouched_before
+    # physical erasure: no surviving DATA file content contains ts=1 for A
+    # (historic snapshots still do until vacuum — documented contract)
+    data_root = os.path.join(root, "data")
+    live = [os.path.join(data_root, e["path"]) for e in m["files"]
+            if e.get("kind", "data") == "data"]
+    got = spark.read.option("basePath", data_root).parquet(*live)
+    assert got.where("sym = 'A' and ts = 1").count() == 0

@@ -204,3 +204,93 @@ def test_streaming_txn_consistent_and_replay_safe(spark, tmp_path):
                   schema, **kw)
     assert catalog_latest(cat) > v_before
     assert mv_read() == mv_full() == want
+
+
+@pytest.mark.parametrize("kill_at", ["mv_write", "catalog_commit"])
+def test_streaming_txn_crash_between_fact_commit_and_publish(
+    spark, tmp_path, monkeypatch, kill_at,
+):
+    """The r9 ADVICE crash window: the driver dies AFTER the fact upsert
+    but BEFORE the MV write (or after the MV write, before the catalog
+    commit). The replayed batch must still reach the MV exactly once —
+    the fold anchors to the catalog's durable applied-watermark, not to
+    latest_version at replay time (which already contains the crashed
+    attempt's own fact commit and would yield an empty CDF)."""
+    from pyspark.sql import functions as F
+
+    from backtest_crew_datalake_spark.sources import acid as acid_mod
+    from backtest_crew_datalake_spark.sources import catalog as cat_mod
+    from backtest_crew_datalake_spark.streaming.ingest import streaming_txn
+
+    src = str(tmp_path / "land")
+    fact = str(tmp_path / "fact")
+    mv = str(tmp_path / "mv")
+    cat = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ck")
+    schema = "sym string, ts bigint, px double"
+    args = (spark, src, fact, mv, cat, ckpt, schema)
+    kw = dict(key=("sym", "ts"), mv_key="sym", agg_col="px")
+
+    def mv_full():
+        return sorted(
+            (r.sym, r.n_rows, r.a6)
+            for r in catalog_read(spark, cat, "fact")
+            .groupBy("sym")
+            .agg(F.count("*").cast("bigint").alias("n_rows"),
+                 F.sum(F.round(F.col("px") * 1000000).cast("bigint"))
+                 .alias("a6"))
+            .collect()
+        )
+
+    def mv_read():
+        return sorted(
+            (r.sym, r.n_rows, r.a6)
+            for r in catalog_read(spark, cat, "mv").collect()
+        )
+
+    spark.createDataFrame(
+        [("A", 1, 1.0), ("B", 1, 5.0)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    streaming_txn(*args, **kw)           # batch 1 lands cleanly
+
+    # batch 2 dies in the stated window: fact committed, publish not
+    spark.createDataFrame(
+        [("A", 2, 2.0), ("C", 1, 4.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    if kill_at == "mv_write":
+        real = acid_mod.acid_write
+
+        def boom(spark_, df, root, **kwargs):
+            if root == mv:
+                raise RuntimeError("injected crash before MV write")
+            return real(spark_, df, root, **kwargs)
+
+        monkeypatch.setattr(acid_mod, "acid_write", boom)
+    else:
+        def boom(*a, **k):
+            raise RuntimeError("injected crash before catalog commit")
+
+        monkeypatch.setattr(cat_mod, "catalog_commit", boom)
+    with pytest.raises(Exception, match="injected crash"):
+        streaming_txn(*args, **kw)
+    monkeypatch.undo()
+    # the fact table DID take the batch, but the catalog did not publish
+    # it — readers going through the catalog still see the consistent
+    # pre-batch pair (the torn state is invisible, which is the point)
+    assert acid_mod.latest_version(fact) > catalog_tables(cat)["fact"][1]
+    assert mv_read() == mv_full() == [("A", 1, 1000000), ("B", 1, 5000000)]
+
+    # restart: the checkpoint replays batch 2; the watermark-anchored
+    # fold applies it exactly once
+    streaming_txn(*args, **kw)
+    want = [("A", 2, 3000000), ("B", 1, 5000000), ("C", 1, 4000000)]
+    assert mv_read() == mv_full() == want
+
+    # and a further clean batch keeps advancing normally
+    spark.createDataFrame(
+        [("B", 2, 1.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    streaming_txn(*args, **kw)
+    assert mv_read() == mv_full() == [
+        ("A", 2, 3000000), ("B", 2, 6000000), ("C", 1, 4000000),
+    ]
