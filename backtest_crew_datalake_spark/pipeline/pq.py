@@ -111,62 +111,66 @@ def _codes_udf(C, m: int, d: int):
     return enc
 
 
-def pq_codebooks(
+def _train_codebooks_np(
     corpus: DataFrame,
-    m: int = 8,
-    ksub: int = 16,
-    iters: int = 2,
-    dim: int = 64,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Train per-subspace codebooks: (sub_id, centroid_id, centroid).
+    m: int,
+    ksub: int,
+    iters: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    init_rows=None,
+):
+    """Lloyd-train the (m, ksub_actual, d) codebook ndarray — the shared
+    kernel behind pq_codebooks and ivf_pq_topk's fused path.
 
-    Init: subvectors of the ksub lowest-id corpus rows (centroid_id =
-    0..ksub-1 in that id order). Then ``iters`` Lloyd rounds over ALL
-    subspaces at once — the grouped analogue of similarity.kmeans_centroids;
-    empty cells keep their previous centroid.
+    Driver-anchored, MLlib-style (same shape as similarity.
+    kmeans_centroids): the ONLY driver state is the codebook matrix; per
+    round the assignment is row-local (_codes_udf against the literal
+    ndarray) and the ONE job is lloyd_means' keyed (sub, cell, dim)
+    collect — m·ksub·d doubles regardless of corpus size. Jobs = 1 seed
+    collect (skipped when ``init_rows`` is passed) + ``iters``; the old
+    shape re-joined the means into a codebook DataFrame and collected it
+    again per round, which doubled the corpus passes for nothing — the
+    means ARE the new codebook, and they were already collected.
 
-    Scale shape per round: assignment is ROW-LOCAL (the Arrow-batched
-    _codes_udf kernel against the collected literal codebook), the
-    per-(vector, subspace) explode is narrow, and the only shuffle is
-    lloyd_means' keyed (sub, cell, dim) partial aggregation — a few KB
-    regardless of corpus size."""
+    ``init_rows``: optional pre-collected ``[(id, [float]*dim)]`` seed
+    rows (the ksub lowest corpus ids). Callers that already hold them —
+    ivf_pq_topk's fused seed collect — pass them to delete the seed job.
+
+    Value-exact vs the old per-round-collect flow: both roundtrip the
+    means through the driver each round (collect → float64 → literal), so
+    every arithmetic step sees identical IEEE doubles.
+    """
+    import numpy as np
+
     d = dim // m
-
-    from pyspark.sql import Window
-
-    # Unpartitioned window is safe here: it runs AFTER the limit, over the
-    # ksub surviving rows (a bounded constant), never over the corpus.
-    seed_w = Window.orderBy("__id")
-    seeds = (
-        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col))
-        .orderBy("__id").limit(ksub)
-        .withColumn("centroid_id", F.row_number().over(seed_w) - 1)
-    )
-    cb = (
-        _subvectors(seeds.drop("__id"), "centroid_id", vec_col, m, d)
-        .select("sub_id", F.col("__id").alias("centroid_id"),
-                F.col("sub").alias("centroid"))
+    vec = F.col(vec_col).cast("array<double>")
+    if init_rows is None:
+        init_rows = [
+            (r["__id"], list(r["__v"]))
+            for r in corpus.select(
+                F.col(id_col).alias("__id"), vec.alias("__v")
+            ).orderBy("__id").limit(ksub).collect()
+        ]
+    init_rows = sorted(init_rows, key=lambda t: t[0])[:ksub]
+    if not init_rows:
+        raise ValueError(
+            "empty PQ codebook: the training corpus produced no centroids "
+            "(no vectors?) — train pq_codebooks on a non-empty corpus"
+        )
+    # seed: centroid i of subspace j = seed row i's j-th subvector,
+    # centroid_id = 0..n-1 in ascending seed-id order (same init as the
+    # old row_number-over-id seeding)
+    ks = len(init_rows)
+    C = (
+        np.array([v for _, v in init_rows], dtype=np.float64)
+        .reshape(ks, m, d).transpose(1, 0, 2).copy()
     )
     from .similarity import lloyd_means
 
-    vec = F.col(vec_col).cast("array<double>")
-    spark = corpus.sparkSession
-    # Each round materializes the m·ksub-row codebook to the driver (the
-    # bounded collect _collect_codebook documents) and feeds it back BOTH
-    # as the Arrow kernel's literal ndarray AND as a literal DataFrame —
-    # so round r+1's plan depends on the corpus and a constant, not on
-    # round r's plan: one corpus pass per round, constant lineage depth,
-    # and the old per-round checkpoint is unnecessary.
     for _ in range(iters):
-        rows = cb.select("sub_id", "centroid_id", "centroid").collect()
-        cb = spark.createDataFrame(
-            [(r.sub_id, r.centroid_id, [float(x) for x in r.centroid])
-             for r in rows],
-            "sub_id int, centroid_id int, centroid array<double>",
-        )
-        enc = _codes_udf(_rows_to_codebook(rows, m, d), m, d)
+        enc = _codes_udf(C, m, d)
         assigned = (
             corpus.select(enc(vec).alias("__codes"), vec.alias("__v"))
             .select(
@@ -181,23 +185,56 @@ def pq_codebooks(
             )
             .select("a.sub_id", "a.centroid_id", "a.sub")
         )
-        means = lloyd_means(
-            assigned,
-            ["sub_id", "centroid_id"], "sub", "__nv",
+        got = {
+            (r["sub_id"], r["centroid_id"]): r["__nv"]
+            for r in lloyd_means(
+                assigned, ["sub_id", "centroid_id"], "sub", "__nv"
+            ).collect()  # bounded: m·ksub rows
+        }
+        # empty cells keep their previous centroid
+        C = np.array(
+            [[got.get((j, i), C[j, i]) for i in range(ks)]
+             for j in range(m)],
+            dtype=np.float64,
         )
-        cb = cb.join(means, ["sub_id", "centroid_id"], "left").select(
-            "sub_id", "centroid_id",
-            F.coalesce(F.col("__nv"), F.col("centroid")).alias("centroid"),
-        )
-    # materialize the FINAL codebook literal too: every consumer
-    # (pq_encode's kernel collect, the ADC LUT's broadcast join) then works
-    # from a local relation instead of re-running the last Lloyd round —
-    # one m·ksub-row collect here deletes one corpus-pass job per consumer
-    rows = cb.select("sub_id", "centroid_id", "centroid").collect()
+    return C
+
+
+def _codebook_df(spark, C):
+    """(m, ksub, d) ndarray → the (sub_id, centroid_id, centroid) literal
+    local relation every consumer broadcasts."""
     return spark.createDataFrame(
-        [(r.sub_id, r.centroid_id, [float(x) for x in r.centroid])
-         for r in rows],
+        [(j, i, [float(x) for x in C[j, i]])
+         for j in range(C.shape[0]) for i in range(C.shape[1])],
         "sub_id int, centroid_id int, centroid array<double>",
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_rows=None,
+) -> DataFrame:
+    """Train per-subspace codebooks: (sub_id, centroid_id, centroid).
+
+    Init: subvectors of the ksub lowest-id corpus rows (centroid_id =
+    0..ksub-1 in that id order). Then ``iters`` Lloyd rounds over ALL
+    subspaces at once — the grouped analogue of similarity.kmeans_centroids;
+    empty cells keep their previous centroid. Returns a LITERAL local
+    relation (downstream broadcasts start from m·ksub in-memory rows).
+
+    Scale/job shape: see _train_codebooks_np — one row-local assignment +
+    keyed-means job per round, one bounded seed collect (skippable via
+    ``init_rows``)."""
+    return _codebook_df(
+        corpus.sparkSession,
+        _train_codebooks_np(corpus, m, ksub, iters, dim, id_col, vec_col,
+                            init_rows=init_rows),
     )
 
 
@@ -305,65 +342,149 @@ def ivf_pq_topk(
     nothing quadratic. The residual LUT is nprobe× larger per query (one
     per probed list) and still broadcast-sized. Output schema matches
     pq_topk.
+
+    Job/action shape (the r9-profiled fixed cost — 23 jobs/7-9 s at
+    sf0.1, floor-dominated): ONE pinned projection of the corpus feeds
+    every stage; the seed rows for BOTH quantizers come from ONE bounded
+    collect (the coarse init is the nlist lowest ids, the PQ init the
+    ksub lowest — one limit covers both, and in residual mode the PQ
+    seeds are derived driver-side with the same IEEE float64 ops the
+    kernel applies); both Lloyd loops are driver-anchored (one
+    means-collect job per round); and the trained codebook is already an
+    ndarray, so encode never collects. Total: 1 seed job + ``iters``
+    coarse rounds + ``iters`` PQ rounds + the final query action (plus
+    its broadcast builds) — measured 23 → 8 jobs at the bench config.
     """
+    import numpy as np
     from pyspark.sql import Window
 
-    from .similarity import kmeans_assign, kmeans_centroids
+    from .similarity import _assign_kernel_udf, kmeans_assign, lloyd_means
 
-    # The coarse centroids feed THREE consumers (corpus assignment, query
-    # probing, residual centering) and the assigned corpus feeds three more
-    # (codebook seeds, the Lloyd round, encode + final scoring) — without a
-    # checkpoint each consumer's action re-runs the whole upstream Lloyd
-    # pipeline (measured: ~39 Spark jobs per query, ~3× recompute of the
-    # corpus pass). localCheckpoint(eager=False) materializes each subtree
-    # once at first use: cent is nlist rows; enc_corpus is one cached pass
-    # over the corpus — the same working-set cache every iterative ANN
-    # index build holds, and the same discipline as the Lloyd loops.
-    cent = kmeans_centroids(corpus, k=nlist, iters=iters,
-                            id_col=id_col, vec_col=vec_col)
-    cent = cent.localCheckpoint(eager=False)
-    # Row-local assignment (see kmeans_assign) keeps the list id ON the
-    # corpus row, and row-local pq_encode passes it through — so the
-    # encoded+listed candidate table comes out of ONE map pass over the
-    # corpus, with no codes⋈lists join at all.
-    assigned = kmeans_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
+    spark = corpus.sparkSession
+    d = dim // m
+    # the ONE pinned corpus projection every stage reads (materialized by
+    # the seed collect below; partitions stay executor-resident). NOT
+    # spread: a 32-way repartition of the vector column was measured
+    # strictly slower here (shuffle of 64-double rows + per-task Arrow
+    # setup × every kernel pass beats the single-core kernel cost at
+    # bench SF; kmeans_centroids documents the same measurement) — and at
+    # scale the scan already yields >= parallelism partitions
+    emb = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).localCheckpoint(eager=False)
+    id_type = dict(emb.dtypes)[id_col]
+    seeds = sorted(
+        ((r[0], list(r[1])) for r in
+         emb.orderBy(id_col).limit(max(ksub, nlist)).collect()),
+        key=lambda t: t[0],
+    )
+    if not seeds:
+        raise ValueError(
+            "empty PQ codebook: the training corpus produced no centroids "
+            "(no vectors?) — train pq_codebooks on a non-empty corpus"
+        )
+    # coarse Lloyd, driver-anchored — same kernel + keyed means as
+    # kmeans_centroids (value-identical; see _assign_kernel_udf), minus
+    # its private checkpoint/seed job (ours are shared)
+    cids = [sid for sid, _ in seeds[:nlist]]
+    C = np.array([v for _, v in seeds[:nlist]], dtype=np.float64)
+    for _ in range(iters):
+        assigned = emb.withColumn(
+            "centroid_id",
+            _assign_kernel_udf(C, cids, id_type)(F.col(vec_col)),
+        )
+        got = {
+            r["centroid_id"]: r["__nv"]
+            for r in lloyd_means(
+                assigned, ["centroid_id"], vec_col, "__nv"
+            ).collect()  # ≤ nlist rows, bounded
+        }
+        C = np.array(
+            [got.get(cid, C[i]) for i, cid in enumerate(cids)],
+            dtype=np.float64,
+        )
+    cent = spark.createDataFrame(
+        [(cid, [float(x) for x in C[i]]) for i, cid in enumerate(cids)],
+        f"centroid_id {id_type}, {vec_col} array<double>",
+    )
+    # row-local corpus listing: the Arrow kernel IS kmeans_assign's
+    # argmin (identical accumulation order and first-min tie rule)
+    listed = emb.withColumn(
+        "list_id", _assign_kernel_udf(C, cids, id_type)(F.col(vec_col))
+    )
 
     minus = lambda a, b: F.zip_with(  # noqa: E731
         a, b, lambda x, y: x.cast("double") - y.cast("double")
     )
     if residual:
         centv = cent.select(
-            F.col("centroid_id"), F.col(vec_col).alias("__centv")
+            F.col("centroid_id").alias("list_id"),
+            F.col(vec_col).alias("__centv"),
         )
         enc_corpus = (
-            assigned.join(F.broadcast(centv), "centroid_id")
+            listed.join(F.broadcast(centv), "list_id")
             .select(
-                F.col(id_col),
-                F.col("centroid_id").alias("list_id"),
+                F.col(id_col), "list_id",
                 minus(F.col(vec_col), F.col("__centv")).alias(vec_col),
             )
         )
+        # PQ seeds in residual space, derived driver-side: assign each
+        # seed vector with the SAME per-dimension `acc += diff*diff`
+        # order and first-min rule as the kernel, subtract its centroid
+        # elementwise — every op an IEEE double, bit-equal to the
+        # distributed path it replaces
+        pq_init = []
+        for sid, v in seeds[:ksub]:
+            x = np.asarray(v, dtype=np.float64)
+            acc = np.zeros(C.shape[0], dtype=np.float64)
+            for i in range(C.shape[1]):
+                diff = x[i] - C[:, i]
+                acc += diff * diff
+            pq_init.append((sid, list(x - C[int(np.argmin(acc))])))
     else:
-        enc_corpus = assigned.select(
-            F.col(id_col), F.col("centroid_id").alias("list_id"), vec_col
-        )
-    enc_corpus = enc_corpus.localCheckpoint(eager=False)
+        enc_corpus = listed.select(F.col(id_col), "list_id", vec_col)
+        pq_init = seeds[:ksub]
 
-    cb = pq_codebooks(enc_corpus, m=m, ksub=ksub, iters=iters, dim=dim,
-                      id_col=id_col, vec_col=vec_col)
-    codes = pq_encode(enc_corpus, cb, m=m, dim=dim,
-                      id_col=id_col, vec_col=vec_col, keep=("list_id",))
+    Cpq = _train_codebooks_np(enc_corpus, m, ksub, iters, dim,
+                              id_col, vec_col, init_rows=pq_init)
+    cb = _codebook_df(spark, Cpq)
+    # encode straight from the trained ndarray — no codebook collect job
+    codes = enc_corpus.select(
+        F.col(id_col), "list_id",
+        _codes_udf(Cpq, m, d)(F.col(vec_col).cast("array<double>"))
+        .alias("codes"),
+    )
     cand = codes.select(
         F.col(id_col).alias("neighbor_id"), "list_id",
         F.posexplode("codes").alias("sub_id", "code"),
     )
 
-    probes = kmeans_assign(queries, cent, id_col=id_col, vec_col=vec_col,
-                           topn=nprobe).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col),
-        F.col("centroid_id").alias("list_id"),
+    # query probing as a LITERAL-centroid expression — the exact
+    # kmeans_assign(topn=nprobe) semantics (_sqdist HOF per centroid,
+    # array_sort over (d2, cid) structs → ties to lowest cid) with the
+    # centroid table inlined: no spread-repartition, no broadcast-agg
+    # build job, just a map over the (tiny, by contract) query side
+    cents_lit = F.array(*[
+        F.struct(
+            F.lit(cid).cast(id_type).alias("cid"),
+            F.array(*[F.lit(float(x)) for x in C[i]]).alias("cv"),
+        )
+        for i, cid in enumerate(cids)
+    ])
+    dstructs = F.transform(
+        cents_lit,
+        lambda c: F.struct(
+            _sqdist(F.col(vec_col), c["cv"]).alias("d2"),
+            c["cid"].alias("cid"),
+        ),
     )
-    d = dim // m
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+        .withColumn("__t", F.explode(F.slice(F.array_sort(dstructs),
+                                             1, nprobe)))
+        .withColumn("list_id", F.col("__t.cid"))
+        .drop("__t")
+    )
     probe_pairs = probes.select("query_id", "list_id")
     if residual:
         centv = cent.select(
@@ -399,9 +520,12 @@ def ivf_pq_topk(
             .agg(F.sum("__d2").alias("__dist"))
         )
     else:
+        # LUT straight from the query table (ids unique by contract) —
+        # deriving it from probes would re-dedupe the nprobe-way explode
+        # with a needless distinct exchange
         qsubs = _subvectors(
-            probes.select("query_id", vec_col).distinct(), "query_id",
-            vec_col, m, d,
+            queries.select(F.col(id_col).alias("query_id"), vec_col),
+            "query_id", vec_col, m, d,
         ).withColumnRenamed("__id", "query_id")
         lut = qsubs.join(F.broadcast(cb), "sub_id").select(
             "query_id", "sub_id", F.col("centroid_id").alias("code"),
