@@ -228,6 +228,7 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     topn: int = 1,
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Assign every row to its ``topn`` nearest centroids (L2; ties → lowest
     centroid_id). Input centroids must have (centroid_id, ``vec_col``).
@@ -281,12 +282,18 @@ def kmeans_assign(
             .drop("__cents")
         )
     top = F.slice(F.array_sort(dstructs), 1, topn)
-    return (
+    res = (
         df.crossJoin(cents)
-        .withColumn("__t", F.explode(top))
+        .select("*", F.posexplode(top).alias("__pr", "__t"))
         .withColumn("centroid_id", F.col("__t.cid"))
-        .drop("__cents", "__t")
     )
+    if rank_col is not None:
+        # 1-based probe rank (1 = nearest list): lets a probe-budget
+        # sweep compute the topn=N candidate table ONCE and carve the
+        # smaller budgets out by filter — candidates(topn=j) is exactly
+        # rank <= j by the same total order
+        res = res.withColumn(rank_col, (F.col("__pr") + 1).cast("int"))
+    return res.drop("__cents", "__t", "__pr")
 
 
 def _assign_kernel_udf(C, cids, id_type: str):

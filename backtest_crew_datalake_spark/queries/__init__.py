@@ -304,7 +304,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
 
 def all_queries() -> dict[str, QueryDef]:
     # import for side effect of registration
-    from . import relational, events, text, embeddings, scalars, acid  # noqa: F401
+    from . import relational, events, text, embeddings, scalars, acid, streamstate  # noqa: F401
 
     missing = [n for n in PRIORITY_ORDER if n not in REGISTRY]
     if missing:  # typo guard: a stale PRIORITY_ORDER entry must fail loudly

@@ -1899,24 +1899,67 @@ def q_emb_ivf_probe_sweep(spark, sf_dir):
     (nprobe=4 candidates ⊇ nprobe=2 ⊇ nprobe=1), which the value gate
     re-proves numerically.
 
-    Scale shape: each config is ivf_topk's plan (centroids broadcast,
-    candidate join keyed on centroid id); the exact-truth scan is
-    cosine_topk's (bounded query side broadcast, corpus streams). At
-    100 TB the corpus assignment materializes once next to the vectors
-    and only the probe joins vary."""
-    from ..pipeline.similarity import cosine_topk, ivf_topk
+    Scale shape: the exact-truth scan is cosine_topk's (bounded query
+    side broadcast, corpus streams). The swept side is computed ONCE at
+    the LARGEST budget: corpus assignment + the nprobe=4 candidate join
+    land in one pinned candidate table carrying each pair's 1-based
+    probe rank (kmeans_assign rank_col), and every smaller budget is a
+    filter over it — candidates(nprobe=j) is exactly probe_rank <= j by
+    the same (d2, cid) total order ivf_topk ranks probes with, so each
+    config's top-5 is value-identical to an independent ivf_topk run
+    (the r9-profiled version re-assigned the corpus per config: 26 jobs
+    of which two whole passes were duplicates). At 100 TB the corpus
+    assignment materializes once next to the vectors and only the probe
+    joins vary."""
+    from pyspark.sql import Window
+
+    from ..pipeline.similarity import (
+        _dot, _norm, cosine_topk, kmeans_assign,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
-    cent = emb.where(F.col("vec_id") < 16)
+    cent = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding")
+    )
     corpus = emb.where(F.col("vec_id") >= 16)
     qs = emb.where((F.col("vec_id") >= 16) & (F.col("vec_id") < 26))
     exact = cosine_topk(qs, corpus, k=5).select("query_id", "neighbor_id")
     exact = exact.localCheckpoint()
     nq = qs.agg(F.count("*").alias("n_queries"))
+
+    lists = kmeans_assign(
+        corpus.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        cent, id_col="neighbor_id", vec_col="embedding",
+    ).select("neighbor_id", F.col("embedding").alias("__cv2"),
+             _norm(F.col("embedding")).alias("__cn"),
+             F.col("centroid_id").alias("__cid"))
+    probes = kmeans_assign(
+        qs.select(F.col("vec_id").alias("query_id"), "embedding"),
+        cent, id_col="query_id", vec_col="embedding",
+        topn=4, rank_col="probe_rank",
+    ).select("query_id", F.col("embedding").alias("__qv"),
+             _norm(F.col("embedding")).alias("__qn"),
+             F.col("centroid_id").alias("__cid"), "probe_rank")
+    sim = _dot(F.col("__qv"), F.col("__cv2")) / (
+        F.col("__qn") * F.col("__cn")
+    )
+    # each (query, neighbor) pair appears once (a neighbor lives in ONE
+    # list) with the probe rank of its list — the shared candidate table
+    cand = probes.join(lists, "__cid").select(
+        "query_id", "neighbor_id", sim.alias("__sim"), "probe_rank"
+    ).localCheckpoint(eager=False)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id").asc()
+    )
     out = None
     for np_ in (1, 2, 4):
-        ivf = ivf_topk(qs, corpus, cent, k=5, nprobe=np_).select(
-            "query_id", "neighbor_id")
+        ivf = (
+            cand.where(F.col("probe_rank") <= np_)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id")
+        )
         hits = ivf.join(exact, ["query_id", "neighbor_id"], "left_semi")
         row = (
             F.broadcast(nq)

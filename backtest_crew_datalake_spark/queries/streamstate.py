@@ -1,0 +1,244 @@
+"""Streaming END STATES under the driver's oracle gate (r9 verdict #4).
+
+The streaming layer (streaming/ingest.py: exactly-once ingest, SCD2
+maintainer, CDF-driven MV maintenance with multi-table catalog commits,
+right-to-be-forgotten erasure feed) was pytest-only evidence; these queries
+run each maintainer over N deterministic micro-batches of the `events`
+table and hand its FINAL state to the same DuckDB value-hash gate every
+batch operator faces — the oracle recomputes the end state relationally
+from the raw parquet, so per-batch incrementality (CDF folds, open-version
+rebuilds, MoR delete files, purge compaction) must land on exactly the
+rows a whole-input computation produces.
+
+Batches split on fixed `ts` cuts (in-order delivery — the maintainers'
+documented contract; out-of-order policy is pinned by
+tests/test_streaming.py). Each query memoizes its built tables per
+(application, sf_dir), same shape as queries/acid.py.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from . import load, register
+
+_CUT1 = "2024-01-11 00:00:00"
+_CUT2 = "2024-01-21 00:00:00"
+
+_MEMO: dict[tuple[str, str, str], str] = {}
+
+
+def _once(spark, sf_dir: str, what: str, build) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir, what)
+    root = _MEMO.get(key)
+    if root is None:
+        root = build(tempfile.mkdtemp(prefix=f"stream_{what}_"))
+        _MEMO[key] = root
+    return root
+
+
+def _ts_batches(df, n3: bool = True):
+    c1 = F.lit(_CUT1).cast("timestamp")
+    c2 = F.lit(_CUT2).cast("timestamp")
+    if n3:
+        return [
+            df.where(F.col("ts") < c1),
+            df.where((F.col("ts") >= c1) & (F.col("ts") < c2)),
+            df.where(F.col("ts") >= c2),
+        ]
+    return [df.where(F.col("ts") < c1), df.where(F.col("ts") >= c1)]
+
+
+@register(
+    "q_stream_scd2_state",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN value < 50.0 THEN 'low'
+                    WHEN value < 200.0 THEN 'mid'
+                    ELSE 'high' END AS tier
+        FROM events WHERE event_type = 'purchase'
+    ),
+    latest AS (
+        SELECT user_id, ts, tier FROM (
+            SELECT p.*, ROW_NUMBER() OVER (
+                PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+            FROM p
+        ) WHERE rn = 1
+    ),
+    ver AS (
+        SELECT user_id, ts AS eff_from, tier FROM (
+            SELECT latest.*, LAG(tier) OVER (
+                PARTITION BY user_id ORDER BY ts) AS prev_tier
+            FROM latest
+        ) WHERE prev_tier IS NULL OR prev_tier <> tier
+    )
+    SELECT user_id, tier,
+           epoch_ms(eff_from) AS eff_from_ms,
+           epoch_ms(LEAD(eff_from) OVER (
+               PARTITION BY user_id ORDER BY eff_from)) AS eff_to_ms,
+           LEAD(eff_from) OVER (
+               PARTITION BY user_id ORDER BY eff_from) IS NULL AS is_current
+    FROM ver
+    """,
+)
+def q_stream_scd2_state(spark, sf_dir):
+    """streaming_scd2 end state == a whole-input SCD2 build: each user's
+    purchase 'spend tier' updates stream in as THREE ts-ordered
+    micro-batches; per batch the maintainer re-seeds only the touched
+    keys' open versions (manifest-pruned to the batch's hash buckets) and
+    keyed-upserts the rebuilt open region. The oracle builds the same
+    versioned history with window CTEs over the whole input — so
+    cross-batch version chaining (a tier that changes in batch 3 must
+    close the batch-1 version at exactly the right eff_from) is
+    value-checked, not just row-counted. Output: one row per dimension
+    version. Citations: streaming/ingest.py:streaming_scd2,
+    operators/scd.py:scd2_build."""
+    from ..sources.acid import acid_read
+    from ..streaming.ingest import streaming_scd2
+
+    tier = (
+        F.when(F.col("value") < 50.0, "low")
+        .when(F.col("value") < 200.0, "mid")
+        .otherwise("high")
+    )
+
+    def build(base: str) -> str:
+        land = f"{base}/land"
+        table = f"{base}/dim"
+        updates = (
+            load(spark, sf_dir, "events")
+            .where(F.col("event_type") == "purchase")
+            .select("user_id", "ts", F.col("event_id").alias("seq"),
+                    tier.alias("tier"))
+        )
+        schema = "user_id bigint, ts timestamp, seq bigint, tier string"
+        for b in _ts_batches(updates):
+            b.coalesce(1).write.mode("append").parquet(land)
+            streaming_scd2(
+                spark, land, table, f"{base}/ck", schema,
+                key=("user_id",), attrs=("tier",),
+            )
+        return table
+
+    table = _once(spark, sf_dir, "scd2", build)
+    dim = acid_read(spark, table)
+    return dim.select(
+        "user_id", "tier",
+        F.unix_millis("eff_from").alias("eff_from_ms"),
+        F.unix_millis("eff_to").alias("eff_to_ms"),
+        "is_current",
+    )
+
+
+@register(
+    "q_stream_erasure_state",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events WHERE user_id % 7 <> 0
+    GROUP BY 1
+    """,
+)
+def q_stream_erasure_state(spark, sf_dir):
+    """Right-to-be-forgotten END TO END: the raw events land in an ACID
+    table (partitioned by event_type); erasure requests for every
+    user_id % 7 == 0 stream in as TWO micro-batches through
+    streaming_delete_feed (each batch = ONE merge-on-read equality-delete
+    commit, no data rewrite); then the maintenance pass the feed's
+    docstring mandates — acid_compact(purge_deletes=True) — physically
+    rewrites every partition the delete files still reach and drops the
+    spent entries. The emitted stats aggregate the POST-PURGE snapshot;
+    the oracle computes the survivors' stats straight off the raw
+    parquet, so both the suppression (no erased user's row survives) and
+    the non-suppression (nobody else's row went missing in the rewrite)
+    are value-checked. Citations: streaming/ingest.py:
+    streaming_delete_feed, sources/acid.py:acid_delete_mor/acid_compact.
+    """
+    from ..sources.acid import acid_compact, acid_read, acid_write
+    from ..streaming.ingest import streaming_delete_feed
+
+    def build(base: str) -> str:
+        land = f"{base}/land"
+        table = f"{base}/t"
+        evt = load(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        acid_write(spark, evt, table, partition_by=("event_type",))
+        gone = evt.where(F.col("user_id") % 7 == 0) \
+                  .select("user_id").distinct()
+        batches = [
+            gone.where(F.col("user_id") % 14 == 0),
+            gone.where(F.col("user_id") % 14 != 0),
+        ]
+        for b in batches:
+            b.coalesce(1).write.mode("append").parquet(land)
+            streaming_delete_feed(
+                spark, land, table, f"{base}/ck", "user_id bigint",
+                key=("user_id",),
+            )
+        acid_compact(spark, table, purge_deletes=True)
+        return table
+
+    table = _once(spark, sf_dir, "erasure", build)
+    return acid_read(spark, table).groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint").alias("sum_cents"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+@register(
+    "q_stream_txn_state",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS a6
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_stream_txn_state(spark, sf_dir):
+    """streaming_txn end state: events stream in as TWO micro-batches;
+    per batch the fact table takes a keyed upsert, the per-event_type
+    rollup MV advances by folding the CHANGE DATA FEED of that very
+    commit (never re-aggregating the fact), and both publish as one
+    consistent catalog version. The emitted MV is read THROUGH the
+    catalog snapshot; the oracle aggregates the raw parquet directly —
+    so two rounds of incremental CDF arithmetic (1e6-scaled BIGINT sums)
+    must land bit-equal on the full-recompute answer, and the
+    catalog-pinned (fact, mv) pair is what's graded, not loose latest
+    versions. Citations: streaming/ingest.py:streaming_txn,
+    sources/catalog.py:catalog_commit/catalog_read."""
+    from ..sources.catalog import catalog_read
+    from ..streaming.ingest import streaming_txn
+
+    def build(base: str) -> str:
+        land = f"{base}/land"
+        evt = load(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value"
+        )
+        schema = ("event_id bigint, ts timestamp, event_type string, "
+                  "value double")
+        for b in _ts_batches(evt, n3=False):
+            b.coalesce(1).write.mode("append").parquet(land)
+            streaming_txn(
+                spark, land, f"{base}/fact", f"{base}/mv", f"{base}/cat",
+                f"{base}/ck", schema,
+                key=("event_id",), mv_key="event_type", agg_col="value",
+            )
+        return base
+
+    base = _once(spark, sf_dir, "txn", build)
+    return catalog_read(spark, base + "/cat", "mv").select(
+        F.col("event_type"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("a6").cast("bigint").alias("a6"),
+    )
