@@ -167,7 +167,7 @@ def _train_codebooks_np(
         np.array([v for _, v in init_rows], dtype=np.float64)
         .reshape(ks, m, d).transpose(1, 0, 2).copy()
     )
-    from .similarity import lloyd_means
+    from .similarity import collect_lloyd_means
 
     for _ in range(iters):
         enc = _codes_udf(C, m, d)
@@ -185,12 +185,8 @@ def _train_codebooks_np(
             )
             .select("a.sub_id", "a.centroid_id", "a.sub")
         )
-        got = {
-            (r["sub_id"], r["centroid_id"]): r["__nv"]
-            for r in lloyd_means(
-                assigned, ["sub_id", "centroid_id"], "sub", "__nv"
-            ).collect()  # bounded: m·ksub rows
-        }
+        # bounded: m·ksub×d rows; one exchange (collect_lloyd_means)
+        got = collect_lloyd_means(assigned, ["sub_id", "centroid_id"], "sub")
         # empty cells keep their previous centroid
         C = np.array(
             [[got.get((j, i), C[j, i]) for i in range(ks)]
@@ -358,7 +354,9 @@ def ivf_pq_topk(
     import numpy as np
     from pyspark.sql import Window
 
-    from .similarity import _assign_kernel_udf, kmeans_assign, lloyd_means
+    from .similarity import (
+        _assign_kernel_udf, collect_lloyd_means, kmeans_assign,
+    )
 
     spark = corpus.sparkSession
     d = dim // m
@@ -393,12 +391,8 @@ def ivf_pq_topk(
             "centroid_id",
             _assign_kernel_udf(C, cids, id_type)(F.col(vec_col)),
         )
-        got = {
-            r["centroid_id"]: r["__nv"]
-            for r in lloyd_means(
-                assigned, ["centroid_id"], vec_col, "__nv"
-            ).collect()  # ≤ nlist rows, bounded
-        }
+        # ≤ nlist×dim rows, bounded; one exchange
+        got = collect_lloyd_means(assigned, ["centroid_id"], vec_col)
         C = np.array(
             [got.get(cid, C[i]) for i, cid in enumerate(cids)],
             dtype=np.float64,

@@ -413,12 +413,8 @@ def kmeans_centroids(
         assigned = emb.withColumn(
             "centroid_id", _assign_kernel_udf(C, cids, id_type)(F.col(vec_col))
         )
-        got = {
-            r["centroid_id"]: r["__nv"]
-            for r in lloyd_means(
-                assigned, ["centroid_id"], vec_col, "__nv"
-            ).collect()  # ≤ k rows, bounded
-        }
+        # ≤ k×dim rows, bounded; one exchange (see collect_lloyd_means)
+        got = collect_lloyd_means(assigned, ["centroid_id"], vec_col)
         # empty clusters keep their previous centroid
         C = np.array(
             [got.get(cid, C[i]) for i, cid in enumerate(cids)],
@@ -434,14 +430,14 @@ def lloyd_means(
     df: DataFrame, keys: list[str], vec_col: str, out_col: str
 ) -> DataFrame:
     """Per-``keys`` element-wise mean of an array column, rebuilt in
-    position order — the Lloyd 'recompute centroids' step, shared by
-    kmeans_centroids (keys=[centroid_id]) and pq.pq_codebooks
-    (keys=[sub_id, centroid_id]). Shuffle is keyed (``keys`` × dim) —
-    tiny regardless of input size thanks to map-side partial aggregation."""
+    position order — the Lloyd 'recompute centroids' step. Shuffle is
+    keyed (``keys`` × dim) — tiny regardless of input size thanks to
+    map-side partial aggregation. The training loops collect
+    ``lloyd_mean_rows`` instead (one exchange, driver-side assembly);
+    this array-building form stays for callers that keep the means
+    distributed."""
     return (
-        df.select(*keys, F.posexplode(vec_col).alias("__pos", "__val"))
-        .groupBy(*keys, "__pos")
-        .agg(F.avg("__val").alias("__mv"))
+        lloyd_mean_rows(df, keys, vec_col)
         .groupBy(*keys)
         .agg(
             F.transform(
@@ -450,6 +446,34 @@ def lloyd_means(
             ).alias(out_col)
         )
     )
+
+
+def lloyd_mean_rows(df: DataFrame, keys: list[str], vec_col: str) -> DataFrame:
+    """The flat (keys..., __pos, __mv) form of lloyd_means — ONE keyed
+    exchange; a training loop that collects the means anyway (bounded at
+    k×dim rows) assembles the centroid matrix driver-side and skips
+    lloyd_means' second exchange (collect_list re-grouping), which under
+    AQE costs a whole extra query-stage job per Lloyd round."""
+    return (
+        df.select(*keys, F.posexplode(vec_col).alias("__pos", "__val"))
+        .groupBy(*keys, "__pos")
+        .agg(F.avg("__val").alias("__mv"))
+    )
+
+
+def collect_lloyd_means(df: DataFrame, keys: list[str], vec_col: str) -> dict:
+    """Collect lloyd_mean_rows into {key_tuple_or_scalar: [mean_0..mean_d]}
+    (absent key = empty cell; caller keeps the previous centroid).
+    Value-exact vs collecting lloyd_means' arrays: the per-(key, pos)
+    doubles are the same aggregation outputs, only the array assembly
+    moved driver-side."""
+    acc: dict = {}
+    for r in lloyd_mean_rows(df, keys, vec_col).collect():
+        k = r[keys[0]] if len(keys) == 1 else tuple(r[c] for c in keys)
+        acc.setdefault(k, {})[r["__pos"]] = r["__mv"]
+    return {
+        k: [pos[i] for i in range(len(pos))] for k, pos in acc.items()
+    }
 
 
 def hard_negatives(
