@@ -2847,3 +2847,129 @@ def q_evt_rfm(spark, sf_dir):
         F.sum("frequency").cast("bigint").alias("n_events"),
         F.sum("monetary_c").cast("bigint").alias("monetary_c"),
     )
+
+
+@register(
+    "q_evt_markov_transitions",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    t AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n_trans
+        FROM s WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_trans,
+           CAST(n_trans * 1000000 //
+                SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
+               AS p6
+    FROM t
+    """,
+)
+def q_evt_markov_transitions(spark, sf_dir):
+    """First-order Markov chain over user journeys: per-user event
+    sequences (ordered by ts, event_id tiebreak) yield event_type ->
+    next_event_type transition counts and row-normalized transition
+    probabilities — THE user-journey model behind next-action prediction
+    and funnel-drop diagnosis. Probabilities are exact integer
+    micro-units (n·1e6 DIV row_total), so the whole matrix is
+    value-gated with zero float risk.
+
+    Scale shape: one keyed (user_id) window builds the successor column
+    (events already cluster by user in any sane layout), one keyed
+    (from, to) aggregation counts, and the normalizing row totals ride a
+    |event_types|-bounded window — no self-join, nothing quadratic, the
+    transition matrix is |types|² tiny no matter how many events."""
+    from pyspark.sql import Window
+
+    evt = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        evt.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"),
+                 F.col("next_type").alias("to_type"))
+        .agg(F.count("*").cast("bigint").alias("n_trans"))
+    )
+    wrow = Window.partitionBy("from_type")
+    return (
+        t.withColumn("__row_total", F.sum("n_trans").over(wrow))
+        .select(
+            "from_type", "to_type", "n_trans",
+            F.expr("CAST(n_trans * 1000000 DIV __row_total AS BIGINT)")
+            .alias("p6"),
+        )
+    )
+
+
+@register(
+    "q_evt_survival_km",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               (epoch_ms(MAX(ts)) - epoch_ms(MIN(ts))) // 86400000
+                   AS t_day,
+               MAX(ts) < TIMESTAMP '2024-01-28 00:00:00' AS churned
+        FROM events GROUP BY 1
+    ),
+    d AS (
+        SELECT t_day,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_churned
+        FROM u GROUP BY 1
+    )
+    SELECT CAST(t_day AS BIGINT) AS t_day,
+           CAST(SUM(n_total) OVER (ORDER BY t_day DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_risk,
+           n_churned,
+           CAST(n_total - n_churned AS BIGINT) AS n_censored
+    FROM d
+    """,
+)
+def q_evt_survival_km(spark, sf_dir):
+    """Kaplan-Meier risk table for user churn: each user's observation
+    time is whole days between first and last event; users still active
+    in the corpus's final 3 days are CENSORED (lost to follow-up, not
+    churned) — the survival-analysis bookkeeping (risk sets, event
+    counts, censoring counts per time step) that the KM estimator and a
+    Cox model both start from. All-integer output: the float-free part
+    of the estimator is exactly the part worth value-gating (S(t) itself
+    is a product the consumer derives in one pass over these rows).
+
+    Scale shape: one keyed (user_id) aggregate builds lifetimes, one
+    keyed (t_day) aggregate counts, and the reverse cumulative risk set
+    rides a window over the DAY-bounded aggregate (≤ corpus span rows),
+    never over users."""
+    from pyspark.sql import Window
+
+    evt = load(spark, sf_dir, "events")
+    u = evt.groupBy("user_id").agg(
+        ((F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts")))
+         / F.lit(86400000)).cast("bigint").alias("t_day"),
+        (F.max("ts") < F.lit("2024-01-28 00:00:00").cast("timestamp"))
+        .alias("churned"),
+    )
+    d = u.groupBy("t_day").agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("churned"), 1).otherwise(0))
+        .cast("bigint").alias("n_churned"),
+    )
+    w = Window.orderBy(F.col("t_day").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return d.select(
+        F.col("t_day").cast("bigint").alias("t_day"),
+        F.sum("n_total").over(w).cast("bigint").alias("n_risk"),
+        "n_churned",
+        (F.col("n_total") - F.col("n_churned")).cast("bigint")
+        .alias("n_censored"),
+    )

@@ -1478,3 +1478,158 @@ def q_promo_candidate_suppliers(spark, sf_dir):
         .distinct()
         .orderBy("s_name")
     )
+
+
+@register(
+    "q_part_skyline",
+    oracle="""
+    WITH pp AS (
+        SELECT p_brand, p_retailprice, MIN(p_size) AS minsz
+        FROM part GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT p_brand, p_retailprice, minsz,
+               MIN(minsz) OVER (PARTITION BY p_brand ORDER BY p_retailprice
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        FROM pp
+    ),
+    s AS (
+        SELECT p_brand, p_retailprice, minsz,
+               LAG(run) OVER (
+                   PARTITION BY p_brand ORDER BY p_retailprice) AS a
+        FROM r
+    )
+    SELECT p.p_brand, p.p_partkey,
+           ROUND(p.p_retailprice, 2) AS price,
+           CAST(p.p_size AS BIGINT) AS p_size
+    FROM part p JOIN s ON p.p_brand = s.p_brand
+                      AND p.p_retailprice = s.p_retailprice
+    WHERE NOT ((s.a IS NOT NULL AND s.a <= p.p_size)
+               OR s.minsz < p.p_size)
+    """,
+)
+def q_part_skyline(spark, sf_dir):
+    """Per-brand SKYLINE (Pareto frontier) on minimize(retail price,
+    size): a part survives iff no same-brand part is <= on both
+    dimensions and < on one — the multi-criteria shortlist operator
+    (Börzsönyi et al., "The Skyline Operator", ICDE 2001) that price/
+    perf product pickers run. NO pairwise dominance join: the 2-D case
+    collapses to prefix-minima — per (brand, price) the min size, a
+    running min over price order, and its LAG as the strict-prefix min;
+    dominated(p) <=> strict_prefix_min <= p.size OR same_price_min <
+    p.size. Both engines evaluate the identical window algebra, so the
+    frontier membership is value-gated exactly.
+
+    Scale shape: one keyed (brand, price) aggregate, two window passes
+    KEYED BY BRAND (the frontier of each brand is independent — no
+    global sort), one keyed join back to parts. The classic O(n²)
+    block-nested-loop skyline never appears; cost is two exchanges on
+    the same brand key."""
+    p = load(spark, sf_dir, "part")
+    pp = p.groupBy("p_brand", "p_retailprice").agg(
+        F.min("p_size").alias("minsz")
+    )
+    wb = Window.partitionBy("p_brand").orderBy("p_retailprice")
+    s = (
+        pp.withColumn(
+            "run",
+            F.min("minsz").over(wb.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("a", F.lag("run").over(wb))
+    )
+    dominated = (
+        (F.col("a").isNotNull() & (F.col("a") <= F.col("p_size")))
+        | (F.col("minsz") < F.col("p_size"))
+    )
+    return (
+        p.join(s, ["p_brand", "p_retailprice"])
+        .where(~dominated)
+        .select(
+            "p_brand", "p_partkey",
+            F.round("p_retailprice", 2).alias("price"),
+            F.col("p_size").cast("bigint").alias("p_size"),
+        )
+    )
+
+
+@register(
+    "q_order_market_basket",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM items),
+    pc AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_part
+        FROM items GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS support_ab
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 3
+    )
+    SELECT part_a, part_b, support_ab,
+           CAST(support_ab * 1000000 // pa.n_part AS BIGINT) AS conf_ab6,
+           CAST(support_ab * 1000000 // pb.n_part AS BIGINT) AS conf_ba6,
+           CAST(support_ab * n.n_orders * 1000000 //
+                (pa.n_part * pb.n_part) AS BIGINT) AS lift6
+    FROM pairs
+    JOIN pc pa ON pa.l_partkey = part_a
+    JOIN pc pb ON pb.l_partkey = part_b
+    CROSS JOIN n
+    """,
+)
+def q_order_market_basket(spark, sf_dir):
+    """Market-basket association rules over order contents: for every
+    part pair co-purchased in >= 3 orders, the support, both rule
+    confidences, and the lift — all as exact integer micro-units
+    (x·1e6 DIV y), so the association mining is value-gated float-free.
+
+    Scale shape: the pair generation is a SELF-JOIN KEYED BY ORDER — the
+    fan-out per order is items-per-order², a small constant in any real
+    basket (TPC-H: ≤ 7 lines), so candidate volume is O(orders), not
+    O(parts²); the min-support HAVING prunes before the stats joins; the
+    per-part counts broadcast-join back onto the surviving pairs. The
+    n_orders total is a 1-row broadcast. Apriori-style candidate
+    explosion never happens because pairs only materialize inside a
+    basket."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+    )
+    n = items.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    pc = items.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("n_part")
+    )
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("support_ab"))
+        .where(F.col("support_ab") >= 3)
+    )
+    return (
+        pairs
+        .join(pc.select(F.col("l_partkey").alias("part_a"),
+                        F.col("n_part").alias("__na")), "part_a")
+        .join(pc.select(F.col("l_partkey").alias("part_b"),
+                        F.col("n_part").alias("__nb")), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b", "support_ab",
+            F.expr("CAST(support_ab * 1000000 DIV __na AS BIGINT)")
+            .alias("conf_ab6"),
+            F.expr("CAST(support_ab * 1000000 DIV __nb AS BIGINT)")
+            .alias("conf_ba6"),
+            F.expr("CAST(support_ab * n_orders * 1000000 DIV "
+                   "(__na * __nb) AS BIGINT)").alias("lift6"),
+        )
+    )
