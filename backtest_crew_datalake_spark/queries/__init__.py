@@ -95,9 +95,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # catalog (observed: ~50 entries), so ordering is evidence policy, not
 # cosmetics — ROTATE it every round so no query's driver evidence goes
 # stale. Round-10 window (90% rotated vs round 9, 50/50 oracle-gated —
-# the rows-only multimodal trio is OUT per the r9 verdict #2): (a) the 7
+# the rows-only multimodal trio is OUT per the r9 verdict #2): (a) the 8
 # new round-10 queries lead (3 streaming end-states, Markov transitions,
-# KM survival, skyline, market basket); (b) then the 6 queries whose
+# KM survival, skyline, market basket, KMV sketch); (b) then the 6 queries whose
 # code or oracle changed this round (the ivfpq/pq/kmeans/probe-sweep
 # fusion rewrites, ann_recall's shared path, bot_users' HUGEINT oracle)
 # — the only r9-window carryovers, each changed-for-cause; (c) then the
@@ -112,6 +112,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_evt_survival_km",
     "q_part_skyline",
     "q_order_market_basket",
+    "q_evt_kmv_sketch",
     "q_emb_ivfpq_topk",
     "q_emb_ivf_probe_sweep",
     "q_emb_pq_topk",

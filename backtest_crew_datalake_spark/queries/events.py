@@ -2973,3 +2973,126 @@ def q_evt_survival_km(spark, sf_dir):
         (F.col("n_total") - F.col("n_churned")).cast("bigint")
         .alias("n_censored"),
     )
+
+
+@register(
+    "q_evt_kmv_sketch",
+    oracle="""
+    WITH u AS (
+        SELECT DISTINCT event_type, user_id::VARCHAR AS key FROM events
+    ),
+    h AS (
+        SELECT event_type,
+               ('0x' || substr(md5(key), 1, 15))::BIGINT AS hv
+        FROM u
+    ),
+    sk AS (
+        SELECT event_type, hv,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+        FROM h
+    ),
+    ps AS (
+        SELECT event_type AS scope, CAST(COUNT(*) AS BIGINT) AS n_sk,
+               MAX(hv) AS theta
+        FROM sk WHERE rk <= 64 GROUP BY 1
+    ),
+    ex AS (
+        SELECT event_type AS scope, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM u GROUP BY 1
+    ),
+    gh AS (SELECT DISTINCT hv FROM h),
+    gsk AS (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rk FROM gh),
+    gs AS (
+        SELECT '__global' AS scope, CAST(COUNT(*) AS BIGINT) AS n_sk,
+               MAX(hv) AS theta
+        FROM gsk WHERE rk <= 64
+    ),
+    gex AS (
+        SELECT '__global' AS scope,
+               CAST(COUNT(DISTINCT key) AS BIGINT) AS n_exact
+        FROM u
+    ),
+    allrows AS (
+        SELECT ps.scope, ps.n_sk, ps.theta, ex.n_exact
+        FROM ps JOIN ex USING (scope)
+        UNION ALL
+        SELECT gs.scope, gs.n_sk, gs.theta, gex.n_exact FROM gs, gex
+    )
+    SELECT scope, n_sk, CAST(theta AS BIGINT) AS theta,
+           CAST(CASE WHEN n_sk < 64 THEN n_sk
+                ELSE (63 * 1048576) // GREATEST(theta >> 40, 1)
+                END AS BIGINT) AS est_distinct,
+           n_exact
+    FROM allrows
+    """,
+)
+def q_evt_kmv_sketch(spark, sf_dir):
+    """KMV / theta sketch distinct-user estimation with the MERGE LAW
+    value-gated (the k-minimum-values sketch behind Apache DataSketches'
+    theta family): per event type keep the k=64 smallest portable hashes
+    (first-15-hex of md5 → 60 bits, same cross-engine idiom as
+    q_evt_hll_distinct) of the distinct user set; theta = the k-th
+    minimum; estimate = (k−1)/theta-as-fraction, computed entirely in
+    integers ((63·2^20) DIV (theta >> 40) — both engines do identical
+    truncating shifts and divides, zero float risk). The '__global' row
+    is built BY MERGING the per-type sketches (k smallest of their
+    union — Spark's side never touches the raw global hash set), while
+    the oracle computes it directly from all users: the KMV merge law
+    (union of k-min sets ⊇ global k-min set) is what makes the row
+    hash-match, the same re-aggregation proof shape as q_evt_hll_rollup.
+    Small groups (n < k) degrade to exact counts by construction.
+
+    Scale shape: one distinct shuffle over (type, user), one rank window
+    KEYED BY TYPE over the distinct-hash set (the k-th minimum is a
+    per-key top-k — at extreme per-type cardinality the same result
+    comes from partial top-k aggregation; the sketch contract is what
+    matters: k rows of state per group at ANY cardinality); the global
+    merge ranks ≤ k·|types| sketch rows — driver-bounded, like the HLL
+    register grid."""
+    from pyspark.sql import Window
+
+    k = 64
+    evt = load(spark, sf_dir, "events")
+    u = evt.select(
+        "event_type", F.col("user_id").cast("string").alias("key")
+    ).distinct()
+    h = u.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("key").cast("binary")), 1, 15),
+               16, 10).cast("long").alias("hv"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hv")
+    sk = h.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+    ps = sk.groupBy(F.col("event_type").alias("scope")).agg(
+        F.count("*").cast("bigint").alias("n_sk"),
+        F.max("hv").alias("theta"),
+    )
+    ex = u.groupBy(F.col("event_type").alias("scope")).agg(
+        F.count("*").cast("bigint").alias("n_exact")
+    )
+    # the merge path: k smallest of the UNION of the per-type sketches
+    # (bounded at k x |types| rows; the unpartitioned rank is over sketch
+    # state, never data — same class as the HLL register grid)
+    merged = sk.select("hv").distinct()
+    wg = Window.orderBy("hv")
+    gs = (
+        merged.withColumn("rk", F.row_number().over(wg))
+        .where(F.col("rk") <= k)
+        .agg(F.count("*").cast("bigint").alias("n_sk"),
+             F.max("hv").alias("theta"))
+        .select(F.lit("__global").alias("scope"), "n_sk", "theta")
+    )
+    gex = u.agg(
+        F.countDistinct("key").cast("bigint").alias("n_exact")
+    ).select(F.lit("__global").alias("scope"), "n_exact")
+    allrows = ps.join(ex, "scope").unionByName(gs.join(gex, "scope"))
+    return allrows.select(
+        "scope", "n_sk",
+        F.col("theta").cast("bigint").alias("theta"),
+        F.expr(
+            "CAST(CASE WHEN n_sk < 64 THEN n_sk "
+            "ELSE (63 * 1048576) DIV greatest(shiftright(theta, 40), 1) "
+            "END AS BIGINT)"
+        ).alias("est_distinct"),
+        "n_exact",
+    )
