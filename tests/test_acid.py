@@ -1385,7 +1385,8 @@ def test_compact_purge_deletes_forces_erasure(spark, tmp_path):
     assert untouched_after == untouched_before
     # physical erasure: no surviving DATA file content contains ts=1 for A
     # (historic snapshots still do until vacuum — documented contract)
-    data_root = os.path.join(root, "data")
+    from backtest_crew_datalake_spark.sources.acid import _data_root
+    data_root = _data_root(root)
     live = [os.path.join(data_root, e["path"]) for e in m["files"]
             if e.get("kind", "data") == "data"]
     got = spark.read.option("basePath", data_root).parquet(*live)

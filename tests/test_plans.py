@@ -498,14 +498,45 @@ def test_minhash_tuning_banded_joins_never_broadcast(spark):
 
 
 def test_ivf_probe_sweep_keyed_candidate_joins(spark):
+    # since the round-10 single-candidate-pass rewrite the keyed __cid
+    # join runs ONCE inside the pinned candidate subtree; the outer plan
+    # must show (a) no cartesian anywhere, (b) all three probe configs
+    # reading the SAME pinned candidate table (checkpoint scan reused,
+    # not three re-joins), each under its probe_rank filter
     p = _plan(spark, "q_emb_ivf_probe_sweep")
-    # three probe configs share the plan family: candidate joins are keyed
-    # equi-joins on the centroid id — the corpus is never cross-joined
-    # (the only BNLJ is the bounded query/centroid broadcast side)
     assert "CartesianProduct" not in p
-    assert p.count("Exchange hashpartitioning(__cid") >= 1 or \
-        p.count("BroadcastHashJoin [__cid") >= 3 or \
-        p.count("ShuffledHashJoin [__cid") >= 1
+    assert p.count("Scan ExistingRDD") >= 3          # shared cand reuse
+    assert p.count("probe_rank") >= 3                # budget-filter carve
+    # ... and the candidate subtree itself is a keyed equi-join on the
+    # centroid id with the corpus never fanned out (gate the inner plan
+    # directly — it's what the checkpoint pins)
+    from backtest_crew_datalake_spark.pipeline.similarity import (
+        _norm, kmeans_assign,
+    )
+    from backtest_crew_datalake_spark.queries import load
+    from pyspark.sql import functions as F
+
+    emb = load(spark, SF, "embeddings")
+    cent = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding"))
+    corpus = emb.where(F.col("vec_id") >= 16)
+    lists = kmeans_assign(
+        corpus.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        cent, id_col="neighbor_id", vec_col="embedding",
+    ).select("neighbor_id", _norm(F.col("embedding")).alias("__cn"),
+             F.col("centroid_id").alias("__cid"))
+    probes = kmeans_assign(
+        emb.where((F.col("vec_id") >= 16) & (F.col("vec_id") < 26))
+        .select(F.col("vec_id").alias("query_id"), "embedding"),
+        cent, id_col="query_id", vec_col="embedding",
+        topn=4, rank_col="probe_rank",
+    ).select("query_id", F.col("centroid_id").alias("__cid"), "probe_rank")
+    inner = probes.join(lists, "__cid")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in inner.replace(
+        "BroadcastNestedLoopJoin", "")  # the bounded broadcast side only
+    assert ("hashpartitioning(__cid" in inner
+            or "BroadcastHashJoin [__cid" in inner
+            or "ShuffledHashJoin [__cid" in inner)
 
 
 def test_winsorize_single_events_scan(spark):
