@@ -105,6 +105,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # else sits behind the window; rows-only entries last.
 # tools/check_oracles.py covers the full catalog.
 PRIORITY_ORDER: tuple[str, ...] = (
+    # round-10 second session: 6 new operator families (Shapley DDA,
+    # exact-integer Welch A/B, Benford QC, dow×hour seasonality, PMI
+    # collocations, Flesch readability) lead the window
+    "q_evt_attribution_shapley",
+    "q_evt_ab_test",
+    "q_evt_benford",
+    "q_evt_seasonality",
+    "q_doc_collocations",
+    "q_doc_readability",
     "q_stream_scd2_state",
     "q_stream_erasure_state",
     "q_stream_txn_state",

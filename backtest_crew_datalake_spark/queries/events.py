@@ -3096,3 +3096,458 @@ def q_evt_kmv_sketch(spark, sf_dir):
         ).alias("est_distinct"),
         "n_exact",
     )
+
+
+@register(
+    "q_evt_seasonality",
+    oracle="""
+    WITH e AS (
+        SELECT isodow(ts) - 1 AS dow, hour(ts) AS hr,
+               CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    cell AS (
+        SELECT dow, hr, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM e GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS tn,
+               CAST(SUM(sum_cents) AS BIGINT) AS tc
+        FROM cell
+    )
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(hr AS BIGINT) AS hr,
+           n, sum_cents,
+           CAST((CAST(sum_cents AS HUGEINT) * tn * 1000000)
+                // (CAST(n AS HUGEINT) * tc) AS BIGINT) AS idx_micro
+    FROM cell, tot
+    """,
+)
+def q_evt_seasonality(spark, sf_dir):
+    """Day-of-week x hour-of-day SEASONAL INDEX of event value (the
+    profile every traffic/revenue dashboard draws, and the detrending
+    table a forecasting pipeline feeds on): per (dow, hour) cell, the
+    mean event value relative to the corpus grand mean, in exact integer
+    micro-units — idx = (cell_sum * total_n * 1e6) DIV (cell_n * total_sum)
+    computed as ONE fused rational (decimal(38,0) / HUGEINT intermediates)
+    so neither engine ever divides twice. dow is ISO Monday=0 on both
+    sides (Spark `weekday`, DuckDB `isodow - 1`); the session tz is pinned
+    UTC so hour() agrees.
+
+    Scale shape: one map-side-combinable scan agg into <=168 cells, then a
+    broadcast of the 1-row grand total — the same crossJoin(broadcast(...))
+    shape q_evt_rfm uses for its corpus max. No window, no second scan;
+    at 100 TB this is a single shuffle of 168 partial rows per task."""
+    evt = load(spark, sf_dir, "events")
+    cents = F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0) \
+        .cast("long")
+    cell = (
+        evt.select(
+            F.weekday("ts").cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hr"),
+            cents.alias("cents"),
+        )
+        .groupBy("dow", "hr")
+        .agg(F.count("*").cast("bigint").alias("n"),
+             F.sum("cents").cast("bigint").alias("sum_cents"))
+    )
+    tot = cell.agg(F.sum("n").cast("bigint").alias("tn"),
+                   F.sum("sum_cents").cast("bigint").alias("tc"))
+    return cell.crossJoin(F.broadcast(tot)).select(
+        "dow", "hr", "n", "sum_cents",
+        (
+            (F.col("sum_cents").cast("decimal(38,0)")
+             * F.col("tn") * F.lit(1000000))
+            .cast("decimal(38,0)")
+        ).alias("__num"),
+        (F.col("n").cast("decimal(38,0)") * F.col("tc"))
+        .cast("decimal(38,0)").alias("__den"),
+    ).select(
+        "dow", "hr", "n", "sum_cents",
+        F.expr("CAST(__num DIV __den AS BIGINT)").alias("idx_micro"),
+    )
+
+
+@register(
+    "q_evt_benford",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               CAST(substr(CAST(CAST(ROUND(value * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM events
+        WHERE value IS NOT NULL AND ROUND(value * 100) >= 1
+    ),
+    c AS (
+        SELECT event_type, digit, CAST(COUNT(*) AS BIGINT) AS n
+        FROM e GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, digit, n,
+               CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS nt
+        FROM c
+    )
+    SELECT event_type, digit, n,
+           CAST(n * 1000000 // nt AS BIGINT) AS share_micro,
+           CAST(CASE digit
+                WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+                WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757
+                END AS BIGINT) AS benford_micro,
+           CAST(ABS(n * 1000000 // nt - CASE digit
+                WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+                WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757
+                END) AS BIGINT) AS dev_micro
+    FROM s
+    """,
+)
+def q_evt_benford(spark, sf_dir):
+    """BENFORD'S-LAW first-digit audit of the value column per event type —
+    the classic fraud/synthetic-data QC screen (Benford, 1938; Nigrini's
+    audit practice): observed first-significant-digit shares vs the
+    log10(1+1/d) expectation, with the irrational expectations inlined as
+    1e6-scaled integer literals on BOTH engines (the q_emb_ndcg_eval rule:
+    libm log10 is not contractually bit-identical across engines, integer
+    literals are). First digit is taken from the exact-cents integer's
+    decimal rendering — zero-cent rows are out of Benford's domain and
+    filtered identically on both sides. Shares are integer micro-units
+    (n*1e6 DIV n_type).
+
+    Scale shape: one map-side-combinable scan agg into <=45 (type, digit)
+    cells, then a per-type window sum over that 45-row state — window
+    over aggregate state, never over data, the q_evt_hour_histogram
+    class. One shuffle at any corpus size."""
+    from pyspark.sql import Window
+
+    evt = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    c = (
+        evt.where(F.col("value").isNotNull() & (cents >= 1))
+        .select(
+            "event_type",
+            F.substring(cents.cast("string"), 1, 1).cast("bigint")
+            .alias("digit"),
+        )
+        .groupBy("event_type", "digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    nt = F.sum("n").over(Window.partitionBy("event_type")).cast("bigint")
+    bexp = (
+        F.when(F.col("digit") == 1, 301030)
+        .when(F.col("digit") == 2, 176091)
+        .when(F.col("digit") == 3, 124939)
+        .when(F.col("digit") == 4, 96910)
+        .when(F.col("digit") == 5, 79181)
+        .when(F.col("digit") == 6, 66947)
+        .when(F.col("digit") == 7, 57992)
+        .when(F.col("digit") == 8, 51153)
+        .otherwise(45757)
+        .cast("bigint")
+    )
+    share = F.expr("CAST(n * 1000000 DIV nt AS BIGINT)")
+    return (
+        c.withColumn("nt", nt)
+        .withColumn("share_micro", share)
+        .withColumn("benford_micro", bexp)
+        .select(
+            "event_type", "digit", "n", "share_micro", "benford_micro",
+            F.abs(F.col("share_micro") - F.col("benford_micro"))
+            .cast("bigint").alias("dev_micro"),
+        )
+    )
+
+
+@register(
+    "q_evt_ab_test",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, user_id % 2 AS cohort,
+               CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+               CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+               CAST(SUM(CASE WHEN cohort = 0 THEN cents ELSE 0 END)
+                    AS BIGINT) AS sum_a,
+               CAST(SUM(CASE WHEN cohort = 1 THEN cents ELSE 0 END)
+                    AS BIGINT) AS sum_b,
+               SUM(CASE WHEN cohort = 0
+                   THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS ss_a,
+               SUM(CASE WHEN cohort = 1
+                   THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS ss_b
+        FROM e GROUP BY 1
+    ),
+    m AS (
+        SELECT event_type, n_a, n_b,
+               CAST(CAST(sum_a AS HUGEINT) * 1000000 // n_a AS BIGINT)
+                   AS mean_a_micro,
+               CAST(CAST(sum_b AS HUGEINT) * 1000000 // n_b AS BIGINT)
+                   AS mean_b_micro,
+               CAST((n_a * ss_a - CAST(sum_a AS HUGEINT) * sum_a)
+                    // (CAST(n_a AS HUGEINT) * (n_a - 1)) AS BIGINT)
+                   AS var_a_c2,
+               CAST((n_b * ss_b - CAST(sum_b AS HUGEINT) * sum_b)
+                    // (CAST(n_b AS HUGEINT) * (n_b - 1)) AS BIGINT)
+                   AS var_b_c2
+        FROM g WHERE n_a > 1 AND n_b > 1
+    )
+    SELECT event_type, n_a, n_b, mean_a_micro, mean_b_micro,
+           var_a_c2, var_b_c2,
+           (CAST(mean_a_micro - mean_b_micro AS HUGEINT)
+            * (mean_a_micro - mean_b_micro))
+           > 4 * (CAST(var_a_c2 AS HUGEINT) * 1000000000000 // n_a
+                  + CAST(var_b_c2 AS HUGEINT) * 1000000000000 // n_b)
+               AS significant
+    FROM m
+    """,
+)
+def q_evt_ab_test(spark, sf_dir):
+    """A/B EXPERIMENT READOUT with an exact-integer Welch decision — the
+    op every experimentation platform runs nightly: users split into two
+    deterministic cohorts (user_id % 2 — engine-portable, unlike hash
+    functions), per event type the per-cohort mean (1e6-scaled cents) and
+    sample variance (cents^2, the (n*ss - sum^2) DIV (n*(n-1)) one-pass
+    identity), and the Welch two-sample significance call |t| > 2 decided
+    WITHOUT floats: diff_micro^2 > 4*(var_a*1e12 DIV n_a + var_b*1e12
+    DIV n_b) — both sides of the inequality are integers built from the
+    SAME rounded intermediates on both engines (decimal(38,0) on Spark,
+    HUGEINT on DuckDB), so the boolean is bit-stable where a float t-stat
+    would flap at the boundary.
+
+    Scale shape: ONE map-side-combinable scan agg (the cohort split is a
+    projection, not a shuffle key — both cohorts partial-aggregate in the
+    same hash map); everything after is arithmetic on <=5 rows. At
+    100 TB: one shuffle of 5 x ~6-column partials per task."""
+    evt = load(spark, sf_dir, "events")
+    cents = F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0) \
+        .cast("long")
+    a = F.col("user_id") % 2 == 0
+    g = (
+        evt.select("event_type", a.alias("is_a"), cents.alias("cents"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+            .cast("bigint").alias("n_a"),
+            F.sum(F.when(~F.col("is_a"), 1).otherwise(0))
+            .cast("bigint").alias("n_b"),
+            F.sum(F.when(F.col("is_a"), F.col("cents")).otherwise(0))
+            .cast("bigint").alias("sum_a"),
+            F.sum(F.when(~F.col("is_a"), F.col("cents")).otherwise(0))
+            .cast("bigint").alias("sum_b"),
+            F.sum(F.when(F.col("is_a"),
+                         F.col("cents").cast("decimal(38,0)")
+                         * F.col("cents")).otherwise(F.lit(0)))
+            .cast("decimal(38,0)").alias("ss_a"),
+            F.sum(F.when(~F.col("is_a"),
+                         F.col("cents").cast("decimal(38,0)")
+                         * F.col("cents")).otherwise(F.lit(0)))
+            .cast("decimal(38,0)").alias("ss_b"),
+        )
+        .where((F.col("n_a") > 1) & (F.col("n_b") > 1))
+    )
+    m = g.select(
+        "event_type", "n_a", "n_b",
+        F.expr("CAST(CAST(sum_a AS DECIMAL(38,0)) * 1000000 DIV n_a"
+               " AS BIGINT)").alias("mean_a_micro"),
+        F.expr("CAST(CAST(sum_b AS DECIMAL(38,0)) * 1000000 DIV n_b"
+               " AS BIGINT)").alias("mean_b_micro"),
+        F.expr(
+            "CAST((n_a * ss_a - CAST(sum_a AS DECIMAL(38,0)) * sum_a)"
+            " DIV (CAST(n_a AS DECIMAL(38,0)) * (n_a - 1)) AS BIGINT)"
+        ).alias("var_a_c2"),
+        F.expr(
+            "CAST((n_b * ss_b - CAST(sum_b AS DECIMAL(38,0)) * sum_b)"
+            " DIV (CAST(n_b AS DECIMAL(38,0)) * (n_b - 1)) AS BIGINT)"
+        ).alias("var_b_c2"),
+    )
+    return m.select(
+        "event_type", "n_a", "n_b", "mean_a_micro", "mean_b_micro",
+        "var_a_c2", "var_b_c2",
+        F.expr(
+            "(CAST(mean_a_micro - mean_b_micro AS DECIMAL(38,0))"
+            " * (mean_a_micro - mean_b_micro))"
+            " > 4 * (CAST(var_a_c2 AS DECIMAL(38,0)) * 1000000000000"
+            " DIV n_a"
+            " + CAST(var_b_c2 AS DECIMAL(38,0)) * 1000000000000 DIV n_b)"
+        ).alias("significant"),
+    )
+
+
+@register(
+    "q_evt_attribution_shapley",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+    ),
+    fp AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts_ms END)
+                   AS fp_ms
+        FROM e GROUP BY 1
+    ),
+    tou AS (
+        SELECT e.user_id,
+               MAX(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END)
+               + 2 * MAX(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END)
+               + 4 * MAX(CASE WHEN e.event_type = 'signup' THEN 1 ELSE 0 END)
+               + 8 * MAX(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END)
+                   AS mask
+        FROM e JOIN fp USING (user_id)
+        WHERE e.event_type <> 'purchase'
+              AND (fp.fp_ms IS NULL OR e.ts_ms < fp.fp_ms)
+        GROUP BY 1
+    ),
+    j AS (
+        SELECT tou.mask, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN fp.fp_ms IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_conv
+        FROM tou JOIN fp USING (user_id)
+        WHERE tou.mask <> 0
+        GROUP BY 1
+    ),
+    v AS (
+        SELECT m.mask,
+               CASE WHEN m.mask = 0 THEN 0
+                    ELSE COALESCE(j.n_conv * 1000000 // j.n, 0)
+               END AS v_micro
+        FROM range(0, 16) m(mask) LEFT JOIN j ON j.mask = m.mask
+    ),
+    ch AS (
+        SELECT * FROM (VALUES ('click', 1), ('error', 2),
+                              ('signup', 4), ('view', 8)) AS t(channel, bit)
+    ),
+    contrib AS (
+        SELECT ch.channel,
+               CASE ((t.mask >> 0) & 1) + ((t.mask >> 1) & 1)
+                    + ((t.mask >> 2) & 1) + ((t.mask >> 3) & 1)
+                    WHEN 0 THEN 3 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 3
+               END * (vc.v_micro - vt.v_micro) AS term
+        FROM ch
+        JOIN range(0, 16) t(mask) ON (t.mask & ch.bit) = 0
+        JOIN v vt ON vt.mask = t.mask
+        JOIN v vc ON vc.mask = (t.mask | ch.bit)
+    ),
+    phi AS (
+        SELECT channel, CAST(SUM(term) AS BIGINT) AS phi_12micro
+        FROM contrib GROUP BY 1
+    ),
+    reach AS (
+        SELECT ch.channel,
+               CAST(COALESCE(SUM(j.n), 0) AS BIGINT) AS n_users_touched
+        FROM ch LEFT JOIN j ON (j.mask & ch.bit) <> 0
+        GROUP BY 1
+    )
+    SELECT phi.channel, phi.phi_12micro, reach.n_users_touched
+    FROM phi JOIN reach USING (channel)
+    """,
+)
+def q_evt_attribution_shapley(spark, sf_dir):
+    """SHAPLEY-VALUE conversion attribution (Shapley 1953; the
+    data-driven attribution model behind Google Ads' DDA) — the
+    game-theoretic completion of the last-touch / linear pair
+    (q_evt_attribution, q_evt_attribution_linear): each user's journey is
+    the DISTINCT set of non-purchase channels touched strictly before
+    their first purchase (users who never purchase contribute their full
+    touch set as a non-converting coalition; empty-set journeys are out of
+    the model and v(empty) = 0); the characteristic function v(S) is the
+    observed conversion rate of journeys whose touch set is exactly S
+    (1e6-scaled integer DIV, unobserved coalitions 0); each channel's
+    Shapley value over the 4-channel universe is the weighted sum of its
+    16/2 marginal contributions, with the |T|!(4-|T|-1)!/4! weights
+    cleared to the common denominator 12 — phi_12micro is an EXACT
+    integer (can be negative: a channel whose presence lowers observed
+    conversion odds), so the gate needs no float tolerance anywhere.
+
+    Scale shape: the only data-scale work is one per-user window (first
+    purchase carry) + one per-user agg — same key, one shuffle under AQE
+    exchange reuse; everything downstream (the 16-row v table, the 4x8
+    marginal grid) is literal-range arithmetic the optimizer
+    constant-folds into broadcast joins. Popcount is spelled as shifted
+    bit tests on BOTH engines (identical semantics beats builtin
+    availability)."""
+    from pyspark.sql import Window
+
+    evt = load(spark, sf_dir, "events")
+    e = evt.select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ts_ms")
+    )
+    wu = Window.partitionBy("user_id")
+    e2 = e.withColumn(
+        "fp_ms",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_ms")))
+        .over(wu),
+    )
+    touched = F.when(
+        (F.col("event_type") != "purchase")
+        & (F.col("fp_ms").isNull() | (F.col("ts_ms") < F.col("fp_ms"))),
+        F.col("event_type"),
+    )
+    per_user = e2.groupBy("user_id").agg(
+        F.max(F.col("fp_ms").isNotNull()).alias("conv"),
+        (
+            F.max(F.when(touched == "click", 1).otherwise(0))
+            + 2 * F.max(F.when(touched == "error", 1).otherwise(0))
+            + 4 * F.max(F.when(touched == "signup", 1).otherwise(0))
+            + 8 * F.max(F.when(touched == "view", 1).otherwise(0))
+        ).alias("mask"),
+    )
+    j = (
+        per_user.where(F.col("mask") != 0)
+        .groupBy("mask")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("conv"), 1).otherwise(0))
+            .cast("bigint").alias("n_conv"),
+        )
+    )
+    masks = spark.range(16).select(F.col("id").cast("int").alias("mask"))
+    v = (
+        masks.join(F.broadcast(j), "mask", "left")
+        .select(
+            "mask",
+            F.when(F.col("mask") == 0, F.lit(0).cast("bigint"))
+            .otherwise(F.coalesce(
+                F.expr("n_conv * 1000000 DIV n"), F.lit(0)
+            )).alias("v_micro"),
+        )
+    )
+    ch = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
+        "channel string, bit int",
+    )
+    pc = (
+        "((t.mask >> 0) & 1) + ((t.mask >> 1) & 1) "
+        "+ ((t.mask >> 2) & 1) + ((t.mask >> 3) & 1)"
+    )
+    contrib = (
+        ch.join(masks.alias("t"), F.expr("(mask & bit) = 0"))
+        .join(v.alias("vt"), F.expr("vt.mask = t.mask"))
+        .join(
+            v.alias("vc"),
+            F.expr("vc.mask = CAST(t.mask | bit AS INT)"),
+        )
+        .select(
+            "channel",
+            (
+                F.expr(
+                    f"CASE {pc} WHEN 0 THEN 3 WHEN 1 THEN 1 "
+                    "WHEN 2 THEN 1 ELSE 3 END"
+                ) * (F.col("vc.v_micro") - F.col("vt.v_micro"))
+            ).alias("term"),
+        )
+    )
+    phi = contrib.groupBy("channel").agg(
+        F.sum("term").cast("bigint").alias("phi_12micro")
+    )
+    reach = (
+        ch.join(j.alias("j"), F.expr("(j.mask & bit) <> 0"), "left")
+        .groupBy("channel")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("bigint")
+             .alias("n_users_touched"))
+    )
+    return phi.join(reach, "channel")

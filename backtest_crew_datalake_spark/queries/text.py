@@ -4681,3 +4681,166 @@ def q_doc_kn_trigram_nll(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return kn_trigram_nll(d)
+
+
+@register(
+    "q_doc_collocations",
+    oracle=r"""
+    WITH t AS (
+        SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT toks[i+1] AS w1, toks[i+2] AS w2
+        FROM (SELECT toks, unnest(range(0, len(toks) - 1)) AS i
+              FROM t WHERE len(toks) >= 2)
+    ),
+    c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_xy
+          FROM bg GROUP BY 1, 2),
+    m AS (
+        SELECT w1, w2, n_xy,
+               CAST(SUM(n_xy) OVER (PARTITION BY w1) AS BIGINT) AS n_x,
+               CAST(SUM(n_xy) OVER (PARTITION BY w2) AS BIGINT) AS n_y,
+               CAST(SUM(n_xy) OVER () AS BIGINT) AS nn
+        FROM c
+    )
+    SELECT w1, w2, n_xy,
+           CAST(CAST(n_xy AS HUGEINT) * nn * 1000000
+                // (CAST(n_x AS HUGEINT) * n_y) AS BIGINT) AS pmi_ratio_micro
+    FROM m
+    WHERE n_xy >= 5
+    ORDER BY pmi_ratio_micro DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def q_doc_collocations(spark, sf_dir):
+    """COLLOCATION EXTRACTION by pointwise mutual information (Church &
+    Hanks 1990 — the corpus-linguistics op behind phrase vocabularies and
+    tokenizer merge seeding): adjacent-bigram counts over the corpus, PMI
+    expressed as the exact integer RATIO n_xy*N*1e6 DIV (n_x * n_y)
+    (log is monotone, so ranking by the 1e6-scaled ratio IS ranking by
+    PMI — the same inlined-constant discipline as q_evt_benford, with
+    zero libm in the gate), marginals taken as bigram-position counts so
+    numerator and denominator share one N; a min-support floor (n_xy >= 5)
+    drops the rare-pair noise PMI is notorious for; top 20 under the
+    fully deterministic (ratio, w1, w2) order.
+
+    Scale shape: ONE data-scale shuffle (the bigram count groupBy, map-
+    side combinable, keyed by word pairs that partition evenly); the
+    marginal window sums run over the COUNT table (<= vocab^2 rows — for
+    a real tokenizer vocab this is state, not data, the q_evt_benford
+    window-over-aggregate class) and the top-k sorts that same tiny
+    table. DECIMAL(38,0)/HUGEINT intermediates: n_xy*N*1e6 overflows
+    BIGINT on a 1e8-bigram corpus."""
+    from pyspark.sql import Window
+
+    from ..pipeline.dedup import spread_partitions
+
+    d = spread_partitions(load(spark, sf_dir, "documents"), "doc_id")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    bigrams = F.expr(
+        "transform(sequence(0, size(__toks) - 2), "
+        "i -> struct(element_at(__toks, i + 1) AS w1, "
+        "element_at(__toks, i + 2) AS w2))"
+    )
+    c = (
+        d.select(toks.alias("__toks"))
+        .where(F.size("__toks") >= 2)
+        .select(F.explode(bigrams).alias("b"))
+        .groupBy("b.w1", "b.w2")
+        .agg(F.count("*").cast("bigint").alias("n_xy"))
+    )
+    m = (
+        c.withColumn(
+            "n_x",
+            F.sum("n_xy").over(Window.partitionBy("w1")).cast("bigint"))
+        .withColumn(
+            "n_y",
+            F.sum("n_xy").over(Window.partitionBy("w2")).cast("bigint"))
+        .withColumn(
+            "nn",
+            F.sum("n_xy").over(
+                Window.partitionBy()).cast("bigint"))
+    )
+    return (
+        m.where(F.col("n_xy") >= 5)
+        .select(
+            "w1", "w2", "n_xy",
+            F.expr(
+                "CAST(CAST(n_xy AS DECIMAL(38,0)) * nn * 1000000"
+                " DIV (CAST(n_x AS DECIMAL(38,0)) * n_y) AS BIGINT)"
+            ).alias("pmi_ratio_micro"),
+        )
+        .orderBy(F.col("pmi_ratio_micro").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+@register(
+    "q_doc_readability",
+    oracle=r"""
+    WITH t AS (
+        SELECT lang,
+               LEN(string_split_regex(TRIM(text), '\s+')) AS n_words,
+               LEN(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   AS n_sylls
+        FROM documents
+    ),
+    g AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS words_total,
+               CAST(SUM(n_sylls) AS BIGINT) AS syll_total
+        FROM t GROUP BY 1
+    )
+    SELECT lang, n_docs, words_total, syll_total,
+           CAST(words_total * 1000 // n_docs AS BIGINT) AS wps_milli,
+           CAST(syll_total * 1000 // words_total AS BIGINT) AS spw_milli,
+           CAST(206835 - (1015 * (words_total * 1000 // n_docs)
+                          + 84600 * (syll_total * 1000 // words_total))
+                // 1000 AS BIGINT) AS flesch_milli
+    FROM g
+    """,
+)
+def q_doc_readability(spark, sf_dir):
+    """READABILITY SCORING per language — Flesch reading ease (Flesch
+    1948, the doc-quality feature every curation pipeline computes next
+    to Gopher rules) with the classic vowel-group syllable heuristic:
+    syllables = maximal [aeiouy]+ runs (a regex both engines' RE
+    dialects treat identically — no backrefs, no lookaround), sentences =
+    documents (the corpus has no sentence punctuation; the docstring
+    constant 206.835 and weights 1.015/84.6 ride as exact milli-scaled
+    integer literals), words = the catalog's canonical whitespace
+    tokenizer. All three ratios are integer milli-units via DIV — the
+    gate is float-free end to end.
+
+    Scale shape: one scan computing two per-row regex/size counts (JVM
+    codegen, no UDF), one map-side-combinable agg into |langs| rows,
+    then literal arithmetic. One shuffle of 5 partial rows per task at
+    any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_sylls = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")),
+                             F.lit(r"[aeiouy]+"), 0)
+    )
+    g = (
+        d.select("lang", n_words.alias("n_words"), n_sylls.alias("n_sylls"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("words_total"),
+            F.sum("n_sylls").cast("bigint").alias("syll_total"),
+        )
+    )
+    return g.select(
+        "lang", "n_docs", "words_total", "syll_total",
+        F.expr("CAST(words_total * 1000 DIV n_docs AS BIGINT)")
+        .alias("wps_milli"),
+        F.expr("CAST(syll_total * 1000 DIV words_total AS BIGINT)")
+        .alias("spw_milli"),
+        F.expr(
+            "CAST(206835 - (1015 * (words_total * 1000 DIV n_docs)"
+            " + 84600 * (syll_total * 1000 DIV words_total))"
+            " DIV 1000 AS BIGINT)"
+        ).alias("flesch_milli"),
+    )
