@@ -114,6 +114,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_evt_seasonality",
     "q_doc_collocations",
     "q_doc_readability",
+    "q_stream_dedup_state",
     "q_stream_scd2_state",
     "q_stream_erasure_state",
     "q_stream_txn_state",

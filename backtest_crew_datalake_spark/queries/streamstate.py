@@ -242,3 +242,92 @@ def q_stream_txn_state(spark, sf_dir):
         F.col("n_rows").cast("bigint").alias("n_rows"),
         F.col("a6").cast("bigint").alias("a6"),
     )
+
+
+@register(
+    "q_stream_dedup_state",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+           CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(MIN(epoch_ms(ts)) AS BIGINT) AS min_ms,
+           CAST(MAX(epoch_ms(ts)) AS BIGINT) AS max_ms
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_stream_dedup_state(spark, sf_dir):
+    """streaming_dedup END STATE under the oracle gate: an at-least-once
+    source is SIMULATED by landing three ts-ordered micro-batches where
+    every batch k >= 2 re-delivers a deterministic slice of batch k-1
+    (event_id % 10 == 0 — the crash-replay overlap every file-based
+    source produces) and batch 1 carries in-batch duplicates
+    (event_id % 17 == 0 landed twice); the stream runs
+    dropDuplicatesWithinWatermark on event_id into an exactly-once
+    parquet sink, one availableNow run per landing append against ONE
+    checkpoint. The watermark horizon is sized ABOVE the corpus span, so
+    no dedup state is ever evicted and the contractual end state is
+    exactly one sink row per event_id — which IS SQL-expressible: the
+    oracle aggregates the raw events directly, so n_rows == n_ids per
+    type, exact-cents sums, and the ts range all hash-match only if
+    every planted duplicate (cross-batch AND in-batch) was dropped and
+    no original row was lost. Bounded-horizon eviction behavior is
+    engine-internal and stays pytest territory
+    (test_streaming_dedup_within_watermark); at 100 TB the horizon is
+    sized to the source's real re-delivery window so state stays
+    bounded — here it is sized to the corpus to make the end state a
+    pure relational fact. Citations: streaming/ingest.py:streaming_dedup,
+    SURVEY §2.11."""
+    from ..streaming.ingest import streaming_dedup
+
+    def build(base: str) -> str:
+        land = f"{base}/land"
+        out = f"{base}/out"
+        ck = f"{base}/ck"
+        evt = load(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        batches = _ts_batches(evt)
+        landed = [
+            batches[0].unionByName(
+                batches[0].where(F.col("event_id") % 17 == 0)
+            ),
+            batches[1].unionByName(
+                batches[0].where(F.col("event_id") % 10 == 0)
+            ),
+            batches[2].unionByName(
+                batches[1].where(F.col("event_id") % 10 == 0)
+            ),
+        ]
+        schema = ("event_id bigint, ts timestamp, user_id bigint, "
+                  "event_type string, value double")
+        for b in landed:
+            b.coalesce(1).write.mode("append").parquet(land)
+            src = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1024)
+                .parquet(land)
+            )
+            q = (
+                streaming_dedup(src, key=["event_id"],
+                                watermark="8760 hours")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return out
+
+    out = _once(spark, sf_dir, "dedup", build)
+    return spark.read.parquet(out).groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("event_id").cast("bigint").alias("n_ids"),
+        F.sum(F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0)
+              .cast("bigint")).cast("bigint").alias("sum_cents"),
+        F.min(F.unix_millis("ts")).cast("bigint").alias("min_ms"),
+        F.max(F.unix_millis("ts")).cast("bigint").alias("max_ms"),
+    )
