@@ -114,6 +114,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_evt_seasonality",
     "q_doc_collocations",
     "q_doc_readability",
+    "q_emb_split_drift",
+    "q_doc_loo_ablation",
     "q_stream_dedup_state",
     "q_stream_scd2_state",
     "q_stream_erasure_state",

@@ -2318,3 +2318,90 @@ def q_emb_ndcg_eval(spark, sf_dir):
             F.round(F.col("dcg6") * 1.0 / p6, 6).alias("ndcg10"),
         )
     )
+
+
+@register(
+    "q_emb_split_drift",
+    oracle="""
+    WITH ex AS (
+        SELECT label, vec_id % 2 AS half, d - 1 AS dim,
+               CAST(embedding[d] AS DOUBLE) AS v
+        FROM embeddings,
+             (SELECT UNNEST(generate_series(1, 64)) AS d)
+    ),
+    m AS (
+        SELECT label, dim,
+               ROUND(AVG(CASE WHEN half = 0 THEN v END), 6) AS ma,
+               ROUND(AVG(CASE WHEN half = 1 THEN v END), 6) AS mb
+        FROM ex GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT label,
+               SUM(ma * mb) AS dot,
+               SUM(ma * ma) AS na2,
+               SUM(mb * mb) AS nb2,
+               SUM((ma - mb) * (ma - mb)) AS d2
+        FROM m GROUP BY 1
+    ),
+    n AS (
+        SELECT label,
+               CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b
+        FROM embeddings GROUP BY 1
+    )
+    SELECT c.label, n.n_a, n.n_b,
+           ROUND(c.dot / SQRT(c.na2 * c.nb2), 6) AS centroid_cos,
+           ROUND(SQRT(c.d2), 6) AS centroid_l2
+    FROM c JOIN n USING (label)
+    """,
+)
+def q_emb_split_drift(spark, sf_dir):
+    """EMBEDDING DISTRIBUTION DRIFT between two deterministic corpus
+    halves (vec_id parity — the train/holdout or old-batch/new-batch
+    split check every embedding pipeline runs before trusting an index
+    rebuild): per label, the cosine similarity and L2 distance between
+    the two halves' CENTROIDS. Per-dimension means are rounded to 6dp
+    BEFORE the dot products on BOTH engines, so everything downstream of
+    the one float aggregation is arithmetic over identical doubles —
+    the same round-then-derive discipline as q_emb_contamination's
+    rounded sims. Healthy same-distribution halves read cos ≈ 1 / L2 ≈ 0;
+    a label whose halves diverge flags ingestion drift.
+
+    Scale shape: one posexplode + ONE map-side-combinable (label, dim)
+    agg — 64·|labels| cells of state regardless of corpus size (the
+    conditional-agg half split is a projection, not a key, the
+    q_evt_ab_test shape) — then per-label rollups over that state. No
+    window, no join at data scale; the |labels|-row count join is
+    broadcast."""
+    emb = load(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    m = ex.groupBy("label", "dim").agg(
+        F.round(F.avg(F.when(F.col("half") == 0, F.col("v"))), 6)
+        .alias("ma"),
+        F.round(F.avg(F.when(F.col("half") == 1, F.col("v"))), 6)
+        .alias("mb"),
+    )
+    c = m.groupBy("label").agg(
+        F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+        F.sum(F.col("ma") * F.col("ma")).alias("na2"),
+        F.sum(F.col("mb") * F.col("mb")).alias("nb2"),
+        F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")))
+        .alias("d2"),
+    )
+    n = emb.groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_b"),
+    )
+    return c.join(F.broadcast(n), "label").select(
+        "label", "n_a", "n_b",
+        F.round(F.col("dot") / F.sqrt(F.col("na2") * F.col("nb2")), 6)
+        .alias("centroid_cos"),
+        F.round(F.sqrt("d2"), 6).alias("centroid_l2"),
+    )

@@ -4844,3 +4844,88 @@ def q_doc_readability(spark, sf_dir):
             " DIV 1000 AS BIGINT)"
         ).alias("flesch_milli"),
     )
+
+
+@register(
+    "q_doc_loo_ablation",
+    oracle=r"""
+    WITH t AS (
+        SELECT source,
+               LEN(string_split_regex(TRIM(text), '\s+')) AS n_tokens,
+               n_chars
+        FROM documents
+    ),
+    s AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS toks,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM t GROUP BY 1
+    ),
+    g AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS nn,
+               CAST(SUM(toks) AS BIGINT) AS tt,
+               CAST(SUM(chars) AS BIGINT) AS cc
+        FROM s
+    )
+    SELECT source, n_docs,
+           CAST(tt * 1000 // nn AS BIGINT) AS mean_tokens_milli,
+           CAST(CASE WHEN nn > n_docs
+                THEN (tt - toks) * 1000 // (nn - n_docs) END AS BIGINT)
+               AS loo_tokens_milli,
+           CAST(CASE WHEN nn > n_docs
+                THEN (tt - toks) * 1000 // (nn - n_docs) - tt * 1000 // nn
+                END AS BIGINT) AS delta_tokens_milli,
+           CAST(CASE WHEN nn > n_docs
+                THEN (cc - chars) * 1000 // (nn - n_docs) - cc * 1000 // nn
+                END AS BIGINT) AS delta_chars_milli
+    FROM s, g
+    """,
+)
+def q_doc_loo_ablation(spark, sf_dir):
+    """LEAVE-ONE-SOURCE-OUT corpus ablation — the cheapest form of data
+    valuation (the group-level Shapley/LOO family, Ghorbani & Zou 2019):
+    for every source, what the corpus-level mean token and char counts
+    become if that source were dropped, as exact integer milli-units —
+    delta > 0 means the source pulls the corpus mean DOWN (dropping it
+    raises the mean). The LOO mean is computed from the SAME single-pass
+    per-source aggregate as the grand total ((T - t_s) DIV (N - n_s)) —
+    |sources| ablations for the price of one scan, where a naive
+    implementation re-aggregates the corpus per source. A source that IS
+    the whole corpus ablates to NULL on both engines.
+
+    Scale shape: one map-side-combinable scan agg into |sources| rows,
+    one 1-row grand-total broadcast, then integer arithmetic. The
+    100 TB cost is the scan, not the |sources| ablations."""
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    s = (
+        d.select("source", n_tokens.alias("n_tokens"), "n_chars")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("toks"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+    )
+    g = s.agg(
+        F.sum("n_docs").cast("bigint").alias("nn"),
+        F.sum("toks").cast("bigint").alias("tt"),
+        F.sum("chars").cast("bigint").alias("cc"),
+    )
+    loo_t = "((tt - toks) * 1000 DIV (nn - n_docs))"
+    return s.crossJoin(F.broadcast(g)).select(
+        "source", "n_docs",
+        F.expr("CAST(tt * 1000 DIV nn AS BIGINT)")
+        .alias("mean_tokens_milli"),
+        F.expr(f"CAST(CASE WHEN nn > n_docs THEN {loo_t} END AS BIGINT)")
+        .alias("loo_tokens_milli"),
+        F.expr(
+            f"CAST(CASE WHEN nn > n_docs THEN {loo_t} - tt * 1000 DIV nn"
+            " END AS BIGINT)"
+        ).alias("delta_tokens_milli"),
+        F.expr(
+            "CAST(CASE WHEN nn > n_docs THEN"
+            " (cc - chars) * 1000 DIV (nn - n_docs) - cc * 1000 DIV nn"
+            " END AS BIGINT)"
+        ).alias("delta_chars_milli"),
+    )
