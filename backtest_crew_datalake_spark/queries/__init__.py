@@ -116,6 +116,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_doc_readability",
     "q_emb_split_drift",
     "q_doc_loo_ablation",
+    "q_acid_bloom_skip",
+    "q_doc_quantile_norm",
     "q_stream_dedup_state",
     "q_stream_scd2_state",
     "q_stream_erasure_state",

@@ -1061,3 +1061,87 @@ def q_acid_mor_delete(spark, sf_dir):
         F.lit("final").alias("stage"), *cols
     )
     return after_del.unionByName(final)
+
+
+_BLOOM_USERS = (3, 32, 61, 90)
+_BLOOM_MEMO: dict[tuple[str, str], str] = {}
+
+
+@register(
+    "q_acid_bloom_skip",
+    oracle=f"""
+    WITH day AS (
+        SELECT user_id, event_type, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM day
+    WHERE user_id IN {_BLOOM_USERS!r}
+    GROUP BY 1, 2
+    """,
+)
+def q_acid_bloom_skip(spark, sf_dir):
+    """BLOOM-FILTER DATA SKIPPING on an ACID table (the per-file
+    point-lookup index Parquet bloom filters / Iceberg puffin files give
+    a real lakehouse — the complement to min/max stats, which are useless
+    for a needle user_id inside every file's range): the per-(user, type,
+    day) rollup lands partitioned by event_type with
+    ``bloom_cols=("user_id",)``, so every data file's manifest entry
+    carries a 4096-bit bitmap of xxhash64 bit positions; the read probes
+    ``point_filter={{"user_id": [...]}}`` — files whose bitmaps prove none
+    of the probed users present never reach Spark's scan — and applies
+    the real predicate after, per the skipping-not-filtering contract.
+    The oracle recomputes the same users' rollups straight off raw
+    events: a bloom FALSE NEGATIVE (a skipped file that held a probed
+    user's rows) would lose rows and break the hash — the no-false-
+    negative law is the gated property, the file-count pruning evidence
+    is pytest's (test_bloom_point_skip_prunes_files).
+
+    Scale shape: table build is one map-side-combinable rollup + one
+    manifest commit (memoized per application); the probe costs ONE
+    |probes|-row local job (never data-sized) + a metadata-only bitmap
+    scan, and the surviving scan reads only bloom-hit files — at 100 TB a
+    needle lookup touches O(matching files), not O(table).
+    Citations: sources/acid.py:_write_data_files (bitmap build),
+    _bloom_prune (probe), pipeline/sketch.py:bloom_build (hash formula).
+    """
+    from ..sources.acid import acid_read, acid_write
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    root = _BLOOM_MEMO.get(memo_key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="acid_bloom_")
+        e = load(spark, sf_dir, "events")
+        day = (
+            e.groupBy(
+                "user_id", "event_type", F.to_date("ts").alias("d")
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                F.sum(
+                    F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0)
+                    .cast("bigint")
+                ).cast("bigint").alias("cents"),
+            )
+        )
+        acid_write(spark, day, root, partition_by=("event_type",),
+                   bloom_cols=("user_id",))
+        _BLOOM_MEMO[memo_key] = root
+    snap = acid_read(
+        spark, root, point_filter={"user_id": list(_BLOOM_USERS)}
+    )
+    return (
+        snap.where(F.col("user_id").isin(*_BLOOM_USERS))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.count("*").cast("bigint").alias("n_days"),
+        )
+    )

@@ -4929,3 +4929,79 @@ def q_doc_loo_ablation(spark, sf_dir):
             " END AS BIGINT)"
         ).alias("delta_chars_milli"),
     )
+
+
+@register(
+    "q_doc_quantile_norm",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               LEN(string_split_regex(TRIM(text), '\s+')) AS n_tokens
+        FROM documents
+    ),
+    r AS (
+        SELECT source, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_tokens, doc_id) AS rk,
+               CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+        FROM t
+    ),
+    n AS (
+        SELECT source, n_tokens,
+               CASE WHEN ns > 1
+                    THEN (rk - 1) * 1000000 // (ns - 1) ELSE 0
+               END AS norm_micro
+        FROM r
+    )
+    SELECT source,
+           CAST(LEAST(norm_micro // 100000, 9) AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM n GROUP BY 1, 2
+    """,
+)
+def q_doc_quantile_norm(spark, sf_dir):
+    """PER-SOURCE QUANTILE NORMALIZATION of document length — the
+    rank-based score calibration that makes quality thresholds comparable
+    across sources whose raw distributions differ (the cross-source
+    twin of q_evt_rfm's quintiles): within each source every doc gets an
+    exact-rational normalized rank (rank-1)*1e6 DIV (n-1) in [0, 1e6]
+    under the fully deterministic (n_tokens, doc_id) compound order (the
+    rank-zoo rule), then rolls up to a per-(source, decile) profile —
+    uniform by construction, so a skewed cell means a rank bug, and the
+    cross-engine hash proves the two engines agree on every rank.
+    Single-doc sources normalize to 0 on both engines.
+
+    Scale shape: one scan computing the token count, ONE window keyed by
+    source (rank + count share the exchange), one map-side-combinable
+    rollup to <=|sources|x10 cells. The normalization never needs a
+    global sort — ranks are per-source, the 100 TB-safe shape."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    wc = Window.partitionBy("source")
+    r = t.select(
+        "source", "n_tokens",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wc).cast("bigint").alias("ns"),
+    )
+    n = r.select(
+        "source", "n_tokens",
+        F.expr(
+            "CASE WHEN ns > 1 THEN (rk - 1) * 1000000 DIV (ns - 1)"
+            " ELSE 0 END"
+        ).alias("norm_micro"),
+    )
+    return n.groupBy(
+        "source",
+        F.expr("CAST(LEAST(norm_micro DIV 100000, 9) AS BIGINT)")
+        .alias("decile"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    )

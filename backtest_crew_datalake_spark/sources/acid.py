@@ -44,6 +44,7 @@ unchanged.
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 import shutil
@@ -205,6 +206,9 @@ def _write_data_files(
     table_root: str,
     partition_by: tuple[str, ...],
     stats_cols: tuple[str, ...],
+    bloom_cols: tuple[str, ...] = (),
+    bloom_bits: int = 4096,
+    bloom_k: int = 5,
 ) -> list[dict]:
     """Write ``df`` as immutable files in the shared hive tree and return one
     manifest entry per file: relative path, partition values, row count and
@@ -244,6 +248,40 @@ def _write_data_files(
         .collect()  # bounded: one row per written FILE
     )
 
+    # per-file BLOOM bitmaps for point-lookup data skipping (the
+    # Parquet-bloom / Iceberg-puffin shape): item x sets bit
+    # pmod(xxhash64(cast(x AS STRING), seed), m) for seeds 0..k-1 — the
+    # SAME formula pipeline/sketch.bloom_build uses, over the STRING
+    # rendering so additive type widening can never desync build and
+    # probe (the schema-pin lesson of the delete-file key columns).
+    # Collect is bounded: <= files x min(rows*k, m) distinct bit indexes
+    # per column — register state, never data (the HLL-grid class).
+    blooms: dict[str, dict[str, str]] = {}
+    for c in bloom_cols:
+        if c not in back.columns:
+            continue
+        pos = F.array(*[
+            F.pmod(F.xxhash64(F.col(c).cast("string"), F.lit(i)),
+                   F.lit(bloom_bits))
+            for i in range(bloom_k)
+        ])
+        bit_rows = (
+            back.where(F.col(c).isNotNull())
+            .select(F.input_file_name().alias("__path"),
+                    F.explode(pos).alias("b"))
+            .distinct()
+            .groupBy("__path")
+            .agg(F.collect_set("b").alias("bits"))
+            .collect()
+        )
+        per_file = {r["__path"]: r["bits"] for r in bit_rows}
+        for r in stats_rows:
+            bm = bytearray(bloom_bits // 8)
+            for b in per_file.get(r["__path"], ()):  # all-null file: 0s
+                bm[b // 8] |= 1 << (b % 8)
+            blooms.setdefault(r["__path"], {})[c] = \
+                base64.b64encode(bytes(bm)).decode()
+
     entries = []
     for r in stats_rows:
         # input_file_name() is a URI: strip the scheme AND percent-decode —
@@ -272,6 +310,10 @@ def _write_data_files(
             if f"min_{c}" in stats_rows[0].asDict():
                 entry[f"min_{c}"] = r[f"min_{c}"]
                 entry[f"max_{c}"] = r[f"max_{c}"]
+        for c, b64 in blooms.get(r["__path"], {}).items():
+            entry[f"bloom_{c}"] = {
+                "m": bloom_bits, "k": bloom_k, "b64": b64,
+            }
         entries.append(entry)
     shutil.rmtree(stage, ignore_errors=True)
     return entries
@@ -326,12 +368,98 @@ def _stats_prune(entry: dict, stats_filter: dict | None) -> bool:
     return True
 
 
+def _bloom_cols_of(entries: list[dict]) -> tuple[str, ...]:
+    """Bloom-indexed columns recorded anywhere in ``entries`` — rewrite
+    paths (upsert / compact / CoW delete) re-derive these so a rewritten
+    file keeps its point-lookup index without the caller re-stating it
+    (same forward-carry rule as the min_/max_ stats columns)."""
+    return tuple(sorted(
+        {k[len("bloom_"):] for e in entries for k in e
+         if k.startswith("bloom_")}
+    ))
+
+
+def _bloom_probe_bits(spark, probes: list[tuple]) -> dict[tuple, list]:
+    """Bit positions for every (col, m, k, value-string) probe, computed
+    with THE SAME Spark expression the writer used — one tiny local job
+    over |probes| rows (never data-sized), so build and probe can't
+    drift on hash semantics."""
+    if not probes:
+        return {}
+    df = spark.createDataFrame(probes, "col string, m long, k int, v string")
+    rows = df.select(
+        "col", "m", "k", "v",
+        F.expr(
+            "transform(sequence(0, k - 1),"
+            " i -> pmod(xxhash64(v, CAST(i AS INT)), m))"
+        ).alias("bits"),
+    ).collect()
+    return {(r["col"], r["m"], r["k"], r["v"]): list(r["bits"])
+            for r in rows}
+
+
+def _bloom_prune(spark, entries: list[dict],
+                 point_filter: dict | None) -> list[dict]:
+    """Drop files whose bloom bitmap PROVES none of the probed values is
+    present. ``point_filter`` is {col: value-or-list}; a file survives a
+    column's probe if ANY listed value may be present; columns combine
+    with AND. Files without a bloom for the column are kept — like
+    stats_filter, this is data SKIPPING (no false negatives by
+    construction: the writer hashes every non-null value of the file),
+    not filtering: apply the predicate to the result too."""
+    if not point_filter:
+        return entries
+    probes = set()
+    for e in entries:
+        for col, want in point_filter.items():
+            meta = e.get(f"bloom_{col}")
+            if not meta:
+                continue
+            vals = want if isinstance(want, (list, tuple, set)) else (want,)
+            for v in vals:
+                s = _part_str(v)
+                if s is not None:
+                    probes.add((col, int(meta["m"]), int(meta["k"]), s))
+    bits = _bloom_probe_bits(spark, sorted(probes))
+    kept = []
+    for e in entries:
+        ok = True
+        for col, want in point_filter.items():
+            meta = e.get(f"bloom_{col}")
+            if not meta:
+                continue
+            bm = base64.b64decode(meta["b64"])
+            vals = want if isinstance(want, (list, tuple, set)) else (want,)
+            hit = False
+            for v in vals:
+                s = _part_str(v)
+                if s is None:
+                    # NULL probes are outside the bloom's domain (the
+                    # writer indexes non-null values only) — keep
+                    hit = True
+                    break
+                pos = bits.get((col, int(meta["m"]), int(meta["k"]), s))
+                if pos is None:
+                    hit = True  # unknown probe: conservative keep
+                    break
+                if all(bm[b // 8] & (1 << (b % 8)) for b in pos):
+                    hit = True
+                    break
+            if not hit:
+                ok = False
+                break
+        if ok:
+            kept.append(e)
+    return kept
+
+
 def acid_read(
     spark: SparkSession,
     table_root: str,
     version: int | None = None,
     partition_filter: dict | None = None,
     stats_filter: dict | None = None,
+    point_filter: dict | None = None,
     tag: str | None = None,
     as_of_ts: float | None = None,
     branch: str = MAIN_BRANCH,
@@ -347,10 +475,15 @@ def acid_read(
     ``partition_filter`` ({col: value-or-list}, path-encoded string compare)
     and ``stats_filter`` ({col: (lo, hi)} against the per-file min/max the
     writer recorded via ``stats_cols``) prune the FILE LIST before Spark
-    opens anything; Spark's own row-group pruning applies within the
-    surviving files. stats_filter is data SKIPPING, not filtering — apply
-    the predicate to the result too. An empty table (version 0) has never
-    been written; callers that need a schema should create the table first.
+    opens anything; ``point_filter`` ({col: value-or-list}) prunes it
+    further through the per-file BLOOM bitmaps the writer recorded via
+    ``bloom_cols`` — the point-lookup complement to min/max ranges (a
+    needle user_id in a table Z-ORDERED by time has useless ranges but a
+    decisive bloom). Spark's own row-group pruning applies within the
+    surviving files. stats_filter/point_filter are data SKIPPING, not
+    filtering — apply the predicate to the result too. An empty table
+    (version 0) has never been written; callers that need a schema should
+    create the table first.
     """
     if sum(x is not None for x in (version, tag, as_of_ts)) > 1:
         raise ValueError("version, tag and as_of_ts are mutually exclusive")
@@ -371,6 +504,7 @@ def acid_read(
         e for e in _data_entries(m["files"])
         if _matches(e, partition_filter) and _stats_prune(e, stats_filter)
     ]
+    entries = _bloom_prune(spark, entries, point_filter)
     if not entries:
         return spark.createDataFrame([], m["schema_ddl"])
     # pruning applies to DATA files; merge-on-read delete files (if any)
@@ -497,6 +631,7 @@ def acid_write(
     partition_by: tuple[str, ...] = (),
     mode: str = "append",
     stats_cols: tuple[str, ...] = (),
+    bloom_cols: tuple[str, ...] = (),
     max_retries: int = 10,
     operation: str | None = None,
     branch: str = MAIN_BRANCH,
@@ -516,7 +651,8 @@ def acid_write(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     new_entries = _write_data_files(
-        spark, df, table_root, tuple(partition_by), tuple(stats_cols)
+        spark, df, table_root, tuple(partition_by), tuple(stats_cols),
+        bloom_cols=tuple(bloom_cols),
     )
     for _ in range(max_retries):
         base_v = latest_version(table_root, branch)
@@ -549,6 +685,7 @@ def acid_upsert(
     key: tuple[str, ...],
     partition_by: tuple[str, ...] = (),
     stats_cols: tuple[str, ...] = (),
+    bloom_cols: tuple[str, ...] = (),
     max_retries: int = 10,
     branch: str = MAIN_BRANCH,
 ) -> int:
@@ -645,8 +782,15 @@ def acid_upsert(
                     df_new, list(key), order=None, keep="last"
                 )
 
+        # forward-carry: rewritten files keep the bloom index the base
+        # manifest recorded even when the caller doesn't re-state it
+        bloom_eff = tuple(sorted(
+            set(bloom_cols)
+            | set(_bloom_cols_of(base["files"]) if base_v else ())
+        ))
         new_entries = _write_data_files(
-            spark, merged, table_root, partition_by, tuple(stats_cols)
+            spark, merged, table_root, partition_by, tuple(stats_cols),
+            bloom_cols=bloom_eff,
         )
         _stamp_seq(new_entries, base_v + 1)
         dels = _live_deletes(keep_files, base_dels) if base_v else []
@@ -802,7 +946,8 @@ def acid_compact(
             else:
                 part_df = part_df.coalesce(want)
             wrote = _write_data_files(
-                spark, part_df, table_root, partition_by, stats_cols
+                spark, part_df, table_root, partition_by, stats_cols,
+                bloom_cols=_bloom_cols_of(base["files"]),
             )
             if sum(w["rows"] for w in wrote) != expected:
                 _remove_entries(table_root, wrote + new_entries)
@@ -1405,7 +1550,8 @@ def acid_delete(
             spark, data_root, base, entries=rewrite
         ).where(~pred)
         wrote = _write_data_files(
-            spark, kept_df, table_root, partition_by, stats_cols
+            spark, kept_df, table_root, partition_by, stats_cols,
+            bloom_cols=_bloom_cols_of(data),
         )
         # with pending MoR deletes this also counts their purged rows —
         # committing such a "delete" is semantically a no-op plus purge

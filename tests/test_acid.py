@@ -1483,3 +1483,127 @@ def test_concurrent_mixed_ops_stress(spark, tmp_path):
         for entry in _load_manifest(root, v)["files"]:
             assert os.path.exists(os.path.join(droot, entry["path"])), (
                 "post-vacuum dangling ref", v, entry["path"])
+
+
+# ---------------------------------------------------------------- bloom skip
+
+def _bloom_table(spark, tmp_path, n_users=200, parts=4):
+    """4-partition table, 50 distinct user_ids per partition — bounded
+    fill (~6% of a 4096-bit bitmap) so an absent-value probe skipping
+    EVERY file is the overwhelmingly-expected deterministic outcome."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "bloomtab")
+    df = (
+        spark.range(n_users * 10)
+        .select(
+            (F.col("id") % n_users).alias("user_id"),
+            (F.col("id") % parts).cast("string").alias("p"),
+            (F.col("id") * 7 % 1000).alias("v"),
+        )
+    )
+    acid_write(spark, df, root, partition_by=("p",),
+               bloom_cols=("user_id",))
+    return root, df
+
+
+def test_bloom_point_skip_no_false_negatives(spark, tmp_path):
+    """The writer hashes EVERY non-null value of a file, so a point read
+    through the bloom can never lose rows — for any present value the
+    filtered result equals the unpruned filtered result."""
+    from pyspark.sql import functions as F
+
+    root, df = _bloom_table(spark, tmp_path)
+    for uid in (0, 7, 63, 123, 199):
+        want = df.where(F.col("user_id") == uid).count()
+        got = (
+            acid_read(spark, root, point_filter={"user_id": uid})
+            .where(F.col("user_id") == uid).count()
+        )
+        assert got == want and want > 0
+
+
+def test_bloom_point_skip_prunes_files(spark, tmp_path):
+    """An absent value's probe positions miss every file's bitmap (fill
+    ~6%, k=5 → false-positive odds ~1e-6 per file; the hash is fixed, so
+    this is deterministic, not flaky) — the file LIST shrinks to zero
+    where min/max stats (user_id spans every file) could never prune."""
+    from backtest_crew_datalake_spark.sources.acid import (
+        _bloom_prune, _data_entries, _load_manifest,
+    )
+
+    root, _ = _bloom_table(spark, tmp_path)
+    m = _load_manifest(root, latest_version(root))
+    entries = _data_entries(m["files"])
+    assert all("bloom_user_id" in e for e in entries)
+    kept = _bloom_prune(spark, entries, {"user_id": 987654})
+    assert kept == []
+    # ...and the public read returns an EMPTY frame with the right schema
+    got = acid_read(spark, root, point_filter={"user_id": 987654})
+    assert got.count() == 0
+    assert "user_id" in got.columns
+    # a needle WITHIN every file's [min, max] range — where min/max
+    # stats are useless by construction — still keeps only via bloom:
+    kept_in_range = _bloom_prune(spark, entries, {"user_id": 150})
+    assert kept_in_range  # present value keeps its files
+
+
+def test_bloom_forward_carry_through_upsert_and_compact(spark, tmp_path):
+    """Rewrite paths re-derive bloom columns from the base manifest: an
+    upsert that doesn't re-state bloom_cols still records bitmaps on the
+    files it writes, and a new key becomes point-findable; compaction
+    keeps the index too."""
+    from pyspark.sql import functions as F
+    from backtest_crew_datalake_spark.sources.acid import (
+        _data_entries, _load_manifest, acid_compact,
+    )
+
+    root, _ = _bloom_table(spark, tmp_path)
+    upd = spark.createDataFrame(
+        [(5000, "2", 1)], "user_id bigint, p string, v bigint"
+    )
+    acid_upsert(spark, upd, root, key=("user_id", "p", "v"),
+                partition_by=("p",))
+    m = _load_manifest(root, latest_version(root))
+    assert all("bloom_user_id" in e for e in _data_entries(m["files"]))
+    got = (
+        acid_read(spark, root, point_filter={"user_id": 5000})
+        .where(F.col("user_id") == 5000).count()
+    )
+    assert got == 1
+    # force fragmentation so the compaction rewrite actually runs
+    extra = spark.createDataFrame(
+        [(6000, str(p), 2) for p in range(4)],
+        "user_id bigint, p string, v bigint",
+    )
+    acid_write(spark, extra, root, partition_by=("p",))
+    assert acid_compact(spark, root) is not None
+    m2 = _load_manifest(root, latest_version(root))
+    assert all("bloom_user_id" in e for e in _data_entries(m2["files"]))
+    assert (
+        acid_read(spark, root, point_filter={"user_id": 6000})
+        .where(F.col("user_id") == 6000).count() == 4
+    )
+
+
+def test_bloom_null_handling(spark, tmp_path):
+    """All-null files record an all-zero bitmap (prunable by any value
+    probe); a NULL probe value is outside the bloom's domain and keeps
+    files."""
+    from backtest_crew_datalake_spark.sources.acid import (
+        _bloom_prune, _data_entries, _load_manifest,
+    )
+
+    root = str(tmp_path / "nulltab")
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "a"), (7, "b")],
+        "user_id bigint, p string",
+    )
+    acid_write(spark, df, root, partition_by=("p",),
+               bloom_cols=("user_id",))
+    m = _load_manifest(root, latest_version(root))
+    entries = _data_entries(m["files"])
+    kept = _bloom_prune(spark, entries, {"user_id": 7})
+    assert {e["partition"]["p"] for e in kept} == {"b"}
+    assert len(_bloom_prune(spark, entries, {"user_id": None})) \
+        == len(entries)
