@@ -118,6 +118,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_doc_loo_ablation",
     "q_acid_bloom_skip",
     "q_doc_quantile_norm",
+    "q_stream_resample_state",
     "q_stream_dedup_state",
     "q_stream_scd2_state",
     "q_stream_erasure_state",

@@ -3504,6 +3504,11 @@ def q_evt_attribution_shapley(spark, sf_dir):
             F.sum(F.when(F.col("conv"), 1).otherwise(0))
             .cast("bigint").alias("n_conv"),
         )
+        # <=15 coalition rows feed THREE consumers (v, phi's double join,
+        # reach) — pin them once so the per-user window+agg scans events
+        # exactly once (the ivfpq codebook localCheckpoint discipline;
+        # without it the plan re-scans events per consumer)
+        .localCheckpoint()
     )
     masks = spark.range(16).select(F.col("id").cast("int").alias("mask"))
     v = (

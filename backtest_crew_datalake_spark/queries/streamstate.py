@@ -331,3 +331,110 @@ def q_stream_dedup_state(spark, sf_dir):
         F.min(F.unix_millis("ts")).cast("bigint").alias("min_ms"),
         F.max(F.unix_millis("ts")).cast("bigint").alias("max_ms"),
     )
+
+
+@register(
+    "q_stream_resample_state",
+    oracle="""
+    WITH sec AS (
+        SELECT event_type, date_trunc('second', ts) AS s,
+               CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT))
+                    AS BIGINT) AS c,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    h AS (
+        SELECT event_type, date_trunc('hour', s) AS bucket,
+               arg_min(c, s) AS open, MAX(c) AS high, MIN(c) AS low,
+               arg_max(c, s) AS close, SUM(n) AS volume
+        FROM sec GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(epoch_ms(bucket) AS BIGINT) AS bucket_ms,
+           CAST(open AS BIGINT) AS open, CAST(high AS BIGINT) AS high,
+           CAST(low AS BIGINT) AS low, CAST(close AS BIGINT) AS close,
+           CAST(volume AS BIGINT) AS volume
+    FROM h
+    """,
+)
+def q_stream_resample_state(spark, sf_dir):
+    """streaming_resample END STATE (A1's streaming face under the oracle
+    gate): per-second exact-cents bars derived from events (one row per
+    (type, second) — unique event times per group, so OHLC first/last
+    picks are fully deterministic) stream in as three ts-ordered
+    micro-batches through the watermarked tumbling H1 rollup into an
+    append-mode parquet sink — each bucket is emitted EXACTLY ONCE, when
+    the watermark passes its end. A '__wm' sentinel row far past the
+    corpus (excluded from the output, its own bucket legitimately never
+    emits) rides in the last batch so every real bucket closes — the
+    same sentinel discipline test_streaming_session_window pins. The
+    oracle recomputes the full OHLCV rollup relationally (arg_min /
+    arg_max over the unique per-second grid), so cross-batch bucket
+    assembly, the open/close pick, and append-mode exactly-once emission
+    all hash-gate. Citations: streaming/ingest.py:streaming_resample,
+    operators/resample.py:resample_ohlcv (the batch twin),
+    SURVEY §2.11."""
+    from ..streaming.ingest import streaming_resample
+
+    def build(base: str) -> str:
+        land = f"{base}/land"
+        out = f"{base}/out"
+        ck = f"{base}/ck"
+        evt = load(spark, sf_dir, "events")
+        cents = F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0) \
+            .cast("long")
+        sec = (
+            evt.groupBy(
+                "event_type", F.date_trunc("second", "ts").alias("ts")
+            )
+            .agg(F.sum(cents).cast("bigint").alias("c"),
+                 F.count("*").cast("bigint").alias("n"))
+        )
+        bars = sec.select(
+            "event_type", "ts",
+            F.col("c").alias("open"), F.col("c").alias("high"),
+            F.col("c").alias("low"), F.col("c").alias("close"),
+            F.col("n").alias("volume"),
+        )
+        mx = evt.agg(F.max("ts").alias("m")).first()["m"]
+        sentinel = spark.createDataFrame(
+            [("__wm", mx, 0, 0, 0, 0, 0)],
+            "event_type string, ts timestamp, open bigint, high bigint,"
+            " low bigint, close bigint, volume bigint",
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 DAYS"))
+        batches = _ts_batches(bars)
+        batches[-1] = batches[-1].unionByName(sentinel)
+        schema = ("event_type string, ts timestamp, open bigint,"
+                  " high bigint, low bigint, close bigint, volume bigint")
+        for b in batches:
+            b.coalesce(1).write.mode("append").parquet(land)
+            src = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1024)
+                .parquet(land)
+            )
+            q = (
+                streaming_resample(src, tf="H1", watermark="10 minutes",
+                                   by=("event_type",))
+                .writeStream.outputMode("append")
+                .format("parquet").option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return out
+
+    out = _once(spark, sf_dir, "resample", build)
+    return (
+        spark.read.parquet(out)
+        .where(F.col("event_type") != "__wm")
+        .select(
+            "event_type",
+            F.unix_millis("bucket").cast("bigint").alias("bucket_ms"),
+            F.col("open").cast("bigint").alias("open"),
+            F.col("high").cast("bigint").alias("high"),
+            F.col("low").cast("bigint").alias("low"),
+            F.col("close").cast("bigint").alias("close"),
+            F.col("volume").cast("bigint").alias("volume"),
+        )
+    )

@@ -609,3 +609,47 @@ def test_concurrency_sessionize_runs_once(spark):
     assert p.count("FileScan parquet") <= p.count("InMemoryRelation")
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_seasonality_single_data_exchange(spark):
+    """dow×hour seasonality: one hash exchange for the 168-cell agg; the
+    grand total rides a broadcast, never a second data-scale shuffle."""
+    p = _plan(spark, "q_evt_seasonality")
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    # the only hash exchanges are over the 168-cell aggregate state
+    # (cell agg + its 1-row rollup), never a join key over raw events
+    assert "SortMergeJoin" not in p
+
+
+def test_ab_test_single_pass_no_join(spark):
+    """The cohort split is a projection: no join, no window — one scan,
+    one agg exchange."""
+    p = _plan(spark, "q_evt_ab_test")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_shapley_data_scale_is_one_key(spark):
+    """Everything after the per-user window+agg is literal-range
+    arithmetic on broadcast tables — no shuffle keyed on anything but
+    user_id at data scale, no cartesian product."""
+    p = _plan(spark, "q_evt_attribution_shapley")
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange hashpartitioning(user_id") <= 2
+
+
+def test_collocations_marginals_over_count_table(spark):
+    """The bigram count groupBy is the only data-scale exchange; the
+    marginal windows re-key the vocab²-bounded count table."""
+    p = _plan(spark, "q_doc_collocations")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_quantile_norm_one_source_keyed_window(spark):
+    """Rank and per-source count share one source-keyed exchange; no
+    global (empty-key) sort of data."""
+    p = _plan(spark, "q_doc_quantile_norm")
+    assert p.count("Exchange hashpartitioning(source") == 1
+    assert "Exchange rangepartitioning" not in p
