@@ -4987,7 +4987,10 @@ def q_doc_quantile_norm(spark, sf_dir):
     wc = Window.partitionBy("source")
     r = t.select(
         "source", "n_tokens",
-        F.row_number().over(w).alias("rk"),
+        # row_number() is 32-bit; (rk-1)*1e6 overflows INT past ~2 147
+        # docs per source — widen BEFORE the multiply (caught at the
+        # 50x corpus, 250 k docs/source)
+        F.row_number().over(w).cast("bigint").alias("rk"),
         F.count("*").over(wc).cast("bigint").alias("ns"),
     )
     n = r.select(
