@@ -118,6 +118,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_doc_loo_ablation",
     "q_acid_bloom_skip",
     "q_doc_quantile_norm",
+    "q_evt_rolling_dau",
+    "q_doc_dup_triangles",
     "q_stream_resample_state",
     "q_stream_dedup_state",
     "q_stream_scd2_state",

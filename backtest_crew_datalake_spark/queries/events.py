@@ -3556,3 +3556,66 @@ def q_evt_attribution_shapley(spark, sf_dir):
              .alias("n_users_touched"))
     )
     return phi.join(reach, "channel")
+
+
+@register(
+    "q_evt_rolling_dau",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    wau AS (
+        SELECT days.d,
+               CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau_7
+        FROM days JOIN ud
+          ON ud.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+        GROUP BY 1
+    ),
+    dau AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+    )
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau_7,
+           CAST(dau.dau * 1000000 // wau.wau_7 AS BIGINT)
+               AS stickiness_micro
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def q_evt_rolling_dau(spark, sf_dir):
+    """ROLLING DISTINCT ACTIVES — DAU, trailing-7-day WAU, and the
+    DAU/WAU stickiness ratio per day (the engagement triple every
+    product-analytics warehouse computes; the hard part is that DISTINCT
+    is NOT additive across days, so no window-sum over daily counts is
+    correct): the corpus collapses to distinct (user, day) pairs once,
+    then each day joins the trailing week of pairs (fan-out bounded at
+    7x the pair count) and re-counts distinct users. Stickiness is an
+    exact integer micro-unit DIV.
+
+    Scale shape: one distinct shuffle to (user, day) grain — the ONLY
+    data-scale exchange; the trailing join keys days-to-days (|days|
+    rows broadcast against the pair table) and the re-count shuffles
+    the 7x pair fan-out, both O(|users| x 7 days), decoupled from raw
+    event volume. At extreme user counts the same trailing distinct
+    comes from merging 7 per-day HLL/theta sketches
+    (q_evt_hll_rollup's path); this query is the exact-answer twin."""
+    evt = load(spark, sf_dir, "events")
+    ud = evt.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    days = ud.select("d").distinct()
+    wau = (
+        days.alias("g")
+        .join(
+            ud.alias("u"),
+            F.expr("u.d BETWEEN g.d - INTERVAL 6 DAY AND g.d"),
+        )
+        .groupBy(F.col("g.d").alias("d"))
+        .agg(F.countDistinct("u.user_id").cast("bigint").alias("wau_7"))
+    )
+    dau = ud.groupBy("d").agg(F.count("*").cast("bigint").alias("dau"))
+    return dau.join(wau, "d").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "dau", "wau_7",
+        F.expr("CAST(dau * 1000000 DIV wau_7 AS BIGINT)")
+        .alias("stickiness_micro"),
+    )

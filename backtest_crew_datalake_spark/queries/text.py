@@ -5008,3 +5008,95 @@ def q_doc_quantile_norm(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
     )
+
+
+@register(
+    "q_doc_dup_triangles",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        FROM documents
+    ),
+    gp AS (
+        SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS pos
+        FROM t WHERE len(toks) >= 3
+    ),
+    g AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(toks[pos+1:pos+3], ' ')) AS h
+        FROM gp
+    ),
+    wm AS (
+        SELECT doc_id, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+        FROM g
+    ),
+    f AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= n_grams - 4),
+    rare AS (
+        SELECT fp FROM f GROUP BY fp HAVING COUNT(DISTINCT doc_id) <= 10
+    ),
+    fk AS (SELECT f.doc_id, f.fp FROM f JOIN rare USING (fp)),
+    edges AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    tri AS (
+        SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.id_a = e1.id_b
+        JOIN edges e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ),
+    m AS (
+        SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM m GROUP BY 1
+    """,
+)
+def q_doc_dup_triangles(spark, sf_dir):
+    """TRIANGLE COUNTING over the near-duplicate graph (the graph-
+    analytics step between pair extraction and cluster quality: a node's
+    triangle count is its local-clustering evidence — near-dup CLIQUES
+    triangulate densely, chains of borderline pairs don't, so this is
+    the signal that separates 'true duplicate group' from 'transitive
+    drift' before connected components merges them): the winnow-
+    fingerprint pair edges (q_doc_winnow_pairs semantics, df-capped
+    posting lists) oriented a<b, triangles enumerated by the canonical
+    two-join (e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c)) so each triangle counts
+    exactly once, then per-doc membership counts.
+
+    Scale shape: the edge table is pinned once (localCheckpoint — three
+    self-join consumers; a real dedup pipeline materializes its pair
+    table anyway) and the joins are keyed equi-joins on doc ids whose
+    fan-out is bounded by the df-cap that already bounds pair
+    generation; no cartesian anywhere. At billion-edge scale the same
+    plan runs with the standard degree-ordered orientation (orient each
+    edge low-degree → high-degree) — the a<b orientation here is its
+    id-ordered special case."""
+    e = (
+        q_doc_winnow_pairs(spark, sf_dir)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.expr("e2.id_a = e1.id_b"))
+        .join(e.alias("e3"),
+              F.expr("e3.id_a = e1.id_a AND e3.id_b = e2.id_b"))
+        .select(
+            F.col("e1.id_a").alias("a"),
+            F.col("e1.id_b").alias("b"),
+            F.col("e2.id_b").alias("c"),
+        )
+    )
+    m = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("doc_id")
+    )
+    return m.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
