@@ -103,6 +103,11 @@ class CommitConflict(RuntimeError):
     """Raised when optimistic commit retries are exhausted."""
 
 
+class ConstraintViolation(ValueError):
+    """Raised when a write would land rows that fail a table CHECK
+    constraint — nothing is committed, no data files are written."""
+
+
 def _acid_root(table_root: str) -> str:
     return os.path.join(table_root, "_acid")
 
@@ -366,6 +371,91 @@ def _stats_prune(entry: dict, stats_filter: dict | None) -> bool:
         if hi is not None and fmin > hi:
             return False
     return True
+
+
+def _constraints_path(table_root: str) -> str:
+    return os.path.join(_acid_root(table_root), "constraints.json")
+
+
+def acid_constraints(table_root: str) -> dict[str, str]:
+    """The table's CHECK constraints ({name: sql_expr}). Table-level
+    config, not snapshot state: like Delta table properties, constraint
+    changes apply from the moment they're set and are NOT versioned with
+    time travel (documented trade — the alternative threads a config
+    blob through every manifest writer)."""
+    try:
+        with open(_constraints_path(table_root)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return {}
+
+
+def acid_set_constraint(spark: SparkSession, table_root: str,
+                        name: str, expr: str) -> None:
+    """ADD CONSTRAINT name CHECK (expr) — Delta-style write-path data
+    quality. If the table already has data, the CURRENT snapshot is
+    scanned first and the add fails loudly on existing violations (the
+    `ALTER TABLE ADD CONSTRAINT` contract: a constraint that holds is
+    the only kind worth trusting). SQL NULL semantics: a row violates
+    only when the expression evaluates to FALSE — UNKNOWN (null)
+    passes, matching standard CHECK."""
+    if not name.isidentifier():
+        raise ValueError(f"constraint name must be an identifier: {name!r}")
+    if latest_version(table_root) > 0:
+        snap = acid_read(spark, table_root)
+        n_bad = snap.where(F.expr(f"NOT ({expr})")).count()
+        if n_bad:
+            raise ConstraintViolation(
+                f"cannot add constraint {name!r} to {table_root}: "
+                f"{n_bad} existing rows violate ({expr})"
+            )
+    cons = acid_constraints(table_root)
+    cons[name] = expr
+    os.makedirs(_acid_root(table_root), exist_ok=True)
+    tmp = _constraints_path(table_root) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(cons, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, _constraints_path(table_root))
+
+
+def acid_drop_constraint(table_root: str, name: str) -> None:
+    cons = acid_constraints(table_root)
+    if name not in cons:
+        raise KeyError(f"no constraint {name!r} on {table_root}")
+    del cons[name]
+    tmp = _constraints_path(table_root) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(cons, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, _constraints_path(table_root))
+
+
+def _validate_constraints(spark: SparkSession, df: DataFrame,
+                          table_root: str) -> None:
+    """Gate incoming rows against every table constraint in ONE
+    aggregation job (a per-constraint conditional sum — no per-constraint
+    pass); raises ConstraintViolation naming each failed constraint and
+    its violation count BEFORE any data file is written."""
+    cons = acid_constraints(table_root)
+    if not cons:
+        return
+    aggs = [
+        F.sum(F.when(F.expr(f"NOT ({e})"), 1).otherwise(0))
+        .alias(f"__c_{n}")
+        for n, e in cons.items()
+    ]
+    row = df.agg(*aggs).first()
+    bad = {n: row[f"__c_{n}"] for n in cons if row[f"__c_{n}"]}
+    if bad:
+        detail = ", ".join(
+            f"{n} CHECK ({cons[n]}): {c} rows" for n, c in bad.items()
+        )
+        raise ConstraintViolation(
+            f"write to {table_root} rejected — {detail}"
+        )
 
 
 def _bloom_cols_of(entries: list[dict]) -> tuple[str, ...]:
@@ -650,6 +740,7 @@ def acid_write(
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    _validate_constraints(spark, df, table_root)
     new_entries = _write_data_files(
         spark, df, table_root, tuple(partition_by), tuple(stats_cols),
         bloom_cols=tuple(bloom_cols),
@@ -709,6 +800,10 @@ def acid_upsert(
     partition_by = tuple(partition_by)
     key = tuple(key)
     prio = "__acid_upsert_priority"
+    # the NEW rows are gated (Delta's contract — existing rows were
+    # gated by their own writes); merged rewrites of old rows can't
+    # introduce violations
+    _validate_constraints(spark, df_new, table_root)
     for _ in range(max_retries):
         base_v = latest_version(table_root, branch)
         if partition_by:

@@ -1607,3 +1607,80 @@ def test_bloom_null_handling(spark, tmp_path):
     assert {e["partition"]["p"] for e in kept} == {"b"}
     assert len(_bloom_prune(spark, entries, {"user_id": None})) \
         == len(entries)
+
+
+# ----------------------------------------------------------- constraints
+
+def test_constraint_rejects_bad_write_atomically(spark, tmp_path):
+    """A violating write raises BEFORE any file lands: version unchanged,
+    snapshot unchanged, error names the constraint and counts rows."""
+    from backtest_crew_datalake_spark.sources.acid import (
+        ConstraintViolation, acid_set_constraint,
+    )
+
+    root = str(tmp_path / "c1")
+    acid_write(spark, _mk(spark, [("A", "d1", 1, 10.0)]), root,
+               partition_by=PARTS)
+    acid_set_constraint(spark, root, "px_positive", "px > 0")
+    v1 = latest_version(root)
+    with pytest.raises(ConstraintViolation, match="px_positive.*2 rows"):
+        acid_write(
+            spark,
+            _mk(spark, [("A", "d1", 2, -1.0), ("A", "d1", 3, -2.0),
+                        ("A", "d1", 4, 5.0)]),
+            root, partition_by=PARTS,
+        )
+    assert latest_version(root) == v1
+    assert acid_read(spark, root).count() == 1
+    # the upsert path gates too
+    with pytest.raises(ConstraintViolation):
+        acid_upsert(spark, _mk(spark, [("A", "d1", 1, -9.0)]), root,
+                    key=KEY, partition_by=PARTS)
+    # good writes still pass
+    acid_upsert(spark, _mk(spark, [("A", "d1", 2, 7.0)]), root,
+                key=KEY, partition_by=PARTS)
+    assert acid_read(spark, root).count() == 2
+
+
+def test_constraint_add_scans_existing_and_drop_releases(spark, tmp_path):
+    from backtest_crew_datalake_spark.sources.acid import (
+        ConstraintViolation, acid_drop_constraint, acid_set_constraint,
+    )
+
+    root = str(tmp_path / "c2")
+    acid_write(spark, _mk(spark, [("A", "d1", 1, -5.0)]), root,
+               partition_by=PARTS)
+    # existing violation -> the ADD itself fails (ALTER TABLE contract)
+    with pytest.raises(ConstraintViolation, match="existing rows"):
+        acid_set_constraint(spark, root, "px_positive", "px > 0")
+    acid_set_constraint(spark, root, "px_floor", "px > -100")
+    with pytest.raises(ConstraintViolation):
+        acid_write(spark, _mk(spark, [("A", "d1", 2, -200.0)]), root,
+                   partition_by=PARTS)
+    acid_drop_constraint(root, "px_floor")
+    acid_write(spark, _mk(spark, [("A", "d1", 2, -200.0)]), root,
+               partition_by=PARTS)
+    assert acid_read(spark, root).count() == 2
+    with pytest.raises(KeyError):
+        acid_drop_constraint(root, "px_floor")
+
+
+def test_constraint_null_semantics_standard_check(spark, tmp_path):
+    """UNKNOWN (null) passes CHECK — only FALSE violates (SQL standard,
+    Delta's behavior). NOT NULL is expressed as an explicit constraint."""
+    from backtest_crew_datalake_spark.sources.acid import (
+        ConstraintViolation, acid_set_constraint,
+    )
+
+    root = str(tmp_path / "c3")
+    acid_write(spark, _mk(spark, [("A", "d1", 1, 1.0)]), root,
+               partition_by=PARTS)
+    acid_set_constraint(spark, root, "px_positive", "px > 0")
+    # null px -> CHECK is UNKNOWN -> passes
+    acid_write(spark, _mk(spark, [("A", "d1", 2, None)]), root,
+               partition_by=PARTS)
+    assert acid_read(spark, root).count() == 2
+    acid_set_constraint(spark, root, "ts_not_null", "ts IS NOT NULL")
+    with pytest.raises(ConstraintViolation, match="ts_not_null"):
+        acid_write(spark, _mk(spark, [("A", "d1", None, 3.0)]), root,
+                   partition_by=PARTS)
