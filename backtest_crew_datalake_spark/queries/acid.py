@@ -1145,3 +1145,190 @@ def q_acid_bloom_skip(spark, sf_dir):
             F.count("*").cast("bigint").alias("n_days"),
         )
     )
+
+
+_JOINMV_MEMO: dict[tuple[str, str], str] = {}
+
+
+@register(
+    "q_acid_incremental_join_mv",
+    oracle=f"""
+    WITH b1 AS (
+        SELECT user_id, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events WHERE ts < TIMESTAMP '{_B1_CUT}'
+        GROUP BY 1, 2
+    ),
+    b2 AS (
+        SELECT user_id, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events
+        WHERE ts >= TIMESTAMP '{_B2_FROM}'
+          AND event_type IN {_B2_TYPES!r}
+        GROUP BY 1, 2
+    ),
+    f2 AS (
+        SELECT COALESCE(b2.user_id, b1.user_id) AS user_id,
+               COALESCE(b2.event_type, b1.event_type) AS event_type,
+               COALESCE(b2.n_events, b1.n_events) AS n_events,
+               COALESCE(b2.cents, b1.cents) AS cents
+        FROM b1 FULL OUTER JOIN b2
+          ON b1.user_id = b2.user_id AND b1.event_type = b2.event_type
+    ),
+    u AS (SELECT DISTINCT user_id FROM events),
+    d2 AS (
+        SELECT user_id,
+               CASE WHEN user_id % 3 = 0 THEN 'moved'
+                    WHEN user_id % 4 < 2 THEN 'low'
+                    ELSE 'high' END AS tier
+        FROM u
+    )
+    SELECT tier, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n_events) AS BIGINT) AS total_events,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM f2 JOIN d2 USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_acid_incremental_join_mv(spark, sf_dir):
+    """Incremental maintenance of a JOIN materialized view — the
+    Materialize/DBSP delta rule lifted onto the lakehouse CDF, and the
+    step past q_acid_incremental_mv's single-table aggregate: the MV is
+    fact ⋈ dim → per-(tier, event_type) rollup, and BOTH tables change
+    between v1 and v2 (the fact takes an overlapping keyed upsert, the
+    dimension re-tiers a third of its users). The advance applies the
+    bilinear identity  F2⋈D2 − F1⋈D1 = ΔF⋈D1 + F2⋈ΔD  — the fact delta
+    joins the dim AS OF v1, the signed dim delta (update pre-images −1,
+    post-images +1) joins the fact AS OF v2; neither side is ever
+    re-joined in full. Content-equal dim rewrites emit cancelling ±
+    image pairs, so the fold is correct whether or not the CDF
+    suppresses them. Groups whose key count nets to zero are dropped —
+    a full recompute never emits them. The oracle IS the full recompute
+    over the merged end state, so the hash proves
+    incremental(MV1, cdf_F, cdf_D) == full(F2 ⋈ D2) exactly, integer
+    cents end to end.
+
+    Scale shape: MV1 reads snapshot v1 once (memoized build); each delta
+    aggregation reads only the files its commit churned (manifest-level
+    diff inside acid_changes); the folds are keyed joins on user_id and
+    the final merge is a |tiers × types|-row full-outer chain.
+    Citations: sources/acid.py:acid_changes, queries/acid.py:
+    q_acid_incremental_mv (the single-table base case)."""
+    from ..sources.acid import acid_changes, acid_read, acid_upsert, \
+        acid_write
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    base = _JOINMV_MEMO.get(memo_key)
+    if base is None:
+        base = tempfile.mkdtemp(prefix="acid_joinmv_")
+        e = load(spark, sf_dir, "events")
+        cents = F.sum(
+            F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0)
+            .cast("bigint")
+        ).cast("bigint")
+
+        def agg(df):
+            return df.groupBy("user_id", "event_type").agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                cents.alias("cents"),
+            )
+
+        b1 = agg(e.where(F.col("ts") < F.lit(_B1_CUT).cast("timestamp")))
+        b2 = agg(
+            e.where(
+                (F.col("ts") >= F.lit(_B2_FROM).cast("timestamp"))
+                & F.col("event_type").isin(*_B2_TYPES)
+            )
+        )
+        acid_write(spark, b1, f"{base}/fact")
+        acid_upsert(spark, b2, f"{base}/fact",
+                    key=("user_id", "event_type"))
+        tier1 = (
+            F.when(F.col("user_id") % 4 < 2, "low").otherwise("high")
+        )
+        users = e.select("user_id").distinct()
+        acid_write(spark, users.select("user_id", tier1.alias("tier")),
+                   f"{base}/dim")
+        moved = users.where(F.col("user_id") % 3 == 0).select(
+            "user_id", F.lit("moved").alias("tier")
+        )
+        acid_upsert(spark, moved, f"{base}/dim", key=("user_id",))
+        _JOINMV_MEMO[memo_key] = base
+
+    fact, dim = f"{base}/fact", f"{base}/dim"
+    d1 = acid_read(spark, dim, version=1).select("user_id", "tier")
+    f2 = acid_read(spark, fact, version=2)
+
+    mv1 = (
+        acid_read(spark, fact, version=1)
+        .join(d1, "user_id")
+        .groupBy("tier", "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("n_events").cast("bigint").alias("total_events"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+    )
+
+    sign = (
+        F.when(F.col("_change_type").isin("insert", "update_postimage"), 1)
+        .otherwise(-1)
+        .cast("bigint")
+    )
+    key_delta = (
+        F.when(F.col("_change_type") == "insert", 1)
+        .when(F.col("_change_type") == "delete", -1)
+        .otherwise(0)
+        .cast("bigint")
+    )
+    # ΔF ⋈ D@v1
+    df_fold = (
+        acid_changes(spark, fact, from_version=1, to_version=2,
+                     key=("user_id", "event_type"))
+        .join(d1, "user_id")
+        .groupBy("tier", "event_type")
+        .agg(
+            F.sum(key_delta).alias("d_keys"),
+            F.sum(sign * F.col("n_events")).alias("d_events"),
+            F.sum(sign * F.col("cents")).alias("d_cents"),
+        )
+    )
+    # F@v2 ⋈ ΔD (signed tier images move the user's v2 contribution)
+    dd_fold = (
+        acid_changes(spark, dim, from_version=1, to_version=2,
+                     key=("user_id",))
+        .select("user_id", "tier", sign.alias("s"))
+        .join(f2.select("user_id", "event_type", "n_events", "cents"),
+              "user_id")
+        .groupBy("tier", "event_type")
+        .agg(
+            F.sum("s").cast("bigint").alias("d_keys"),
+            F.sum(F.col("s") * F.col("n_events")).alias("d_events"),
+            F.sum(F.col("s") * F.col("cents")).alias("d_cents"),
+        )
+    )
+
+    zero = F.lit(0).cast("bigint")
+
+    def fold(mv, delta):
+        return (
+            mv.join(delta, ["tier", "event_type"], "full_outer")
+            .select(
+                "tier", "event_type",
+                (F.coalesce("n_keys", zero) + F.coalesce("d_keys", zero))
+                .cast("bigint").alias("n_keys"),
+                (F.coalesce("total_events", zero)
+                 + F.coalesce("d_events", zero))
+                .cast("bigint").alias("total_events"),
+                (F.coalesce("total_cents", zero)
+                 + F.coalesce("d_cents", zero))
+                .cast("bigint").alias("total_cents"),
+            )
+        )
+
+    return fold(fold(mv1, df_fold), dd_fold).where(F.col("n_keys") > 0)
