@@ -1063,3 +1063,43 @@ def test_streaming_scd2_matches_batch_and_replay(spark, tmp_path):
     streaming_scd2(spark, src, root, str(tmp_path / "ck2"), schema,
                    key=("user_id",), attrs=("tier",))
     assert snap(acid_read(spark, root)) == want
+
+
+def test_streaming_upsert_rejects_constraint_violations(spark, tmp_path):
+    """Write-path CHECK constraints compose with the streaming MERGE: a
+    micro-batch with violating rows fails the stream LOUDLY before any
+    file lands — the table stays at its pre-batch snapshot and a clean
+    batch afterwards still goes through (data quality as a gate, not a
+    silent filter)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from backtest_crew_datalake_spark.sources.acid import (
+        acid_read, acid_set_constraint, acid_write, latest_version,
+    )
+    from backtest_crew_datalake_spark.streaming.ingest import (
+        streaming_acid_upsert,
+    )
+
+    land = str(tmp_path / "land")
+    table = str(tmp_path / "tab")
+    schema = "k bigint, v double"
+    acid_write(spark, spark.createDataFrame([(1, 1.0)], schema), table)
+    acid_set_constraint(spark, table, "v_positive", "v > 0")
+    v0 = latest_version(table)
+
+    spark.createDataFrame([(2, 2.0), (3, -3.0)], schema) \
+        .coalesce(1).write.mode("append").parquet(land)
+    with pytest.raises(StreamingQueryException, match="v_positive"):
+        streaming_acid_upsert(spark, land, table, str(tmp_path / "ck1"),
+                              schema, key=("k",))
+    assert latest_version(table) == v0
+    assert acid_read(spark, table).count() == 1
+
+    # a clean landing + fresh checkpoint proceeds
+    land2 = str(tmp_path / "land2")
+    spark.createDataFrame([(2, 2.0)], schema) \
+        .coalesce(1).write.mode("append").parquet(land2)
+    streaming_acid_upsert(spark, land2, table, str(tmp_path / "ck2"),
+                          schema, key=("k",))
+    assert acid_read(spark, table).count() == 2
