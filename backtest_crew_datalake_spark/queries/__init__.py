@@ -120,6 +120,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_acid_incremental_join_mv",
     "q_doc_quantile_norm",
     "q_evt_rolling_dau",
+    "q_evt_cohort_ltv",
     "q_doc_dup_triangles",
     "q_stream_resample_state",
     "q_stream_dedup_state",

@@ -3619,3 +3619,77 @@ def q_evt_rolling_dau(spark, sf_dir):
         F.expr("CAST(dau * 1000000 DIV wau_7 AS BIGINT)")
         .alias("stickiness_micro"),
     )
+
+
+@register(
+    "q_evt_cohort_ltv",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS c0 FROM events GROUP BY 1
+    ),
+    a AS (
+        SELECT e.user_id,
+               strftime(date_trunc('week', f.c0), '%Y-%m-%d') AS cohort,
+               date_diff('day', f.c0, CAST(e.ts AS DATE)) // 7 AS age_weeks,
+               CASE WHEN e.event_type = 'purchase'
+                    THEN CAST(ROUND(COALESCE(e.value, 0) * 100) AS BIGINT)
+                    ELSE 0 END AS cents
+        FROM events e JOIN f USING (user_id)
+    ),
+    g AS (
+        SELECT cohort, CAST(age_weeks AS BIGINT) AS age_weeks,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active,
+               CAST(SUM(cents) AS BIGINT) AS rev_cents
+        FROM a GROUP BY 1, 2
+    )
+    SELECT cohort, age_weeks, n_active, rev_cents,
+           CAST(SUM(rev_cents) OVER (
+               PARTITION BY cohort ORDER BY age_weeks
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+    FROM g
+    """,
+)
+def q_evt_cohort_ltv(spark, sf_dir):
+    """COHORT LTV TRIANGLE — cumulative purchase revenue by signup cohort
+    and account age (the lifetime-value curve every growth team reads
+    next to q_evt_retention's activity triangle): each user anchors at
+    their first event date, ages in whole weeks from that anchor
+    (integer floor-div of day difference — no calendar-week boundary
+    ambiguity), cohort label = the ISO week (Monday) of the anchor,
+    identical in Spark's date_trunc('week') and DuckDB's; revenue rides
+    as exact cents, and the LTV curve is a cumulative window over the
+    (cohort, age) AGGREGATE — state, never data.
+
+    Scale shape: one per-user min (map-side combinable), one keyed join
+    back (user_id — same key, AQE-reusable exchange), one rollup to the
+    |cohorts|x|ages| triangle, one window over that state. No global
+    sort, no data-scale window."""
+    from pyspark.sql import Window
+
+    evt = load(spark, sf_dir, "events")
+    f = evt.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("c0"))
+    cents = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0)
+        .cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    a = evt.join(f, "user_id").select(
+        "user_id",
+        F.date_format(F.date_trunc("week", "c0"), "yyyy-MM-dd")
+        .alias("cohort"),
+        F.floor(F.datediff(F.to_date("ts"), F.col("c0")) / 7)
+        .cast("bigint").alias("age_weeks"),
+        cents.alias("cents"),
+    )
+    g = a.groupBy("cohort", "age_weeks").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_active"),
+        F.sum("cents").cast("bigint").alias("rev_cents"),
+    )
+    w = (
+        Window.partitionBy("cohort").orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        "cohort", "age_weeks", "n_active", "rev_cents",
+        F.sum("rev_cents").over(w).cast("bigint").alias("cum_rev_cents"),
+    )
