@@ -113,6 +113,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_evt_benford",
     "q_evt_seasonality",
     "q_doc_collocations",
+    "q_doc_rake_keywords",
     "q_doc_readability",
     "q_emb_split_drift",
     "q_doc_loo_ablation",

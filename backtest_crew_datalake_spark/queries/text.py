@@ -5100,3 +5100,117 @@ def q_doc_dup_triangles(spark, sf_dir):
     return m.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_triangles")
     )
+
+
+@register(
+    "q_doc_rake_keywords",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, i + 1 AS pos, toks[i + 1] AS w
+        FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM t)
+    ),
+    ns AS (
+        SELECT doc_id, pos, w,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS grp
+        FROM tok WHERE NOT list_contains({_STOP_EN_SQL}, w)
+    ),
+    runs AS (
+        SELECT doc_id, grp,
+               CAST(COUNT(*) AS BIGINT) AS run_len
+        FROM ns GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT ns.doc_id, ns.grp, ns.pos, ns.w, runs.run_len
+        FROM ns JOIN runs USING (doc_id, grp)
+        WHERE runs.run_len <= 4
+    ),
+    ws AS (
+        SELECT w,
+               CAST(SUM(run_len) * 1000000 // COUNT(*) AS BIGINT)
+                   AS w_score_micro
+        FROM cand GROUP BY 1
+    ),
+    ph AS (
+        SELECT cand.doc_id, cand.grp,
+               string_agg(cand.w, ' ' ORDER BY cand.pos) AS phrase,
+               CAST(SUM(ws.w_score_micro) AS BIGINT) AS score_micro
+        FROM cand JOIN ws USING (w)
+        GROUP BY 1, 2
+    )
+    SELECT phrase,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(score_micro) AS BIGINT) AS score_micro
+    FROM ph GROUP BY 1
+    ORDER BY score_micro DESC, phrase
+    LIMIT 15
+    """,
+)
+def q_doc_rake_keywords(spark, sf_dir):
+    """RAKE KEYWORD EXTRACTION (Rose et al. 2010 — the unsupervised
+    keyphrase baseline): candidate phrases are maximal stopword-free
+    token runs (capped at 4 words — the cap that bounds every downstream
+    fan-out), carved out with the gaps-and-islands grouping
+    pos − row_number() that operators/gaps.py uses for event runs; each
+    word's corpus score is deg/freq as the exact integer
+    Σ(run_len)·1e6 DIV count (deg counts phrase-length co-occurrence
+    mass, RAKE's definition), a phrase scores the sum of its members'
+    integer scores — identical across occurrences BY CONSTRUCTION
+    (corpus-level word scores), which MIN(score) per phrase asserts
+    through the hash gate; top 15 under the deterministic
+    (score, phrase) order. Phrase assembly sorts collected (pos, word)
+    structs — collect_list order is not a contract Spark honors.
+
+    Scale shape: doc-keyed window for the island grouping, word-keyed
+    agg for scores, word-keyed join back (posting-list sized), phrase
+    rollup; every exchange is keyed by doc, word, or phrase — no global
+    sort until the 15-row top-k over the phrase TABLE."""
+    from pyspark.sql import Window
+
+    stop = LANG_STOPWORDS["en"]
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    tok = (
+        d.select("doc_id", F.posexplode(toks).alias("i", "w"))
+        .select("doc_id", (F.col("i") + 1).alias("pos"), "w")
+    )
+    ns = tok.where(~F.col("w").isin(*stop)).withColumn(
+        "grp",
+        F.col("pos") - F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("pos")
+        ),
+    )
+    runs = ns.groupBy("doc_id", "grp").agg(
+        F.count("*").cast("bigint").alias("run_len")
+    )
+    cand = ns.join(runs, ["doc_id", "grp"]).where(F.col("run_len") <= 4)
+    ws = cand.groupBy("w").agg(
+        F.expr("CAST(SUM(run_len) * 1000000 DIV COUNT(*) AS BIGINT)")
+        .alias("w_score_micro")
+    )
+    ph = (
+        cand.join(ws, "w")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list("
+                       "struct(pos, w))), x -> x.w)"),
+                " ",
+            ).alias("phrase"),
+            F.sum("w_score_micro").cast("bigint").alias("score_micro"),
+        )
+    )
+    return (
+        ph.groupBy("phrase")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.min("score_micro").cast("bigint").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), "phrase")
+        .limit(15)
+    )
