@@ -118,6 +118,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_emb_split_drift",
     "q_doc_loo_ablation",
     "q_acid_bloom_skip",
+    "q_acid_clone_divergence",
     "q_acid_incremental_join_mv",
     "q_doc_quantile_norm",
     "q_evt_rolling_dau",

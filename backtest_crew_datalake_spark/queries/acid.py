@@ -1332,3 +1332,82 @@ def q_acid_incremental_join_mv(spark, sf_dir):
         )
 
     return fold(fold(mv1, df_fold), dd_fold).where(F.col("n_keys") > 0)
+
+
+_CLONE_MEMO: dict[tuple[str, str], str] = {}
+
+
+@register(
+    "q_acid_clone_divergence",
+    oracle=f"""
+    WITH {_BATCHES_SQL},
+    src AS (
+        SELECT COALESCE(b2.user_id, b1.user_id) AS user_id,
+               COALESCE(b2.event_type, b1.event_type) AS event_type,
+               COALESCE(b2.n_events, b1.n_events) AS n_events
+        FROM b1 FULL OUTER JOIN b2
+          ON b1.user_id = b2.user_id AND b1.event_type = b2.event_type
+    ),
+    b2c AS (SELECT * FROM b2 WHERE event_type = 'click'),
+    cl AS (
+        SELECT COALESCE(b2c.user_id, b1.user_id) AS user_id,
+               COALESCE(b2c.event_type, b1.event_type) AS event_type,
+               COALESCE(b2c.n_events, b1.n_events) AS n_events
+        FROM b1 FULL OUTER JOIN b2c
+          ON b1.user_id = b2c.user_id AND b1.event_type = b2c.event_type
+    ),
+    lab AS (
+        SELECT 'src' AS stage, event_type, n_events FROM src
+        UNION ALL
+        SELECT 'clone' AS stage, event_type, n_events FROM cl
+    )
+    SELECT stage, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n_events) AS BIGINT) AS total_events
+    FROM lab GROUP BY 1, 2
+    """,
+)
+def q_acid_clone_divergence(spark, sf_dir):
+    """SHALLOW-CLONE divergence under the oracle gate: the shared ACID
+    table is cloned AS OF v1 (zero copy — the clone's first manifest
+    references the source's batch-1 files in place, absolute paths into
+    the source's hive tree), then the clone takes its OWN keyed upsert
+    (batch 2 restricted to clicks) while the source already carries the
+    full batch-2 merge. Both end states are read back and labeled; the
+    oracle recomputes each relationally — so the gate proves (a) the
+    clone froze at the cloned snapshot (no leakage from the source's
+    later commit), (b) the clone's divergent merge applied over
+    INHERITED files exactly as over owned ones, and (c) the source is
+    untouched by the clone's write. Citations: sources/acid.py:
+    acid_clone (ownership contract in its docstring), _read_entries
+    (per-(spec, base) scan groups for inherited absolute paths)."""
+    from ..sources.acid import acid_clone, acid_read, acid_upsert
+
+    root = _acid_table(spark, sf_dir)
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    clone = _CLONE_MEMO.get(memo_key)
+    if clone is None:
+        clone = tempfile.mkdtemp(prefix="acid_clone_") + "/t"
+        acid_clone(spark, root, clone, version=1)
+        e = load(spark, sf_dir, "events")
+        b2c = _agg(
+            e.where(
+                (F.col("ts") >= F.lit(_B2_FROM).cast("timestamp"))
+                & (F.col("event_type") == "click")
+            )
+        )
+        acid_upsert(spark, b2c, clone, key=_KEY,
+                    partition_by=("event_type",))
+        _CLONE_MEMO[memo_key] = clone
+    lab = (
+        acid_read(spark, root).select(
+            F.lit("src").alias("stage"), "event_type", "n_events")
+        .unionByName(
+            acid_read(spark, clone).select(
+                F.lit("clone").alias("stage"), "event_type", "n_events")
+        )
+    )
+    return lab.groupBy("stage", "event_type").agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("n_events").cast("bigint").alias("total_events"),
+    )

@@ -615,12 +615,24 @@ def _read_entries(spark, data_root, entries, schema_ddl):
     did, null where the file predates additive evolution."""
     by_spec: dict[tuple, list] = {}
     for e in entries:
+        p = e["path"]
+        if os.path.isabs(p):
+            # INHERITED file (shallow clone): it lives under the SOURCE
+            # table's hive tree — its basePath is the abs path minus the
+            # partition dirs + filename, recoverable from the entry's own
+            # partition spec
+            base = p
+            for _ in range(len(e.get("partition", {})) + 1):
+                base = os.path.dirname(base)
+            full = p
+        else:
+            base, full = data_root, os.path.join(data_root, p)
         by_spec.setdefault(
-            tuple(e.get("partition", {}).keys()), []
-        ).append(os.path.join(data_root, e["path"]))
+            (tuple(e.get("partition", {}).keys()), base), []
+        ).append(full)
     out = None
-    for paths in by_spec.values():
-        reader = spark.read.option("basePath", data_root)
+    for (_spec, base), paths in by_spec.items():
+        reader = spark.read.option("basePath", base)
         if schema_ddl:
             # pin the committed schema: uncompacted historic files stay
             # readable after additive evolution (missing columns -> null)
@@ -1568,15 +1580,76 @@ def _remove_entries(table_root: str, entries: list[dict]) -> None:
             pass
 
 
-def _uri_to_rel(uri: str, data_root: str) -> str:
-    """input_file_name() URI → manifest-relative path (strip scheme,
+def _uri_to_local(uri: str) -> str:
+    """input_file_name() URI → absolute local path (strip scheme,
     percent-decode — hive-escaped dirs are re-encoded by the URI layer)."""
     src = urllib.parse.unquote(uri)
     if src.startswith("file:"):
         src = src[len("file:"):]
         while src.startswith("//"):
             src = src[1:]
-    return os.path.relpath(src, data_root)
+    return src
+
+
+def _uri_to_rel(uri: str, data_root: str) -> str:
+    """input_file_name() URI → manifest-relative path."""
+    return os.path.relpath(_uri_to_local(uri), data_root)
+
+
+def acid_clone(spark: SparkSession, src_root: str, dst_root: str,
+               version: int | None = None, tag: str | None = None) -> int:
+    """ZERO-COPY SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE` /
+    Iceberg snapshot-ref export): the clone's v1 manifest references the
+    SOURCE snapshot's data files IN PLACE (inherited entries carry
+    absolute paths into the source's hive tree — no bytes move, cloning
+    a 100 TB table is one metadata write); every commit on the clone
+    after that (upsert, delete, compact) writes its OWN files under the
+    clone's data root and simply drops inherited entries it replaces.
+    Constraints are copied as of clone time (table-level config).
+
+    Ownership contract (the documented Delta-shallow-clone trade):
+    - the clone's vacuum walks only ITS data root, so inherited files
+      are never deleted by the clone (sources/acid.acid_vacuum);
+    - the SOURCE's vacuum does not know about clones — vacuuming the
+      source past the cloned snapshot severs the clone's inherited
+      files. Pin the source snapshot with a tag (retention pin) for as
+      long as clones reference it.
+    """
+    if sum(x is not None for x in (version, tag)) > 1:
+        raise ValueError("version and tag are mutually exclusive")
+    if tag is not None:
+        version = resolve_tag(src_root, tag)
+    v = latest_version(src_root) if version is None else version
+    if v == 0:
+        raise FileNotFoundError(f"ACID table {src_root} has no commits")
+    if latest_version(dst_root) > 0:
+        raise FileExistsError(f"ACID table {dst_root} already exists")
+    m = _load_manifest(src_root, v)
+    src_data = os.path.abspath(_data_root(src_root))
+    files = []
+    for e in m["files"]:
+        e2 = dict(e)
+        if not os.path.isabs(e2["path"]):
+            e2["path"] = os.path.join(src_data, e2["path"])
+        files.append(e2)
+    manifest = _new_manifest(
+        0, "clone", files, tuple(m.get("partition_by", ())),
+        m["schema_ddl"],
+    )
+    manifest["cloned_from"] = {"table": os.path.abspath(src_root),
+                               "version": v}
+    if not _commit_manifest(dst_root, 1, manifest):
+        raise FileExistsError(f"ACID table {dst_root} already exists")
+    cons = acid_constraints(src_root)
+    if cons:
+        os.makedirs(_acid_root(dst_root), exist_ok=True)
+        tmp = _constraints_path(dst_root) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(cons, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, _constraints_path(dst_root))
+    return 1
 
 
 def acid_delete(
@@ -1628,14 +1701,22 @@ def acid_delete(
         )
         if not hit_rows:
             return None
-        hit = {_uri_to_rel(r["__p"], data_root) for r in hit_rows}
+        # match by rel path for own files, abs path for clone-inherited
+        # entries (relpath against OUR data root would mangle those)
+        hit = {_uri_to_rel(r["__p"], data_root) for r in hit_rows} \
+            | {_uri_to_local(r["__p"]) for r in hit_rows}
         rewrite = [e for e in data if e["path"] in hit]
-        if len(rewrite) != len(hit):
+        if len(rewrite) != len(hit_rows):
             raise RuntimeError(
                 f"delete on {table_root}: matched files not in manifest "
                 f"v{base_v} — reader/manifest drift, nothing committed"
             )
         keep = [e for e in data if e["path"] not in hit]
+        if len(keep) + len(rewrite) != len(data):
+            raise RuntimeError(
+                f"delete on {table_root}: hit set split mismatch — "
+                "nothing committed"
+            )
         stats_cols = tuple(sorted({
             k[4:] for e in data for k in e if k.startswith("min_")
         }))

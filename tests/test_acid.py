@@ -1684,3 +1684,123 @@ def test_constraint_null_semantics_standard_check(spark, tmp_path):
     with pytest.raises(ConstraintViolation, match="ts_not_null"):
         acid_write(spark, _mk(spark, [("A", "d1", None, 3.0)]), root,
                    partition_by=PARTS)
+
+
+# ----------------------------------------------------------------- clone
+
+def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
+    """Clone reads the source snapshot without copying a byte; writes on
+    the clone diverge (source unchanged); writes on the source after the
+    clone are invisible to the clone (snapshot semantics)."""
+    import os
+
+    from backtest_crew_datalake_spark.sources.acid import acid_clone
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    acid_write(spark, _mk(spark, [("A", "d1", 1, 1.0), ("B", "d2", 2, 2.0)]),
+               src, partition_by=PARTS)
+    acid_clone(spark, src, dst)
+    # zero copy: the clone's data root holds no files yet
+    n_files = sum(len(fs) for _, _, fs in os.walk(f"{dst}/_acid/data"))
+    assert n_files == 0
+    assert sorted(r["sym"] for r in acid_read(spark, dst).collect()) \
+        == ["A", "B"]
+    # clone diverges without touching the source
+    acid_upsert(spark, _mk(spark, [("A", "d1", 1, 9.0), ("C", "d3", 3, 3.0)]),
+                dst, key=KEY, partition_by=PARTS)
+    assert acid_read(spark, dst).count() == 3
+    assert {r["px"] for r in acid_read(spark, dst)
+            .where("sym = 'A'").collect()} == {9.0}
+    assert acid_read(spark, src).count() == 2
+    assert {r["px"] for r in acid_read(spark, src)
+            .where("sym = 'A'").collect()} == {1.0}
+    # source writes after the clone are invisible to the clone
+    acid_write(spark, _mk(spark, [("D", "d4", 4, 4.0)]), src,
+               partition_by=PARTS)
+    assert acid_read(spark, dst).count() == 3
+
+
+def test_clone_vacuum_never_touches_source_files(spark, tmp_path):
+    """The clone's vacuum deletes only clone-owned files: after the clone
+    fully rewrites its table and vacuums, every source file still exists
+    and the source still reads."""
+    import os
+
+    from backtest_crew_datalake_spark.sources.acid import acid_clone
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    acid_write(spark, _mk(spark, [("A", "d1", 1, 1.0), ("B", "d2", 2, 2.0)]),
+               src, partition_by=PARTS)
+    src_files = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(f"{src}/_acid/data") for f in fs
+    }
+    acid_clone(spark, src, dst)
+    acid_write(spark, _mk(spark, [("E", "d5", 5, 5.0)]), dst,
+               mode="overwrite", partition_by=PARTS)
+    acid_vacuum(dst, keep_versions=1)
+    for f in src_files:
+        assert os.path.exists(f)
+    assert acid_read(spark, src).count() == 2
+    assert acid_read(spark, dst).count() == 1
+
+
+def test_clone_of_version_tag_and_constraints(spark, tmp_path):
+    """Cloning a pinned version/tag reproduces THAT snapshot; constraints
+    copy as of clone time; double-clone to the same dst fails."""
+    from backtest_crew_datalake_spark.sources.acid import (
+        ConstraintViolation, acid_clone, acid_set_constraint, acid_tag,
+    )
+
+    src = str(tmp_path / "src")
+    acid_write(spark, _mk(spark, [("A", "d1", 1, 1.0)]), src,
+               partition_by=PARTS)
+    acid_tag(src, "v1")
+    acid_set_constraint(spark, src, "px_positive", "px > 0")
+    acid_write(spark, _mk(spark, [("B", "d2", 2, 2.0)]), src,
+               partition_by=PARTS)
+
+    d1 = str(tmp_path / "d1")
+    acid_clone(spark, src, d1, tag="v1")
+    assert acid_read(spark, d1).count() == 1
+    with pytest.raises(ConstraintViolation):
+        acid_write(spark, _mk(spark, [("X", "d9", 9, -1.0)]), d1,
+                   partition_by=PARTS)
+    d2 = str(tmp_path / "d2")
+    acid_clone(spark, src, d2)
+    assert acid_read(spark, d2).count() == 2
+    with pytest.raises(FileExistsError):
+        acid_clone(spark, src, d2)
+
+
+def test_clone_cow_delete_and_compact_on_inherited_files(spark, tmp_path):
+    """Rewrite paths work over inherited absolute entries: a CoW delete
+    on the clone rewrites the hit source files into clone-owned files
+    (source untouched); compaction of mixed inherited+own partitions
+    preserves content."""
+    from backtest_crew_datalake_spark.sources.acid import (
+        acid_clone, acid_compact, acid_delete,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    rows = [("A", "d1", i, float(i)) for i in range(1, 5)] + \
+           [("B", "d2", i, float(i)) for i in range(1, 5)]
+    acid_write(spark, _mk(spark, rows), src, partition_by=PARTS)
+    acid_clone(spark, src, dst)
+    acid_delete(spark, dst, "px >= 3.0")
+    assert acid_read(spark, dst).count() == 4
+    assert acid_read(spark, src).count() == 8
+    # fragment the clone, then compact: content invariant
+    acid_write(spark, _mk(spark, [("A", "d1", 9, 9.0)]), dst,
+               partition_by=PARTS)
+    before = sorted(
+        (r["sym"], r["ts"]) for r in acid_read(spark, dst).collect()
+    )
+    acid_compact(spark, dst)
+    after = sorted(
+        (r["sym"], r["ts"]) for r in acid_read(spark, dst).collect()
+    )
+    assert before == after
