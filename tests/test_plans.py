@@ -653,3 +653,12 @@ def test_quantile_norm_one_source_keyed_window(spark):
     p = _plan(spark, "q_doc_quantile_norm")
     assert p.count("Exchange hashpartitioning(source") == 1
     assert "Exchange rangepartitioning" not in p
+
+
+def test_rolling_dau_equi_join_not_nl(spark):
+    """The trailing-week membership must plan as explode + equi join —
+    a BETWEEN range join here is |days| x |pairs| nested-loop
+    comparisons (5.4e9 at the 200x corpus; measured 18.5 s -> 8.0 s)."""
+    p = _plan(spark, "q_evt_rolling_dau")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
