@@ -123,6 +123,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_doc_quantile_norm",
     "q_evt_rolling_dau",
     "q_evt_cohort_ltv",
+    "q_evt_user_gini",
+    "q_part_abc_analysis",
+    "q_supplier_hhi",
     "q_doc_dup_triangles",
     "q_stream_resample_state",
     "q_stream_dedup_state",

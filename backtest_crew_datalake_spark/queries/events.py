@@ -3701,3 +3701,210 @@ def q_evt_cohort_ltv(spark, sf_dir):
         "cohort", "age_weeks", "n_active", "rev_cents",
         F.sum("rev_cents").over(w).cast("bigint").alias("cum_rev_cents"),
     )
+
+
+@register(
+    "q_evt_user_gini",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x FROM events
+        GROUP BY 1
+    ),
+    r AS (
+        SELECT x,
+               CAST(ROW_NUMBER() OVER (ORDER BY x, user_id) AS BIGINT)
+                   AS rk
+        FROM u
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS t,
+               CAST(SUM(rk * x) AS BIGINT) AS rx
+        FROM r
+    )
+    SELECT n, t,
+           CAST((2 * CAST(rx AS HUGEINT) * 1000000) // (n * CAST(t AS HUGEINT))
+                - ((n + 1) * CAST(1000000 AS HUGEINT)) // n
+                AS BIGINT) AS gini_micro
+    FROM s
+    """,
+)
+def q_evt_user_gini(spark, sf_dir):
+    """GINI COEFFICIENT of per-user event volume — the inequality metric
+    behind every 'power user concentration' dashboard, computed by the
+    exact rank identity G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over the
+    ascending (x, user_id)-ordered sequence (the deterministic compound
+    order, the rank-zoo rule), with both terms as truncating integer
+    micro-unit divisions performed in the SAME order on both engines —
+    decimal(38,0)/HUGEINT intermediates because Σ(i·x_i) reaches
+    n²·mean at corpus scale.
+
+    Scale shape: one map-side per-user count, ONE rank window over the
+    |users|-row aggregate (state, not data — the q_evt_rfm class, with
+    the same histogram-cut escape hatch named in its docstring for
+    extreme |users|), and a 1-row rollup."""
+    from pyspark.sql import Window
+
+    evt = load(spark, sf_dir, "events")
+    u = evt.groupBy("user_id").agg(F.count("*").cast("bigint").alias("x"))
+    r = u.select(
+        "x",
+        F.row_number().over(Window.orderBy("x", "user_id"))
+        .cast("bigint").alias("rk"),
+    )
+    s = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("t"),
+        F.sum(F.col("rk") * F.col("x")).cast("bigint").alias("rx"),
+    )
+    return s.select(
+        "n", "t",
+        F.expr(
+            "CAST((2 * CAST(rx AS DECIMAL(38,0)) * 1000000)"
+            " DIV (n * CAST(t AS DECIMAL(38,0)))"
+            " - ((n + 1) * CAST(1000000 AS DECIMAL(38,0))) DIV n"
+            " AS BIGINT)"
+        ).alias("gini_micro"),
+    )
+
+
+@register(
+    "q_part_abc_analysis",
+    oracle="""
+    WITH pr AS (
+        SELECT l_partkey AS partkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        FROM lineitem GROUP BY 1
+    ),
+    c AS (
+        SELECT partkey, rev_c,
+               CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC, partkey
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_c,
+               CAST(SUM(rev_c) OVER () AS BIGINT) AS tot_c
+        FROM pr
+    ),
+    lab AS (
+        SELECT partkey, rev_c,
+               CASE WHEN cum_c * 100 <= tot_c * 80 THEN 'A'
+                    WHEN cum_c * 100 <= tot_c * 95 THEN 'B'
+                    ELSE 'C' END AS klass
+        FROM c
+    )
+    SELECT klass,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev_c) AS BIGINT) AS rev_cents
+    FROM lab GROUP BY 1
+    """,
+)
+def q_part_abc_analysis(spark, sf_dir):
+    """ABC / PARETO CLASSIFICATION of parts by revenue (the 80/95 cut
+    every inventory and catalog team runs): per-part exact-cents revenue,
+    a cumulative window under the deterministic (rev DESC, partkey)
+    compound order, and the class boundaries decided by the integer
+    cross-multiplication cum·100 <= total·80 — no percentage division
+    anywhere, so boundary parts can't flip between engines.
+
+    Scale shape: one map-side-combinable lineitem rollup to |parts|
+    rows, then the cumulative window over that AGGREGATE (state — for a
+    catalog too large even for that, the winsorize histogram-cut method
+    applies); 3-row output."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                0).cast("bigint")
+    ).cast("bigint")
+    pr = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        rev.alias("rev_c")
+    )
+    w = (
+        Window.orderBy(F.col("rev_c").desc(), "partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = pr.select(
+        "partkey", "rev_c",
+        F.sum("rev_c").over(w).cast("bigint").alias("cum_c"),
+        F.sum("rev_c").over(
+            Window.partitionBy()).cast("bigint").alias("tot_c"),
+    )
+    lab = c.select(
+        "rev_c",
+        F.when(F.col("cum_c") * 100 <= F.col("tot_c") * 80, "A")
+        .when(F.col("cum_c") * 100 <= F.col("tot_c") * 95, "B")
+        .otherwise("C").alias("klass"),
+    )
+    return lab.groupBy("klass").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum("rev_c").cast("bigint").alias("rev_cents"),
+    )
+
+
+@register(
+    "q_supplier_hhi",
+    oracle="""
+    WITH s AS (
+        SELECT n.n_name AS nation, l.l_suppkey AS suppkey,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM lineitem l
+        JOIN supplier su ON su.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = su.s_nationkey
+        GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT nation,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(SUM(rev_c) AS BIGINT) AS tot_c,
+               SUM(CAST(rev_c AS HUGEINT) * rev_c) AS sq
+        FROM s GROUP BY 1
+    )
+    SELECT nation, n_suppliers, tot_c,
+           CAST(sq * 1000000 // (CAST(tot_c AS HUGEINT) * tot_c)
+                AS BIGINT) AS hhi_micro
+    FROM g
+    """,
+)
+def q_supplier_hhi(spark, sf_dir):
+    """HERFINDAHL-HIRSCHMAN INDEX of supplier revenue concentration per
+    nation (the antitrust-grade market-structure metric): per-(nation,
+    supplier) exact-cents revenue, HHI = Σ share² computed as the ONE
+    fused integer rational Σ(rev²)·1e6 DIV total² — shares are never
+    materialized as divided values, so there is no per-supplier rounding
+    to accumulate; decimal(38,0)/HUGEINT because rev² at corpus scale
+    overflows BIGINT. 1e6 micro-units: a monopoly nation reads 1000000,
+    n equal suppliers read ~1e6/n.
+
+    Scale shape: one fact rollup keyed by (nation, supplier) with the
+    supplier/nation dims broadcast (star-join plan gate class), then a
+    |nations|-row rollup. No window, no second scan."""
+    li = load(spark, sf_dir, "lineitem")
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation")
+    s = (
+        li.join(F.broadcast(su),
+                li["l_suppkey"] == su["s_suppkey"])
+        .join(F.broadcast(na),
+              su["s_nationkey"] == na["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0)
+                  .cast("bigint")).cast("bigint").alias("rev_c")
+        )
+    )
+    g = s.groupBy("nation").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.sum("rev_c").cast("bigint").alias("tot_c"),
+        F.sum(F.col("rev_c").cast("decimal(38,0)") * F.col("rev_c"))
+        .cast("decimal(38,0)").alias("sq"),
+    )
+    return g.select(
+        "nation", "n_suppliers", "tot_c",
+        F.expr(
+            "CAST(sq * 1000000 DIV (CAST(tot_c AS DECIMAL(38,0)) * tot_c)"
+            " AS BIGINT)"
+        ).alias("hhi_micro"),
+    )
