@@ -128,6 +128,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_evt_user_gini",
     "q_part_abc_analysis",
     "q_supplier_hhi",
+    "q_doc_heaps_fit",
+    "q_evt_autocorr",
     "q_doc_dup_triangles",
     "q_stream_resample_state",
     "q_stream_dedup_state",

@@ -3908,3 +3908,100 @@ def q_supplier_hhi(spark, sf_dir):
             " AS BIGINT)"
         ).alias("hhi_micro"),
     )
+
+
+@register(
+    "q_evt_autocorr",
+    oracle="""
+    WITH b AS (
+        SELECT epoch_ms(ts) // 3600000 AS hi,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    span AS (SELECT MIN(hi) AS lo, MAX(hi) AS hey FROM b),
+    grid AS (
+        SELECT g.hi, COALESCE(b.x, 0) AS x
+        FROM (SELECT UNNEST(generate_series(lo, hey)) AS hi
+              FROM span) g
+        LEFT JOIN b ON b.hi = g.hi
+    ),
+    lags AS (SELECT UNNEST([24, 168]) AS lag),
+    p AS (
+        SELECT lags.lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a.x) AS BIGINT) AS sx,
+               CAST(SUM(c.x) AS BIGINT) AS sy,
+               SUM(CAST(a.x AS HUGEINT) * c.x) AS sxy,
+               SUM(CAST(a.x AS HUGEINT) * a.x) AS sxx,
+               SUM(CAST(c.x AS HUGEINT) * c.x) AS syy
+        FROM lags
+        JOIN grid a ON TRUE
+        JOIN grid c ON c.hi = a.hi + lags.lag
+        GROUP BY 1
+    )
+    SELECT lag, n,
+           ROUND(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / SQRT(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                        * CAST(n * syy - CAST(sy AS HUGEINT) * sy
+                               AS DOUBLE)), 6) AS r6
+    FROM p
+    """,
+)
+def q_evt_autocorr(spark, sf_dir):
+    """PERIODICITY DETECTION via fixed-lag autocorrelation of the hourly
+    event-count series (the seasonality test behind every traffic
+    anomaly detector: lag 24 = daily rhythm, lag 168 = weekly): the
+    series is the COMPLETE hourly grid (missing hours are real zeros —
+    sequence + left join, the q_evt_synth_fill grid discipline), and
+    lag-L Pearson r is computed from six EXACT integer sums via the
+    one-pass identity (n·Σxy − ΣxΣy)/√((n·Σx²−(Σx)²)(n·Σy²−(Σy)²)) —
+    the only floats are one SQRT and one division over identical
+    integers on both engines, rounded 6 dp.
+
+    Scale shape: one map-side hourly count (state = hours, not events),
+    the grid explode over the hour span, one equi-join per lag keyed on
+    hour index (never a range join — the rolling_dau lesson), and a
+    2-row output. decimal(38,0)/HUGEINT for the Σx² class."""
+    evt = load(spark, sf_dir, "events")
+    b = evt.groupBy(
+        (F.unix_millis("ts") / F.lit(3600000)).cast("bigint").alias("hi")
+    ).agg(F.count("*").cast("bigint").alias("x"))
+    span = b.agg(F.min("hi").alias("lo"), F.max("hi").alias("hey"))
+    grid = (
+        span.select(
+            F.explode(F.sequence("lo", "hey")).alias("hi")
+        )
+        .join(b, "hi", "left")
+        .select("hi", F.coalesce("x", F.lit(0)).cast("bigint").alias("x"))
+    )
+    lags = spark.createDataFrame([(24,), (168,)], "lag bigint")
+    a = grid.alias("a")
+    c = grid.alias("c")
+    p = (
+        lags.crossJoin(a)
+        .join(c, F.expr("c.hi = a.hi + lag"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("a.x").cast("bigint").alias("sx"),
+            F.sum("c.x").cast("bigint").alias("sy"),
+            F.sum(F.expr("CAST(a.x AS DECIMAL(38,0)) * c.x")).alias("sxy"),
+            F.sum(F.expr("CAST(a.x AS DECIMAL(38,0)) * a.x")).alias("sxx"),
+            F.sum(F.expr("CAST(c.x AS DECIMAL(38,0)) * c.x")).alias("syy"),
+        )
+    )
+    return p.select(
+        "lag", "n",
+        F.round(
+            F.expr(
+                "CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+            )
+            / F.sqrt(
+                F.expr("CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+                       " AS DOUBLE)")
+                * F.expr("CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy"
+                         " AS DOUBLE)")
+            ),
+            6,
+        ).alias("r6"),
+    )

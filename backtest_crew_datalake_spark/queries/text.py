@@ -5214,3 +5214,117 @@ def q_doc_rake_keywords(spark, sf_dir):
         .orderBy(F.col("score_micro").desc(), "phrase")
         .limit(15)
     )
+
+
+@register(
+    "q_doc_heaps_fit",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(TRIM(text), '\s+') AS toks
+        FROM documents
+    ),
+    nt AS (SELECT doc_id, LEN(toks) AS n_tok FROM t),
+    fd AS (
+        SELECT w, MIN(doc_id) AS first_doc
+        FROM (SELECT doc_id, UNNEST(toks) AS w FROM t) GROUP BY 1
+    ),
+    mx AS (SELECT MAX(doc_id) + 1 AS d FROM t),
+    cks AS (
+        SELECT k, (mx.d * k) // 10 - 1 AS ck
+        FROM range(1, 11) r(k), mx
+    ),
+    pts AS (
+        SELECT cks.k,
+               CAST((SELECT SUM(n_tok) FROM nt WHERE doc_id <= cks.ck)
+                    AS BIGINT) AS tokens_cum,
+               CAST((SELECT COUNT(*) FROM fd WHERE first_doc <= cks.ck)
+                    AS BIGINT) AS vocab_cum
+        FROM cks
+    ),
+    l AS (
+        SELECT k, tokens_cum, vocab_cum,
+               log2(tokens_cum) AS x, log2(vocab_cum) AS y
+        FROM pts
+    ),
+    s AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM l
+    )
+    SELECT l.k AS ck, l.tokens_cum, l.vocab_cum,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0
+               AS beta,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 4) + 0.0 AS log2_k
+    FROM l, s
+    """,
+)
+def q_doc_heaps_fit(spark, sf_dir):
+    """HEAPS'-LAW vocabulary-growth fit (V = K·N^beta — the corpus-
+    diversity diagnostic next to q_doc_zipf_fit's frequency law; a
+    deduplicated-to-death or template corpus shows beta collapsing):
+    the growth curve is sampled at 10 deterministic doc-id checkpoints,
+    and BOTH curve coordinates come from conditional aggregation —
+    cumulative tokens = 10 conditional sums over per-doc token counts,
+    cumulative vocab = 10 conditional counts over each word's FIRST-
+    OCCURRENCE doc (min doc_id per word — the trick that makes
+    'cumulative distinct', which is not window-expressible at scale, a
+    plain keyed aggregate). OLS of log2 V on log2 N over the 10 points,
+    rounded 4 dp (the zipf_fit float discipline: every input to log2 is
+    an exact integer, so both engines log the same values).
+
+    Scale shape: one token explode + word-keyed min (map-side
+    combinable), one per-doc count, then TWO 10-way conditional aggs —
+    no window over data, no cumulative scan; the 10-row fit is literal
+    arithmetic."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    t = d.select("doc_id", toks.alias("toks"))
+    nt = t.select("doc_id", F.size("toks").alias("n_tok"))
+    fd = (
+        t.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    )
+    dmax = t.agg((F.max("doc_id") + 1).alias("d"))
+    cks = (
+        spark.range(1, 11).select(F.col("id").alias("k"))
+        .crossJoin(F.broadcast(dmax))
+        .select("k", (F.col("d") * F.col("k") / 10).cast("bigint")
+                .alias("__dk"))
+        .select("k", (F.col("__dk") - 1).alias("ck"))
+    )
+    # 10 conditional sums in ONE pass each (checkpoints broadcast)
+    tok_pts = (
+        nt.crossJoin(F.broadcast(cks))
+        .where(F.col("doc_id") <= F.col("ck"))
+        .groupBy("k")
+        .agg(F.sum("n_tok").cast("bigint").alias("tokens_cum"))
+    )
+    voc_pts = (
+        fd.crossJoin(F.broadcast(cks))
+        .where(F.col("first_doc") <= F.col("ck"))
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("vocab_cum"))
+    )
+    pts = tok_pts.join(voc_pts, "k").select(
+        F.col("k").alias("ck"), "tokens_cum", "vocab_cum",
+        F.log2("tokens_cum").alias("x"), F.log2("vocab_cum").alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").alias("n"), F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    # + 0.0 folds IEEE negative zero to positive zero on both engines
+    # (a saturated-vocab corpus fits slope -0.0 vs 0.0 otherwise)
+    return pts.crossJoin(F.broadcast(s)).select(
+        "ck", "tokens_cum", "vocab_cum",
+        (F.round(slope, 4) + F.lit(0.0)).alias("beta"),
+        (F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4)
+         + F.lit(0.0)).alias("log2_k"),
+    )
