@@ -433,15 +433,38 @@ def acid_drop_constraint(table_root: str, name: str) -> None:
     os.replace(tmp, _constraints_path(table_root))
 
 
+def _quarantine_root(table_root: str) -> str:
+    return os.path.join(_acid_root(table_root), "quarantine")
+
+
+def acid_quarantine(spark: SparkSession, table_root: str) -> DataFrame:
+    """The table's quarantine — rows diverted by
+    ``on_violation="quarantine"`` writes, each carrying ``__violated``
+    (comma-joined names of the constraints it failed). Its own ACID
+    table (time travel, CDF and vacuum all apply); raises like acid_read
+    if nothing was ever quarantined."""
+    return acid_read(spark, _quarantine_root(table_root))
+
+
 def _validate_constraints(spark: SparkSession, df: DataFrame,
-                          table_root: str) -> None:
+                          table_root: str,
+                          on_violation: str = "reject") -> DataFrame:
     """Gate incoming rows against every table constraint in ONE
     aggregation job (a per-constraint conditional sum — no per-constraint
-    pass); raises ConstraintViolation naming each failed constraint and
-    its violation count BEFORE any data file is written."""
+    pass, no row-at-a-time anything). ``on_violation="reject"`` raises
+    ConstraintViolation naming each failed constraint and its count
+    BEFORE any data file is written; ``"quarantine"`` diverts the
+    violating rows (tagged with ``__violated``) into the table's own
+    quarantine ACID table and returns the clean remainder — the
+    dead-letter pattern for landing streams that must not stall on one
+    bad record. Returns the rows the caller should commit."""
+    if on_violation not in ("reject", "quarantine"):
+        raise ValueError(
+            f"on_violation must be reject|quarantine, got {on_violation!r}"
+        )
     cons = acid_constraints(table_root)
     if not cons:
-        return
+        return df
     aggs = [
         F.sum(F.when(F.expr(f"NOT ({e})"), 1).otherwise(0))
         .alias(f"__c_{n}")
@@ -449,13 +472,32 @@ def _validate_constraints(spark: SparkSession, df: DataFrame,
     ]
     row = df.agg(*aggs).first()
     bad = {n: row[f"__c_{n}"] for n in cons if row[f"__c_{n}"]}
-    if bad:
+    if not bad:
+        return df
+    if on_violation == "reject":
         detail = ", ".join(
             f"{n} CHECK ({cons[n]}): {c} rows" for n, c in bad.items()
         )
         raise ConstraintViolation(
             f"write to {table_root} rejected — {detail}"
         )
+    # quarantine: null CHECK results pass (SQL semantics), so a row is
+    # bad only where an expression is definitely FALSE
+    is_bad = None
+    for e in cons.values():
+        b = F.coalesce(F.expr(f"NOT ({e})"), F.lit(False))
+        is_bad = b if is_bad is None else (is_bad | b)
+    names = F.concat_ws(",", *[
+        F.when(F.coalesce(F.expr(f"NOT ({e})"), F.lit(False)), F.lit(n))
+        for n, e in sorted(cons.items())
+    ])
+    acid_write(
+        spark,
+        df.where(is_bad).withColumn("__violated", names),
+        _quarantine_root(table_root),
+        operation="quarantine",
+    )
+    return df.where(~is_bad)
 
 
 def _bloom_cols_of(entries: list[dict]) -> tuple[str, ...]:
@@ -737,6 +779,7 @@ def acid_write(
     max_retries: int = 10,
     operation: str | None = None,
     branch: str = MAIN_BRANCH,
+    on_violation: str = "reject",
 ) -> int:
     """Append or overwrite as ONE atomic commit; returns the new version.
 
@@ -752,7 +795,7 @@ def acid_write(
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    _validate_constraints(spark, df, table_root)
+    df = _validate_constraints(spark, df, table_root, on_violation)
     new_entries = _write_data_files(
         spark, df, table_root, tuple(partition_by), tuple(stats_cols),
         bloom_cols=tuple(bloom_cols),
@@ -791,6 +834,7 @@ def acid_upsert(
     bloom_cols: tuple[str, ...] = (),
     max_retries: int = 10,
     branch: str = MAIN_BRANCH,
+    on_violation: str = "reject",
 ) -> int:
     """MERGE: upsert ``df_new`` by ``key`` (new rows win over existing, last
     new row wins within a duplicate key) as ONE atomic commit spanning every
@@ -815,7 +859,7 @@ def acid_upsert(
     # the NEW rows are gated (Delta's contract — existing rows were
     # gated by their own writes); merged rewrites of old rows can't
     # introduce violations
-    _validate_constraints(spark, df_new, table_root)
+    df_new = _validate_constraints(spark, df_new, table_root, on_violation)
     for _ in range(max_retries):
         base_v = latest_version(table_root, branch)
         if partition_by:

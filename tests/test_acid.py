@@ -1804,3 +1804,40 @@ def test_clone_cow_delete_and_compact_on_inherited_files(spark, tmp_path):
         (r["sym"], r["ts"]) for r in acid_read(spark, dst).collect()
     )
     assert before == after
+
+
+def test_constraint_quarantine_diverts_and_commits_clean(spark, tmp_path):
+    """on_violation='quarantine': the commit proceeds with the clean
+    rows; violators land in the table's quarantine ACID table tagged
+    with the constraint names they failed; repeat writes append; the
+    reject default is unchanged."""
+    from pyspark.sql import functions as F
+    from backtest_crew_datalake_spark.sources.acid import (
+        acid_quarantine, acid_set_constraint,
+    )
+
+    root = str(tmp_path / "q1")
+    acid_write(spark, _mk(spark, [("A", "d1", 1, 1.0)]), root,
+               partition_by=PARTS)
+    acid_set_constraint(spark, root, "px_positive", "px > 0")
+    acid_set_constraint(spark, root, "ts_small", "ts < 100")
+    acid_write(
+        spark,
+        _mk(spark, [("A", "d1", 2, -1.0),      # fails px_positive
+                    ("A", "d1", 999, -2.0),    # fails both
+                    ("A", "d1", 3, 5.0)]),     # clean
+        root, partition_by=PARTS, on_violation="quarantine",
+    )
+    assert acid_read(spark, root).count() == 2  # 1 seed + 1 clean
+    q = acid_quarantine(spark, root)
+    got = sorted((r["ts"], r["__violated"]) for r in q.collect())
+    assert got == [(2, "px_positive"), (999, "px_positive,ts_small")]
+    # upsert path quarantines too, appending
+    acid_upsert(spark, _mk(spark, [("A", "d1", 4, -9.0)]), root,
+                key=KEY, partition_by=PARTS, on_violation="quarantine")
+    assert acid_quarantine(spark, root).count() == 3
+    assert acid_read(spark, root).where(F.col("px") < 0).count() == 0
+    # clean batches don't touch the quarantine
+    acid_write(spark, _mk(spark, [("B", "d2", 5, 5.0)]), root,
+               partition_by=PARTS, on_violation="quarantine")
+    assert acid_quarantine(spark, root).count() == 3
