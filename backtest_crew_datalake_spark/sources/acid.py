@@ -377,6 +377,18 @@ def _constraints_path(table_root: str) -> str:
     return os.path.join(_acid_root(table_root), "constraints.json")
 
 
+def _write_constraints(table_root: str, cons: dict[str, str]) -> None:
+    """Atomically publish the constraint config (tmp + fsync + replace —
+    the same durability pattern the manifest link uses)."""
+    os.makedirs(_acid_root(table_root), exist_ok=True)
+    tmp = _constraints_path(table_root) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(cons, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, _constraints_path(table_root))
+
+
 def acid_constraints(table_root: str) -> dict[str, str]:
     """The table's CHECK constraints ({name: sql_expr}). Table-level
     config, not snapshot state: like Delta table properties, constraint
@@ -411,13 +423,7 @@ def acid_set_constraint(spark: SparkSession, table_root: str,
             )
     cons = acid_constraints(table_root)
     cons[name] = expr
-    os.makedirs(_acid_root(table_root), exist_ok=True)
-    tmp = _constraints_path(table_root) + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        json.dump(cons, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, _constraints_path(table_root))
+    _write_constraints(table_root, cons)
 
 
 def acid_drop_constraint(table_root: str, name: str) -> None:
@@ -425,12 +431,7 @@ def acid_drop_constraint(table_root: str, name: str) -> None:
     if name not in cons:
         raise KeyError(f"no constraint {name!r} on {table_root}")
     del cons[name]
-    tmp = _constraints_path(table_root) + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        json.dump(cons, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, _constraints_path(table_root))
+    _write_constraints(table_root, cons)
 
 
 def _quarantine_root(table_root: str) -> str:
@@ -1686,13 +1687,7 @@ def acid_clone(spark: SparkSession, src_root: str, dst_root: str,
         raise FileExistsError(f"ACID table {dst_root} already exists")
     cons = acid_constraints(src_root)
     if cons:
-        os.makedirs(_acid_root(dst_root), exist_ok=True)
-        tmp = _constraints_path(dst_root) + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            json.dump(cons, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, _constraints_path(dst_root))
+        _write_constraints(dst_root, cons)
     return 1
 
 
