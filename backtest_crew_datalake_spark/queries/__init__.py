@@ -131,6 +131,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_supplier_hhi",
     "q_doc_heaps_fit",
     "q_evt_autocorr",
+    "q_evt_trend_decompose",
+    "q_ship_sla_percentiles",
     "q_doc_dup_triangles",
     "q_stream_resample_state",
     "q_stream_dedup_state",

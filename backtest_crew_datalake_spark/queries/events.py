@@ -4005,3 +4005,87 @@ def q_evt_autocorr(spark, sf_dir):
             6,
         ).alias("r6"),
     )
+
+
+@register(
+    "q_evt_trend_decompose",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, isodow(ts) - 1 AS dow,
+               CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT))
+                    AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT day, dow, c,
+               CAST(SUM(c) OVER w AS BIGINT) AS wsum,
+               CAST(COUNT(*) OVER w AS BIGINT) AS wn
+        FROM d
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                     AND 3 FOLLOWING)
+    ),
+    full7 AS (
+        SELECT day, dow, c,
+               CAST(wsum * 1000 // 7 AS BIGINT) AS trend_milli,
+               CAST(c * 1000 - wsum * 1000 // 7 AS BIGINT) AS det_milli
+        FROM t WHERE wn = 7
+    ),
+    seas AS (
+        SELECT dow,
+               CAST(SUM(det_milli) // COUNT(*) AS BIGINT) AS seas_milli
+        FROM full7 GROUP BY 1
+    )
+    SELECT strftime(f.day, '%Y-%m-%d') AS day, f.c AS cents,
+           f.trend_milli, s.seas_milli,
+           CAST(f.det_milli - s.seas_milli AS BIGINT) AS resid_milli
+    FROM full7 f JOIN seas s USING (dow)
+    """,
+)
+def q_evt_trend_decompose(spark, sf_dir):
+    """CLASSICAL TIME-SERIES DECOMPOSITION of daily revenue (the
+    moving-average trend + day-of-week seasonal + residual split — the
+    additive decomposition behind every STL-style anomaly monitor, kept
+    float-free): trend = centered 7-day moving sum, scaled ·1000 DIV 7
+    (full windows only — edge days are excluded identically on both
+    engines by the window COUNT, never by null arithmetic); seasonal =
+    per-dow mean of the detrended milli-cents — negative-capable, and
+    Spark DIV and DuckDB // BOTH truncate toward zero (verified: -7
+    DIV/​// 2 = -3 on each), so the negative sums a detrended series
+    produces divide identically; residual = detrended − seasonal.
+    ISO Monday=0 on both sides.
+
+    Scale shape: one map-side daily rollup (|days| state rows), one
+    ordered window and one dow agg OVER THAT STATE, one broadcast-size
+    join back. No window ever touches raw events."""
+    from pyspark.sql import Window
+
+    evt = load(spark, sf_dir, "events")
+    cents = F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0) \
+        .cast("bigint")
+    d = evt.groupBy(
+        F.to_date("ts").alias("day"),
+        F.weekday("ts").cast("bigint").alias("dow"),
+    ).agg(F.sum(cents).cast("bigint").alias("c"))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    t = d.select(
+        "day", "dow", "c",
+        F.sum("c").over(w).cast("bigint").alias("wsum"),
+        F.count("*").over(w).cast("bigint").alias("wn"),
+    )
+    full7 = t.where(F.col("wn") == 7).select(
+        "day", "dow", "c",
+        F.expr("CAST(wsum * 1000 DIV 7 AS BIGINT)").alias("trend_milli"),
+        F.expr("CAST(c * 1000 - wsum * 1000 DIV 7 AS BIGINT)")
+        .alias("det_milli"),
+    )
+    seas = full7.groupBy("dow").agg(
+        F.expr("CAST(SUM(det_milli) DIV COUNT(*) AS BIGINT)")
+        .alias("seas_milli")
+    )
+    return full7.join(F.broadcast(seas), "dow").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("c").alias("cents"),
+        "trend_milli", "seas_milli",
+        (F.col("det_milli") - F.col("seas_milli")).cast("bigint")
+        .alias("resid_milli"),
+    )

@@ -1633,3 +1633,86 @@ def q_order_market_basket(spark, sf_dir):
                    "(__na * __nb) AS BIGINT)").alias("lift6"),
         )
     )
+
+
+@register(
+    "q_ship_sla_percentiles",
+    oracle="""
+    WITH d AS (
+        SELECT o.o_orderpriority AS priority,
+               date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_d
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    h AS (
+        SELECT priority, lag_d, CAST(COUNT(*) AS BIGINT) AS n
+        FROM d GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT priority, lag_d, n,
+               CAST(SUM(n) OVER (PARTITION BY priority ORDER BY lag_d
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum,
+               CAST(SUM(n) OVER (PARTITION BY priority) AS BIGINT) AS nt
+        FROM h
+    )
+    SELECT priority, CAST(MAX(nt) AS BIGINT) AS n_lines,
+           CAST(MIN(CASE WHEN cum * 100 >= nt * 50 THEN lag_d END)
+                AS BIGINT) AS p50_days,
+           CAST(MIN(CASE WHEN cum * 100 >= nt * 90 THEN lag_d END)
+                AS BIGINT) AS p90_days,
+           CAST(MIN(CASE WHEN cum * 100 >= nt * 99 THEN lag_d END)
+                AS BIGINT) AS p99_days,
+           CAST(MAX(lag_d) AS BIGINT) AS max_days
+    FROM c GROUP BY 1
+    """,
+)
+def q_ship_sla_percentiles(spark, sf_dir):
+    """ORDER-TO-SHIP SLA percentiles per order priority — EXACT type-1
+    p50/p90/p99 via the bounded-domain integer histogram (the
+    winsorize/MAD method on a THIRD domain: order-to-ship lag in whole
+    days is a small integer, so the histogram IS the distribution):
+    per-(priority, lag) counts off the fact join, a cumulative window
+    over that <=|priorities|x|days| state, and each percentile as
+    MIN(lag WHERE cum*100 >= nt*q) — the integer cross-multiplication
+    that equals the ceil(q*n) type-1 index without ever dividing (the
+    abc_analysis boundary rule).
+
+    Scale shape: one fact-fact keyed join (orderkey — co-partitionable;
+    AQE picks the strategy), one map-side-combinable rollup to histogram
+    STATE, two windows over state, |priorities| output rows. The
+    sort-every-row percentile plan never appears."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    d = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint")
+        .alias("lag_d"),
+    )
+    h = d.groupBy("priority", "lag_d").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    wc = (
+        Window.partitionBy("priority").orderBy("lag_d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = h.select(
+        "priority", "lag_d", "n",
+        F.sum("n").over(wc).cast("bigint").alias("cum"),
+        F.sum("n").over(Window.partitionBy("priority")).cast("bigint")
+        .alias("nt"),
+    )
+
+    def pct(q):
+        return F.min(
+            F.when(F.col("cum") * 100 >= F.col("nt") * q, F.col("lag_d"))
+        ).cast("bigint")
+
+    return c.groupBy("priority").agg(
+        F.max("nt").cast("bigint").alias("n_lines"),
+        pct(50).alias("p50_days"),
+        pct(90).alias("p90_days"),
+        pct(99).alias("p99_days"),
+        F.max("lag_d").cast("bigint").alias("max_days"),
+    )
