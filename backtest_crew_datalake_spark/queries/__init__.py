@@ -96,11 +96,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # cosmetics — ROTATE it every round so no query's driver evidence goes
 # stale. Round-10 window, SECOND SESSION (100% round-10-gated, 50/50
 # oracle-green; the rows-only multimodal trio stays OUT per the r9
-# verdict #2): (a) the 23 second-session queries lead (Shapley DDA,
+# verdict #2): (a) the 25 second-session queries lead (Shapley DDA,
 # exact-integer A/B, Benford, seasonality, PMI collocations, RAKE,
 # readability, split-drift, LOO ablation, bloom skip, clone divergence,
 # incremental JOIN-MV, quantile norm, rolling DAU, cohort LTV,
-# Gini/ABC/HHI, Heaps fit, autocorrelation, dup triangles, streaming
+# Gini/ABC/HHI, Heaps fit, autocorrelation, trend decomposition, SLA
+# percentiles, dup triangles, streaming
 # resample/dedup end states);
 # (b) then the first-session head (3 streaming end states, Markov, KM
 # survival, skyline, market basket, KMV sketch) and its 6
