@@ -4089,3 +4089,50 @@ def q_evt_trend_decompose(spark, sf_dir):
         (F.col("det_milli") - F.col("seas_milli")).cast("bigint")
         .alias("resid_milli"),
     )
+
+
+@register(
+    "q_evt_new_vs_returning",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    f AS (SELECT user_id, MIN(d) AS f0 FROM ud GROUP BY 1)
+    SELECT strftime(ud.d, '%Y-%m-%d') AS day,
+           CAST(SUM(CASE WHEN ud.d = f.f0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+           CAST(SUM(CASE WHEN ud.d > f.f0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_returning,
+           CAST(SUM(CASE WHEN ud.d = f.f0 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS new_share_micro
+    FROM ud JOIN f USING (user_id)
+    GROUP BY 1
+    """,
+)
+def q_evt_new_vs_returning(spark, sf_dir):
+    """NEW vs RETURNING daily actives (the acquisition/retention split on
+    every growth dashboard — the per-day face of q_evt_retention's
+    cohort triangle): the corpus collapses once to distinct (user, day)
+    pairs, each user's first active day comes from one keyed min, and
+    each day's actives split by comparing against that anchor; the new
+    share is an exact integer micro-unit DIV.
+
+    Scale shape: one distinct shuffle to (user, day) grain, one per-user
+    min and one user-keyed join back (same key — AQE exchange reuse),
+    one |days|-row rollup. No window anywhere."""
+    evt = load(spark, sf_dir, "events")
+    ud = evt.select("user_id", F.to_date("ts").alias("d")).distinct()
+    f = ud.groupBy("user_id").agg(F.min("d").alias("f0"))
+    j = ud.join(f, "user_id")
+    return j.groupBy(
+        F.date_format("d", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.when(F.col("d") == F.col("f0"), 1).otherwise(0))
+        .cast("bigint").alias("n_new"),
+        F.sum(F.when(F.col("d") > F.col("f0"), 1).otherwise(0))
+        .cast("bigint").alias("n_returning"),
+        F.expr(
+            "CAST(SUM(CASE WHEN d = f0 THEN 1 ELSE 0 END) * 1000000"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("new_share_micro"),
+    )
