@@ -96,7 +96,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # cosmetics — ROTATE it every round so no query's driver evidence goes
 # stale. Round-10 window, SECOND SESSION (100% round-10-gated, 50/50
 # oracle-green; the rows-only multimodal trio stays OUT per the r9
-# verdict #2): (a) the 26 second-session queries lead (Shapley DDA,
+# verdict #2): (a) the 27 second-session queries lead (Shapley DDA,
 # exact-integer A/B, Benford, seasonality, PMI collocations, RAKE,
 # readability, split-drift, LOO ablation, bloom skip, clone divergence,
 # incremental JOIN-MV, quantile norm, rolling DAU, cohort LTV,
@@ -129,6 +129,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_evt_new_vs_returning",
     "q_evt_cohort_ltv",
     "q_evt_user_gini",
+    "q_evt_activity_powerlaw",
     "q_part_abc_analysis",
     "q_supplier_hhi",
     "q_doc_heaps_fit",

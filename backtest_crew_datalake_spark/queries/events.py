@@ -4136,3 +4136,64 @@ def q_evt_new_vs_returning(spark, sf_dir):
             " DIV COUNT(*) AS BIGINT)"
         ).alias("new_share_micro"),
     )
+
+
+@register(
+    "q_evt_activity_powerlaw",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x FROM events
+        GROUP BY 1
+    ),
+    h AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS n_users FROM u GROUP BY 1),
+    pts AS (SELECT log2(x) AS lx, log2(n_users) AS ly FROM h WHERE x > 0),
+    ols AS (
+        SELECT COUNT(*) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+               SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx
+        FROM pts
+    )
+    SELECT CAST(h.x AS BIGINT) AS x, h.n_users,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0
+               AS alpha,
+           CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS n_total
+    FROM h, ols
+    """,
+)
+def q_evt_activity_powerlaw(spark, sf_dir):
+    """USER-ACTIVITY POWER-LAW fit — the degree-distribution diagnostic
+    (how heavy is the power-user tail?): the histogram of
+    users-per-activity-level, with the log-log OLS slope (alpha) fitted
+    over the histogram POINTS (the zipf/heaps discipline: every log2
+    input is an exact integer, 4 dp round, −0.0 folded). A platform
+    whose alpha flattens is concentrating into bots/whales — read this
+    next to q_evt_user_gini and q_evt_bot_users.
+
+    Scale shape: one per-user count (map-side combinable), one
+    |activity-levels|-row histogram agg, OLS over that bounded state.
+    The histogram rows ride along so the gate checks the distribution
+    itself, not just the fitted scalar."""
+    evt = load(spark, sf_dir, "events")
+    u = evt.groupBy("user_id").agg(F.count("*").cast("bigint").alias("x"))
+    h = u.groupBy("x").agg(F.count("*").cast("bigint").alias("n_users"))
+    pts = h.where(F.col("x") > 0).select(
+        F.log2("x").alias("lx"), F.log2("n_users").alias("ly")
+    )
+    ols_1row = pts.agg(
+        F.count("*").alias("n"), F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    n_total = u.agg(F.count("*").cast("bigint").alias("n_total"))
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        h.crossJoin(F.broadcast(ols_1row))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "x", "n_users",
+            (F.round(slope, 4) + F.lit(0.0)).alias("alpha"),
+            "n_total",
+        )
+    )
