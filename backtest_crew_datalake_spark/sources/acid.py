@@ -410,7 +410,15 @@ def acid_set_constraint(spark: SparkSession, table_root: str,
     `ALTER TABLE ADD CONSTRAINT` contract: a constraint that holds is
     the only kind worth trusting). SQL NULL semantics: a row violates
     only when the expression evaluates to FALSE — UNKNOWN (null)
-    passes, matching standard CHECK."""
+    passes, matching standard CHECK.
+
+    Single-maintainer boundary (same contract as vacuum/compact):
+    constraint DDL is validate-then-publish with no coordination with
+    the commit protocol — a writer that loaded constraints before the
+    add can commit violating rows after the snapshot scan, and
+    concurrent set/drop calls read-modify-write constraints.json and
+    can lose one update. Run DDL from a maintenance job with writers
+    quiesced; re-run the add (it re-scans) after any doubt."""
     if not name.isidentifier():
         raise ValueError(f"constraint name must be an identifier: {name!r}")
     if latest_version(table_root) > 0:
@@ -458,7 +466,15 @@ def _validate_constraints(spark: SparkSession, df: DataFrame,
     violating rows (tagged with ``__violated``) into the table's own
     quarantine ACID table and returns the clean remainder — the
     dead-letter pattern for landing streams that must not stall on one
-    bad record. Returns the rows the caller should commit."""
+    bad record. Returns the rows the caller should commit.
+
+    Quarantine is AT-LEAST-ONCE: the diverted rows commit to the
+    quarantine table BEFORE the main write's manifest links, so a main
+    commit that then fails (CommitConflict after max_retries, crash)
+    leaves the violators quarantined while the clean remainder never
+    landed — a naive full-batch replay re-quarantines them. Replay
+    the CLEAN remainder only, or dedupe the quarantine downstream on
+    its natural key (the standard dead-letter-queue contract)."""
     if on_violation not in ("reject", "quarantine"):
         raise ValueError(
             f"on_violation must be reject|quarantine, got {on_violation!r}"
@@ -512,6 +528,45 @@ def _bloom_cols_of(entries: list[dict]) -> tuple[str, ...]:
     ))
 
 
+def _bloom_value_strs(spark, pairs: list[tuple],
+                      col_types: dict[str, str]) -> dict:
+    """(col, probe value) → the EXACT string the writer's
+    ``CAST(col AS STRING)`` hashed into that column's bloom. Rendered
+    BY SPARK through the column's COMMITTED type — ``F.lit(v)
+    .cast(col_type).cast('string')``, one local 1-row job for all
+    probes together, never data-sized — because Python's rendering
+    disagrees exactly where it silently loses rows: str(1e-07) is
+    '1e-07' but Spark casts the double to '1.0E-7'; a Python Decimal
+    infers as decimal(38,18) ('7.250000000000000000') while a
+    decimal(10,2) column stores '7.25'; microsecond timestamps and
+    dates differ too. A Python-rendered probe hashes a string the
+    writer never indexed and the bloom "proves" absence of a value the
+    file contains — a false NEGATIVE, lost rows, not just missed
+    pruning. The cast through col_types also fixes cross-type probes
+    (int 5 against a decimal(10,2) column must hash '5.00')."""
+    out: dict = {}
+    keys, exprs, seen = [], [], set()
+    for col, v in pairs:
+        if (col, v) in seen:
+            continue
+        seen.add((col, v))
+        if v is None or (isinstance(v, str) and v == ""):
+            # NULL domain — the writer indexes non-null values only
+            out[(col, v)] = None
+            continue
+        e = F.lit(v)
+        t = col_types.get(col)
+        if t:
+            e = e.cast(t)
+        exprs.append(e.cast("string").alias(f"c{len(keys)}"))
+        keys.append((col, v))
+    if exprs:
+        row = spark.range(1).select(*exprs).first()
+        for i, k in enumerate(keys):
+            out[k] = row[f"c{i}"]
+    return out
+
+
 def _bloom_probe_bits(spark, probes: list[tuple]) -> dict[tuple, list]:
     """Bit positions for every (col, m, k, value-string) probe, computed
     with THE SAME Spark expression the writer used — one tiny local job
@@ -532,7 +587,8 @@ def _bloom_probe_bits(spark, probes: list[tuple]) -> dict[tuple, list]:
 
 
 def _bloom_prune(spark, entries: list[dict],
-                 point_filter: dict | None) -> list[dict]:
+                 point_filter: dict | None,
+                 schema_ddl: str | None = None) -> list[dict]:
     """Drop files whose bloom bitmap PROVES none of the probed values is
     present. ``point_filter`` is {col: value-or-list}; a file survives a
     column's probe if ANY listed value may be present; columns combine
@@ -542,6 +598,14 @@ def _bloom_prune(spark, entries: list[dict],
     not filtering: apply the predicate to the result too."""
     if not point_filter:
         return entries
+    col_types = dict(
+        spark.createDataFrame([], schema_ddl).dtypes
+    ) if schema_ddl else {}
+    all_pairs = []
+    for col, want in point_filter.items():
+        for v in (want if isinstance(want, (list, tuple, set)) else (want,)):
+            all_pairs.append((col, v))
+    vstr = _bloom_value_strs(spark, all_pairs, col_types)
     probes = set()
     for e in entries:
         for col, want in point_filter.items():
@@ -550,7 +614,7 @@ def _bloom_prune(spark, entries: list[dict],
                 continue
             vals = want if isinstance(want, (list, tuple, set)) else (want,)
             for v in vals:
-                s = _part_str(v)
+                s = vstr[(col, v)]
                 if s is not None:
                     probes.add((col, int(meta["m"]), int(meta["k"]), s))
     bits = _bloom_probe_bits(spark, sorted(probes))
@@ -565,7 +629,7 @@ def _bloom_prune(spark, entries: list[dict],
             vals = want if isinstance(want, (list, tuple, set)) else (want,)
             hit = False
             for v in vals:
-                s = _part_str(v)
+                s = vstr[(col, v)]
                 if s is None:
                     # NULL probes are outside the bloom's domain (the
                     # writer indexes non-null values only) — keep
@@ -637,7 +701,7 @@ def acid_read(
         e for e in _data_entries(m["files"])
         if _matches(e, partition_filter) and _stats_prune(e, stats_filter)
     ]
-    entries = _bloom_prune(spark, entries, point_filter)
+    entries = _bloom_prune(spark, entries, point_filter, m["schema_ddl"])
     if not entries:
         return spark.createDataFrame([], m["schema_ddl"])
     # pruning applies to DATA files; merge-on-read delete files (if any)
@@ -769,6 +833,23 @@ def _stamp_seq(entries: list[dict], version: int) -> None:
         e["seq"] = version
 
 
+def _next_seq(base_v: int, base_files: list[dict]) -> int:
+    """Sequence number for a commit on top of ``base_v``. Normally
+    ``base_v + 1``, but shallow clones (acid_clone) and branch forks
+    (acid_branch) inherit entries stamped with the SOURCE chain's seq
+    numbers, which can exceed the new chain's own version counter — a
+    new commit's seq must DOMINATE every inherited seq or the MoR
+    equality-delete sequence rule breaks both ways: a clone-side
+    delete-mor stamped below an inherited data seq silently fails to
+    suppress it, and an inherited pending eq_delete stamped above a
+    clone-side write wrongly suppresses the new rows (and is never
+    spent by _live_deletes). Taking the max over the base manifest's
+    files keeps relative order AMONG inherited entries intact while
+    placing every new commit strictly after all of them."""
+    top = max((int(e.get("seq", 0)) for e in base_files), default=0)
+    return max(base_v, top) + 1
+
+
 def acid_write(
     spark: SparkSession,
     df: DataFrame,
@@ -813,7 +894,7 @@ def acid_write(
             # unionByName rules): base columns the frame lacks stay
             # readable (null in the new files), type conflicts fail loudly
             schema_ddl = _merge_schema_ddl(base["schema_ddl"], df)
-        _stamp_seq(new_entries, base_v + 1)
+        _stamp_seq(new_entries, _next_seq(base_v, base_files))
         manifest = _new_manifest(
             base_v, operation or mode, base_files + new_entries,
             tuple(partition_by), schema_ddl,
@@ -944,7 +1025,8 @@ def acid_upsert(
             spark, merged, table_root, partition_by, tuple(stats_cols),
             bloom_cols=bloom_eff,
         )
-        _stamp_seq(new_entries, base_v + 1)
+        _stamp_seq(new_entries, _next_seq(
+            base_v, base["files"] if base_v else []))
         dels = _live_deletes(keep_files, base_dels) if base_v else []
         manifest = _new_manifest(
             base_v, "upsert", keep_files + dels + new_entries, partition_by,
@@ -1108,7 +1190,7 @@ def acid_compact(
                     f"{table_root} — aborted, nothing committed"
                 )
             new_entries.extend(wrote)
-        _stamp_seq(new_entries, base_v + 1)
+        _stamp_seq(new_entries, _next_seq(base_v, base["files"]))
         # purge mode spends EVERY delete entry by construction: each
         # partition a delete could still suppress rows in was rewritten
         # above (key-targeted when the partition columns are part of the
@@ -1775,7 +1857,7 @@ def acid_delete(
         if n_deleted <= 0:
             _remove_entries(table_root, wrote)
             return None
-        _stamp_seq(wrote, base_v + 1)
+        _stamp_seq(wrote, _next_seq(base_v, base["files"]))
         manifest = _new_manifest(
             base_v, "delete",
             keep + _live_deletes(keep, dels) + wrote, partition_by,
@@ -1838,7 +1920,7 @@ def acid_delete_mor(
                     f"equality-delete key {key} conflicts with existing "
                     f"delete files keyed {d['key']}"
                 )
-        _stamp_seq(new_entries, base_v + 1)
+        _stamp_seq(new_entries, _next_seq(base_v, base["files"]))
         manifest = _new_manifest(
             base_v, "delete-mor", base["files"] + new_entries,
             tuple(base.get("partition_by", ())), base["schema_ddl"],

@@ -1841,3 +1841,238 @@ def test_constraint_quarantine_diverts_and_commits_clean(spark, tmp_path):
     acid_write(spark, _mk(spark, [("B", "d2", 5, 5.0)]), root,
                partition_by=PARTS, on_violation="quarantine")
     assert acid_quarantine(spark, root).count() == 3
+
+
+def test_clone_mor_delete_suppresses_inherited_high_seq(spark, tmp_path):
+    """ADVICE r10 (high): a clone of a source at version N > 2 inherits
+    data entries stamped with SOURCE seqs up to N; a delete-mor on the
+    clone must be stamped ABOVE every inherited seq or it silently fails
+    to suppress the files committed at source seqs 3..N."""
+    from backtest_crew_datalake_spark.sources.acid import (
+        _load_manifest, acid_clone, acid_delete_mor,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    # source versions 1..4: inherited entries carry seqs 1..4
+    for i in range(1, 5):
+        acid_write(spark, _mk(spark, [(f"S{i}", "d1", i, float(i))]),
+                   src, partition_by=PARTS)
+    acid_clone(spark, src, dst)
+    # delete a key that lives in the seq-4 file (the worst case)
+    v = acid_delete_mor(spark, dst, spark.createDataFrame(
+        [("S4", "d1", 4)], "sym string, day string, ts bigint"), key=KEY)
+    assert v == 2
+    m = _load_manifest(dst, v)
+    dels = [e for e in m["files"] if e.get("kind") == "eq_delete"]
+    assert dels and all(
+        int(d["seq"]) > max(int(e.get("seq", 0)) for e in m["files"]
+                            if e.get("kind", "data") == "data")
+        for d in dels
+    )
+    assert _snapshot(acid_read(spark, dst)) == [
+        ("S1", "d1", 1, 1.0), ("S2", "d1", 2, 2.0), ("S3", "d1", 3, 3.0)]
+    # the source is untouched
+    assert acid_read(spark, src).count() == 4
+
+
+def test_clone_inherited_pending_eq_delete(spark, tmp_path):
+    """A clone of a snapshot carrying a PENDING eq_delete entry (source
+    seq S) must (a) keep suppressing the inherited rows it reached and
+    (b) never suppress rows the clone itself writes afterwards — the
+    clone's new seqs must dominate the inherited delete's seq."""
+    from backtest_crew_datalake_spark.sources.acid import (
+        acid_clone, acid_delete_mor,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    acid_write(spark, _mk(spark, [("A", "d1", 1, 1.0), ("B", "d1", 2, 2.0)]),
+               src, partition_by=PARTS)
+    acid_write(spark, _mk(spark, [("C", "d2", 3, 3.0)]), src,
+               partition_by=PARTS)
+    # pending MoR delete at source seq 3 reaches the seq-1/2 data files
+    acid_delete_mor(spark, src, spark.createDataFrame(
+        [("A", "d1", 1)], "sym string, day string, ts bigint"), key=KEY)
+    acid_clone(spark, src, dst)
+    assert _snapshot(acid_read(spark, dst)) == [
+        ("B", "d1", 2, 2.0), ("C", "d2", 3, 3.0)]
+    # re-insert the deleted key ON THE CLONE: its write seq must sit
+    # above the inherited delete (seq 3), so the row is visible
+    acid_write(spark, _mk(spark, [("A", "d1", 1, 9.0)]), dst,
+               partition_by=PARTS)
+    assert _snapshot(acid_read(spark, dst)) == [
+        ("A", "d1", 1, 9.0), ("B", "d1", 2, 2.0), ("C", "d2", 3, 3.0)]
+    # and an upsert rewrite on the clone must not resurrect nor lose rows
+    acid_upsert(spark, _mk(spark, [("B", "d1", 2, 8.0)]), dst,
+                key=KEY, partition_by=PARTS)
+    assert _snapshot(acid_read(spark, dst)) == [
+        ("A", "d1", 1, 9.0), ("B", "d1", 2, 8.0), ("C", "d2", 3, 3.0)]
+
+
+def test_branch_mor_delete_after_fork(spark, tmp_path):
+    """Branches fork with inherited source seqs too (acid_branch commits
+    the fork as the branch's v1): a delete-mor on a branch forked from
+    main@3 must suppress rows in files stamped at main seqs 2..3."""
+    from backtest_crew_datalake_spark.sources.acid import (
+        acid_branch, acid_delete_mor,
+    )
+
+    root = str(tmp_path / "t")
+    for i in range(1, 4):
+        acid_write(spark, _mk(spark, [(f"S{i}", "d1", i, float(i))]),
+                   root, partition_by=PARTS)
+    acid_branch(root, "dev")
+    v = acid_delete_mor(spark, root, spark.createDataFrame(
+        [("S3", "d1", 3)], "sym string, day string, ts bigint"),
+        key=KEY, branch="dev")
+    assert v == 2
+    assert _snapshot(acid_read(spark, root, branch="dev")) == [
+        ("S1", "d1", 1, 1.0), ("S2", "d1", 2, 2.0)]
+    assert acid_read(spark, root).count() == 3  # main untouched
+
+
+def test_bloom_probe_spark_rendering_no_false_negative(spark, tmp_path):
+    """ADVICE r10 (medium): the writer indexes Spark's CAST(x AS STRING)
+    rendering; the probe must render the SAME way. Python str(1e-07) is
+    '1e-07' but Spark renders '1.0E-7' — a Python-rendered probe would
+    bloom-prune the file that contains the value (lost rows)."""
+    import datetime
+    from decimal import Decimal
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 1e-07, Decimal("1.50"), datetime.datetime(2024, 1, 2, 3, 4, 5,
+                                                       microsecond=123456)),
+         (2, 2.5, Decimal("7.25"), datetime.datetime(2025, 6, 7, 8, 9, 10))],
+        "id bigint, px double, amt decimal(10,2), ts timestamp",
+    )
+    acid_write(spark, df, root, bloom_cols=("px", "amt", "ts"))
+    # float: Spark renders 1e-07 as '1.0E-7'
+    got = acid_read(spark, root, point_filter={"px": 1e-07}) \
+        .where("px = 1e-07")
+    assert [r["id"] for r in got.collect()] == [1]
+    # Decimal and microsecond timestamps render differently too
+    got = acid_read(spark, root, point_filter={"amt": Decimal("7.25")}) \
+        .where("amt = 7.25")
+    assert [r["id"] for r in got.collect()] == [2]
+    ts = datetime.datetime(2024, 1, 2, 3, 4, 5, microsecond=123456)
+    got = acid_read(spark, root, point_filter={"ts": ts})
+    assert 1 in {r["id"] for r in got.collect()}
+    # and a truly absent value still prunes (no conservative give-up)
+    assert acid_read(spark, root, point_filter={"px": 3.75}) \
+        .where("px = 3.75").count() == 0
+
+
+def test_concurrent_clone_constraint_compact_stress(spark, tmp_path):
+    """r10 verdict #5: concurrency stress over the round-10 surfaces —
+    quarantine-mode writers (some rows violating a CHECK constraint)
+    racing a compaction loop and a cloning thread.
+
+    Invariants pinned:
+    1. clone isolation: the clone reads exactly the source content at
+       the cloned (tag-pinned) version plus the clone's OWN divergence,
+       no matter how many source rewrites/compactions happen after;
+    2. quarantine-table consistency: exactly the violating rows land in
+       the quarantine (tagged with the constraint name), exactly the
+       clean rows land in the main table — no row lost, duplicated, or
+       misrouted under contention;
+    3. the source's purge-compact + vacuum never sever the tag-pinned
+       clone, and no manifest in either table dangles."""
+    import time
+
+    from backtest_crew_datalake_spark.sources.acid import (
+        _data_root, _load_manifest, acid_clone, acid_compact,
+        acid_quarantine, acid_set_constraint, acid_tag, list_versions,
+        resolve_tag,
+    )
+
+    root = str(tmp_path / "src")
+    dst = str(tmp_path / "clone")
+    acid_upsert(spark, _mk(spark, [("SEED", "d1", 0, 0.0)]), root,
+                KEY, PARTS)
+    # DDL before the writers start — constraint DDL is documented
+    # single-maintainer (validate-then-publish)
+    acid_set_constraint(spark, root, "px_nonneg", "px >= 0")
+    errs = []
+    first_batch = threading.Event()
+    clone_info = {}
+
+    def writer(t):
+        sym = f"W{t}"
+        try:
+            for b in range(3):
+                rows = [(sym, "d1", 10 * b + i, float(10 * b + i))
+                        for i in range(3)]
+                rows.append((sym, "d1", 10 * b + 9, -1.0))  # violator
+                acid_write(spark, _mk(spark, rows), root,
+                           partition_by=PARTS, on_violation="quarantine")
+                first_batch.set()
+        except Exception as e:  # pragma: no cover
+            errs.append(("writer", t, e))
+
+    def compactor():
+        try:
+            for _ in range(3):
+                acid_compact(spark, root, target_mb=1)
+                time.sleep(0.05)
+        except Exception as e:  # pragma: no cover
+            errs.append(("compact", e))
+
+    def cloner():
+        try:
+            first_batch.wait(timeout=60)
+            acid_tag(root, "clone-pin")
+            v = resolve_tag(root, "clone-pin")
+            expected = _snapshot(acid_read(spark, root, version=v))
+            acid_clone(spark, root, dst, tag="clone-pin")
+            acid_upsert(spark, _mk(spark, [("CLONE", "d9", 1, 42.0)]),
+                        dst, KEY, PARTS)
+            clone_info["v"] = v
+            clone_info["expected"] = expected
+        except Exception as e:  # pragma: no cover
+            errs.append(("clone", e))
+
+    threads = (
+        [threading.Thread(target=writer, args=(t,)) for t in range(1, 4)]
+        + [threading.Thread(target=compactor),
+           threading.Thread(target=cloner)]
+    )
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+
+    # 2. routing: main == seed + all clean rows, quarantine == violators
+    want_main = sorted(
+        [("SEED", "d1", 0, 0.0)]
+        + [(f"W{t}", "d1", 10 * b + i, float(10 * b + i))
+           for t in range(1, 4) for b in range(3) for i in range(3)]
+    )
+    assert _snapshot(acid_read(spark, root)) == want_main
+    q = acid_quarantine(spark, root)
+    got_q = sorted((r["sym"], r["ts"], r["px"], r["__violated"])
+                   for r in q.collect())
+    assert got_q == sorted(
+        (f"W{t}", 10 * b + 9, -1.0, "px_nonneg")
+        for t in range(1, 4) for b in range(3)
+    )
+
+    # 1. clone isolation under source churn
+    want_clone = sorted(clone_info["expected"]
+                        + [("CLONE", "d9", 1, 42.0)])
+    assert _snapshot(acid_read(spark, dst)) == want_clone
+
+    # 3. source purge-compact + vacuum: tag pin keeps the cloned files
+    acid_compact(spark, root, purge_deletes=True, target_mb=1)
+    acid_vacuum(root, keep_versions=1)
+    assert _snapshot(acid_read(spark, root)) == want_main
+    assert _snapshot(acid_read(spark, dst)) == want_clone
+    for troot in (root, dst):
+        droot = _data_root(troot)
+        for v in list_versions(troot):
+            for entry in _load_manifest(troot, v)["files"]:
+                p = entry["path"]
+                full = p if os.path.isabs(p) else os.path.join(droot, p)
+                assert os.path.exists(full), (troot, v, p)
