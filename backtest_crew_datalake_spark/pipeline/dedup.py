@@ -382,6 +382,38 @@ def neardup_window_pairs(
     return out.groupBy("id_a", "id_b").agg(F.min("hamming").alias("hamming"))
 
 
+def _shingle_rows(
+    df: DataFrame,
+    id_alias: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """The exploded (id, shingle) table — split out of the signature
+    build so a caller that needs BOTH the signatures and the raw
+    shingles (the estimator-error query's exact-Jaccard verify) can
+    materialize this scan once and feed every consumer from it."""
+    return spread_partitions(df, id_col).select(
+        F.col(id_col).alias(id_alias),
+        F.explode(_shingles(text_col, n)).alias("sh"),
+    )
+
+
+def _sigs_from_shingles(
+    sh: DataFrame,
+    id_alias: str,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Pivoted MinHash signature table (id, h0..h{num_hashes-1}) from an
+    exploded shingle table — 16 min-md5 conditional aggs in ONE keyed
+    exchange (partial aggregation shrinks the shuffle map-side)."""
+    return sh.groupBy(id_alias).agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")).cast("binary")))
+        .alias(f"h{i}")
+        for i in range(num_hashes)
+    ])
+
+
 def _portable_minhash_sigs(
     df: DataFrame,
     id_alias: str,
@@ -393,15 +425,10 @@ def _portable_minhash_sigs(
     """Pivoted MinHash signature table (id, h0..h{num_hashes-1}) with the
     engine-portable md5 hash family — the single home for the signature
     build; banding (below) and the estimator-error query both consume it."""
-    sh = spread_partitions(df, id_col).select(
-        F.col(id_col).alias(id_alias),
-        F.explode(_shingles(text_col, n)).alias("sh"),
+    return _sigs_from_shingles(
+        _shingle_rows(df, id_alias, id_col, text_col, n),
+        id_alias, num_hashes,
     )
-    return sh.groupBy(id_alias).agg(*[
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")).cast("binary")))
-        .alias(f"h{i}")
-        for i in range(num_hashes)
-    ])
 
 
 def _portable_minhash_bands(

@@ -2243,19 +2243,29 @@ def q_doc_minhash_error(spark, sf_dir):
 
     The pivoted signature table feeds BOTH the banded candidate join and
     the per-pair estimate — persist it (serialized) once so the 16-way
-    min-md5 aggregation runs once, not twice (7.8 s → ~5 s at sf0.1; the residual
-    is the exact-verify self-join, which collapses at scale like every
-    blocked-verify shape — see ROADMAP BENCH_SCALE)."""
+    min-md5 aggregation runs once, not twice (7.8 s → ~5 s at sf0.1; the
+    residual is the exact-verify self-join, which collapses at scale like
+    every blocked-verify shape — see ROADMAP BENCH_SCALE).
+
+    MEASURED AND REVERTED (r11, the verdict-#1 experiment): persisting
+    the full corpus shingle explode once and feeding both the signature
+    agg and the exact verify from it — the shared_spans recipe — LOST
+    (2.6 s → 5.6 s at sf0.1, same box, back-to-back): the exploded table
+    is ~|text| rows per doc and materializing it costs more than the
+    second documents scan it saves, because the signature build streams
+    explode → map-side partial agg without ever materializing, and the
+    exact side explodes only the candidate subset. Shuffle-reuse wins
+    when the reused exchange is SMALLER than the rescan (shared_spans'
+    banding rows); it loses when the exchange is the explode itself."""
     from ..pipeline.dedup import (
-        _bands_from_sigs, _portable_minhash_sigs, _shingles,
-        spread_partitions,
+        _bands_from_sigs, _shingle_rows, _sigs_from_shingles,
     )
 
     from pyspark import StorageLevel
 
     d = load(spark, sf_dir, "documents")
-    sigs = _portable_minhash_sigs(d, "id").persist(
-        StorageLevel.MEMORY_AND_DISK)
+    sigs = _sigs_from_shingles(_shingle_rows(d, "id"), "id") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     bands = _bands_from_sigs(sigs, "id")
     cand = (
         bands.alias("a")
@@ -2292,14 +2302,11 @@ def q_doc_minhash_error(spark, sf_dir):
         cand.select(F.col("id_a").alias("doc_id"))
         .union(cand.select("id_b")).distinct()
     )
-    sh = (
-        spread_partitions(d.join(cand_ids, "doc_id", "left_semi"), "doc_id")
-        .select("doc_id", F.explode(_shingles("text", 3)).alias("sh"))
-        # three consumers (sizes, both sides of the intersection) — the
-        # candidate-doc shingle explode is the blocked-verify working set;
-        # materialize it once (serialized)
+    # blocked-verify working set: explode ONLY candidate docs (semi-join
+    # before the explode — the whole point of blocking), persisted for
+    # its three consumers (sizes + both intersection sides)
+    sh = _shingle_rows(d.join(cand_ids, "doc_id", "left_semi"), "doc_id") \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # pair-first intersection (the oracle's own shape): expand candidate
     # pairs by side-a shingles, then ONE keyed (id_b, sh) equi-join —
