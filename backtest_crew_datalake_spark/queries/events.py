@@ -2795,18 +2795,22 @@ def q_evt_rfm(spark, sf_dir):
     classic customer-value grid every event warehouse maintains): one
     keyed pass builds per-user exact-integer R (days since last event,
     floor-div of epoch-ms against the corpus max), F (event count), M
-    (cents); three NTILE(5) windows score them 1-5 — each over a
-    COMPOUND deterministic ordering (metric, user_id), the q_evt_rank_zoo
-    rule, since NTILE's neighbor assignment is order-dependent — and the
+    (cents); three NTILE(5) scorings 1-5 — each over a COMPOUND
+    deterministic ordering (metric, user_id), the q_evt_rank_zoo rule,
+    since NTILE's neighbor assignment is order-dependent — and the
     segment grid rolls up to at most 125 rows.
 
-    Scale shape: one map-side-combinable per-user aggregate (the 1-row
-    corpus max broadcast), then three windows over the |users|-row
-    table sharing one global sort domain each. At true scale the
-    quintile CUTS would come from the bounded-domain histogram method
-    (winsorize's) instead of global NTILE windows; at |users| scale the
-    window is the honest, simpler plan."""
-    from pyspark.sql import Window
+    Scale shape (r10 verdict #2 — the histogram-cut path, BUILT): one
+    map-side-combinable per-user aggregate, then three EXACT NTILE
+    scorings via operators/ranking.global_row_rank — rank = histogram
+    rows-before + bucketed tie row_number, no unpartitioned window ever
+    touches the |users|-row frame (the catalog's last rule-4 edge; the
+    oracle keeps the plain NTILE windows, so the hash gate at 3 SFs IS
+    the equivalence proof, plus the direct value gate in
+    tests/test_round11_queries.py)."""
+    from pyspark import StorageLevel
+
+    from ..operators.ranking import global_row_rank, ntile_from_rank
 
     evt = load(spark, sf_dir, "events")
     ms = F.unix_millis("ts")
@@ -2822,25 +2826,21 @@ def q_evt_rfm(spark, sf_dir):
                   .cast("bigint")).cast("bigint").alias("monetary_c"),
         )
         .drop("__mts")
+        # six scans (3 rank passes x histogram + tie counts) — persist
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    n_users = u.agg(F.count("*").cast("bigint").alias("__n"))
+    scored = global_row_rank(u, "recency_d", "user_id", out="__rk_r",
+                             ascending=True)
+    scored = global_row_rank(scored, "frequency", "user_id", out="__rk_f",
+                             ascending=False)
+    scored = global_row_rank(scored, "monetary_c", "user_id", out="__rk_m",
+                             ascending=False)
     scored = (
-        u.withColumn(
-            "r_score",
-            F.ntile(5).over(Window.orderBy("recency_d", "user_id"))
-            .cast("bigint"),
-        )
-        .withColumn(
-            "f_score",
-            F.ntile(5).over(
-                Window.orderBy(F.col("frequency").desc(), "user_id")
-            ).cast("bigint"),
-        )
-        .withColumn(
-            "m_score",
-            F.ntile(5).over(
-                Window.orderBy(F.col("monetary_c").desc(), "user_id")
-            ).cast("bigint"),
-        )
+        scored.crossJoin(F.broadcast(n_users))
+        .withColumn("r_score", ntile_from_rank("__rk_r", "__n", 5))
+        .withColumn("f_score", ntile_from_rank("__rk_f", "__n", 5))
+        .withColumn("m_score", ntile_from_rank("__rk_m", "__n", 5))
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").cast("bigint").alias("n_users"),
@@ -3739,23 +3739,37 @@ def q_evt_user_gini(spark, sf_dir):
     decimal(38,0)/HUGEINT intermediates because Σ(i·x_i) reaches
     n²·mean at corpus scale.
 
-    Scale shape: one map-side per-user count, ONE rank window over the
-    |users|-row aggregate (state, not data — the q_evt_rfm class, with
-    the same histogram-cut escape hatch named in its docstring for
-    extreme |users|), and a 1-row rollup."""
+    Scale shape (r10 verdict #2 — the rule-4 edge CLOSED): Σ(rank·x) is
+    TIE-INVARIANT — a tie group of c users at level x with b users
+    below occupies ranks b+1..b+c in every tie order, contributing
+    x·(c·b + c·(c+1)/2) regardless of user_id — so the whole statistic
+    folds out of the (x, count) HISTOGRAM: one map-side per-user count,
+    one |activity-levels| histogram (the q_evt_activity_powerlaw
+    domain: bounded by max per-user activity, not |users|), one
+    cumulative window over those levels, a 1-row rollup. No rank
+    window over the |users| frame at all. The oracle keeps the
+    ROW_NUMBER identity, so the hash gate proves the fold."""
     from pyspark.sql import Window
 
     evt = load(spark, sf_dir, "events")
     u = evt.groupBy("user_id").agg(F.count("*").cast("bigint").alias("x"))
-    r = u.select(
-        "x",
-        F.row_number().over(Window.orderBy("x", "user_id"))
-        .cast("bigint").alias("rk"),
+    hist = u.groupBy("x").agg(F.count("*").cast("bigint").alias("c"))
+    w = (
+        Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    s = r.agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("t"),
-        F.sum(F.col("rk") * F.col("x")).cast("bigint").alias("rx"),
+    h = hist.withColumn("b", F.sum("c").over(w) - F.col("c"))
+    s = h.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("x") * F.col("c")).cast("bigint").alias("t"),
+        # Σ ranks of a tie group = c·b + c(c+1)/2 (always integral);
+        # the tie term stays bigint (≤ ~1.5·n², safe to 1e9 users),
+        # the x·(...) product rides decimal(38,0)
+        F.sum(F.expr(
+            "CAST(x AS DECIMAL(38,0)) * ("
+            " CAST(c AS DECIMAL(38,0)) * CAST(b AS DECIMAL(38,0))"
+            " + CAST((c * (c + 1)) DIV 2 AS DECIMAL(38,0)))"
+        )).cast("decimal(38,0)").alias("rx"),
     )
     return s.select(
         "n", "t",

@@ -438,3 +438,97 @@ def q_stream_resample_state(spark, sf_dir):
             F.col("volume").cast("bigint").alias("volume"),
         )
     )
+
+
+@register(
+    "q_stream_sessionize_state",
+    oracle="""
+    WITH flagged AS (
+        -- microsecond precision: session_window merges on the FULL
+        -- timestamp (a 1799.9995 s gap merges), unlike the whole-second
+        -- gaps-and-islands of q_evt_sessionize
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            >= 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           epoch_ms(MIN(ts)) AS session_start_ms,
+           epoch_ms(MAX(ts)) + 1800000 AS session_end_ms,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def q_stream_sessionize_state(spark, sf_dir):
+    """streaming_sessions END STATE under the oracle gate (r10 verdict
+    #3 — the last pytest-only streaming maintainer joins the hash gate):
+    the events table streams in as three ts-ordered micro-batches
+    through the native `session_window` (30-min gap, watermarked,
+    append mode) into a parquet sink — one row per CLOSED session. A
+    '__wm' sentinel user far past the corpus rides in the last batch so
+    the watermark passes every real session's end and append mode emits
+    them all (the q_stream_resample_state sentinel discipline). The
+    oracle recomputes sessionization relationally as gaps-and-islands
+    over the whole input (the q_evt_sessionize CTE, with session_end =
+    last event + gap, Spark's session_window end semantics) — so
+    cross-batch session continuation (a session spanning a micro-batch
+    cut must merge, not split), gap-boundary semantics (diff == gap
+    starts a NEW session on both engines), and exactly-once append
+    emission all hash-gate at 3 SFs. Citations:
+    streaming/ingest.py:streaming_sessions, SURVEY §2.11 / §7.1."""
+    from ..streaming.ingest import streaming_sessions
+
+    def build(base: str) -> str:
+        land = f"{base}/land"
+        out = f"{base}/out"
+        ck = f"{base}/ck"
+        evt = load(spark, sf_dir, "events").select("user_id", "ts")
+        mx = evt.agg(F.max("ts").alias("m")).first()["m"]
+        sentinel = spark.createDataFrame(
+            [(-1, mx)], "user_id bigint, ts timestamp"
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 DAYS"))
+        batches = _ts_batches(evt)
+        batches[-1] = batches[-1].unionByName(sentinel)
+        schema = "user_id bigint, ts timestamp"
+        for b in batches:
+            b.coalesce(1).write.mode("append").parquet(land)
+            src = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1024)
+                .parquet(land)
+            )
+            q = (
+                streaming_sessions(src, gap="30 minutes",
+                                   watermark="10 minutes")
+                .writeStream.outputMode("append")
+                .format("parquet").option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return out
+
+    out = _once(spark, sf_dir, "sessionize", build)
+    return (
+        spark.read.parquet(out)
+        .where(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.unix_millis("session_start").cast("bigint")
+            .alias("session_start_ms"),
+            F.unix_millis("session_end").cast("bigint")
+            .alias("session_end_ms"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+    )

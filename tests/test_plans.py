@@ -662,3 +662,28 @@ def test_rolling_dau_equi_join_not_nl(spark):
     p = _plan(spark, "q_evt_rolling_dau")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_rfm_no_global_ntile_window(spark):
+    """r10 verdict #2: q_evt_rfm's quintiles come from the distributed
+    rank (histogram rows-before + bucketed tie row_number), NOT from an
+    NTILE window over the |users| frame — the only unpartitioned
+    windows left run over per-bucket aggregate rows (<= n_buckets)."""
+    p = _plan(spark, "q_evt_rfm")
+    assert "ntile(" not in p
+    assert "CartesianProduct" not in p
+    # every row_number rides a partitioned spec: its window lines name
+    # the (__v, __ub) partition columns, never a SinglePartition sort of
+    # the per-user frame
+    for line in p.splitlines():
+        if "row_number()" in line:
+            assert "windowspecdefinition(__v" in line, line
+
+
+def test_gini_no_rank_window(spark):
+    """q_evt_user_gini folds Σ(rank·x) out of the activity histogram —
+    no row_number/rank window anywhere in the plan; the only window is
+    the cumulative sum over the |activity-levels| histogram."""
+    p = _plan(spark, "q_evt_user_gini")
+    assert "row_number()" not in p
+    assert "ntile(" not in p
