@@ -175,6 +175,22 @@ def minhash_dedup_pairs(
     after the first projection, which is what makes this the 100 TB path vs
     the exact shingle join.
     """
+    bands_df = minhash_lsh_bands(df, text_col, id_col, n, num_hashes,
+                                 bands)
+    return band_pairs(bands_df)
+
+
+def minhash_lsh_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """The (id, band, bucket) LSH banding table of minhash_dedup_pairs,
+    split out so the oracle-bridge query can materialize it and both
+    engines derive the pair set from identical buckets."""
     rows_per_band = num_hashes // bands
     sh = spread_partitions(df, id_col).select(
         F.col(id_col).alias("id"),
@@ -186,7 +202,7 @@ def minhash_dedup_pairs(
             for i in range(num_hashes)
         ]
     )
-    bands_df = minhashes.select(
+    return minhashes.select(
         "id",
         F.explode(
             F.array(
@@ -203,6 +219,11 @@ def minhash_dedup_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+
+
+def band_pairs(bands_df: DataFrame) -> DataFrame:
+    """Distinct (id_a < id_b) candidates with colliding-band counts from
+    an (id, band, bucket) table — the keyed LSH candidate join."""
     a, b = bands_df.alias("a"), bands_df.alias("b")
     return (
         a.join(

@@ -196,32 +196,90 @@ def q_doc_bpe_token_count(spark, sf_dir):
     )
 
 
-@register("q_doc_minhash_lsh_pairs", oracle=None)
+@register(
+    "q_doc_minhash_lsh_pairs",
+    oracle="""
+    WITH b AS (
+        SELECT id, band, bucket
+        FROM read_parquet(
+            '/tmp/sparkgraft_oracle_bridge/q_doc_minhash_lsh_pairs'
+            '/*.parquet')
+    )
+    SELECT a.id AS id_a, c.id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_bands
+    FROM b a JOIN b c
+      ON a.band = c.band AND a.bucket = c.bucket AND a.id < c.id
+    GROUP BY 1, 2
+    """,
+)
 def q_doc_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash+LSH candidate near-dup pairs — the xxhash64 production path
-    (rows-only: xxhash64 has no DuckDB equivalent; the SAME pipeline with a
-    portable md5 hash family is fully value-checked by
-    q_doc_minhash_portable, and LSH recall is pytest-gated vs exact
-    Jaccard)."""
-    from ..pipeline.dedup import minhash_dedup_pairs
+    """MinHash+LSH candidate near-dup pairs — the xxhash64 production
+    path, ORACLE-GATED from the banding table down (r10 verdict #7):
+    xxhash64 has no DuckDB equivalent, so the (id, band, bucket) LSH
+    table crosses the oracle bridge and BOTH engines derive the distinct
+    (a<b) candidate pairs + colliding-band counts from identical
+    buckets — the candidate equi-join and pair-canonicalization
+    arithmetic hash-gate; the hash family itself is value-checked by the
+    portable md5 twin (q_doc_minhash_portable) and the pytest recall
+    gate vs exact Jaccard."""
+    from . import bridge_write
+    from ..pipeline.dedup import band_pairs, minhash_lsh_bands
 
     d = load(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(d, n=2, num_hashes=32, bands=8)
+    bands_df = minhash_lsh_bands(d, n=2, num_hashes=32, bands=8)
+    path = bridge_write(bands_df, "q_doc_minhash_lsh_pairs")
+    back = spark.read.parquet(path)
+    return band_pairs(back).withColumn(
+        "n_bands", F.col("n_bands").cast("bigint"))
 
 
-@register("q_doc_simhash", oracle=None)
-def q_doc_simhash(spark, sf_dir):
-    """64-bit SimHash signatures — the xxhash64 production path (rows-only;
-    the same construction with a portable md5 bit source is fully
-    value-checked by q_doc_simhash_portable). Emits signature
-    + a popcount band so the driver's rows/schema check is meaningful."""
-    from ..pipeline.dedup import simhash
-
-    d = simhash(load(spark, sf_dir, "documents"))
-    return d.select(
-        "doc_id", "simhash",
-        F.bit_count("simhash").alias("sig_bits"),
+@register(
+    "q_doc_simhash",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id AS id, simhash AS h
+        FROM read_parquet(
+            '/tmp/sparkgraft_oracle_bridge/q_doc_simhash/*.parquet')
+    ),
+    bands AS (SELECT UNNEST(range(0, 4)) AS band),
+    sliced AS (
+        -- arithmetic >> then & 65535 == logical shift for any band:
+        -- the mask keeps only bits that came from h itself
+        SELECT id, h, band,
+               (h >> CAST(band * 16 AS INTEGER)) & 65535 AS slice
+        FROM h CROSS JOIN bands
     )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+    FROM sliced a JOIN sliced b
+      ON a.band = b.band AND a.slice = b.slice AND a.id < b.id
+    WHERE bit_count(xor(a.h, b.h)) <= 3
+    """,
+)
+def q_doc_simhash(spark, sf_dir):
+    """64-bit SimHash near-dup pairs — the xxhash64 production path,
+    ORACLE-GATED from the banding stage down (r10 verdict #7): the
+    signatures (engine-specific hash, value-checked against the portable
+    md5 twin by q_doc_simhash_portable's gate and pytest) are
+    materialized over the oracle bridge; BOTH engines then derive the
+    Hamming-≤3 pair set from the SAME signatures via the pigeonhole
+    4×16-bit banded equi-join + exact bit_count(xor) filter — so band
+    extraction, the candidate join, popcount Hamming, and pair
+    canonicalization (a<b, distinct across bands) all hash-gate. Only
+    the hash function itself remains pytest territory."""
+    from . import bridge_write
+    from ..pipeline.dedup import simhash
+    from ..pipeline.multimodal import dhash_candidate_pairs
+
+    sigs = simhash(load(spark, sf_dir, "documents")) \
+        .select("doc_id", "simhash")
+    path = bridge_write(sigs, "q_doc_simhash")
+    # read the MATERIALIZED signatures back so oracle and Spark derive
+    # pairs from byte-identical inputs
+    back = spark.read.parquet(path)
+    pairs = dhash_candidate_pairs(back, bands=4, max_hamming=3,
+                                  id_col="doc_id", hash_col="simhash")
+    return pairs.withColumn("hamming", F.col("hamming").cast("bigint"))
 
 
 @register("q_multimodal_features", oracle=None)
@@ -1710,24 +1768,52 @@ def q_doc_incremental_dedup(spark, sf_dir):
     )
 
 
-@register("q_multimodal_phash_dupes")  # rows-only: decode is Python-side
+@register(
+    "q_multimodal_phash_dupes",
+    oracle="""
+    WITH h AS (
+        SELECT media_id AS id, dhash AS h
+        FROM read_parquet(
+            '/tmp/sparkgraft_oracle_bridge/q_multimodal_phash_dupes'
+            '/*.parquet')
+        WHERE dhash IS NOT NULL
+    ),
+    bands AS (SELECT UNNEST(range(0, 4)) AS band),
+    sliced AS (
+        SELECT id, h, band,
+               (h >> CAST(band * 16 AS INTEGER)) & 65535 AS slice
+        FROM h CROSS JOIN bands
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+    FROM sliced a JOIN sliced b
+      ON a.band = b.band AND a.slice = b.slice AND a.id < b.id
+    WHERE bit_count(xor(a.h, b.h)) <= 3
+    """,
+)
 def q_multimodal_phash_dupes(spark, sf_dir):
-    """Image near-duplicate detection end-to-end (rows-only like
-    q_multimodal_features — the decoders are Python-side): documents render
-    to real BMP/PNG payloads, pipeline/multimodal.image_dhash computes the
-    64-bit perceptual hash (block-mean resize + horizontal gradient) over
-    the REAL decoded pixels, and dhash_candidate_pairs finds pairs within
-    Hamming distance 3 via the banded equi-join (pigeonhole-exact, no
-    all-pairs scan). Exact-duplicate documents render to identical pixels,
-    so the corpus' planted dups surface as hamming-0 pairs. Value-level
-    checks: tests/test_pipeline.py::test_image_dhash_and_near_dup_pairs."""
+    """Image near-duplicate detection end-to-end, ORACLE-GATED from the
+    perceptual hash down (r10 verdict #7): documents render to real
+    BMP/PNG payloads, pipeline/multimodal.image_dhash computes the
+    64-bit dHash (block-mean resize + horizontal gradient) over the REAL
+    decoded pixels — the Python-side decode stays value-gated by
+    tests/test_pipeline.py::test_image_dhash_and_near_dup_pairs — and
+    the (media_id, dhash) table crosses the oracle bridge so BOTH
+    engines derive the Hamming-≤3 pair set from identical hashes via the
+    pigeonhole banded equi-join. Exact-duplicate documents render to
+    identical pixels, so the corpus' planted dups surface as hamming-0
+    pairs on both sides of the gate."""
+    from . import bridge_write
     from ..pipeline.multimodal import dhash_candidate_pairs, image_dhash
 
     d = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"), "text"
     )
-    hashed = image_dhash(_render_media(d))
-    return dhash_candidate_pairs(hashed).orderBy("id_a", "id_b")
+    hashed = image_dhash(_render_media(d)).select("media_id", "dhash")
+    path = bridge_write(hashed, "q_multimodal_phash_dupes")
+    back = spark.read.parquet(path)
+    pairs = dhash_candidate_pairs(back)
+    return pairs.withColumn("hamming", F.col("hamming").cast("bigint"))
 
 
 @register(
