@@ -1411,3 +1411,67 @@ def q_acid_clone_divergence(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_keys"),
         F.sum("n_events").cast("bigint").alias("total_events"),
     )
+
+
+@register(
+    "q_acid_conditional_merge",
+    oracle=f"""
+    WITH {_BATCHES_SQL}
+    SELECT COALESCE(b2.user_id, b1.user_id) AS user_id,
+           COALESCE(b2.event_type, b1.event_type) AS event_type,
+           CASE WHEN b1.user_id IS NOT NULL AND b2.user_id IS NOT NULL
+                     AND b2.sum_value > b1.sum_value THEN b2.n_events
+                WHEN b1.user_id IS NOT NULL THEN b1.n_events
+                ELSE b2.n_events END AS n_events,
+           CASE WHEN b1.user_id IS NOT NULL AND b2.user_id IS NOT NULL
+                     AND b2.sum_value > b1.sum_value THEN b2.sum_value
+                WHEN b1.user_id IS NOT NULL THEN b1.sum_value
+                ELSE b2.sum_value END AS sum_value
+    FROM b1 FULL OUTER JOIN b2
+      ON b1.user_id = b2.user_id AND b1.event_type = b2.event_type
+    WHERE NOT (b1.user_id IS NOT NULL AND b2.user_id IS NOT NULL
+               AND b2.n_events < 3)
+      AND NOT (b1.user_id IS NULL AND b2.n_events < 2)
+    """,
+)
+def q_acid_conditional_merge(spark, sf_dir):
+    """CONDITIONAL MERGE INTO under the value gate (sources/acid.
+    acid_merge — Delta `WHEN MATCHED [AND cond] THEN UPDATE/DELETE,
+    WHEN NOT MATCHED [AND cond] THEN INSERT`, clause-order semantics):
+    batch1 seeds the table, then one merge with batch2 as the source —
+    matched keys with a small batch2 count DELETE ("s.n_events < 3"),
+    matched keys where batch2's total grew UPDATE wholesale
+    ("s.sum_value > t.sum_value"), other matched keys keep the batch1
+    row, and batch2-only keys INSERT only at "s.n_events >= 2". The
+    oracle replays all four clause outcomes relationally off the raw
+    events, so clause precedence (delete before update), condition
+    evaluation over BOTH aliases, partition-scoped rewrites, and the
+    atomic single-commit publish all hash-gate."""
+    from ..sources.acid import acid_merge, acid_read
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir,
+                "conditional_merge")
+    root = _TABLE_MEMO.get(memo_key)
+    if root is None:
+        e = load(spark, sf_dir, "events")
+        b1 = _agg(e.where(F.col("ts") < F.lit(_B1_CUT).cast("timestamp")))
+        b2 = _agg(
+            e.where(
+                (F.col("ts") >= F.lit(_B2_FROM).cast("timestamp"))
+                & F.col("event_type").isin(*_B2_TYPES)
+            )
+        )
+        root = tempfile.mkdtemp(prefix="acid_qcm_")
+        from ..sources.acid import acid_write
+        acid_write(spark, b1, root, partition_by=("event_type",))
+        acid_merge(
+            spark, b2, root, key=_KEY,
+            when_matched_delete="s.n_events < 3",
+            when_matched_update="s.sum_value > t.sum_value",
+            when_not_matched_insert="s.n_events >= 2",
+            partition_by=("event_type",),
+        )
+        _TABLE_MEMO[memo_key] = root
+    return acid_read(spark, root).select(
+        "user_id", "event_type", "n_events", "sum_value"
+    )

@@ -1932,3 +1932,170 @@ def acid_delete_mor(
         f"delete-mor on {table_root}: lost the manifest race "
         f"{max_retries} times"
     )
+
+
+def acid_merge(
+    spark: SparkSession,
+    source_df: DataFrame,
+    table_root: str,
+    key: tuple[str, ...],
+    when_matched_update: str | bool = True,
+    when_matched_delete: str | None = None,
+    when_not_matched_insert: str | bool = True,
+    partition_by: tuple[str, ...] = (),
+    stats_cols: tuple[str, ...] = (),
+    max_retries: int = 10,
+    branch: str = MAIN_BRANCH,
+    on_violation: str = "reject",
+) -> int:
+    """Conditional MERGE INTO (Delta `MERGE INTO t USING s ON t.k = s.k`
+    with WHEN MATCHED [AND cond] THEN UPDATE / DELETE and WHEN NOT
+    MATCHED [AND cond] THEN INSERT) as ONE atomic commit. Returns the
+    new version.
+
+    Clause semantics (Delta's evaluation order):
+    - a matched (target, source) pair DELETES the target row when
+      ``when_matched_delete`` evaluates true, else UPDATES it (the
+      source row replaces it wholesale) when ``when_matched_update``
+      is true / its condition holds, else keeps the target row;
+    - an unmatched source row INSERTS when ``when_not_matched_insert``
+      is true / its condition holds, else is ignored;
+    - unmatched target rows always survive.
+    Conditions are SQL strings over the aliases ``t`` (target) and
+    ``s`` (source), e.g. ``"s.value > t.value"``; pass True for an
+    unconditional clause, None/False to disable it. Source rows with
+    duplicate keys that match a target row raise (Delta's
+    multiple-source-rows-matched error) — dedupe the source first if
+    last-wins is intended (that is ``acid_upsert``).
+
+    Like acid_upsert, only the partitions PRESENT in the source are
+    read or rewritten (same partition-scoped contract: a key living in
+    a partition the source never names is out of the merge's view), the
+    rewrite reads through the MoR snapshot (no resurrections), additive
+    schema evolution null-fills either side, constraints gate the
+    UPDATE+INSERT rows (the rows this commit writes), and concurrency
+    is the standard optimistic rebase."""
+    from pyspark import StorageLevel
+
+    partition_by = tuple(partition_by)
+    key = tuple(key)
+
+    # Delta's multiple-match guard: >1 source rows per key is an error
+    # as soon as that key matches anything (we check unconditionally —
+    # cheaper and stricter; an agg over the source, never the table)
+    dup = (
+        source_df.groupBy(*key).agg(F.count("*").alias("__n"))
+        .where(F.col("__n") > 1).limit(1).collect()
+    )
+    if dup:
+        k = {c: dup[0][c] for c in key}
+        raise ValueError(
+            f"MERGE source has multiple rows for key {k} — dedupe the "
+            "source (or use acid_upsert for last-wins semantics)"
+        )
+
+    def _cond(clause, default):
+        if clause is True:
+            return F.lit(default)
+        if clause in (None, False):
+            return F.lit(False)
+        return F.coalesce(F.expr(clause), F.lit(False))
+
+    upd_c, del_c, ins_c = (
+        _cond(when_matched_update, True),
+        _cond(when_matched_delete, False),
+        _cond(when_not_matched_insert, True),
+    )
+
+    for _ in range(max_retries):
+        base_v = latest_version(table_root, branch)
+        if partition_by:
+            touched = {
+                tuple(None if r[c] == "" else r[c] for c in partition_by)
+                for r in source_df.select(
+                    *[F.col(c).cast("string").alias(c)
+                      for c in partition_by]
+                ).distinct().collect()
+            }
+        else:
+            touched = None
+
+        base = _load_manifest(table_root, base_v, branch) if base_v else None
+        base_data = _data_entries(base["files"]) if base_v else []
+        base_dels = _delete_entries(base["files"]) if base_v else []
+        if not base_v or touched is None:
+            replaced = base_data
+            keep_files: list[dict] = []
+        else:
+            replaced = [
+                e for e in base_data
+                if any(c not in e["partition"] for c in partition_by)
+                or tuple(e["partition"].get(c) for c in partition_by)
+                in touched
+            ]
+            rp = {e["path"] for e in replaced}
+            keep_files = [e for e in base_data if e["path"] not in rp]
+
+        if replaced:
+            existing = _snapshot_df(
+                spark, _data_root(table_root), base, entries=replaced
+            )
+        else:
+            src_schema = _schema_ddl(source_df)
+            existing = spark.createDataFrame([], src_schema)
+
+        t = existing.withColumn("__t", F.lit(1)).alias("t")
+        s = source_df.withColumn("__s", F.lit(1)).alias("s")
+        j = (
+            t.join(s, list(key), "full_outer")
+            .withColumn(
+                "__tag",
+                F.when(
+                    F.col("t.__t").isNotNull() & F.col("s.__s").isNotNull(),
+                    F.when(del_c, F.lit("D"))
+                    .when(upd_c, F.lit("U"))
+                    .otherwise(F.lit("K")),
+                )
+                .when(F.col("t.__t").isNotNull(), F.lit("K"))
+                .otherwise(F.when(ins_c, F.lit("I")).otherwise(F.lit("D"))),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            kept = j.where(
+                (F.col("__tag") == "K") & F.col("t.__t").isNotNull()
+            ).select(
+                *key,
+                *[F.col(f"t.{c}") for c in existing.columns if c not in key],
+            )
+            written = j.where(F.col("__tag").isin("U", "I")).select(
+                *key,
+                *[F.col(f"s.{c}") for c in source_df.columns
+                  if c not in key],
+            )
+            # gate exactly the rows this commit writes (Delta's contract)
+            written = _validate_constraints(
+                spark, written, table_root, on_violation
+            )
+            merged = kept.unionByName(written, allowMissingColumns=True)
+
+            bloom_eff = _bloom_cols_of(base["files"]) if base_v else ()
+            new_entries = _write_data_files(
+                spark, merged, table_root, partition_by, tuple(stats_cols),
+                bloom_cols=bloom_eff,
+            )
+        finally:
+            j.unpersist()
+        _stamp_seq(new_entries, _next_seq(
+            base_v, base["files"] if base_v else []))
+        dels = _live_deletes(keep_files, base_dels) if base_v else []
+        manifest = _new_manifest(
+            base_v, "merge", keep_files + dels + new_entries, partition_by,
+            _schema_ddl(merged),
+        )
+        if _commit_manifest(table_root, base_v + 1, manifest, branch):
+            return base_v + 1
+        _remove_entries(table_root, new_entries)
+    raise CommitConflict(
+        f"merge on {table_root}: lost the manifest race {max_retries} times"
+    )

@@ -2076,3 +2076,100 @@ def test_concurrent_clone_constraint_compact_stress(spark, tmp_path):
                 p = entry["path"]
                 full = p if os.path.isabs(p) else os.path.join(droot, p)
                 assert os.path.exists(full), (troot, v, p)
+
+
+def test_merge_conditional_clauses(spark, tmp_path):
+    """Conditional MERGE INTO: WHEN MATCHED AND cond UPDATE / DELETE,
+    WHEN NOT MATCHED AND cond INSERT — Delta clause-order semantics."""
+    from backtest_crew_datalake_spark.sources.acid import acid_merge
+
+    root = str(tmp_path / "t")
+    acid_write(spark, _mk(spark, [
+        ("A", "d1", 1, 10.0),   # matched, delete-cond true -> deleted
+        ("B", "d1", 2, 10.0),   # matched, update-cond true -> updated
+        ("C", "d1", 3, 99.0),   # matched, no cond true -> kept as-is
+        ("D", "d2", 4, 4.0),    # unmatched target -> survives
+    ]), root, partition_by=PARTS)
+    src = _mk(spark, [
+        ("A", "d1", 1, -1.0),
+        ("B", "d1", 2, 20.0),
+        ("C", "d1", 3, 5.0),    # update cond s.px > t.px is FALSE (5<99)
+        ("E", "d1", 5, 50.0),   # insert cond true
+        ("F", "d1", 6, 0.5),    # insert cond false (px < 1)
+    ])
+    v = acid_merge(
+        spark, src, root, key=KEY,
+        when_matched_delete="s.px < 0",
+        when_matched_update="s.px > t.px",
+        when_not_matched_insert="s.px >= 1",
+        partition_by=PARTS,
+    )
+    assert v == 2
+    assert _snapshot(acid_read(spark, root)) == [
+        ("B", "d1", 2, 20.0), ("C", "d1", 3, 99.0),
+        ("D", "d2", 4, 4.0), ("E", "d1", 5, 50.0)]
+    # time travel to pre-merge intact
+    assert len(_snapshot(acid_read(spark, root, version=1))) == 4
+
+
+def test_merge_unconditional_and_partition_scope(spark, tmp_path):
+    """Default clauses (update all matched, insert all unmatched) ==
+    upsert; untouched partitions' files carry over unrewritten."""
+    from backtest_crew_datalake_spark.sources.acid import (
+        _load_manifest, acid_merge,
+    )
+
+    root = str(tmp_path / "t")
+    acid_write(spark, _mk(spark, [
+        ("A", "d1", 1, 1.0), ("Z", "d9", 9, 9.0),
+    ]), root, partition_by=PARTS)
+    before = {
+        e["path"] for e in _load_manifest(root, 1)["files"]
+        if e["partition"].get("sym") == "Z"
+    }
+    acid_merge(spark, _mk(spark, [
+        ("A", "d1", 1, 2.0), ("B", "d1", 2, 3.0),
+    ]), root, key=KEY, partition_by=PARTS)
+    assert _snapshot(acid_read(spark, root)) == [
+        ("A", "d1", 1, 2.0), ("B", "d1", 2, 3.0), ("Z", "d9", 9, 9.0)]
+    after = {
+        e["path"] for e in _load_manifest(root, 2)["files"]
+        if e["partition"].get("sym") == "Z"
+    }
+    assert before == after  # Z's file carried over, not rewritten
+
+
+def test_merge_multiple_source_rows_error(spark, tmp_path):
+    from backtest_crew_datalake_spark.sources.acid import acid_merge
+
+    root = str(tmp_path / "t")
+    acid_write(spark, _mk(spark, [("A", "d1", 1, 1.0)]), root,
+               partition_by=PARTS)
+    src = _mk(spark, [("A", "d1", 1, 2.0), ("A", "d1", 1, 3.0)])
+    with pytest.raises(ValueError, match="multiple rows"):
+        acid_merge(spark, src, root, key=KEY, partition_by=PARTS)
+
+
+def test_merge_respects_constraints_and_mor(spark, tmp_path):
+    """Merge gates exactly the rows it writes; matched keys deleted via
+    MoR before the merge do not resurrect through the rewrite."""
+    from backtest_crew_datalake_spark.sources.acid import (
+        ConstraintViolation, acid_delete_mor, acid_merge,
+        acid_set_constraint,
+    )
+
+    root = str(tmp_path / "t")
+    acid_write(spark, _mk(spark, [("A", "d1", 1, 1.0), ("B", "d1", 2, 2.0)]),
+               root, partition_by=PARTS)
+    acid_set_constraint(spark, root, "px_pos", "px > 0")
+    # MoR-delete B, then merge-touch its partition: B must stay dead
+    acid_delete_mor(spark, root, spark.createDataFrame(
+        [("B", "d1", 2)], "sym string, day string, ts bigint"), key=KEY)
+    acid_merge(spark, _mk(spark, [("A", "d1", 1, 5.0)]), root, key=KEY,
+               partition_by=PARTS)
+    assert _snapshot(acid_read(spark, root)) == [("A", "d1", 1, 5.0)]
+    # a violating UPDATE rejects before anything commits
+    with pytest.raises(ConstraintViolation):
+        acid_merge(spark, _mk(spark, [("A", "d1", 1, -5.0)]), root,
+                   key=KEY, partition_by=PARTS)
+    assert _snapshot(acid_read(spark, root)) == [("A", "d1", 1, 5.0)]
