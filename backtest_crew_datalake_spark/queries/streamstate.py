@@ -532,3 +532,79 @@ def q_stream_sessionize_state(spark, sf_dir):
             F.col("n_events").cast("bigint").alias("n_events"),
         )
     )
+
+
+@register(
+    "q_stream_join_state",
+    oracle="""
+    SELECT l.user_id,
+           epoch_ms(l.ts) AS l_ts_ms,
+           CAST(ROUND(COALESCE(l.value, 0) * 100) AS BIGINT) AS l_cents,
+           epoch_ms(r.ts) AS r_ts_ms,
+           CAST(ROUND(COALESCE(r.value, 0) * 100) AS BIGINT) AS r_cents
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts <= l.ts
+     AND r.ts >= l.ts - INTERVAL 30 MINUTE
+    WHERE l.event_type = 'purchase' AND r.event_type = 'click'
+    """,
+)
+def q_stream_join_state(spark, sf_dir):
+    """STREAM-STREAM interval join END STATE under the oracle gate (the
+    §2.11 surface the r10 window didn't cover): purchases and clicks
+    stream in as two SEPARATE file sources, three ts-ordered
+    micro-batches each, through streaming_interval_join (each purchase
+    pairs with the same user's clicks in the trailing 30 minutes; both
+    sides watermarked so the join STATE is bounded — right rows evict
+    once the watermark passes their ts + lookback) into an append
+    parquet sink. Inner stream-stream joins emit matches as both sides
+    arrive, so cross-batch pairing (a click landing one batch before its
+    purchase must still pair from state) is exactly what the gate
+    exercises. The oracle recomputes the interval join relationally over
+    the whole input at microsecond precision. Citations:
+    streaming/ingest.py:streaming_interval_join,
+    operators/rangejoin.py (the batch twin), SURVEY §2.11."""
+    from ..streaming.ingest import streaming_interval_join
+
+    def build(base: str) -> str:
+        land_l = f"{base}/land_l"
+        land_r = f"{base}/land_r"
+        out = f"{base}/out"
+        ck = f"{base}/ck"
+        evt = load(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_type", "value")
+        pur = _ts_batches(evt.where(F.col("event_type") == "purchase"))
+        clk = _ts_batches(evt.where(F.col("event_type") == "click"))
+        schema = "user_id bigint, ts timestamp, value double"
+        for lb, rb in zip(pur, clk):
+            lb.select("user_id", "ts", "value").coalesce(1) \
+                .write.mode("append").parquet(land_l)
+            rb.select("user_id", "ts", "value").coalesce(1) \
+                .write.mode("append").parquet(land_r)
+            left = (spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1024).parquet(land_l))
+            right = (spark.readStream.schema(schema)
+                     .option("maxFilesPerTrigger", 1024).parquet(land_r))
+            q = (
+                streaming_interval_join(left, right,
+                                        lookback="30 minutes",
+                                        watermark="1 hour")
+                .writeStream.outputMode("append")
+                .format("parquet").option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return out
+
+    out = _once(spark, sf_dir, "ssjoin", build)
+    return spark.read.parquet(out).select(
+        "user_id",
+        F.unix_millis("l_ts").cast("bigint").alias("l_ts_ms"),
+        F.round(F.coalesce(F.col("l_value"), F.lit(0.0)) * 100, 0)
+        .cast("bigint").alias("l_cents"),
+        F.unix_millis("r_ts").cast("bigint").alias("r_ts_ms"),
+        F.round(F.coalesce(F.col("r_value"), F.lit(0.0)) * 100, 0)
+        .cast("bigint").alias("r_cents"),
+    )
