@@ -4211,3 +4211,305 @@ def q_evt_activity_powerlaw(spark, sf_dir):
             "n_total",
         )
     )
+
+
+@register(
+    "q_evt_bounce_dwell",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_ms(ts) // 1000
+                            - epoch_ms(LAG(ts) OVER w) // 1000 >= 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f
+    ),
+    sess AS (
+        SELECT user_id, sid,
+               FIRST(event_type ORDER BY ts, event_id) AS entry_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS dwell_ms
+        FROM numbered GROUP BY 1, 2
+    )
+    SELECT entry_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounce,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS bounce_micro,
+           CAST(SUM(dwell_ms) AS BIGINT) AS total_dwell_ms,
+           CAST(SUM(dwell_ms) // COUNT(*) AS BIGINT) AS avg_dwell_ms
+    FROM sess GROUP BY 1
+    """,
+)
+def q_evt_bounce_dwell(spark, sf_dir):
+    """BOUNCE RATE + DWELL TIME by session ENTRY event type — the
+    landing-page quality read every product dashboard carries: sessions
+    are the q_evt_sessionize gaps-and-islands (30-min whole-second
+    timeout, (ts, event_id) deterministic order), each session's entry
+    type is its first event (min_by over the compound order), a bounce
+    is a 1-event session, and dwell is exact end-start milliseconds.
+    Bounce share and average dwell are truncating integer micro-unit /
+    DIV divisions (rule 12 — no float aggregation anywhere).
+
+    Scale shape: ONE keyed (user_id) window partition chain builds the
+    session ids (events cluster by user), one keyed aggregate per
+    session, one |event_types|-bounded rollup. Nothing global, nothing
+    quadratic."""
+    from pyspark.sql import Window
+
+    evt = load(spark, sf_dir, "events")
+    sec = F.floor(F.unix_millis("ts") / 1000)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_sec = F.lag(sec).over(w)
+    new_s = F.when(
+        lag_sec.isNull() | ((sec - lag_sec) >= 1800), F.lit(1)
+    ).otherwise(F.lit(0))
+    numbered = evt.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.sum(new_s).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("sid"),
+    )
+    sess = numbered.groupBy("user_id", "sid").agg(
+        F.expr("min_by(event_type, struct(ts, event_id))")
+        .alias("entry_type"),
+        F.count("*").cast("bigint").alias("n"),
+        (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts")))
+        .alias("dwell_ms"),
+    )
+    return sess.groupBy("entry_type").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum((F.col("n") == 1).cast("int")).cast("bigint")
+        .alias("n_bounce"),
+        F.expr(
+            "CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("bounce_micro"),
+        F.sum("dwell_ms").cast("bigint").alias("total_dwell_ms"),
+        F.expr("CAST(SUM(dwell_ms) DIV COUNT(*) AS BIGINT)")
+        .alias("avg_dwell_ms"),
+    )
+
+
+@register(
+    "q_evt_transition_entropy",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    t AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_trans
+        FROM t GROUP BY 1
+    ),
+    p AS (
+        SELECT t.from_type, tot.n_trans,
+               t.n * 1.0 / tot.n_trans AS p
+        FROM t JOIN tot USING (from_type)
+    ),
+    agg AS (
+        SELECT from_type,
+               CAST(MAX(n_trans) AS BIGINT) AS n_trans,
+               CAST(COUNT(*) AS BIGINT) AS n_next_types,
+               -SUM(p * LN(p)) AS h
+        FROM p GROUP BY 1
+    )
+    SELECT from_type, n_trans, n_next_types,
+           ROUND(h, 6) AS entropy_nats,
+           CASE WHEN n_next_types <= 1 THEN 1.0
+                ELSE ROUND(1.0 - h / LN(n_next_types), 6)
+           END AS predictability
+    FROM agg
+    """,
+)
+def q_evt_transition_entropy(spark, sf_dir):
+    """NEXT-STEP PREDICTABILITY of the user-journey Markov chain: per
+    from_type, the Shannon entropy (nats) of its next-event-type
+    distribution and the normalized predictability 1 − H/ln(k) — the
+    diagnostic that separates deterministic flows (checkout→payment)
+    from browse noise, the information-theoretic companion of
+    q_evt_markov_transitions. Counts are exact integers; the only
+    floats are the p·ln p terms, summed over a |types|²-bounded
+    matrix and rounded once on both engines.
+
+    Scale shape: one keyed (user_id) successor window, one |types|²
+    aggregate, a |types| rollup — the Markov-transitions plan with an
+    entropy fold on top."""
+    from pyspark.sql import Window
+
+    evt = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        evt.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"),
+                 F.col("next_type").alias("to_type"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    wrow = Window.partitionBy("from_type")
+    p = F.col("n") * 1.0 / F.sum("n").over(wrow)
+    agg = (
+        t.withColumn("negent", p * F.log(p))
+        .groupBy("from_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_trans"),
+            F.count("*").cast("bigint").alias("n_next_types"),
+            (-F.sum("negent")).alias("h"),
+        )
+    )
+    return agg.select(
+        "from_type", "n_trans", "n_next_types",
+        F.round("h", 6).alias("entropy_nats"),
+        F.when(F.col("n_next_types") <= 1, F.lit(1.0))
+        .otherwise(
+            F.round(F.lit(1.0) - F.col("h") / F.log("n_next_types"), 6)
+        ).alias("predictability"),
+    )
+
+
+@register(
+    "q_evt_interevent_expfit",
+    oracle="""
+    WITH g AS (
+        SELECT epoch_ms(ts) // 1000
+               - epoch_ms(LAG(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                 )) // 1000 AS gap_s
+        FROM events
+    ),
+    h AS (
+        SELECT gap_s, CAST(COUNT(*) AS BIGINT) AS c
+        FROM g WHERE gap_s IS NOT NULL GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(gap_s * c) AS BIGINT) AS total_s
+        FROM h
+    ),
+    cum AS (
+        SELECT gap_s,
+               CAST(SUM(c) OVER (ORDER BY gap_s
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_c
+        FROM h
+    )
+    SELECT s.n AS n_gaps, s.total_s,
+           CAST(s.total_s * 1000000 // s.n AS BIGINT) AS mean_gap_micro,
+           ROUND(MAX(ABS(
+               cum.cum_c * 1.0 / s.n
+               - (1.0 - EXP(-(cum.gap_s * s.n * 1.0 / s.total_s)))
+           )), 6) AS ks_stat
+    FROM cum CROSS JOIN s
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_evt_interevent_expfit(spark, sf_dir):
+    """INTER-EVENT TIME model fit: are user gaps exponential (the
+    Poisson-arrivals hypothesis every queueing/capacity model starts
+    from)? The MLE rate is 1/mean over whole-second per-user gaps —
+    mean carried as an exact integer micro-unit division — and the fit
+    quality is the Kolmogorov-Smirnov statistic between the empirical
+    CDF (a cumulative window over the |distinct gap values| histogram)
+    and Exp(1/mean), evaluated at the histogram's own support (where
+    the KS sup over a step function is attained from the right).
+    Floats appear only in the final CDF-difference terms, rounded once.
+
+    Scale shape: one keyed (user_id) lag window, a histogram whose
+    support is bounded by the corpus time span in seconds, one
+    cumulative window over that state, a 1-row answer."""
+    from pyspark.sql import Window
+
+    evt = load(spark, sf_dir, "events")
+    sec = F.floor(F.unix_millis("ts") / 1000)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = evt.select((sec - F.lag(sec).over(w)).alias("gap_s")) \
+        .where(F.col("gap_s").isNotNull())
+    h = g.groupBy("gap_s").agg(F.count("*").cast("bigint").alias("c"))
+    s = h.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("gap_s") * F.col("c")).cast("bigint").alias("total_s"),
+    )
+    wc = Window.orderBy("gap_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = h.select(
+        "gap_s", F.sum("c").over(wc).cast("bigint").alias("cum_c"))
+    ks_term = F.abs(
+        F.col("cum_c") * 1.0 / F.col("n")
+        - (F.lit(1.0) - F.exp(
+            -(F.col("gap_s") * F.col("n") * 1.0 / F.col("total_s"))))
+    )
+    return (
+        cum.crossJoin(F.broadcast(s))
+        .groupBy("n", "total_s")
+        .agg(F.round(F.max(ks_term), 6).alias("ks_stat"))
+        .select(
+            F.col("n").alias("n_gaps"), "total_s",
+            F.expr("CAST(total_s * 1000000 DIV n AS BIGINT)")
+            .alias("mean_gap_micro"),
+            "ks_stat",
+        )
+    )
+
+
+@register(
+    "q_evt_calendar_heatmap",
+    oracle="""
+    WITH cell AS (
+        SELECT isodow(ts) - 1 AS dow, EXTRACT(hour FROM ts) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS t FROM cell)
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+           n_events, sum_cents,
+           CAST(n_events * 1000000 // tot.t AS BIGINT) AS share_micro
+    FROM cell CROSS JOIN tot
+    """,
+)
+def q_evt_calendar_heatmap(spark, sf_dir):
+    """DAY-OF-WEEK × HOUR activity heatmap (the ops-dashboard calendar
+    matrix): exact counts + cents per cell and each cell's corpus share
+    in truncating integer micro-units. Weekday is ISO Monday=0 on both
+    engines (Spark weekday() == DuckDB isodow()-1 — the dayofweek
+    builtins disagree on week start, the classic cross-engine trap this
+    gate pins).
+
+    Scale shape: one map-side-combinable 168-cell aggregate + a 1-row
+    broadcast total."""
+    evt = load(spark, sf_dir, "events")
+    cell = evt.groupBy(
+        F.weekday("ts").cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hour"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.round(F.coalesce(F.col("value"), F.lit(0)) * 100)
+              .cast("bigint")).cast("bigint").alias("sum_cents"),
+    )
+    tot = cell.agg(F.sum("n_events").cast("bigint").alias("t"))
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .select(
+            "dow", "hour", "n_events", "sum_cents",
+            F.expr("CAST(n_events * 1000000 DIV t AS BIGINT)")
+            .alias("share_micro"),
+        )
+    )

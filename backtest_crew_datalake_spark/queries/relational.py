@@ -1716,3 +1716,205 @@ def q_ship_sla_percentiles(spark, sf_dir):
         pct(99).alias("p99_days"),
         F.max("lag_d").cast("bigint").alias("max_days"),
     )
+
+
+@register(
+    "q_order_backlog",
+    oracle="""
+    WITH closed AS (
+        SELECT l_orderkey AS k, MAX(CAST(l_shipdate AS DATE)) AS cd
+        FROM lineitem GROUP BY 1
+    ),
+    op AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    ),
+    cl AS (
+        SELECT cd AS d, CAST(COUNT(*) AS BIGINT) AS n
+        FROM closed GROUP BY 1
+    ),
+    days AS (SELECT d FROM op UNION SELECT d FROM cl),
+    series AS (
+        SELECT days.d,
+               COALESCE(op.n, 0) AS opened,
+               COALESCE(cl.n, 0) AS closed
+        FROM days LEFT JOIN op USING (d) LEFT JOIN cl USING (d)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(opened AS BIGINT) AS opened,
+           CAST(closed AS BIGINT) AS closed,
+           CAST(SUM(opened - closed) OVER (ORDER BY d
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+    FROM series
+    """,
+)
+def q_order_backlog(spark, sf_dir):
+    """ORDER BACKLOG time series — the fulfillment-ops burndown: an
+    order opens at o_orderdate and closes when its LAST line ships
+    (max l_shipdate); the running backlog is the cumulative
+    opened-minus-closed over the merged event-day axis. Orders with no
+    lineitem never close and stay in the backlog (the honest reading).
+
+    Scale shape: one per-order max-shipdate aggregate (keyed,
+    map-side-combinable), two |days|-bounded daily rollups, one
+    cumulative window over the |days| axis — state, never data."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    closed = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.max(F.to_date("l_shipdate")).alias("cd"))
+    op = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count("*").cast("bigint").alias("opened"))
+    cl = closed.groupBy(F.col("cd").alias("d")).agg(
+        F.count("*").cast("bigint").alias("closed"))
+    series = (
+        op.join(cl, "d", "full_outer")
+        .select(
+            "d",
+            F.coalesce("opened", F.lit(0)).cast("bigint").alias("opened"),
+            F.coalesce("closed", F.lit(0)).cast("bigint").alias("closed"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return series.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "opened", "closed",
+        F.sum(F.col("opened") - F.col("closed")).over(w).cast("bigint")
+        .alias("backlog"),
+    )
+
+
+@register(
+    "q_part_discount_elasticity",
+    oracle="""
+    WITH pt AS (
+        SELECT p.p_brand AS brand,
+               CAST(ROUND(l.l_discount * 10000) AS BIGINT) AS x,
+               CAST(ROUND(l.l_quantity) AS BIGINT) AS y
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    s AS (
+        SELECT brand,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(x * y) AS HUGEINT) AS sxy,
+               CAST(SUM(x * x) AS HUGEINT) AS sxx
+        FROM pt GROUP BY 1
+    )
+    SELECT brand, n,
+           CAST((n * sxy - sx * sy) * 1000000
+                // NULLIF(n * sxx - sx * sx, 0) AS BIGINT)
+               AS slope_micro_qty_per_bp
+    FROM s
+    """,
+)
+def q_part_discount_elasticity(spark, sf_dir):
+    """DISCOUNT ELASTICITY per brand: the OLS slope of line quantity on
+    discount (basis points) over the lineitem⋈part fact-dim join — does
+    discounting move volume, and for which brands? The slope is the
+    classic (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), every sum an exact integer
+    (discount → bp, quantity → integer units), the single division a
+    truncating micro-unit DIV with a NULLIF zero-variance guard —
+    rule 12 end to end, decimal(38,0)/HUGEINT intermediates because
+    nΣxy reaches n²·x̄ȳ at corpus scale.
+
+    Scale shape: broadcast dim join (part is a dimension), one
+    map-side-combinable 5-sum aggregate per brand, |brands| output
+    rows. No window, no second scan."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    pt = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("l_discount") * 10000).cast("bigint").alias("x"),
+        F.round("l_quantity").cast("bigint").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    s = pt.groupBy("brand").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+    )
+    return s.select(
+        "brand", "n",
+        F.expr(
+            "CAST((n * sxy - sx * sy) * 1000000"
+            " DIV NULLIF(n * sxx - sx * sx, 0) AS BIGINT)"
+        ).alias("slope_micro_qty_per_bp"),
+    )
+
+
+@register(
+    "q_cust_lorenz_deciles",
+    oracle="""
+    WITH r AS (
+        SELECT o_custkey AS ck,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_c
+        FROM orders GROUP BY 1
+    ),
+    d AS (
+        SELECT ck, rev_c,
+               CAST(NTILE(10) OVER (ORDER BY rev_c, ck) AS BIGINT)
+                   AS decile
+        FROM r
+    ),
+    tot AS (SELECT CAST(SUM(rev_c) AS HUGEINT) AS t FROM d)
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev_c) AS BIGINT) AS rev_cents,
+           CAST(CAST(SUM(rev_c) AS HUGEINT) * 1000000 // tot.t AS BIGINT)
+               AS share_micro
+    FROM d CROSS JOIN tot
+    GROUP BY decile, tot.t
+    """,
+)
+def q_cust_lorenz_deciles(spark, sf_dir):
+    """LORENZ CURVE by customer-revenue decile — the distributional
+    companion of q_evt_user_gini on the ORDERS domain: customers are
+    NTILE(10)-binned ascending by exact-cents lifetime revenue
+    (deterministic (rev, custkey) compound order) and each decile
+    reports its exact revenue share in integer micro-units; a flat 10%
+    per decile is perfect equality, the top decile's share is the
+    concentration headline.
+
+    Scale shape: the NTILE comes from operators/ranking.global_row_rank
+    (histogram rows-before + bucketed tie row_number — r10 verdict #2's
+    distributed rank, exercised here on a SECOND domain), so no
+    unpartitioned window ever touches the |customers| frame; the oracle
+    keeps the plain NTILE window as the equivalence proof."""
+    from pyspark import StorageLevel
+
+    from ..operators.ranking import global_row_rank, ntile_from_rank
+
+    o = load(spark, sf_dir, "orders")
+    r = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint").alias("rev_c")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n = r.agg(F.count("*").cast("bigint").alias("__n"))
+    d = (
+        global_row_rank(r, "rev_c", "ck", out="__rk", ascending=True)
+        .crossJoin(F.broadcast(n))
+        .withColumn("decile", ntile_from_rank("__rk", "__n", 10))
+    )
+    tot = r.agg(F.sum("rev_c").cast("decimal(38,0)").alias("t"))
+    return (
+        d.groupBy("decile").agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("rev_c").cast("bigint").alias("rev_cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile", "n_customers", "rev_cents",
+            F.expr(
+                "CAST(CAST(rev_cents AS DECIMAL(38,0)) * 1000000"
+                " DIV t AS BIGINT)"
+            ).alias("share_micro"),
+        )
+    )

@@ -5423,3 +5423,320 @@ def q_doc_heaps_fit(spark, sf_dir):
         (F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4)
          + F.lit(0.0)).alias("log2_k"),
     )
+
+
+@register(
+    "q_doc_textrank_keywords",
+    oracle=r"""
+    WITH docs AS (
+        SELECT string_split_regex(TRIM(text), '\s+') AS toks
+        FROM documents
+    ),
+    tok AS (SELECT UNNEST(toks) AS w FROM docs),
+    cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+    pairs AS (
+        SELECT toks[i] AS a, toks[i + 1] AS b
+        FROM docs, UNNEST(generate_series(1, GREATEST(LEN(toks) - 1, 0)))
+             AS t(i)
+        WHERE toks[i] <> toks[i + 1]
+    ),
+    e AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS w FROM pairs
+          GROUP BY 1, 2),
+    sym AS (
+        SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+            SELECT a AS src, b AS dst, w FROM e
+            UNION ALL SELECT b, a, w FROM e
+        ) GROUP BY 1, 2
+    ),
+    deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wdeg FROM sym
+            GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+    pr0 AS (SELECT d.src, 1.0 / nn.n AS pr FROM deg d, nn),
+    pr1 AS (
+        SELECT d.src, 0.15 / (SELECT n FROM nn)
+               + 0.85 * COALESCE(c.s, 0) AS pr
+        FROM deg d LEFT JOIN (
+            SELECT s.dst AS src, SUM(p.pr * s.w / dg.wdeg) AS s
+            FROM sym s JOIN pr0 p ON s.src = p.src
+                       JOIN deg dg ON s.src = dg.src
+            GROUP BY 1
+        ) c ON d.src = c.src
+    ),
+    pr2 AS (
+        SELECT d.src, 0.15 / (SELECT n FROM nn)
+               + 0.85 * COALESCE(c.s, 0) AS pr
+        FROM deg d LEFT JOIN (
+            SELECT s.dst AS src, SUM(p.pr * s.w / dg.wdeg) AS s
+            FROM sym s JOIN pr1 p ON s.src = p.src
+                       JOIN deg dg ON s.src = dg.src
+            GROUP BY 1
+        ) c ON d.src = c.src
+    ),
+    cand AS (
+        SELECT w, n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rk
+        FROM cnt
+    )
+    SELECT cand.w AS word, cand.n AS n_occurrences,
+           ROUND(pr2.pr, 8) AS textrank
+    FROM cand LEFT JOIN pr2 ON pr2.src = cand.w
+    WHERE cand.rk <= 20
+    """,
+)
+def q_doc_textrank_keywords(spark, sf_dir):
+    """TEXTRANK keyword scoring (Mihalcea & Tarau 2004 — PageRank over
+    the word ADJACENCY graph, the unsupervised keyword extractor beside
+    RAKE): consecutive-token co-occurrences form a weighted undirected
+    graph, two damped (d=0.85) weighted PageRank iterations run from the
+    uniform vector, and the report covers the top-20 words by EXACT
+    integer occurrence count (deterministic (count, word) order — float
+    ranks never pick the report set, the q_doc_vocab_topk discipline)
+    with their rank-2 TextRank score rounded once.
+
+    Scale shape: the graph is |vocab|-bounded state (the Zipf ceiling),
+    edges come from one explode of zipped token slices, each iteration
+    is one keyed join + aggregate over the bounded edge list — the
+    q_doc_pagerank_canonical plan on the word domain."""
+    from ..pipeline.text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    docs = d.select(toks.alias("t"))
+    cnt = docs.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count("*").cast("bigint").alias("n"))
+    pairs = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),
+            )
+        ).alias("p")
+    ).select(F.col("p.0").alias("a"), F.col("p.1").alias("b")) \
+        .where(F.col("a") != F.col("b"))
+    e = pairs.groupBy("a", "b").agg(F.count("*").cast("bigint").alias("w"))
+    sym = (
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+        .unionByName(
+            e.select(F.col("b").alias("src"), F.col("a").alias("dst"),
+                     "w"))
+        .groupBy("src", "dst").agg(F.sum("w").cast("bigint").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    deg = sym.groupBy("src").agg(F.sum("w").cast("bigint").alias("wdeg"))
+    nn = deg.agg(F.count("*").cast("bigint").alias("n"))
+    pr = deg.crossJoin(F.broadcast(nn)).select(
+        "src", (F.lit(1.0) / F.col("n")).alias("pr"))
+    for _ in range(2):
+        contrib = (
+            sym.join(pr, "src")
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("src"))
+            .agg(F.sum(F.col("pr") * F.col("w") / F.col("wdeg"))
+                 .alias("s"))
+        )
+        pr = (
+            deg.join(contrib, "src", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "src",
+                (F.lit(0.15) / F.col("n")
+                 + F.lit(0.85) * F.coalesce("s", F.lit(0.0))).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    # distributed top-k (TakeOrderedAndProject), not a rank window
+    cand = cnt.orderBy(F.col("n").desc(), F.col("w")).limit(20)
+    return (
+        cand.join(pr, cand["w"] == pr["src"], "left")
+        .select(
+            cand["w"].alias("word"),
+            F.col("n").alias("n_occurrences"),
+            F.round("pr", 8).alias("textrank"),
+        )
+    )
+
+
+@register(
+    "q_doc_keyness_llr",
+    oracle=r"""
+    WITH tok AS (
+        SELECT CASE WHEN lang = 'en' THEN 'A' ELSE 'B' END AS grp,
+               UNNEST(string_split_regex(TRIM(text), '\s+')) AS w
+        FROM documents
+    ),
+    c AS (
+        SELECT w,
+               CAST(SUM(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS a,
+               CAST(SUM(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS b
+        FROM tok GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb
+        FROM c
+    )
+    SELECT w AS word, a AS n_target, b AS n_reference,
+           ROUND(2.0 * (
+               CASE WHEN a > 0 THEN
+                   a * LN(a * 1.0 * (tot.ta + tot.tb)
+                          / ((a + b) * 1.0 * tot.ta)) ELSE 0 END
+               + CASE WHEN b > 0 THEN
+                   b * LN(b * 1.0 * (tot.ta + tot.tb)
+                          / ((a + b) * 1.0 * tot.tb)) ELSE 0 END
+           ), 4) AS g2,
+           CASE WHEN a * 1.0 * tot.tb > b * 1.0 * tot.ta
+                THEN 'target' ELSE 'reference' END AS leans
+    FROM c CROSS JOIN tot
+    WHERE a + b >= 30
+    """,
+)
+def q_doc_keyness_llr(spark, sf_dir):
+    """KEYNESS via Dunning's log-likelihood ratio (G², Dunning 1993) —
+    the corpus-linguistics standard for 'which words characterize this
+    slice': target = English documents, reference = everything else;
+    per word, G² = 2·Σ O·ln(O/E) over the 2-way word×group contingency
+    (expected counts from the marginals), plus the direction of the
+    lean (relative-rate comparison as an exact integer-product
+    cross-multiplication, never a float division). The report set is
+    count-thresholded (a+b ≥ 30 — an exact integer predicate, so both
+    engines pick identical rows); G² itself is the only float, rounded
+    once.
+
+    Scale shape: one token explode, one |vocab|-bounded two-counter
+    aggregate, a 1-row marginal broadcast. No window, no join over
+    data."""
+    from ..pipeline.text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        F.when(F.col("lang") == "en", "A").otherwise("B").alias("grp"),
+        F.explode(tokens(F.col("text"))).alias("w"),
+    )
+    c = tok.groupBy("w").agg(
+        F.sum((F.col("grp") == "A").cast("int")).cast("bigint").alias("a"),
+        F.sum((F.col("grp") == "B").cast("int")).cast("bigint").alias("b"),
+    ).where(F.col("a") + F.col("b") >= 30)
+    # marginals over the FULL vocab (pre-threshold) — recompute from tok
+    tot = tok.agg(
+        F.sum((F.col("grp") == "A").cast("int")).cast("bigint").alias("ta"),
+        F.sum((F.col("grp") == "B").cast("int")).cast("bigint").alias("tb"),
+    )
+    t1 = F.when(
+        F.col("a") > 0,
+        F.col("a") * F.log(
+            F.col("a") * 1.0 * (F.col("ta") + F.col("tb"))
+            / ((F.col("a") + F.col("b")) * 1.0 * F.col("ta"))
+        ),
+    ).otherwise(F.lit(0.0))
+    t2 = F.when(
+        F.col("b") > 0,
+        F.col("b") * F.log(
+            F.col("b") * 1.0 * (F.col("ta") + F.col("tb"))
+            / ((F.col("a") + F.col("b")) * 1.0 * F.col("tb"))
+        ),
+    ).otherwise(F.lit(0.0))
+    return c.crossJoin(F.broadcast(tot)).select(
+        F.col("w").alias("word"),
+        F.col("a").alias("n_target"),
+        F.col("b").alias("n_reference"),
+        F.round(2.0 * (t1 + t2), 4).alias("g2"),
+        F.when(F.col("a") * 1.0 * F.col("tb")
+               > F.col("b") * 1.0 * F.col("ta"), "target")
+        .otherwise("reference").alias("leans"),
+    )
+
+
+@register(
+    "q_doc_burrows_delta",
+    oracle=r"""
+    WITH tok AS (
+        SELECT source, UNNEST(string_split_regex(TRIM(text), '\s+')) AS w
+        FROM documents
+    ),
+    top AS (
+        SELECT w FROM (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1
+            ORDER BY n DESC, w LIMIT 15
+        )
+    ),
+    src_tot AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS nt FROM tok GROUP BY 1
+    ),
+    f AS (
+        SELECT s.source, t.w,
+               COALESCE(c.n, 0) * 1000000.0 / s.nt AS rate
+        FROM src_tot s CROSS JOIN top t
+        LEFT JOIN (
+            SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n
+            FROM tok JOIN top USING (w) GROUP BY 1, 2
+        ) c ON c.source = s.source AND c.w = t.w
+    ),
+    z AS (
+        SELECT source, w,
+               (rate - AVG(rate) OVER (PARTITION BY w))
+               / NULLIF(STDDEV_POP(rate) OVER (PARTITION BY w), 0) AS z
+        FROM f
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           ROUND(AVG(ABS(COALESCE(a.z, 0) - COALESCE(b.z, 0))), 6)
+               AS delta
+    FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def q_doc_burrows_delta(spark, sf_dir):
+    """BURROWS' DELTA stylometry (Burrows 2002) — the authorship-
+    attribution distance every forensic-linguistics pipeline starts
+    from, here measuring which SOURCES write alike: the 15 most frequent
+    corpus words (exact-integer top-k, deterministic tie-break) give
+    each source a profile of per-million rates; each word's rates are
+    z-scored across sources (population stddev, zero-variance words
+    contribute 0 via NULLIF→COALESCE on both engines); Delta(s1, s2) is
+    the mean absolute z difference — |sources|²/2 output rows.
+
+    Scale shape: one token explode feeding two bounded aggregates
+    (corpus top-15, per-source totals), a |sources|×15 profile matrix
+    (state), windows and the pair join all over that matrix. The corpus
+    never crosses a shuffle twice."""
+    from pyspark.sql import Window
+
+    from ..pipeline.text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens(F.col("text"))).alias("w"))
+    top = (
+        tok.groupBy("w").agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w")).limit(15)
+        .select("w")
+    )
+    src_tot = tok.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("nt"))
+    counts = (
+        tok.join(F.broadcast(top), "w")
+        .groupBy("source", "w").agg(F.count("*").cast("bigint").alias("n"))
+    )
+    f = (
+        src_tot.crossJoin(F.broadcast(top))
+        .join(counts, ["source", "w"], "left")
+        .select(
+            "source", "w",
+            (F.coalesce("n", F.lit(0)) * 1000000.0 / F.col("nt"))
+            .alias("rate"),
+        )
+    )
+    ww = Window.partitionBy("w")
+    z = f.select(
+        "source", "w",
+        ((F.col("rate") - F.avg("rate").over(ww))
+         / F.nullif(F.stddev_pop("rate").over(ww), F.lit(0.0))).alias("z"),
+    )
+    a, b = z.alias("a"), z.alias("b")
+    return (
+        a.join(b, (F.col("a.w") == F.col("b.w"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"),
+                 F.col("b.source").alias("src_b"))
+        .agg(F.round(F.avg(F.abs(
+            F.coalesce(F.col("a.z"), F.lit(0.0))
+            - F.coalesce(F.col("b.z"), F.lit(0.0)))), 6).alias("delta"))
+    )
