@@ -1475,3 +1475,46 @@ def q_acid_conditional_merge(spark, sf_dir):
     return acid_read(spark, root).select(
         "user_id", "event_type", "n_events", "sum_value"
     )
+
+
+@register(
+    "q_acid_replace_where",
+    oracle=f"""
+    WITH {_BATCHES_SQL}
+    SELECT user_id, event_type, n_events, sum_value FROM b1
+    WHERE event_type NOT IN {_B2_TYPES!r}
+    UNION ALL
+    SELECT user_id, event_type, n_events, sum_value FROM b2
+    """,
+)
+def q_acid_replace_where(spark, sf_dir):
+    """replaceWhere under the value gate (sources/acid.acid_replace_where
+    — Delta's targeted overwrite): batch1 seeds the table, then ONE
+    commit replaces exactly the three-event-type slice with batch2 (the
+    idempotent re-landing pattern: recompute a date/type slice, swap it
+    atomically). The oracle rebuilds the end state relationally — batch1
+    survivors outside the slice plus batch2 — so slice deletion,
+    in-slice insert, the incoming-rows-must-match-predicate contract,
+    and untouched-partition carry-over all hash-gate."""
+    from ..sources.acid import acid_read, acid_replace_where, acid_write
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir, "replace_where")
+    root = _TABLE_MEMO.get(memo_key)
+    if root is None:
+        e = load(spark, sf_dir, "events")
+        b1 = _agg(e.where(F.col("ts") < F.lit(_B1_CUT).cast("timestamp")))
+        b2 = _agg(
+            e.where(
+                (F.col("ts") >= F.lit(_B2_FROM).cast("timestamp"))
+                & F.col("event_type").isin(*_B2_TYPES)
+            )
+        )
+        root = tempfile.mkdtemp(prefix="acid_qrw_")
+        acid_write(spark, b1, root, partition_by=("event_type",))
+        types = ", ".join(f"'{t}'" for t in _B2_TYPES)
+        acid_replace_where(spark, b2, root,
+                           f"event_type IN ({types})")
+        _TABLE_MEMO[memo_key] = root
+    return acid_read(spark, root).select(
+        "user_id", "event_type", "n_events", "sum_value"
+    )

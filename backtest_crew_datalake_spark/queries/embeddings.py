@@ -2405,3 +2405,88 @@ def q_emb_split_drift(spark, sf_dir):
         .alias("centroid_cos"),
         F.round(F.sqrt("d2"), 6).alias("centroid_l2"),
     )
+
+
+@register(
+    "q_emb_centroid_margin",
+    oracle="""
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+    dims AS (
+        SELECT label, UNNEST(generate_series(1, LEN(v))) AS i,
+               UNNEST(v) AS x
+        FROM emb
+    ),
+    cd AS (SELECT label, i, AVG(x) AS m FROM dims GROUP BY 1, 2),
+    cent AS (SELECT label AS clabel, LIST(m ORDER BY i) AS c
+             FROM cd GROUP BY 1),
+    d AS (
+        SELECT e.vec_id, e.label, cent.clabel,
+               list_dot_product(e.v, e.v)
+               - 2 * list_dot_product(e.v, cent.c)
+               + list_dot_product(cent.c, cent.c) AS d2
+        FROM emb e CROSS JOIN cent
+    ),
+    m AS (
+        SELECT vec_id, label,
+               MIN(CASE WHEN clabel = label THEN d2 END) AS d_own,
+               MIN(CASE WHEN clabel <> label THEN d2 END) AS d_other
+        FROM d GROUP BY 1, 2
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(AVG(d_other - d_own), 6) AS avg_margin,
+           CAST(SUM(CASE WHEN ROUND(d_other - d_own, 6) < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_misassigned
+    FROM m GROUP BY 1
+    """,
+)
+def q_emb_centroid_margin(spark, sf_dir):
+    """CLASSIFICATION MARGIN per label — the embedding-quality read
+    behind 'are these labels linearly separable by nearest-centroid':
+    per-label centroids (one per-dimension mean aggregate), each
+    vector's squared-L2 distance to its OWN centroid vs the NEAREST
+    OTHER centroid via ‖x‖² − 2x·c + ‖c‖², and per label the average
+    margin plus the count of nearest-centroid misassignments
+    (margin < 0, tested on the once-rounded value so both engines flip
+    together).
+
+    Scale shape: centroids are |labels|×dim STATE (one
+    map-side-combinable per-dim aggregate, broadcast back); the
+    vector×centroid expansion is |vectors|×|labels| with labels
+    bounded — the brute-force-topk class with a k=|labels| fan-out,
+    never vector×vector."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cd = (
+        emb.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i").agg(F.avg("x").alias("m"))
+    )
+    cent = cd.groupBy(F.col("label").alias("clabel")).agg(
+        F.expr("transform(array_sort(collect_list(struct(i, m))),"
+               " s -> s.m)").alias("c")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "clabel",
+        (dot(F.col("v"), F.col("v")) - 2 * dot(F.col("v"), F.col("c"))
+         + dot(F.col("c"), F.col("c"))).alias("d2"),
+    )
+    m = d.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("d2")))
+        .alias("d_own"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d2")))
+        .alias("d_other"),
+    )
+    return m.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.round(F.avg(F.col("d_other") - F.col("d_own")), 6)
+        .alias("avg_margin"),
+        F.sum((F.round(F.col("d_other") - F.col("d_own"), 6) < 0)
+              .cast("int")).cast("bigint").alias("n_misassigned"),
+    )

@@ -4513,3 +4513,80 @@ def q_evt_calendar_heatmap(spark, sf_dir):
             .alias("share_micro"),
         )
     )
+
+
+@register(
+    "q_evt_type_dow_chi2",
+    oracle="""
+    WITH o AS (
+        SELECT event_type, isodow(ts) - 1 AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    rm AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS rn FROM o
+           GROUP BY 1),
+    cm AS (SELECT dow, CAST(SUM(n) AS BIGINT) AS cn FROM o GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM o),
+    cells AS (
+        SELECT rm.event_type, cm.dow,
+               COALESCE(o.n, 0) AS n,
+               rm.rn * 1.0 * cm.cn / tot.t AS e
+        FROM rm CROSS JOIN cm CROSS JOIN tot
+        LEFT JOIN o ON o.event_type = rm.event_type AND o.dow = cm.dow
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((SELECT COUNT(*) FROM rm) - 1 AS BIGINT)
+               * CAST((SELECT COUNT(*) FROM cm) - 1 AS BIGINT) AS dof,
+           ROUND(SUM((n - e) * (n - e) / e), 6) AS chi2,
+           ROUND(MAX(ABS(n - e) / SQRT(e)), 6) AS max_cell_z
+    FROM cells
+    """,
+)
+def q_evt_type_dow_chi2(spark, sf_dir):
+    """PEARSON χ² INDEPENDENCE TEST of event_type × ISO weekday — 'does
+    behavior depend on the day of week', the categorical-association
+    screen run before any seasonality modeling: observed counts are
+    exact integers, expected counts come from the row/column marginals
+    (the only floats, entering once), the statistic and the worst
+    cell's standardized residual are rounded once. Zero-count cells are
+    materialized through the marginal cross join (χ² needs them —
+    a missing cell contributes its full expected mass).
+
+    Scale shape: one map-side |types|×7 aggregate; everything after is
+    arithmetic over that bounded grid plus two broadcast marginals."""
+    evt = load(spark, sf_dir, "events")
+    o = evt.groupBy(
+        "event_type", F.weekday("ts").cast("bigint").alias("dow")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    rm = o.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("rn"))
+    cm = o.groupBy("dow").agg(F.sum("n").cast("bigint").alias("cn"))
+    tot = o.agg(F.sum("n").cast("bigint").alias("t"))
+    nr = rm.agg((F.count("*") - 1).cast("bigint").alias("r1"))
+    nc = cm.agg((F.count("*") - 1).cast("bigint").alias("c1"))
+    cells = (
+        rm.crossJoin(F.broadcast(cm))
+        .crossJoin(F.broadcast(tot))
+        .join(o, ["event_type", "dow"], "left")
+        .select(
+            F.coalesce("n", F.lit(0)).alias("n"),
+            (F.col("rn") * 1.0 * F.col("cn") / F.col("t")).alias("e"),
+        )
+    )
+    return (
+        cells.agg(
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.round(F.sum((F.col("n") - F.col("e"))
+                          * (F.col("n") - F.col("e")) / F.col("e")), 6)
+            .alias("chi2"),
+            F.round(F.max(F.abs(F.col("n") - F.col("e"))
+                          / F.sqrt("e")), 6).alias("max_cell_z"),
+        )
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_cells",
+            (F.col("r1") * F.col("c1")).cast("bigint").alias("dof"),
+            "chi2", "max_cell_z",
+        )
+    )

@@ -5740,3 +5740,105 @@ def q_doc_burrows_delta(spark, sf_dir):
             F.coalesce(F.col("a.z"), F.lit(0.0))
             - F.coalesce(F.col("b.z"), F.lit(0.0)))), 6).alias("delta"))
     )
+
+
+@register(
+    "q_doc_lang_jsd",
+    oracle=r"""
+    WITH tok AS (
+        SELECT lang, UNNEST(string_split_regex(TRIM(text), '\s+')) AS w
+        FROM documents
+    ),
+    c AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS n FROM tok
+          GROUP BY 1, 2),
+    t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nt FROM c GROUP BY 1),
+    p AS (
+        SELECT c.lang, c.w, c.n * 1.0 / t.nt AS p
+        FROM c JOIN t USING (lang)
+    ),
+    lp AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b
+        FROM t a JOIN t b ON a.lang < b.lang
+    ),
+    left_side AS (
+        SELECT lp.lang_a, lp.lang_b, p.w, p.p AS pa
+        FROM lp JOIN p ON p.lang = lp.lang_a
+    ),
+    right_side AS (
+        SELECT lp.lang_a, lp.lang_b, p.w, p.p AS pb
+        FROM lp JOIN p ON p.lang = lp.lang_b
+    ),
+    pairs AS (
+        SELECT COALESCE(l.lang_a, r.lang_a) AS lang_a,
+               COALESCE(l.lang_b, r.lang_b) AS lang_b,
+               COALESCE(l.pa, 0) AS pa, COALESCE(r.pb, 0) AS pb
+        FROM left_side l FULL OUTER JOIN right_side r
+          ON l.lang_a = r.lang_a AND l.lang_b = r.lang_b AND l.w = r.w
+    )
+    SELECT lang_a, lang_b,
+           ROUND(SUM(
+               CASE WHEN pa > 0
+                    THEN 0.5 * pa * LN(2.0 * pa / (pa + pb)) ELSE 0 END
+               + CASE WHEN pb > 0
+                      THEN 0.5 * pb * LN(2.0 * pb / (pa + pb)) ELSE 0 END
+           ), 6) AS jsd_nats
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def q_doc_lang_jsd(spark, sf_dir):
+    """JENSEN-SHANNON DIVERGENCE between per-language unigram models —
+    the data-mixing diagnostic for 'how far apart are these corpus
+    slices' (bounded, symmetric, the metric DoReMi-style reweighting
+    monitors): per-lang word distributions, all |langs|²/2 pairs via a
+    vocab-keyed join of the two profiles (missing words contribute the
+    other side's half-KL term with p=0), summed and rounded once.
+
+    Alignment matters: a word one language lacks still contributes the
+    other side's ½p·ln2 term, so each lang pair's profiles meet in a
+    FULL OUTER join keyed (pair, word) — built from a bounded
+    |langs|²/2 pair list joined onto the profile table, never a
+    direct profile self-join (whose outer rows lose their pair
+    identity). Scale shape: one token explode, a |langs|×|vocab|
+    profile table (state), keyed joins over it — never over
+    documents."""
+    from ..pipeline.text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(tokens(F.col("text"))).alias("w"))
+    c = tok.groupBy("lang", "w").agg(
+        F.count("*").cast("bigint").alias("n"))
+    t = c.groupBy("lang").agg(F.sum("n").cast("bigint").alias("nt"))
+    p = c.join(t, "lang").select(
+        "lang", "w", (F.col("n") * 1.0 / F.col("nt")).alias("p"))
+    la, lb = t.select("lang").alias("la"), t.select("lang").alias("lb")
+    lp = la.join(
+        lb, F.col("la.lang") < F.col("lb.lang")
+    ).select(F.col("la.lang").alias("lang_a"),
+             F.col("lb.lang").alias("lang_b"))
+    left_side = F.broadcast(lp).join(
+        p, F.col("lang_a") == p["lang"]
+    ).select("lang_a", "lang_b", "w", F.col("p").alias("pa"))
+    right_side = F.broadcast(lp).join(
+        p, F.col("lang_b") == p["lang"]
+    ).select("lang_a", "lang_b", "w", F.col("p").alias("pb"))
+    pairs = (
+        left_side.join(right_side, ["lang_a", "lang_b", "w"],
+                       "full_outer")
+        .select(
+            "lang_a", "lang_b",
+            F.coalesce("pa", F.lit(0.0)).alias("pa"),
+            F.coalesce("pb", F.lit(0.0)).alias("pb"),
+        )
+    )
+    term = (
+        F.when(F.col("pa") > 0,
+               0.5 * F.col("pa")
+               * F.log(2.0 * F.col("pa") / (F.col("pa") + F.col("pb"))))
+        .otherwise(F.lit(0.0))
+        + F.when(F.col("pb") > 0,
+                 0.5 * F.col("pb")
+                 * F.log(2.0 * F.col("pb") / (F.col("pa") + F.col("pb"))))
+        .otherwise(F.lit(0.0))
+    )
+    return pairs.groupBy("lang_a", "lang_b").agg(
+        F.round(F.sum(term), 6).alias("jsd_nats"))

@@ -2099,3 +2099,89 @@ def acid_merge(
     raise CommitConflict(
         f"merge on {table_root}: lost the manifest race {max_retries} times"
     )
+
+
+def acid_replace_where(
+    spark: SparkSession,
+    df: DataFrame,
+    table_root: str,
+    predicate: str,
+    max_retries: int = 10,
+    branch: str = MAIN_BRANCH,
+    on_violation: str = "reject",
+) -> int:
+    """Targeted overwrite (Delta ``.option("replaceWhere", pred)`` with
+    mode=overwrite): ONE atomic commit that removes every existing row
+    where ``predicate`` is TRUE and lands ``df`` in their place. Returns
+    the new version.
+
+    Delta's constraint applies: every incoming row must itself satisfy
+    ``predicate`` (checked in one aggregate BEFORE anything is written —
+    otherwise the "overwrite this slice" contract would silently write
+    outside the slice). Only files that CONTAIN matching rows are
+    rewritten (predicate pushed to the scan, same targeting as
+    acid_delete); untouched files carry over, old files stay for time
+    travel/CDF until vacuum, and the rewrite reads through the MoR
+    snapshot so pending equality-deletes purge instead of resurrecting.
+    The classic use is idempotent partition/date-range re-landing:
+    replace_where("day = '2024-01-02'", todays_recompute)."""
+    pred = F.coalesce(F.expr(predicate), F.lit(False))
+    df = _validate_constraints(spark, df, table_root, on_violation)
+    n_outside = df.where(~pred).count()
+    if n_outside:
+        raise ValueError(
+            f"replaceWhere({predicate!r}) on {table_root}: {n_outside} "
+            "incoming rows do not satisfy the predicate — refusing to "
+            "write outside the replaced slice"
+        )
+    for _ in range(max_retries):
+        base_v = latest_version(table_root, branch)
+        if base_v == 0:
+            return acid_write(spark, df, table_root, branch=branch)
+        base = _load_manifest(table_root, base_v, branch)
+        data = _data_entries(base["files"])
+        dels = _delete_entries(base["files"])
+        data_root = _data_root(table_root)
+        partition_by = tuple(base.get("partition_by", ()))
+        if data:
+            full = _read_entries(spark, data_root, data,
+                                 base["schema_ddl"])
+            hit_rows = (
+                full.where(pred)
+                .groupBy(F.input_file_name().alias("__p"))
+                .agg(F.count("*").alias("__n"))
+                .collect()  # bounded: one row per file with matches
+            )
+        else:
+            hit_rows = []
+        hit = {_uri_to_rel(r["__p"], data_root) for r in hit_rows} \
+            | {_uri_to_local(r["__p"]) for r in hit_rows}
+        rewrite = [e for e in data if e["path"] in hit]
+        keep = [e for e in data if e["path"] not in hit]
+        stats_cols = tuple(sorted({
+            k[4:] for e in data for k in e if k.startswith("min_")
+        }))
+        if rewrite:
+            survivors = _snapshot_df(
+                spark, data_root, base, entries=rewrite
+            ).where(~pred)
+            out = survivors.unionByName(df, allowMissingColumns=True)
+        else:
+            out = df
+        wrote = _write_data_files(
+            spark, out, table_root, partition_by, stats_cols,
+            bloom_cols=_bloom_cols_of(data),
+        )
+        _stamp_seq(wrote, _next_seq(base_v, base["files"]))
+        manifest = _new_manifest(
+            base_v, "replace_where",
+            keep + _live_deletes(keep, dels) + wrote, partition_by,
+            _schema_ddl(out),
+        )
+        if _commit_manifest(table_root, base_v + 1, manifest, branch):
+            return base_v + 1
+        _remove_entries(table_root, wrote)
+    raise CommitConflict(
+        f"replace_where on {table_root}: lost the manifest race "
+        f"{max_retries} times"
+    )

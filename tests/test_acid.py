@@ -2173,3 +2173,63 @@ def test_merge_respects_constraints_and_mor(spark, tmp_path):
         acid_merge(spark, _mk(spark, [("A", "d1", 1, -5.0)]), root,
                    key=KEY, partition_by=PARTS)
     assert _snapshot(acid_read(spark, root)) == [("A", "d1", 1, 5.0)]
+
+
+def test_replace_where_slice_overwrite(spark, tmp_path):
+    """replaceWhere: one commit deletes the slice and lands the new
+    rows; untouched files carry over; out-of-slice incoming rows are
+    refused before anything is written."""
+    from backtest_crew_datalake_spark.sources.acid import (
+        _load_manifest, acid_replace_where,
+    )
+
+    root = str(tmp_path / "t")
+    acid_write(spark, _mk(spark, [
+        ("A", "d1", 1, 1.0), ("A", "d1", 2, 2.0),
+        ("B", "d2", 3, 3.0), ("C", "d3", 4, 4.0),
+    ]), root, partition_by=PARTS)
+    before_c = {
+        e["path"] for e in _load_manifest(root, 1)["files"]
+        if e["partition"].get("sym") == "C"
+    }
+    v = acid_replace_where(
+        spark, _mk(spark, [("A", "d1", 9, 9.0), ("B", "d2", 8, 8.0)]),
+        root, "sym IN ('A', 'B')",
+    )
+    assert v == 2
+    assert _snapshot(acid_read(spark, root)) == [
+        ("A", "d1", 9, 9.0), ("B", "d2", 8, 8.0), ("C", "d3", 4, 4.0)]
+    after_c = {
+        e["path"] for e in _load_manifest(root, 2)["files"]
+        if e["partition"].get("sym") == "C"
+    }
+    assert before_c == after_c        # untouched partition carried over
+    assert len(_snapshot(acid_read(spark, root, version=1))) == 4
+    # out-of-slice incoming rows refuse loudly, nothing committed
+    with pytest.raises(ValueError, match="outside the replaced slice"):
+        acid_replace_where(
+            spark, _mk(spark, [("Z", "d9", 1, 1.0)]), root, "sym = 'A'")
+    assert latest_version(root) == 2
+
+
+def test_replace_where_empty_slice_and_mor(spark, tmp_path):
+    """A predicate matching nothing still lands the new rows (pure
+    insert); a MoR-deleted key inside a rewritten file stays dead."""
+    from backtest_crew_datalake_spark.sources.acid import (
+        acid_delete_mor, acid_replace_where,
+    )
+
+    root = str(tmp_path / "t")
+    acid_write(spark, _mk(spark, [("A", "d1", 1, 1.0), ("A", "d1", 2, 2.0)]),
+               root, partition_by=PARTS)
+    acid_delete_mor(spark, root, spark.createDataFrame(
+        [("A", "d1", 2)], "sym string, day string, ts bigint"), key=KEY)
+    # replace ts=1 slice: the rewrite touches A's file; ts=2 must not
+    # resurrect through the new seq
+    acid_replace_where(
+        spark, _mk(spark, [("A", "d1", 1, 7.0)]), root, "ts = 1")
+    assert _snapshot(acid_read(spark, root)) == [("A", "d1", 1, 7.0)]
+    # nothing matches: behaves as append of the slice
+    acid_replace_where(
+        spark, _mk(spark, [("D", "d4", 40, 4.0)]), root, "sym = 'D'")
+    assert ("D", "d4", 40, 4.0) in _snapshot(acid_read(spark, root))
