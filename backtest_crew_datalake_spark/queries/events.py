@@ -4590,3 +4590,147 @@ def q_evt_type_dow_chi2(spark, sf_dir):
             "chi2", "max_cell_z",
         )
     )
+
+
+@register(
+    "q_evt_binseg_changepoint",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    c AS (
+        SELECT day, x,
+               CAST(SUM(x) OVER w AS HUGEINT) AS sl,
+               CAST(COUNT(*) OVER w AS HUGEINT) AS nl
+        FROM d WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ),
+    tot AS (
+        SELECT CAST(SUM(x) AS HUGEINT) AS st,
+               CAST(COUNT(*) AS HUGEINT) AS nt
+        FROM d
+    ),
+    scored AS (
+        SELECT day, sl, nl, tot.st - sl AS sr, tot.nt - nl AS nr,
+               -- maximize between-segment fit: (SL^2*nR + SR^2*nL)
+               -- scaled to integer micro-units of the common
+               -- denominator nL*nR (exact integer argmax, no floats)
+               (sl * sl * (tot.nt - nl) + (tot.st - sl) * (tot.st - sl)
+                * nl) * 1000000 // (nl * (tot.nt - nl)) AS fit6
+        FROM c CROSS JOIN tot
+        WHERE nl < tot.nt
+    ),
+    best AS (
+        SELECT day, fit6, sl, nl, sr, nr FROM scored
+        ORDER BY fit6 DESC, day LIMIT 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS split_day,
+           CAST(nl AS BIGINT) AS n_days_left,
+           CAST(nr AS BIGINT) AS n_days_right,
+           CAST(sl * 1000000 // nl AS BIGINT) AS mean_left_micro,
+           CAST(sr * 1000000 // nr AS BIGINT) AS mean_right_micro
+    FROM best
+    """,
+)
+def q_evt_binseg_changepoint(spark, sf_dir):
+    """BINARY-SEGMENTATION CHANGEPOINT on the daily event-count series —
+    'when did the level shift', the first step of every binseg/PELT
+    pipeline: the best split minimizes two-segment SSE, which (constant
+    Σx² dropped) is the EXACT INTEGER argmax of
+    (S_L²·n_R + S_R²·n_L)·1e6 DIV (n_L·n_R) over the |days| candidate
+    splits — no float enters the argmax, so both engines pick the same
+    day even between near-tied splits (ties break on day). Segment
+    means report as integer micro-units.
+
+    Scale shape: one daily rollup, one cumulative window over |days|
+    state, a 1-row top-1; decimal(38,0)/HUGEINT carries S² terms that
+    reach (corpus total)² — per rule 12."""
+    from pyspark.sql import Window
+
+    evt = load(spark, sf_dir, "events")
+    d = evt.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("x"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    dec = "decimal(38,0)"
+    c = d.select(
+        "day",
+        F.sum("x").over(w).cast(dec).alias("sl"),
+        F.count("*").over(w).cast(dec).alias("nl"),
+    )
+    tot = d.agg(F.sum("x").cast(dec).alias("st"),
+                F.count("*").cast(dec).alias("nt"))
+    scored = (
+        c.crossJoin(F.broadcast(tot))
+        .where(F.col("nl") < F.col("nt"))
+        .select(
+            "day", "sl", "nl",
+            (F.col("st") - F.col("sl")).alias("sr"),
+            (F.col("nt") - F.col("nl")).alias("nr"),
+            F.expr(
+                "(sl * sl * (nt - nl) + (st - sl) * (st - sl) * nl)"
+                " * 1000000 DIV (nl * (nt - nl))"
+            ).alias("fit6"),
+        )
+    )
+    best = scored.orderBy(F.col("fit6").desc(), F.col("day")).limit(1)
+    return best.select(
+        F.date_format("day", "yyyy-MM-dd").alias("split_day"),
+        F.col("nl").cast("bigint").alias("n_days_left"),
+        F.col("nr").cast("bigint").alias("n_days_right"),
+        F.expr("CAST(sl * 1000000 DIV nl AS BIGINT)")
+        .alias("mean_left_micro"),
+        F.expr("CAST(sr * 1000000 DIV nr AS BIGINT)")
+        .alias("mean_right_micro"),
+    )
+
+
+@register(
+    "q_evt_streak_histogram",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    g AS (
+        SELECT user_id, d,
+               d - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY d
+               ) AS INTEGER) AS grp
+        FROM ud
+    ),
+    runs AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+        FROM g GROUP BY user_id, grp
+    ),
+    best AS (
+        SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak
+        FROM runs GROUP BY 1
+    )
+    SELECT max_streak AS streak_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM best GROUP BY 1
+    """,
+)
+def q_evt_streak_histogram(spark, sf_dir):
+    """ACTIVITY-STREAK distribution — users by their LONGEST run of
+    consecutive active days (the engagement metric gamified products
+    optimize): per-user distinct active days, the date-minus-row-number
+    gaps-and-islands constant groups each run, max run per user, and a
+    |max-streak|-bounded histogram.
+
+    Scale shape: one distinct (user, day) grain pass, keyed (user)
+    windows and aggregates, bounded histogram out — the
+    q_evt_active_runs machinery turned per-user."""
+    from pyspark.sql import Window
+
+    evt = load(spark, sf_dir, "events")
+    ud = evt.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    g = ud.withColumn(
+        "grp", F.date_sub("d", F.row_number().over(w)))
+    runs = g.groupBy("user_id", "grp").agg(
+        F.count("*").cast("bigint").alias("len"))
+    best = runs.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("streak_days"))
+    return best.groupBy("streak_days").agg(
+        F.count("*").cast("bigint").alias("n_users"))

@@ -1918,3 +1918,83 @@ def q_cust_lorenz_deciles(spark, sf_dir):
             ).alias("share_micro"),
         )
     )
+
+
+@register(
+    "q_cust_reorder_cycle",
+    oracle="""
+    WITH o2 AS (
+        SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d,
+               c_mktsegment AS seg
+        FROM orders JOIN customer ON c_custkey = o_custkey
+    ),
+    gaps AS (
+        SELECT seg,
+               d - LAG(d) OVER (PARTITION BY ck ORDER BY d) AS gap_d
+        FROM o2
+    ),
+    h AS (
+        SELECT seg, CAST(gap_d AS BIGINT) AS gap_d,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM gaps WHERE gap_d IS NOT NULL GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT seg, gap_d, n,
+               CAST(SUM(n) OVER (PARTITION BY seg ORDER BY gap_d
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum,
+               CAST(SUM(n) OVER (PARTITION BY seg) AS BIGINT) AS nt
+        FROM h
+    )
+    SELECT seg,
+           CAST(MAX(nt) AS BIGINT) AS n_gaps,
+           CAST(MIN(CASE WHEN cum * 2 >= nt THEN gap_d END) AS BIGINT)
+               AS median_gap_days,
+           CAST(MIN(CASE WHEN cum * 10 >= nt * 9 THEN gap_d END)
+                AS BIGINT) AS p90_gap_days
+    FROM c GROUP BY 1
+    """,
+)
+def q_cust_reorder_cycle(spark, sf_dir):
+    """REORDER CYCLE per market segment — the replenishment-cadence
+    metric behind inventory and CRM timing: per-customer gaps between
+    consecutive order dates (keyed lag), then EXACT median/p90 via the
+    bounded-domain integer histogram (whole-day gaps — the
+    sla_percentiles method on the orders domain). All integer, rule 12.
+
+    Scale shape: broadcast dim join (customer), one keyed (custkey) lag
+    window, a |segments|×|gap-days| histogram, cumulative windows over
+    that state."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    o2 = o.join(F.broadcast(cust),
+                o["o_custkey"] == cust["c_custkey"]).select(
+        F.col("o_custkey").alias("ck"),
+        F.to_date("o_orderdate").alias("d"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    w = Window.partitionBy("ck").orderBy("d")
+    gaps = o2.select(
+        "seg", F.datediff("d", F.lag("d").over(w)).cast("bigint")
+        .alias("gap_d"),
+    ).where(F.col("gap_d").isNotNull())
+    h = gaps.groupBy("seg", "gap_d").agg(
+        F.count("*").cast("bigint").alias("n"))
+    wc = Window.partitionBy("seg").orderBy("gap_d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    c = h.select(
+        "seg", "gap_d", "n",
+        F.sum("n").over(wc).cast("bigint").alias("cum"),
+        F.sum("n").over(Window.partitionBy("seg")).cast("bigint")
+        .alias("nt"),
+    )
+    return c.groupBy("seg").agg(
+        F.max("nt").cast("bigint").alias("n_gaps"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("nt"), F.col("gap_d")))
+        .cast("bigint").alias("median_gap_days"),
+        F.min(F.when(F.col("cum") * 10 >= F.col("nt") * 9,
+                     F.col("gap_d")))
+        .cast("bigint").alias("p90_gap_days"),
+    )

@@ -5842,3 +5842,54 @@ def q_doc_lang_jsd(spark, sf_dir):
     )
     return pairs.groupBy("lang_a", "lang_b").agg(
         F.round(F.sum(term), 6).alias("jsd_nats"))
+
+
+@register(
+    "q_doc_lexical_diversity",
+    oracle=r"""
+    WITH tok AS (
+        SELECT lang, UNNEST(string_split_regex(TRIM(text), '\s+')) AS w
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types,
+           CAST(COUNT(DISTINCT w) * 1000000 // COUNT(*) AS BIGINT)
+               AS ttr_micro,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(DISTINCT w) AS BIGINT) AS hapax_micro
+    FROM (
+        SELECT lang, w,
+               CAST(COUNT(*) OVER (PARTITION BY lang, w) AS BIGINT)
+                   AS cnt
+        FROM tok
+    ) GROUP BY 1
+    """,
+)
+def q_doc_lexical_diversity(spark, sf_dir):
+    """LEXICAL DIVERSITY per language: type-token ratio and hapax-
+    legomenon share (what fraction of the vocabulary occurs once) — the
+    vocabulary-richness screen beside Zipf/Heaps, both as truncating
+    integer micro-units. The hapax numerator counts TYPES occurring
+    once, so the per-(lang, word) count folds through a two-level
+    aggregate (never a window over tokens on the Spark side — the
+    oracle's window spelling is DuckDB-idiomatic only).
+
+    Scale shape: one token explode, one |lang|×|vocab| keyed aggregate,
+    a |langs| rollup."""
+    from ..pipeline.text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(tokens(F.col("text"))).alias("w"))
+    lw = tok.groupBy("lang", "w").agg(
+        F.count("*").cast("bigint").alias("cnt"))
+    return lw.groupBy("lang").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.expr("CAST(COUNT(*) * 1000000 DIV SUM(cnt) AS BIGINT)")
+        .alias("ttr_micro"),
+        F.expr(
+            "CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 1000000"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("hapax_micro"),
+    )
