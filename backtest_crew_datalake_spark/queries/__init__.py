@@ -145,6 +145,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_evt_binseg_changepoint",
     "q_evt_streak_histogram",
     "q_emb_centroid_margin",
+    "q_evt_funnel_windowed",
+    "q_doc_source_simpson",
     "q_evt_rfm",
     "q_evt_user_gini",
     "q_doc_simhash",

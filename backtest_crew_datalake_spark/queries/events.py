@@ -4736,3 +4736,79 @@ def q_evt_streak_histogram(spark, sf_dir):
         F.max("len").cast("bigint").alias("streak_days"))
     return best.groupBy("streak_days").agg(
         F.count("*").cast("bigint").alias("n_users"))
+
+
+@register(
+    "q_evt_funnel_windowed",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click'
+          AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 1 HOUR
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 1 HOUR
+        GROUP BY 1
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click_1h,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase_1h,
+           CAST((SELECT COUNT(*) FROM c) * 1000000
+                // (SELECT COUNT(*) FROM v) AS BIGINT) AS click_micro,
+           CAST((SELECT COUNT(*) FROM p) * 1000000
+                // (SELECT COUNT(*) FROM v) AS BIGINT) AS purchase_micro
+    """,
+)
+def q_evt_funnel_windowed(spark, sf_dir):
+    """TIME-BOUNDED FUNNEL (view → click ≤1h → purchase ≤1h) — the
+    conversion metric real funnels use: each step's clock starts at the
+    user's FIRST qualifying previous-step event (deterministic MIN
+    anchor, the oracle's exact definition, so both engines agree without
+    any per-path enumeration), and the unbounded q_evt_funnel's
+    order-only semantics get the timeout the product question actually
+    asks. Conversion shares are integer micro-units.
+
+    Scale shape: three keyed (user_id) min-aggregates, each joined back
+    user-keyed — no window over raw events, no path explosion; at any
+    SF the intermediate frames are one row per user."""
+    evt = load(spark, sf_dir, "events")
+    v = evt.where(F.col("event_type") == "view") \
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    c = (
+        evt.where(F.col("event_type") == "click").alias("e")
+        .join(v.alias("v"), "user_id")
+        .where((F.col("e.ts") > F.col("t1"))
+               & (F.col("e.ts") <= F.col("t1")
+                  + F.expr("INTERVAL 1 HOUR")))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    pn = (
+        evt.where(F.col("event_type") == "purchase").alias("e")
+        .join(c.alias("c"), "user_id")
+        .where((F.col("e.ts") > F.col("t2"))
+               & (F.col("e.ts") <= F.col("t2")
+                  + F.expr("INTERVAL 1 HOUR")))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    nv = v.agg(F.count("*").cast("bigint").alias("n_view"))
+    nc = c.agg(F.count("*").cast("bigint").alias("n_click_1h"))
+    np_ = pn.agg(F.count("*").cast("bigint").alias("n_purchase_1h"))
+    return (
+        nv.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(np_))
+        .select(
+            "n_view", "n_click_1h", "n_purchase_1h",
+            F.expr("CAST(n_click_1h * 1000000 DIV n_view AS BIGINT)")
+            .alias("click_micro"),
+            F.expr("CAST(n_purchase_1h * 1000000 DIV n_view AS BIGINT)")
+            .alias("purchase_micro"),
+        )
+    )

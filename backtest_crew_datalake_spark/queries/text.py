@@ -5893,3 +5893,57 @@ def q_doc_lexical_diversity(spark, sf_dir):
             " DIV COUNT(*) AS BIGINT)"
         ).alias("hapax_micro"),
     )
+
+
+@register(
+    "q_doc_source_simpson",
+    oracle="""
+    WITH c AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT lang, CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(COUNT(*) AS BIGINT) AS n_sources,
+               CAST(SUM(n * (n - 1)) AS HUGEINT) AS pairs_same
+        FROM c GROUP BY 1
+    )
+    SELECT lang, nt AS n_docs, n_sources,
+           CAST(pairs_same * 1000000
+                // NULLIF(CAST(nt AS HUGEINT) * (nt - 1), 0) AS BIGINT)
+               AS simpson_micro,
+           CAST(1000000 - pairs_same * 1000000
+                // NULLIF(CAST(nt AS HUGEINT) * (nt - 1), 0) AS BIGINT)
+               AS diversity_micro
+    FROM t
+    """,
+)
+def q_doc_source_simpson(spark, sf_dir):
+    """SOURCE CONCENTRATION per language via Simpson's index — the
+    exact-rational 'probability two random docs share a source'
+    (unbiased small-sample form Σn(n−1)/(N(N−1))), the diversity
+    companion of HHI for corpus-mixing dashboards: all integer
+    arithmetic, one truncating micro-unit DIV, NULLIF guards the
+    single-doc language.
+
+    Scale shape: one |langs|×|sources| aggregate, a |langs| rollup —
+    pure state."""
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n"))
+    dec = "decimal(38,0)"
+    t = c.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.count("*").cast("bigint").alias("n_sources"),
+        F.sum(F.col("n") * (F.col("n") - 1)).cast(dec).alias("pairs_same"),
+    )
+    simpson = (
+        "pairs_same * 1000000"
+        " DIV NULLIF(CAST(nt AS DECIMAL(38,0)) * (nt - 1), 0)"
+    )
+    return t.select(
+        "lang", F.col("nt").alias("n_docs"), "n_sources",
+        F.expr(f"CAST({simpson} AS BIGINT)").alias("simpson_micro"),
+        F.expr(f"CAST(1000000 - {simpson} AS BIGINT)")
+        .alias("diversity_micro"),
+    )
