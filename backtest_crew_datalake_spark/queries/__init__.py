@@ -118,10 +118,10 @@ def bridge_write(df: DataFrame, name: str) -> str:
 # stale. The rows-only multimodal decode trio stays OUT of the window
 # (r9 verdict #2); tools/check_oracles.py covers the full catalog.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # ROUND-11 WINDOW (50 slots, 96% rotated vs r10 — the
+    # ROUND-11 WINDOW (50 slots, 98% rotated vs r10 — the
     # only carryovers are changed-for-cause: q_evt_user_gini
     # and q_doc_minhash_error were rewritten this round).
-    # Order: 21 new operator families, 6 changed-for-cause
+    # Order: 23 new operator families, 6 changed-for-cause
     # rewrites (distributed rank, oracle bridge), then the
     # stalest green blocks (absent from every r7-r10 window).
     "q_stream_sessionize_state",
