@@ -4812,3 +4812,273 @@ def q_evt_funnel_windowed(spark, sf_dir):
             .alias("purchase_micro"),
         )
     )
+
+
+@register(
+    "q_evt_mann_kendall",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT a.event_type,
+               CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat
+        FROM d a JOIN d b
+          ON a.event_type = b.event_type AND a.day < b.day
+        GROUP BY 1
+    ),
+    n AS (
+        SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n_days
+        FROM d GROUP BY 1
+    ),
+    ties AS (
+        SELECT event_type,
+               CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+                    AS HUGEINT) AS tie_term
+        FROM (
+            SELECT event_type, x, CAST(COUNT(*) AS HUGEINT) AS t
+            FROM d GROUP BY 1, 2
+        ) GROUP BY 1
+    )
+    SELECT s.event_type,
+           CAST(n.n_days AS BIGINT) AS n_days,
+           s.s_stat,
+           CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                - ties.tie_term AS BIGINT) AS var18,
+           CAST(CAST(2 * s.s_stat AS HUGEINT) * 1000000
+                // (n.n_days * (n.n_days - 1)) AS BIGINT) AS tau_a_micro
+    FROM s JOIN n USING (event_type) JOIN ties USING (event_type)
+    """,
+)
+def q_evt_mann_kendall(spark, sf_dir):
+    """MANN-KENDALL trend test per event type over the daily count
+    series — the standard nonparametric 'is there a monotonic trend'
+    check (hydrology/monitoring staple): S = Σ_{i<j} sign(x_j − x_i)
+    over day pairs, the tie-corrected variance numerator
+    18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), and Kendall's tau-a
+    in integer micro-units — every statistic an EXACT integer, so both
+    engines agree bit-for-bit (no float enters; rule 12).
+
+    Scale shape: daily rollup first (|days|·|types| rows — the calendar
+    is bounded state no matter the corpus), then a keyed self-join on
+    event_type over |days|² pairs per type — at 10 years that is ~6.7M
+    pairs per type, distributed across the type key and trivially
+    partition-parallel; variance/tau need decimal(38,0) (n³ terms)."""
+    evt = load(spark, sf_dir, "events")
+    d = evt.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("x"))
+    a, b = d.alias("a"), d.alias("b")
+    s = (
+        a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+               & (F.col("a.day") < F.col("b.day")))
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(F.sum(
+            F.when(F.col("b.x") > F.col("a.x"), 1)
+            .when(F.col("b.x") < F.col("a.x"), -1)
+            .otherwise(0)).cast("bigint").alias("s_stat"))
+    )
+    dec = "decimal(38,0)"
+    n = d.groupBy("event_type").agg(
+        F.count("*").cast(dec).alias("n_days"))
+    ties = (
+        d.groupBy("event_type", "x").agg(F.count("*").cast(dec).alias("t"))
+        .groupBy("event_type")
+        .agg(F.coalesce(
+            F.sum(F.expr("t * (t - 1) * (2 * t + 5)")), F.lit(0))
+            .cast(dec).alias("tie_term"))
+    )
+    return (
+        s.join(n, "event_type").join(ties, "event_type")
+        .select(
+            "event_type",
+            F.col("n_days").cast("bigint").alias("n_days"),
+            "s_stat",
+            F.expr("CAST(n_days * (n_days - 1) * (2 * n_days + 5)"
+                   " - tie_term AS BIGINT)").alias("var18"),
+            F.expr(
+                "CAST(CAST(2 * s_stat AS decimal(38,0)) * 1000000"
+                " DIV (n_days * (n_days - 1)) AS BIGINT)"
+            ).alias("tau_a_micro"),
+        )
+    )
+
+
+@register(
+    "q_evt_theilsen",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, x,
+               day - MIN(day) OVER (PARTITION BY event_type) AS di
+        FROM d
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               (b.x - a.x) AS dy, CAST(b.di - a.di AS BIGINT) AS dx,
+               (b.x - a.x) * 1000000 // CAST(b.di - a.di AS BIGINT)
+                   AS slope_micro
+        FROM idx a JOIN idx b
+          ON a.event_type = b.event_type AND a.di < b.di
+    ),
+    ranked AS (
+        SELECT event_type, slope_micro,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY slope_micro, dy, dx) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS np
+        FROM pairs
+    )
+    SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+           CAST(SUM(slope_micro) // COUNT(*) AS BIGINT)
+               AS ts_slope_micro
+    FROM ranked
+    WHERE rn IN ((np + 1) // 2, (np + 2) // 2)
+    GROUP BY event_type, np
+    """,
+)
+def q_evt_theilsen(spark, sf_dir):
+    """THEIL-SEN robust slope per event type over the daily count
+    series — the median of all pairwise slopes (up to 29.3% breakdown
+    vs OLS's 0%). Slopes carry as EXACT integer micro-units
+    (Δcount·1e6 DIV Δdays — Spark DIV and DuckDB // both truncate
+    toward zero, pinned by test), the median element is selected by a
+    deterministic (slope, Δy, Δx) order so both engines pick the same
+    pair even among micro-unit ties, and the even-count midpoint
+    averages two integers with DIV — no float anywhere.
+
+    Scale shape: same bounded |days|²-per-type pair frame as
+    q_evt_mann_kendall; the median windows partition on event_type
+    (keyed, per-type state = that type's pair count — bounded by the
+    calendar, not the corpus), per scale.md rule 4."""
+    from pyspark.sql import Window
+
+    evt = load(spark, sf_dir, "events")
+    d = evt.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("x"))
+    w0 = Window.partitionBy("event_type")
+    idx = d.select(
+        "event_type", "x",
+        F.datediff("day", F.min("day").over(w0)).cast("bigint").alias("di"))
+    a, b = idx.alias("a"), idx.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+               & (F.col("a.di") < F.col("b.di")))
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            (F.col("b.x") - F.col("a.x")).alias("dy"),
+            (F.col("b.di") - F.col("a.di")).alias("dx"),
+        )
+        .withColumn("slope_micro", F.expr("dy * 1000000 DIV dx"))
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_micro", "dy", "dx")
+    ranked = (
+        pairs
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("np", F.count("*").over(w0))
+    )
+    return (
+        ranked
+        .where(F.expr("rn IN ((np + 1) DIV 2, (np + 2) DIV 2)"))
+        .groupBy("event_type", "np")
+        .agg(F.expr("CAST(SUM(slope_micro) DIV COUNT(*) AS BIGINT)")
+             .alias("ts_slope_micro"))
+        .select("event_type", F.col("np").cast("bigint").alias("n_pairs"),
+                "ts_slope_micro")
+    )
+
+
+@register(
+    "q_evt_mannwhitney",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    hist AS (
+        SELECT cents,
+               CAST(SUM(is_a) AS HUGEINT) AS ca,
+               CAST(SUM(1 - is_a) AS HUGEINT) AS cb
+        FROM v GROUP BY 1
+    ),
+    cum AS (
+        SELECT cents, ca, cb,
+               SUM(ca + cb) OVER (ORDER BY cents
+                   ROWS UNBOUNDED PRECEDING) - (ca + cb) AS before_n
+        FROM hist
+    ),
+    agg AS (
+        SELECT CAST(SUM(ca) AS HUGEINT) AS na,
+               CAST(SUM(cb) AS HUGEINT) AS nb,
+               -- 2·(rank sum of group A) with midrank ties:
+               -- each tie group contributes ca·(2·before + c + 1)
+               CAST(SUM(ca * (2 * before_n + ca + cb + 1)) AS HUGEINT)
+                   AS ra2,
+               CAST(SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+                    AS HUGEINT) AS tie3
+        FROM cum
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(ra2 - na * (na + 1) AS BIGINT) AS u_a_x2,
+           CAST(tie3 AS BIGINT) AS tie_term,
+           CAST((ra2 - na * (na + 1) - na * nb) * 1000000
+                // (na * nb) AS BIGINT) AS rank_biserial_micro
+    FROM agg
+    """,
+)
+def q_evt_mannwhitney(spark, sf_dir):
+    """MANN-WHITNEY U rank-sum test, click vs purchase values — 'are
+    purchases drawn from a stochastically larger distribution', the
+    nonparametric alternative to q_evt_ab_test's Welch t. The midrank
+    sum never ranks rows: avg rank of a tie group = rows_before +
+    (c+1)/2, so 2·R_A = Σ_v ca(v)·(2·before(v) + c(v) + 1) comes
+    straight off the VALUE HISTOGRAM — U (doubled, exact), the tie
+    correction Σ(t³−t), and the rank-biserial effect size in integer
+    micro-units are all exact integers (rule 12).
+
+    Scale shape: one histogram pass (|distinct cents| rows — the price
+    grid is a bounded value domain, the q_evt_winsorize argument), one
+    bounded cumsum window over it, a 1-row fold. The corpus is never
+    sorted and no per-row rank exists — rule 4 clean at any |events|."""
+    evt = load(spark, sf_dir, "events")
+    v = (
+        evt.where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+            .alias("is_a"))
+    )
+    dec = "decimal(38,0)"
+    hist = v.groupBy("cents").agg(
+        F.sum("is_a").cast(dec).alias("ca"),
+        F.sum(1 - F.col("is_a")).cast(dec).alias("cb"))
+    from pyspark.sql import Window
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select(
+        "cents", "ca", "cb",
+        (F.sum(F.col("ca") + F.col("cb")).over(w)
+         - (F.col("ca") + F.col("cb"))).alias("before_n"))
+    agg = cum.agg(
+        F.sum("ca").cast(dec).alias("na"),
+        F.sum("cb").cast(dec).alias("nb"),
+        F.sum(F.expr("ca * (2 * before_n + ca + cb + 1)"))
+        .cast(dec).alias("ra2"),
+        F.sum(F.expr("(ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)"))
+        .cast(dec).alias("tie3"),
+    )
+    return agg.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.expr("CAST(ra2 - na * (na + 1) AS BIGINT)").alias("u_a_x2"),
+        F.col("tie3").cast("bigint").alias("tie_term"),
+        F.expr("CAST((ra2 - na * (na + 1) - na * nb) * 1000000"
+               " DIV (na * nb) AS BIGINT)").alias("rank_biserial_micro"),
+    )
