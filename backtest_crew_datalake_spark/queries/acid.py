@@ -1518,3 +1518,144 @@ def q_acid_replace_where(spark, sf_dir):
     return acid_read(spark, root).select(
         "user_id", "event_type", "n_events", "sum_value"
     )
+
+
+@register(
+    "q_acid_positional_delete",
+    oracle="""
+    WITH b AS (
+        SELECT user_id, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2
+    ),
+    hit AS (
+        SELECT user_id, event_type FROM b
+        WHERE n_events > 1 AND user_id % 4 = 1
+    ),
+    after_del AS (
+        SELECT b.* FROM b ANTI JOIN hit USING (user_id, event_type)
+    ),
+    reins AS (
+        SELECT user_id, event_type, n_events + 100 AS n_events,
+               sum_value
+        FROM b WHERE user_id % 8 = 1 AND event_type = 'click'
+    ),
+    final AS (
+        SELECT a.* FROM after_del a
+        ANTI JOIN reins USING (user_id, event_type)
+        UNION ALL
+        SELECT * FROM reins
+    )
+    SELECT 'after_delete' AS stage, * FROM after_del
+    UNION ALL
+    SELECT 'final' AS stage, * FROM final
+    """,
+)
+def q_acid_positional_delete(spark, sf_dir):
+    """MERGE-ON-READ **POSITIONAL** deletes under the value gate (Iceberg
+    v2 position-delete files — sources/acid.acid_delete_pos): stage
+    'after_delete' reads the snapshot where an ARBITRARY-PREDICATE
+    delete (n_events > 1 AND user_id % 4 = 1 — no key columns required,
+    the capability equality deletes lack) committed ONLY a small file of
+    (data file path, row ordinal) pairs; the scan anti-joins on the
+    coordinates, so exactly the rows visible-and-matching at delete time
+    disappear. Stage 'final' reads after a later upsert rewrites the
+    click partition (re-inserting deleted click rows with n_events+100):
+    path-addressed coordinates never reach newly written files, so the
+    re-inserts are visible and the rest stay gone — the oracle rebuilds
+    both states relationally.
+
+    Scale shape: the delete costs O(|matches|) coordinates regardless of
+    how many TB the matches live in; reads pay one bounded broadcast
+    path-lookup + anti-join until acid_compact(purge_deletes=True)
+    rewrites the targeted partitions (pytest-pinned purge)."""
+    from ..sources.acid import (
+        acid_delete_pos, acid_read, acid_upsert, acid_write,
+    )
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir, "pos_delete")
+    root = _TABLE_MEMO.get(memo_key)
+    if root is None:
+        e = load(spark, sf_dir, "events")
+        b = _agg(e)
+        root = tempfile.mkdtemp(prefix="acid_qpd_")
+        acid_write(spark, b, root, partition_by=("event_type",))
+        acid_delete_pos(spark, root,
+                        "n_events > 1 AND user_id % 4 = 1")
+        reins = b.where(
+            (F.col("user_id") % 8 == 1) & (F.col("event_type") == "click")
+        ).withColumn("n_events", (F.col("n_events") + 100).cast("bigint"))
+        acid_upsert(spark, reins, root, key=list(_KEY),
+                    partition_by=("event_type",))
+        _TABLE_MEMO[memo_key] = root
+    cols = ("user_id", "event_type", "n_events", "sum_value")
+    after_del = acid_read(spark, root, version=2).select(
+        F.lit("after_delete").alias("stage"), *cols)
+    final = acid_read(spark, root).select(
+        F.lit("final").alias("stage"), *cols)
+    return after_del.unionByName(final)
+
+
+@register(
+    "q_acid_restore",
+    oracle=f"""
+    WITH {_BATCHES_SQL},
+    merged AS (
+        SELECT * FROM b2
+        UNION ALL
+        SELECT b1.* FROM b1 ANTI JOIN b2 USING (user_id, event_type)
+    ),
+    damaged AS (
+        SELECT * FROM merged
+        WHERE NOT (user_id % 6 = 2 AND event_type = 'view')
+    )
+    SELECT 'damaged' AS stage, * FROM damaged
+    UNION ALL
+    SELECT 'restored' AS stage, * FROM merged
+    """,
+)
+def q_acid_restore(spark, sf_dir):
+    """RESTORE TABLE TO VERSION under the value gate (Delta `RESTORE` /
+    Iceberg rollback — sources/acid.acid_rollback): batch1 seeds v1,
+    batch2 keyed-upserts to v2, a bad DELETE produces v3 ('damaged'),
+    and the restore commits v4 REFERENCING v2's exact file list — a
+    metadata-only commit, no data rewritten, with the bad version still
+    inspectable in history (append-only timeline, Delta's RESTORE
+    contract). The oracle rebuilds both the damaged state and the
+    restored state relationally, so the gate proves the restore brought
+    back EXACTLY the pre-damage rows (deleted rows resurrected, nothing
+    else changed) and that reads of the intermediate version still see
+    the damage.
+
+    Scale shape: restore is O(manifest) regardless of table size — the
+    100 TB 'undo a bad batch' path is one metadata write."""
+    from ..sources.acid import (
+        acid_delete, acid_read, acid_rollback, acid_upsert, acid_write,
+    )
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir, "restore")
+    root = _TABLE_MEMO.get(memo_key)
+    if root is None:
+        e = load(spark, sf_dir, "events")
+        b1 = _agg(e.where(F.col("ts") < F.lit(_B1_CUT).cast("timestamp")))
+        b2 = _agg(
+            e.where(
+                (F.col("ts") >= F.lit(_B2_FROM).cast("timestamp"))
+                & F.col("event_type").isin(*_B2_TYPES)
+            )
+        )
+        root = tempfile.mkdtemp(prefix="acid_qrs_")
+        acid_write(spark, b1, root, partition_by=("event_type",))
+        acid_upsert(spark, b2, root, key=list(_KEY),
+                    partition_by=("event_type",))
+        acid_delete(spark, root,
+                    "user_id % 6 = 2 AND event_type = 'view'")
+        acid_rollback(root, 2)
+        _TABLE_MEMO[memo_key] = root
+    cols = ("user_id", "event_type", "n_events", "sum_value")
+    damaged = acid_read(spark, root, version=3).select(
+        F.lit("damaged").alias("stage"), *cols)
+    restored = acid_read(spark, root).select(
+        F.lit("restored").alias("stage"), *cols)
+    return damaged.unionByName(restored)

@@ -608,3 +608,92 @@ def q_stream_join_state(spark, sf_dir):
         F.round(F.coalesce(F.col("r_value"), F.lit(0.0)) * 100, 0)
         .cast("bigint").alias("r_cents"),
     )
+
+
+_W_CUT1 = "2024-01-11 00:00:00"
+_W_CUT2 = "2024-01-26 00:00:00"
+_W_DELAY_DAYS = 8
+
+
+@register(
+    "q_stream_watermark_state",
+    oracle=f"""
+    WITH b1 AS (
+        SELECT ts, event_type, value FROM events
+        WHERE ts < TIMESTAMP '{_W_CUT1}' OR ts >= TIMESTAMP '{_W_CUT2}'
+    ),
+    wm AS (
+        SELECT epoch_ms(MAX(ts)) - {_W_DELAY_DAYS} * 86400000 AS wm_ms
+        FROM b1
+    ),
+    b2 AS (
+        SELECT ts, event_type, value FROM events
+        WHERE ts >= TIMESTAMP '{_W_CUT1}' AND ts < TIMESTAMP '{_W_CUT2}'
+    ),
+    surv2 AS (
+        SELECT b2.* FROM b2, wm
+        WHERE epoch_ms(date_trunc('day', ts) + INTERVAL 1 DAY) > wm.wm_ms
+    ),
+    survivors AS (
+        SELECT * FROM b1 UNION ALL SELECT * FROM surv2
+    )
+    SELECT epoch_ms(date_trunc('day', ts)) AS win_start_ms,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM survivors
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_watermark_state(spark, sf_dir):
+    """WATERMARK LATE-DATA SEMANTICS under the oracle gate — Spark's OWN
+    watermark machinery (withWatermark + tumbling window agg in update
+    mode, checkpointed across runs), not a batch re-derivation: batch 1
+    lands the days outside [Jan-11, Jan-26) (so the stream's max event
+    time races ahead), batch 2 delivers that middle slice LATE. At batch
+    2's start the persisted watermark is max(batch-1 event-time-ms) minus
+    8 days, so roughly days 11-22 of the late slice arrive with their
+    window END at-or-below the watermark — state evicted, rows DROPPED —
+    while days ~23-25 are still inside the horizon and UPDATE their
+    windows. The oracle replays the exact rule (drop iff
+    epoch_ms(window_end) <= max_event_ms - delay_ms, ms-floored the way
+    EventTimeStats tracks it — both pinned by the inequality experiment
+    in tests/test_streaming.py): the per-(day, type) count/cents table
+    the maintainer leaves behind must match bit-for-bit at 3 SFs.
+
+    Scale shape: streaming state is O(windows-in-horizon x |types|) —
+    eviction every batch is exactly what makes an unbounded stream hold
+    bounded state; the end table upserts at metadata scale. Citations:
+    streaming/ingest.py:streaming_windowed_counts."""
+    from ..sources.acid import acid_read
+    from ..streaming.ingest import streaming_windowed_counts
+
+    schema = "ts timestamp, event_type string, value double"
+
+    def build(base: str) -> str:
+        land = f"{base}/land"
+        table = f"{base}/t"
+        evt = load(spark, sf_dir, "events").select(
+            "ts", "event_type", "value")
+        c1 = F.lit(_W_CUT1).cast("timestamp")
+        c2 = F.lit(_W_CUT2).cast("timestamp")
+        batches = [
+            evt.where((F.col("ts") < c1) | (F.col("ts") >= c2)),
+            evt.where((F.col("ts") >= c1) & (F.col("ts") < c2)),
+        ]
+        for b in batches:
+            b.coalesce(1).write.mode("append").parquet(land)
+            streaming_windowed_counts(
+                spark, land, table, f"{base}/ck", schema,
+                delay=f"{_W_DELAY_DAYS} days",
+            )
+        return table
+
+    table = _once(spark, sf_dir, "watermark", build)
+    return acid_read(spark, table).select(
+        F.unix_millis("win_start").alias("win_start_ms"),
+        "event_type",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+    )

@@ -710,7 +710,7 @@ def acid_read(
     return _snapshot_df(spark, data_root, m, entries=entries)
 
 
-def _read_entries(spark, data_root, entries, schema_ddl):
+def _read_entries(spark, data_root, entries, schema_ddl, with_meta=False):
     """Read manifest entries, grouped by PARTITION SPEC: spec evolution
     (Iceberg-style — e.g. (event_type) -> (event_type, bucket)) legally
     mixes hive layouts in one data root, and Spark refuses conflicting
@@ -745,6 +745,18 @@ def _read_entries(spark, data_root, entries, schema_ddl):
             # readable after additive evolution (missing columns -> null)
             reader = reader.schema(schema_ddl)
         part = reader.parquet(*sorted(paths))
+        if with_meta:
+            # positional-delete coordinates: the hidden _metadata struct
+            # must be projected on the SCAN df (it is not resolvable after
+            # a union), file path decoded to the local filesystem form
+            part = part.select(
+                "*",
+                F.expr(
+                    "concat('/', regexp_replace(url_decode("
+                    "_metadata.file_path), '^file:/+', ''))"
+                ).alias("__abs"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
         out = part if out is None else out.unionByName(part)
     return out
 
@@ -769,37 +781,94 @@ def _live_deletes(kept_data: list[dict], dels: list[dict]) -> list[dict]:
     ]
 
 
-def _snapshot_df(spark, data_root, manifest, entries=None):
+def _pos_entries(files: list[dict]) -> list[dict]:
+    return [e for e in files if e.get("kind") == "pos_delete"]
+
+
+def _live_pos_deletes(kept_data: list[dict],
+                      pdels: list[dict]) -> list[dict]:
+    """Positional deletes address rows by (data file path, row ordinal) —
+    immutable coordinates: a data file is never modified in place, so a
+    pos-delete entry stays live exactly while ANY of its target files is
+    still in the manifest, and is spent the moment every target has been
+    rewritten (new path) or removed. The target path list is recorded on
+    the entry at write time (bounded: distinct files touched)."""
+    kept = {e["path"] for e in kept_data}
+    return [
+        d for d in pdels if any(t in kept for t in d.get("targets", ()))
+    ]
+
+
+def _snapshot_df(spark, data_root, manifest, entries=None, keep_pos=False):
     """Assemble one snapshot's rows: data entries (optionally a pruned
-    subset) read per (spec, seq) group, MINUS merge-on-read equality
+    subset) read per (spec, seq) group, MINUS merge-on-read POSITIONAL
+    deletes (path-addressed: a (file, row ordinal) pair suppresses that
+    exact row while the file is still in the manifest — file paths are
+    immutable coordinates, so no seq test is needed) and MINUS equality
     deletes with SEQUENCE semantics — a delete file written at seq S
     suppresses its keys only in data files with seq <= S, so a later
-    upsert legitimately re-inserts a deleted key (the Iceberg v2
-    equality-delete rule). With no delete entries this is exactly
-    _read_entries (the fast path — no extra joins)."""
+    upsert legitimately re-inserts a deleted key (the Iceberg v2 rule).
+    With no delete entries this is exactly _read_entries (the fast path —
+    no extra joins). ``keep_pos=True`` retains the (__mpath, __pos) row
+    coordinates on the output (acid_delete_pos's hit scan)."""
     files = manifest["files"]
     data = _data_entries(files if entries is None else entries)
     dels = _delete_entries(files)
+    pdels = _live_pos_deletes(data, _pos_entries(files))
     if not data:
         return spark.createDataFrame([], manifest["schema_ddl"])
-    if not dels:
+    need_pos = keep_pos or bool(pdels)
+    if not dels and not need_pos:
         return _read_entries(spark, data_root, data, manifest["schema_ddl"])
-    key = list(dels[0]["key"])
-    for d in dels:
-        if list(d["key"]) != key:
-            raise ValueError(
-                "mixed equality-delete keys in one table are unsupported: "
-                f"{d['key']} vs {key}"
-            )
-    by_seq: dict[int, list[dict]] = {}
-    for e in data:
-        by_seq.setdefault(int(e.get("seq", 0)), []).append(e)
-    out = None
-    for seq in sorted(by_seq):
-        part = _read_entries(
-            spark, data_root, by_seq[seq], manifest["schema_ddl"]
-        ).withColumn("__seq", F.lit(seq))
-        out = part if out is None else out.unionByName(part)
+    if dels:
+        key = list(dels[0]["key"])
+        for d in dels:
+            if list(d["key"]) != key:
+                raise ValueError(
+                    "mixed equality-delete keys in one table are "
+                    f"unsupported: {d['key']} vs {key}"
+                )
+        by_seq: dict[int, list[dict]] = {}
+        for e in data:
+            by_seq.setdefault(int(e.get("seq", 0)), []).append(e)
+        out = None
+        for seq in sorted(by_seq):
+            part = _read_entries(
+                spark, data_root, by_seq[seq], manifest["schema_ddl"],
+                with_meta=need_pos,
+            ).withColumn("__seq", F.lit(seq))
+            out = part if out is None else out.unionByName(part)
+    else:
+        out = _read_entries(spark, data_root, data, manifest["schema_ddl"],
+                            with_meta=True)
+    if need_pos:
+        # map the scan's decoded absolute path back to the MANIFEST path
+        # (relative for own files, absolute for clone-inherited entries) —
+        # a bounded broadcast lookup, one row per manifest file
+        pairs = [
+            (e["path"] if os.path.isabs(e["path"])
+             else os.path.abspath(os.path.join(data_root, e["path"])),
+             e["path"])
+            for e in data
+        ]
+        lut = spark.createDataFrame(pairs, "__abs string, __mpath string")
+        # left join: a LUT miss (path-form drift) must keep the row —
+        # a null __mpath can never match a delete pair, so drift degrades
+        # to "delete not applied" loudly in tests, never to lost rows
+        out = out.join(F.broadcast(lut), "__abs", "left").drop("__abs")
+    if pdels:
+        pd_df = None
+        for d in pdels:
+            one = spark.read.parquet(os.path.join(data_root, d["path"]))
+            pd_df = one if pd_df is None else pd_df.unionByName(one)
+        pd_df = pd_df.select(
+            F.col("__file").alias("__mpath"), F.col("__pos")
+        ).distinct()
+        out = out.join(pd_df, ["__mpath", "__pos"], "left_anti")
+    if not keep_pos and need_pos:
+        out = out.drop("__mpath", "__pos")
+    if not dels:
+        return out
     # pin the key columns to the COMMITTED schema's types: a delete file
     # written before an additive type widening would otherwise anti-join
     # under its historic type and silently fail to suppress (or error)
@@ -966,6 +1035,7 @@ def acid_upsert(
             base = _load_manifest(table_root, base_v, branch)
             base_data = _data_entries(base["files"])
             base_dels = _delete_entries(base["files"])
+            base_pdels = _pos_entries(base["files"])
             if touched is None:
                 replaced = base_data
                 keep_files = []
@@ -1027,7 +1097,9 @@ def acid_upsert(
         )
         _stamp_seq(new_entries, _next_seq(
             base_v, base["files"] if base_v else []))
-        dels = _live_deletes(keep_files, base_dels) if base_v else []
+        dels = (_live_deletes(keep_files, base_dels)
+                + _live_pos_deletes(keep_files, base_pdels)) \
+            if base_v else []
         manifest = _new_manifest(
             base_v, "upsert", keep_files + dels + new_entries, partition_by,
             _schema_ddl(merged),
@@ -1089,6 +1161,9 @@ def acid_compact(
             return None
         base = _load_manifest(table_root, base_v)
         base_dels = _delete_entries(base["files"])
+        base_pdels = _pos_entries(base["files"])
+        live_pdels = _live_pos_deletes(_data_entries(base["files"]),
+                                       base_pdels)
         by_part: dict[tuple, list[dict]] = {}
         for e in _data_entries(base["files"]):
             pkey = tuple(sorted(e.get("partition", {}).items()))
@@ -1132,8 +1207,17 @@ def acid_compact(
                         continue
                 if any(int(e.get("seq", 0)) <= reach for e in es):
                     todo[pkey] = es
+        if purge_deletes and live_pdels:
+            # positional deletes are path-addressed: rewrite exactly the
+            # partitions holding a TARGETED file (no seq reach needed)
+            targeted = {t for d in live_pdels for t in d.get("targets", ())}
+            for pkey, es in by_part.items():
+                if pkey in todo:
+                    continue
+                if any(e["path"] in targeted for e in es):
+                    todo[pkey] = es
         if not todo:
-            if purge_deletes and base_dels:
+            if purge_deletes and (base_dels or base_pdels):
                 # nothing to rewrite, but the delete entries reach no
                 # file (all superseded by later re-inserts): they're
                 # spent — commit a manifest that drops them so readers
@@ -1162,7 +1246,7 @@ def acid_compact(
             # deletes for the rows it rewrites (they re-land at the new
             # seq, above every delete) — so the read must apply them
             part_df = _snapshot_df(spark, data_root, base, entries=es)
-            expected = (part_df.count() if base_dels
+            expected = (part_df.count() if (base_dels or live_pdels)
                         else sum(e["rows"] for e in es))
             if cluster and all(c in part_df.columns for c in cluster):
                 if zorder_cols:
@@ -1197,8 +1281,9 @@ def acid_compact(
         # delete key; seq-reachable otherwise), so kept files are either
         # newer than every delete or provably key-disjoint from them —
         # the seq-only _live_deletes test can't see the second case
-        dels_after = [] if (purge_deletes and base_dels) \
-            else _live_deletes(keep, base_dels)
+        dels_after = [] if (purge_deletes and (base_dels or base_pdels)) \
+            else (_live_deletes(keep, base_dels)
+                  + _live_pos_deletes(keep, base_pdels))
         manifest = _new_manifest(
             base_v, "compact",
             keep + dels_after + new_entries,
@@ -1255,7 +1340,9 @@ def acid_changes(
         # evolution boundary (same reason as acid_read)
         return _read_entries(spark, data_root, entries, m["schema_ddl"])
 
-    if _delete_entries(m_old["files"]) or _delete_entries(m_new["files"]):
+    if (_delete_entries(m_old["files"]) or _delete_entries(m_new["files"])
+            or _pos_entries(m_old["files"])
+            or _pos_entries(m_new["files"])):
         # merge-on-read deletes change ROW SETS without touching data
         # files, so file-level cancellation is unsound while any are
         # pending: diff the full snapshots instead (MoR trades CDF
@@ -1379,9 +1466,10 @@ def acid_file_metadata(
             e["path"],
             {k: v2 for k, v2 in e.get("partition", {}).items()},
             e["rows"], e.get("bytes", 0), stats,
+            e.get("kind", "data"),
         ))
     schema = ("path string, partition map<string,string>, rows bigint, "
-              "bytes bigint, stats map<string,string>")
+              "bytes bigint, stats map<string,string>, kind string")
     return spark.createDataFrame(rows, schema)
 
 
@@ -1752,6 +1840,15 @@ def acid_clone(spark: SparkSession, src_root: str, dst_root: str,
     if latest_version(dst_root) > 0:
         raise FileExistsError(f"ACID table {dst_root} already exists")
     m = _load_manifest(src_root, v)
+    if _pos_entries(m["files"]):
+        # a pos-delete entry's target strings are the SOURCE manifest's
+        # path forms; the clone rewrites inherited paths to absolute, so
+        # the coordinates would silently stop matching (resurrected rows)
+        raise ValueError(
+            f"cannot shallow-clone {src_root}@v{v}: snapshot carries "
+            "pending positional-delete entries — run "
+            "acid_compact(purge_deletes=True) on the source first"
+        )
     src_data = os.path.abspath(_data_root(src_root))
     files = []
     for e in m["files"]:
@@ -1860,8 +1957,9 @@ def acid_delete(
         _stamp_seq(wrote, _next_seq(base_v, base["files"]))
         manifest = _new_manifest(
             base_v, "delete",
-            keep + _live_deletes(keep, dels) + wrote, partition_by,
-            base["schema_ddl"],
+            keep + _live_deletes(keep, dels)
+            + _live_pos_deletes(keep, _pos_entries(files)) + wrote,
+            partition_by, base["schema_ddl"],
         )
         if _commit_manifest(table_root, base_v + 1, manifest, branch):
             return base_v + 1
@@ -1930,6 +2028,79 @@ def acid_delete_mor(
     _remove_entries(table_root, new_entries)
     raise CommitConflict(
         f"delete-mor on {table_root}: lost the manifest race "
+        f"{max_retries} times"
+    )
+
+
+def acid_delete_pos(
+    spark: SparkSession,
+    table_root: str,
+    predicate: str,
+    max_retries: int = 10,
+    branch: str = MAIN_BRANCH,
+) -> int | None:
+    """Row-level DELETE as MERGE-ON-READ **POSITIONAL** deletes (the
+    Iceberg v2 position-delete file): commit a small file of
+    (data file path, row ordinal) pairs for every CURRENTLY VISIBLE row
+    matching ``predicate``; readers anti-join on the coordinates at scan
+    time. Complements acid_delete_mor: equality deletes need a key and
+    suppress FUTURE duplicates of it in older files; positional deletes
+    need no key at all (any predicate over any columns), pin exactly the
+    rows that matched at delete time, and never touch rows written later
+    — the file path is an immutable coordinate, so re-inserted data in
+    new files is naturally unaffected, with no sequence bookkeeping.
+
+    The trade vs copy-on-write acid_delete: O(|matches|) delete-file
+    write instead of rewriting every hit file, at the cost of one
+    broadcast path-lookup + anti-join per read until
+    ``acid_compact(purge_deletes=True)`` rewrites the targeted
+    partitions and drops the spent entry. Row coordinates come from the
+    parquet scan's ``_metadata.row_index`` (position in file), matching
+    at read time by (manifest path, ordinal).
+
+    Returns the new version, or None on an empty match or uncommitted
+    table. Rows where the predicate is FALSE **or NULL** survive
+    (DELETE semantics). Concurrency: optimistic — a lost race recomputes
+    coordinates against the new snapshot (a concurrent rewrite changes
+    file paths, so stale coordinates are never committed)."""
+    pred = F.coalesce(F.expr(predicate), F.lit(False))
+    data_root = _data_root(table_root)
+    for _ in range(max_retries):
+        base_v = latest_version(table_root, branch)
+        if base_v == 0:
+            return None
+        base = _load_manifest(table_root, base_v, branch)
+        if not _data_entries(base["files"]):
+            return None
+        snap = _snapshot_df(spark, data_root, base, keep_pos=True)
+        hits = snap.where(pred).select(
+            F.col("__mpath").alias("__file"), F.col("__pos"),
+        ).where(F.col("__file").isNotNull())
+        new_entries = _write_data_files(spark, hits, table_root, (), ())
+        if not new_entries or sum(e["rows"] for e in new_entries) == 0:
+            _remove_entries(table_root, new_entries)
+            return None
+        targets = sorted({
+            r["__file"] for e in new_entries
+            for r in spark.read.parquet(
+                os.path.join(data_root, e["path"])
+            ).select("__file").distinct().collect()
+        })  # bounded: distinct FILES touched, metadata-scale
+        for e in new_entries:
+            e["kind"] = "pos_delete"
+            e["targets"] = targets
+        _stamp_seq(new_entries, _next_seq(base_v, base["files"]))
+        manifest = _new_manifest(
+            base_v, "delete-pos", base["files"] + new_entries,
+            tuple(base.get("partition_by", ())), base["schema_ddl"],
+        )
+        if _commit_manifest(table_root, base_v + 1, manifest, branch):
+            return base_v + 1
+        # lost the race: coordinates may be stale against the winner's
+        # snapshot — drop our files and recompute from scratch
+        _remove_entries(table_root, new_entries)
+    raise CommitConflict(
+        f"delete-pos on {table_root}: lost the manifest race "
         f"{max_retries} times"
     )
 
@@ -2088,7 +2259,10 @@ def acid_merge(
             j.unpersist()
         _stamp_seq(new_entries, _next_seq(
             base_v, base["files"] if base_v else []))
-        dels = _live_deletes(keep_files, base_dels) if base_v else []
+        dels = (_live_deletes(keep_files, base_dels)
+                + _live_pos_deletes(
+                    keep_files, _pos_entries(base["files"]))) \
+            if base_v else []
         manifest = _new_manifest(
             base_v, "merge", keep_files + dels + new_entries, partition_by,
             _schema_ddl(merged),
@@ -2175,8 +2349,10 @@ def acid_replace_where(
         _stamp_seq(wrote, _next_seq(base_v, base["files"]))
         manifest = _new_manifest(
             base_v, "replace_where",
-            keep + _live_deletes(keep, dels) + wrote, partition_by,
-            _schema_ddl(out),
+            keep + _live_deletes(keep, dels)
+            + _live_pos_deletes(keep, _pos_entries(base["files"]))
+            + wrote,
+            partition_by, _schema_ddl(out),
         )
         if _commit_manifest(table_root, base_v + 1, manifest, branch):
             return base_v + 1

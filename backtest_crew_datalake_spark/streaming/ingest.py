@@ -1107,3 +1107,72 @@ def streaming_rollup_cascade(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def streaming_windowed_counts(
+    spark: SparkSession,
+    landing_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    schema: str,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    window: str = "1 day",
+    delay: str = "2 days",
+) -> None:
+    """Watermarked tumbling windowed aggregation maintained as an ACID
+    table — the canonical Structured Streaming late-data pipeline, with
+    Spark's OWN watermark machinery doing the dropping (not a batch
+    re-derivation): ``withWatermark(ts, delay)`` + per-(window, group)
+    count/sum in UPDATE mode, each micro-batch's changed windows keyed-
+    upserted into ``table_root``.
+
+    Late-data semantics under test (pinned by q_stream_watermark_state's
+    oracle replay): the watermark is GLOBAL and advances at batch END to
+    max(event time seen) − delay (persisted in the checkpoint across
+    runs); a row arriving in a later batch is DROPPED iff its window's
+    END ≤ the watermark in force when its batch starts — the window's
+    state was evicted and cannot be revived. A late row whose window is
+    still within the horizon UPDATES the window (the upsert re-emits it).
+    State is bounded by the horizon: windows older than the watermark are
+    evicted every batch, so arbitrarily long streams hold
+    O(windows-in-horizon × |groups|) state, never the history.
+
+    One call = one availableNow run = ONE micro-batch when the caller
+    lands one file per call (the maintainers' deterministic-batch
+    contract).
+    """
+    from ..sources.acid import acid_upsert
+
+    stream = spark.readStream.schema(schema).parquet(landing_dir)
+    agg = (
+        stream.withWatermark(ts_col, delay)
+        # group by the window struct itself (severing it pre-agg breaks
+        # event-time tracking — the streaming_resample lesson)
+        .groupBy(F.window(ts_col, window), F.col(group_col))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .alias("sum_cents"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col(group_col),
+            "n_rows", "sum_cents",
+        )
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        acid_upsert(spark, batch_df, table_root,
+                    key=("win_start", group_col))
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -2233,3 +2233,139 @@ def test_replace_where_empty_slice_and_mor(spark, tmp_path):
     acid_replace_where(
         spark, _mk(spark, [("D", "d4", 40, 4.0)]), root, "sym = 'D'")
     assert ("D", "d4", 40, 4.0) in _snapshot(acid_read(spark, root))
+
+
+# ---------------------------------------------------------------------------
+# positional deletes (Iceberg v2 position-delete files)
+
+
+def _pos_table(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "pos")
+    df = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("g"),
+        (F.col("id") * 10.0).alias("v"))
+    acid_write(spark, df, root, partition_by=("g",))
+    return root
+
+
+def test_delete_pos_predicate_no_rewrite(spark, tmp_path):
+    """A positional delete commits only a coordinates file: data file
+    paths are byte-identical before/after, and any predicate works —
+    no key columns required."""
+    from backtest_crew_datalake_spark.sources.acid import (
+        acid_delete_pos, acid_file_metadata)
+
+    root = _pos_table(spark, tmp_path)
+    before = {r["path"] for r in acid_file_metadata(spark, root).collect()}
+    v = acid_delete_pos(spark, root, "v >= 100 AND k % 2 = 0")
+    assert v == 2
+    after = {
+        r["path"]
+        for r in acid_file_metadata(spark, root, version=v).collect()
+        if r["kind"] == "data"
+    }
+    assert before == after  # zero data files rewritten
+    got = {r.k for r in acid_read(spark, root).collect()}
+    want = {k for k in range(60) if not (k * 10.0 >= 100 and k % 2 == 0)}
+    assert got == want
+    # time travel still sees the pre-delete rows
+    assert acid_read(spark, root, version=1).count() == 60
+
+
+def test_delete_pos_null_predicate_rows_survive(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from backtest_crew_datalake_spark.sources.acid import acid_delete_pos
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 50.0)], "k long, v double")
+    acid_write(spark, df, root)
+    acid_delete_pos(spark, root, "v > 10")
+    assert {r.k for r in acid_read(spark, root).collect()} == {1, 2}
+
+
+def test_delete_pos_no_match_returns_none(spark, tmp_path):
+    from backtest_crew_datalake_spark.sources.acid import acid_delete_pos
+
+    root = _pos_table(spark, tmp_path)
+    assert acid_delete_pos(spark, root, "k > 1000") is None
+    assert latest_version(root) == 1
+
+
+def test_delete_pos_never_reaches_new_files(spark, tmp_path):
+    """Path-addressed coordinates: an upsert that re-inserts a deleted
+    row writes a NEW file, which no existing pos-delete entry targets."""
+    from backtest_crew_datalake_spark.sources.acid import acid_delete_pos
+
+    root = _pos_table(spark, tmp_path)
+    acid_delete_pos(spark, root, "k IN (0, 3, 6)")
+    gone = {r.k for r in acid_read(spark, root).collect()}
+    assert not gone & {0, 3, 6}
+    up = spark.createDataFrame([(0, 0, 999.0)], "k long, g long, v double")
+    acid_upsert(spark, up, root, key=("k",), partition_by=("g",))
+    got = {r.k: r.v for r in acid_read(spark, root).collect()}
+    assert got[0] == 999.0   # re-insert visible
+    assert 3 not in got and 6 not in got  # untouched partitions stay gone
+
+
+def test_delete_pos_stacks_and_purges(spark, tmp_path):
+    """Stacked pos deletes all apply; purge compaction physically
+    rewrites targeted partitions, drops the spent entries, and the
+    row set is unchanged."""
+    from backtest_crew_datalake_spark.sources.acid import (
+        _load_manifest, _pos_entries, acid_compact, acid_delete_pos)
+
+    root = _pos_table(spark, tmp_path)
+    acid_delete_pos(spark, root, "k % 5 = 0")
+    acid_delete_pos(spark, root, "k % 7 = 1")
+    before = sorted((r.k, r.v) for r in acid_read(spark, root).collect())
+    v = acid_compact(spark, root, purge_deletes=True)
+    assert v is not None
+    after = sorted((r.k, r.v) for r in acid_read(spark, root).collect())
+    assert before == after
+    m = _load_manifest(root, latest_version(root))
+    assert not _pos_entries(m["files"])  # spent entries dropped
+    # and the fast path is back: no delete entries at all
+    assert all(e.get("kind", "data") == "data" for e in m["files"])
+
+
+def test_delete_pos_mixes_with_eq_deletes(spark, tmp_path):
+    from backtest_crew_datalake_spark.sources.acid import (
+        acid_delete_mor, acid_delete_pos)
+
+    root = _pos_table(spark, tmp_path)
+    acid_delete_mor(spark, root,
+                    spark.createDataFrame([(2,), (4,)], "k long"),
+                    key=("k",))
+    acid_delete_pos(spark, root, "k IN (1, 3)")
+    got = {r.k for r in acid_read(spark, root).collect()}
+    assert not got & {1, 2, 3, 4}
+    assert 5 in got and len(got) == 56
+
+
+def test_clone_refuses_pending_pos_deletes(spark, tmp_path):
+    from backtest_crew_datalake_spark.sources.acid import (
+        acid_clone, acid_compact, acid_delete_pos)
+
+    root = _pos_table(spark, tmp_path)
+    acid_delete_pos(spark, root, "k = 1")
+    with pytest.raises(ValueError, match="positional-delete"):
+        acid_clone(spark, root, str(tmp_path / "c1"))
+    acid_compact(spark, root, purge_deletes=True)
+    assert acid_clone(spark, root, str(tmp_path / "c2")) == 1
+    assert acid_read(spark, str(tmp_path / "c2")).count() == 59
+
+
+def test_changes_feed_correct_across_pos_delete(spark, tmp_path):
+    """CDF across a pos-delete commit: the full-snapshot-diff fallback
+    must emit exactly the deleted rows as 'delete'."""
+    from backtest_crew_datalake_spark.sources.acid import (
+        acid_changes, acid_delete_pos)
+
+    root = _pos_table(spark, tmp_path)
+    acid_delete_pos(spark, root, "k IN (10, 20)")
+    ch = acid_changes(spark, root, 1, 2)
+    rows = [(r["_change_type"], r.k) for r in ch.collect()]
+    assert sorted(rows) == [("delete", 10), ("delete", 20)]

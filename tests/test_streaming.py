@@ -1103,3 +1103,50 @@ def test_streaming_upsert_rejects_constraint_violations(spark, tmp_path):
     streaming_acid_upsert(spark, land2, table, str(tmp_path / "ck2"),
                           schema, key=("k",))
     assert acid_read(spark, table).count() == 2
+
+
+def test_watermark_drop_inequality_pin(spark, tmp_path):
+    """Pins the EXACT late-row rule q_stream_watermark_state's oracle
+    replays: after a batch whose max event time is T, the persisted
+    watermark is T - delay, and a later row is dropped iff its window
+    END <= watermark (end == watermark DROPS — state already evicted);
+    a window strictly above stays updatable, and within-batch disorder
+    never drops (first batch runs at watermark 0)."""
+    from pyspark.sql import functions as F
+
+    from backtest_crew_datalake_spark.sources.acid import acid_read
+    from backtest_crew_datalake_spark.streaming.ingest import (
+        streaming_windowed_counts,
+    )
+
+    land, tbl, ck = (str(tmp_path / d) for d in ("land", "t", "ck"))
+    schema = "ts timestamp, event_type string, value double"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "ts string, event_type string, value double"
+        ).select(F.col("ts").cast("timestamp"), "event_type", "value")
+
+    # batch 1: out-of-order WITHIN the batch (wm still 0 -> all kept);
+    # max event time lands exactly on Jan-20 00:00 -> wm = Jan-18 00:00
+    b1 = mk([("2024-01-20 00:00:00", "a", 2.0),
+             ("2024-01-10 12:00:00", "a", 1.0)])
+    b1.coalesce(1).write.mode("append").parquet(land)
+    streaming_windowed_counts(spark, land, tbl, ck, schema)
+    # batch 2 probes each side of the boundary
+    b2 = mk([("2024-01-16 06:00:00", "a", 4.0),   # end Jan-17 <  wm: drop
+             ("2024-01-17 06:00:00", "a", 8.0),   # end Jan-18 == wm: drop
+             ("2024-01-18 06:00:00", "a", 16.0),  # end Jan-19 >  wm: keep
+             ("2024-01-10 18:00:00", "a", 32.0)]) # evicted window: drop
+    b2.coalesce(1).write.mode("append").parquet(land)
+    streaming_windowed_counts(spark, land, tbl, ck, schema)
+
+    got = {
+        str(r.win_start): (r.n_rows, r.sum_cents)
+        for r in acid_read(spark, tbl).collect()
+    }
+    assert got == {
+        "2024-01-10 00:00:00": (1, 100),   # late update dropped
+        "2024-01-18 00:00:00": (1, 1600),  # in-horizon late row landed
+        "2024-01-20 00:00:00": (1, 200),
+    }
