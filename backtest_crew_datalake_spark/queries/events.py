@@ -5082,3 +5082,93 @@ def q_evt_mannwhitney(spark, sf_dir):
         F.expr("CAST((ra2 - na * (na + 1) - na * nb) * 1000000"
                " DIV (na * nb) AS BIGINT)").alias("rank_biserial_micro"),
     )
+
+
+@register(
+    "q_evt_ks_two_sample",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_a
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    hist AS (
+        SELECT cents,
+               CAST(SUM(is_a) AS HUGEINT) AS ca,
+               CAST(SUM(1 - is_a) AS HUGEINT) AS cb
+        FROM v GROUP BY 1
+    ),
+    cum AS (
+        SELECT cents,
+               SUM(ca) OVER w AS cuma, SUM(cb) OVER w AS cumb
+        FROM hist WINDOW w AS (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+    ),
+    tot AS (
+        SELECT CAST(SUM(ca) AS HUGEINT) AS na,
+               CAST(SUM(cb) AS HUGEINT) AS nb
+        FROM hist
+    ),
+    scored AS (
+        SELECT cents,
+               ABS(cuma * tot.nb - cumb * tot.na) AS dnum
+        FROM cum CROSS JOIN tot
+    ),
+    best AS (
+        SELECT cents, dnum FROM scored
+        ORDER BY dnum DESC, cents LIMIT 1
+    )
+    SELECT CAST(tot.na AS BIGINT) AS n_a, CAST(tot.nb AS BIGINT) AS n_b,
+           CAST(best.dnum AS BIGINT) AS d_num,
+           best.cents AS d_at_cents,
+           CAST(best.dnum * 1000000 // (tot.na * tot.nb) AS BIGINT)
+               AS d_micro
+    FROM best CROSS JOIN tot
+    """,
+)
+def q_evt_ks_two_sample(spark, sf_dir):
+    """TWO-SAMPLE KOLMOGOROV-SMIRNOV, view vs purchase values — 'do the
+    two distributions differ ANYWHERE', the distribution-free companion
+    to q_evt_mannwhitney's location test. D = sup|F_A − F_B| over the
+    pooled support is computed WITHOUT floats: at each distinct cents
+    value the cross-multiplied integer |cumA·n_B − cumB·n_A| is
+    n_A·n_B·|F_A−F_B| exactly, so the argmax (ties → smallest value)
+    and D in micro-units are bit-identical across engines.
+
+    Scale shape: one histogram pass over the bounded cents domain, one
+    bounded cumsum window, a broadcast 1-row totals frame, a 1-row
+    top-1 — the corpus is never sorted (rule 4)."""
+    from pyspark.sql import Window
+
+    evt = load(spark, sf_dir, "events")
+    v = (
+        evt.where(F.col("event_type").isin("view", "purchase"))
+        .select(
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+            .alias("is_a"))
+    )
+    dec = "decimal(38,0)"
+    hist = v.groupBy("cents").agg(
+        F.sum("is_a").cast(dec).alias("ca"),
+        F.sum(1 - F.col("is_a")).cast(dec).alias("cb"))
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select(
+        "cents",
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"))
+    tot = hist.agg(F.sum("ca").cast(dec).alias("na"),
+                   F.sum("cb").cast(dec).alias("nb"))
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "cents", "na", "nb",
+        F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+        .alias("dnum"))
+    best = scored.orderBy(F.col("dnum").desc(), F.col("cents")).limit(1)
+    return best.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("dnum").cast("bigint").alias("d_num"),
+        F.col("cents").alias("d_at_cents"),
+        F.expr("CAST(dnum * 1000000 DIV (na * nb) AS BIGINT)")
+        .alias("d_micro"),
+    )

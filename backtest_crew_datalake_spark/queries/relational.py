@@ -2000,3 +2000,74 @@ def q_cust_reorder_cycle(spark, sf_dir):
                      F.col("gap_d")))
         .cast("bigint").alias("p90_gap_days"),
     )
+
+
+@register(
+    "q_cust_cohort_matrix",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey AS ck,
+               CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) - 1
+                    AS BIGINT) AS mi,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    f AS (
+        SELECT ck, MIN(mi) AS cohort FROM o GROUP BY 1
+    ),
+    j AS (
+        SELECT o.ck, f.cohort, o.mi - f.cohort AS offs, o.cents
+        FROM o JOIN f USING (ck)
+    )
+    SELECT printf('%04d-%02d', cohort // 12, cohort % 12 + 1)
+               AS cohort_month,
+           CAST(offs AS BIGINT) AS month_offset,
+           CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_active,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM j GROUP BY cohort, offs
+    """,
+)
+def q_cust_cohort_matrix(spark, sf_dir):
+    """CUSTOMER COHORT RETENTION MATRIX on the orders domain — the
+    classic subscription-analytics triangle: customers grouped by FIRST-
+    ORDER month, then per (cohort, months-since-first) the active count,
+    order count, and revenue in exact integer cents. Month arithmetic is
+    pure integers (year*12+month), so cohort and offset are engine-
+    independent; the events-domain analogue (q_evt_retention) works on
+    days — this one exercises the month grain and the revenue roll-up.
+
+    Scale shape: one keyed (custkey) min-window for the cohort (single
+    shuffle), then a hash agg to the bounded |months|^2/2 triangle
+    (~3.2k cells at 80 months, independent of |orders|)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint").alias("mi"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("ck")
+    j = o.select(
+        "ck", "cents",
+        F.min("mi").over(w).alias("cohort"),
+        (F.col("mi") - F.min("mi").over(w)).alias("offs"),
+    )
+    return (
+        j.groupBy("cohort", "offs")
+        .agg(
+            F.countDistinct("ck").cast("bigint").alias("n_active"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .select(
+            F.format_string(
+                "%04d-%02d",
+                F.expr("CAST(cohort DIV 12 AS INT)"),
+                F.expr("CAST(cohort % 12 + 1 AS INT)"),
+            ).alias("cohort_month"),
+            F.col("offs").cast("bigint").alias("month_offset"),
+            "n_active", "n_orders", "revenue_cents",
+        )
+    )

@@ -123,3 +123,28 @@ def test_mannwhitney_matches_bruteforce(spark):
     num = u2 - na * nb
     q = abs(num) * 1000000 // (na * nb)
     assert r["rank_biserial_micro"] == (q if num >= 0 else -q)
+
+
+def test_ks_two_sample_matches_bruteforce(spark):
+    evt = load(spark, SF, "events")
+    from pyspark.sql import functions as F2
+    vals = (
+        evt.where(F2.col("event_type").isin("view", "purchase"))
+        .select("event_type",
+                F2.round(F2.col("value") * 100).cast("bigint").alias("c"))
+        .collect()
+    )
+    a = np.sort([r["c"] for r in vals if r["event_type"] == "view"])
+    b = np.sort([r["c"] for r in vals if r["event_type"] == "purchase"])
+    na, nb = len(a), len(b)
+    support = np.unique(np.concatenate([a, b]))
+    cuma = np.searchsorted(a, support, side="right").astype(object)
+    cumb = np.searchsorted(b, support, side="right").astype(object)
+    dnum = np.abs(cuma * nb - cumb * na)
+    best = int(dnum.max())
+    at = int(support[np.argmax(dnum)])  # argmax -> first (smallest cents)
+    r = Q["q_evt_ks_two_sample"].build(spark, SF).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert r["d_num"] == best
+    assert r["d_at_cents"] == at
+    assert r["d_micro"] == best * 1000000 // (na * nb)
