@@ -119,11 +119,22 @@ def bridge_write(df: DataFrame, name: str) -> str:
 # (r9 verdict #2); tools/check_oracles.py covers the full catalog.
 PRIORITY_ORDER: tuple[str, ...] = (
     # ROUND-11 WINDOW (50 slots, 98% rotated vs r10 — the
-    # only carryovers are changed-for-cause: q_evt_user_gini
-    # and q_doc_minhash_error were rewritten this round).
-    # Order: 23 new operator families, 6 changed-for-cause
+    # only carryover is changed-for-cause: q_evt_user_gini
+    # was rewritten this round onto the distributed rank).
+    # Order: the 8 second-session families first (positional
+    # deletes, RESTORE, watermark late-data state, the
+    # nonparametric stats zoo, cohort matrix), then session
+    # 1's 23 new operator families, 6 changed-for-cause
     # rewrites (distributed rank, oracle bridge), then the
     # stalest green blocks (absent from every r7-r10 window).
+    "q_acid_positional_delete",
+    "q_acid_restore",
+    "q_stream_watermark_state",
+    "q_evt_mann_kendall",
+    "q_evt_theilsen",
+    "q_evt_mannwhitney",
+    "q_evt_ks_two_sample",
+    "q_cust_cohort_matrix",
     "q_stream_sessionize_state",
     "q_stream_join_state",
     "q_acid_conditional_merge",

@@ -2151,7 +2151,7 @@ _SHINGLE_CTE = r"""
     bloom AS (
         SELECT bit // 32 AS word, bit_or(1::BIGINT << (bit % 32)) AS bits
         FROM (
-            SELECT ('0x' || substr(md5(i::VARCHAR || '|' || sh), 1, 8))
+            SELECT ('0x' || substr(md5('s|' || sh), 1 + 8 * i, 8))
                        ::BIGINT % 65536 AS bit
             FROM bench, (SELECT UNNEST(range(0, 3)) AS i)
         ) GROUP BY 1
@@ -2159,7 +2159,7 @@ _SHINGLE_CTE = r"""
     corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 20),
     probes AS (
         SELECT doc_id, sh,
-               ('0x' || substr(md5(i::VARCHAR || '|' || sh), 1, 8))
+               ('0x' || substr(md5('s|' || sh), 1 + 8 * i, 8))
                    ::BIGINT % 65536 AS bit
         FROM corpus, (SELECT UNNEST(range(0, 3)) AS i)
     ),
@@ -2202,7 +2202,19 @@ def q_doc_bloom_scrub(spark, sf_dir):
     exact margin) — spread_partitions + localCheckpoint it once (the
     winnow pattern) so the single-file tokenize/explode subtree
     parallelizes and runs once, not three times (5.7 s → 2.6 s at
-    sf0.1)."""
+    sf0.1).
+
+    r11 probe audit (the r10 verdict's third 'weak' entry), measured at
+    sf0.1 on a clean box: the old 3-digest spelling re-timed at 1.42 s /
+    1.34× — the 2.5 s / 2.2× verdict row was box state, and the hot cost
+    is the shingle tokenize+persist, NOT the probe. Kept: ONE md5 digest
+    sliced into the 3 bit addresses (same 1.42 s spark, fewer hashes on
+    both engines, oracle in lockstep). MEASURED AND REVERTED: collecting
+    the 2048-word bitmap to the driver and probing it as a literal-array
+    conjunction (no join, no explode) LOST 1.1 s (1.42 → 2.50 s) —
+    Catalyst evaluates the 2048-element CreateArray literal per row
+    instead of constant-folding it, so the 'cheaper' plan does 2048
+    literal evals per shingle. The broadcast-join probe stays."""
     from pyspark import StorageLevel
 
     from ..pipeline.dedup import _shingles, spread_partitions
@@ -2217,12 +2229,10 @@ def q_doc_bloom_scrub(spark, sf_dir):
     corpus = sh_all.where(F.col("doc_id") >= 20)
 
     def bits(col):
+        dg = F.md5(F.concat(F.lit("s|"), col).cast("binary"))
         return F.array(*[
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{i}|"), col).cast("binary")), 1, 8
-                ), 16, 10,
-            ).cast("long") % 65536
+            F.conv(F.substring(dg, 1 + 8 * i, 8), 16, 10)
+            .cast("long") % 65536
             for i in range(3)
         ])
 
@@ -2230,7 +2240,8 @@ def q_doc_bloom_scrub(spark, sf_dir):
         bench.select(F.explode(bits(F.col("sh"))).alias("bit"))
         .select(
             (F.col("bit") / 32).cast("long").alias("word"),
-            F.expr("shiftleft(cast(1 as bigint), cast(bit % 32 as int))").alias("mask"),
+            F.expr("shiftleft(cast(1 as bigint), cast(bit % 32 as int))")
+            .alias("mask"),
         )
         .groupBy("word")
         .agg(F.expr("bit_or(mask)").alias("bits"))
@@ -2240,7 +2251,8 @@ def q_doc_bloom_scrub(spark, sf_dir):
     ).select(
         "doc_id", "sh",
         (F.col("bit") / 32).cast("long").alias("word"),
-        F.expr("shiftleft(cast(1 as bigint), cast(bit % 32 as int))").alias("mask"),
+        F.expr("shiftleft(cast(1 as bigint), cast(bit % 32 as int))")
+        .alias("mask"),
     )
     sh_hits = (
         probes.join(F.broadcast(bloom), "word", "left")
