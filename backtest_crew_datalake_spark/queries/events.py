@@ -5172,3 +5172,180 @@ def q_evt_ks_two_sample(spark, sf_dir):
         F.expr("CAST(dnum * 1000000 DIV (na * nb) AS BIGINT)")
         .alias("d_micro"),
     )
+
+
+@register(
+    "q_evt_xcorr_lag",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'view')
+                    AS BIGINT) AS xc,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                    AS BIGINT) AS yc
+        FROM events GROUP BY 1
+    ),
+    lags AS (SELECT UNNEST(range(-7, 8)) AS lag),
+    paired AS (
+        SELECT l.lag, a.xc AS x, b.yc AS y
+        FROM lags l
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.d = a.d + CAST(l.lag AS INTEGER)
+    ),
+    s AS (
+        SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM paired GROUP BY 1
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n_days, sxy,
+           CAST(n_days * sxy - sx * sy AS BIGINT) AS cov_num,
+           ROUND((n_days * sxy - sx * sy)
+                 / (SQRT(CAST(n_days * sxx - sx * sx AS DOUBLE))
+                    * SQRT(CAST(n_days * syy - sy * sy AS DOUBLE))),
+                 6) AS pearson_r
+    FROM s
+    """,
+)
+def q_evt_xcorr_lag(spark, sf_dir):
+    """LEAD-LAG CROSS-CORRELATION between two event-type daily series
+    ('does view activity lead purchases, and by how many days?') — the
+    time-series diagnostic behind marketing-mix lag models and causal
+    pre-screening. Daily counts of 'view' (x) and 'purchase' (y), then
+    Pearson r of (x_d, y_{d+L}) for every lag L in [-7, 7] over the
+    overlapping days. All sums are exact BIGINTs; the only float is the
+    final r = cov_num / (sqrt(nSxx-Sx^2)*sqrt(nSyy-Sy^2)), an identical
+    single expression both engines evaluate over identical integers
+    (IEEE sqrt/div are correctly rounded — no accumulation-order drift).
+    No float enters a ranking: all 15 lag rows are emitted.
+
+    Scale shape: ONE map-side-combinable daily aggregate collapses the
+    corpus to |days| rows of bounded state; the 15-lag self-join and the
+    per-lag sums run on that bounded frame (broadcast, no corpus-sized
+    shuffle). At 100 TB the only full-data pass is the first groupBy."""
+    evt = load(spark, sf_dir, "events")
+    daily = evt.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.when(F.col("event_type") == "view", 1))
+        .cast("bigint").alias("xc"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint").alias("yc"),
+    )
+    lags = spark.range(-7, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select("d", "xc")
+    b = daily.select(F.col("d").alias("bd"), "yc")
+    paired = (
+        lags.crossJoin(a)
+        .join(F.broadcast(b),
+              F.expr("bd = date_add(d, lag)"))
+        .select("lag", F.col("xc").alias("x"), F.col("yc").alias("y"))
+    )
+    s = paired.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    return s.select(
+        F.col("lag").cast("bigint").alias("lag"), "n_days", "sxy",
+        (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("bigint").alias("cov_num"),
+        F.round(
+            (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.sqrt((F.col("n_days") * F.col("sxx")
+                       - F.col("sx") * F.col("sx")).cast("double"))
+               * F.sqrt((F.col("n_days") * F.col("syy")
+                         - F.col("sy") * F.col("sy")).cast("double"))),
+            6).alias("pearson_r"),
+    )
+
+
+@register(
+    "q_evt_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT d, y,
+               CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+               CAST(LAG(y, 1) OVER (ORDER BY d) AS BIGINT) AS y1,
+               CAST(LAG(y, 7) OVER (ORDER BY d) AS BIGINT) AS y7,
+               CAST(FIRST_VALUE(y) OVER (ORDER BY d) AS BIGINT) AS y0
+        FROM daily
+    ),
+    test AS (SELECT * FROM idx WHERE y7 IS NOT NULL),
+    fc AS (
+        SELECT 'naive' AS method, y, y1 AS yhat FROM test
+        UNION ALL
+        SELECT 'seasonal_naive' AS method, y, y7 AS yhat FROM test
+        UNION ALL
+        SELECT 'drift' AS method, y,
+               y1 + CAST(FLOOR((y1 - y0) * 1.0 / (t - 2)) AS BIGINT)
+               AS yhat
+        FROM test
+    )
+    SELECT method, CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+           CAST(SUM(ABS(y - yhat)) AS BIGINT) AS sum_abs_err,
+           CAST(SUM((y - yhat) * (y - yhat)) AS BIGINT) AS sum_sq_err,
+           CAST(SUM(ABS(y - yhat)) * 1000000 // COUNT(*) AS BIGINT)
+               AS mae_micro
+    FROM fc GROUP BY 1
+    """,
+)
+def q_evt_forecast_backtest(spark, sf_dir):
+    """ROLLING-ORIGIN FORECAST BACKTEST (the repo's namesake operation):
+    one-step-ahead daily-volume forecasts from three classical baselines
+    — naive (carry yesterday), seasonal-naive (carry same weekday last
+    week), drift (yesterday + average historical daily change) — scored
+    by exact-integer MAE / SSE over every day with a full 7-day history.
+    The drift increment is FLOOR((y1-y0)/(t-2)) — the h=1 drift
+    forecast with the tie-proof floor spelling (ROUND on a double .5 is
+    the classic half-even/half-away cross-engine trap); no float
+    accumulates anywhere; mae_micro is truncating integer micro-units
+    (the q_evt_benford discipline).
+
+    Scale shape: one map-side-combinable daily aggregate collapses the
+    corpus to |days| rows; the lag/first_value windows run over that
+    bounded frame (scale.md rule 4's aggregate-state exemption). The
+    backtest never re-reads raw events per origin — it is O(days), not
+    O(days x corpus)."""
+    from pyspark.sql import Window
+
+    evt = load(spark, sf_dir, "events")
+    daily = evt.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("y"))
+    w = Window.orderBy("d")
+    idx = daily.select(
+        "d", "y",
+        F.row_number().over(w).cast("bigint").alias("t"),
+        F.lag("y", 1).over(w).cast("bigint").alias("y1"),
+        F.lag("y", 7).over(w).cast("bigint").alias("y7"),
+        F.first("y").over(w).cast("bigint").alias("y0"),
+    )
+    test = idx.where(F.col("y7").isNotNull())
+    drift_hat = (F.col("y1") + F.floor(
+        (F.col("y1") - F.col("y0")) * F.lit(1.0) / (F.col("t") - 2))
+        .cast("bigint"))
+    fc = (
+        test.select(F.lit("naive").alias("method"), "y",
+                    F.col("y1").alias("yhat"))
+        .unionByName(test.select(
+            F.lit("seasonal_naive").alias("method"), "y",
+            F.col("y7").alias("yhat")))
+        .unionByName(test.select(
+            F.lit("drift").alias("method"), "y", drift_hat.alias("yhat")))
+    )
+    err = F.abs(F.col("y") - F.col("yhat"))
+    return fc.groupBy("method").agg(
+        F.count("*").cast("bigint").alias("n_forecasts"),
+        F.sum(err).cast("bigint").alias("sum_abs_err"),
+        F.sum((F.col("y") - F.col("yhat")) * (F.col("y") - F.col("yhat")))
+        .cast("bigint").alias("sum_sq_err"),
+        F.expr("CAST(SUM(ABS(y - yhat)) * 1000000 DIV COUNT(*) AS BIGINT)")
+        .alias("mae_micro"),
+    )

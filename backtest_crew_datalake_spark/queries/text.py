@@ -5959,3 +5959,208 @@ def q_doc_source_simpson(spark, sf_dir):
         F.expr(f"CAST(1000000 - {simpson} AS BIGINT)")
         .alias("diversity_micro"),
     )
+
+
+@register(
+    "q_doc_neyman_alloc",
+    oracle="""
+    WITH st AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sx,
+               CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        FROM documents GROUP BY 1, 2
+    ),
+    wgt AS (
+        SELECT lang, source, n_docs,
+               CASE WHEN n_docs < 2 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(FLOOR(SQRT(
+                        CAST(n_docs AS DOUBLE)
+                        * CAST(n_docs * sxx - sx * sx AS DOUBLE)
+                        / CAST((n_docs - 1) AS DOUBLE))
+                        * 1000000) AS BIGINT)
+               END AS weight_micro
+        FROM st
+    ),
+    tot AS (SELECT CAST(SUM(weight_micro) AS BIGINT) AS t,
+                   CAST(SUM(CAST(1000 AS BIGINT) * weight_micro
+                            // (SELECT SUM(weight_micro) FROM wgt))
+                        AS BIGINT) AS base_total
+            FROM wgt),
+    ranked AS (
+        SELECT w.lang, w.source, w.n_docs, w.weight_micro,
+               CAST(1000 * w.weight_micro // tot.t AS BIGINT) AS base,
+               ROW_NUMBER() OVER (
+                   ORDER BY (1000 * w.weight_micro % tot.t) DESC,
+                            w.lang, w.source) AS rk,
+               tot.base_total
+        FROM wgt w CROSS JOIN tot
+    )
+    SELECT lang, source, n_docs, weight_micro,
+           CAST(base + CASE WHEN rk <= 1000 - base_total THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM ranked
+    """,
+)
+def q_doc_neyman_alloc(spark, sf_dir):
+    """NEYMAN-ALLOCATION SAMPLING PLAN (Neyman 1934 — the survey-sampling
+    optimum behind variance-minimal stratified corpus sampling): allocate
+    a budget of 1000 sample docs across (lang, source) strata
+    proportionally to N_h * S_h (stratum size x stddev of n_chars), with
+    largest-remainder rounding so the allocations sum to the budget
+    EXACTLY. The float boundary is one deterministic expression per
+    stratum: N_h*S_h enters as floor(sqrt(N_h * V_h / (N_h-1)) * 1e6)
+    micro-units where V_h = N_h*Sxx - Sx^2 is an exact BIGINT moment
+    (IEEE sqrt/div are correctly rounded, so floor(...) is bit-stable
+    cross-engine); everything after — totals, floor quotas, remainders,
+    the largest-remainder rank — is exact integer arithmetic.
+    Singleton strata (N_h < 2, stddev undefined) get weight 0.
+
+    Scale shape: ONE map-side-combinable pass computes the three moments
+    per stratum; the quota arithmetic runs on the |strata| rows of
+    bounded aggregate state (1-row broadcast total, rank over strata —
+    scale.md rule 4 exemption). V_h fits BIGINT through ~1e15 char^2
+    per stratum; the decimal(38,0) upgrade is mechanical if a corpus
+    ever exceeds it."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    st = d.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint")
+        .alias("sxx"),
+    )
+    nh = F.col("n_docs")
+    vh = (nh * F.col("sxx") - F.col("sx") * F.col("sx"))
+    wgt = st.select(
+        "lang", "source", "n_docs",
+        F.when(nh < 2, F.lit(0).cast("bigint")).otherwise(
+            F.floor(
+                F.sqrt(nh.cast("double") * vh.cast("double")
+                       / (nh - 1).cast("double"))
+                * 1000000).cast("bigint")
+        ).alias("weight_micro"),
+    )
+    tot = wgt.agg(
+        F.sum("weight_micro").cast("bigint").alias("t"))
+    quo = wgt.crossJoin(F.broadcast(tot)).select(
+        "lang", "source", "n_docs", "weight_micro",
+        F.expr("CAST(1000 * weight_micro DIV t AS BIGINT)").alias("base"),
+        F.expr("CAST(1000 * weight_micro % t AS BIGINT)").alias("rem"),
+    )
+    base_tot = quo.agg(F.sum("base").cast("bigint").alias("base_total"))
+    w = Window.orderBy(F.col("rem").desc(), "lang", "source")
+    return (
+        quo.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(base_tot))
+        .select(
+            "lang", "source", "n_docs", "weight_micro",
+            (F.col("base") + F.when(
+                F.col("rk") <= 1000 - F.col("base_total"), 1).otherwise(0))
+            .cast("bigint").alias("alloc"),
+        )
+    )
+
+
+@register(
+    "q_doc_cooc_sim",
+    oracle=r"""
+    WITH td AS (
+        SELECT DISTINCT doc_id, UNNEST(string_split_regex(TRIM(text),
+                                                          '\s+')) AS token
+        FROM documents
+    ),
+    df_counts AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM td GROUP BY 1
+    ),
+    vocab AS (
+        SELECT token FROM df_counts
+        ORDER BY df DESC, token LIMIT 100
+    ),
+    tv AS (SELECT td.doc_id, td.token FROM td
+           JOIN vocab USING (token)),
+    cooc AS (
+        SELECT a.token AS x, b.token AS z,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.token <> b.token
+        GROUP BY 1, 2
+    ),
+    norms AS (
+        SELECT x, CAST(SUM(c * c) AS BIGINT) AS sq FROM cooc GROUP BY 1
+    ),
+    dots AS (
+        SELECT a.x AS x, b.x AS y, CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+        FROM cooc a JOIN cooc b ON a.z = b.z AND a.x < b.x
+        GROUP BY 1, 2
+    )
+    SELECT dots.x AS x, dots.y AS y, dots.dot AS dot,
+           CAST(CAST(dots.dot AS HUGEINT) * dots.dot * 1000000
+                // (CAST(na.sq AS HUGEINT) * nb.sq) AS BIGINT)
+               AS cos2_micro
+    FROM dots
+    JOIN norms na ON na.x = dots.x
+    JOIN norms nb ON nb.x = dots.y
+    ORDER BY cos2_micro DESC, dots.x, dots.y LIMIT 40
+    """,
+)
+def q_doc_cooc_sim(spark, sf_dir):
+    """SECOND-ORDER CO-OCCURRENCE SIMILARITY (count-based distributional
+    semantics — Schutze 1998's word-space, the pre-neural ancestor of
+    embedding similarity): two words are similar when they co-occur with
+    the SAME context words, not necessarily with each other. Vocab = top
+    100 tokens by document frequency (df desc, token asc tie-break);
+    vector of word x = doc-level co-occurrence counts c_xz over context
+    words z != x; similarity = cosine, ranked by the exact integer
+    dot^2 * 1e6 DIV (|x|^2 * |y|^2) (monotone in cosine since counts are
+    non-negative — zero libm in the gate, the q_doc_collocations
+    discipline); top 40 pairs.
+
+    Scale shape: the corpus-sized stages are one distinct (doc, token)
+    shuffle and the per-doc pair expansion — bounded at vocab^2 = 10^4
+    pairs per doc by the broadcast 100-word vocab filter, map-side
+    combined into the <= vocab^2 co-occurrence matrix. Everything after
+    (norms, the dot-product self-join on contexts) runs on that bounded
+    matrix. dot^2 * 1e6 can exceed int64, so the final ratio is
+    decimal(38,0)/HUGEINT arithmetic on both engines."""
+    from ..pipeline.text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    td = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).distinct()
+    dfc = td.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    vocab = dfc.orderBy(F.col("df").desc(), "token").limit(100) \
+        .select("token")
+    tv = td.join(F.broadcast(vocab), "token")
+    a = tv.select(F.col("token").alias("x"), "doc_id")
+    b = tv.select(F.col("token").alias("z"), "doc_id")
+    cooc = (
+        a.join(b, "doc_id")
+        .where(F.col("x") != F.col("z"))
+        .groupBy("x", "z").agg(F.count("*").cast("bigint").alias("c"))
+    )
+    norms = cooc.groupBy("x").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sq"))
+    ca = cooc.select(F.col("x").alias("xa"), "z", F.col("c").alias("cca"))
+    cb = cooc.select(F.col("x").alias("xb"), "z", F.col("c").alias("ccb"))
+    dots = (
+        ca.join(cb, "z")
+        .where(F.col("xa") < F.col("xb"))
+        .groupBy("xa", "xb")
+        .agg(F.sum(F.col("cca") * F.col("ccb")).cast("bigint").alias("dot"))
+    )
+    scored = (
+        dots
+        .join(norms.select(F.col("x").alias("xa"),
+                           F.col("sq").alias("sqa")), "xa")
+        .join(norms.select(F.col("x").alias("xb"),
+                           F.col("sq").alias("sqb")), "xb")
+        .select(
+            F.col("xa").alias("x"), F.col("xb").alias("y"), "dot",
+            F.expr(
+                "CAST(CAST(dot AS decimal(38,0)) * dot * 1000000"
+                " DIV (CAST(sqa AS decimal(38,0)) * sqb) AS BIGINT)"
+            ).alias("cos2_micro"),
+        )
+    )
+    return scored.orderBy(F.col("cos2_micro").desc(), "x", "y").limit(40)

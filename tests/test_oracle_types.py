@@ -29,14 +29,24 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql()))
-def test_oracle_output_has_no_decimal_columns(name):
+def test_oracle_output_has_no_decimal_columns(name, request):
+    sql = entrymod.oracle_sql()[name]
+    if "sparkgraft_oracle_bridge" in sql:
+        # ORACLE-BRIDGE query: its oracle reads parquet the Spark build
+        # materializes (queries/__init__.bridge_write). On a fresh box
+        # /tmp is empty, so run the Spark side once to lay the bridge
+        # down — the gate protocol always orders build() before SQL.
+        from backtest_crew_datalake_spark.queries import BRIDGE_BASE
+        import os
+        if not os.path.isdir(f"{BRIDGE_BASE}/{name}"):
+            spark = request.getfixturevalue("spark")
+            entrymod.queries()[name](spark, SF_DIR).collect()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{SF_DIR}/{t}.parquet')"
         )
-    sql = entrymod.oracle_sql()[name]
     schema = con.execute(f"SELECT * FROM ({sql}) q LIMIT 0").arrow().schema
     decimal_cols = [
         (f.name, str(f.type)) for f in schema
