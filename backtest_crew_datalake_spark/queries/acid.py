@@ -1659,3 +1659,79 @@ def q_acid_restore(spark, sf_dir):
     restored = acid_read(spark, root).select(
         F.lit("restored").alias("stage"), *cols)
     return damaged.unionByName(restored)
+
+
+@register(
+    "q_acid_column_mapping",
+    oracle=f"""
+    WITH {_BATCHES_SQL},
+    m1 AS (
+        SELECT b1.user_id, b1.event_type, b1.sum_value AS total_value
+        FROM b1 ANTI JOIN b2 USING (user_id, event_type)
+        UNION ALL
+        SELECT user_id, event_type, sum_value AS total_value FROM b2
+    ),
+    b3 AS (
+        SELECT user_id, event_type, n_events + 1000 AS n_events,
+               sum_value AS total_value
+        FROM b2 WHERE event_type = 'click' AND user_id % 5 = 0
+    )
+    SELECT m1.user_id, m1.event_type, m1.total_value,
+           CAST(NULL AS BIGINT) AS n_events
+    FROM m1 ANTI JOIN b3 USING (user_id, event_type)
+    UNION ALL
+    SELECT user_id, event_type, total_value,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM b3
+    """,
+)
+def q_acid_column_mapping(spark, sf_dir):
+    """COLUMN MAPPING under the value gate (sources/acid column-mapping
+    section — Delta `columnMapping` / Iceberg field-id, name-based):
+    batch1 seeds the table; `sum_value` is RENAMED to `total_value`
+    (metadata-only — no file rewritten); batch2 upserts USING THE NEW
+    LOGICAL NAME; `n_events` is DROPPED (retired physical); batch3
+    re-adds a column named `n_events` (fresh physical name) for the
+    click/user_id%5=0 slice with a +1000 marker. The oracle replays the
+    whole chain relationally: renamed values flow through the merge,
+    the dropped column reads NULL everywhere EXCEPT batch3's rows —
+    i.e. the retired column's bytes never resurrect under the re-added
+    name, the property name-based mappings classically get wrong."""
+    from ..sources.acid import (
+        acid_drop_column, acid_read, acid_rename_column, acid_upsert,
+        acid_write)
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir, "column_mapping")
+    root = _TABLE_MEMO.get(memo_key)
+    if root is None:
+        e = load(spark, sf_dir, "events")
+        b1 = _agg(e.where(F.col("ts") < F.lit(_B1_CUT).cast("timestamp")))
+        b2src = e.where(
+            (F.col("ts") >= F.lit(_B2_FROM).cast("timestamp"))
+            & F.col("event_type").isin(*_B2_TYPES)
+        )
+        b2 = _agg(b2src).withColumnRenamed("sum_value", "total_value")
+        root = tempfile.mkdtemp(prefix="acid_cmap_")
+        acid_write(spark, b1, root, partition_by=("event_type",))
+        acid_rename_column(spark, root, "sum_value", "total_value")
+        acid_upsert(spark, b2, root, key=_KEY,
+                    partition_by=("event_type",))
+        acid_drop_column(spark, root, "n_events")
+        b3 = (
+            _agg(b2src)
+            .where((F.col("event_type") == "click")
+                   & (F.col("user_id") % 5 == 0))
+            .select(
+                "user_id", "event_type",
+                (F.col("n_events") + 1000).cast("bigint")
+                .alias("n_events"),
+                F.col("sum_value").alias("total_value"),
+            )
+        )
+        acid_upsert(spark, b3, root, key=_KEY,
+                    partition_by=("event_type",))
+        _TABLE_MEMO[memo_key] = root
+    return acid_read(spark, root).select(
+        "user_id", "event_type", "total_value",
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )

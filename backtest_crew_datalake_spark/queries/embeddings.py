@@ -2490,3 +2490,107 @@ def q_emb_centroid_margin(spark, sf_dir):
         F.sum((F.round(F.col("d_other") - F.col("d_own"), 6) < 0)
               .cast("int")).cast("bigint").alias("n_misassigned"),
     )
+
+
+@register(
+    "q_emb_cluster_ari",
+    oracle="""
+    WITH a AS (
+        SELECT centroid_id AS cid, label
+        FROM read_parquet(
+            '/tmp/sparkgraft_oracle_bridge/q_emb_cluster_ari/*.parquet')
+    ),
+    cells AS (
+        SELECT cid, label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM a GROUP BY 1, 2
+    ),
+    rowm AS (SELECT cid, CAST(SUM(n) AS BIGINT) AS rn
+             FROM cells GROUP BY 1),
+    colm AS (SELECT label, CAST(SUM(n) AS BIGINT) AS cn
+             FROM cells GROUP BY 1),
+    s AS (
+        SELECT
+            (SELECT CAST(SUM(n) AS BIGINT) FROM cells) AS n_points,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM rowm) AS n_clusters,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM colm) AS n_labels,
+            (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) FROM cells)
+                AS sum_pairs_cells,
+            (SELECT CAST(SUM(rn * (rn - 1) // 2) AS BIGINT) FROM rowm)
+                AS sum_pairs_clusters,
+            (SELECT CAST(SUM(cn * (cn - 1) // 2) AS BIGINT) FROM colm)
+                AS sum_pairs_labels
+    )
+    SELECT n_points, n_clusters, n_labels, sum_pairs_cells,
+           sum_pairs_clusters, sum_pairs_labels,
+           ROUND(CAST(CAST(n_points AS HUGEINT) * (n_points - 1) // 2
+                      * sum_pairs_cells
+                      - CAST(sum_pairs_clusters AS HUGEINT)
+                        * sum_pairs_labels AS DOUBLE)
+                 / CAST(CAST(n_points AS HUGEINT) * (n_points - 1) // 2
+                        * (sum_pairs_clusters + sum_pairs_labels)
+                        - CAST(sum_pairs_clusters AS HUGEINT)
+                          * sum_pairs_labels * 2 AS DOUBLE) * 2, 6)
+               AS ari
+    FROM s
+    """,
+)
+def q_emb_cluster_ari(spark, sf_dir):
+    """ADJUSTED RAND INDEX between k-means clusters and ground-truth
+    labels (Hubert & Arabie 1985 — THE chance-corrected external
+    clustering-quality metric): 2 Lloyd iterations (the
+    q_emb_kmeans_clusters quantizer, pipeline/similarity), then ARI from
+    the cluster×label contingency table. ARI is purely combinatorial —
+    every term is an exact pair count C(n,2) in BIGINT/HUGEINT — so
+    unlike NMI there is NO logarithm anywhere: the one float is the
+    final num/den division of exact integers, identical on both
+    engines. ORACLE BRIDGE (r10 verdict #7 pattern): the iterative
+    assignment materializes to parquet; the oracle re-derives the
+    entire contingency + ARI arithmetic relationally from those bytes
+    (the Lloyd loop itself is value-gated by the kmeans oracle's
+    unrolled-CTE twin).
+
+    Scale shape: assignment is a broadcast-codebook map stage (no
+    shuffle); the contingency table is one map-side-combinable groupBy
+    bounded at k x |labels| cells; ARI arithmetic runs on that bounded
+    state. Pair counts use int128 (C(n,2) overflows int64 past n~6e9)."""
+    from . import bridge_write
+    from ..pipeline.similarity import kmeans_assign_kernel, kmeans_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, k=8, iters=2)
+    assigned = kmeans_assign_kernel(emb, cent).select(
+        "vec_id", "centroid_id", "label")
+    bridge_write(assigned, "q_emb_cluster_ari")
+
+    cells = assigned.groupBy("centroid_id", "label").agg(
+        F.count("*").cast("bigint").alias("n"))
+    rowm = cells.groupBy("centroid_id").agg(
+        F.sum("n").cast("bigint").alias("rn"))
+    colm = cells.groupBy("label").agg(
+        F.sum("n").cast("bigint").alias("cn"))
+    pair = lambda c: (F.col(c) * (F.col(c) - 1) / 2).cast("bigint")  # noqa: E731
+    s = (
+        cells.agg(F.sum("n").cast("bigint").alias("n_points"),
+                  F.sum(pair("n")).cast("bigint").alias("sum_pairs_cells"))
+        .crossJoin(F.broadcast(rowm.agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum(pair("rn")).cast("bigint").alias("sum_pairs_clusters"))))
+        .crossJoin(F.broadcast(colm.agg(
+            F.count("*").cast("bigint").alias("n_labels"),
+            F.sum(pair("cn")).cast("bigint").alias("sum_pairs_labels"))))
+    )
+    dec = "decimal(38,0)"
+    tot_pairs = (F.col("n_points").cast(dec) * (F.col("n_points") - 1) / 2)
+    num = (tot_pairs * F.col("sum_pairs_cells")
+           - F.col("sum_pairs_clusters").cast(dec)
+           * F.col("sum_pairs_labels"))
+    den = (tot_pairs * (F.col("sum_pairs_clusters")
+                        + F.col("sum_pairs_labels"))
+           - F.col("sum_pairs_clusters").cast(dec)
+           * F.col("sum_pairs_labels") * 2)
+    return s.select(
+        "n_points", "n_clusters", "n_labels", "sum_pairs_cells",
+        "sum_pairs_clusters", "sum_pairs_labels",
+        F.round(num.cast("double") / den.cast("double") * 2, 6)
+        .alias("ari"),
+    )

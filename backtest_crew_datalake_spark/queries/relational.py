@@ -2071,3 +2071,195 @@ def q_cust_cohort_matrix(spark, sf_dir):
             "n_active", "n_orders", "revenue_cents",
         )
     )
+
+
+@register(
+    "q_nation_basket_jaccard",
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT n.n_name AS nation, l.l_partkey AS pk
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ),
+    sizes AS (
+        SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM basket GROUP BY 1
+    ),
+    inter AS (
+        SELECT a.nation AS nation_a, b.nation AS nation_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM basket a JOIN basket b
+          ON a.pk = b.pk AND a.nation < b.nation
+        GROUP BY 1, 2
+    )
+    SELECT i.nation_a, i.nation_b, i.n_common,
+           sa.n_parts AS n_a, sb.n_parts AS n_b,
+           CAST(i.n_common * 1000000
+                // (sa.n_parts + sb.n_parts - i.n_common) AS BIGINT)
+               AS jaccard_micro
+    FROM inter i
+    JOIN sizes sa ON sa.nation = i.nation_a
+    JOIN sizes sb ON sb.nation = i.nation_b
+    ORDER BY jaccard_micro DESC, i.nation_a, i.nation_b
+    LIMIT 30
+    """,
+)
+def q_nation_basket_jaccard(spark, sf_dir):
+    """BIPARTITE-PROJECTION SET SIMILARITY: which supplier nations ship
+    the most similar part baskets? Jaccard of distinct-part sets between
+    every nation pair — the one-mode projection of the nation-part
+    bipartite graph, the shape behind co-purchase and co-supply
+    similarity analyses. Exact truncating integer micro-units
+    (|A∩B|*1e6 DIV |A∪B|), top 30 pairs with deterministic tie-break.
+
+    Scale shape: the corpus-sized stage is one distinct (nation, part)
+    aggregate (map-side combinable after the broadcast supplier⋈nation
+    dim join). The pair expansion joins basket with itself ON part — per
+    part the fanout is bounded by |nations|^2 = 625, and the groupBy
+    output is bounded at C(25,2) = 300 rows. No all-pairs over rows,
+    ever."""
+    li = load(spark, sf_dir, "lineitem")
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation")
+    basket = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .select(F.col("n_name").alias("nation"),
+                F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    sizes = basket.groupBy("nation").agg(
+        F.count("*").cast("bigint").alias("n_parts"))
+    a = basket.select(F.col("nation").alias("nation_a"), "pk")
+    b = basket.select(F.col("nation").alias("nation_b"), "pk")
+    inter = (
+        a.join(b, "pk")
+        .where(F.col("nation_a") < F.col("nation_b"))
+        .groupBy("nation_a", "nation_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    scored = (
+        inter
+        .join(sizes.select(F.col("nation").alias("nation_a"),
+                           F.col("n_parts").alias("n_a")), "nation_a")
+        .join(sizes.select(F.col("nation").alias("nation_b"),
+                           F.col("n_parts").alias("n_b")), "nation_b")
+        .select(
+            "nation_a", "nation_b", "n_common", "n_a", "n_b",
+            F.expr("CAST(n_common * 1000000 DIV (n_a + n_b - n_common)"
+                   " AS BIGINT)").alias("jaccard_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard_micro").desc(), "nation_a", "nation_b").limit(30)
+
+
+@register(
+    "q_orders_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_repr,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_repr
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS VARCHAR),
+           CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_cents',
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT),
+           CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS VARCHAR),
+           CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate',
+           CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           strftime(MIN(o_orderdate), '%Y-%m-%d'),
+           strftime(MAX(o_orderdate), '%Y-%m-%d')
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def q_orders_profile(spark, sf_dir):
+    """AUTOMATED COLUMN PROFILING (the data-catalog 'DESCRIBE EXTENDED'
+    every lake needs before training-data curation): per column of
+    `orders` — null count, EXACT distinct count, canonical min/max
+    rendering (doubles as integer cents, timestamps as yyyy-MM-dd, the
+    catalog's normalization contract). One row per column.
+
+    Scale shape: ONE pass over the table computing all measures in a
+    single aggregate (the multi-COUNT(DISTINCT) compiles to Spark's
+    Expand — a deliberate n_cols-way row duplication inside one shuffle,
+    still map-side partial-aggregated, vs n_cols separate scans), then a
+    6-row stack/unpivot of the 1-row result. The oracle spells the same
+    measures as UNION ALL; DuckDB rewrites them into one scan too."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    agg = o.agg(
+        F.count("*").alias("n_rows"),
+        # o_orderkey
+        F.count("o_orderkey").alias("nn_key"),
+        F.countDistinct("o_orderkey").cast("bigint").alias("nd_key"),
+        F.min("o_orderkey").cast("string").alias("mn_key"),
+        F.max("o_orderkey").cast("string").alias("mx_key"),
+        # o_custkey
+        F.count("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_custkey").cast("bigint").alias("nd_cust"),
+        F.min("o_custkey").cast("string").alias("mn_cust"),
+        F.max("o_custkey").cast("string").alias("mx_cust"),
+        # o_orderstatus
+        F.count("o_orderstatus").alias("nn_st"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("nd_st"),
+        F.min("o_orderstatus").alias("mn_st"),
+        F.max("o_orderstatus").alias("mx_st"),
+        # o_totalprice (canonical cents)
+        F.count("o_totalprice").alias("nn_tp"),
+        F.countDistinct(cents).cast("bigint").alias("nd_tp"),
+        F.min(cents).cast("string").alias("mn_tp"),
+        F.max(cents).cast("string").alias("mx_tp"),
+        # o_orderdate
+        F.count("o_orderdate").alias("nn_od"),
+        F.countDistinct("o_orderdate").cast("bigint").alias("nd_od"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("mn_od"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("mx_od"),
+        # o_orderpriority
+        F.count("o_orderpriority").alias("nn_pr"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias("nd_pr"),
+        F.min("o_orderpriority").alias("mn_pr"),
+        F.max("o_orderpriority").alias("mx_pr"),
+    )
+    return agg.selectExpr(
+        """stack(6,
+            'o_orderkey', n_rows - nn_key, nd_key, mn_key, mx_key,
+            'o_custkey', n_rows - nn_cust, nd_cust, mn_cust, mx_cust,
+            'o_orderstatus', n_rows - nn_st, nd_st, mn_st, mx_st,
+            'o_totalprice_cents', n_rows - nn_tp, nd_tp, mn_tp, mx_tp,
+            'o_orderdate', n_rows - nn_od, nd_od, mn_od, mx_od,
+            'o_orderpriority', n_rows - nn_pr, nd_pr, mn_pr, mx_pr
+        ) AS (col_name, n_nulls, n_distinct, min_repr, max_repr)"""
+    ).select(
+        "col_name",
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_repr", "max_repr",
+    )

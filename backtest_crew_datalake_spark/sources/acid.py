@@ -697,17 +697,24 @@ def acid_read(
         )
     m = _load_manifest(table_root, v, branch)
     data_root = _data_root(table_root)
+    # filters arrive in LOGICAL names; entries/stats/blooms store PHYSICAL
+    mapping = _mapping_of(m)
+    partition_filter = _phys_filter(mapping, partition_filter)
+    stats_filter = _phys_filter(mapping, stats_filter)
+    point_filter = _phys_filter(mapping, point_filter)
     entries = [
         e for e in _data_entries(m["files"])
         if _matches(e, partition_filter) and _stats_prune(e, stats_filter)
     ]
     entries = _bloom_prune(spark, entries, point_filter, m["schema_ddl"])
     if not entries:
-        return spark.createDataFrame([], m["schema_ddl"])
+        return _project_logical(
+            spark.createDataFrame([], m["schema_ddl"]), m)
     # pruning applies to DATA files; merge-on-read delete files (if any)
     # always load — they only remove rows, so skipping data files stays
     # sound and skipping delete files never is
-    return _snapshot_df(spark, data_root, m, entries=entries)
+    return _project_logical(_snapshot_df(spark, data_root, m,
+                                         entries=entries), m)
 
 
 def _read_entries(spark, data_root, entries, schema_ddl, with_meta=False):
@@ -946,7 +953,30 @@ def acid_write(
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    # constraints are authored against LOGICAL names — gate before the
+    # physical translation below
     df = _validate_constraints(spark, df, table_root, on_violation)
+    # COLUMN MAPPING: translate the incoming frame and column params to
+    # physical space (identity on never-renamed tables). Overwrite RESETS
+    # the mapping — the new frame's names become the physical truth.
+    # Mapping reads the pre-loop latest manifest: rename DDL racing a
+    # write follows the single-maintainer boundary (docs/acid.md).
+    mapping: dict[str, str] = {}
+    if mode != "overwrite":
+        _mv = latest_version(table_root, branch)
+        if _mv:
+            from pyspark.sql.types import StructType
+
+            _mbase = _load_manifest(table_root, _mv, branch)
+            mapping = _assign_physical(
+                df.columns, _mapping_of(_mbase), _retired_of(_mbase),
+                [f.name for f in
+                 StructType.fromDDL(_mbase["schema_ddl"]).fields],
+            )
+            df = _to_physical_frame(df, mapping)
+            partition_by = _phys_cols(mapping, partition_by)
+            stats_cols = _phys_cols(mapping, stats_cols)
+            bloom_cols = _phys_cols(mapping, bloom_cols)
     new_entries = _write_data_files(
         spark, df, table_root, tuple(partition_by), tuple(stats_cols),
         bloom_cols=tuple(bloom_cols),
@@ -956,6 +986,7 @@ def acid_write(
         if mode == "overwrite" or base_v == 0:
             base_files: list[dict] = []
             schema_ddl = _schema_ddl(df)
+            base = None
         else:
             base = _load_manifest(table_root, base_v, branch)
             base_files = base["files"]
@@ -966,8 +997,10 @@ def acid_write(
         _stamp_seq(new_entries, _next_seq(base_v, base_files))
         manifest = _new_manifest(
             base_v, operation or mode, base_files + new_entries,
-            tuple(partition_by), schema_ddl,
+            tuple(partition_by), schema_ddl, base=base,
         )
+        if base is not None and mapping:
+            manifest["column_mapping"] = mapping
         if _commit_manifest(table_root, base_v + 1, manifest, branch):
             return base_v + 1
     raise CommitConflict(
@@ -1011,6 +1044,25 @@ def acid_upsert(
     # gated by their own writes); merged rewrites of old rows can't
     # introduce violations
     df_new = _validate_constraints(spark, df_new, table_root, on_violation)
+    # COLUMN MAPPING: the merge runs entirely in PHYSICAL space (the
+    # snapshot read is physical; the frame and column params translate
+    # here; acid_read projects back to logical)
+    mapping: dict[str, str] = {}
+    _mv = latest_version(table_root, branch)
+    if _mv:
+        from pyspark.sql.types import StructType
+
+        _mbase = _load_manifest(table_root, _mv, branch)
+        mapping = _assign_physical(
+            df_new.columns, _mapping_of(_mbase), _retired_of(_mbase),
+            [f.name for f in
+             StructType.fromDDL(_mbase["schema_ddl"]).fields],
+        )
+        df_new = _to_physical_frame(df_new, mapping)
+        key = _phys_cols(mapping, key)
+        partition_by = _phys_cols(mapping, partition_by)
+        stats_cols = _phys_cols(mapping, stats_cols)
+        bloom_cols = _phys_cols(mapping, bloom_cols)
     for _ in range(max_retries):
         base_v = latest_version(table_root, branch)
         if partition_by:
@@ -1102,8 +1154,10 @@ def acid_upsert(
             if base_v else []
         manifest = _new_manifest(
             base_v, "upsert", keep_files + dels + new_entries, partition_by,
-            _schema_ddl(merged),
+            _schema_ddl(merged), base=base if base_v else None,
         )
+        if base_v and mapping:
+            manifest["column_mapping"] = mapping
         if _commit_manifest(table_root, base_v + 1, manifest, branch):
             return base_v + 1
         # lost the race: drop our just-written files (they were never
@@ -1225,7 +1279,7 @@ def acid_compact(
                 manifest = _new_manifest(
                     base_v, "compact", _data_entries(base["files"]),
                     tuple(base.get("partition_by", ())),
-                    base["schema_ddl"],
+                    base["schema_ddl"], base=base,
                 )
                 if _commit_manifest(table_root, base_v + 1, manifest):
                     return base_v + 1
@@ -1287,7 +1341,7 @@ def acid_compact(
         manifest = _new_manifest(
             base_v, "compact",
             keep + dels_after + new_entries,
-            partition_by, base["schema_ddl"],
+            partition_by, base["schema_ddl"], base=base,
         )
         if _commit_manifest(table_root, base_v + 1, manifest):
             return base_v + 1
@@ -1328,6 +1382,9 @@ def acid_changes(
     )
     m_old = _load_manifest(table_root, from_version)
     m_new = _load_manifest(table_root, to_version)
+    # COLUMN MAPPING: diff in physical space; key arrives logical, and
+    # the feed projects to the END version's logical view at the end
+    key = _phys_cols(_mapping_of(m_new), key)
     old_paths = {e["path"] for e in m_old["files"]}
     new_paths = {e["path"] for e in m_new["files"]}
     data_root = _data_root(table_root)
@@ -1368,7 +1425,7 @@ def acid_changes(
         dele = removed.exceptAll(added).withColumn(
             "_change_type", F.lit("delete")
         )
-        return ins.unionByName(dele)
+        return _project_logical(ins.unionByName(dele), m_new)
 
     key = list(key)
     vals = [c for c in added.columns if c not in key]
@@ -1404,7 +1461,7 @@ def acid_changes(
         )
     else:
         out = out.select(*key, F.col("__c.t").alias("_change_type"))
-    return out
+    return _project_logical(out, m_new)
 
 
 def acid_history(table_root: str, branch: str = MAIN_BRANCH) -> list[dict]:
@@ -1484,6 +1541,7 @@ def acid_rollback(table_root: str, version: int) -> int:
         manifest = _new_manifest(
             base_v, f"rollback({version})", target["files"],
             tuple(target.get("partition_by", ())), target["schema_ddl"],
+            base=target,
         )
         if _commit_manifest(table_root, base_v + 1, manifest):
             return base_v + 1
@@ -1601,7 +1659,7 @@ def acid_branch(
         raise FileExistsError(f"branch {name!r} already exists on {table_root}")
     manifest = _new_manifest(
         0, f"fork(main@{v})", src["files"],
-        tuple(src.get("partition_by", ())), src["schema_ddl"],
+        tuple(src.get("partition_by", ())), src["schema_ddl"], base=src,
     )
     manifest["forked_from"] = v
     if not _commit_manifest(table_root, 1, manifest, branch=name):
@@ -1655,7 +1713,7 @@ def acid_merge_branch(
         base_v = latest_version(table_root)
         manifest = _new_manifest(
             base_v, f"merge({name})", m["files"],
-            tuple(m.get("partition_by", ())), m["schema_ddl"],
+            tuple(m.get("partition_by", ())), m["schema_ddl"], base=m,
         )
         if _commit_manifest(table_root, base_v + 1, manifest):
             return base_v + 1
@@ -1774,8 +1832,9 @@ def _merge_schema_ddl(base_ddl: str, df: DataFrame) -> str:
 
 
 def _new_manifest(parent: int, operation: str, files: list[dict],
-                  partition_by: tuple[str, ...], schema_ddl: str) -> dict:
-    return {
+                  partition_by: tuple[str, ...], schema_ddl: str,
+                  base: dict | None = None) -> dict:
+    m = {
         "parent": parent,
         "operation": operation,
         "ts": time.time(),
@@ -1784,6 +1843,210 @@ def _new_manifest(parent: int, operation: str, files: list[dict],
         "files": files,
         "committed": True,
     }
+    # COLUMN-MAPPING metadata is chain state, not commit state: every
+    # commit built on a base manifest must carry it forward or a single
+    # append would silently undo a rename (lost logical names) — the
+    # same forward-carry rule bloom columns follow
+    if base:
+        if base.get("column_mapping"):
+            m["column_mapping"] = dict(base["column_mapping"])
+        if base.get("retired_columns"):
+            m["retired_columns"] = list(base["retired_columns"])
+    return m
+
+
+# ---------------------------------------------------------------------------
+# Column mapping: rename / drop WITHOUT rewriting data files (the Delta
+# `columnMapping` / Iceberg field-id feature, name-based variant).
+#
+# Invariant: everything INSIDE the ACID layer — data files, delete files,
+# partition directories, manifest schema_ddl, stats/bloom keys — lives in
+# PHYSICAL column names, which never change once assigned. Logical names
+# exist only at the public API boundary:
+#   - readers get a final projection physical→logical (renames applied,
+#     retired columns hidden);
+#   - writers' frames and column parameters translate logical→physical
+#     before anything is staged.
+# A re-added column after a drop gets a FRESH physical name, so the old
+# (retired) column's bytes can never resurrect under the new name — the
+# correctness property name-based mappings classically get wrong.
+#
+# DDL concurrency: rename/drop are read-modify-write on chain metadata and
+# follow the same single-maintainer boundary as constraint DDL and vacuum
+# (docs/acid.md) — writers racing a rename retry on version conflict as
+# usual, but two concurrent renames may lose one update.
+# ---------------------------------------------------------------------------
+
+
+def _mapping_of(m: dict) -> dict[str, str]:
+    """logical -> physical (sparse: identity entries are omitted)."""
+    return dict(m.get("column_mapping") or {})
+
+
+def _retired_of(m: dict) -> list[str]:
+    return list(m.get("retired_columns") or [])
+
+
+def _phys_cols(mapping: dict[str, str], cols) -> tuple[str, ...]:
+    return tuple(mapping.get(c, c) for c in cols)
+
+
+def _phys_filter(mapping: dict[str, str], flt: dict | None) -> dict | None:
+    return {mapping.get(k, k): v for k, v in flt.items()} if flt else flt
+
+
+def _to_physical_frame(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    if not mapping or not any(c in mapping for c in df.columns):
+        return df
+    return df.select(
+        *[F.col(c).alias(mapping.get(c, c)) for c in df.columns])
+
+
+def _project_logical(df: DataFrame, m: dict) -> DataFrame:
+    """Final reader projection: physical names -> logical, retired columns
+    dropped. A no-op (same DataFrame) on tables that never renamed."""
+    mapping, retired = _mapping_of(m), set(_retired_of(m))
+    if not mapping and not retired:
+        return df
+    inv = {p: l for l, p in mapping.items()}
+    keep = [c for c in df.columns if c not in retired]
+    return df.select(*[F.col(c).alias(inv.get(c, c)) for c in keep])
+
+
+def _logical_columns(m: dict) -> list[str]:
+    from pyspark.sql.types import StructType
+
+    mapping, retired = _mapping_of(m), set(_retired_of(m))
+    inv = {p: l for l, p in mapping.items()}
+    return [
+        inv.get(f.name, f.name)
+        for f in StructType.fromDDL(m["schema_ddl"]).fields
+        if f.name not in retired
+    ]
+
+
+def _assign_physical(df_cols, mapping: dict[str, str], retired,
+                     schema_cols) -> dict[str, str]:
+    """Extend ``mapping`` with fresh physical names for NEW logical columns
+    whose natural name is already taken in physical space — by a retired
+    column (re-add after drop must NOT resurrect old bytes) or by the
+    physical of a renamed column (the old logical name reused as a new
+    column). Existing identity columns keep their name."""
+    mapped_physicals = set(mapping.values())
+    used = set(schema_cols) | set(retired) | mapped_physicals
+    out = dict(mapping)
+    for c in df_cols:
+        if c in out:
+            continue
+        if c in retired or c in mapped_physicals:
+            i = 2
+            cand = f"{c}__p{i}"
+            while cand in used:
+                i += 1
+                cand = f"{c}__p{i}"
+            out[c] = cand
+            used.add(cand)
+    return out
+
+
+def _require_identity_mapping(m: dict, op: str) -> None:
+    if _mapping_of(m) or _retired_of(m):
+        raise NotImplementedError(
+            f"{op} on a table with renamed/dropped columns is not "
+            "supported yet — compact/rewrite the table to materialize "
+            "the logical schema first (write/upsert/read/changes do "
+            "support column mapping)"
+        )
+
+
+def acid_column_mapping(table_root: str,
+                        branch: str = MAIN_BRANCH) -> dict[str, str]:
+    """Current logical->physical column mapping (empty = identity)."""
+    v = latest_version(table_root, branch)
+    return _mapping_of(_load_manifest(table_root, v, branch)) if v else {}
+
+
+def acid_rename_column(spark: SparkSession, table_root: str,
+                       old: str, new: str, branch: str = MAIN_BRANCH,
+                       max_retries: int = 10) -> int:
+    """Rename a column as ONE metadata-only commit — no data file is read
+    or rewritten (verify: the manifest's file list is byte-identical).
+    Readers of the new version see ``new``; time travel to older versions
+    still sees ``old``. Works on partition columns too (directories keep
+    the physical name; only the API surface changes)."""
+    for _ in range(max_retries):
+        base_v = latest_version(table_root, branch)
+        if base_v == 0:
+            raise FileNotFoundError(
+                f"ACID table {table_root} has no commits")
+        base = _load_manifest(table_root, base_v, branch)
+        logical = _logical_columns(base)
+        if old not in logical:
+            raise KeyError(f"no such column: {old!r} (have {logical})")
+        if new in logical:
+            raise ValueError(f"column {new!r} already exists")
+        mapping = _mapping_of(base)
+        phys = mapping.pop(old, old)
+        if phys != new:
+            mapping[new] = phys
+        manifest = _new_manifest(
+            base_v, f"rename_column({old}->{new})", base["files"],
+            tuple(base.get("partition_by", ())), base["schema_ddl"],
+            base=base,
+        )
+        manifest["column_mapping"] = mapping
+        if not mapping:
+            manifest.pop("column_mapping")
+        if _commit_manifest(table_root, base_v + 1, manifest, branch):
+            return base_v + 1
+    raise CommitConflict(
+        f"rename_column on {table_root}: lost the manifest race "
+        f"{max_retries} times"
+    )
+
+
+def acid_drop_column(spark: SparkSession, table_root: str, name: str,
+                     branch: str = MAIN_BRANCH,
+                     max_retries: int = 10) -> int:
+    """Drop a column as ONE metadata-only commit: the physical column is
+    RETIRED — hidden from reads, its name never reassigned (a later
+    re-add gets a fresh physical name, so the old bytes cannot
+    resurrect). Data files are untouched; time travel still sees the
+    column. Partition columns cannot be dropped (their physical identity
+    routes upserts and pruning)."""
+    for _ in range(max_retries):
+        base_v = latest_version(table_root, branch)
+        if base_v == 0:
+            raise FileNotFoundError(
+                f"ACID table {table_root} has no commits")
+        base = _load_manifest(table_root, base_v, branch)
+        logical = _logical_columns(base)
+        if name not in logical:
+            raise KeyError(f"no such column: {name!r} (have {logical})")
+        mapping = _mapping_of(base)
+        phys = mapping.pop(name, name)
+        if phys in base.get("partition_by", ()):
+            raise ValueError(
+                f"cannot drop partition column {name!r} — rewrite the "
+                "table under a new partition spec first"
+            )
+        retired = _retired_of(base)
+        retired.append(phys)
+        manifest = _new_manifest(
+            base_v, f"drop_column({name})", base["files"],
+            tuple(base.get("partition_by", ())), base["schema_ddl"],
+            base=base,
+        )
+        manifest["retired_columns"] = retired
+        manifest["column_mapping"] = mapping
+        if not mapping:
+            manifest.pop("column_mapping")
+        if _commit_manifest(table_root, base_v + 1, manifest, branch):
+            return base_v + 1
+    raise CommitConflict(
+        f"drop_column on {table_root}: lost the manifest race "
+        f"{max_retries} times"
+    )
 
 
 def _remove_entries(table_root: str, entries: list[dict]) -> None:
@@ -1858,7 +2121,7 @@ def acid_clone(spark: SparkSession, src_root: str, dst_root: str,
         files.append(e2)
     manifest = _new_manifest(
         0, "clone", files, tuple(m.get("partition_by", ())),
-        m["schema_ddl"],
+        m["schema_ddl"], base=m,
     )
     manifest["cloned_from"] = {"table": os.path.abspath(src_root),
                                "version": v}
@@ -1893,6 +2156,11 @@ def acid_delete(
     race re-resolves the latest snapshot and re-runs the delete against
     it; nothing is visible until the manifest link lands.
     """
+    _v_map = latest_version(table_root, branch)
+    if _v_map:
+        _require_identity_mapping(
+            _load_manifest(table_root, _v_map, branch), "acid_delete")
+
     pred = F.coalesce(F.expr(predicate), F.lit(False))
     for _ in range(max_retries):
         base_v = latest_version(table_root, branch)
@@ -1959,7 +2227,7 @@ def acid_delete(
             base_v, "delete",
             keep + _live_deletes(keep, dels)
             + _live_pos_deletes(keep, _pos_entries(files)) + wrote,
-            partition_by, base["schema_ddl"],
+            partition_by, base["schema_ddl"], base=base,
         )
         if _commit_manifest(table_root, base_v + 1, manifest, branch):
             return base_v + 1
@@ -1996,6 +2264,11 @@ def acid_delete_mor(
     file-level cancellation while any delete entry is pending (full
     snapshot diff — documented inside acid_changes).
     """
+    _v_map = latest_version(table_root, branch)
+    if _v_map:
+        _require_identity_mapping(
+            _load_manifest(table_root, _v_map, branch), "acid_delete_mor")
+
     key = list(key)
     kdf = keys_df.select(*key).distinct()
     new_entries = _write_data_files(spark, kdf, table_root, (), ())
@@ -2022,6 +2295,7 @@ def acid_delete_mor(
         manifest = _new_manifest(
             base_v, "delete-mor", base["files"] + new_entries,
             tuple(base.get("partition_by", ())), base["schema_ddl"],
+            base=base,
         )
         if _commit_manifest(table_root, base_v + 1, manifest, branch):
             return base_v + 1
@@ -2063,6 +2337,11 @@ def acid_delete_pos(
     (DELETE semantics). Concurrency: optimistic — a lost race recomputes
     coordinates against the new snapshot (a concurrent rewrite changes
     file paths, so stale coordinates are never committed)."""
+    _v_map = latest_version(table_root, branch)
+    if _v_map:
+        _require_identity_mapping(
+            _load_manifest(table_root, _v_map, branch), "acid_delete_pos")
+
     pred = F.coalesce(F.expr(predicate), F.lit(False))
     data_root = _data_root(table_root)
     for _ in range(max_retries):
@@ -2093,6 +2372,7 @@ def acid_delete_pos(
         manifest = _new_manifest(
             base_v, "delete-pos", base["files"] + new_entries,
             tuple(base.get("partition_by", ())), base["schema_ddl"],
+            base=base,
         )
         if _commit_manifest(table_root, base_v + 1, manifest, branch):
             return base_v + 1
@@ -2146,6 +2426,11 @@ def acid_merge(
     schema evolution null-fills either side, constraints gate the
     UPDATE+INSERT rows (the rows this commit writes), and concurrency
     is the standard optimistic rebase."""
+    _v_map = latest_version(table_root, branch)
+    if _v_map:
+        _require_identity_mapping(
+            _load_manifest(table_root, _v_map, branch), "acid_merge")
+
     from pyspark import StorageLevel
 
     partition_by = tuple(partition_by)
@@ -2265,7 +2550,7 @@ def acid_merge(
             if base_v else []
         manifest = _new_manifest(
             base_v, "merge", keep_files + dels + new_entries, partition_by,
-            _schema_ddl(merged),
+            _schema_ddl(merged), base=base if base_v else None,
         )
         if _commit_manifest(table_root, base_v + 1, manifest, branch):
             return base_v + 1
@@ -2299,6 +2584,11 @@ def acid_replace_where(
     snapshot so pending equality-deletes purge instead of resurrecting.
     The classic use is idempotent partition/date-range re-landing:
     replace_where("day = '2024-01-02'", todays_recompute)."""
+    _v_map = latest_version(table_root, branch)
+    if _v_map:
+        _require_identity_mapping(
+            _load_manifest(table_root, _v_map, branch), "acid_replace_where")
+
     pred = F.coalesce(F.expr(predicate), F.lit(False))
     df = _validate_constraints(spark, df, table_root, on_violation)
     n_outside = df.where(~pred).count()
@@ -2352,7 +2642,7 @@ def acid_replace_where(
             keep + _live_deletes(keep, dels)
             + _live_pos_deletes(keep, _pos_entries(base["files"]))
             + wrote,
-            partition_by, _schema_ddl(out),
+            partition_by, _schema_ddl(out), base=base,
         )
         if _commit_manifest(table_root, base_v + 1, manifest, branch):
             return base_v + 1

@@ -2369,3 +2369,166 @@ def test_changes_feed_correct_across_pos_delete(spark, tmp_path):
     ch = acid_changes(spark, root, 1, 2)
     rows = [(r["_change_type"], r.k) for r in ch.collect()]
     assert sorted(rows) == [("delete", 10), ("delete", 20)]
+
+
+# --------------------------------------------------------------------------
+# Column mapping: rename / drop without rewrite (Delta columnMapping /
+# Iceberg field-id shape, name-based). Internal state stays PHYSICAL;
+# logical names exist only at the API boundary (acid.py column-mapping
+# section).
+# --------------------------------------------------------------------------
+
+
+def test_rename_column_is_metadata_only_and_time_travels(spark, tmp_path):
+    from backtest_crew_datalake_spark.sources.acid import (
+        _load_manifest, acid_rename_column)
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b")],
+        "id bigint, val double, cat string")
+    v1 = acid_write(spark, df, root, stats_cols=("id",))
+    files_v1 = [e["path"] for e in _load_manifest(root, v1)["files"]]
+    v2 = acid_rename_column(spark, root, "val", "amount")
+    # metadata-only: the file list is identical — nothing rewritten
+    assert [e["path"] for e in _load_manifest(root, v2)["files"]] \
+        == files_v1
+    got = acid_read(spark, root)
+    assert set(got.columns) == {"id", "amount", "cat"}
+    assert {(r.id, r.amount) for r in got.collect()} \
+        == {(1, 10.0), (2, 20.0)}
+    # time travel to the pre-rename version still sees the old name
+    assert set(acid_read(spark, root, version=v1).columns) \
+        == {"id", "val", "cat"}
+
+
+def test_write_and_upsert_after_rename_use_logical_name(spark, tmp_path):
+    from backtest_crew_datalake_spark.sources.acid import (
+        acid_rename_column)
+
+    root = str(tmp_path / "t")
+    acid_write(spark, spark.createDataFrame(
+        [(1, 10.0)], "id bigint, val double"), root)
+    acid_rename_column(spark, root, "val", "amount")
+    acid_write(spark, spark.createDataFrame(
+        [(2, 20.0)], "id bigint, amount double"), root)
+    acid_upsert(spark, spark.createDataFrame(
+        [(1, 99.0), (3, 30.0)], "id bigint, amount double"),
+        root, key=("id",))
+    got = {(r.id, r.amount) for r in acid_read(spark, root).collect()}
+    assert got == {(1, 99.0), (2, 20.0), (3, 30.0)}
+
+
+def test_drop_column_then_readd_does_not_resurrect(spark, tmp_path):
+    from backtest_crew_datalake_spark.sources.acid import (
+        acid_column_mapping, acid_drop_column)
+
+    root = str(tmp_path / "t")
+    acid_write(spark, spark.createDataFrame(
+        [(1, "OLD")], "id bigint, cat string"), root)
+    acid_drop_column(spark, root, "cat")
+    assert set(acid_read(spark, root).columns) == {"id"}
+    # re-add a column with the SAME logical name: fresh physical —
+    # the retired column's bytes must stay invisible
+    acid_write(spark, spark.createDataFrame(
+        [(2, "NEW")], "id bigint, cat string"), root)
+    got = {(r.id, r.cat) for r in acid_read(spark, root).collect()}
+    assert got == {(1, None), (2, "NEW")}
+    assert acid_column_mapping(root)["cat"] != "cat"
+
+
+def test_rename_partition_column_and_filters_translate(spark, tmp_path):
+    from backtest_crew_datalake_spark.sources.acid import (
+        acid_rename_column)
+
+    root = str(tmp_path / "t")
+    df = _mk(spark, [("A", "d1", 1, 1.0), ("B", "d2", 2, 2.0)])
+    acid_write(spark, df, root, partition_by=PARTS, stats_cols=("ts",))
+    acid_rename_column(spark, root, "sym", "symbol")
+    # logical-name partition filter routes to the physical directory
+    got = acid_read(spark, root, partition_filter={"symbol": "A"})
+    assert {r.symbol for r in got.collect()} == {"A"}
+    # upsert keyed/partitioned by the NEW logical name
+    df2 = spark.createDataFrame(
+        [("A", "d1", 1, 9.0)], "symbol string, day string, ts bigint, "
+        "px double")
+    acid_upsert(spark, df2, root, key=("symbol", "day", "ts"),
+                partition_by=("symbol", "day"))
+    got = {(r.symbol, r.px) for r in acid_read(spark, root).collect()}
+    assert got == {("A", 9.0), ("B", 2.0)}
+
+
+def test_drop_partition_column_refused(spark, tmp_path):
+    from backtest_crew_datalake_spark.sources.acid import acid_drop_column
+
+    root = str(tmp_path / "t")
+    acid_write(spark, _mk(spark, [("A", "d1", 1, 1.0)]), root,
+               partition_by=PARTS)
+    with pytest.raises(ValueError, match="partition column"):
+        acid_drop_column(spark, root, "sym")
+
+
+def test_rename_collision_and_missing_column_errors(spark, tmp_path):
+    from backtest_crew_datalake_spark.sources.acid import (
+        acid_rename_column)
+
+    root = str(tmp_path / "t")
+    acid_write(spark, spark.createDataFrame(
+        [(1, 2.0)], "id bigint, val double"), root)
+    with pytest.raises(ValueError, match="already exists"):
+        acid_rename_column(spark, root, "val", "id")
+    with pytest.raises(KeyError):
+        acid_rename_column(spark, root, "nope", "x")
+
+
+def test_mapped_table_refuses_unported_ops_loudly(spark, tmp_path):
+    from backtest_crew_datalake_spark.sources.acid import (
+        acid_delete, acid_delete_mor, acid_merge, acid_rename_column,
+        acid_replace_where)
+
+    root = str(tmp_path / "t")
+    acid_write(spark, spark.createDataFrame(
+        [(1, 2.0)], "id bigint, val double"), root)
+    acid_rename_column(spark, root, "val", "amount")
+    src = spark.createDataFrame([(1, 3.0)], "id bigint, amount double")
+    with pytest.raises(NotImplementedError):
+        acid_delete(spark, root, "id = 1")
+    with pytest.raises(NotImplementedError):
+        acid_delete_mor(spark, root, src.select("id"), key=("id",))
+    with pytest.raises(NotImplementedError):
+        acid_merge(spark, src, root, key=("id",))
+    with pytest.raises(NotImplementedError):
+        acid_replace_where(spark, src, root, "id = 1")
+
+
+def test_changes_feed_projects_to_end_version_logical_view(spark, tmp_path):
+    from backtest_crew_datalake_spark.sources.acid import (
+        acid_changes, acid_rename_column)
+
+    root = str(tmp_path / "t")
+    acid_write(spark, spark.createDataFrame(
+        [(1, 10.0)], "id bigint, val double"), root)
+    acid_rename_column(spark, root, "val", "amount")
+    v_mid = acid_write(spark, spark.createDataFrame(
+        [(2, 20.0)], "id bigint, amount double"), root)
+    ch = acid_changes(spark, root, from_version=1, to_version=v_mid,
+                      key=("id",))
+    assert set(ch.columns) == {"id", "amount", "_change_type"}
+    assert {(r.id, r._change_type) for r in ch.collect()} \
+        == {(2, "insert")}
+
+
+def test_clone_and_branch_carry_column_mapping(spark, tmp_path):
+    from backtest_crew_datalake_spark.sources.acid import (
+        acid_branch, acid_clone, acid_rename_column)
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    acid_write(spark, spark.createDataFrame(
+        [(1, 10.0)], "id bigint, val double"), src)
+    acid_rename_column(spark, src, "val", "amount")
+    acid_clone(spark, src, dst)
+    assert set(acid_read(spark, dst).columns) == {"id", "amount"}
+    acid_branch(src, "dev")
+    assert set(acid_read(spark, src, branch="dev").columns) \
+        == {"id", "amount"}
