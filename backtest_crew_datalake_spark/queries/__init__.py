@@ -121,12 +121,26 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # ROUND-11 WINDOW (50 slots, 98% rotated vs r10 — the
     # only carryover is changed-for-cause: q_evt_user_gini
     # was rewritten this round onto the distributed rank).
-    # Order: the 8 second-session families first (positional
-    # deletes, RESTORE, watermark late-data state, the
-    # nonparametric stats zoo, cohort matrix), then session
-    # 1's 23 new operator families, 6 changed-for-cause
-    # rewrites (distributed rank, oracle bridge), then the
-    # stalest green blocks (absent from every r7-r10 window).
+    # Order: session 3's 10 new families first (column mapping,
+    # streaming top-k state, Poisson bootstrap CI,
+    # cross-correlation lead-lag, forecast backtest, Neyman
+    # allocation, co-occurrence similarity, basket Jaccard,
+    # column profiling, cluster ARI), then session 2's 8
+    # (positional deletes, RESTORE, watermark late-data state,
+    # the nonparametric stats zoo, cohort matrix), session 1's
+    # new operator families and changed-for-cause rewrites
+    # (distributed rank, oracle bridge), then the stalest
+    # green blocks (absent from every r7-r10 window).
+    "q_acid_column_mapping",
+    "q_stream_topk_state",
+    "q_orders_bootstrap_ci",
+    "q_evt_xcorr_lag",
+    "q_evt_forecast_backtest",
+    "q_doc_neyman_alloc",
+    "q_doc_cooc_sim",
+    "q_nation_basket_jaccard",
+    "q_orders_profile",
+    "q_emb_cluster_ari",
     "q_acid_positional_delete",
     "q_acid_restore",
     "q_stream_watermark_state",

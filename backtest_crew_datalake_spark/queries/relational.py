@@ -2263,3 +2263,133 @@ def q_orders_profile(spark, sf_dir):
         F.col("n_distinct").cast("bigint").alias("n_distinct"),
         "min_repr", "max_repr",
     )
+
+
+@register(
+    "q_orders_bootstrap_ci",
+    oracle="""
+    WITH w AS (
+        SELECT r.rep,
+               CASE
+                 WHEN u < 3678 THEN 0 WHEN u < 7357 THEN 1
+                 WHEN u < 9196 THEN 2 WHEN u < 9810 THEN 3
+                 WHEN u < 9963 THEN 4 ELSE 5
+               END AS wt,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM (SELECT UNNEST(range(0, 64)) AS rep) r
+        CROSS JOIN (
+            SELECT o_orderkey, o_totalprice FROM orders
+        ) o,
+        LATERAL (SELECT ('0x' || substr(md5(
+            'boot|' || o.o_orderkey::VARCHAR || '#' || r.rep::VARCHAR),
+            1, 8))::BIGINT % 10000 AS u) h
+    ),
+    per AS (
+        SELECT rep, CAST(SUM(wt) AS BIGINT) AS n_eff,
+               CAST(SUM(wt * cents) AS BIGINT) AS sum_cents
+        FROM w GROUP BY 1
+    ),
+    ranked AS (
+        SELECT rep, n_eff, sum_cents,
+               CAST(sum_cents * 1000000 // n_eff AS BIGINT) AS mean_micro,
+               ROW_NUMBER() OVER (
+                   ORDER BY sum_cents * 1000000 // n_eff, rep) AS rk
+        FROM per
+    ),
+    full_s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS full_n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS full_sum_cents
+        FROM orders
+    )
+    SELECT CAST(64 AS BIGINT) AS n_replicas, full_n, full_sum_cents,
+           CAST(full_sum_cents * 1000000 // full_n AS BIGINT)
+               AS full_mean_micro,
+           CAST(MAX(CASE WHEN rk = 4 THEN mean_micro END) AS BIGINT)
+               AS ci_lo_micro,
+           CAST(MAX(CASE WHEN rk = 61 THEN mean_micro END) AS BIGINT)
+               AS ci_hi_micro
+    FROM ranked CROSS JOIN full_s
+    GROUP BY full_n, full_sum_cents
+    """,
+)
+def q_orders_bootstrap_ci(spark, sf_dir):
+    """POISSON BOOTSTRAP confidence interval for the mean order value
+    (Chamandy et al. 2012, 'Estimating Uncertainty for Massive Data
+    Streams' — the Google resampling scheme built for exactly this
+    setting: per-row independent weights instead of a global n-draw,
+    so ONE pass computes every replica): 64 replicas, each row's weight
+    drawn from a Poisson(1) CDF table keyed by the engine-portable
+    md5 bucket of (order, replica) — pipeline/sampling.hash_bucket32's
+    hash, the q_doc_hash_sample discipline. Replica sums are exact
+    BIGINT cents, replica means exact truncating micro-units, and the
+    90% CI is the 4th/61st order statistic of the 64 replica means —
+    ranked by exact integers, so no float enters selection or ranking
+    anywhere.
+
+    Scale shape: one 64x flat-map pass (row-local hash, no shuffle)
+    map-side combines into 64 replica rows; the rank window runs over
+    those 64 rows of aggregate state. The 64x expansion is the
+    bootstrap's inherent cost — at extreme corpus sizes the standard
+    remedy is replica-level subsampling (bag of little bootstraps),
+    which composes with q_doc_hash_sample."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    rep = o.select(
+        F.col("o_orderkey"), cents.alias("cents"),
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("rep"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(
+                    F.lit("boot|"), F.col("o_orderkey").cast("string"),
+                    F.lit("#"), F.col("rep").cast("string"),
+                ).cast("binary")),
+                1, 8),
+            16, 10,
+        ).cast("long") % 10000
+    )
+    wt = (
+        F.when(u < 3678, 0).when(u < 7357, 1).when(u < 9196, 2)
+        .when(u < 9810, 3).when(u < 9963, 4).otherwise(5)
+    )
+    per = (
+        rep.select("rep", wt.alias("wt"), "cents")
+        .groupBy("rep")
+        .agg(F.sum("wt").cast("bigint").alias("n_eff"),
+             F.sum(F.col("wt") * F.col("cents")).cast("bigint")
+             .alias("sum_cents"))
+    )
+    ranked = per.select(
+        "rep", "n_eff", "sum_cents",
+        F.expr("CAST(sum_cents * 1000000 DIV n_eff AS BIGINT)")
+        .alias("mean_micro"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy("mean_micro", "rep")),
+    )
+    full_s = o.agg(
+        F.count("*").cast("bigint").alias("full_n"),
+        F.sum(cents).cast("bigint").alias("full_sum_cents"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(full_s))
+        .groupBy("full_n", "full_sum_cents")
+        .agg(
+            F.max(F.when(F.col("rk") == 4, F.col("mean_micro")))
+            .cast("bigint").alias("ci_lo_micro"),
+            F.max(F.when(F.col("rk") == 61, F.col("mean_micro")))
+            .cast("bigint").alias("ci_hi_micro"),
+        )
+        .select(
+            F.lit(64).cast("bigint").alias("n_replicas"),
+            "full_n", "full_sum_cents",
+            F.expr("CAST(full_sum_cents * 1000000 DIV full_n AS BIGINT)")
+            .alias("full_mean_micro"),
+            "ci_lo_micro", "ci_hi_micro",
+        )
+    )

@@ -1954,8 +1954,8 @@ def _require_identity_mapping(m: dict, op: str) -> None:
         raise NotImplementedError(
             f"{op} on a table with renamed/dropped columns is not "
             "supported yet — compact/rewrite the table to materialize "
-            "the logical schema first (write/upsert/read/changes do "
-            "support column mapping)"
+            "the logical schema first (write/upsert/read/changes/delete_mor "
+            "do support column mapping)"
         )
 
 
@@ -2264,10 +2264,25 @@ def acid_delete_mor(
     file-level cancellation while any delete entry is pending (full
     snapshot diff — documented inside acid_changes).
     """
+    # COLUMN MAPPING: keys arrive structured (no SQL to rewrite), so the
+    # translation the predicate-based deletes still refuse is sound here:
+    # the delete file and manifest key record PHYSICAL names, which is
+    # the space the snapshot anti-join runs in. Keys must name LIVE
+    # logical columns — a dropped column's physical bytes still exist in
+    # old files and deleting by them would silently "work" on data the
+    # logical schema no longer exposes.
     _v_map = latest_version(table_root, branch)
     if _v_map:
-        _require_identity_mapping(
-            _load_manifest(table_root, _v_map, branch), "acid_delete_mor")
+        _m = _load_manifest(table_root, _v_map, branch)
+        _logical = set(_logical_columns(_m))
+        bad = [k for k in key if k not in _logical]
+        if bad:
+            raise KeyError(
+                f"acid_delete_mor key columns {bad} are not in the "
+                f"logical schema {sorted(_logical)}")
+        _mapping = _mapping_of(_m)
+        key = tuple(_phys_cols(_mapping, key))
+        keys_df = _to_physical_frame(keys_df, _mapping)
 
     key = list(key)
     kdf = keys_df.select(*key).distinct()

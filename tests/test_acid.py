@@ -2483,22 +2483,46 @@ def test_rename_collision_and_missing_column_errors(spark, tmp_path):
 
 def test_mapped_table_refuses_unported_ops_loudly(spark, tmp_path):
     from backtest_crew_datalake_spark.sources.acid import (
-        acid_delete, acid_delete_mor, acid_merge, acid_rename_column,
-        acid_replace_where)
+        acid_delete, acid_merge, acid_rename_column, acid_replace_where)
 
     root = str(tmp_path / "t")
     acid_write(spark, spark.createDataFrame(
         [(1, 2.0)], "id bigint, val double"), root)
     acid_rename_column(spark, root, "val", "amount")
     src = spark.createDataFrame([(1, 3.0)], "id bigint, amount double")
+    # predicate/condition-SQL ops can't translate identifiers safely —
+    # they refuse instead of corrupting
     with pytest.raises(NotImplementedError):
         acid_delete(spark, root, "id = 1")
-    with pytest.raises(NotImplementedError):
-        acid_delete_mor(spark, root, src.select("id"), key=("id",))
     with pytest.raises(NotImplementedError):
         acid_merge(spark, src, root, key=("id",))
     with pytest.raises(NotImplementedError):
         acid_replace_where(spark, src, root, "id = 1")
+
+
+def test_delete_mor_translates_renamed_key(spark, tmp_path):
+    from backtest_crew_datalake_spark.sources.acid import (
+        acid_delete_mor, acid_rename_column)
+
+    root = str(tmp_path / "t")
+    acid_write(spark, spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "uid bigint, val double"), root)
+    acid_rename_column(spark, root, "uid", "user_id")
+    # equality delete keyed by the NEW logical name (structured keys —
+    # translatable, unlike predicate SQL)
+    keys = spark.createDataFrame([(1,)], "user_id bigint")
+    v = acid_delete_mor(spark, root, keys, key=("user_id",))
+    assert v is not None
+    got = acid_read(spark, root)
+    assert set(got.columns) == {"user_id", "val"}
+    assert {(r.user_id, r.val) for r in got.collect()} == {(2, 20.0)}
+    # a dropped/unknown key column is refused loudly
+    from backtest_crew_datalake_spark.sources.acid import acid_drop_column
+    acid_drop_column(spark, root, "val")
+    with pytest.raises(KeyError):
+        acid_delete_mor(spark, root,
+                        spark.createDataFrame([(9.0,)], "val double"),
+                        key=("val",))
 
 
 def test_changes_feed_projects_to_end_version_logical_view(spark, tmp_path):
