@@ -121,11 +121,12 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # ROUND-11 WINDOW (50 slots, 98% rotated vs r10 — the
     # only carryover is changed-for-cause: q_evt_user_gini
     # was rewritten this round onto the distributed rank).
-    # Order: session 3's 10 new families first (column mapping,
-    # streaming top-k state, Poisson bootstrap CI,
-    # cross-correlation lead-lag, forecast backtest, Neyman
-    # allocation, co-occurrence similarity, basket Jaccard,
-    # column profiling, cluster ARI), then session 2's 8
+    # Order: session 3's 13 new families first (column mapping,
+    # streaming top-k state, Poisson bootstrap CI, the rank-
+    # correlation/ANOVA set, cross-correlation lead-lag,
+    # forecast backtest, Neyman allocation, co-occurrence
+    # similarity, basket Jaccard, column profiling, cluster
+    # ARI), then session 2's 8
     # (positional deletes, RESTORE, watermark late-data state,
     # the nonparametric stats zoo, cohort matrix), session 1's
     # new operator families and changed-for-cause rewrites
@@ -134,6 +135,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q_acid_column_mapping",
     "q_stream_topk_state",
     "q_orders_bootstrap_ci",
+    "q_evt_spearman",
+    "q_evt_kendall_tau",
+    "q_evt_anova_f",
     "q_evt_xcorr_lag",
     "q_evt_forecast_backtest",
     "q_doc_neyman_alloc",

@@ -5349,3 +5349,283 @@ def q_evt_forecast_backtest(spark, sf_dir):
         F.expr("CAST(SUM(ABS(y - yhat)) * 1000000 DIV COUNT(*) AS BIGINT)")
         .alias("mae_micro"),
     )
+
+
+@register(
+    "q_evt_spearman",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'view')
+                    AS BIGINT) AS x,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    rx AS (
+        SELECT d, x, y,
+               CAST(2 * (RANK() OVER (ORDER BY x))
+                    + (COUNT(*) OVER (PARTITION BY x)) - 1 AS BIGINT)
+                   AS r2x,
+               CAST(2 * (RANK() OVER (ORDER BY y))
+                    + (COUNT(*) OVER (PARTITION BY y)) - 1 AS BIGINT)
+                   AS r2y
+        FROM daily
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(r2x) AS BIGINT) AS sx,
+               CAST(SUM(r2y) AS BIGINT) AS sy,
+               CAST(SUM(r2x * r2x) AS BIGINT) AS sxx,
+               CAST(SUM(r2y * r2y) AS BIGINT) AS syy,
+               CAST(SUM(r2x * r2y) AS BIGINT) AS sxy
+        FROM rx
+    )
+    SELECT n, CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+           ROUND((n * sxy - sx * sy)
+                 / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+               AS spearman_rho
+    FROM s
+    """,
+)
+def q_evt_spearman(spark, sf_dir):
+    """SPEARMAN RANK CORRELATION between daily view and purchase counts —
+    the tie-correct formulation: Pearson on MIDRANKS, not the 6Σd²
+    shortcut (which is biased under ties; daily counts tie often).
+    Midranks stay integral by doubling: r2 = 2*min_rank + tie_count - 1
+    (midrank*2), so every moment is an exact BIGINT and the one float is
+    the final identical sqrt/div expression (the q_evt_xcorr_lag
+    discipline — IEEE-deterministic, no accumulation-order drift).
+
+    Scale shape: one map-side-combinable daily aggregate collapses the
+    corpus to |days| rows; the rank windows run over that bounded
+    aggregate state (scale.md rule 4 exemption)."""
+    from pyspark.sql import Window
+
+    evt = load(spark, sf_dir, "events")
+    daily = evt.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.when(F.col("event_type") == "view", 1))
+        .cast("bigint").alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint").alias("y"),
+    )
+    r2 = lambda c: (  # noqa: E731
+        2 * F.rank().over(Window.orderBy(c))
+        + F.count("*").over(Window.partitionBy(c)) - 1
+    ).cast("bigint")
+    rx = daily.select(r2("x").alias("r2x"), r2("y").alias("r2y"))
+    s = rx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("r2x").cast("bigint").alias("sx"),
+        F.sum("r2y").cast("bigint").alias("sy"),
+        F.sum(F.col("r2x") * F.col("r2x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("r2y") * F.col("r2y")).cast("bigint").alias("syy"),
+        F.sum(F.col("r2x") * F.col("r2y")).cast("bigint").alias("sxy"),
+    )
+    return s.select(
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("bigint").alias("cov_num"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.sqrt((F.col("n") * F.col("sxx")
+                       - F.col("sx") * F.col("sx")).cast("double"))
+               * F.sqrt((F.col("n") * F.col("syy")
+                         - F.col("sy") * F.col("sy")).cast("double"))),
+            6).alias("spearman_rho"),
+    )
+
+
+@register(
+    "q_evt_kendall_tau",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'view')
+                    AS BIGINT) AS x,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                    AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    pairs AS (
+        SELECT
+            CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+            CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+            CAST(SUM(CASE WHEN a.x = b.x AND a.y <> b.y
+                     THEN 1 ELSE 0 END) AS BIGINT) AS tie_x,
+            CAST(SUM(CASE WHEN a.y = b.y AND a.x <> b.x
+                     THEN 1 ELSE 0 END) AS BIGINT) AS tie_y,
+            CAST(SUM(CASE WHEN a.x = b.x AND a.y = b.y
+                     THEN 1 ELSE 0 END) AS BIGINT) AS tie_xy,
+            CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM daily a JOIN daily b ON a.d < b.d
+    )
+    SELECT n_pairs, conc, disc, tie_x, tie_y, tie_xy,
+           ROUND((conc - disc)
+                 / (SQRT(CAST(n_pairs - tie_x - tie_xy AS DOUBLE))
+                    * SQRT(CAST(n_pairs - tie_y - tie_xy AS DOUBLE))), 6)
+               AS tau_b
+    FROM pairs
+    """,
+)
+def q_evt_kendall_tau(spark, sf_dir):
+    """KENDALL TAU-B between daily view and purchase counts — the
+    concordance-based rank association with the tie-corrected
+    denominator (tau-b), complementing Pearson (q_evt_xcorr_lag lag 0)
+    and Spearman (q_evt_spearman): all pair classifications
+    (concordant / discordant / x-tie / y-tie / both-tie) are exact
+    BIGINT counts over the day-pair join, and the one float is the
+    final identical sqrt/div expression. All five counts are emitted,
+    so the gate pins the full pair decomposition, not just the ratio.
+
+    Scale shape: the corpus collapses to |days| rows first; the
+    C(|days|,2) pair join runs on that bounded aggregate frame (at a
+    year's horizon: 66k pairs — driver-trivial). Kendall on an
+    UNBOUNDED dimension would need the O(n log n) merge-sort inversion
+    count instead; documented, not needed for a bounded-day series."""
+    evt = load(spark, sf_dir, "events")
+    daily = evt.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.when(F.col("event_type") == "view", 1))
+        .cast("bigint").alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint").alias("y"),
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"),
+                     F.col("y").alias("ya"))
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"),
+                     F.col("y").alias("yb"))
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    pairs = (
+        a.join(F.broadcast(b), F.col("da") < F.col("db"))
+        .agg(
+            F.sum(F.when(dx * dy > 0, 1).otherwise(0))
+            .cast("bigint").alias("conc"),
+            F.sum(F.when(dx * dy < 0, 1).otherwise(0))
+            .cast("bigint").alias("disc"),
+            F.sum(F.when((dx == 0) & (dy != 0), 1).otherwise(0))
+            .cast("bigint").alias("tie_x"),
+            F.sum(F.when((dy == 0) & (dx != 0), 1).otherwise(0))
+            .cast("bigint").alias("tie_y"),
+            F.sum(F.when((dx == 0) & (dy == 0), 1).otherwise(0))
+            .cast("bigint").alias("tie_xy"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+        )
+    )
+    return pairs.select(
+        "n_pairs", "conc", "disc", "tie_x", "tie_y", "tie_xy",
+        F.round(
+            (F.col("conc") - F.col("disc"))
+            / (F.sqrt((F.col("n_pairs") - F.col("tie_x")
+                       - F.col("tie_xy")).cast("double"))
+               * F.sqrt((F.col("n_pairs") - F.col("tie_y")
+                         - F.col("tie_xy")).cast("double"))),
+            6).alias("tau_b"),
+    )
+
+
+@register(
+    "q_evt_anova_f",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT))
+                    AS BIGINT) AS s,
+               CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT)
+                        * CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT))
+                    AS BIGINT) AS q
+        FROM events GROUP BY 1
+    ),
+    terms AS (
+        SELECT event_type, n, s,
+               CAST(CAST(q AS HUGEINT) * n - CAST(s AS HUGEINT) * s
+                    AS DOUBLE) / n AS ssw_t,
+               CAST(CAST(s AS HUGEINT) * s AS DOUBLE) / n AS ssb_t
+        FROM g
+    ),
+    folded AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS n_total,
+               CAST(SUM(s) AS BIGINT) AS s_total,
+               list_reduce(list(ssw_t ORDER BY event_type),
+                           (a, b) -> a + b) AS ssw,
+               list_reduce(list(ssb_t ORDER BY event_type),
+                           (a, b) -> a + b) AS ssb_raw
+        FROM terms
+    )
+    SELECT k, n_total,
+           ROUND(ssw, 6) AS ssw,
+           ROUND(ssb_raw - CAST(CAST(s_total AS HUGEINT) * s_total
+                                AS DOUBLE) / n_total, 6) AS ssb,
+           ROUND(((ssb_raw - CAST(CAST(s_total AS HUGEINT) * s_total
+                                  AS DOUBLE) / n_total) / (k - 1))
+                 / (ssw / (n_total - k)), 6) AS f_stat
+    FROM folded
+    """,
+)
+def q_evt_anova_f(spark, sf_dir):
+    """ONE-WAY ANOVA F-statistic across event types (value in cents) —
+    'do the five event types draw from the same mean?', the k-group
+    generalization of q_evt_ab_test's two-sample Welch. Per-group
+    moments (n, Σx, Σx²) are exact BIGINT/int128; the within/between
+    sum-of-squares terms become doubles only at the last step, and the
+    CROSS-GROUP float sums use an explicit ORDERED LEFT FOLD
+    (list_reduce over event_type-sorted lists / F.aggregate over an
+    array_sort'd collect_list) — plain SUM over doubles is
+    accumulation-order nondeterministic across engines and partition
+    counts; the fold pins one evaluation order, so the doubles are
+    bit-identical (a reusable pattern for any cross-group float
+    reduction the integer tricks can't reach).
+
+    Scale shape: one map-side-combinable pass to k=|types| rows of
+    aggregate state; the fold runs over a k-element array on the
+    driver-side plan. Nothing after the first groupBy touches the
+    corpus."""
+    evt = load(spark, sf_dir, "events")
+    cents = F.round(F.coalesce(F.col("value"), F.lit(0)) * 100) \
+        .cast("bigint")
+    g = evt.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(cents).cast("bigint").alias("s"),
+        F.sum(cents * cents).cast("bigint").alias("q"),
+    )
+    dec = "decimal(38,0)"
+    terms = g.select(
+        "event_type", "n", "s",
+        ((F.col("q").cast(dec) * F.col("n")
+          - F.col("s").cast(dec) * F.col("s")).cast("double")
+         / F.col("n")).alias("ssw_t"),
+        ((F.col("s").cast(dec) * F.col("s")).cast("double")
+         / F.col("n")).alias("ssb_t"),
+    )
+    folded = terms.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum("s").cast("bigint").alias("s_total"),
+        F.aggregate(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("event_type").alias("et"),
+                         F.col("ssw_t").alias("t")))),
+            F.lit(0.0), lambda acc, x: acc + x["t"],
+        ).alias("ssw"),
+        F.aggregate(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("event_type").alias("et"),
+                         F.col("ssb_t").alias("t")))),
+            F.lit(0.0), lambda acc, x: acc + x["t"],
+        ).alias("ssb_raw"),
+    )
+    grand = (F.col("s_total").cast(dec) * F.col("s_total")) \
+        .cast("double") / F.col("n_total")
+    ssb = F.col("ssb_raw") - grand
+    return folded.select(
+        "k", "n_total",
+        F.round(F.col("ssw"), 6).alias("ssw"),
+        F.round(ssb, 6).alias("ssb"),
+        F.round((ssb / (F.col("k") - 1))
+                / (F.col("ssw") / (F.col("n_total") - F.col("k"))), 6)
+        .alias("f_stat"),
+    )
