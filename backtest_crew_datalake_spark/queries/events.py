@@ -5232,6 +5232,11 @@ def q_evt_xcorr_lag(spark, sf_dir):
         F.count(F.when(F.col("event_type") == "purchase", 1))
         .cast("bigint").alias("yc"),
     )
+    # |days| rows feed BOTH sides of the lag pairing — pin them once so
+    # the corpus-sized daily aggregate runs exactly once (the shapley
+    # localCheckpoint discipline; without it the plan re-scans events
+    # per side — caught by test_xcorr_daily_agg_collapses_before_lag_join)
+    daily = daily.localCheckpoint()
     lags = spark.range(-7, 8).select(F.col("id").cast("int").alias("lag"))
     a = daily.select("d", "xc")
     b = daily.select(F.col("d").alias("bd"), "yc")
@@ -5493,6 +5498,9 @@ def q_evt_kendall_tau(spark, sf_dir):
         F.count(F.when(F.col("event_type") == "purchase", 1))
         .cast("bigint").alias("y"),
     )
+    # both pair sides read the same |days| aggregate — pin it once
+    # (same discipline as q_evt_xcorr_lag)
+    daily = daily.localCheckpoint()
     a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"),
                      F.col("y").alias("ya"))
     b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"),

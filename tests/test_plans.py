@@ -687,3 +687,48 @@ def test_gini_no_rank_window(spark):
     p = _plan(spark, "q_evt_user_gini")
     assert "row_number()" not in p
     assert "ntile(" not in p
+
+
+def test_bootstrap_one_scan_no_shuffle_before_replica_agg(spark):
+    """q_orders_bootstrap_ci: the 64x replica expansion is a row-local
+    flat map (generator explode) feeding ONE partial-aggregated exchange
+    on the 64 replica keys — no join, no pre-agg shuffle of the
+    expanded frame, no cartesian."""
+    p = _plan(spark, "q_orders_bootstrap_ci")
+    assert "CartesianProduct" not in p
+    assert p.count("FileScan parquet") <= 2  # replica pass + full-stats
+    assert "Generate explode" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_cooc_sim_vocab_broadcast_no_cartesian(spark):
+    """q_doc_cooc_sim: the 100-word vocab filter must reach the token
+    stream as a BROADCAST join (bounding per-doc fanout at vocab^2);
+    the pair/dot joins run on the bounded co-occurrence matrix."""
+    p = _plan(spark, "q_doc_cooc_sim")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_xcorr_daily_agg_collapses_before_lag_join(spark):
+    """q_evt_xcorr_lag: exactly one corpus-sized aggregate (the daily
+    groupBy); the 15-lag pairing joins the bounded daily frame, never
+    the raw events (no second events scan, no nested loop over rows)."""
+    p = _plan(spark, "q_evt_xcorr_lag")
+    # the daily frame is localCheckpoint'd: the corpus scan ran once at
+    # build; the final plan joins the pinned rows (0 parquet scans)
+    assert p.count("FileScan parquet") == 0
+    assert "CartesianProduct" not in p
+
+
+def test_stats_trio_single_corpus_pass(spark):
+    """Spearman/Kendall/ANOVA each collapse the corpus with ONE
+    map-side-combinable aggregate; everything after runs on bounded
+    aggregate state (days / k types)."""
+    for name, scans in (("q_evt_spearman", 1), ("q_evt_kendall_tau", 0),
+                        ("q_evt_anova_f", 1)):
+        # kendall's daily frame is localCheckpoint'd (both pair sides)
+        p = _plan(spark, name)
+        assert p.count("FileScan parquet") == scans, name
+        assert "CartesianProduct" not in p, name
