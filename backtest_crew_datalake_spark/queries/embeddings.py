@@ -1612,77 +1612,92 @@ def q_emb_mmr_topk(spark, sf_dir):
     Scale shape: candidate generation is the cosine_topk scan (bounded
     query side broadcast, corpus streams); everything after operates on
     ≤ |queries|·10 rows (candidate-pair sims are 10×10 per query,
-    computed once), so the greedy rounds are keyed ops over a
-    bounded-by-construction working set — the shape of any production
-    re-ranker."""
-    from pyspark.sql import Window
+    computed once), so the greedy runs over a bounded-by-construction
+    working set — the shape of any production re-ranker.
 
+    OPTIMIZED (r11 optimization round, guide §8 "decide with small
+    rows"): the 5 greedy rounds used to be UNROLLED as distributed ops
+    (5× anti-join + pair join + window + union over ≤50 rows), a ~20-
+    stage lineage whose planning + tiny-data exchanges cost ~5 s at
+    sf0.1 while the actual corpus work (candidate scan) is 0.4 s. The
+    greedy is inherently sequential and its working set is bounded by
+    construction (≤ |queries|·10 candidates, ≤ |queries|·10·9 pair
+    sims), so per scale.md rule 3 it now runs driver-side over the two
+    collected tables. ALL float arithmetic that feeds the result stays
+    in Spark or is IEEE-exact: simq/sab are Spark-rounded BEFORE
+    collect, the greedy computes only 0.5*x - 0.5*max(...) (identical
+    IEEE doubles in either runtime), and the emitted 5-decimal round is
+    applied by Spark on the returned frame. Measured: 5.3 s → ~0.8 s
+    standalone; the oracle (rows+schema+hash) gates equality at 3 SFs."""
     from ..pipeline.similarity import _cosine_ranked, _dot, _norm
 
     lam = 0.5
     emb = load(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5)
     c = emb.where(F.col("vec_id") >= 5)
-    cand = (
+    cand_rows = (
         _cosine_ranked(q, c, 10, "vec_id", "embedding", 4)
         .select("query_id", F.col("neighbor_id").alias("nid"),
                 F.col("cos_sim").alias("simq"))
-        .localCheckpoint(eager=False)  # tiny; feeds pairs + 5 greedy rounds
+        .collect()  # bounded: ≤ |queries|·10 = 50 rows (rule 3)
     )
-    cv = c.select(F.col("vec_id").alias("__id"),
-                  F.col("embedding").cast("array<double>").alias("__v"),
-                  _norm(F.col("embedding")).alias("__n"))
-    a = cand.join(cv.select(F.col("__id").alias("nid"),
-                            F.col("__v").alias("__va"),
-                            F.col("__n").alias("__na")), "nid")
-    b = cand.select("query_id", F.col("nid").alias("idb")).join(
-        cv.select(F.col("__id").alias("idb"), F.col("__v").alias("__vb"),
-                  F.col("__n").alias("__nb")), "idb")
-    pair = (
-        a.select("query_id", F.col("nid").alias("ida"), "__va", "__na")
-        .join(b, "query_id")
-        .where(F.col("ida") != F.col("idb"))
-        .select(
-            "query_id", "ida", "idb",
-            F.round(_dot(F.col("__va"), F.col("__vb"))
-                    / (F.col("__na") * F.col("__nb")), 4).alias("sab"),
-        )
-        .localCheckpoint(eager=False)  # 10x10 per query; read every round
+    by_q: dict = {}
+    for r in cand_rows:
+        by_q.setdefault(r.query_id, []).append((r.nid, r.simq))
+    nids = sorted({r.nid for r in cand_rows})
+    pair_list = [
+        (qid, a2, b2)
+        for qid, cands in by_q.items()
+        for a2, _ in cands
+        for b2, _ in cands
+        if a2 != b2
+    ]
+    # candidate-candidate sims: fetch the ≤50 candidate vectors with one
+    # pushed-down point scan, expand the bounded pair list locally, and
+    # run the SAME Spark expressions (zip_with/aggregate fold + HALF_UP
+    # round) over the local relation — Spark arithmetic, zero shuffles,
+    # never a Python float-rounding reimplementation
+    vec_rows = (
+        c.where(F.col("vec_id").isin(nids))
+        .select("vec_id", "embedding").collect()  # bounded: ≤50 rows
     )
-    w1 = Window.partitionBy("query_id").orderBy(
-        F.col("simq").desc(), F.col("nid").asc())
-    pick = (
-        cand.withColumn("__rn", F.row_number().over(w1))
-        .where(F.col("__rn") == 1)
-        .select("query_id", "nid", "simq",
-                (F.lit(lam) * F.col("simq")).alias("mmr_score"),
-                F.lit(1).alias("pick_rank"))
-    )
-    acc = pick
-    wt = Window.partitionBy("query_id").orderBy(
-        F.col("mmr_score").desc(), F.col("nid").asc())
-    for t in range(2, 6):
-        sel = acc.select("query_id", F.col("nid").alias("idb"))
-        remaining = cand.join(acc.select("query_id", "nid"),
-                              ["query_id", "nid"], "left_anti")
-        scored = (
-            remaining
-            .join(pair.withColumnRenamed("ida", "nid"), ["query_id", "nid"])
-            .join(sel, ["query_id", "idb"], "left_semi")
-            .groupBy("query_id", "nid", "simq")
-            .agg((F.lit(lam) * F.col("simq")
-                  - F.lit(1 - lam) * F.max("sab")).alias("mmr_score"))
-        )
-        pick_t = (
-            scored.withColumn("__rn", F.row_number().over(wt))
-            .where(F.col("__rn") == 1)
-            .select("query_id", "nid", "simq", "mmr_score",
-                    F.lit(t).alias("pick_rank"))
-        )
-        acc = acc.unionByName(pick_t)
-    return acc.select(
-        "query_id", F.col("pick_rank").cast("int").alias("pick_rank"),
-        F.col("nid").alias("neighbor_id"),
+    vec = {r.vec_id: r.embedding for r in vec_rows}
+    sab_rows = spark.createDataFrame(
+        [(qid, a2, b2, vec[a2], vec[b2]) for qid, a2, b2 in pair_list],
+        "query_id long, ida long, idb long, "
+        "va array<float>, vb array<float>",
+    ).select(
+        "query_id", "ida", "idb",
+        F.round(
+            _dot(F.col("va").cast("array<double>"),
+                 F.col("vb").cast("array<double>"))
+            / (_norm(F.col("va")) * _norm(F.col("vb"))), 4).alias("sab"),
+    ).collect()  # bounded: ≤ |queries|·10·9 = 450 rows
+    sab = {(r.query_id, r.ida, r.idb): r.sab for r in sab_rows}
+    out = []
+    for qid in by_q:
+        cands = by_q[qid]
+        nid, simq = max(cands, key=lambda t: (t[1], -t[0]))
+        out.append((qid, 1, nid, lam * simq, simq))
+        sel = [nid]
+        for t in range(2, 6):
+            best = None
+            for n, s in cands:
+                if n in sel:
+                    continue
+                score = lam * s - (1 - lam) * max(
+                    sab[(qid, n, b2)] for b2 in sel)
+                if best is None or (score, -n) > (best[0], -best[1]):
+                    best = (score, n, s)
+            if best is None:
+                break
+            out.append((qid, t, best[1], best[0], best[2]))
+            sel.append(best[1])
+    res = spark.createDataFrame(
+        out, "query_id long, pick_rank int, neighbor_id long, "
+             "mmr_score double, simq double")
+    return res.select(
+        "query_id", "pick_rank", "neighbor_id",
         F.round("mmr_score", 5).alias("mmr_score"), "simq",
     )
 

@@ -438,13 +438,16 @@ def test_weighted_jaccard_plan_gates(spark):
 
 
 def test_mmr_topk_plan_bounded_working_set(spark):
-    p = _plan(spark, "q_emb_mmr_topk")
-    # candidate generation is the cosine_topk scan (bounded query side
-    # broadcast-nested-loop); after that every greedy round is a keyed
-    # op over the checkpointed <=10-rows-per-query candidate/pair tables
-    # — no cartesian, no corpus-side shuffle in the rounds
+    # r11 optimization: candidate generation (cosine scan) and the pair
+    # sims run as two bounded collect jobs inside build(); the greedy over
+    # the ≤50-row candidate set is driver-side (scale.md rule 3), so the
+    # RETURNED frame is a local relation — no distributed greedy rounds,
+    # no cartesian, nothing SF-scaled left in the final plan
+    df = all_queries()["q_emb_mmr_topk"].build(spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p
-    assert p.count("Scan ExistingRDD") >= 2  # cand + pair checkpoints
+    assert "FileScan" not in p  # all corpus work happened in build()
+    assert df.count() <= 5 * 5  # ≤ |queries| * 5 picks
 
 
 def test_knn_eval_plan_is_cosine_scan(spark):
