@@ -968,16 +968,27 @@ def q_doc_shared_spans(spark, sf_dir):
     One row per maximal span >= 4 tokens: token offsets in both docs and
     the span length. Scale shape: the pair table (tiny — df-cap-bounded
     pair fan-out) is checkpointed once and drives everything; documents
-    are semi-joined down to CANDIDATE docs before the gram table is even
-    built, so tokenize+md5 runs only over docs that appear in some pair
-    (at 100 TB, near-dup candidates are a sliver of the corpus — the
-    gram explode over non-candidates would dominate the query). Every
-    join and window is keyed by (pair, position)."""
-    from pyspark import StorageLevel
-    from pyspark.sql import Window
+    are semi-joined down to CANDIDATE docs before any gram hashing, so
+    tokenize+md5 runs only over docs that appear in some pair (at 100 TB,
+    near-dup candidates are a sliver of the corpus).
 
+    OPTIMIZED (r11 optimization round, guide §2.4/§4.1): the match +
+    islands stages used to run over an EXPLODED per-gram table — a
+    persisted (doc, pos, h) relation, an (id_b, h)-keyed shuffle whose
+    rows are single gram hashes, and a (id_a, id_b) window for the
+    gaps-and-islands collapse. The aligned-offset match needs no
+    gram-keyed shuffle at all: with one gram-hash ARRAY per candidate
+    doc (map-only, no explode), each pair row carries both arrays after
+    two tiny doc-keyed joins, and the matched positions AND their
+    maximal runs are computed in-row with higher-order functions
+    (filter over the aligned index range; run-length collapse via an
+    aggregate fold). Plan: 3 gram-scale exchanges + persist + window →
+    2 doc-keyed joins of the tiny pair table, everything else
+    WholeStageCodegen in-row. Per-row state is bounded by document
+    length (the token array the tokenizer already built). 3.0 s →
+    ~1.9 s at sf0.1; oracle-verified at 3 SFs."""
     # tiny (the df cap bounds pairs); checkpointed because it feeds the
-    # candidate-id semi-joins AND the match join — 4 consumers, one compute
+    # candidate-id semi-join AND the match join — 2 consumers, one compute
     ap = q_doc_aligned_span_pairs(spark, sf_dir).select(
         "id_a", "id_b", F.col("align_delta").alias("delta")
     ).localCheckpoint(eager=False)
@@ -990,46 +1001,61 @@ def q_doc_shared_spans(spark, sf_dir):
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     grams = F.expr(
         "transform(sequence(0, size(__toks) - 3), "
-        "i -> array_join(slice(__toks, i + 1, 3), ' '))"
+        "i -> md5(cast(array_join(slice(__toks, i + 1, 3), ' ') "
+        "             as binary)))"
     )
-    g = (
+    garr = (
         # candidate restriction FIRST (broadcast semi against the tiny id
-        # set), then the CPU-heavy gram md5 explode over survivors only;
-        # persisted serialized because both match-join sides read it
-        # (scale.md rule 14 storage note)
+        # set), then the CPU-heavy gram md5 over survivors only — one
+        # gram-hash array per doc, never exploded
         spread_partitions(d.join(cand, "doc_id", "left_semi"), "doc_id")
         .select("doc_id", toks.alias("__toks"))
         .where(F.size("__toks") >= 3)
-        .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
-        .select("doc_id", "pos",
-                F.md5(F.col("gram").cast("binary")).alias("h"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select("doc_id", grams.alias("hs"))
+        .localCheckpoint(eager=False)  # ≤|cand| rows; read by both sides
     )
-    ga = g.join(ap.select(F.col("id_a").alias("doc_id")).distinct(),
-                "doc_id", "left_semi").select(
-        F.col("doc_id").alias("id_a"), F.col("pos").alias("pos_a"), "h"
+    j = (
+        ap.join(garr.select(F.col("doc_id").alias("id_a"),
+                            F.col("hs").alias("ha")), "id_a")
+        .join(garr.select(F.col("doc_id").alias("id_b"),
+                          F.col("hs").alias("hb")), "id_b")
     )
-    gb = g.join(ap.select(F.col("id_b").alias("doc_id")).distinct(),
-                "doc_id", "left_semi").select(
-        F.col("doc_id").alias("id_b"), F.col("pos").alias("pos_b"), "h"
+    # aligned positions p in A with A[p] == B[p - delta], both sides in
+    # range — identical to the old (id_b, h, pos_b = pos_a - delta)
+    # equi-join, computed in-row
+    matched = F.expr(
+        "filter(CASE WHEN least(size(ha), size(hb) + delta) - 1 >= "
+        "                 greatest(0, delta) "
+        "       THEN sequence(CAST(greatest(0, delta) AS INT), "
+        "                     CAST(least(size(ha), size(hb) + delta) - 1 "
+        "                          AS INT)) "
+        "       ELSE CAST(array() AS array<int>) END, "
+        "p -> element_at(ha, p + 1) = "
+        "     element_at(hb, CAST(p - delta + 1 AS INT)))"
     )
-    m = (
-        ap.join(ga, "id_a")
-        .join(gb, ["id_b", "h"])
-        .where(F.col("pos_b") == F.col("pos_a") - F.col("delta"))
-        .select("id_a", "id_b", "delta", "pos_a")
+    # run-length collapse of the sorted matched positions (the old
+    # gaps-and-islands window, now an in-row fold): runs of >= 2
+    # consecutive positions == spans of >= 4 tokens
+    runs = F.expr(
+        "filter(aggregate(__matched, "
+        "CAST(array() AS array<struct<s:int,l:int>>), "
+        "(acc, p) -> CASE WHEN size(acc) > 0 "
+        "  AND element_at(acc, -1).s + element_at(acc, -1).l = p "
+        "THEN concat(slice(acc, 1, size(acc) - 1), "
+        "     array(struct(element_at(acc, -1).s AS s, "
+        "                  element_at(acc, -1).l + 1 AS l))) "
+        "ELSE concat(acc, array(struct(p AS s, 1 AS l))) END), "
+        "r -> r.l >= 2)"
     )
-    w = Window.partitionBy("id_a", "id_b").orderBy("pos_a")
     return (
-        m.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
-        .groupBy("id_a", "id_b", "delta", "grp")
-        .agg(F.min("pos_a").alias("start_a"),
-             F.count("*").alias("n_grams"))
-        .where(F.col("n_grams") >= 2)
+        j.withColumn("__matched", matched)
+        .withColumn("__runs", runs)
+        .select("id_a", "id_b", "delta", F.explode("__runs").alias("r"))
         .select(
-            "id_a", "id_b", "start_a",
-            (F.col("start_a") - F.col("delta")).alias("start_b"),
-            (F.col("n_grams") + 2).alias("len_tokens"),
+            "id_a", "id_b",
+            F.col("r.s").alias("start_a"),
+            (F.col("r.s") - F.col("delta")).alias("start_b"),
+            (F.col("r.l").cast("bigint") + 2).alias("len_tokens"),
             F.col("delta").alias("align_delta"),
         )
     )
