@@ -648,7 +648,15 @@ def _ppjoin_candidates(df, text_col, id_col, n, threshold):
         spread_partitions(df, id_col)
         .select(F.col(id_col).alias("id"),
                 F.explode(_shingles(text_col, n)).alias("g"))
-        .select("id", F.md5(F.col("g").cast("binary")).alias("sh"))
+        # 16-byte binary digest, not the 32-char hex string (r11
+        # optimization, guide §2.3 "narrower types"): unhex is injective
+        # and BinaryType compares unsigned-lexicographically, which for
+        # fixed-width hex is the SAME order as the hex string ('0'-'9' <
+        # 'a'-'f' is nibble-monotone in ASCII) — so the (df, sh) rarity
+        # order, every equi-join, and all distinct counts are unchanged
+        # while the df window, prefix join, and verify explode shuffle
+        # half the key bytes. Outputs carry only ids/counts, never sh.
+        .select("id", F.unhex(F.md5(F.col("g").cast("binary"))).alias("sh"))
     )
     wdf = Window.partitionBy("sh")
     docs = (
