@@ -3572,17 +3572,27 @@ def q_doc_curation(spark, sf_dir):
     ]
     shingles = _shingles("text", 3)
     if bench_sh:
+        # the bench set rides as a 1-row broadcast ARRAY COLUMN, not an
+        # F.lit(list): the latter plans as a CreateArray of |bench|
+        # literal children re-built per row (measured 6 s on the
+        # standalone contamination query; the column form was 1.4 s)
+        bs = spark.createDataFrame([(bench_sh,)], "__bs array<string>")
         cont_ratio = F.round(
-            F.size(F.array_intersect(shingles, F.lit(bench_sh)))
+            F.size(F.array_intersect(shingles, F.col("__bs")))
             / F.size(shingles), 6,
         )
     else:  # empty eval suite: nothing can be contaminated
+        bs = None
         cont_ratio = F.lit(0.0)
+    base = quality_score(spread_partitions(corpus, "doc_id"))
+    if bs is not None:
+        base = base.crossJoin(F.broadcast(bs))
     base = (
-        quality_score(spread_partitions(corpus, "doc_id"))
+        base
         .withColumn("dup_frac", dup_frac)
         .withColumn("digest", F.md5("text"))
         .withColumn("__cont", cont_ratio >= 0.1)
+        .drop("__bs")
     )
     s2 = (F.col("quality") >= 0.5) & (F.col("dup_frac") <= 0.2)
     canon = F.min(F.when(s2, F.col("doc_id"))).over(
