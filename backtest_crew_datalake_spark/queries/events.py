@@ -2272,9 +2272,24 @@ def q_evt_hll_rollup(spark, sf_dir):
     scaled integers (every 2^-rho term is a multiple of 2^-27), so the
     value hash is summation-order-proof. (pipeline/sketch.hll_merge is
     the same union+MAX in library form; q_evt_hll_distinct gates the
-    single-level build.)"""
-    from pyspark import StorageLevel
+    single-level build.)
 
+    Plan shape (r11 optimization, guide §2.4): above the finest-grain
+    day_regs aggregation everything is sketch-state-scale, so BOTH merge
+    hops + both width counts collapse into ONE GROUPING SETS pass over
+    day_regs — (type,reg) rows are the per-type registers, (reg) rows are
+    the global merge (max is associative: max over day sketches == max
+    over type sketches), and the merge WIDTHS are plain row counts of two
+    marker sets ((type,day) rows per type == distinct days; (type) rows
+    == distinct types) so the pass carries NO distinct aggregate at all.
+    The 64-register zero-fill
+    grid is gone algebraically: an absent register contributes exactly
+    2^0 = 1.0 to the register sum and 1 to v_zero, so
+    s_scaled = round((Σ 2^-rho + (64 − n_present)) · 2^27) — every term
+    is a multiple of 2^-27, the sum is exact in double, no join needed.
+    The exact tier is one rollup(event_type) countDistinct pass instead
+    of a persisted distinct-pair table with two consumers. Net: 30 jobs /
+    3 persists → 1 grouping-sets chain + 1 rollup chain, no persists."""
     evt = load(spark, sf_dir, "events")
     # hash the DIMENSION, not the fact: hv is a pure function of user_id
     # (|users| rows), so md5 runs once per user and joins back — the fact
@@ -2302,67 +2317,77 @@ def q_evt_hll_rollup(spark, sf_dir):
         F.floor(F.unix_millis("ts") / 86400000).alias("day"),
         "user_id",
     )
-    # multi-consumer rule (docs/scale.md rule 14's storage corollary):
-    # day_regs feeds type_regs AND type_width, type_regs feeds all_regs,
-    # lv, and widths — without the persists the full-fact pipeline
-    # re-runs per consumer (measured 4.23x DuckDB at the 50x corpus)
     day_regs = (
         h.join(uhash, "user_id")
         .groupBy("event_type", "day", "reg")
         .agg(F.max("rho").alias("rho"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    type_regs = day_regs.groupBy("event_type", "reg").agg(
-        F.max("rho").alias("rho")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    type_width = day_regs.groupBy("event_type").agg(
-        F.countDistinct("day").alias("n_sketches_merged")
-    )
-    all_regs = type_regs.groupBy("reg").agg(F.max("rho").alias("rho")) \
-        .select(F.lit("__all__").alias("event_type"), "reg", "rho")
-    widths = type_width.unionByName(
-        type_regs.agg(
-            F.countDistinct("event_type").alias("n_sketches_merged")
-        ).select(
-            F.lit("__all__").alias("event_type"), "n_sketches_merged"
+    # grouping_id bits over (event_type, reg, day) — et=4, reg=2, day=1:
+    # gid=1 (et,reg) per-type register rows; gid=2 (et,day) day-marker
+    # rows (their COUNT per type == countDistinct(day)); gid=5 (reg)
+    # global register rows; gid=3 (et) type-marker rows (their COUNT ==
+    # countDistinct(event_type)). No distinct aggregate anywhere — the
+    # widths fall out as plain row counts of their marker sets.
+    gs = (
+        day_regs.groupingSets(
+            [["event_type", "reg"], ["event_type", "day"], ["reg"],
+             ["event_type"]],
+            "event_type", "reg", "day",
+        )
+        .agg(
+            F.max("rho").alias("rho"),
+            F.grouping_id("event_type", "reg", "day").alias("gid"),
         )
     )
-    lv = type_regs.unionByName(all_regs)
-    grid = widths.select("event_type").crossJoin(
-        spark.range(64).select(F.col("id").alias("reg"))
-    )
-    regs = grid.join(lv, ["event_type", "reg"], "left").select(
-        "event_type", F.coalesce("rho", F.lit(0)).alias("rho")
-    )
-    agg = regs.groupBy("event_type").agg(
-        F.round(F.sum(F.pow(F.lit(2.0), -F.col("rho"))) * 134217728)
-        .cast("bigint").alias("s_scaled"),
-        F.sum((F.col("rho") == 0).cast("long")).alias("v_zero"),
+    is_reg = F.col("gid").isin(1, 5)
+    n_present = F.count(F.when(is_reg, F.lit(1)))
+    per_type = (
+        gs.groupBy(
+            F.when(F.col("gid").isin(5, 3), F.lit("__all__"))
+            .otherwise(F.col("event_type")).alias("event_type")
+        )
+        .agg(
+            F.round(
+                (F.coalesce(
+                    F.sum(F.when(is_reg, F.pow(F.lit(2.0), -F.col("rho")))),
+                    F.lit(0.0),
+                ) + (F.lit(64) - n_present)) * 134217728
+            ).cast("bigint").alias("s_scaled"),
+            (
+                F.lit(64) - n_present
+                + F.coalesce(
+                    F.sum(F.when(is_reg,
+                                 (F.col("rho") == 0).cast("long"))),
+                    F.lit(0).cast("long"),
+                )
+            ).cast("bigint").alias("v_zero"),
+            F.count(F.when(F.col("gid").isin(2, 3), F.lit(1)))
+            .alias("n_sketches_merged"),
+        )
     )
     raw = F.lit(0.709 * 4096) / (F.col("s_scaled") / F.lit(134217728.0))
     est = F.when(
         (raw <= 160.0) & (F.col("v_zero") > 0),
         F.lit(64.0) * F.log(F.lit(64.0) / F.col("v_zero")),
     ).otherwise(raw)
-    # one fact scan feeds BOTH exact tiers: distinct (type, user) pairs
-    # are |types|x|users|-bounded, so the global re-distinct is metadata-
-    # scale instead of a second 5M-row countDistinct pass
-    du = evt.select("event_type", "user_id").distinct() \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    exact = du.groupBy("event_type").agg(
-        F.count("*").alias("n_exact")
-    ).unionByName(
-        du.select("user_id").distinct()
-        .agg(F.count("*").alias("n_exact"))
-        .select(F.lit("__all__").alias("event_type"), "n_exact")
-    )
-    return (
-        agg.join(F.broadcast(widths), "event_type")
-        .join(F.broadcast(exact), "event_type")
-        .select(
-            "event_type", "n_sketches_merged", "s_scaled", "v_zero",
-            F.round(est, 2).alias("hll_estimate"), "n_exact",
+    # exact tiers in ONE rollup pass: per-type countDistinct(user) rows
+    # + the grand-total row (grouping flag = 1) as '__all__'
+    exact = (
+        evt.select("event_type", "user_id")
+        .rollup("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.grouping("event_type").alias("__g"),
         )
+        .select(
+            F.when(F.col("__g") == 1, F.lit("__all__"))
+            .otherwise(F.col("event_type")).alias("event_type"),
+            "n_exact",
+        )
+    )
+    return per_type.join(F.broadcast(exact), "event_type").select(
+        "event_type", "n_sketches_merged", "s_scaled", "v_zero",
+        F.round(est, 2).alias("hll_estimate"), "n_exact",
     )
 
 

@@ -738,3 +738,16 @@ def test_stats_trio_single_corpus_pass(spark):
         p = _plan(spark, name)
         assert p.count("FileScan parquet") == scans, name
         assert "CartesianProduct" not in p, name
+
+
+def test_hll_rollup_grouping_sets_no_persist_no_grid(spark):
+    p = _plan(spark, "q_evt_hll_rollup")
+    # r11: both merge hops + widths ride ONE grouping-sets pass (Expand)
+    # over the finest-grain sketch rows; the 64-register zero-fill grid
+    # is algebraic (no crossJoin/range join-back) and nothing persists
+    assert "InMemoryRelation" not in p
+    assert "Expand" in p
+    assert "CartesianProduct" not in p
+    assert "Exchange rangepartitioning" not in p
+    # events is scanned once per tier (sketch + exact), never more
+    assert p.count("FileScan parquet") <= 3
