@@ -1917,15 +1917,20 @@ def q_emb_ivf_probe_sweep(spark, sf_dir):
     Scale shape: the exact-truth scan is cosine_topk's (bounded query
     side broadcast, corpus streams). The swept side is computed ONCE at
     the LARGEST budget: corpus assignment + the nprobe=4 candidate join
-    land in one pinned candidate table carrying each pair's 1-based
-    probe rank (kmeans_assign rank_col), and every smaller budget is a
-    filter over it — candidates(nprobe=j) is exactly probe_rank <= j by
-    the same (d2, cid) total order ivf_topk ranks probes with, so each
-    config's top-5 is value-identical to an independent ivf_topk run
-    (the r9-profiled version re-assigned the corpus per config: 26 jobs
-    of which two whole passes were duplicates). At 100 TB the corpus
-    assignment materializes once next to the vectors and only the probe
-    joins vary."""
+    land in one candidate table carrying each pair's 1-based probe rank
+    (kmeans_assign rank_col) — candidates(nprobe=j) is exactly
+    probe_rank <= j by the same (d2, cid) total order ivf_topk ranks
+    probes with. r11 (guide §2.4): the three per-config branches (each a
+    window + semi-join + count + broadcast-nq cross) collapsed into ONE
+    window pass — rank-within-config-j is the conditional RUNNING COUNT
+    of probe_rank<=j rows over the shared (sim desc, neighbor_id) order,
+    identical to row_number over the filtered subset because filtering
+    preserves relative order — one broadcast hit-flag join against the
+    bounded exact top-5, ONE global aggregation producing all three hit
+    counts, and a stack() to rows. 21 jobs / 2 localCheckpoints -> one
+    linear chain, no checkpoints. At 100 TB the corpus assignment
+    materializes once next to the vectors and only the probe joins
+    vary."""
     from pyspark.sql import Window
 
     from ..pipeline.similarity import (
@@ -1939,7 +1944,6 @@ def q_emb_ivf_probe_sweep(spark, sf_dir):
     corpus = emb.where(F.col("vec_id") >= 16)
     qs = emb.where((F.col("vec_id") >= 16) & (F.col("vec_id") < 26))
     exact = cosine_topk(qs, corpus, k=5).select("query_id", "neighbor_id")
-    exact = exact.localCheckpoint()
     nq = qs.agg(F.count("*").alias("n_queries"))
 
     lists = kmeans_assign(
@@ -1962,34 +1966,51 @@ def q_emb_ivf_probe_sweep(spark, sf_dir):
     # list) with the probe rank of its list — the shared candidate table
     cand = probes.join(lists, "__cid").select(
         "query_id", "neighbor_id", sim.alias("__sim"), "probe_rank"
-    ).localCheckpoint(eager=False)
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("__sim").desc(), F.col("neighbor_id").asc()
     )
-    out = None
-    for np_ in (1, 2, 4):
-        ivf = (
-            cand.where(F.col("probe_rank") <= np_)
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= 5)
-            .select("query_id", "neighbor_id")
+
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("__sim").desc(), F.col("neighbor_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rk = {
+        j: F.sum((F.col("probe_rank") <= j).cast("int")).over(w)
+        for j in (1, 2, 4)
+    }
+    ranked = cand.select(
+        "query_id", "neighbor_id", "probe_rank",
+        *[rk[j].alias(f"__r{j}") for j in (1, 2, 4)],
+    )
+    hit = ranked.join(
+        F.broadcast(exact.withColumn("__hit", F.lit(1))),
+        ["query_id", "neighbor_id"], "left",
+    )
+    counts = hit.agg(*[
+        F.coalesce(
+            F.sum(F.when(
+                (F.col("__hit") == 1)
+                & (F.col("probe_rank") <= j)
+                & (F.col(f"__r{j}") <= 5), F.lit(1),
+            )), F.lit(0),
+        ).cast("bigint").alias(f"__h{j}")
+        for j in (1, 2, 4)
+    ])
+    return (
+        F.broadcast(nq).crossJoin(counts)
+        .select(
+            "n_queries",
+            F.expr("stack(3, 1, __h1, 2, __h2, 4, __h4)")
+            .alias("nprobe", "n_hits"),
         )
-        hits = ivf.join(exact, ["query_id", "neighbor_id"], "left_semi")
-        row = (
-            F.broadcast(nq)
-            .crossJoin(hits.agg(F.count("*").alias("n_hits")))
-            .select(
-                F.lit(np_).cast("int").alias("nprobe"),
-                "n_queries", "n_hits",
-                F.round(
-                    F.col("n_hits").cast("double")
-                    / (F.lit(5) * F.col("n_queries")), 4,
-                ).alias("recall5"),
-            )
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            "n_queries", "n_hits",
+            F.round(
+                F.col("n_hits").cast("double")
+                / (F.lit(5) * F.col("n_queries")), 4,
+            ).alias("recall5"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
 
 
 @register(

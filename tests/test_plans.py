@@ -504,14 +504,14 @@ def test_minhash_tuning_banded_joins_never_broadcast(spark):
 
 
 def test_ivf_probe_sweep_keyed_candidate_joins(spark):
-    # since the round-10 single-candidate-pass rewrite the keyed __cid
-    # join runs ONCE inside the pinned candidate subtree; the outer plan
-    # must show (a) no cartesian anywhere, (b) all three probe configs
-    # reading the SAME pinned candidate table (checkpoint scan reused,
-    # not three re-joins), each under its probe_rank filter
+    # r11 single-window fold: the keyed __cid join runs ONCE, all three
+    # probe budgets are conditional running counts over ONE window pass
+    # (no per-config branches, no localCheckpoint materializations), and
+    # the three hit counts come out of one aggregate + stack
     p = _plan(spark, "q_emb_ivf_probe_sweep")
     assert "CartesianProduct" not in p
-    assert p.count("Scan ExistingRDD") >= 3          # shared cand reuse
+    assert "Scan ExistingRDD" not in p               # no checkpoints
+    assert p.count("Window [") == 2                  # exact top-5 + sweep
     assert p.count("probe_rank") >= 3                # budget-filter carve
     # ... and the candidate subtree itself is a keyed equi-join on the
     # centroid id with the corpus never fanned out (gate the inner plan
