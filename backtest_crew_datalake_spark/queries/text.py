@@ -4765,8 +4765,16 @@ def q_doc_rrf_fusion(spark, sf_dir):
         .cast("bigint"),
         F.lit(0).cast("bigint"),
     )
+    # union + max-agg instead of a full-outer join: the two 25-row rank
+    # lists merge in ONE tiny keyed exchange, no sort-merge machinery
+    z = F.lit(None).cast("bigint")
     fused = (
-        lex.join(dense, "doc_id", "full_outer")
+        lex.select("doc_id", "lex_rank", z.alias("dense_rank"))
+        .unionByName(dense.select("doc_id", z.alias("lex_rank"),
+                                  "dense_rank"))
+        .groupBy("doc_id")
+        .agg(F.max("lex_rank").alias("lex_rank"),
+             F.max("dense_rank").alias("dense_rank"))
         .select(
             "doc_id", "lex_rank", "dense_rank",
             (rr("lex_rank") + rr("dense_rank")).alias("rrf_s8"),
