@@ -4164,9 +4164,11 @@ def q_doc_doremi_weights(spark, sf_dir):
 
     Scale shape: one token explode -> keyed vocab count -> token join
     (AQE-managed, vocab never force-broadcast) -> per-source agg; the
-    iteration then runs on the |sources|-row table (three bounded 1-row
-    aggregates broadcast back). At 100 TB only the first two passes touch
-    the corpus."""
+    iteration then runs on the |sources|-row table as one chained
+    single-partition window pass (bounded domain). At 100 TB only the
+    first two passes touch the corpus."""
+    from pyspark.sql import Window
+
     docs = load(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", "source",
@@ -4194,28 +4196,31 @@ def q_doc_doremi_weights(spark, sf_dir):
         "source", "n_docs", "n_tokens", mean_nll.alias("mean_nll"),
         F.round(mean_nll * 1000000, 0).cast("long").alias("__m6"),
     )
-    # the per-source table is BOUNDED (|sources| rows) but feeds five
-    # downstream consumers (g, e, s1, a1, s2) — without materialization
-    # each one re-plans the whole corpus subtree (measured: 24 FileScans,
-    # 80 aggregates in the executed plan). One localCheckpoint makes every
-    # round a trivial recompute over |sources| rows.
-    m = m.localCheckpoint()
-    g = m.agg(F.count("*").alias("__ng"), F.sum("__m6").alias("__sm"))
+    # the per-source table is BOUNDED (|sources| rows); r11: the three
+    # 1-row aggregates (g, s1, s2) that each forced a broadcast-build job
+    # (and a localCheckpoint to stop consumer re-planning) are chained
+    # SINGLE-PARTITION WINDOW aggregates instead — the update algebra
+    # becomes one linear Project/Window chain over ONE exchange of
+    # |sources| rows, and every windowed sum is an integer/decimal sum
+    # (order-immune), so the values are bit-identical to the
+    # aggregate-and-broadcast form. Bounded-domain single partition per
+    # scale.md rule 4 (|sources| is an enum, not corpus-scaled).
+    wall = Window.partitionBy()
+    m = m.select(
+        "*",
+        F.count(F.lit(1)).over(wall).alias("__ng"),
+        F.sum("__m6").over(wall).alias("__sm"),
+    )
     excess = (
         (F.col("__m6") * F.col("__ng") - F.col("__sm"))
         / (F.col("__ng") * F.lit(1000000.0))
     )
-    e = (
-        m.crossJoin(F.broadcast(g))
-        .withColumn(
-            "__e8",
-            F.round(F.exp(F.round(excess, 6)) * 100000000, 0).cast("long"),
-        )
-    )
-    s1 = e.agg(F.sum("__e8").alias("__t1"))
+    e = m.withColumn(
+        "__e8",
+        F.round(F.exp(F.round(excess, 6)) * 100000000, 0).cast("long"),
+    ).withColumn("__t1", F.sum("__e8").over(wall))
     a1 = (
-        e.crossJoin(F.broadcast(s1))
-        .withColumn(
+        e.withColumn(
             "__a18",
             F.round(
                 (F.lit(0.99) * (F.col("__e8") / F.col("__t1").cast("double"))
@@ -4231,20 +4236,17 @@ def q_doc_doremi_weights(spark, sf_dir):
             "__w28",
             F.col("__a18").cast("decimal(38,0)") * F.col("__e8"),
         )
+        .withColumn("__t2", F.sum("__w28").over(wall))
     )
-    s2 = a1.agg(F.sum("__w28").alias("__t2"))
-    return (
-        a1.crossJoin(F.broadcast(s2))
-        .select(
-            "source", "n_docs", "n_tokens", "mean_nll",
-            (F.col("__a18") / F.lit(100000000.0)).alias("alpha1"),
-            F.round(
-                F.lit(0.99)
-                * (F.col("__w28").cast("double")
-                   / F.col("__t2").cast("double"))
-                + F.lit(0.01) / F.col("__ng"), 8
-            ).alias("alpha2"),
-        )
+    return a1.select(
+        "source", "n_docs", "n_tokens", "mean_nll",
+        (F.col("__a18") / F.lit(100000000.0)).alias("alpha1"),
+        F.round(
+            F.lit(0.99)
+            * (F.col("__w28").cast("double")
+               / F.col("__t2").cast("double"))
+            + F.lit(0.01) / F.col("__ng"), 8
+        ).alias("alpha2"),
     )
 
 

@@ -486,11 +486,14 @@ def test_bq_topk_broadcasts_queries_corpus_streams(spark):
 def test_doremi_iteration_stays_bounded(spark):
     p = _plan(spark, "q_doc_doremi_weights")
     # the corpus is touched by the token explode + vocab join only; the
-    # multiplicative-weight rounds run on the |sources|-row table with
-    # forced 1-row broadcasts (BNLJ) — no cartesian, no corpus rescan
-    # beyond the two token passes
+    # multiplicative-weight rounds run on the |sources|-row table as one
+    # chained single-partition window pass — no cartesian, no corpus
+    # rescan beyond the two token passes, and no checkpoint
+    # materialization (r11: the g/s1/s2 1-row broadcast-back aggregates
+    # and the localCheckpoint they required are gone)
     assert "CartesianProduct" not in p
     assert p.count("FileScan parquet") <= 3
+    assert "Scan ExistingRDD" not in p
 
 
 def test_minhash_tuning_banded_joins_never_broadcast(spark):
