@@ -548,13 +548,19 @@ def pagerank(
 
     r_{t+1}(v) = (1-d)/N + d · Σ_{u∈nbr(v)} r_t(u)/deg(u), r_0 = 1/N over
     the N nodes that appear in any edge. Every step is a keyed join +
-    keyed agg on node id (same discipline as connected_components: one
-    localCheckpoint per round keeps lineage flat; no driver-side state,
-    no collect). Output: (id, pr) with pr rounded to ``round_to``.
+    keyed agg on node id. r11 (guide §1.2/§2.4): the rounds ride ONE
+    action — the lineage is LINEAR (each round's state is consumed
+    exactly once, by the next round), so the per-round localCheckpoints
+    bought no recompute protection and cost a materialization job + AQE
+    re-plan each (50 jobs / 118 stages → 27 / 75 at the bench edge set);
+    and the state table carries ``deg`` so the per-round ranks⋈deg
+    share join is gone (the deg⋈contrib completeness join re-attaches
+    it for free). No driver-side state, no collect. Output: (id, pr)
+    with pr rounded to ``round_to``.
     """
     # checkpoint the DIRECTED edge list first: symmetrization reads it
-    # twice, and an expensive upstream (e.g. the minhash band join) must
-    # materialize once, not once per direction
+    # twice per round, and an expensive upstream (e.g. the minhash band
+    # join) must materialize once, not once per direction per round
     e0 = edges.select(
         F.col(a_col).alias("a"), F.col(b_col).alias("b")
     ).localCheckpoint(eager=False)
@@ -569,11 +575,11 @@ def pagerank(
         return deg.select(F.col("src").alias("id"),
                           F.lit(0.0).alias("pr"))
     base = (1.0 - damping) / n_nodes
-    ranks = deg.select("src", F.lit(1.0 / n_nodes).alias("pr"))
+    ranks = deg.select("src", "deg", F.lit(1.0 / n_nodes).alias("pr"))
     for _ in range(iters):
         contrib = (
             sym.join(
-                ranks.join(deg, "src").select(
+                ranks.select(
                     "src", (F.col("pr") / F.col("deg")).alias("__share")
                 ),
                 "src",
@@ -582,15 +588,13 @@ def pagerank(
             .agg(F.sum("__share").alias("__in"))
         )
         ranks = (
-            deg.select("src")
-            .join(contrib, "src", "left")
+            deg.join(contrib, "src", "left")
             .select(
-                "src",
+                "src", "deg",
                 (F.lit(base)
                  + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
                  ).alias("pr"),
             )
-            .localCheckpoint(eager=False)
         )
     return ranks.select(F.col("src").alias("id"),
                         F.round("pr", round_to).alias("pr"))
