@@ -386,17 +386,73 @@ def ivf_pq_topk(
     # its private checkpoint/seed job (ours are shared)
     cids = [sid for sid, _ in seeds[:nlist]]
     C = np.array([v for _, v in seeds[:nlist]], dtype=np.float64)
-    for _ in range(iters):
-        assigned = emb.withColumn(
-            "centroid_id",
-            _assign_kernel_udf(C, cids, id_type)(F.col(vec_col)),
+    if not residual:
+        # r11 (guide §1.2): in non-residual mode the PQ codebooks train on
+        # RAW subvectors, so the coarse and PQ Lloyd chains are fully
+        # independent — round r of each needs only round r-1 of ITSELF.
+        # Fuse them: ONE kernel pass / job per round computes both
+        # assignments (two pandas UDFs in one projection share the
+        # ArrowEvalPython batch, the vector ships to Python once) and ONE
+        # keyed-means exchange carries both mean families, discriminated
+        # by sub_id (-1 = coarse, 0..m-1 = PQ) with the cell id cast to
+        # string. Value-exact: every (key, pos) group aggregates exactly
+        # the addend multiset the two separate jobs aggregated, over the
+        # same checkpointed input partitions.
+        pq_seed = seeds[:ksub]
+        ks = len(pq_seed)
+        Cpq = (
+            np.array([v for _, v in pq_seed], dtype=np.float64)
+            .reshape(ks, m, d).transpose(1, 0, 2).copy()
         )
-        # ≤ nlist×dim rows, bounded; one exchange
-        got = collect_lloyd_means(assigned, ["centroid_id"], vec_col)
-        C = np.array(
-            [got.get(cid, C[i]) for i, cid in enumerate(cids)],
-            dtype=np.float64,
-        )
+        for _ in range(iters):
+            both = emb.select(
+                _assign_kernel_udf(C, cids, id_type)(F.col(vec_col))
+                .alias("__cid"),
+                _codes_udf(Cpq, m, d)(F.col(vec_col)).alias("__codes"),
+                F.col(vec_col).alias("__v"),
+            )
+            rows = both.select(
+                F.explode(F.array(
+                    F.struct(
+                        F.lit(-1).alias("sub_id"),
+                        F.col("__cid").cast("string").alias("code"),
+                        F.col("__v").alias("sub"),
+                    ),
+                    *[
+                        F.struct(
+                            F.lit(j).alias("sub_id"),
+                            F.element_at("__codes", j + 1).cast("string")
+                            .alias("code"),
+                            F.slice("__v", j * d + 1, d).alias("sub"),
+                        )
+                        for j in range(m)
+                    ],
+                )).alias("a")
+            ).select("a.sub_id", "a.code", "a.sub")
+            # ≤ (nlist + m·ksub)×dim rows, bounded; one exchange
+            got = collect_lloyd_means(rows, ["sub_id", "code"], "sub")
+            C = np.array(
+                [got.get((-1, str(cid)), C[i])
+                 for i, cid in enumerate(cids)],
+                dtype=np.float64,
+            )
+            Cpq = np.array(
+                [[got.get((j, str(i)), Cpq[j, i]) for i in range(ks)]
+                 for j in range(m)],
+                dtype=np.float64,
+            )
+    else:
+        for _ in range(iters):
+            assigned = emb.withColumn(
+                "centroid_id",
+                _assign_kernel_udf(C, cids, id_type)(F.col(vec_col)),
+            )
+            # ≤ nlist×dim rows, bounded; one exchange
+            got = collect_lloyd_means(assigned, ["centroid_id"], vec_col)
+            C = np.array(
+                [got.get(cid, C[i]) for i, cid in enumerate(cids)],
+                dtype=np.float64,
+            )
     cent = spark.createDataFrame(
         [(cid, [float(x) for x in C[i]]) for i, cid in enumerate(cids)],
         f"centroid_id {id_type}, {vec_col} array<double>",
@@ -435,12 +491,13 @@ def ivf_pq_topk(
                 diff = x[i] - C[:, i]
                 acc += diff * diff
             pq_init.append((sid, list(x - C[int(np.argmin(acc))])))
+        # residual PQ depends on the FINAL coarse centroids, so its
+        # training stays sequential
+        Cpq = _train_codebooks_np(enc_corpus, m, ksub, iters, dim,
+                                  id_col, vec_col, init_rows=pq_init)
     else:
         enc_corpus = listed.select(F.col(id_col), "list_id", vec_col)
-        pq_init = seeds[:ksub]
-
-    Cpq = _train_codebooks_np(enc_corpus, m, ksub, iters, dim,
-                              id_col, vec_col, init_rows=pq_init)
+        # Cpq already trained in the fused loop above
     cb = _codebook_df(spark, Cpq)
     # encode straight from the trained ndarray — no codebook collect job
     codes = enc_corpus.select(
