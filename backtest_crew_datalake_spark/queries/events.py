@@ -975,7 +975,18 @@ def q_evt_cms_user_counts(spark, sf_dir):
     — value-checks the whole build→probe→min pipeline against DuckDB, and
     the result rows themselves exhibit the CMS ≥-true-count guarantee.
     (pipeline/sketch.py keeps xxhash64 as the JVM-fast production family;
-    structure is identical.)"""
+    structure is identical.)
+
+    Shape: the cell address depends only on user_id, so BOTH the sketch
+    counters and the probes derive from the per-user exact aggregate —
+    counter(d, cell) = Σ true_count over users addressing it. ONE fact
+    scan + one user-keyed exchange; the 4 md5 digests are computed per
+    USER (twice: build + probe) instead of per event row, the sketch-side
+    exchange is |users|·4 → 1024 cells (map-side combinable), and AQE
+    reuses the user-level exchange for both consumers. The probe
+    re-aggregation keys on (user_id, true_count) — same groups as
+    user_id alone since true_count is functionally dependent — so no
+    join-back is needed to re-attach the exact count."""
     evt = load(spark, sf_dir, "events")
     key = F.col("user_id").cast("string")
 
@@ -993,23 +1004,22 @@ def q_evt_cms_user_counts(spark, sf_dir):
         F.struct(F.lit(d).cast("long").alias("d"), cell(d).alias("cell"))
         for d in range(4)
     ])
-    cells = (
-        evt.select(F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.d").alias("d"), F.col("p.cell").alias("cell"))
-        .agg(F.count("*").alias("n"))
-    )
-    probes = (
-        evt.select("user_id").distinct()
-        .select("user_id", F.explode(pairs).alias("p"))
-        .select("user_id", F.col("p.d").alias("d"), F.col("p.cell").alias("cell"))
-    )
-    est = (
-        probes.join(F.broadcast(cells), ["d", "cell"], "left")
-        .groupBy("user_id")
-        .agg(F.min(F.coalesce("n", F.lit(0))).alias("est_count"))
-    )
     exact = evt.groupBy("user_id").agg(F.count("*").alias("true_count"))
-    return est.join(exact, "user_id")
+    cells = (
+        exact.select("true_count", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.d").alias("d"), F.col("p.cell").alias("cell"))
+        .agg(F.sum("true_count").alias("n"))
+    )
+    probes = exact.select(
+        "user_id", "true_count", F.explode(pairs).alias("p")
+    ).select("user_id", "true_count",
+             F.col("p.d").alias("d"), F.col("p.cell").alias("cell"))
+    return (
+        probes.join(F.broadcast(cells), ["d", "cell"], "left")
+        .groupBy("user_id", "true_count")
+        .agg(F.min(F.coalesce("n", F.lit(0))).alias("est_count"))
+        .select("user_id", "est_count", "true_count")
+    )
 
 
 @register(
@@ -1390,16 +1400,20 @@ def q_evt_hll_distinct(spark, sf_dir):
     build → merge-grid → estimate pipeline value-checked against DuckDB.
     (pipeline/sketch.hll_build keeps xxhash64 as the JVM-fast family;
     structure identical.) Sketch state is 64 rows per group at ANY
-    cardinality — the 100 TB cardinality-estimation shape."""
-    from pyspark import StorageLevel
+    cardinality — the 100 TB cardinality-estimation shape.
 
+    Shape: ONE linear chain — fact scan → distinct exchange →
+    (event_type, reg) partial-agg exchange → per-type aggregate. distinct
+    BEFORE hashing (md5(key) is the same for every duplicate, so max over
+    the distinct set == max over the multiset; measured 3.50x -> the
+    dossier row at the 50x corpus); the per-reg pass carries a row count
+    so the exact distinct count is the per-reg counts summed — no second
+    pass over the distinct set, no join-back, no persist. The 64-register
+    zero-fill grid is eliminated algebraically (the hll_rollup recipe):
+    an absent register contributes exactly 1.0 to the 2^-rho sum and 1 to
+    v_zero, and every 2^-rho term is a multiple of 2^-27 so the double
+    sum stays exact after adding (64 - n_touched)."""
     evt = load(spark, sf_dir, "events")
-    # distinct BEFORE hashing, and persist the distinct set: md5(key) is
-    # the same for every duplicate of a key (max over the distinct set ==
-    # max over the multiset), and both the sketch and the exact count
-    # consume the same distinct pairs — one fact scan + one distinct
-    # shuffle instead of a per-row digest pass AND a countDistinct pass
-    # (measured 3.50x -> the dossier row at the 50x corpus)
     keyed = evt.select(
         "event_type",
         F.concat_ws(
@@ -1407,7 +1421,7 @@ def q_evt_hll_distinct(spark, sf_dir):
             F.col("user_id").cast("string"),
             F.date_format("ts", "yyyy-MM-dd"),
         ).alias("key"),
-    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    ).distinct()
     h = keyed.select(
         "event_type",
         F.conv(F.substring(F.md5(F.col("key").cast("binary")), 1, 8), 16, 10)
@@ -1420,34 +1434,25 @@ def q_evt_hll_distinct(spark, sf_dir):
             F.expr(_hll_rho_case("(hv div 64)", 26)).alias("rho"),
         )
         .groupBy("event_type", "reg")
-        .agg(F.max("rho").alias("rho"))
+        .agg(F.max("rho").alias("rho"), F.count("*").alias("n_keys"))
     )
-    grid = (
-        evt.select("event_type").distinct()
-        .crossJoin(spark.range(64).select(F.col("id").alias("reg")))
-    )
-    regs = grid.join(touched, ["event_type", "reg"], "left").select(
-        "event_type", F.coalesce("rho", F.lit(0)).alias("rho")
-    )
-    agg = regs.groupBy("event_type").agg(
-        F.round(F.sum(F.pow(F.lit(2.0), -F.col("rho"))) * 134217728)
-        .cast("bigint").alias("s_scaled"),
-        F.sum((F.col("rho") == 0).cast("long")).alias("v_zero"),
+    agg = touched.groupBy("event_type").agg(
+        F.round(
+            (F.sum(F.pow(F.lit(2.0), -F.col("rho")))
+             + (F.lit(64) - F.count("*")).cast("double")) * 134217728
+        ).cast("bigint").alias("s_scaled"),
+        (F.sum((F.col("rho") == 0).cast("long"))
+         + F.lit(64) - F.count("*")).alias("v_zero"),
+        F.sum("n_keys").alias("n_exact"),
     )
     raw = F.lit(0.709 * 4096) / (F.col("s_scaled") / F.lit(134217728.0))
     est = F.when(
         (raw <= 160.0) & (F.col("v_zero") > 0),
         F.lit(64.0) * F.log(F.lit(64.0) / F.col("v_zero")),
     ).otherwise(raw)
-    exact = keyed.groupBy("event_type").agg(
-        F.count("*").alias("n_exact")   # keyed is already distinct
-    )
-    return (
-        agg.join(exact, "event_type")
-        .select(
-            "event_type", "s_scaled", "v_zero",
-            F.round(est, 2).alias("hll_estimate"), "n_exact",
-        )
+    return agg.select(
+        "event_type", "s_scaled", "v_zero",
+        F.round(est, 2).alias("hll_estimate"), "n_exact",
     )
 
 
