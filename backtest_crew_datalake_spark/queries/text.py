@@ -3390,55 +3390,69 @@ def q_doc_gopher_rep(spark, sf_dir):
     bit-identically from integer counts; rounding is display-only).
     Extension surface (no reference analogue).
 
-    Shape: two explode -> per-(doc, gram) count -> per-doc rollup chains,
-    all map-side-combinable keyed HashAggregates joined on doc_id — the
-    wordcount shape that scales; spread first (single-row-group scans pin
-    the explode to one task, the q_doc_bigram_entropy lesson)."""
+    Shape (r11 optimization round, guide §2.4 — the shared_spans/curation
+    recipe): every statistic here is PER-DOC, so nothing needs to leave
+    the row. The old plan ran TWO scan + spread-exchange + explode +
+    (doc,gram) HashAggregate + per-doc rollup chains joined on doc_id;
+    now each doc's gram array is sorted in-row and a single run-length
+    fold yields max-count (bigrams) / repeated-occurrence count (5-grams)
+    — ONE scan, ONE spread exchange (scan fan-out only), zero Generate /
+    HashAggregate / join nodes, and n_bigrams = size(toks)-1 needs no
+    count at all. 0.74 s → 0.37 s warm at sf0.1 (bench-protocol
+    before/after in OPTIMIZATION_r11.md); values bit-identical (integer
+    counts either way). Spread stays: the per-row sort+fold is the CPU
+    cost and a single-row-group scan would pin it to one task."""
     from ..pipeline.dedup import spread_partitions
+
+    # run-length stats over the SORTED gram array: one fold emitting
+    # top = max run length (most frequent gram's count) and dup = sum of
+    # run lengths > 1 (occurrences of repeated grams)
+    def _run_stats(arr: str) -> str:
+        return (
+            "aggregate(array_sort(" + arr + "), "
+            "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, "
+            "'top', 0L, 'dup', 0L), "
+            "(a, g) -> IF(a.prev IS NULL OR g != a.prev, "
+            "named_struct('prev', g, 'run', 1L, "
+            "'top', greatest(a.top, a.run), "
+            "'dup', a.dup + IF(a.run > 1, a.run, 0L)), "
+            "named_struct('prev', g, 'run', a.run + 1L, 'top', a.top, "
+            "'dup', a.dup)), "
+            "a -> named_struct('top', greatest(a.top, a.run), "
+            "'dup', a.dup + IF(a.run > 1, a.run, 0L)))"
+        )
+
+    bg = ("transform(sequence(0, size(__toks) - 2), i -> concat_ws(' ', "
+          "element_at(__toks, i + 1), element_at(__toks, i + 2)))")
+    fg = ("transform(sequence(0, size(__toks) - 5), "
+          "i -> concat_ws(' ', slice(__toks, i + 1, 5)))")
 
     d = spread_partitions(load(spark, sf_dir, "documents"), "doc_id")
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    base = d.select("doc_id", toks.alias("__toks"))
-    bg = F.expr(
-        "transform(sequence(0, size(__toks) - 2), i -> concat_ws(' ', "
-        "element_at(__toks, i + 1), element_at(__toks, i + 2)))"
+    base = (
+        d.select("doc_id", toks.alias("__toks"))
+        .where(F.size("__toks") >= 2)
     )
-    b = (
-        base.where(F.size("__toks") >= 2)
-        .select("doc_id", F.explode(bg).alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bg"))
+    stat = base.select(
+        "doc_id",
+        (F.size("__toks") - 1).cast("bigint").alias("n_bg"),
+        (F.size("__toks") - 4).cast("bigint").alias("n_fg"),
+        F.expr(_run_stats(bg)).alias("__b"),
+        # docs under 5 tokens have no 5-gram row in the old left join;
+        # NULL here keeps dup_frac's coalesce-to-0 semantics identical
+        F.when(F.size("__toks") >= 5, F.expr(_run_stats(fg)))
+        .alias("__f"),
     )
-    fg = F.expr(
-        "transform(sequence(0, size(__toks) - 5), "
-        "i -> concat_ws(' ', slice(__toks, i + 1, 5)))"
-    )
-    f5 = (
-        base.where(F.size("__toks") >= 5)
-        .select("doc_id", F.explode(fg).alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
-            .alias("dup_c"),
-            F.sum("c").alias("n_fg"),
-        )
-    )
-    top_cov = F.col("top_c") / F.col("n_bg")
-    dup_frac = F.coalesce(F.col("dup_c") / F.col("n_fg"), F.lit(0.0))
-    return (
-        b.join(f5, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_bg").cast("bigint").alias("n_bigrams"),
-            F.round(top_cov, 6).alias("top_bigram_cov"),
-            F.round(dup_frac, 6).alias("dup_5gram_frac"),
-            ((top_cov > 0.18) | (dup_frac > 0.30)).cast("int")
-            .alias("flag_repetitive"),
-        )
+    top_cov = F.col("__b.top").cast("double") / F.col("n_bg")
+    dup_frac = F.coalesce(
+        F.col("__f.dup").cast("double") / F.col("n_fg"), F.lit(0.0))
+    return stat.select(
+        "doc_id",
+        F.col("n_bg").alias("n_bigrams"),
+        F.round(top_cov, 6).alias("top_bigram_cov"),
+        F.round(dup_frac, 6).alias("dup_5gram_frac"),
+        ((top_cov > 0.18) | (dup_frac > 0.30)).cast("int")
+        .alias("flag_repetitive"),
     )
 
 
