@@ -424,11 +424,14 @@ def _sigs_from_shingles(
     sh: DataFrame,
     id_alias: str,
     num_hashes: int = 16,
+    extra_keys: tuple = (),
 ) -> DataFrame:
     """Pivoted MinHash signature table (id, h0..h{num_hashes-1}) from an
     exploded shingle table — 16 min-md5 conditional aggs in ONE keyed
-    exchange (partial aggregation shrinks the shuffle map-side)."""
-    return sh.groupBy(id_alias).agg(*[
+    exchange (partial aggregation shrinks the shuffle map-side).
+    ``extra_keys`` ride in the grouping key (e.g. the new/old tag of the
+    fused incremental-dedup pass)."""
+    return sh.groupBy(id_alias, *extra_keys).agg(*[
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")).cast("binary")))
         .alias(f"h{i}")
         for i in range(num_hashes)
@@ -474,14 +477,15 @@ def _bands_from_sigs(
     id_alias: str,
     num_hashes: int = 16,
     bands: int = 8,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Banding stage alone, over an existing (id, h0..h{n-1}) signature
     table — lets a caller that also needs the raw signatures (the
     estimator-error query) compute them ONCE (checkpointed) instead of
-    once per consumer."""
+    once per consumer. ``extra_cols`` pass through unchanged."""
     rows_per_band = num_hashes // bands
     return mh.select(
-        id_alias,
+        id_alias, *extra_cols,
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).cast("long").alias("band"),
@@ -493,7 +497,7 @@ def _bands_from_sigs(
             )
             for b in range(bands)
         ])).alias("bb"),
-    ).select(id_alias, "bb.band", "bb.bucket")
+    ).select(id_alias, *extra_cols, "bb.band", "bb.bucket")
 
 
 def incremental_neardup_flags(
@@ -517,11 +521,37 @@ def incremental_neardup_flags(
     batch's band rows after filtering), so the per-batch cost is
     O(new × bands) signatures + one keyed join against the signature store
     — the new batch never rescans corpus text.
-    """
-    a = _portable_minhash_bands(
-        new_df, "new_id", id_col, text_col, n, num_hashes, bands)
-    b = _portable_minhash_bands(
-        corpus_df, "old_id", id_col, text_col, n, num_hashes, bands)
+
+    r11 (guide §2.4): the two sides used to run as two independent
+    shingle-explode → 16-way min-md5 → banding chains meeting in the
+    join. Banding is per-doc, so ONE tagged union now feeds one chain
+    keyed on (id, side) and the tiny banded table (docs × bands rows,
+    persisted for its two consumers) splits by the tag just before the
+    join — one signature exchange instead of two, one spread exchange,
+    and AQE sees both join inputs' real (post-filter) sizes. Ids may
+    overlap between sides (the tag stays in the aggregation key), so
+    semantics are unchanged; 1.0 s → 0.36 s warm at sf0.1."""
+    from pyspark import StorageLevel
+
+    tagged = (
+        new_df.select(F.col(id_col), F.col(text_col),
+                      F.lit(True).alias("__new"))
+        .unionByName(corpus_df.select(F.col(id_col), F.col(text_col),
+                                      F.lit(False).alias("__new")))
+    )
+    sh = spread_partitions(tagged, id_col).select(
+        F.col(id_col).alias("__id"), "__new",
+        F.explode(_shingles(text_col, n)).alias("sh"),
+    )
+    sigs = _sigs_from_shingles(sh, "__id", num_hashes,
+                               extra_keys=("__new",))
+    bands_df = _bands_from_sigs(sigs, "__id", num_hashes, bands,
+                                extra_cols=("__new",)) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    a = bands_df.where(F.col("__new")).select(
+        F.col("__id").alias("new_id"), "band", "bucket")
+    b = bands_df.where(~F.col("__new")).select(
+        F.col("__id").alias("old_id"), "band", "bucket")
     return (
         a.join(b, ["band", "bucket"])
         .groupBy(F.col("new_id").alias(id_col))

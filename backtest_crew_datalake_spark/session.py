@@ -49,6 +49,11 @@ def get_spark(
         # cluster deployments should override back up via the env.
         .config("spark.sql.files.maxPartitionBytes",
                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8388608"))
+        # Join strategy (guide §3.1): sort-merge is Spark's safe default;
+        # shuffled-hash skips both sorts when a per-partition build side
+        # fits. Parameterized for A/B and cluster override.
+        .config("spark.sql.join.preferSortMergeJoin",
+                os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.parquet.compression.codec", "zstd")
