@@ -77,7 +77,11 @@ def stateful_sessionize(
             })
 
     return (
-        stream_df.groupBy(user_col)
+        # only (user, ts) cross the Arrow boundary — the state fn reads
+        # nothing else, and Spark cannot prune columns through the opaque
+        # group function itself (guide §4.1)
+        stream_df.select(user_col, ts_col)
+        .groupBy(user_col)
         .applyInPandasWithState(
             fn,
             outputStructType=SESSION_SCHEMA,
@@ -159,7 +163,9 @@ def tws_sessionize(
     proc = type(
         "SessionProcessor", (_SessionProcessor, StatefulProcessor), {}
     )(timeout_seconds * 1_000_000, ts_col)
-    return stream_df.groupBy(user_col).transformWithStateInPandas(
+    # only (user, ts) cross the Arrow boundary (guide §4.1)
+    return stream_df.select(user_col, ts_col).groupBy(
+        user_col).transformWithStateInPandas(
         statefulProcessor=proc,
         outputStructType=SESSION_SCHEMA,
         outputMode="append",
@@ -328,9 +334,12 @@ def streaming_or_levels(
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in LEVELS_OUT_SCHEMA])
 
+    # only the columns the state fn reads cross the Arrow boundary
+    # (guide §4.1); the watermark column survives the projection
+    pruned = stream_df.select(symbol_col, ts_col, "high", "low", "close")
     src = (
-        stream_df.withWatermark(ts_col, emit_timeout_delay)
-        if timeout_mode else stream_df
+        pruned.withWatermark(ts_col, emit_timeout_delay)
+        if timeout_mode else pruned
     )
     return (
         src.groupBy(symbol_col)
@@ -418,7 +427,9 @@ def stateful_funnel(
             })
 
     return (
-        stream_df.groupBy(user_col)
+        # only (user, ts, type) cross the Arrow boundary (guide §4.1)
+        stream_df.select(user_col, ts_col, type_col)
+        .groupBy(user_col)
         .applyInPandasWithState(
             fn,
             outputStructType=FUNNEL_SCHEMA,
@@ -497,7 +508,9 @@ def stateful_retention(
             })
 
     return (
-        stream_df.groupBy(user_col)
+        # only (user, ts) cross the Arrow boundary (guide §4.1)
+        stream_df.select(user_col, ts_col)
+        .groupBy(user_col)
         .applyInPandasWithState(
             fn,
             outputStructType=RETENTION_SCHEMA,
