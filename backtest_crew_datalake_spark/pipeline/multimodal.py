@@ -628,7 +628,8 @@ def frame_sample_gif(df: DataFrame, every_n: int = 2) -> DataFrame:
                     "width": ws, "height": hs, "dhash": hashes,
                 })
 
-    return df.mapInPandas(_sample, schema=out_schema)
+    return df.select("media_id", "content").mapInPandas(
+        _sample, schema=out_schema)
 
 
 def decode_gif(content: bytes) -> dict:
@@ -690,7 +691,8 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                 "feature": [f["feature"] for f in feats],
             })
 
-    return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+    return df.select("media_id", "kind", "content").mapInPandas(
+        _extract, schema=FEATURE_SCHEMA)
 
 
 def with_size_bucket(df: DataFrame, n_buckets: int = 32) -> DataFrame:
@@ -745,7 +747,8 @@ def resize_stub(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame
                 "height": height,
             })
 
-    return df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+    return df.select("media_id", "kind", "content").mapInPandas(
+        _resize, schema=RESIZED_SCHEMA)
 
 
 AUDIO_WINDOW_SCHEMA = T.StructType([
@@ -783,7 +786,8 @@ def audio_window_features_stub(
                 "n_windows": totals, "feature": feats,
             })
 
-    return df.mapInPandas(_win, schema=AUDIO_WINDOW_SCHEMA)
+    return df.select("media_id", "content").mapInPandas(
+        _win, schema=AUDIO_WINDOW_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -878,7 +882,8 @@ def image_dhash(df: DataFrame) -> DataFrame:
                 "dhash": pd.array(hashes, dtype="Int64"),
             })
 
-    return df.mapInPandas(_hash, schema=schema)
+    return df.select("media_id", "kind", "content").mapInPandas(
+        _hash, schema=schema)
 
 
 def dhash_candidate_pairs(
@@ -1000,7 +1005,8 @@ def audio_frame_features(
                     "rate": rates, "feature": feats,
                 })
 
-    return df.mapInPandas(_frames, schema=frame_schema)
+    return df.select("media_id", "content").mapInPandas(
+        _frames, schema=frame_schema)
 
 
 # --------------------------------------------------------------------------
@@ -1473,4 +1479,5 @@ def resize_images(
                 "height": height,
             })
 
-    return df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+    return df.select("media_id", "kind", "content").mapInPandas(
+        _resize, schema=RESIZED_SCHEMA)
