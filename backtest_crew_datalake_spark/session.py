@@ -34,8 +34,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # guide §2.2 — fewer, larger reduce partitions: let AQE coalesce
+        # to the advisory size instead of preserving default parallelism.
+        # parallelismFirst=true padded every tiny post-shuffle stage to
+        # ~core-count near-empty tasks; false derives the partition count
+        # from DATA SIZE (the scale-adaptive posture — at 100 TB the
+        # advisory still yields thousands of partitions). Measured r11:
+        # wins 9/14 small-exchange queries (~9% subset total, both A/B
+        # orders), a wash on the shuffle-heavy subset.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-                os.environ.get("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
+                os.environ.get("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
                 os.environ.get("SPARK_GRAFT_ADVISORY_BYTES", "67108864"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
