@@ -460,7 +460,12 @@ def q_doc_winnow_pairs(spark, sf_dir):
     from ..pipeline.text import winnow_fingerprints
 
     d = load(spark, sf_dir, "documents")
-    f = winnow_fingerprints(d, k=3, w=4)
+    # guide §2.3 (the PPJoin recipe): key the df window / pairing
+    # exchange on the 16-byte binary digest — unhex(md5-hex) is
+    # injective and order-preserving, so groups and caps are
+    # identical while the exchange ships half the key bytes
+    f = winnow_fingerprints(d, k=3, w=4).withColumn(
+        "fingerprint", F.unhex("fingerprint"))
     pairs = F.expr(
         "flatten(transform(ids, (a, i) -> "
         "transform(slice(ids, i + 2, size(ids)), "
@@ -846,7 +851,10 @@ def q_doc_aligned_span_pairs(spark, sf_dir):
     from ..pipeline.text import winnow_fingerprints
 
     d = load(spark, sf_dir, "documents")
-    fk = winnow_fingerprints(d, k=3, w=4, first_pos=True)
+    # binary fingerprint keys for the pairing exchanges (§2.3; the
+    # first_pos anchor is computed in-row before the conversion)
+    fk = winnow_fingerprints(d, k=3, w=4, first_pos=True).withColumn(
+        "fingerprint", F.unhex("fingerprint"))
     # bucket-local pair generation (same shape as q_doc_winnow_pairs): the
     # df cap bounds each posting list at 10 entries BEFORE collect_list
     # builds a buffer (window state spills on hot keys), so collect the
@@ -1139,7 +1147,8 @@ def q_doc_shared_spans_exact(spark, sf_dir):
     from ..pipeline.text import winnow_fingerprints
 
     d = load(spark, sf_dir, "documents")
-    fk = winnow_fingerprints(d, k=3, w=4)
+    fk = winnow_fingerprints(d, k=3, w=4).withColumn(
+        "fingerprint", F.unhex("fingerprint"))  # §2.3 binary keys
     wdf = Window.partitionBy("fingerprint")
     pairs_expr = F.expr(
         "flatten(transform(ids, (a, i) -> "
