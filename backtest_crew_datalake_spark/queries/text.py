@@ -3587,29 +3587,28 @@ def q_doc_curation(spark, sf_dir):
 
     dup_frac = dup_ngram_frac("text", 3)
 
-    # bounded by construction: the eval suite is 20 fixed docs (rule 3)
-    bench_sh = [
-        r.sh for r in bench
-        .select(F.explode(_shingles("text", 3)).alias("sh"))
-        .distinct().collect()
-    ]
+    # bounded by construction: the eval suite is 20 fixed docs (rule 3).
+    # r11: the bench set is a LAZY 1-row aggregate broadcast (it used to
+    # be an eager .collect() + createDataFrame — a separate blocking
+    # scan job per build; folding it into the one action lets the suite
+    # scan pipeline with the other stages, warm 1.61 → 1.40 s). The
+    # array-column form (not F.lit(list)) is load-bearing: a literal
+    # array plans as a CreateArray of |bench| children re-built per row
+    # (measured 6 s vs 1.4 s on the standalone contamination query).
+    # An empty suite aggregates to [] and intersects to ratio 0.0 —
+    # nothing contaminated, same as the old empty-list branch.
+    bs = (
+        bench.select(F.explode(_shingles("text", 3)).alias("sh"))
+        .distinct()
+        .agg(F.collect_list("sh").alias("__bs"))
+    )
     shingles = _shingles("text", 3)
-    if bench_sh:
-        # the bench set rides as a 1-row broadcast ARRAY COLUMN, not an
-        # F.lit(list): the latter plans as a CreateArray of |bench|
-        # literal children re-built per row (measured 6 s on the
-        # standalone contamination query; the column form was 1.4 s)
-        bs = spark.createDataFrame([(bench_sh,)], "__bs array<string>")
-        cont_ratio = F.round(
-            F.size(F.array_intersect(shingles, F.col("__bs")))
-            / F.size(shingles), 6,
-        )
-    else:  # empty eval suite: nothing can be contaminated
-        bs = None
-        cont_ratio = F.lit(0.0)
+    cont_ratio = F.round(
+        F.size(F.array_intersect(shingles, F.col("__bs")))
+        / F.size(shingles), 6,
+    )
     base = quality_score(spread_partitions(corpus, "doc_id"))
-    if bs is not None:
-        base = base.crossJoin(F.broadcast(bs))
+    base = base.crossJoin(F.broadcast(bs))
     base = (
         base
         .withColumn("dup_frac", dup_frac)

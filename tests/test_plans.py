@@ -341,9 +341,10 @@ def test_semantic_dedup_plan_broadcast_only_centroids(spark):
 def test_curation_plan_single_corpus_pass(spark):
     # r11 optimization: ALL four stage signals (quality, repetition,
     # digest, contamination overlap) come out of ONE corpus pass — the
-    # bounded benchmark shingle set is collected in build() and rides as
-    # a 1-row broadcast array column (the only nested-loop allowed), so
-    # the RETURNED plan scans documents at most once and the canonical
+    # bounded benchmark shingle set is a LAZY 1-row aggregate broadcast
+    # (a second, doc_id<20-pruned scan in the SAME plan; it used to be
+    # an eager collect whose scan job the returned plan simply hid), so
+    # the plan scans the CORPUS once, the suite once, and the canonical
     # choice is a keyed window, not a self-join, with no cartesian
     p = _plan(spark, "q_doc_curation")
     assert "CartesianProduct" not in p
@@ -351,7 +352,10 @@ def test_curation_plan_single_corpus_pass(spark):
     # mirroring weighted_jaccard's 1-row N-aggregate pattern
     assert p.count("BroadcastNestedLoopJoin") <= 1
     assert "Window" in p                       # conditional-min canonical
-    assert p.count("documents.parquet") <= 1   # the single signal pass
+    # one corpus pass + the bounded eval-suite subtree, nothing more
+    assert p.count("documents.parquet") <= 2
+    # the suite scan must stay pruned to the 20 fixed docs
+    assert "LessThan(doc_id,20)" in p
 
 
 def test_dsir_plan_single_explode_broadcast_ratios(spark):
