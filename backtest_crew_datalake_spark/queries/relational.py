@@ -13,12 +13,6 @@ from pyspark.sql import functions as F
 
 from . import load, register
 
-# q_min_cost_supplier's EUROPE nation keys: a driver-collected BOUNDED dim
-# (≤25 rows), memoized per (application, sf_dir) so repeat builds don't
-# re-run the two-dim lookup job
-_EU_KEYS_MEMO: dict[tuple[str, str], list] = {}
-
-
 @register(
     "q_pricing_summary",
     oracle="""
@@ -1134,32 +1128,37 @@ def q_min_cost_supplier(spark, sf_dir):
        SortAggregate, which is fine HERE because it sorts |part×supp|
        reduced rows, never the fact table.
 
-    The EUROPE supplier slice comes from a driver-side collect of the
-    nation⨝region keys (BOUNDED dim, ≤25 rows, memoized per (app, sf_dir)
-    — same pattern as the driver-held k-means centroids): `regional` is
-    then a pure IN-filter on the supplier scan, so the initial plan — not
-    just the AQE replan — sees a tiny build side and broadcasts the
-    lineitem⨝supplier join natively (the join-chain form inflated size
-    estimates and cost a full fact-table Exchange before AQE could
-    convert it). At extreme SF the filter stats grow with supplier and
-    the join degrades to a keyed shuffle join, which is the correct
+    The EUROPE supplier slice rides INSIDE the lazy plan (r12, verdict
+    #5 — the curation fold-in recipe): the nation⨝region key set (BOUNDED
+    dim, ≤25 rows) is a broadcast build side of a left-semi join on the
+    supplier scan, so no blocking driver collect runs before the query's
+    own action (the old memoized collect skipped that job on repeat
+    builds, which under the bench's drop-first protocol hid a scan job
+    run 1 paid). The supplier side stays dim-sized after the semi-join,
+    so the initial plan still broadcasts the lineitem⨝supplier join
+    natively (plan-gated); at extreme SF the supplier stats grow and the
+    join degrades to a keyed shuffle join, which is the correct
     behavior."""
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").where(F.col("p_size").between(10, 20))
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
-    eu_keys = _EU_KEYS_MEMO.get(memo_key)
-    if eu_keys is None:
-        eu_keys = [
-            row.n_nationkey
-            for row in n.join(
-                F.broadcast(r), n.n_regionkey == r.r_regionkey
-            ).select("n_nationkey").collect()
-        ]
-        _EU_KEYS_MEMO[memo_key] = eu_keys
-    rs = s.where(F.col("s_nationkey").isin(eu_keys))
+    eu_keys = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select("n_nationkey")
+    rs = s.join(
+        F.broadcast(eu_keys),
+        s.s_nationkey == eu_keys.n_nationkey,
+        "left_semi",
+    )
+    # the winner-attribute side needs NO region slice: `offers` admits only
+    # EUROPE suppliers, so every win_suppkey the inner join below can match
+    # is already EUROPE — joining the unsliced supplier⨝nation attaches
+    # identical attributes without a second eu_keys broadcast subtree
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name", "s_acctbal", "n_name"
+    )
     offers = (
         li.join(rs.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey")
@@ -1182,9 +1181,6 @@ def q_min_cost_supplier(spark, sf_dir):
             F.col("m.unit_cost").alias("unit_cost"),
             F.col("m.k").alias("win_suppkey"),
         )
-    )
-    sn = rs.join(F.broadcast(n), rs.s_nationkey == n.n_nationkey).select(
-        "s_suppkey", "s_name", "s_acctbal", "n_name"
     )
     return (
         best.join(sn, best.win_suppkey == F.col("s_suppkey"))

@@ -220,6 +220,11 @@ def main():
     # per-query JSON above is ~10 KB, which truncates away the headline
     # `value`/`spark_over_duck_ratio` (BENCH_r09 recorded parsed: null).
     # Any tail capture now always ends with a parseable one-liner.
+    # r12 (verdict #1): the compact line now ALSO carries the per-query
+    # timings (2-decimal, compact separators — ~1.85 KB for 62 queries,
+    # inside the 2000-char tail) so the driver's round-over-round
+    # per-query comparison (PERF n_common / scaling.per_query) works
+    # again; the ratio/favored decompositions stay in the full line only.
     print(json.dumps({
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -229,7 +234,8 @@ def main():
         "floor_sec_per_action": floor_sec,
         "duck_total_sec": duck_total,
         "spark_over_duck_ratio": ratio,
-    }))
+        "queries": {n: round(s, 2) for n, s in timings.items()},
+    }, separators=(",", ":")))
 
 
 def _duck_pass(sf_dir: str):

@@ -253,12 +253,16 @@ def test_min_cost_supplier_no_correlated_rescan(spark):
     # Q2 decorrelation: ONE lineitem scan feeds the (part,supp) hash agg;
     # the per-part argmin is a struct-min over the reduced offers (never a
     # second lineitem scan joined back, never a cartesian, never a window
-    # over the fact). region appears only in the bounded driver-collected
-    # nation-key lookup, not in the query plan; supplier feeds the fact
-    # join AND the winner-attribute join (two scans of a dim is fine).
+    # over the fact). r12 (verdict #5): the EUROPE nation-key lookup rides
+    # INSIDE the lazy plan as a broadcast LEFT-SEMI on the supplier scan —
+    # no driver collect, no memo — so region+nation appear as FileScans;
+    # supplier feeds the fact join (semi-sliced) AND the winner-attribute
+    # join (unsliced — winners are EUROPE by construction).
     p = _plan(spark, "q_min_cost_supplier")
     assert p.count("lineitem.parquet") == 1
-    assert p.count("FileScan parquet") == 5  # li + supplier x2 + nation + part
+    # li + supplier x2 + nation x2 + region + part
+    assert p.count("FileScan parquet") == 7
+    assert p.count("LeftSemi") == 1  # the in-plan nation-key slice
     assert "CartesianProduct" not in p
     assert "Window" not in p
 
