@@ -530,7 +530,16 @@ def incremental_neardup_flags(
     join — one signature exchange instead of two, one spread exchange,
     and AQE sees both join inputs' real (post-filter) sizes. Ids may
     overlap between sides (the tag stays in the aggregation key), so
-    semantics are unchanged; 1.0 s → 0.36 s warm at sf0.1."""
+    semantics are unchanged; 1.0 s → 0.36 s warm at sf0.1.
+
+    API notes (r11 ADVICE): (1) the tagged union requires ``new_df`` and
+    ``corpus_df`` to carry Spark-compatible dtypes for the id/text
+    columns (unionByName resolves them; mismatched-but-castable types
+    should be cast by the caller); (2) the banded table is persisted for
+    the lifetime of the returned plan's session — a caller invoking this
+    per-ingest in a long-lived session should ``spark.catalog.clearCache()``
+    or unpersist between calls (a production lake materializes the
+    corpus-side signature table anyway, see above)."""
     from pyspark import StorageLevel
 
     tagged = (

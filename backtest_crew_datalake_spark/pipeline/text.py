@@ -185,10 +185,16 @@ def winnow_fingerprints(
     any shared run of ``k+w-1`` words between two documents shares ≥1
     fingerprint.
 
-    The gram hash is the md5 hex string (lowercase in every engine) and the
-    window minimum is its lexicographic MIN — both portable, so a SQL oracle
-    can reproduce the exact fingerprint set. Only full ``w``-gram windows
-    select fingerprints, so docs shorter than ``k+w-1`` words emit none.
+    The gram hash is the 16-byte md5 digest (``unhex`` of the hex string —
+    guide §2.3 narrower types, the r12 extension of the r11 PPJoin recipe:
+    the digest is injective and BinaryType's unsigned-lexicographic order
+    equals lowercase-hex order, so every window minimum, distinct set, and
+    df count is IDENTICAL to the hex formulation while the gram array, the
+    w-window ``array_min`` scans, and every downstream fingerprint exchange
+    carry half the bytes — and consumers no longer re-project ``unhex``
+    below their exchanges). A SQL oracle reproduces the exact fingerprint
+    set from the hex string. Only full ``w``-gram windows select
+    fingerprints, so docs shorter than ``k+w-1`` words emit none.
 
     Scale shape: ENTIRELY ROW-LOCAL — the gram-hash array, the sliding
     ``w``-window minima (`transform` + `array_min` over array slices), and
@@ -213,8 +219,8 @@ def winnow_fingerprints(
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     gram_hashes = F.expr(
         f"transform(sequence(0, size(__toks) - {k}), "
-        f"i -> md5(cast(array_join(slice(__toks, i + 1, {k}), ' ') "
-        f"AS BINARY)))"
+        f"i -> unhex(md5(cast(array_join(slice(__toks, i + 1, {k}), ' ') "
+        f"AS BINARY))))"
     )
     fps = F.expr(
         f"array_distinct(transform(sequence(0, size(__h) - {w}), "

@@ -460,12 +460,11 @@ def q_doc_winnow_pairs(spark, sf_dir):
     from ..pipeline.text import winnow_fingerprints
 
     d = load(spark, sf_dir, "documents")
-    # guide §2.3 (the PPJoin recipe): key the df window / pairing
-    # exchange on the 16-byte binary digest — unhex(md5-hex) is
-    # injective and order-preserving, so groups and caps are
-    # identical while the exchange ships half the key bytes
-    f = winnow_fingerprints(d, k=3, w=4).withColumn(
-        "fingerprint", F.unhex("fingerprint"))
+    # guide §2.3 (the PPJoin recipe): the fingerprint IS the 16-byte
+    # binary digest since r12 (winnow_fingerprints hashes straight to
+    # binary — injective and order-preserving, so groups and caps are
+    # identical while every exchange ships half the key bytes)
+    f = winnow_fingerprints(d, k=3, w=4)
     pairs = F.expr(
         "flatten(transform(ids, (a, i) -> "
         "transform(slice(ids, i + 2, size(ids)), "
@@ -851,10 +850,9 @@ def q_doc_aligned_span_pairs(spark, sf_dir):
     from ..pipeline.text import winnow_fingerprints
 
     d = load(spark, sf_dir, "documents")
-    # binary fingerprint keys for the pairing exchanges (§2.3; the
-    # first_pos anchor is computed in-row before the conversion)
-    fk = winnow_fingerprints(d, k=3, w=4, first_pos=True).withColumn(
-        "fingerprint", F.unhex("fingerprint"))
+    # binary fingerprint keys for the pairing exchanges (§2.3; since r12
+    # winnow_fingerprints hashes straight to the 16-byte digest)
+    fk = winnow_fingerprints(d, k=3, w=4, first_pos=True)
     # bucket-local pair generation (same shape as q_doc_winnow_pairs): the
     # df cap bounds each posting list at 10 entries BEFORE collect_list
     # builds a buffer (window state spills on hot keys), so collect the
@@ -1007,10 +1005,12 @@ def q_doc_shared_spans(spark, sf_dir):
     cand = ap.select(
         F.explode(F.array("id_a", "id_b")).alias("doc_id")).distinct()
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # 16-byte binary gram digests (§2.3, matching winnow_fingerprints):
+    # the in-row aligned-match HOF compares half the bytes per position
     grams = F.expr(
         "transform(sequence(0, size(__toks) - 3), "
-        "i -> md5(cast(array_join(slice(__toks, i + 1, 3), ' ') "
-        "             as binary)))"
+        "i -> unhex(md5(cast(array_join(slice(__toks, i + 1, 3), ' ') "
+        "             as binary))))"
     )
     garr = (
         # candidate restriction FIRST (broadcast semi against the tiny id
@@ -1147,8 +1147,7 @@ def q_doc_shared_spans_exact(spark, sf_dir):
     from ..pipeline.text import winnow_fingerprints
 
     d = load(spark, sf_dir, "documents")
-    fk = winnow_fingerprints(d, k=3, w=4).withColumn(
-        "fingerprint", F.unhex("fingerprint"))  # §2.3 binary keys
+    fk = winnow_fingerprints(d, k=3, w=4)  # §2.3 binary keys end-to-end
     wdf = Window.partitionBy("fingerprint")
     pairs_expr = F.expr(
         "flatten(transform(ids, (a, i) -> "
@@ -1182,7 +1181,9 @@ def q_doc_shared_spans_exact(spark, sf_dir):
         .where(F.size("__toks") >= 3)
         .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
         .select("doc_id", "pos",
-                F.md5(F.col("gram").cast("binary")).alias("h"))
+                # 16-byte binary digest (§2.3): halves the (id_b, h)
+                # match-join key bytes and the checkpointed gram rows
+                F.unhex(F.md5(F.col("gram").cast("binary"))).alias("h"))
         .localCheckpoint(eager=False)  # both match-join sides read it
     )
     ga = g.join(pairs.select(F.col("id_a").alias("doc_id")).distinct(),

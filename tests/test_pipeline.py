@@ -265,12 +265,14 @@ def test_winnow_fingerprints_vs_python_reference(spark):
     df = spark.createDataFrame(docs, ["doc_id", "text"])
     got = {}
     for r in winnow_fingerprints(df, k=3, w=4).collect():
-        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+        # r12: fingerprints are 16-byte binary digests (min over digests
+        # == min over hex — unsigned-lexicographic order is preserved)
+        got.setdefault(r["doc_id"], set()).add(bytes(r["fingerprint"]))
 
     def ref(text, k=3, w=4):
         toks = text.lower().split()
         grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-        hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        hs = [hashlib.md5(g.encode()).digest() for g in grams]
         return {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
 
     for doc_id, text in docs:
