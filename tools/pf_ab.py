@@ -66,7 +66,10 @@ def main():
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs[1:])[1], 3)
-        # final adaptive plan of the last run (AQEShuffleRead visible)
+        # final adaptive plan: execute THIS DataFrame's own QueryExecution
+        # (the noop write above runs a separate one), then dump — the
+        # AQEShuffleRead coalesced partition specs become visible
+        df.collect()
         p = df._jdf.queryExecution().executedPlan().toString()
         out = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "plans", "r12",
