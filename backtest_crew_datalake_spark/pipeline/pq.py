@@ -563,10 +563,15 @@ def ivf_pq_topk(
                 _sqdist(F.col("sub"), F.col("centroid")).alias("__d2"),
             )
         )
+        # r12 (guide §1.2/§3): the LUT is already keyed per probed
+        # (query, list) pair, so the probe_pairs join is redundant —
+        # ONE broadcast join on (list_id, sub_id, code) both restricts
+        # cand to probed lists and attaches (query_id, __d2): one
+        # broadcast build job instead of two, one hash probe per
+        # corpus-code row instead of two
         scored = (
-            cand.join(F.broadcast(probe_pairs), "list_id")
-            .join(F.broadcast(lut),
-                  ["query_id", "list_id", "sub_id", "code"])
+            cand.join(F.broadcast(lut),
+                      ["list_id", "sub_id", "code"])
             .groupBy("query_id", "neighbor_id")
             .agg(F.sum("__d2").alias("__dist"))
         )
@@ -582,9 +587,17 @@ def ivf_pq_topk(
             "query_id", "sub_id", F.col("centroid_id").alias("code"),
             _sqdist(F.col("sub"), F.col("centroid")).alias("__d2"),
         )
+        # r12 (guide §1.2/§3): fold the probe filter INTO the LUT on the
+        # tiny query side (|q|·nprobe·m·ksub rows, broadcast-bounded by
+        # contract), so the corpus-code path pays ONE broadcast join
+        # instead of two — same rows: each cand row matches exactly the
+        # (query, probed-list) pairs it used to reach through
+        # probe_pairs, with the same per-cell __d2
+        lut2 = probe_pairs.join(lut, "query_id").select(
+            "query_id", "list_id", "sub_id", "code", "__d2",
+        )
         scored = (
-            cand.join(F.broadcast(probe_pairs), "list_id")
-            .join(F.broadcast(lut), ["query_id", "sub_id", "code"])
+            cand.join(F.broadcast(lut2), ["list_id", "sub_id", "code"])
             .groupBy("query_id", "neighbor_id")
             .agg(F.sum("__d2").alias("__dist"))
         )

@@ -3564,58 +3564,84 @@ def q_doc_curation(spark, sf_dir):
     All stage thresholds compare the same rounded doubles both engines
     derive from integer ratios.
 
-    OPTIMIZED (r11 optimization round, guide §2.4): the contamination
-    stage used to be pipeline.sampling.contamination — a SECOND corpus
-    scan + shingle explode, a per-doc ratio aggregation, and a
-    doc-keyed LEFT join back onto the signal rows. The benchmark
-    shingle set is bounded by construction (the doc_id < 20 eval
-    suite), so the same distinct-shingle overlap ratio is now computed
-    IN-ROW during the one signal pass: `array_intersect` of the row's
-    `_shingles` array (the identical helper contamination uses) against
-    the collected benchmark set, same 6-dp round, same >= 0.1 gate.
-    That deletes one corpus scan, the contamination agg exchange, and
-    the corpus-wide doc-keyed join — the remaining exchanges are the
-    digest window and the final 2-key agg. 1.3 s → ~0.6 s at sf0.1;
-    oracle-verified at 3 SFs."""
+    OPTIMIZED (r11 guide §2.4, re-tuned r12 §1.2/§2.3 after the growth
+    rows): the contamination stage used to be a SECOND corpus scan +
+    shingle explode + per-doc agg + corpus-wide doc-keyed join-back;
+    r11 folded it IN-ROW (`array_intersect` against a 1-row lazy
+    broadcast of the suite shingles — deletes that scan, exchange and
+    join; the lazy array-column form is load-bearing, see below). The
+    r12 50× growth row exposed the remaining per-row waste and halved
+    the query again (17.3 → 7.5 s at 50×, measured stage by stage):
+
+    - the trigram transform and token count now ride ONE materialized
+      column each (`__tg`, `__ntk`) shared by the dup-fraction and the
+      shingle set — the inline `dup_ngram_frac`/`_shingles` expressions
+      re-evaluated tokenize+transform up to 3× per row (CollapseProject
+      happily duplicates them into every consumer);
+    - `array_intersect(__bs, __sh)` instead of `(__sh, __bs)`: the
+      implementation builds its hash set from the per-row ~|doc| array
+      and probes the |suite| elements through it, instead of rebuilding
+      the Θ(|suite|) set per row — the count (distinct intersection) is
+      identical by symmetry.
+
+    (An explode + broadcast-semi-join + hits-join-back variant was
+    measured and REJECTED: 23.7 s at 50× — the second tokenize+explode
+    pass costs more than the in-row probe at every SF once the
+    evaluations are deduplicated.) Values bit-identical: same transform,
+    same distinct, same 6-dp rounds, same >= 0.1 gate; oracle-verified
+    at 3 SFs.
+
+    The bench set stays a LAZY 1-row aggregate broadcast (an eager
+    .collect() was a separate blocking scan job per build; a literal
+    array plans as a CreateArray of |bench| children re-built per row —
+    measured 6 s vs 1.4 s standalone). An empty suite aggregates to []
+    and intersects to ratio 0.0 — nothing contaminated."""
     from pyspark.sql import Window as W
 
     from ..pipeline.dedup import _shingles, spread_partitions
-    from ..pipeline.text import dup_ngram_frac, quality_score
+    from ..pipeline.text import quality_score, tokens
 
     d = load(spark, sf_dir, "documents")
     corpus = d.where(F.col("doc_id") >= 20)
     bench = d.where(F.col("doc_id") < 20)
 
-    dup_frac = dup_ngram_frac("text", 3)
-
-    # bounded by construction: the eval suite is 20 fixed docs (rule 3).
-    # r11: the bench set is a LAZY 1-row aggregate broadcast (it used to
-    # be an eager .collect() + createDataFrame — a separate blocking
-    # scan job per build; folding it into the one action lets the suite
-    # scan pipeline with the other stages, warm 1.61 → 1.40 s). The
-    # array-column form (not F.lit(list)) is load-bearing: a literal
-    # array plans as a CreateArray of |bench| children re-built per row
-    # (measured 6 s vs 1.4 s on the standalone contamination query).
-    # An empty suite aggregates to [] and intersects to ratio 0.0 —
-    # nothing contaminated, same as the old empty-list branch.
     bs = (
         bench.select(F.explode(_shingles("text", 3)).alias("sh"))
         .distinct()
         .agg(F.collect_list("sh").alias("__bs"))
     )
-    shingles = _shingles("text", 3)
+    toks = tokens(F.col("text"))
+    tg = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+    )
+    # __sh ≡ _shingles("text", 3); dup_frac ≡ dup_ngram_frac("text", 3)
+    # — same expressions, evaluated over the shared __tg/__ntk columns
+    sh_col = F.when(
+        F.col("__ntk") >= 3, F.array_distinct(F.col("__tg"))
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    dup_frac = F.when(
+        F.col("__ntk") >= 3,
+        F.round(
+            1.0 - F.size(F.array_distinct(F.col("__tg")))
+            / (F.col("__ntk") - 2), 6,
+        ),
+    ).otherwise(F.lit(0.0))
     cont_ratio = F.round(
-        F.size(F.array_intersect(shingles, F.col("__bs")))
-        / F.size(shingles), 6,
+        F.size(F.array_intersect(F.col("__bs"), F.col("__sh")))
+        / F.size(F.col("__sh")), 6,
     )
     base = quality_score(spread_partitions(corpus, "doc_id"))
     base = base.crossJoin(F.broadcast(bs))
     base = (
         base
+        .withColumn("__tg", tg)
+        .withColumn("__ntk", F.size(toks))
+        .withColumn("__sh", sh_col)
         .withColumn("dup_frac", dup_frac)
         .withColumn("digest", F.md5("text"))
         .withColumn("__cont", cont_ratio >= 0.1)
-        .drop("__bs")
+        .drop("__bs", "__tg", "__ntk", "__sh")
     )
     s2 = (F.col("quality") >= 0.5) & (F.col("dup_frac") <= 0.2)
     canon = F.min(F.when(s2, F.col("doc_id"))).over(

@@ -835,69 +835,78 @@ def _snapshot_df(spark, data_root, manifest, entries=None, keep_pos=False):
                     "mixed equality-delete keys in one table are "
                     f"unsupported: {d['key']} vs {key}"
                 )
-        by_seq: dict[int, list[dict]] = {}
-        for e in data:
-            by_seq.setdefault(int(e.get("seq", 0)), []).append(e)
-        out = None
-        for seq in sorted(by_seq):
-            part = _read_entries(
-                spark, data_root, by_seq[seq], manifest["schema_ddl"],
-                with_meta=need_pos,
-            ).withColumn("__seq", F.lit(seq))
-            out = part if out is None else out.unionByName(part)
-    else:
-        out = _read_entries(spark, data_root, data, manifest["schema_ddl"],
-                            with_meta=True)
-    if need_pos:
-        # map the scan's decoded absolute path back to the MANIFEST path
-        # (relative for own files, absolute for clone-inherited entries) —
-        # a bounded broadcast lookup, one row per manifest file
-        pairs = [
-            (e["path"] if os.path.isabs(e["path"])
-             else os.path.abspath(os.path.join(data_root, e["path"])),
-             e["path"])
-            for e in data
-        ]
-        lut = spark.createDataFrame(pairs, "__abs string, __mpath string")
-        # left join: a LUT miss (path-form drift) must keep the row —
-        # a null __mpath can never match a delete pair, so drift degrades
-        # to "delete not applied" loudly in tests, never to lost rows
-        out = out.join(F.broadcast(lut), "__abs", "left").drop("__abs")
+    # ONE scan for ALL data entries (r12, guide §1.2/§6): the previous
+    # shape unioned one _read_entries scan PER COMMIT SEQ when equality
+    # deletes were live, so a fragmented table paid a file-listing +
+    # scan-planning job per historic commit (measured: acid_compact over
+    # a 26-commit table ran ~30 jobs per partition, ~10 s of pure
+    # scheduling floor). The per-file seq now rides the SAME bounded
+    # broadcast path LUT that already mapped scan paths back to manifest
+    # paths — one row per manifest file, never data-scale.
+    out = _read_entries(spark, data_root, data, manifest["schema_ddl"],
+                        with_meta=True)
+    # map the scan's decoded absolute path back to the MANIFEST path
+    # (relative for own files, absolute for clone-inherited entries) and
+    # its commit seq — a bounded broadcast lookup, one row per file
+    pairs = [
+        (e["path"] if os.path.isabs(e["path"])
+         else os.path.abspath(os.path.join(data_root, e["path"])),
+         e["path"], int(e.get("seq", 0)))
+        for e in data
+    ]
+    lut = spark.createDataFrame(
+        pairs, "__abs string, __mpath string, __seq long")
+    # left join: a LUT miss (path-form drift) must keep the row — a null
+    # __mpath can never match a delete pair and a null __seq keeps the
+    # row below, so drift degrades to "delete not applied" loudly in
+    # tests, never to lost rows
+    out = out.join(F.broadcast(lut), "__abs", "left").drop("__abs")
     if pdels:
-        pd_df = None
-        for d in pdels:
-            one = spark.read.parquet(os.path.join(data_root, d["path"]))
-            pd_df = one if pd_df is None else pd_df.unionByName(one)
+        # one read for ALL pos-delete files (identical (__file, __pos)
+        # schema by construction) — not one schema-inferring read each
+        pd_df = spark.read.parquet(
+            *sorted(os.path.join(data_root, d["path"]) for d in pdels)
+        )
         pd_df = pd_df.select(
             F.col("__file").alias("__mpath"), F.col("__pos")
         ).distinct()
         out = out.join(pd_df, ["__mpath", "__pos"], "left_anti")
-    if not keep_pos and need_pos:
+    if not keep_pos:
         out = out.drop("__mpath", "__pos")
     if not dels:
-        return out
+        return out.drop("__seq")
     # pin the key columns to the COMMITTED schema's types: a delete file
     # written before an additive type widening would otherwise anti-join
     # under its historic type and silently fail to suppress (or error)
     key_types = dict(
         spark.createDataFrame([], manifest["schema_ddl"]).dtypes
     ) if manifest.get("schema_ddl") else {}
-    ddf = None
+    # one read per delete COMMIT seq (not per file): historic fragmented
+    # deletes may hold many files per commit, and each bare
+    # spark.read.parquet was a schema-inference job on the driver
+    by_dseq: dict[int, list[str]] = {}
     for d in dels:
+        by_dseq.setdefault(int(d["seq"]), []).append(
+            os.path.join(data_root, d["path"]))
+    ddf = None
+    for seq in sorted(by_dseq):
         one = (
-            spark.read.parquet(os.path.join(data_root, d["path"]))
+            spark.read.parquet(*sorted(by_dseq[seq]))
             .select(*[
                 F.col(k).cast(key_types[k]).alias(k)
                 if k in key_types else F.col(k)
                 for k in key
             ])
-            .withColumn("__dseq", F.lit(int(d["seq"])))
+            .withColumn("__dseq", F.lit(seq))
         )
         ddf = one if ddf is None else ddf.unionByName(one)
     dmax = ddf.groupBy(*key).agg(F.max("__dseq").alias("__dseq"))
     return (
         out.join(dmax, key, "left")
-        .where(F.col("__dseq").isNull() | (F.col("__dseq") < F.col("__seq")))
+        # null __seq = path-LUT drift: keep the row (delete not applied),
+        # the same loud-degradation convention as the __mpath join above
+        .where(F.col("__dseq").isNull() | F.col("__seq").isNull()
+               | (F.col("__dseq") < F.col("__seq")))
         .drop("__dseq", "__seq")
     )
 
@@ -1239,12 +1248,11 @@ def acid_compact(
                 # that can hold a suppressed row (same string encoding as
                 # acid_upsert's touched-partition set)
                 droot = _data_root(table_root)
-                ddf = None
-                for d in base_dels:
-                    one = spark.read.parquet(
-                        os.path.join(droot, d["path"])
-                    )
-                    ddf = one if ddf is None else ddf.unionByName(one)
+                # one read for all delete files (one shared key tuple is
+                # enforced, so the schemas agree)
+                ddf = spark.read.parquet(*sorted(
+                    os.path.join(droot, d["path"]) for d in base_dels
+                ))
                 hit_parts = {
                     tuple(None if r[c] == "" else r[c] for c in pby)
                     for r in ddf.select(
@@ -1294,7 +1302,8 @@ def acid_compact(
             {k[4:] for e in base["files"] for k in e if k.startswith("min_")}
             | set(cluster)
         ))
-        for pkey, es in todo.items():
+        def _rewrite_partition(item):
+            pkey, es = item
             want = max(1, -(-sum(e.get("bytes", 0) for e in es) // target))
             # snapshot read: a compaction rewrite PURGES merge-on-read
             # deletes for the rows it rewrites (they re-land at the new
@@ -1321,8 +1330,25 @@ def acid_compact(
                 spark, part_df, table_root, partition_by, stats_cols,
                 bloom_cols=_bloom_cols_of(base["files"]),
             )
+            return pkey, wrote, expected
+
+        # per-partition rewrites are INDEPENDENT until the single manifest
+        # commit, and each is a short chain of small driver-blocking jobs
+        # (snapshot read, count, write, stats collect) — overlap a few so
+        # the next partition's jobs back-fill the tail of the current
+        # one's (guide §2.6); staging dirs/filenames are commit-unique per
+        # _write_data_files call, so the rewrites never collide
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = min(4, max(1, len(todo)))
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            results = list(pool.map(_rewrite_partition, todo.items()))
+        for pkey, wrote, expected in results:
             if sum(w["rows"] for w in wrote) != expected:
-                _remove_entries(table_root, wrote + new_entries)
+                _remove_entries(
+                    table_root,
+                    [w for _, ws, _ in results for w in ws],
+                )
                 raise RuntimeError(
                     f"compaction row-count mismatch in {dict(pkey)} of "
                     f"{table_root} — aborted, nothing committed"
@@ -2285,7 +2311,12 @@ def acid_delete_mor(
         keys_df = _to_physical_frame(keys_df, _mapping)
 
     key = list(key)
-    kdf = keys_df.select(*key).distinct()
+    # ONE delete file per commit (r12, guide §6): delete files are
+    # O(|requests|)-small by contract, but the distinct's shuffle
+    # partitioning wrote one near-empty parquet file per task (measured:
+    # a 21-key delete landed as 21 single-row files, and every later
+    # snapshot read paid 21 separate schema-inferring reads)
+    kdf = keys_df.select(*key).distinct().coalesce(1)
     new_entries = _write_data_files(spark, kdf, table_root, (), ())
     if not new_entries or sum(e["rows"] for e in new_entries) == 0:
         _remove_entries(table_root, new_entries)
